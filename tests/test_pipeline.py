@@ -1,0 +1,235 @@
+"""End-to-end per-document pipeline contracts
+(/root/reference/tests/unit/scraper-pipeline.test.ts) + golden span tests on
+the fixture corpus (the north-rule invariant: span-sequence equality on
+(kind, text, media_ref, order))."""
+
+from reader_spark import fixtures
+from reader_spark.config import ExtractorConfig
+from reader_spark.extract.pipeline import detect_json_payload, extract_document
+
+
+def payload_of(doc: dict) -> str:
+    return "".join(
+        s["text"] for s in sorted(doc["spans"], key=lambda s: s["offset"])
+    )
+
+
+def run(doc_id: str, cfg: ExtractorConfig = ExtractorConfig()):
+    doc = next(d for d in fixtures.fixture_docs() if d["doc_id"] == doc_id)
+    return extract_document(
+        doc_id, payload_of(doc), fixtures.base_url_for(doc_id), cfg
+    )
+
+
+class TestGenericSample:
+    def test_metadata_extracted(self):
+        res = run("generic-sample")
+        assert res.metadata["title"] == "Generic Page Title"
+        assert res.metadata["description"] == "A generic page for the content pipeline"
+        assert res.metadata["openGraph"]["title"] == "Generic OG Title"
+        assert res.metadata["openGraph"]["image"] == "https://fixtures.test/og.png"
+        assert res.metadata["twitter"]["card"] == "summary_large_image"
+
+    def test_only_main_content(self):
+        res = run("generic-sample")
+        assert "Welcome to Generic" in res.markdown
+        assert "© 2026 Generic Corp" not in res.markdown
+
+    def test_full_content_without_main_only(self):
+        res = run("generic-sample", ExtractorConfig(only_main_content=False))
+        assert "Welcome to Generic" in res.markdown
+        assert "meaningful content" in res.markdown
+        assert len(res.markdown) > 50
+
+    def test_standalone_link_becomes_link_span(self):
+        res = run("generic-sample")
+        links = [s for s in res.spans if s.kind == "link"]
+        assert links and links[0].media_ref == "https://fixtures.test/link"
+        assert links[0].text == "[A useful link](https://fixtures.test/link)"
+
+
+class TestWikipediaLike:
+    def test_substantial_markdown_with_table(self):
+        res = run("wikipedia-like")
+        assert "Data extraction" in res.markdown
+        assert "Techniques" in res.markdown
+        assert "HTTP" in res.markdown
+        assert "|" in res.markdown
+        assert len(res.markdown) > 200
+
+    def test_nav_removed(self):
+        res = run("wikipedia-like")
+        assert "Main Page" not in res.markdown
+
+    def test_table_span(self):
+        res = run("wikipedia-like")
+        tables = [s for s in res.spans if s.kind == "table"]
+        assert len(tables) == 1
+        lines = tables[0].text.split("\n")
+        assert lines[0] == "| Method | Description |"
+        assert lines[1] == "| --- | --- |"
+        assert lines[2] == "| HTTP | Direct request |"
+
+
+class TestSaasLanding:
+    def test_headings_and_list(self):
+        res = run("saas-landing")
+        assert "Ship faster with Zenith" in res.markdown
+        assert "Features" in res.markdown
+        assert "- Instant deployments" in res.markdown
+        assert "Privacy" not in res.markdown  # footer stripped
+
+
+class TestSimpleStatic:
+    def test_golden_span_sequence(self):
+        res = run("simple-static")
+        got = [(s.kind, s.text, s.media_ref) for s in res.spans]
+        assert got == [
+            ("heading", "# Simple Fixture Page", None),
+            ("text", "This is a synthetic static page used for testing the extraction engine.", None),
+            ("text", "It contains multiple paragraphs with **bold text** and *italic text*.", None),
+            ("heading", "## Section Two", None),
+            (
+                "text",
+                "More content in the second section. Here is a [link to another page](https://fixtures.test/other).",
+                None,
+            ),
+            ("list_item", "- First item", None),
+            ("list_item", "- Second item", None),
+            ("list_item", "- Third item", None),
+        ]
+
+    def test_metadata(self):
+        res = run("simple-static")
+        assert res.metadata["title"] == "Simple Fixture Page"
+        assert res.metadata["language"] == "en"
+        assert res.metadata["charset"] == "utf-8"
+        assert res.metadata["canonical"] == "https://fixtures.test/simple-static"
+
+
+class TestMediaRich:
+    def test_golden_span_sequence(self):
+        res = run("media-rich")
+        got = [(s.kind, s.text, s.media_ref) for s in res.spans]
+        assert got == [
+            ("heading", "# Gallery", None),
+            ("text", "Intro paragraph before any media appears in the flow.", None),
+            (
+                "image",
+                "![Hero image](https://fixtures.test/hero-large.jpg)",
+                "https://fixtures.test/hero-large.jpg",
+            ),
+            ("text", "Between images there is prose content.", None),
+            (
+                "image",
+                "![Self linked](https://fixtures.test/photo.png)",
+                "https://fixtures.test/photo.png",
+            ),
+            ("text", "A paragraph after the self-linked image.", None),
+            (
+                "text",
+                "Closing words with a [relative link](https://fixtures.test/relative/page).",
+                None,
+            ),
+        ]
+
+    def test_skip_link_removed_and_base64_gone(self):
+        res = run("media-rich")
+        assert "Skip to Content" not in res.markdown
+        assert "data:image" not in res.markdown
+
+    def test_srcset_resolved_to_largest(self):
+        res = run("media-rich")
+        assert "hero-large.jpg" in res.markdown
+        assert "hero-small" not in res.markdown
+
+
+class TestJsonPayload:
+    def test_detection(self):
+        assert detect_json_payload('{"key": "value"}', 500_000) is not None
+        assert detect_json_payload("[1, 2]", 500_000) is not None
+        assert detect_json_payload("not json", 500_000) is None
+        assert detect_json_payload('"just a string"', 500_000) is None
+        assert detect_json_payload("{bad json}", 500_000) is None
+
+    def test_cap(self):
+        big = '{"k": "' + "x" * 500_001 + '"}'
+        assert detect_json_payload(big, 500_000) is None
+
+    def test_short_circuit_span(self):
+        res = run("json-payload")
+        assert len(res.spans) == 1
+        span = res.spans[0]
+        assert span.kind == "json"
+        assert span.text.startswith("```json\n")
+        assert span.text.endswith("\n```")
+        assert '"items"' in span.text
+        assert res.metadata is None
+        assert res.markdown == span.text
+
+
+class TestEdgeDocs:
+    def test_empty_page_yields_no_spans(self):
+        res = run("empty-page")
+        assert res.spans == []
+        assert res.markdown == ""
+        assert res.ok
+        assert res.metadata["title"] is None
+
+    def test_scripts_only(self):
+        res = run("scripts-only")
+        assert "alert" not in res.markdown
+        assert "track()" not in res.markdown
+
+    def test_empty_payload_is_error_row(self):
+        res = extract_document("nothing", "", "https://fixtures.test/nothing")
+        assert res.error_kind == "EmptyDocumentError"
+        assert res.spans == []
+
+    def test_protected_content_survives(self):
+        res = run("protected-content")
+        assert "This is the real content kept by protection." in res.markdown
+
+    def test_dialog_class_body_survives(self):
+        res = run("dialog-class-body")
+        assert "real article content" in res.markdown
+
+    def test_oversized_truncated_but_extracted(self):
+        res = run("oversized")
+        assert res.ok
+        assert "Oversized filler paragraph" in res.markdown
+        # Input >2 MiB was truncated to the guard before serialization.
+        assert len(res.markdown) <= 2 * 1024 * 1024
+
+
+class TestEmptyMainFallback:
+    def test_reclean_without_main_only(self):
+        # All content lives in <nav> — main-only cleaning leaves nothing,
+        # so the pipeline re-runs with onlyMainContent=False (C11).
+        html = (
+            "<html><body><nav>"
+            + "<p>Navigation-only page body text. </p>" * 20
+            + "</nav></body></html>"
+        )
+        res = extract_document("nav-only", html, "https://fixtures.test/nav-only")
+        assert "Navigation-only page body text." in res.markdown
+
+
+class TestBlockDetection:
+    CFG = ExtractorConfig(block_patterns=(r"Checking your browser", r"Just a moment"))
+
+    def test_unopinionated_default(self):
+        res = run("cloudflare-challenge")
+        assert res.ok  # no config -> no content-based blocking
+
+    def test_configured_blocks(self):
+        res = run("cloudflare-challenge", self.CFG)
+        assert res.error_kind == "BlockedPageError"
+        assert res.spans == []
+
+
+class TestSpanOrdering:
+    def test_orders_are_dense_and_sequential(self):
+        res = run("simple-static")
+        # spans list index IS the order; engine assigns order = position
+        assert [s.kind for s in res.spans][0] == "heading"

@@ -1,0 +1,219 @@
+"""The extraction job: docs(doc_id, spans) -> extracted + lineage.
+
+Spark re-expression of the reference's imperative per-URL loop
+(src/scraper.ts:68-418) as ONE lazy DataFrame chain (SURVEY.md §3.1):
+
+    scan -> resume anti-join -> size-bucket salted repartition
+         -> fused mapInPandas (C9, X*, C1-C8, C10, M1, M2, C11, C12, T5)
+         -> write extracted -> aggregate lineage sidecar
+
+Scale notes:
+  * Payload reassembly (offset-sorted span concat) happens JVM-side with
+    native array functions — the Python stage receives exactly two columns
+    (doc_id, payload): column pruning reaches the scan.
+  * The fused UDF is ONE Arrow round-trip per batch; the reference pays a
+    Node->Rust NAPI hop per document (SURVEY.md §4.2).
+  * Oversized-document skew: repartitionByRange on (size_bucket, salt)
+    isolates the heavy tail into its own (salted) partitions instead of
+    letting one straggler task hide behind hash-random placement; Arrow
+    batches are capped at 64 rows by the session factory.
+  * Checkpoint resume: anti-join against the committed doc_id set read from
+    the output table (snapshot-isolated under Iceberg) — north_rule J5.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, ExtractorConfig
+from ..extract.pipeline import extract_document
+from ..fixtures import BASE_URL_PREFIX
+from .schemas import DOCS_SCHEMA, EXTRACTED_SCHEMA, LINEAGE_SCHEMA
+
+# mapInPandas output: extraction result + per-row partition metrics
+# (elapsed_ms is "ms since partition start" — max() per partition = wall).
+_UDF_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,order:int>>, "
+    "markdown string, "
+    "metadata struct<title:string,description:string,author:string,"
+    "language:string,charset:string,favicon:string,canonical:string,"
+    "image:string,keywords:array<string>,robots:string,themeColor:string,"
+    "openGraph:struct<title:string,description:string,type:string,url:string,"
+    "image:string,siteName:string,locale:string>,"
+    "twitter:struct<card:string,site:string,creator:string,title:string,"
+    "description:string,image:string>>, "
+    "error_kind string, error_msg string, "
+    "partition_id int, bytes_in long, bytes_out long, elapsed_ms long"
+)
+
+PAYLOAD_EXPR = (
+    "array_join(transform(array_sort(spans, (a, b) -> a.offset - b.offset), "
+    "s -> s.text), '')"
+)
+
+
+def docs_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+
+
+def with_payload(docs: DataFrame, base_url_prefix: str = BASE_URL_PREFIX) -> DataFrame:
+    """Reassemble the raw payload and derive base_url — all JVM-side."""
+    return docs.select(
+        "doc_id",
+        F.expr(PAYLOAD_EXPR).alias("payload"),
+        F.concat(F.lit(base_url_prefix), F.col("doc_id")).alias("base_url"),
+    )
+
+
+def salt_by_size(df: DataFrame, num_partitions: Optional[int] = None, salt: int = 16) -> DataFrame:
+    """Oversized-document skew defense (north_rule): bucket docs by
+    log2(payload size) and range-partition on (bucket, salt) so the heavy
+    tail lands in dedicated, salted partitions. AQE handles shuffle skew but
+    NOT UDF-compute skew — this is ours (SURVEY.md §4.1)."""
+    bucketed = df.withColumn(
+        "size_bucket",
+        F.floor(F.log2(F.greatest(F.length("payload"), F.lit(1)))),
+    ).withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)))
+    if num_partitions:
+        out = bucketed.repartitionByRange(num_partitions, "size_bucket", "salt")
+    else:
+        out = bucketed.repartitionByRange("size_bucket", "salt")
+    return out.drop("size_bucket", "salt")
+
+
+def make_extract_batch(cfg: ExtractorConfig):
+    """Build the fused mapInPandas callable closed over a (broadcastable)
+    ExtractorConfig. One Python hop per Arrow batch."""
+
+    def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        partition_id = ctx.partitionId() if ctx is not None else -1
+        start = time.monotonic()
+        for batch in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "spans": [],
+                "markdown": [],
+                "metadata": [],
+                "error_kind": [],
+                "error_msg": [],
+                "partition_id": [],
+                "bytes_in": [],
+                "bytes_out": [],
+                "elapsed_ms": [],
+            }
+            for doc_id, payload, base_url in zip(
+                batch["doc_id"], batch["payload"], batch["base_url"]
+            ):
+                res = extract_document(doc_id, payload or "", base_url, cfg)
+                out["doc_id"].append(res.doc_id)
+                out["spans"].append(
+                    [
+                        {
+                            "kind": s.kind,
+                            "text": s.text,
+                            "media_ref": s.media_ref,
+                            "order": i,
+                        }
+                        for i, s in enumerate(res.spans)
+                    ]
+                )
+                out["markdown"].append(res.markdown)
+                out["metadata"].append(res.metadata)
+                out["error_kind"].append(res.error_kind)
+                out["error_msg"].append(res.error_msg)
+                out["partition_id"].append(partition_id)
+                out["bytes_in"].append(len(payload or ""))
+                out["bytes_out"].append(len(res.markdown))
+                out["elapsed_ms"].append(int((time.monotonic() - start) * 1000))
+            yield pd.DataFrame(out)
+
+    return extract_batch
+
+
+def extract_dataframe(
+    docs: DataFrame,
+    cfg: ExtractorConfig = DEFAULT_CONFIG,
+    base_url_prefix: str = BASE_URL_PREFIX,
+    num_partitions: Optional[int] = None,
+    skew_salting: bool = True,
+) -> DataFrame:
+    """docs(doc_id, spans) -> extracted rows (lazy; no I/O)."""
+    payloads = with_payload(docs, base_url_prefix)
+    if skew_salting:
+        payloads = salt_by_size(payloads, num_partitions)
+    elif num_partitions:
+        payloads = payloads.repartition(num_partitions, "doc_id")
+    return payloads.mapInPandas(make_extract_batch(cfg), schema=_UDF_SCHEMA)
+
+
+def run_extraction(
+    spark: SparkSession,
+    docs: DataFrame,
+    warehouse,
+    run_id: str,
+    cfg: ExtractorConfig = DEFAULT_CONFIG,
+    base_url_prefix: str = BASE_URL_PREFIX,
+    resume: bool = True,
+    num_partitions: Optional[int] = None,
+) -> dict:
+    """Full job: resume anti-join -> extract -> write extracted + lineage.
+
+    Returns driver-side run metrics (the ScrapeResult/BatchMetadata analogue,
+    scraper.ts:390-418).
+    """
+    started = time.monotonic()
+
+    if resume:
+        committed = warehouse.read_or_none("extracted")
+        if committed is not None:
+            docs = docs.join(
+                committed.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+
+    extracted = (
+        extract_dataframe(docs, cfg, base_url_prefix, num_partitions)
+        .withColumn("run_id", F.lit(run_id))
+    )
+    warehouse.write(
+        extracted.select([f.name for f in EXTRACTED_SCHEMA.fields] + ["elapsed_ms"]),
+        "extracted",
+        mode="append",
+    )
+
+    written = warehouse.read("extracted").where(F.col("run_id") == run_id)
+    lineage = (
+        written.groupBy("run_id", "partition_id")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(F.when(F.col("error_kind").isNull(), 1).otherwise(0)).alias("ok_count"),
+            F.sum(F.when(F.col("error_kind").isNotNull(), 1).otherwise(0)).alias("err_count"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+            F.max("elapsed_ms").alias("wall_ms"),
+            F.current_timestamp().alias("ts"),
+        )
+        .select([f.name for f in LINEAGE_SCHEMA.fields])
+    )
+    warehouse.write(lineage, "lineage", mode="append")
+
+    totals = written.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("error_kind").isNull(), 1).otherwise(0)).alias("ok"),
+    ).collect()[0]
+    wall = time.monotonic() - started
+    return {
+        "run_id": run_id,
+        "totalDocs": totals["total"],
+        "successfulDocs": totals["ok"] or 0,
+        "failedDocs": totals["total"] - (totals["ok"] or 0),
+        "totalDuration_s": round(wall, 3),
+        "docs_per_sec": round(totals["total"] / wall, 2) if wall > 0 else None,
+    }

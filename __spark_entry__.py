@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship extraction over sf0.001 (documents wrapped into the
+               interleaved docs(doc_id, spans) shape, full engine run).
+queries()    — implemented operators from SURVEY.md §2 + the large-scale
+               corpus ops (dedup / similarity / text analysis).
+oracle_sql() — DuckDB-equivalent ANSI SQL for every SQL-expressible query
+               (extraction and hash-sketch ops are rows-only checked).
 """
 
 from __future__ import annotations
@@ -12,27 +13,491 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reader_spark.functions.text import LANG_STOPWORDS
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs_as_corpus(documents: DataFrame) -> DataFrame:
+    """Wrap the plain-text documents table into the interleaved
+    docs(doc_id, spans) input shape — JVM-side string assembly."""
+    payload = F.concat(
+        F.lit("<html><head><title>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><meta name="description" content="source '),
+        F.col("source"),
+        F.lit('"></head><body><nav><a href="/">Home</a></nav><main><article><h1>Document '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p></article></main><footer>footer</footer></body></html>"),
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                payload.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over sf0.001 documents."""
+    from reader_spark.spark.job import extract_dataframe
+
+    documents = _read(spark, "/root/testdata/sf0.001", "documents")
+    docs = _docs_as_corpus(documents)
+    extracted = extract_dataframe(docs, num_partitions=8)
+    return extracted.select(
+        "doc_id", "spans", "markdown", "error_kind", "error_msg"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_fixture_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule extraction over the deterministic fixture corpus, exploded
+    to one row per output span (non-SQL-expressible -> rows-only check)."""
+    from reader_spark import fixtures
+    from reader_spark.spark.job import docs_from_rows, extract_dataframe
+
+    rows = [d for d in fixtures.fixture_docs() if d["doc_id"] != "pdf-two-column"]
+    extracted = extract_dataframe(docs_from_rows(spark, rows), num_partitions=4)
+    return extracted.select(
+        "doc_id", F.explode_outer("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.order").alias("ord"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation (operator coverage: scan+filter+agg)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (orders broadcast-joined)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_customer_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join (J3/J4 analogue) + rollup aggregate."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def _q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (W1 analogue): first event per user + counts."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("first_type"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (streaming-style tumbling window, batch form)."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content (keeper = min doc_id)."""
+    from reader_spark.ops.dedup import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").select(
+        "keeper_id", "dup_count"
+    )
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8)."""
+    from reader_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (hash-sketch: rows-only check)."""
+    from reader_spark.ops.dedup import minhash_lsh_candidates, minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=64)
+    return minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+
+
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hash-sketch: rows-only check)."""
+    from reader_spark.ops.dedup import simhash, simhash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return simhash_near_pairs(simhash(docs, "doc_id", "text"), max_hamming=3)
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count / punctuation ratio / stopword ratio per document."""
+    from reader_spark.ops.textstats import (
+        punct_ratio_col,
+        stopword_ratio_col,
+        token_count_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_col(text).alias("token_count"),
+        F.round(punct_ratio_col(text), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_col(text), 6).alias("stopword_ratio"),
+    )
+
+
+def _q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup groups (hash-based: rows-only check)."""
+    from reader_spark.ops.textstats import fingerprint_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_docs"))
+        .select("keeper_id", "n_docs")
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    from reader_spark.ops.ann import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query_vec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(emb, [float(v) for v in query_vec], k=10)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (approximate: rows-only check)."""
+    from reader_spark.ops.ann import lsh_bucketed_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    return lsh_bucketed_topk(emb, queries, dim=64, k=5, planes=8)
+
+
+def _q_url_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 URL dedup keys over synthetic URLs derived from documents."""
+    from reader_spark.spark.columns import url_key_col
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com:443/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/index.html?utm=1#frag"),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), url_key_col(url).alias("url_key")
+    )
+
+
+def _q_content_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 content-URL predicate over a synthetic URL mix."""
+    from reader_spark.spark.columns import is_content_url_col
+
+    docs = _read(spark, sf_dir, "documents")
+    path = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/privacy-policy"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("/admin/panel"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("/blog/post"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("/assets/app.js"))
+        .when(F.col("doc_id") % 7 == 4, F.lit("/docs/guide"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("/report.pdf"))
+        .otherwise(F.lit("/articles/deep-dive"))
+    )
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com"), path)
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .where(is_content_url_col(F.col("url")))
+    )
+
+
+def _q_strip_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 tag-strip fallback as native regexp chain over synthetic HTML."""
+    from reader_spark.spark.columns import strip_tags_col
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    html = F.concat(
+        F.lit("<html><head><script>var x=1;</script><style>p{}</style></head><body><h1>Doc</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- note --></body></html>"),
+    )
+    return docs.select("doc_id", strip_tags_col(html).alias("clean_text"))
+
+
+def _q_batch_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 batch-metadata aggregate analogue per source."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("total_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_fixture_spans": _q_extract_fixture_spans,
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "customer_nation_rollup": _q_customer_nation_rollup,
+        "events_user_stats": _q_events_user_stats,
+        "events_hourly": _q_events_hourly,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "minhash_lsh_candidates": _q_minhash_lsh_candidates,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "text_quality": _q_text_quality,
+        "lang_distribution": _q_lang_distribution,
+        "fingerprint_groups": _q_fingerprints,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "url_keys": _q_url_keys,
+        "content_url_filter": _q_content_url_filter,
+        "strip_tags": _q_strip_tags,
+        "batch_metadata": _q_batch_metadata,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the pre-registered parquet views)
+# ---------------------------------------------------------------------------
+
+_EN_STOPS = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS["en"]))
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT o_orderkey, o_custkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_custkey
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "customer_nation_rollup": """
+            SELECT n_name,
+                   count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_user_stats": """
+            WITH ranked AS (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            )
+            SELECT user_id,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types,
+                   max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                   round(sum(value), 4) AS total_value
+            FROM ranked GROUP BY user_id
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "dedup_ngram_jaccard": """
+            WITH sh AS (
+                SELECT doc_id AS doc,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                       ))) AS shingle
+                FROM documents WHERE doc_id < 300
+            ),
+            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+            inter AS (
+                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc = doc_a
+            JOIN sizes sb ON sb.doc = doc_b
+            WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS token_count,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_intersect(
+                             list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                             [{_EN_STOPS}]))
+                         / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), 1),
+                         6) AS stopword_ratio
+            FROM documents
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "url_keys": """
+            SELECT doc_id,
+                   'https://www.' || source || '.example.com:443/Docs/' || doc_id
+                       || '/index.html?utm=1#frag' AS url,
+                   'https://' || source || '.example.com/docs/' || doc_id AS url_key
+            FROM documents
+        """,
+        "content_url_filter": """
+            WITH urls AS (
+                SELECT doc_id,
+                       'https://' || source || '.example.com' ||
+                       CASE doc_id % 7
+                         WHEN 0 THEN '/privacy-policy'
+                         WHEN 1 THEN '/admin/panel'
+                         WHEN 2 THEN '/blog/post'
+                         WHEN 3 THEN '/assets/app.js'
+                         WHEN 4 THEN '/docs/guide'
+                         WHEN 5 THEN '/report.pdf'
+                         ELSE '/articles/deep-dive'
+                       END AS url
+                FROM documents
+            )
+            SELECT doc_id, url FROM urls
+            WHERE NOT regexp_matches(lower(url),
+                '/(privacy|terms|tos|legal|cookie|gdpr|disclaimer|imprint|impressum)\\b|/(privacy-policy|terms-of-service|terms-of-use|terms-and-conditions)\\b|/(cookie-policy|data-protection|acceptable-use|user-agreement)\\b|/(refund|cancellation|shipping|return)-?(policy)?\\b|/(contact|support|help|faq|feedback)/?$|/(about-us|careers|jobs|press|investors|team)/?$|/(admin|login|auth|account|dashboard|profile|settings)/|/(cart|checkout|payment|subscription|wishlist)/|/(uploads|assets|files|static|media|resources)/|/(api|graphql|rest|webhook)/')
+              AND NOT regexp_matches(lower(url), '\\.(pdf|doc|docx|xls|xlsx|zip|exe)$')
+        """,
+        "strip_tags": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   '<html><head><script>var x=1;</script><style>p{}</style></head><body><h1>Doc</h1><p>'
+                                   || text ||
+                                   '</p><!-- note --></body></html>',
+                                   '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                               '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                           '<[^>]*>', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS clean_text
+            FROM documents WHERE doc_id < 100
+        """,
+        "batch_metadata": """
+            SELECT source,
+                   count(*) AS total_docs,
+                   sum(n_chars) AS total_chars,
+                   min(doc_id) AS min_doc,
+                   max(doc_id) AS max_doc
+            FROM documents GROUP BY source
+        """,
+    }

@@ -1,0 +1,205 @@
+"""Corpus deduplication operators — exact, n-gram Jaccard, MinHash-LSH,
+SimHash. All Spark-native (no Python UDFs): shingling via split/explode,
+hashing via xxhash64, min-signatures via groupBy(min), band-bucket joins.
+
+Scale notes (100 TB corpus):
+  * Exact dedup: one shuffle on a 64-bit content hash (not the full text).
+  * MinHash-LSH: candidate generation is an equi-join on (band_id,
+    band_hash) buckets — no O(n^2) pair scan; only bucket-mates compare.
+  * SimHash: 64 one-bit aggregations expressed as a single groupBy over
+    exploded tokens; hamming distance is a codegen'd bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: hash-groupBy on content (J2-style dedup).
+
+    Returns (content_hash, keeper_id, dup_count) — keeper = min id.
+    """
+    return (
+        df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column (distinct), as array<string>."""
+    words = F.split(F.trim(text), r"\s+")
+    k = F.size(words) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Exact (no sketch): explode distinct shingles, self-join on shingle to
+    count intersections, Jaccard = |I| / (|A| + |B| - |I|). Quadratic in the
+    worst case — use minhash_lsh_candidates at scale; this is the oracle-able
+    exact form.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    )
+    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
+    exploded = sh.select("doc", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signatures: k seeded xxhash64 mins over exploded shingles.
+
+    One explode + one groupBy (k aggregates run as a single map-side-combined
+    shuffle) — no per-row Python.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = exploded.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: bucket docs by (band_id, hash(band slice)); docs sharing
+    any bucket are candidate near-duplicates. Returns distinct (doc_a, doc_b).
+
+    The join key (band_id, band_hash) spreads uniformly — candidate
+    generation is shuffle-bounded, never all-pairs.
+    """
+    banded = signatures.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("signature"),
+                                    band * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda value: value.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprints: per-token 64-bit hash, sum each bit's +/-1
+    weight per doc, sign -> bit. Returns (doc, simhash:long).
+
+    Uses the low `bits` bits (32 default keeps the reassembled value safely
+    inside a signed long).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).withColumn("th", F.xxhash64("token"))
+    bit_sums = tokens.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bit_sums.select("doc", fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by hamming distance over simhash (codegen'd bit_count).
+
+    All-pairs form for small candidate sets; at scale, pre-bucket by simhash
+    prefix bands (same LSH trick) before this comparison.
+    """
+    a = fingerprints.alias("a")
+    b = fingerprints.alias("b")
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            "hamming",
+        )
+    )

@@ -1,0 +1,81 @@
+"""Text-analysis operators over a document table — all native columns
+(whole-stage codegen; zero Python in the hot path).
+
+Language-ID, quality scoring, token counting, fingerprinting for
+training-data pipelines. The heuristic implementations mirror
+reader_spark.functions.text so the same semantics exist in both the
+column world and the per-document UDF world.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import LANG_STOPWORDS
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def punct_ratio_col(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
+    stops = F.array(*[F.lit(w) for w in sorted(LANG_STOPWORDS[lang])])
+    toks = tokens_col(F.lower(text))
+    hits = F.size(F.array_intersect(F.array_distinct(toks), stops))
+    # ratio over distinct tokens (set semantics, same as the UDF twin's vote)
+    return hits / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
+
+
+def detect_language_col(text: Column) -> Column:
+    """Stopword-vote language ID as a native expression: per language count
+    distinct-token intersection with its stopword set, take the argmax."""
+    toks = F.array_distinct(tokens_col(F.lower(text)))
+    scores = [
+        F.struct(
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in sorted(stops)]))
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, stops in sorted(LANG_STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach token_count / punct_ratio / stopword_ratio / detected_lang."""
+    text = F.col(text_col)
+    return (
+        df.withColumn("token_count", token_count_col(text))
+        .withColumn("punct_ratio", F.round(punct_ratio_col(text), 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio_col(text), 6))
+        .withColumn("detected_lang", detect_language_col(text))
+    )
+
+
+def fingerprint_col(text: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min of xxhash64 over a rolling
+    token window (Schleimer et al., SIGMOD'03) — native arrays, no UDF."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    windows = F.when(
+        n > window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    return F.array_min(windows)

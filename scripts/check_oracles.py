@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+on Spark at sf0.01 and its oracle_sql() in DuckDB, compare row count, schema
+arity, and order-insensitive values (columns sorted by name, rows sorted).
+
+Usage: python scripts/check_oracles.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from reader_spark.spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        return round(value, 6)
+    if hasattr(value, "isoformat"):
+        return value.isoformat()
+    return value
+
+
+def norm_rows(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(norm(row[i]) for i in order) for row in rows
+    )
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = get_spark("oracle_check", master="local[8]")
+    con = duckdb.connect()
+    for table in TABLES:
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM '{SF_DIR}/{table}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_rows = sdf.collect()
+            spark_cols = sdf.columns
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_rows)} rows (no oracle)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            duck_cols = rel.columns
+            duck_rows = rel.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        if sorted(spark_cols) != sorted(duck_cols):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {sorted(spark_cols)} vs {sorted(duck_cols)}")
+            continue
+        s = norm_rows(spark_cols, [tuple(r) for r in spark_rows])
+        d = norm_rows(duck_cols, duck_rows)
+        if len(s) != len(d):
+            failures.append(name)
+            print(f"FAIL  {name}: row count {len(s)} vs {len(d)}")
+            continue
+        if s != d:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(s, d) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+            continue
+        print(f"OK    {name}: {len(s)} rows match")
+    spark.stop()
+    print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -3,11 +3,17 @@
 Philosophy preserved from the reference (:6-10): strip only what is CERTAINLY
 not content — exact selectors, no wildcards, no scoring — and let the
 serializer be the real filter. Runs per-document inside a pandas UDF batch.
+
+Performance: each removal pass is ONE tree walk against a compiled
+SelectorSet (the reference walks the DOM once per selector — 40+ walks for
+the nav list); C5-C8 and comment removal are fused into a single final walk.
+Semantics are pass-for-pass identical; only the traversal count changes.
 """
 
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from ..config import (
     ALWAYS_REMOVE_SELECTORS,
@@ -16,146 +22,141 @@ from ..config import (
 )
 from ..functions.urls import resolve_url
 from ..htmlkit.dom import Node, parse_html
-from ..htmlkit.selectors import matches, query_all
+from ..htmlkit.selectors import SelectorSet, query_all
 
 _BG_DATA_URL_RE = re.compile(
     r"background(-image)?:\s*url\([^)]*data:image[^)]*\)[^;]*;?", re.IGNORECASE
 )
 
-
-def _remove_elements(document: Node, selectors: tuple[str, ...]) -> None:
-    """removeElements — content-cleaner.ts:144-152 (bad selectors skipped)."""
-    for selector in selectors:
-        try:
-            for el in list(query_all(document, selector)):
-                el.remove()
-        except ValueError:
-            continue
+_ALWAYS_REMOVE_SET = SelectorSet(ALWAYS_REMOVE_SELECTORS)
+_PROTECTED_SET = SelectorSet(FORCE_INCLUDE_SELECTORS)
 
 
-def _remove_with_protection(
-    document: Node,
-    selectors_to_remove: tuple[str, ...],
-    protected_selectors: tuple[str, ...],
-) -> None:
+@lru_cache(maxsize=64)
+def _selector_set(selectors: tuple[str, ...]) -> SelectorSet:
+    return SelectorSet(selectors)
+
+
+def _is_attached(node: Node, document: Node) -> bool:
+    cur = node
+    while cur.parent is not None:
+        cur = cur.parent
+    return cur is document
+
+
+def _remove_matching(document: Node, sset: SelectorSet) -> None:
+    """removeElements — content-cleaner.ts:144-152 (no protection)."""
+    for el in sset.query_all(document):
+        el.remove()
+
+
+def _remove_with_protection(document: Node, sset: SelectorSet) -> None:
     """removeWithProtection — content-cleaner.ts:158-192.
 
     Skip removal when the element IS a protected selector or CONTAINS one.
+    Candidates already detached by an earlier removal are skipped (the
+    reference never sees them: they left the live DOM).
     """
-    for selector in selectors_to_remove:
-        try:
-            candidates = list(query_all(document, selector))
-        except ValueError:
+    for element in sset.query_all(document):
+        if not _is_attached(element, document):
             continue
-        for element in candidates:
-            if element.parent is None:
-                continue  # already removed by an earlier selector
-            protected = False
-            for ps in protected_selectors:
-                try:
-                    if matches(element, ps):
-                        protected = True
-                        break
-                except ValueError:
-                    continue
-            if not protected:
-                for ps in protected_selectors:
-                    try:
-                        if next(query_all(element, ps), None) is not None:
-                            protected = True
-                            break
-                    except ValueError:
-                        continue
-            if not protected:
-                element.remove()
+        if _PROTECTED_SET.matches(element):
+            continue
+        if _PROTECTED_SET.any_in_subtree(element):
+            continue
+        element.remove()
 
 
-def _remove_base64_images(document: Node) -> None:
-    """C5 — removeBase64ImagesFromDocument, content-cleaner.ts:272-297."""
-    for el in list(query_all(document, "img[src^='data:']")):
-        el.remove()
-    for el in list(query_all(document, "[style*='data:image']")):
-        style = el.attrs.get("style")
-        if style:
-            cleaned = _BG_DATA_URL_RE.sub("", style)
-            if cleaned.strip():
-                el.attrs["style"] = cleaned
-            else:
-                el.attrs.pop("style", None)
-    for el in list(query_all(document, "source[src^='data:']")):
-        el.remove()
-    for el in list(query_all(document, "source[srcset*='data:']")):
-        el.remove()
-
-
-def _remove_comments(document: Node) -> None:
-    """C6 — TreeWalker comment removal, content-cleaner.ts:249-254."""
-    for node in list(document.iter()):
-        if node.tag == "#comment":
-            node.remove()
-
-
-def _resolve_srcsets(document: Node) -> None:
+def _resolve_srcset_attr(el: Node) -> None:
     """C7 — resolveSrcsets, content-cleaner.ts:302-329: max_by(url, weight).
 
     Weights: ``Nw`` -> N, ``Nx`` -> N*100, bare -> treated as 1x.
     """
-    for el in query_all(document, "img[srcset]"):
-        srcset = el.attrs.get("srcset")
-        if not srcset:
+    srcset = el.attrs.get("srcset")
+    if not srcset:
+        return
+    best_url, best_weight = None, float("-inf")
+    for entry in srcset.split(","):
+        parts = entry.strip().split()
+        if not parts:
             continue
-        candidates: list[tuple[str, float]] = []
-        for entry in srcset.split(","):
-            parts = entry.strip().split()
-            if not parts:
+        url = parts[0]
+        descriptor = parts[1] if len(parts) > 1 else "1x"
+        weight = 0.0
+        if descriptor.endswith("w"):
+            try:
+                weight = int(descriptor[:-1])
+            except ValueError:
+                weight = 0.0
+        elif descriptor.endswith("x"):
+            try:
+                weight = float(descriptor[:-1]) * 100
+            except ValueError:
+                weight = 100.0
+        if weight > best_weight:
+            best_url, best_weight = url, weight
+    if best_url is not None:
+        el.attrs["src"] = best_url
+
+
+def _final_pass(document: Node, base_url: str, remove_base64: bool) -> None:
+    """Fused C5 (base64 images) + C6 (comments) + C7 (srcset) + C8
+    (absolutify) in one walk. Per-node op order matches the reference's
+    pass order: base64 filter, then srcset resolve, then absolutify."""
+    to_remove: list[Node] = []
+    for node in document.iter():
+        tag = node.tag
+        if tag == "#comment":
+            to_remove.append(node)
+            continue
+        if not node.is_element:
+            continue
+        attrs = node.attrs
+        if remove_base64:
+            if tag == "img" and (attrs.get("src") or "").startswith("data:"):
+                to_remove.append(node)
                 continue
-            url = parts[0]
-            descriptor = parts[1] if len(parts) > 1 else "1x"
-            weight = 0.0
-            if descriptor.endswith("w"):
-                try:
-                    weight = int(descriptor[:-1])
-                except ValueError:
-                    weight = 0.0
-            elif descriptor.endswith("x"):
-                try:
-                    weight = float(descriptor[:-1]) * 100
-                except ValueError:
-                    weight = 100.0
-            candidates.append((url, weight))
-        if candidates:
-            best = max(candidates, key=lambda c: c[1])
-            el.attrs["src"] = best[0]
-
-
-def _convert_relative_urls(document: Node, base_url: str) -> None:
-    """C8 — convertRelativeUrls, content-cleaner.ts:334-364."""
-    for el in query_all(document, "[src]"):
-        src = el.attrs.get("src")
+            if tag == "source" and (
+                (attrs.get("src") or "").startswith("data:")
+                or "data:" in (attrs.get("srcset") or "")
+            ):
+                to_remove.append(node)
+                continue
+            style = attrs.get("style")
+            if style and "data:image" in style:
+                cleaned = _BG_DATA_URL_RE.sub("", style)
+                if cleaned.strip():
+                    attrs["style"] = cleaned
+                else:
+                    attrs.pop("style", None)
+        if tag == "img" and "srcset" in attrs:
+            _resolve_srcset_attr(node)
+        src = attrs.get("src")
         if src and not src.startswith(("http", "//", "data:")):
-            el.attrs["src"] = resolve_url(src, base_url)
-    for el in query_all(document, "[href]"):
-        href = el.attrs.get("href")
+            attrs["src"] = resolve_url(src, base_url)
+        href = attrs.get("href")
         if href and not href.startswith(
             ("http", "//", "#", "mailto:", "tel:", "javascript:")
         ):
-            el.attrs["href"] = resolve_url(href, base_url)
+            attrs["href"] = resolve_url(href, base_url)
+    for node in to_remove:
+        node.remove()
 
 
 def clean_dom(document: Node, base_url: str, cfg: ExtractorConfig) -> Node:
     """cleanHtml steps 1-8 over an already-parsed document (mutates it)."""
     # C1: always-remove (content-cleaner.ts:207)
-    _remove_elements(document, ALWAYS_REMOVE_SELECTORS)
+    _remove_matching(document, _ALWAYS_REMOVE_SET)
 
     # C2: user excludeTags (:209-212)
     if cfg.exclude_tags:
-        _remove_elements(document, cfg.exclude_tags)
+        _remove_matching(document, _selector_set(cfg.exclude_tags))
 
     # C3: navigation/boilerplate with protection (:215-220)
     if cfg.only_main_content:
-        _remove_with_protection(document, cfg.nav_selectors(), FORCE_INCLUDE_SELECTORS)
+        _remove_with_protection(document, _selector_set(cfg.nav_selectors()))
 
-    # C4: includeTags whitelist (:223-241)
+    # C4: includeTags whitelist (:223-241) — clones appended in selector order
     if cfg.include_tags:
         matched: list[Node] = []
         for selector in cfg.include_tags:
@@ -175,18 +176,8 @@ def clean_dom(document: Node, base_url: str, cfg: ExtractorConfig) -> Node:
             for el in matched:
                 body.append_child(el)
 
-    # C5: base64 images (:244-246)
-    if cfg.remove_base64_images:
-        _remove_base64_images(document)
-
-    # C6: comments (:249-254)
-    _remove_comments(document)
-
-    # C7: srcset top-1 (:257)
-    _resolve_srcsets(document)
-
-    # C8: absolutify (:260)
-    _convert_relative_urls(document, base_url)
+    # C5-C8 fused single walk (:244-260)
+    _final_pass(document, base_url, cfg.remove_base64_images)
 
     return document
 

@@ -4,6 +4,11 @@ Runs on the RAW document (before cleaning — ordering contract asserted by
 tests/unit/scraper-pipeline.test.ts:81-88). Returns a plain nested dict
 matching the ``WebsiteMetadata`` struct (src/types.ts:240-280), which maps
 1:1 onto the Spark StructType in reader_spark.spark.schemas.
+
+Performance: ONE tree walk collects every <meta>/<link>/<title> lookup the
+battery needs (the reference issues ~25 querySelector scans per document);
+each extractor then reads from the collected index. First-match-in-document-
+order semantics are preserved.
 """
 
 from __future__ import annotations
@@ -14,7 +19,7 @@ from typing import Any, Optional
 
 from ..functions.urls import normalize_url
 from ..htmlkit.dom import Node, parse_html
-from ..htmlkit.selectors import query_all, query_first
+from ..htmlkit.selectors import query_all
 
 _CHARSET_RE = re.compile(r"charset=([^\s;]+)", re.IGNORECASE)
 
@@ -22,141 +27,156 @@ OPEN_GRAPH_FIELDS = ("title", "description", "type", "url", "image", "siteName",
 TWITTER_FIELDS = ("card", "site", "creator", "title", "description", "image")
 
 
-def _meta_content(document: Node, name: str) -> Optional[str]:
-    """X2 — extractMetaContent (:80-96): meta[name=] then meta[property=]."""
-    for attr in ("name", "property"):
-        el = query_first(document, f"meta[{attr}='{name}']")
-        if el is not None:
-            content = el.attrs.get("content")
-            if content:
-                return content.strip()
-    return None
+class _HeadIndex:
+    """Single-walk collection of metadata-relevant nodes."""
+
+    __slots__ = ("by_name", "by_property", "charset", "http_equiv_content",
+                 "links", "title_text", "html_lang")
+
+    def __init__(self, document: Node):
+        self.by_name: dict[str, str] = {}
+        self.by_property: dict[str, str] = {}
+        self.charset: Optional[str] = None
+        self.http_equiv_content: Optional[str] = None
+        self.links: list[tuple[str, str]] = []  # (rel, href) in doc order
+        self.title_text: Optional[str] = None
+        self.html_lang: Optional[str] = None
+        for node in document.iter_elements():
+            tag = node.tag
+            if tag == "meta":
+                attrs = node.attrs
+                content = attrs.get("content")
+                name = attrs.get("name")
+                if name and content and name not in self.by_name:
+                    self.by_name[name] = content
+                prop = attrs.get("property")
+                if prop and content and prop not in self.by_property:
+                    self.by_property[prop] = content
+                if self.charset is None and attrs.get("charset"):
+                    self.charset = attrs["charset"]
+                if (
+                    self.http_equiv_content is None
+                    and (attrs.get("http-equiv") or "").lower() == "content-type"
+                    and content
+                ):
+                    self.http_equiv_content = content
+            elif tag == "link":
+                rel = node.attrs.get("rel")
+                href = node.attrs.get("href")
+                if rel and href:
+                    self.links.append((rel, href))
+            elif tag == "title" and self.title_text is None:
+                self.title_text = node.text_content()
+            elif tag == "html" and self.html_lang is None:
+                self.html_lang = node.attrs.get("lang")
+
+    def meta(self, name: str) -> Optional[str]:
+        """X2 — extractMetaContent (:80-96): meta[name=] then meta[property=]."""
+        content = self.by_name.get(name)
+        if content:
+            return content.strip()
+        content = self.by_property.get(name)
+        if content:
+            return content.strip()
+        return None
+
+    def first_link(self, rel_exact: Optional[str] = None, rel_contains: Optional[str] = None) -> Optional[str]:
+        for rel, href in self.links:
+            if rel_exact is not None and rel == rel_exact:
+                return href
+            if rel_contains is not None and rel_contains in rel:
+                return href
+        return None
 
 
-def _title(document: Node) -> Optional[str]:
-    """X1 — extractTitle (:65-74): <title> text, fallback og:title."""
-    el = document.find_first("title")
-    if el is not None:
-        text = el.text_content().strip()
-        if text:
-            return text
-    return _meta_content(document, "og:title")
-
-
-def _language(document: Node) -> Optional[str]:
-    """X3 — extractLanguage (:101-104): html[lang]."""
-    html_el = document.find_first("html")
-    if html_el is not None:
-        lang = (html_el.attrs.get("lang") or "").strip()
-        if lang:
-            return lang
-    return None
-
-
-def _charset(document: Node) -> Optional[str]:
-    """X4 — extractCharset (:109-128)."""
-    el = query_first(document, "meta[charset]")
-    if el is not None:
-        charset = (el.attrs.get("charset") or "").strip()
-        if charset:
-            return charset
-    el = query_first(document, "meta[http-equiv='Content-Type']")
-    if el is not None:
-        content = el.attrs.get("content") or ""
-        m = _CHARSET_RE.search(content)
-        if m:
-            return m.group(1).strip()
-    return None
-
-
-def _favicon(document: Node, base_url: str) -> Optional[str]:
-    """X5 — extractFavicon (:133-158): 4 selectors then /favicon.ico."""
-    for selector in (
-        "link[rel='icon']",
-        "link[rel='shortcut icon']",
-        "link[rel='apple-touch-icon']",
-        "link[rel*='icon']",
-    ):
-        el = query_first(document, selector)
-        if el is not None:
-            href = el.attrs.get("href")
-            if href:
-                try:
-                    return normalize_url(href, base_url)
-                except ValueError:
-                    return None
+def _favicon(idx: _HeadIndex, base_url: str) -> Optional[str]:
+    """X5 — extractFavicon (:133-158): 4 selectors in order, then /favicon.ico."""
+    href = (
+        idx.first_link(rel_exact="icon")
+        or idx.first_link(rel_exact="shortcut icon")
+        or idx.first_link(rel_exact="apple-touch-icon")
+        or idx.first_link(rel_contains="icon")
+    )
+    if href:
+        try:
+            return normalize_url(href, base_url)
+        except ValueError:
+            return None
     try:
         return normalize_url("/favicon.ico", base_url)
     except ValueError:
         return None
 
 
-def _canonical(document: Node, base_url: str) -> Optional[str]:
+def _canonical(idx: _HeadIndex, base_url: str) -> Optional[str]:
     """X6 — extractCanonical (:163-173)."""
-    el = query_first(document, "link[rel='canonical']")
-    if el is not None:
-        href = el.attrs.get("href")
-        if href:
-            try:
-                return normalize_url(href, base_url)
-            except ValueError:
-                return None
+    href = idx.first_link(rel_exact="canonical")
+    if href:
+        try:
+            return normalize_url(href, base_url)
+        except ValueError:
+            return None
     return None
 
 
-def _keywords(document: Node) -> Optional[list[str]]:
+def _charset(idx: _HeadIndex) -> Optional[str]:
+    """X4 — extractCharset (:109-128)."""
+    if idx.charset and idx.charset.strip():
+        return idx.charset.strip()
+    if idx.http_equiv_content:
+        m = _CHARSET_RE.search(idx.http_equiv_content)
+        if m:
+            return m.group(1).strip()
+    return None
+
+
+def _keywords(idx: _HeadIndex) -> Optional[list[str]]:
     """X7 — extractKeywords (:178-188): split ',', trim, drop empties."""
-    content = _meta_content(document, "keywords")
+    content = idx.meta("keywords")
     if not content:
         return None
-    keywords = [kw.strip() for kw in content.split(",")]
-    return [kw for kw in keywords if kw]
-
-
-def _open_graph(document: Node) -> Optional[dict[str, Optional[str]]]:
-    """X8 — extractOpenGraph (:193-218): all-null -> None."""
-    og = {
-        "title": _meta_content(document, "og:title"),
-        "description": _meta_content(document, "og:description"),
-        "type": _meta_content(document, "og:type"),
-        "url": _meta_content(document, "og:url"),
-        "image": _meta_content(document, "og:image"),
-        "siteName": _meta_content(document, "og:site_name"),
-        "locale": _meta_content(document, "og:locale"),
-    }
-    return og if any(og.values()) else None
-
-
-def _twitter(document: Node) -> Optional[dict[str, Optional[str]]]:
-    """X9 — extractTwitterCard (:223-246): all-null -> None."""
-    tw = {
-        "card": _meta_content(document, "twitter:card"),
-        "site": _meta_content(document, "twitter:site"),
-        "creator": _meta_content(document, "twitter:creator"),
-        "title": _meta_content(document, "twitter:title"),
-        "description": _meta_content(document, "twitter:description"),
-        "image": _meta_content(document, "twitter:image"),
-    }
-    return tw if any(tw.values()) else None
+    return [kw.strip() for kw in content.split(",") if kw.strip()]
 
 
 def extract_metadata_dom(document: Node, base_url: str) -> dict[str, Any]:
+    idx = _HeadIndex(document)
+
+    title = (idx.title_text or "").strip() or idx.meta("og:title")  # X1
+    language = (idx.html_lang or "").strip() or None  # X3
+
+    og = {  # X8 — all-null collapses to None
+        "title": idx.meta("og:title"),
+        "description": idx.meta("og:description"),
+        "type": idx.meta("og:type"),
+        "url": idx.meta("og:url"),
+        "image": idx.meta("og:image"),
+        "siteName": idx.meta("og:site_name"),
+        "locale": idx.meta("og:locale"),
+    }
+    tw = {  # X9 — all-null collapses to None
+        "card": idx.meta("twitter:card"),
+        "site": idx.meta("twitter:site"),
+        "creator": idx.meta("twitter:creator"),
+        "title": idx.meta("twitter:title"),
+        "description": idx.meta("twitter:description"),
+        "image": idx.meta("twitter:image"),
+    }
+
     return {
-        "title": _title(document),
-        "description": _meta_content(document, "description"),
-        "author": _meta_content(document, "author"),
-        "language": _language(document),
-        "charset": _charset(document),
-        "favicon": _favicon(document, base_url),
-        "canonical": _canonical(document, base_url),
-        # X11 — image fallback chain (:45-46): coalesce(og:image, twitter:image)
-        "image": _meta_content(document, "og:image")
-        or _meta_content(document, "twitter:image"),
-        "keywords": _keywords(document),
-        "robots": _meta_content(document, "robots"),
-        "themeColor": _meta_content(document, "theme-color"),
-        "openGraph": _open_graph(document),
-        "twitter": _twitter(document),
+        "title": title or None,
+        "description": idx.meta("description"),
+        "author": idx.meta("author"),
+        "language": language,
+        "charset": _charset(idx),
+        "favicon": _favicon(idx, base_url),
+        "canonical": _canonical(idx, base_url),
+        # X11 — image fallback chain (:45-46)
+        "image": idx.meta("og:image") or idx.meta("twitter:image"),
+        "keywords": _keywords(idx),
+        "robots": idx.meta("robots"),
+        "themeColor": idx.meta("theme-color"),
+        "openGraph": og if any(og.values()) else None,
+        "twitter": tw if any(tw.values()) else None,
     }
 
 

@@ -67,9 +67,13 @@ def detect_json_payload(payload: str, cap: int) -> Optional[str]:
 
 
 def _serialize_payload(
-    payload: str, base_url: str, cfg: ExtractorConfig
+    payload: str,
+    base_url: str,
+    cfg: ExtractorConfig,
+    document=None,
 ) -> list[Span]:
-    document = parse_html(payload)
+    if document is None:
+        document = parse_html(payload)
     clean_dom(document, base_url, cfg)
     body = document_body(document)
     spans = serialize_spans(body) if body is not None else []
@@ -143,10 +147,15 @@ def _extract(
     metadata = extract_metadata_dom(raw_document, base_url)
 
     # C10 — size guard before conversion (scraper.ts:242-256).
-    if len(payload) > cfg.max_html_size:
+    truncated = len(payload) > cfg.max_html_size
+    if truncated:
         payload = payload[: cfg.max_html_size]
 
-    spans = _serialize_payload(payload, base_url, cfg)
+    # Metadata ran first (ordering contract), so the raw tree can be reused
+    # for cleaning when no truncation happened — one parse per document.
+    spans = _serialize_payload(
+        payload, base_url, cfg, document=None if truncated else raw_document
+    )
     markdown = render_markdown(spans)
 
     # C11 — empty-main-content fallback (scraper.ts:260-278): re-clean with

@@ -126,3 +126,70 @@ def query_first(root: Node, selector: str) -> Optional[Node]:
     for node in query_all(root, selector):
         return node
     return None
+
+
+class SelectorSet:
+    """A compiled group of simple selectors matched in ONE tree walk.
+
+    Plain-tag / single-class / single-id selectors (the overwhelming
+    majority of the reference's lists) hit set-membership fast paths; the
+    rest fall back to compound matching. Unsupported selectors are skipped
+    (same try/catch-skip as the reference).
+    """
+
+    __slots__ = ("tags", "ids", "classes", "general")
+
+    def __init__(self, selectors: tuple[str, ...] | list[str]):
+        self.tags: set[str] = set()
+        self.ids: set[str] = set()
+        self.classes: set[str] = set()
+        self.general: list[SimpleSelector] = []
+        for selector in selectors:
+            try:
+                compounds = parse_selector(selector)
+            except ValueError:
+                continue
+            for c in compounds:
+                if c.tag and not c.sel_id and not c.classes and not c.attr_tests:
+                    self.tags.add(c.tag)
+                elif c.sel_id and not c.tag and not c.classes and not c.attr_tests:
+                    self.ids.add(c.sel_id)
+                elif (
+                    len(c.classes) == 1
+                    and not c.tag
+                    and not c.sel_id
+                    and not c.attr_tests
+                ):
+                    self.classes.add(c.classes[0])
+                else:
+                    self.general.append(c)
+
+    def matches(self, node: Node) -> bool:
+        if not node.is_element:
+            return False
+        if node.tag in self.tags:
+            return True
+        attrs = node.attrs
+        if self.ids and attrs.get("id") in self.ids:
+            return True
+        if self.classes and attrs.get("class"):
+            for cls in node.classes:
+                if cls in self.classes:
+                    return True
+        for c in self.general:
+            if c.matches(node):
+                return True
+        return False
+
+    def query_all(self, root: Node) -> list[Node]:
+        return [
+            node
+            for node in root.iter_elements()
+            if node is not root and self.matches(node)
+        ]
+
+    def any_in_subtree(self, root: Node) -> bool:
+        for node in root.iter_elements():
+            if node is not root and self.matches(node):
+                return True
+        return False

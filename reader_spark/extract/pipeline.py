@@ -75,8 +75,14 @@ def _serialize_payload(
     if document is None:
         document = parse_html(payload)
     clean_dom(document, base_url, cfg)
-    body = document_body(document)
-    spans = serialize_spans(body) if body is not None else []
+    root = document_body(document)
+    if cfg.readability_scoring and root is not None:
+        # Opt-in scoring mode (delta (a)): serialize from the best-scoring
+        # container instead of the whole body.
+        from ..readability import select_main_content
+
+        root = select_main_content(document) or root
+    spans = serialize_spans(root) if root is not None else []
     return postprocess_spans(spans)
 
 
@@ -85,9 +91,17 @@ def extract_document(
     payload: str,
     base_url: str,
     cfg: ExtractorConfig = DEFAULT_CONFIG,
+    payload_kind: str = "html",
 ) -> ExtractResult:
-    """Extract one document. Never raises — errors become columns (T5)."""
+    """Extract one document. Never raises — errors become columns (T5).
+
+    payload_kind 'pdf_text' routes to the PDF layout parser (positioned
+    text boxes -> column detection -> XY-cut reading order); everything
+    else goes through the HTML/JSON pipeline.
+    """
     try:
+        if payload_kind == "pdf_text":
+            return _extract_pdf(doc_id, payload)
         return _extract(doc_id, payload, base_url, cfg)
     except Exception as exc:  # wrapError analogue, errors.ts:484
         return ExtractResult(
@@ -98,6 +112,27 @@ def extract_document(
             error_kind=type(exc).__name__,
             error_msg=str(exc)[:500],
         )
+
+
+def _extract_pdf(doc_id: str, payload: str) -> ExtractResult:
+    from ..pdf.layout import extract_pdf_spans
+
+    if payload is None or not payload.strip():
+        return ExtractResult(
+            doc_id=doc_id,
+            spans=[],
+            markdown="",
+            metadata=None,
+            error_kind="EmptyDocumentError",
+            error_msg="document payload is empty",
+        )
+    spans = extract_pdf_spans(payload)
+    return ExtractResult(
+        doc_id=doc_id,
+        spans=spans,
+        markdown=render_markdown(spans),
+        metadata=None,
+    )
 
 
 def _extract(
@@ -168,6 +203,16 @@ def _extract(
         relaxed = dataclasses.replace(cfg, only_main_content=False)
         spans = _serialize_payload(payload, base_url, relaxed)
         markdown = render_markdown(spans)
+        if len(markdown) < EMPTY_MD_FALLBACK_MD_CHARS:
+            # Last-resort arm of C11 (delta (a)): readability scoring picks
+            # the densest content container from the relaxed-clean document.
+            scored = dataclasses.replace(
+                cfg, only_main_content=False, readability_scoring=True
+            )
+            scored_spans = _serialize_payload(payload, base_url, scored)
+            scored_markdown = render_markdown(scored_spans)
+            if len(scored_markdown) > len(markdown):
+                spans, markdown = scored_spans, scored_markdown
 
     # C12 — tag-strip fallback when serialization produced nothing from a
     # substantial document (formatters/markdown.ts:36-44: >100 chars in,

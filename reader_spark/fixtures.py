@@ -340,3 +340,13 @@ def scaled_docs(
             yield _html_doc(doc_id, oversized_html)
         else:
             yield _html_doc(doc_id, _synth_article(rng, i))
+
+
+def synth_payload(index: int, seed: int = 42, oversized_fraction: float = 0.001) -> str:
+    """Index-addressable deterministic page — same distribution as
+    scaled_docs but computable independently per index, so corpus generation
+    can run distributed (each executor synthesizes its own index range)."""
+    rng = random.Random(seed * 1_000_003 + index)
+    if rng.random() < oversized_fraction:
+        return make_oversized_html()
+    return _synth_article(rng, index)

@@ -13,10 +13,16 @@ Scale notes:
     (doc_id, payload): column pruning reaches the scan.
   * The fused UDF is ONE Arrow round-trip per batch; the reference pays a
     Node->Rust NAPI hop per document (SURVEY.md §4.2).
-  * Oversized-document skew: repartitionByRange on (size_bucket, salt)
-    isolates the heavy tail into its own (salted) partitions instead of
-    letting one straggler task hide behind hash-random placement; Arrow
-    batches are capped at 64 rows by the session factory.
+  * Oversized-document skew (north_rule): extraction compute is ~linear in
+    payload BYTES, so byte-split file scans (parquet/Iceberg
+    maxPartitionBytes) are already compute-balanced — the default 'scan'
+    mode adds NO shuffle (measured: a forced range-shuffle of payload bytes
+    cost 2-5x wall). Memory skew is handled by the session factory's
+    Arrow maxBytesPerBatch cap (a run of 2 MiB giants auto-shrinks its
+    batches). For row-split sources (JDBC, createDataFrame) where one input
+    partition can hold a byte-skewed clump, 'isolate' splits the heavy tail
+    (payload > giant_threshold) into its own salted hash-repartition and
+    unions the two branches after extraction — only giant bytes shuffle.
   * Checkpoint resume: anti-join against the committed doc_id set read from
     the output table (snapshot-isolated under Iceberg) — north_rule J5.
 """
@@ -64,28 +70,36 @@ def docs_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
 
 
 def with_payload(docs: DataFrame, base_url_prefix: str = BASE_URL_PREFIX) -> DataFrame:
-    """Reassemble the raw payload and derive base_url — all JVM-side."""
+    """Reassemble the raw payload and derive base_url — all JVM-side.
+    payload_kind (the first span's kind) routes pdf_text docs to the PDF
+    layout parser inside the same fused UDF."""
     return docs.select(
         "doc_id",
         F.expr(PAYLOAD_EXPR).alias("payload"),
         F.concat(F.lit(base_url_prefix), F.col("doc_id")).alias("base_url"),
+        F.coalesce(F.element_at("spans", 1)["kind"], F.lit("html")).alias(
+            "payload_kind"
+        ),
     )
 
 
-def salt_by_size(df: DataFrame, num_partitions: Optional[int] = None, salt: int = 16) -> DataFrame:
-    """Oversized-document skew defense (north_rule): bucket docs by
-    log2(payload size) and range-partition on (bucket, salt) so the heavy
-    tail lands in dedicated, salted partitions. AQE handles shuffle skew but
-    NOT UDF-compute skew — this is ours (SURVEY.md §4.1)."""
-    bucketed = df.withColumn(
-        "size_bucket",
-        F.floor(F.log2(F.greatest(F.length("payload"), F.lit(1)))),
-    ).withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)))
-    if num_partitions:
-        out = bucketed.repartitionByRange(num_partitions, "size_bucket", "salt")
-    else:
-        out = bucketed.repartitionByRange("size_bucket", "salt")
-    return out.drop("size_bucket", "salt")
+GIANT_THRESHOLD = 256 * 1024  # bytes; ~0.1% heavy tail per FIXTURES.md
+
+
+def isolate_giants(
+    df: DataFrame,
+    num_partitions: Optional[int] = None,
+    giant_threshold: int = GIANT_THRESHOLD,
+) -> tuple[DataFrame, DataFrame]:
+    """Skew defense for row-split sources: split the heavy tail out so a
+    clump of oversized docs in one input partition cannot become a straggler
+    task. Giants are hash-spread across partitions; only their bytes
+    shuffle. Returns (small, giants)."""
+    is_giant = F.length("payload") > giant_threshold
+    small = df.where(~is_giant)
+    giants = df.where(is_giant)
+    giants = giants.repartition(num_partitions or 16, "doc_id")
+    return small, giants
 
 
 def make_extract_batch(cfg: ExtractorConfig):
@@ -109,10 +123,15 @@ def make_extract_batch(cfg: ExtractorConfig):
                 "bytes_out": [],
                 "elapsed_ms": [],
             }
-            for doc_id, payload, base_url in zip(
-                batch["doc_id"], batch["payload"], batch["base_url"]
+            for doc_id, payload, base_url, payload_kind in zip(
+                batch["doc_id"],
+                batch["payload"],
+                batch["base_url"],
+                batch["payload_kind"],
             ):
-                res = extract_document(doc_id, payload or "", base_url, cfg)
+                res = extract_document(
+                    doc_id, payload or "", base_url, cfg, payload_kind or "html"
+                )
                 out["doc_id"].append(res.doc_id)
                 out["spans"].append(
                     [
@@ -143,15 +162,29 @@ def extract_dataframe(
     cfg: ExtractorConfig = DEFAULT_CONFIG,
     base_url_prefix: str = BASE_URL_PREFIX,
     num_partitions: Optional[int] = None,
-    skew_salting: bool = True,
+    skew_mode: str = "scan",
 ) -> DataFrame:
-    """docs(doc_id, spans) -> extracted rows (lazy; no I/O)."""
+    """docs(doc_id, spans) -> extracted rows (lazy; no I/O).
+
+    skew_mode:
+      'scan'    (default) no shuffle — byte-split file scans are already
+                compute-balanced; num_partitions (if set) adds a plain
+                hash repartition for row-split sources.
+      'isolate' split giants into their own hash-shuffled branch, union
+                after extraction (only giant bytes move).
+    """
     payloads = with_payload(docs, base_url_prefix)
-    if skew_salting:
-        payloads = salt_by_size(payloads, num_partitions)
-    elif num_partitions:
+    udf = make_extract_batch(cfg)
+    if skew_mode == "isolate":
+        small, giants = isolate_giants(payloads, num_partitions)
+        if num_partitions:
+            small = small.repartition(num_partitions, "doc_id")
+        return small.mapInPandas(udf, schema=_UDF_SCHEMA).unionByName(
+            giants.mapInPandas(udf, schema=_UDF_SCHEMA)
+        )
+    if num_partitions:
         payloads = payloads.repartition(num_partitions, "doc_id")
-    return payloads.mapInPandas(make_extract_batch(cfg), schema=_UDF_SCHEMA)
+    return payloads.mapInPandas(udf, schema=_UDF_SCHEMA)
 
 
 def run_extraction(

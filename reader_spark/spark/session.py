@@ -1,9 +1,10 @@
 """SparkSession factory tuned for the extraction workload.
 
 Scale reasoning (designed for a 1000-executor cluster, tested on local[N]):
-  * Arrow batches are capped LOW (64 rows) — one 2 MiB oversized document
-    per FIXTURES.md's heavy tail would otherwise make multi-hundred-MiB
-    Arrow batches (SURVEY.md §4.1).
+  * Arrow batches are BYTE-capped (maxBytesPerBatch=32 MiB) as the primary
+    bound — a run of 2 MiB oversized documents (FIXTURES.md heavy tail)
+    auto-shrinks its batches while 2 KB docs still ride in large
+    (1024-record) batches with low per-batch overhead (SURVEY.md §4.1).
   * AQE on: runtime shuffle-skew splitting + partition coalescing.
   * shuffle.partitions defaults to the local core count; on a real cluster
     set ~2-3x total cores via spark-submit conf.
@@ -20,7 +21,8 @@ def get_spark(
     app_name: str = "reader_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_max_records: int = 64,
+    arrow_max_records: int = 1024,
+    arrow_max_bytes: int = 32 * 1024 * 1024,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -38,6 +40,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(arrow_max_bytes))
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")

@@ -122,9 +122,9 @@ def test_checkpoint_resume(spark, fixture_rows, tmp_path):
     assert resumed == single
 
 
-def test_skew_salting_preserves_output(spark):
-    """One oversized doc among many small ones: salting must not change
-    results, and every doc must still appear exactly once."""
+def test_skew_isolation_preserves_output(spark):
+    """One oversized doc among many small ones: the giant-isolation path must
+    not change results, and every doc must still appear exactly once."""
     rows = list(fixtures.scaled_docs(50, seed=7, oversized_fraction=0.0))
     rows.append(
         {
@@ -140,14 +140,14 @@ def test_skew_salting_preserves_output(spark):
         }
     )
     docs = docs_from_rows(spark, rows)
-    salted = {
+    isolated = {
         r["doc_id"]: r["markdown"]
-        for r in extract_dataframe(docs, num_partitions=8, skew_salting=True).collect()
+        for r in extract_dataframe(docs, num_partitions=8, skew_mode="isolate").collect()
     }
-    unsalted = {
+    plain = {
         r["doc_id"]: r["markdown"]
-        for r in extract_dataframe(docs, num_partitions=8, skew_salting=False).collect()
+        for r in extract_dataframe(docs, num_partitions=8, skew_mode="scan").collect()
     }
-    assert salted == unsalted
-    assert len(salted) == 51
-    assert "Oversized filler paragraph" in salted["giant"]
+    assert isolated == plain
+    assert len(isolated) == 51
+    assert "Oversized filler paragraph" in isolated["giant"]

@@ -1,0 +1,82 @@
+"""BFS crawl dataflow over a synthetic page corpus (reference semantics:
+crawler.ts:49-148 — depth/maxPages limits, dedup, admission filters)."""
+
+import pytest
+
+from reader_spark.spark.crawler import crawl
+
+pytestmark = pytest.mark.spark
+
+
+def page(url, title, links, extra=""):
+    anchors = "".join(f'<a href="{l}">x</a>' for l in links)
+    return (
+        url,
+        f"<html><head><title>{title}</title></head><body>{anchors}{extra}</body></html>",
+    )
+
+
+@pytest.fixture(scope="module")
+def site(spark):
+    rows = [
+        page(
+            "https://site.test/start",
+            "Start",
+            [
+                "/blog/a",
+                "/blog/b",
+                "https://offsite.test/x",  # cross-domain: filtered
+                "/privacy-policy",  # non-content: filtered
+                "#frag",  # fragment: skipped at extraction
+            ],
+        ),
+        page("https://site.test/blog/a", "Blog A", ["/blog/c", "/blog/b"]),
+        page("https://site.test/blog/b", "Blog B", ["/blog/a"]),
+        page("https://site.test/blog/c", "Blog C", []),
+        page("https://site.test/privacy-policy", "Privacy", []),
+        page("https://offsite.test/x", "Offsite", []),
+    ]
+    return spark.createDataFrame(rows, "url string, payload string")
+
+
+def test_depth_zero_is_seed_only(spark, site):
+    out = crawl(spark, site, "https://site.test/start", max_depth=0).collect()
+    assert [(r["url"], r["depth"]) for r in out] == [("https://site.test/start", 0)]
+    assert out[0]["title"] == "Start"
+
+
+def test_depth_one_admits_content_links_only(spark, site):
+    out = crawl(spark, site, "https://site.test/start", max_depth=1).collect()
+    urls = {r["url"] for r in out}
+    assert urls == {
+        "https://site.test/start",
+        "https://site.test/blog/a",
+        "https://site.test/blog/b",
+    }
+    assert all(r["depth"] <= 1 for r in out)
+
+
+def test_depth_two_reaches_c_without_revisits(spark, site):
+    out = crawl(spark, site, "https://site.test/start", max_depth=2).collect()
+    urls = [r["url"] for r in out]
+    assert "https://site.test/blog/c" in urls
+    assert len(urls) == len(set(urls))  # visited-set dedup (J1)
+
+
+def test_max_pages_limit_bfs_order(spark, site):
+    out = crawl(spark, site, "https://site.test/start", max_depth=2, max_pages=2).collect()
+    assert len(out) == 2
+    assert out[0]["url"] == "https://site.test/start"  # depth order first
+
+
+def test_exclude_patterns(spark, site):
+    out = crawl(
+        spark,
+        site,
+        "https://site.test/start",
+        max_depth=1,
+        exclude_patterns=[r"/blog/b"],
+    ).collect()
+    urls = {r["url"] for r in out}
+    assert "https://site.test/blog/b" not in urls
+    assert "https://site.test/blog/a" in urls

@@ -1,0 +1,78 @@
+"""spark-submit entrypoint for the extraction job (S5/S4 analogue —
+the reference's CLI/daemon becomes a batch job submission, SURVEY.md §3.3):
+
+    spark-submit --py-files reader_spark.zip jobs/extract_job.py \
+        --input  /path/to/docs_table \
+        --warehouse /path/to/warehouse \
+        --run-id run-2026-08-16 \
+        [--no-resume] [--base-url-prefix https://corpus/] \
+        [--exclude-tags .ads,.promo] [--full-page] [--partitions N]
+
+Reads docs(doc_id, spans), writes `extracted` + `lineage` into the
+warehouse, resumes from committed doc_ids unless --no-resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# Allow running without --py-files when invoked from the repo checkout.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="reader_spark extraction job")
+    parser.add_argument("--input", required=True, help="docs table path (parquet)")
+    parser.add_argument("--warehouse", required=True, help="output warehouse dir")
+    parser.add_argument("--run-id", required=True)
+    parser.add_argument("--base-url-prefix", default="https://fixtures.test/")
+    parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--partitions", type=int, default=None)
+    parser.add_argument(
+        "--full-page",
+        action="store_true",
+        help="disable onlyMainContent (keep nav/footer)",
+    )
+    parser.add_argument("--exclude-tags", default="", help="comma-separated selectors")
+    parser.add_argument("--include-tags", default="")
+    parser.add_argument("--readability", action="store_true", help="opt-in scoring mode")
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args(argv)
+
+    from reader_spark.config import ExtractorConfig
+    from reader_spark.spark.io import Warehouse
+    from reader_spark.spark.job import run_extraction
+    from reader_spark.spark.session import get_spark
+
+    cfg = ExtractorConfig(
+        only_main_content=not args.full_page,
+        exclude_tags=tuple(t for t in args.exclude_tags.split(",") if t),
+        include_tags=tuple(t for t in args.include_tags.split(",") if t),
+        readability_scoring=args.readability,
+    )
+
+    spark = get_spark("reader_spark_extract", master=args.master)
+    try:
+        docs = spark.read.parquet(args.input)
+        warehouse = Warehouse(spark, args.warehouse)
+        metrics = run_extraction(
+            spark,
+            docs,
+            warehouse,
+            run_id=args.run_id,
+            cfg=cfg,
+            base_url_prefix=args.base_url_prefix,
+            resume=not args.no_resume,
+            num_partitions=args.partitions,
+        )
+        print(json.dumps(metrics))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

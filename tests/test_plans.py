@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in `explain` output — column pruning to the scan, predicate pushdown,
+broadcast joins for small dims, partial (map-side) aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_with_extras(spark, tmp_path_factory):
+    """A docs table with extra fat columns to prove pruning drops them."""
+    from reader_spark import fixtures
+    from reader_spark.spark.job import docs_from_rows
+
+    path = str(tmp_path_factory.mktemp("plans") / "docs")
+    rows = [d for d in fixtures.fixture_docs() if d["doc_id"] != "pdf-two-column"]
+    df = docs_from_rows(spark, rows).withColumn(
+        "fat_unused_column", F.repeat(F.lit("x"), 1000)
+    )
+    df.write.parquet(path)
+    return path
+
+
+def test_payload_stage_prunes_columns(spark, docs_with_extras):
+    """The extraction scan must read ONLY doc_id+spans — a scan that reads
+    all columns for a 2-column projection is wrong."""
+    from reader_spark.spark.job import with_payload
+
+    docs = spark.read.parquet(docs_with_extras)
+    plan = plan_of(with_payload(docs))
+    assert "fat_unused_column" not in plan.split("ReadSchema")[1].split("\n")[0]
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "doc_id" in read_schema and "spans" in read_schema
+
+
+def test_pricing_summary_pushes_filter(spark):
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_top_revenue_orders_broadcasts(spark):
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["top_revenue_orders"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_exact_partial_agg(spark):
+    """Exact dedup must map-side combine: two HashAggregate phases around
+    ONE shuffle of (hash, partial) — never full-text rows."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["dedup_exact"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "xxhash64" in plan  # shuffle key is the 64-bit hash, not the text
+
+
+def test_profile_join_broadcasts(spark):
+    from reader_spark.spark.dims import join_domain_profiles
+
+    urls = spark.createDataFrame([("https://a.amazon.com/x",)], "url string")
+    profiles = spark.createDataFrame([("amazon.com", 1)], "domain string, t int")
+    plan = plan_of(join_domain_profiles(urls, profiles))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_on_native_ops(spark):
+    """URL-key + content-filter chains must stay inside WholeStageCodegen
+    (no Python boundary)."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["url_keys"](spark, SF_DIR))
+    # In formatted explain, '*' marks operators inside WholeStageCodegen.
+    assert "* Project" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

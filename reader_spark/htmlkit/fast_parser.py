@@ -1,0 +1,126 @@
+"""Fast regex-driven HTML tokenizer -> Node tree.
+
+Drop-in replacement for the stdlib-html.parser tree builder in dom.py
+(~2-3x faster on article-sized documents; the parse is >half of per-document
+extraction cost). Tolerant by construction: anything that does not scan as a
+tag is text. Behavior pinned by the full dom/cleaner/serializer test suite;
+``parse_html`` falls back to the stdlib builder if this one throws.
+
+Tokenizer grammar (single compiled alternation, one linear scan):
+  comments, <!declarations>, <?pi>, </end>, <start attrs...>, stray '<'.
+Rawtext elements (script/style/textarea/title) capture everything up to
+their case-insensitive close tag, like browsers and html.parser do.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+from .dom import _IMPLIED_END, VOID_ELEMENTS, Node
+
+_TAG_RE = re.compile(
+    r"""<(?:
+        !--(?P<comment>.*?)--\s*>
+      | !(?P<decl>[^>]*)>
+      | \?(?P<pi>[^>]*)>
+      | /(?P<end>[a-zA-Z][-\w:]*)[^>]*>
+      | (?P<start>[a-zA-Z][-\w:]*)(?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>
+    )""",
+    re.DOTALL | re.VERBOSE,
+)
+
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-.:\w]*)
+        (?:\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]*))?""",
+    re.VERBOSE,
+)
+
+_RAWTEXT = {"script", "style", "textarea", "title"}
+_RAWTEXT_CLOSE = {tag: re.compile(f"</{tag}", re.IGNORECASE) for tag in _RAWTEXT}
+
+
+def _parse_attrs(raw: str) -> dict[str, str]:
+    attrs: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        value = m.group(2)
+        if value is None:
+            value = ""
+        elif value[:1] in ('"', "'"):
+            value = m.group(3) if m.group(3) is not None else (m.group(4) or "")
+        if value and "&" in value:
+            value = unescape(value)
+        if name not in attrs:
+            attrs[name] = value
+    return attrs
+
+
+def parse_html_fast(html: str) -> Node:
+    root = Node("#document")
+    stack = [root]
+    pos = 0
+    n = len(html)
+    append_text = Node  # local alias for speed
+
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt == -1:
+            text = html[pos:]
+            if text:
+                if "&" in text:
+                    text = unescape(text)
+                stack[-1].append_child(append_text("#text", text=text))
+            break
+        if lt > pos:
+            text = html[pos:lt]
+            if "&" in text:
+                text = unescape(text)
+            stack[-1].append_child(append_text("#text", text=text))
+        m = _TAG_RE.match(html, lt)
+        if m is None:
+            # Stray '<': treat as text (tolerant).
+            stack[-1].append_child(append_text("#text", text="<"))
+            pos = lt + 1
+            continue
+        pos = m.end()
+        start = m.group("start")
+        if start is not None:
+            tag = start.lower()
+            raw_attrs = m.group("attrs")
+            self_closing = raw_attrs.endswith("/")
+            attrs = _parse_attrs(raw_attrs.rstrip("/")) if raw_attrs.strip("/ \t\r\n") else {}
+            closers = _IMPLIED_END.get(tag)
+            if closers:
+                while len(stack) > 1 and stack[-1].tag in closers:
+                    stack.pop()
+            node = Node(tag, attrs)
+            stack[-1].append_child(node)
+            if tag in _RAWTEXT and not self_closing:
+                close = _RAWTEXT_CLOSE[tag].search(html, pos)
+                if close is None:
+                    content, pos = html[pos:], n
+                else:
+                    content = html[pos : close.start()]
+                    gt = html.find(">", close.end())
+                    pos = n if gt == -1 else gt + 1
+                if content:
+                    if tag == "title" and "&" in content:
+                        content = unescape(content)
+                    node.append_child(append_text("#text", text=content))
+            elif tag not in VOID_ELEMENTS and not self_closing:
+                stack.append(node)
+            continue
+        end = m.group("end")
+        if end is not None:
+            tag = end.lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            continue
+        comment = m.group("comment")
+        if comment is not None:
+            stack[-1].append_child(Node("#comment", text=comment))
+        # declarations / processing instructions are dropped
+    return root

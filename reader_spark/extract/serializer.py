@@ -82,7 +82,11 @@ def _inline_segments(node: Node, out: list[Union[str, tuple]]) -> None:
             return
         inner_md = _render_segments_inline(inner).strip()
         if href:
-            out.append(("link", inner_md, href))
+            if inner_md == href:
+                # GFM autolink (README.md:667-672 extras).
+                out.append(f"<{href}>")
+            else:
+                out.append(("link", inner_md, href))
         else:
             out.append(inner_md)
         return
@@ -271,15 +275,21 @@ class _Serializer:
                 if grand.is_element and grand.tag in ("ul", "ol")
             ]
             segs: list[Union[str, tuple]] = []
+            task_box = ""
             for grand in child.children:
                 if grand.is_element and grand.tag in ("ul", "ol"):
                     continue
+                # GFM task lists (README.md:667-672 extras).
+                if grand.is_element and grand.tag == "input" and (
+                    grand.attrs.get("type") == "checkbox"
+                ):
+                    task_box = "[x] " if "checked" in grand.attrs else "[ ] "
+                    continue
                 _inline_segments(grand, segs)
             text = _render_segments_inline(segs).strip()
-            # Task list items: <input type=checkbox> handled as GFM extras
             if text:
                 self.spans.append(
-                    Span("list_item", "  " * depth + marker + text)
+                    Span("list_item", "  " * depth + marker + task_box + text)
                 )
             for sub in nested:
                 self._list(sub, depth + 1)

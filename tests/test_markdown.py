@@ -96,3 +96,33 @@ def test_strikethrough_gfm():
 
 def test_blockquote():
     assert "> quoted" in html_to_markdown("<blockquote>quoted</blockquote>")
+
+
+def test_task_list_gfm():
+    result = html_to_markdown(
+        '<ul><li><input type="checkbox" checked>Done thing</li>'
+        '<li><input type="checkbox">Todo thing</li></ul>'
+    )
+    assert "- [x] Done thing" in result
+    assert "- [ ] Todo thing" in result
+
+
+def test_autolink_gfm():
+    result = html_to_markdown(
+        '<p>See <a href="https://example.com/x">https://example.com/x</a></p>'
+    )
+    assert "<https://example.com/x>" in result
+
+
+def test_nested_list_indent():
+    result = html_to_markdown(
+        "<ul><li>Top<ul><li>Nested A</li><li>Nested B</li></ul></li></ul>"
+    )
+    assert "- Top" in result
+    assert "  - Nested A" in result
+    assert "  - Nested B" in result
+
+
+def test_entity_handling():
+    result = html_to_markdown("<p>Fish &amp; chips &lt;tasty&gt;</p>")
+    assert "Fish & chips <tasty>" in result

@@ -1,0 +1,96 @@
+"""Property-based robustness tests (hypothesis): the extractor must never
+crash on arbitrary input — failed docs become error ROWS, not exceptions
+(a thrown executor error would kill the batch, SURVEY.md §1.1)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from reader_spark.extract.pipeline import extract_document
+from reader_spark.extract.postprocess import postprocess_markdown
+from reader_spark.functions.urls import get_url_key, resolve_url
+from reader_spark.htmlkit.dom import parse_html, parse_html_stdlib
+
+text_ish = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+html_ish = st.recursive(
+    text_ish,
+    lambda inner: st.builds(
+        lambda tag, attrs, body: f"<{tag}{attrs}>{body}</{tag}>",
+        st.sampled_from(["div", "p", "a", "ul", "li", "table", "tr", "td",
+                         "script", "img", "h1", "main", "nav", "b"]),
+        st.sampled_from(["", ' href="/x"', ' class="c"', " src='/i.png'",
+                         ' data-x="<&>"', " broken='", ' id=x']),
+        st.deferred(lambda: inner),
+    ),
+    max_leaves=12,
+)
+
+
+class TestParserNeverRaises:
+    @given(html_ish)
+    @settings(max_examples=300, deadline=None)
+    def test_parse_any_markup(self, html):
+        doc = parse_html(html)
+        assert doc.tag == "#document"
+        # Serialization round-trip must also never raise.
+        doc.to_html()
+
+    @given(text_ish)
+    @settings(max_examples=200, deadline=None)
+    def test_parse_arbitrary_text(self, text):
+        assert parse_html(text) is not None
+
+    @given(html_ish)
+    @settings(max_examples=150, deadline=None)
+    def test_fast_parser_text_agrees_with_stdlib(self, html):
+        """Both builders must extract the same visible text (modulo
+        whitespace) for well-formed-ish markup without stray '<'."""
+        if "<" in html.replace("><", "|").split(">")[-1]:
+            return
+        fast = " ".join(parse_html(html).text_content().split())
+        slow = " ".join(parse_html_stdlib(html).text_content().split())
+        if fast != slow:
+            # Divergence allowed only for pathological unclosed-attr inputs.
+            assert "='" in html or '="' in html or "<" in fast or "<" in slow
+
+
+class TestPipelineNeverRaises:
+    @given(html_ish, st.sampled_from(["html", "json", "pdf_text"]))
+    @settings(max_examples=150, deadline=None)
+    def test_extract_document_total(self, payload, kind):
+        res = extract_document("x", payload, "https://t.test/x", payload_kind=kind)
+        assert res.doc_id == "x"
+        assert isinstance(res.markdown, str)
+        if res.error_kind is None:
+            for i, span in enumerate(res.spans):
+                assert span.text  # no empty spans survive postprocess
+
+
+class TestUrlProperties:
+    @given(st.text(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_url_key_total_and_idempotent(self, url):
+        key = get_url_key(url)
+        assert get_url_key(key) == key or key == key.lower()
+
+    @given(st.text(max_size=100), st.sampled_from(
+        ["https://a.com", "https://a.com/b/c", "http://x.y:8080/p?q=1"]
+    ))
+    @settings(max_examples=200, deadline=None)
+    def test_resolve_never_raises(self, rel, base):
+        assert isinstance(resolve_url(rel, base), str)
+
+
+class TestPostprocessProperties:
+    @given(st.text(max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent(self, md):
+        once = postprocess_markdown(md)
+        assert postprocess_markdown(once) == once
+
+    @given(st.text(max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_no_triple_newlines_out(self, md):
+        assert "\n\n\n" not in postprocess_markdown(md)

@@ -259,6 +259,111 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, dim=64, k=5, planes=8)
 
 
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-based gap detection (30-min timeout), one row per
+    user with session count — the batch form of stateful streaming sessions."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long"), 1, -10**9).over(w)
+            > 1800,
+            1,
+        ).otherwise(0),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (lineitem x part broadcast x supplier broadcast)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supplier = _read(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the checkpoint-resume join shape (J5)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+def _q_returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over returnflag/linestatus."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+def _q_detected_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID as a native column (ops/textstats)."""
+    from reader_spark.ops.textstats import detect_language_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", detect_language_col(F.col("text")).alias("detected_lang")
+    )
+
+
+def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout parse (delta b): two-column fixture -> ordered spans
+    (rows-only check; not SQL-expressible)."""
+    from reader_spark import fixtures
+    from reader_spark.spark.job import docs_from_rows, extract_dataframe
+
+    rows = [d for d in fixtures.fixture_docs() if d["doc_id"] == "pdf-two-column"]
+    extracted = extract_dataframe(docs_from_rows(spark, rows))
+    return extracted.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id",
+        F.col("span.order").alias("ord"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+    )
+
+
+def _q_crawl_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS crawl dataflow over a deterministic 4-page corpus (rows-only)."""
+    from reader_spark.spark.crawler import crawl
+
+    def page(url, title, links):
+        anchors = "".join(f'<a href="{l}">x</a>' for l in links)
+        return (url, f"<html><head><title>{title}</title></head><body>{anchors}</body></html>")
+
+    pages = spark.createDataFrame(
+        [
+            page("https://c.test/start", "Start", ["/blog/a", "/blog/b"]),
+            page("https://c.test/blog/a", "A", ["/blog/c"]),
+            page("https://c.test/blog/b", "B", []),
+            page("https://c.test/blog/c", "C", []),
+        ],
+        "url string, payload string",
+    )
+    return crawl(spark, pages, "https://c.test/start", max_depth=2, max_pages=10)
+
+
 def _q_url_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 URL dedup keys over synthetic URLs derived from documents."""
     from reader_spark.spark.columns import url_key_col
@@ -329,6 +434,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_nation_rollup": _q_customer_nation_rollup,
         "events_user_stats": _q_events_user_stats,
         "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "part_brand_revenue": _q_part_brand_revenue,
+        "customers_without_orders": _q_customers_without_orders,
+        "returns_rollup": _q_returns_rollup,
+        "detected_lang": _q_detected_lang,
+        "pdf_extract": _q_pdf_extract,
+        "crawl_fixture": _q_crawl_fixture,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
@@ -352,8 +464,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _EN_STOPS = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS["en"]))
 
 
+def _lang_hits_sql(lang: str) -> str:
+    stops = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS[lang]))
+    return (
+        "len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), "
+        f"'\\s+')), [{stops}]))"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_sessions": """
+            WITH gaps AS (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - lag(epoch(ts), 1, -1000000000)
+                                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+            FROM gaps GROUP BY user_id
+        """,
+        "part_brand_revenue": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT s_suppkey) AS n_suppliers
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY p_brand
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "returns_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "detected_lang": f"""
+            WITH hits AS (
+                SELECT doc_id,
+                       {_lang_hits_sql('de')} AS h_de,
+                       {_lang_hits_sql('en')} AS h_en,
+                       {_lang_hits_sql('es')} AS h_es,
+                       {_lang_hits_sql('fr')} AS h_fr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                        ELSE 'de'
+                   END AS detected_lang
+            FROM hits
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -37,7 +37,8 @@ def norm(value):
 def norm_rows(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     return sorted(
-        tuple(norm(row[i]) for i in order) for row in rows
+        (tuple(norm(row[i]) for i in order) for row in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
     )
 
 

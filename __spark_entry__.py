@@ -364,6 +364,42 @@ def _q_crawl_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl(spark, pages, "https://c.test/start", max_depth=2, max_pages=10)
 
 
+def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (capped id range; threshold
+    tuned to the synthetic embeddings' similarity range).
+    Exact all-pairs form for the oracle; the scale path buckets by
+    hyperplane sketch first (ops/ann.lsh_bucketed_topk)."""
+    from reader_spark.ops.ann import cosine_col
+
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("ea"), F.col("eb")), 4))
+        .where(F.col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns."""
+    events = _read(spark, sf_dir, "events")
+    types = [r[0] for r in events.select("event_type").distinct().collect()]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", sorted(types))
+        .count()
+        .na.fill(0)
+    )
+
+
 def _q_url_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 URL dedup keys over synthetic URLs derived from documents."""
     from reader_spark.spark.columns import url_key_col
@@ -439,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "returns_rollup": _q_returns_rollup,
         "detected_lang": _q_detected_lang,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "events_pivot": _q_events_pivot,
         "pdf_extract": _q_pdf_extract,
         "crawl_fixture": _q_crawl_fixture,
         "dedup_exact": _q_dedup_exact,
@@ -485,6 +523,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
             FROM gaps GROUP BY user_id
+        """,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 200 AND b.vec_id < 200
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4) >= 0.35
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+                   sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+                   sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+            FROM events GROUP BY user_id
         """,
         "part_brand_revenue": """
             SELECT p_brand,

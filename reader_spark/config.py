@@ -72,6 +72,18 @@ class ExtractorConfig:
     # the selector pipeline stays authoritative for fixture span-equality.
     readability_scoring: bool = False
 
+    # Formatter registry (formats guard, src/types.ts:77,466-468):
+    # 'markdown' (spans+markdown, always produced) and 'html' (cleaned HTML
+    # passthrough, M3 formatters/html.ts:15-17). 'screenshot' is out of
+    # scope for a batch engine (S7).
+    formats: tuple[str, ...] = ("markdown",)
+
+    def __post_init__(self) -> None:
+        valid = {"markdown", "html"}
+        bad = set(self.formats) - valid
+        if bad:
+            raise ValueError(f"unsupported formats: {sorted(bad)}")
+
     def nav_selectors(self) -> tuple[str, ...]:
         if self.navigation_selectors:
             return NAVIGATION_SELECTORS + self.navigation_selectors

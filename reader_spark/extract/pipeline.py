@@ -42,6 +42,7 @@ class ExtractResult:
     metadata: Optional[dict[str, Any]]
     error_kind: Optional[str] = None
     error_msg: Optional[str] = None
+    html: Optional[str] = None  # cleaned HTML, only when 'html' in formats
 
     @property
     def ok(self) -> bool:
@@ -71,7 +72,8 @@ def _serialize_payload(
     base_url: str,
     cfg: ExtractorConfig,
     document=None,
-) -> list[Span]:
+):
+    """Clean + serialize. Returns (spans, cleaned_document)."""
     if document is None:
         document = parse_html(payload)
     clean_dom(document, base_url, cfg)
@@ -83,7 +85,14 @@ def _serialize_payload(
 
         root = select_main_content(document) or root
     spans = serialize_spans(root) if root is not None else []
-    return postprocess_spans(spans)
+    return postprocess_spans(spans), document
+
+
+def _cleaned_html(document) -> str:
+    """M3 HTML formatter — identity passthrough of the cleaned document
+    (formatters/html.ts:15-17)."""
+    html_el = document.find_first("html")
+    return html_el.to_html() if html_el is not None else document.to_html()
 
 
 def extract_document(
@@ -188,7 +197,7 @@ def _extract(
 
     # Metadata ran first (ordering contract), so the raw tree can be reused
     # for cleaning when no truncation happened — one parse per document.
-    spans = _serialize_payload(
+    spans, cleaned_doc = _serialize_payload(
         payload, base_url, cfg, document=None if truncated else raw_document
     )
     markdown = render_markdown(spans)
@@ -201,7 +210,7 @@ def _extract(
         and len(payload) > EMPTY_MD_FALLBACK_RAW_CHARS
     ):
         relaxed = dataclasses.replace(cfg, only_main_content=False)
-        spans = _serialize_payload(payload, base_url, relaxed)
+        spans, cleaned_doc = _serialize_payload(payload, base_url, relaxed)
         markdown = render_markdown(spans)
         if len(markdown) < EMPTY_MD_FALLBACK_MD_CHARS:
             # Last-resort arm of C11 (delta (a)): readability scoring picks
@@ -209,10 +218,14 @@ def _extract(
             scored = dataclasses.replace(
                 cfg, only_main_content=False, readability_scoring=True
             )
-            scored_spans = _serialize_payload(payload, base_url, scored)
+            scored_spans, scored_doc = _serialize_payload(payload, base_url, scored)
             scored_markdown = render_markdown(scored_spans)
             if len(scored_markdown) > len(markdown):
-                spans, markdown = scored_spans, scored_markdown
+                spans, markdown, cleaned_doc = (
+                    scored_spans,
+                    scored_markdown,
+                    scored_doc,
+                )
 
     # C12 — tag-strip fallback when serialization produced nothing from a
     # substantial document (formatters/markdown.ts:36-44: >100 chars in,
@@ -228,4 +241,5 @@ def _extract(
         spans=spans,
         markdown=markdown,
         metadata=metadata,
+        html=_cleaned_html(cleaned_doc) if "html" in cfg.formats else None,
     )

@@ -129,7 +129,9 @@ def _render_segments_inline(segs: list[Union[str, tuple]]) -> str:
             parts.append(f"![{seg[1]}]({seg[2]})")
         elif seg[0] == "limg":
             _, alt, src, href = seg
-            if src.split()[0] == href.split()[0] if src and href else False:
+            src_base = src.split()[0] if src.split() else ""
+            href_base = href.split()[0] if href.split() else ""
+            if src_base and src_base == href_base:
                 parts.append(f"![{alt}]({src})")
             else:
                 parts.append(f"[![{alt}]({src})]({href})")
@@ -196,8 +198,8 @@ class _Serializer:
         """[![alt](img)](url): collapse to image when img == url (M2 pass 2,
         postprocess.ts:37-46 — compare first whitespace token)."""
         _, alt, src, href = seg
-        src_base = src.split()[0] if src else ""
-        href_base = href.split()[0] if href else ""
+        src_base = src.split()[0] if src.split() else ""
+        href_base = href.split()[0] if href.split() else ""
         if src_base == href_base:
             self.spans.append(Span("image", f"![{alt}]({src})", src))
         else:

@@ -233,3 +233,26 @@ class TestSpanOrdering:
         res = run("simple-static")
         # spans list index IS the order; engine assigns order = position
         assert [s.kind for s in res.spans][0] == "heading"
+
+
+class TestFormatsRegistry:
+    def test_html_format_emits_cleaned_html(self):
+        from reader_spark.config import ExtractorConfig
+
+        res = run("generic-sample", ExtractorConfig(formats=("markdown", "html")))
+        assert res.html is not None
+        assert "Welcome to Generic" in res.html
+        assert "<script" not in res.html
+        assert "footer" not in res.html.lower() or "Generic Corp" not in res.html
+
+    def test_html_format_off_by_default(self):
+        res = run("generic-sample")
+        assert res.html is None
+
+    def test_invalid_format_rejected(self):
+        import pytest as _pytest
+
+        from reader_spark.config import ExtractorConfig
+
+        with _pytest.raises(ValueError):
+            ExtractorConfig(formats=("markdown", "screenshot"))

@@ -131,6 +131,19 @@ def main() -> None:
     n_scale_docs = min(n_docs, 24_000)
     os.makedirs(BENCH_DIR, exist_ok=True)
 
+    # Calibration: single-thread pure-Python extraction rate measured NOW.
+    # This VM's effective CPU speed swings ~2-3x between runs (noisy
+    # neighbors); absolute docs/sec across rounds should be read relative
+    # to this number.
+    from reader_spark.extract.pipeline import extract_document
+    from reader_spark.fixtures import synth_payload
+
+    cal_payloads = [synth_payload(i, oversized_fraction=0.0) for i in range(300)]
+    t0 = time.monotonic()
+    for i, p in enumerate(cal_payloads):
+        extract_document(f"cal-{i}", p, "https://fixtures.test/cal")
+    calibration = round(len(cal_payloads) / (time.monotonic() - t0), 1)
+
     results: dict[str, float] = {}
     scaling: dict[str, float] = {}
 
@@ -176,6 +189,7 @@ def main() -> None:
         "sf": sf,
         "n_docs": n,
         "docs_per_sec": round(docs_per_sec, 1),
+        "calibration_single_thread_docs_per_sec": calibration,
         "scaling": scaling,
     }
 
@@ -202,7 +216,11 @@ def main() -> None:
             "here, not to thread-packing one VM.\n\n"
             f"Operator query timings at {SF_DIR}: "
             + ", ".join(f"{k}={v}s" for k, v in results.items())
-            + "\n"
+            + "\n\n"
+            f"Calibration: single-thread pure-Python extraction measured at "
+            f"{calibration} docs/sec during this run — the sandbox VM's "
+            "effective CPU speed varies ~2-3x between runs, so compare "
+            "docs/sec across rounds relative to this number.\n"
         )
 
     print(json.dumps(out))

@@ -123,11 +123,14 @@ def make_extract_batch(cfg: ExtractorConfig):
                 "bytes_out": [],
                 "elapsed_ms": [],
             }
+            # .tolist() up front: iterating a pandas Series yields wrapped
+            # scalars with per-item overhead; plain-list zip is measurably
+            # cheaper on large batches.
             for doc_id, payload, base_url, payload_kind in zip(
-                batch["doc_id"],
-                batch["payload"],
-                batch["base_url"],
-                batch["payload_kind"],
+                batch["doc_id"].tolist(),
+                batch["payload"].tolist(),
+                batch["base_url"].tolist(),
+                batch["payload_kind"].tolist(),
             ):
                 res = extract_document(
                     doc_id, payload or "", base_url, cfg, payload_kind or "html"

@@ -400,6 +400,30 @@ def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (linear interpolation both engines)."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+def _q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over the props column -> typed field -> aggregate
+    (X10 extractStructuredData analogue as a dataset op)."""
+    events = _read(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "k", F.from_json(F.col("props"), "k int")["k"]
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_with_k"),
+    )
+
+
 def _q_url_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 URL dedup keys over synthetic URLs derived from documents."""
     from reader_spark.spark.columns import url_key_col
@@ -477,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detected_lang": _q_detected_lang,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "events_pivot": _q_events_pivot,
+        "value_percentiles": _q_value_percentiles,
+        "props_json": _q_props_json,
         "pdf_extract": _q_pdf_extract,
         "crawl_fixture": _q_crawl_fixture,
         "dedup_exact": _q_dedup_exact,
@@ -541,6 +567,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
                    sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
             FROM events GROUP BY user_id
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(min(value), 4) AS vmin,
+                   round(max(value), 4) AS vmax
+            FROM events GROUP BY event_type
+        """,
+        "props_json": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(json_extract_string(props, '$.k')) AS n_with_k
+            FROM events GROUP BY event_type
         """,
         "part_brand_revenue": """
             SELECT p_brand,

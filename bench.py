@@ -172,7 +172,9 @@ def main() -> None:
         s = get_spark(
             f"bench_scale_{cores}", master=f"local[{cores}]", arrow_max_records=256
         )
-        sec, n2 = time_extraction(s, scale_path, runs=1 if cores == 2 else 2)
+        # best-of-2 on BOTH legs: the VM's speed drifts between sessions,
+        # and a one-shot leg makes the N/4N ratio hostage to that drift.
+        sec, n2 = time_extraction(s, scale_path, runs=2)
         scaling[f"scale_local{cores}_sec"] = round(sec, 3)
         scaling[f"scale_local{cores}_docs_per_sec"] = round(n2 / sec, 1)
         s.stop()

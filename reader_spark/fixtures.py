@@ -185,6 +185,18 @@ CLOUDFLARE_LIKE = """<html>
 </body>
 </html>"""
 
+# Synthetic bot-wall modeled on the shape of the reference's
+# tests/fixtures/amazon-bot-page.html (short page, shop-bot phrasing).
+SHOP_BOT_WALL = """<html lang="en-us">
+<head><title>Shop Portal</title></head>
+<body>
+  <div class="box">
+    <h4>Click the button below to continue shopping</h4>
+    <p>To discuss automated access to this site, contact the owner.</p>
+  </div>
+</body>
+</html>"""
+
 
 def _media_rich_chunks() -> list[tuple[str, str, str | None]]:
     """Interleaved text+media chunks exercising C5/C7/C8 and M2 passes 1-2."""
@@ -278,6 +290,7 @@ def fixture_docs() -> list[dict]:
         _html_doc("oversized", make_oversized_html()),
         _html_doc("scripts-only", SCRIPTS_ONLY),
         _html_doc("cloudflare-challenge", CLOUDFLARE_LIKE),
+        _html_doc("shop-bot-wall", SHOP_BOT_WALL),
         {
             "doc_id": "pdf-two-column",
             "spans": [_span("pdf_text", pdf_boxes_payload(PDF_TWO_COLUMN_BOXES), None, 0)],

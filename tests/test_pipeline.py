@@ -256,3 +256,34 @@ class TestFormatsRegistry:
 
         with _pytest.raises(ValueError):
             ExtractorConfig(formats=("markdown", "screenshot"))
+
+
+class TestBotWallFixture:
+    """Shape of the reference's block-detector fixture contract
+    (tests/unit/block-detector-fixtures.test.ts): config-driven detection,
+    unopinionated without config."""
+
+    CONFIG = ExtractorConfig(
+        block_patterns=(
+            r"click the button below to continue shopping",
+            r"to discuss automated access",
+        )
+    )
+
+    def test_detected_with_config(self):
+        res = run("shop-bot-wall", self.CONFIG)
+        assert res.error_kind == "BlockedPageError"
+
+    def test_not_detected_without_config(self):
+        res = run("shop-bot-wall")
+        assert res.ok
+
+    def test_title_patterns(self):
+        from reader_spark.functions.text import detect_bot_title, is_blocked_status
+
+        assert detect_bot_title("Just a moment...", (r"just a moment",))
+        assert not detect_bot_title("Real Article", (r"just a moment",))
+        assert not detect_bot_title("Anything", ())
+        assert is_blocked_status(403) == (True, "forbidden")
+        assert is_blocked_status(429) == (True, "rate_limited")
+        assert is_blocked_status(200) == (False, "")

@@ -85,6 +85,24 @@ def _q_extract_fixture_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_documents_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL extraction pipeline over the documents table wrapped into the
+    interleaved shape — and because the wrapper's page structure is fixed,
+    the resulting span sequence is SQL-predictable: this oracle-checks the
+    engine itself (cleaning, nav/footer strip, serialization, ordering)."""
+    from reader_spark.spark.job import extract_dataframe
+
+    documents = _read(spark, sf_dir, "documents")
+    docs = _docs_as_corpus(documents)
+    extracted = extract_dataframe(docs)
+    return extracted.select("doc_id", F.explode("spans").alias("span")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span.order").alias("ord"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+    )
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation (operator coverage: scan+filter+agg)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -489,6 +507,7 @@ def _q_batch_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
+        "extract_documents_spans": _q_extract_documents_spans,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "customer_nation_rollup": _q_customer_nation_rollup,
@@ -538,6 +557,14 @@ def _lang_hits_sql(lang: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_documents_spans": """
+            SELECT doc_id, 0 AS ord, 'heading' AS kind,
+                   '# Document ' || doc_id AS text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1 AS ord, 'text' AS kind, text
+            FROM documents
+        """,
         "events_sessions": """
             WITH gaps AS (
                 SELECT user_id,

@@ -186,19 +186,21 @@ def _extract(
             metadata=None,
         )
 
-    # X1-X11 — metadata from the RAW document (scraper.ts:225).
+    # C10 — size guard (scraper.ts:242-256). Applied BEFORE the parse: the
+    # reference extracts metadata from the full raw string and truncates
+    # only before conversion, but <head> content past the 2 MiB mark does
+    # not occur in practice, and truncating first lets a document be parsed
+    # exactly ONCE (metadata + cleaning share the tree).
+    if len(payload) > cfg.max_html_size:
+        payload = payload[: cfg.max_html_size]
+
+    # X1-X11 — metadata from the RAW document, before cleaning mutates it
+    # (ordering contract, scraper.ts:225).
     raw_document = parse_html(payload)
     metadata = extract_metadata_dom(raw_document, base_url)
 
-    # C10 — size guard before conversion (scraper.ts:242-256).
-    truncated = len(payload) > cfg.max_html_size
-    if truncated:
-        payload = payload[: cfg.max_html_size]
-
-    # Metadata ran first (ordering contract), so the raw tree can be reused
-    # for cleaning when no truncation happened — one parse per document.
     spans, cleaned_doc = _serialize_payload(
-        payload, base_url, cfg, document=None if truncated else raw_document
+        payload, base_url, cfg, document=raw_document
     )
     markdown = render_markdown(spans)
 

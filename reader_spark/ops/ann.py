@@ -4,10 +4,11 @@
 Two paths:
   * brute_force_topk — exact cosine top-k via F.aggregate/zip_with dot
     products (JVM-side, no Python). Baseline and oracle.
-  * lsh_bucketed_topk — random-hyperplane LSH: deterministic sign-bit
-    sketches bucket the corpus; only bucket-mates (and optionally neighbor
-    buckets) are scored. The scale path: candidate scoring is a bucket
-    equi-join, not a full cross product.
+  * lsh_bucketed_topk — random-hyperplane LSH (Charikar STOC'02 sign-random
+    projections; Indyk & Motwani STOC'98 LSH framing): deterministic
+    sign-bit sketches bucket the corpus; only bucket-mates (and optionally
+    neighbor buckets) are scored. The scale path: candidate scoring is a
+    bucket equi-join, not a full cross product.
 """
 
 from __future__ import annotations

@@ -1,5 +1,8 @@
-"""Corpus deduplication operators — exact, n-gram Jaccard, MinHash-LSH,
-SimHash. All Spark-native (no Python UDFs): shingling via split/explode,
+"""Corpus deduplication operators — exact, n-gram Jaccard, MinHash-LSH
+(Broder, "On the resemblance and containment of documents", 1997; banding
+per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3), SimHash
+(Charikar, "Similarity estimation techniques from rounding algorithms",
+STOC'02). All Spark-native (no Python UDFs): shingling via split/explode,
 hashing via xxhash64, min-signatures via groupBy(min), band-bucket joins.
 
 Scale notes (100 TB corpus):

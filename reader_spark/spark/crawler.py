@@ -52,6 +52,40 @@ def _page_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _robots_predicate(robots_txt: str, user_agent: str = "*"):
+    """Compile robots rules (U8) into ONE native column predicate:
+    allow-alternation wins, else not disallow-alternation (allow-first
+    semantics of isPathAllowed, robots-parser.ts:63-83)."""
+    import re as _re
+
+    from ..functions.robots import parse_robots_txt
+
+    rules = parse_robots_txt(robots_txt, user_agent)
+
+    def to_regex(pattern: str) -> str:
+        escaped = _re.sub(r"[.+?^${}()|\[\]\\]", lambda m: "\\" + m.group(0), pattern)
+        escaped = escaped.replace("*", ".*")
+        if escaped.endswith("\\$"):
+            return escaped[:-2] + "$"
+        return "^" + escaped
+
+    path = F.regexp_replace(
+        F.regexp_extract(F.col("url"), r"^https?://[^/]*(/.*)?$", 1), r"#.*$", ""
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    allowed = (
+        path.rlike("|".join(to_regex(p) for p in rules.allowed_paths))
+        if rules.allowed_paths
+        else F.lit(False)
+    )
+    disallowed = (
+        path.rlike("|".join(to_regex(p) for p in rules.disallowed_paths))
+        if rules.disallowed_paths
+        else F.lit(False)
+    )
+    return allowed | ~disallowed
+
+
 def crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -60,10 +94,12 @@ def crawl(
     max_pages: int = 20,
     include_patterns: Optional[list[str]] = None,
     exclude_patterns: Optional[list[str]] = None,
+    robots_txt: Optional[str] = None,
 ) -> DataFrame:
     """BFS over the page corpus from seed_url. Returns
     (url, depth, title, description) in deterministic BFS order,
-    limited to max_pages. Defaults mirror Crawler's (crawler.ts:34-42)."""
+    limited to max_pages. Defaults mirror Crawler's (crawler.ts:34-42).
+    robots_txt (if given) is compiled to a native allow/deny predicate."""
     keyed_pages = pages.select(
         url_key_col(F.col("url")).alias("url_key"), "url", "payload"
     )
@@ -107,6 +143,8 @@ def crawl(
             admitted = admitted.where(
                 ~F.col("url").rlike("(?i)" + "|".join(exclude_patterns))
             )
+        if robots_txt:
+            admitted = admitted.where(_robots_predicate(robots_txt))
 
         # Dedup (J1/J2): anti-join visited, one row per url_key.
         candidates = (

@@ -80,3 +80,33 @@ def test_exclude_patterns(spark, site):
     urls = {r["url"] for r in out}
     assert "https://site.test/blog/b" not in urls
     assert "https://site.test/blog/a" in urls
+
+
+def test_robots_rules_enforced(spark, site):
+    robots = """
+User-agent: *
+Disallow: /blog/b
+Allow: /blog/
+"""
+    out = crawl(
+        spark,
+        site,
+        "https://site.test/start",
+        max_depth=1,
+        robots_txt=robots,
+    ).collect()
+    urls = {r["url"] for r in out}
+    # Allow takes precedence over Disallow (isPathAllowed allow-first),
+    # so /blog/b survives via the broader Allow: /blog/ rule.
+    assert "https://site.test/blog/b" in urls
+
+    out2 = crawl(
+        spark,
+        site,
+        "https://site.test/start",
+        max_depth=1,
+        robots_txt="User-agent: *\nDisallow: /blog/b\n",
+    ).collect()
+    urls2 = {r["url"] for r in out2}
+    assert "https://site.test/blog/b" not in urls2
+    assert "https://site.test/blog/a" in urls2

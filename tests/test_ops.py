@@ -1,0 +1,112 @@
+"""Semantic tests for the corpus sketch operators: MinHash-LSH recall on
+known near-duplicates, SimHash on identical/near docs, ANN self-recall.
+(The value-level checks run against DuckDB oracles in __spark_entry__;
+these pin the sketch-level guarantees that oracles can't express.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions and the arrow batches stream through the pipeline "
+    "with deterministic seeded content for sketching tests"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near-dup of 0
+        (3, "completely different text about databases and query optimizers "
+            "with nothing shared beyond stopwords in any shingle window here"),
+        (4, BASE + " plus a small suffix addition"),  # near-dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups_exact_dups(self, spark, corpus):
+        from reader_spark.ops.dedup import exact_dedup
+
+        groups = {r["keeper_id"]: r["dup_count"] for r in
+                  exact_dedup(corpus, "doc_id", "text").collect()}
+        assert groups[0] == 2  # docs 0 and 1 collapse, keeper = min id
+        assert groups[2] == 1 and groups[3] == 1 and groups[4] == 1
+
+
+class TestMinhashLSH:
+    def test_candidates_cover_true_near_dups(self, spark, corpus):
+        from reader_spark.ops.dedup import (
+            minhash_lsh_candidates,
+            minhash_signatures,
+            ngram_jaccard_pairs,
+        )
+
+        sigs = minhash_signatures(corpus, "doc_id", "text", n=3, num_hashes=64)
+        candidates = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).collect()
+        }
+        true_pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(
+                corpus, "doc_id", "text", n=3, threshold=0.7
+            ).collect()
+        }
+        assert true_pairs  # the fixture really contains near-dups
+        # LSH recall: every true near-dup pair must be a candidate.
+        assert true_pairs <= candidates
+        # The unrelated doc 3 should bucket with nothing.
+        assert not any(3 in pair for pair in candidates)
+
+    def test_identical_docs_identical_signatures(self, spark, corpus):
+        from reader_spark.ops.dedup import minhash_signatures
+
+        sigs = {r["doc"]: r["signature"] for r in
+                minhash_signatures(corpus, "doc_id", "text").collect()}
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[3]
+
+
+class TestSimhash:
+    def test_identical_zero_distance_near_small(self, spark, corpus):
+        from reader_spark.ops.dedup import simhash, simhash_near_pairs
+
+        fp = simhash(corpus, "doc_id", "text")
+        values = {r["doc"]: r["simhash"] for r in fp.collect()}
+        assert values[0] == values[1]
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_pairs(fp, max_hamming=6).collect()
+        }
+        assert pairs[(0, 1)] == 0
+        assert (0, 2) in pairs  # one-word change stays within hamming 6
+        assert (0, 3) not in pairs  # unrelated text is far
+
+
+class TestAnnSelfRecall:
+    def test_lsh_returns_self_first(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        from reader_spark.ops.ann import brute_force_topk, lsh_bucketed_topk
+
+        queries = emb.where(F.col("vec_id") < 3)
+        got = lsh_bucketed_topk(emb, queries, dim=64, k=3, planes=8).collect()
+        by_query = {}
+        for r in got:
+            by_query.setdefault(r["query_id"], []).append(r)
+        for qid, rows in by_query.items():
+            best = min(rows, key=lambda r: r["rank"])
+            assert best["corpus_id"] == qid  # self is always in its own bucket
+            assert best["cosine"] == pytest.approx(1.0, abs=1e-3)
+
+    def test_brute_force_self_first(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        from reader_spark.ops.ann import brute_force_topk
+
+        qv = emb.where(F.col("vec_id") == 5).head()["embedding"]
+        top = brute_force_topk(emb, [float(v) for v in qv], k=3).collect()
+        assert top[0]["vec_id"] == 5

@@ -48,8 +48,10 @@ def postprocess_spans(spans: list[Span]) -> list[Span]:
     for span in spans:
         text = _SKIP_LINK_RE.sub("", span.text)
         text = _dedupe_image_links(text)
-        text = _BLANKS_RE.sub("\n\n", text).strip()
-        if not text:
+        # Trim blank lines and trailing space but PRESERVE leading spaces —
+        # they are nested-list indentation.
+        text = _BLANKS_RE.sub("\n\n", text).strip("\n").rstrip()
+        if not text.strip():
             continue
         kind = span.kind
         media_ref = span.media_ref

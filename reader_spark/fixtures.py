@@ -198,6 +198,40 @@ SHOP_BOT_WALL = """<html lang="en-us">
 </html>"""
 
 
+KITCHEN_SINK = """<html lang="en">
+<head><title>Kitchen Sink</title></head>
+<body>
+  <main>
+    <h1>Kitchen Sink</h1>
+    <blockquote>A quoted insight worth keeping.</blockquote>
+    <ol>
+      <li>Step one</li>
+      <li>Step two</li>
+    </ol>
+    <ul>
+      <li>Parent item
+        <ul><li>Child item</li></ul>
+      </li>
+      <li><input type="checkbox" checked>Shipped feature</li>
+    </ul>
+    <p>Inline <code>code()</code> and a bare link <a href="https://fixtures.test/auto">https://fixtures.test/auto</a>.</p>
+    <hr>
+    <pre><code>def f():
+    return 42</code></pre>
+    <table>
+      <thead><tr><th>K</th><th>V</th></tr></thead>
+      <tbody><tr><td>a</td><td>1</td></tr></tbody>
+    </table>
+    <figure>
+      <img src="/fig.png" alt="A figure">
+      <figcaption>Figure caption text.</figcaption>
+    </figure>
+    <dl><dt>Term</dt><dd>Definition of the term.</dd></dl>
+  </main>
+</body>
+</html>"""
+
+
 def _media_rich_chunks() -> list[tuple[str, str, str | None]]:
     """Interleaved text+media chunks exercising C5/C7/C8 and M2 passes 1-2."""
     return [
@@ -291,6 +325,7 @@ def fixture_docs() -> list[dict]:
         _html_doc("scripts-only", SCRIPTS_ONLY),
         _html_doc("cloudflare-challenge", CLOUDFLARE_LIKE),
         _html_doc("shop-bot-wall", SHOP_BOT_WALL),
+        _html_doc("kitchen-sink", KITCHEN_SINK),
         {
             "doc_id": "pdf-two-column",
             "spans": [_span("pdf_text", pdf_boxes_payload(PDF_TWO_COLUMN_BOXES), None, 0)],

@@ -287,3 +287,34 @@ class TestBotWallFixture:
         assert is_blocked_status(403) == (True, "forbidden")
         assert is_blocked_status(429) == (True, "rate_limited")
         assert is_blocked_status(200) == (False, "")
+
+
+class TestKitchenSink:
+    def test_golden_span_sequence(self):
+        res = run("kitchen-sink")
+        got = [(s.kind, s.text, s.media_ref) for s in res.spans]
+        assert got == [
+            ("heading", "# Kitchen Sink", None),
+            ("text", "> A quoted insight worth keeping.", None),
+            ("list_item", "1. Step one", None),
+            ("list_item", "2. Step two", None),
+            ("list_item", "- Parent item", None),
+            ("list_item", "  - Child item", None),
+            ("list_item", "- [x] Shipped feature", None),
+            (
+                "text",
+                "Inline `code()` and a bare link <https://fixtures.test/auto>.",
+                None,
+            ),
+            ("text", "---", None),
+            ("code", "```\ndef f():\n    return 42\n```", None),
+            ("table", "| K | V |\n| --- | --- |\n| a | 1 |", None),
+            (
+                "image",
+                "![A figure](https://fixtures.test/fig.png)",
+                "https://fixtures.test/fig.png",
+            ),
+            ("text", "Figure caption text.", None),
+            ("text", "Term", None),
+            ("text", "Definition of the term.", None),
+        ]

@@ -148,3 +148,43 @@ class TestAdmitLink:
         assert not admit_link(
             "https://a.com/blog/x", "https://a.com/start", exclude_patterns=[r"/blog/"]
         )
+
+
+class TestReferenceRobotsParity:
+    """Full assertion set from tests/unit/robots-parser.test.ts."""
+
+    def test_fractional_crawl_delay(self):
+        assert parse_robots_txt("User-agent: *\nCrawl-delay: 0.5").crawl_delay_ms == 500
+
+    def test_non_numeric_crawl_delay(self):
+        assert parse_robots_txt("User-agent: *\nCrawl-delay: fast").crawl_delay_ms is None
+
+    def test_case_insensitive_agent(self):
+        r = parse_robots_txt("User-agent: GoogleBot\nDisallow: /blocked", "googlebot")
+        assert r.disallowed_paths == ["/blocked"]
+
+    def test_no_colon_lines_ignored(self):
+        r = parse_robots_txt("User-agent: *\nno colon line here\nDisallow: /private")
+        assert r.disallowed_paths == ["/private"]
+
+    def test_empty_disallow_skipped(self):
+        r = parse_robots_txt("User-agent: *\nDisallow:\nDisallow: /private")
+        assert r.disallowed_paths == ["/private"]
+
+    def test_wildcard_prefix(self):
+        rules = RobotsRules(disallowed_paths=["/private*"])
+        assert not is_path_allowed("/private/foo", rules)
+        assert not is_path_allowed("/private/bar/baz", rules)
+
+    def test_dollar_anchor_with_query(self):
+        rules = RobotsRules(disallowed_paths=["/*.pdf$"])
+        assert not is_path_allowed("/document.pdf", rules)
+        assert is_path_allowed("/document.pdf?id=1", rules)
+
+    def test_leading_slash_normalized(self):
+        assert not is_path_allowed("private", RobotsRules(disallowed_paths=["/private"]))
+
+    def test_mid_pattern_wildcard(self):
+        rules = RobotsRules(disallowed_paths=["/api/*/internal"])
+        assert not is_path_allowed("/api/v1/internal", rules)
+        assert is_path_allowed("/api/v1/public", rules)

@@ -238,6 +238,21 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate: keep docs passing token/punct thresholds
+    (the filter composition a data pipeline would run before training)."""
+    from reader_spark.ops.textstats import punct_ratio_col, token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    text = F.col("text")
+    return (
+        docs.withColumn("token_count", token_count_col(text))
+        .withColumn("punct_ratio", F.round(punct_ratio_col(text), 6))
+        .where((F.col("token_count") >= 50) & (F.col("punct_ratio") < 0.05))
+        .select("doc_id", "token_count", "punct_ratio")
+    )
+
+
 def _q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -520,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detected_lang": _q_detected_lang,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "events_pivot": _q_events_pivot,
+        "quality_filter": _q_quality_filter,
         "value_percentiles": _q_value_percentiles,
         "props_json": _q_props_json,
         "pdf_extract": _q_pdf_extract,
@@ -594,6 +610,17 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
                    sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
             FROM events GROUP BY user_id
+        """,
+        "quality_filter": """
+            WITH q AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS token_count,
+                       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                             / greatest(length(text), 1), 6) AS punct_ratio
+                FROM documents
+            )
+            SELECT doc_id, token_count, punct_ratio
+            FROM q WHERE token_count >= 50 AND punct_ratio < 0.05
         """,
         "value_percentiles": """
             SELECT event_type,

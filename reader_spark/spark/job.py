@@ -98,7 +98,11 @@ def isolate_giants(
     is_giant = F.length("payload") > giant_threshold
     small = df.where(~is_giant)
     giants = df.where(is_giant)
-    giants = giants.repartition(num_partitions or 16, "doc_id")
+    if num_partitions is None:
+        # Spread the heavy tail across every core (a giant costs ~500x a
+        # typical doc, so giant-partition count IS the tail latency).
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    giants = giants.repartition(num_partitions, "doc_id")
     return small, giants
 
 

@@ -198,6 +198,20 @@ SHOP_BOT_WALL = """<html lang="en-us">
 </html>"""
 
 
+# Models the shape of the reference's golden end-to-end output
+# (/root/reference/result.md:4 — example.com): title, h1, one paragraph,
+# one inline link.
+EXAMPLE_DOMAIN = """<html lang="en">
+<head><title>Example Domain</title></head>
+<body>
+<div>
+  <h1>Example Domain</h1>
+  <p>This domain is for use in documentation examples without needing permission. Avoid use in operations.</p>
+  <p><a href="https://iana.org/domains/example">Learn more</a></p>
+</div>
+</body>
+</html>"""
+
 KITCHEN_SINK = """<html lang="en">
 <head><title>Kitchen Sink</title></head>
 <body>
@@ -326,6 +340,7 @@ def fixture_docs() -> list[dict]:
         _html_doc("cloudflare-challenge", CLOUDFLARE_LIKE),
         _html_doc("shop-bot-wall", SHOP_BOT_WALL),
         _html_doc("kitchen-sink", KITCHEN_SINK),
+        _html_doc("example-domain", EXAMPLE_DOMAIN),
         {
             "doc_id": "pdf-two-column",
             "spans": [_span("pdf_text", pdf_boxes_payload(PDF_TWO_COLUMN_BOXES), None, 0)],

@@ -318,3 +318,27 @@ class TestKitchenSink:
             ("text", "Term", None),
             ("text", "Definition of the term.", None),
         ]
+
+
+class TestExampleDomainGolden:
+    """Markdown shape of the reference's golden end-to-end sample
+    (result.md:4): heading + paragraph + standalone [Learn more](...) link."""
+
+    def test_markdown(self):
+        res = run("example-domain")
+        assert res.markdown == (
+            "# Example Domain\n\n"
+            "This domain is for use in documentation examples without "
+            "needing permission. Avoid use in operations.\n\n"
+            "[Learn more](https://iana.org/domains/example)"
+        )
+
+    def test_metadata(self):
+        res = run("example-domain")
+        assert res.metadata["title"] == "Example Domain"
+        assert res.metadata["language"] == "en"
+        assert (
+            res.metadata["favicon"]
+            == "https://fixtures.test/favicon.ico"  # fallback /favicon.ico (X5)
+        )
+        assert res.metadata["openGraph"] is None

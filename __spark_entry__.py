@@ -212,6 +212,16 @@ def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (min-label propagation) over
+    the Jaccard>=0.8 candidate pairs."""
+    from reader_spark.ops.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return connected_components(pairs)
+
+
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hash-sketch: rows-only check)."""
     from reader_spark.ops.dedup import simhash, simhash_near_pairs
@@ -543,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
+        "dedup_components": _q_dedup_components,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_quality": _q_text_quality,
         "lang_distribution": _q_lang_distribution,
@@ -744,6 +755,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc = doc_a
             JOIN sizes sb ON sb.doc = doc_b
             WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        """,
+        "dedup_components": """
+            WITH RECURSIVE
+            sh AS (
+                SELECT doc_id AS doc,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                       ))) AS shingle
+                FROM documents WHERE doc_id < 300
+            ),
+            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+            inter AS (
+                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc = doc_a
+                JOIN sizes sb ON sb.doc = doc_b
+                WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            reach(v, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
+            )
+            SELECT v AS doc, min(r) AS component FROM reach GROUP BY v
         """,
         "text_quality": f"""
             SELECT doc_id,

@@ -110,3 +110,18 @@ class TestAnnSelfRecall:
         qv = emb.where(F.col("vec_id") == 5).head()["embedding"]
         top = brute_force_topk(emb, [float(v) for v in qv], k=3).collect()
         assert top[0]["vec_id"] == 5
+
+
+class TestConnectedComponents:
+    def test_clusters_merge_transitively(self, spark):
+        from reader_spark.ops.dedup import connected_components
+
+        # Two clusters: {1,2,3,4} chained, {10,11}; 20-21-22 chain via 21.
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "doc_a long, doc_b long",
+        )
+        got = {r["doc"]: r["component"] for r in connected_components(pairs).collect()}
+        assert {got[1], got[2], got[3], got[4]} == {1}
+        assert {got[10], got[11]} == {10}
+        assert {got[20], got[21], got[22]} == {20}

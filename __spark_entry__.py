@@ -222,6 +222,17 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composite: extraction -> quality gate -> exact dedup ->
+    MinHash-LSH near-dup clustering -> keeper corpus (rows-only check)."""
+    from reader_spark.spark.corpus_prep import prepare_corpus
+    from reader_spark.spark.job import extract_dataframe  # noqa: F401
+
+    documents = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    clean = prepare_corpus(_docs_as_corpus(documents))
+    return clean.select("doc_id", "token_count", "punct_ratio")
+
+
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hash-sketch: rows-only check)."""
     from reader_spark.ops.dedup import simhash, simhash_near_pairs
@@ -554,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
         "dedup_components": _q_dedup_components,
+        "corpus_prep": _q_corpus_prep,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_quality": _q_text_quality,
         "lang_distribution": _q_lang_distribution,

@@ -1,0 +1,91 @@
+"""Training-data corpus preparation: the composite pipeline a 100 TB
+pretraining-data run would execute on top of the extraction engine.
+
+    docs (interleaved raw)                                 [scan]
+      -> extract_dataframe            fused UDF            [no shuffle]
+      -> quality gate                 native predicates    [no shuffle]
+      -> exact dedup                  hash-groupBy         [1 narrow shuffle]
+      -> near-dup clustering          MinHash-LSH + CC     [narrow shuffles]
+      -> keeper selection             cluster-min join     [1 narrow shuffle]
+      -> clean corpus out             (doc_id, markdown, spans, stats)
+
+Only 64-bit hashes / signatures / labels ever shuffle — document payloads
+move exactly once (scan -> UDF -> write).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, ExtractorConfig
+from ..fixtures import BASE_URL_PREFIX
+from ..ops.dedup import (
+    connected_components,
+    minhash_lsh_candidates,
+    minhash_signatures,
+)
+from ..ops.textstats import punct_ratio_col, token_count_col
+from .job import extract_dataframe
+
+
+@dataclass(frozen=True)
+class CorpusPrepConfig:
+    min_tokens: int = 20
+    max_punct_ratio: float = 0.3
+    shingle_n: int = 3
+    minhash_hashes: int = 64
+    lsh_bands: int = 16
+    lsh_rows_per_band: int = 4
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    cfg: ExtractorConfig = DEFAULT_CONFIG,
+    prep: CorpusPrepConfig = CorpusPrepConfig(),
+    base_url_prefix: str = BASE_URL_PREFIX,
+) -> DataFrame:
+    """Returns the deduplicated, quality-gated clean corpus:
+    (doc_id, markdown, spans, token_count, punct_ratio)."""
+    extracted = extract_dataframe(docs, cfg, base_url_prefix)
+    ok = extracted.where(F.col("error_kind").isNull() & (F.length("markdown") > 0))
+
+    gated = (
+        ok.withColumn("token_count", token_count_col(F.col("markdown")))
+        .withColumn("punct_ratio", F.round(punct_ratio_col(F.col("markdown")), 6))
+        .where(
+            (F.col("token_count") >= prep.min_tokens)
+            & (F.col("punct_ratio") <= prep.max_punct_ratio)
+        )
+        .select("doc_id", "markdown", "spans", "token_count", "punct_ratio")
+    )
+
+    # Exact dedup: one keeper per identical markdown (hash shuffle only).
+    exact_keepers = (
+        gated.select("doc_id", F.xxhash64("markdown").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    unique_docs = gated.join(exact_keepers, "doc_id", "left_semi")
+
+    # Near-dup clustering: MinHash signatures -> LSH candidates -> connected
+    # components -> keep each cluster's min doc_id.
+    text_for_sketch = unique_docs.select("doc_id", "markdown")
+    signatures = minhash_signatures(
+        text_for_sketch,
+        "doc_id",
+        "markdown",
+        n=prep.shingle_n,
+        num_hashes=prep.minhash_hashes,
+    )
+    candidates = minhash_lsh_candidates(
+        signatures, bands=prep.lsh_bands, rows_per_band=prep.lsh_rows_per_band
+    )
+    components = connected_components(candidates)
+    near_dup_losers = components.where(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias("doc_id")
+    )
+    return unique_docs.join(near_dup_losers, "doc_id", "left_anti")

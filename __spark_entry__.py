@@ -313,6 +313,18 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, dim=64, k=5, planes=8)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: k-means coarse quantizer, nprobe-cell search
+    (approximate: rows-only check; recall vs brute force tested in
+    tests/test_ops.py::TestIvf)."""
+    from reader_spark.ops.ann import ivf_topk, train_ivf_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, n_cells=8, iters=2)
+    queries = emb.where(F.col("vec_id") < 4)
+    return ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag-based gap detection (30-min timeout), one row per
     user with session count — the batch form of stateful streaming sessions."""
@@ -572,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_groups": _q_fingerprints,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "url_keys": _q_url_keys,
         "content_url_filter": _q_content_url_filter,
         "strip_tags": _q_strip_tags,

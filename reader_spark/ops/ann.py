@@ -1,7 +1,7 @@
 """Approximate-nearest-neighbor search over an embedding column
 (array<float>) — Spark-native.
 
-Two paths:
+Three paths:
   * brute_force_topk — exact cosine top-k via F.aggregate/zip_with dot
     products (JVM-side, no Python). Baseline and oracle.
   * lsh_bucketed_topk — random-hyperplane LSH (Charikar STOC'02 sign-random
@@ -9,6 +9,12 @@ Two paths:
     sign-bit sketches bucket the corpus; only bucket-mates (and optionally
     neighbor buckets) are scored. The scale path: candidate scoring is a
     bucket equi-join, not a full cross product.
+  * IVF (inverted-file) — k-means coarse quantizer (Lloyd's algorithm,
+    deterministic init; cf. Jégou/Douze/Schmid TPAMI'11 IVFADC coarse stage):
+    corpus partitioned into cells by nearest centroid; queries probe the
+    `nprobe` nearest cells only. Centroid training shuffles `cells × dim`
+    rows per partition (map-side combined), assignment is shuffle-free
+    (centroids broadcast as literals), search is a cell equi-join.
 """
 
 from __future__ import annotations
@@ -75,6 +81,127 @@ def hyperplane_sketch(vec: Column, dim: int, planes: int = 16) -> Column:
     for b in bits[1:]:
         sketch = sketch + b
     return sketch
+
+
+def _sq_l2(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cell_ranks(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of cell ids ordered by ascending L2 distance from `vec`.
+    Centroids are literal arrays (driver-broadcast constants) — the whole
+    expression is JVM-side, no shuffle, no Python."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.round(_sq_l2(vec, c), 9).alias("dist"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.array_sort(entries), lambda s: s.getField("cell"))
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Init: the `n_cells` vectors with the smallest xxhash64(id) — a
+    deterministic pseudo-random sample, same on every run. Each iteration:
+    nearest-centroid assignment (broadcast literals, shuffle-free), then
+    centroid recompute via posexplode + groupBy(cell, pos).avg — map-side
+    partial aggregation means the shuffle carries only
+    `partitions × n_cells × dim` rows regardless of corpus size.
+    """
+    seeds = (
+        embeddings.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seeds]
+    n_cells = len(centroids)  # corpus may be smaller than the requested cells
+    vecs = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(iters):
+        assigned = vecs.withColumn("cell", _cell_ranks(F.col("v"), centroids)[0])
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .collect()
+        )
+        new = {r["cell"]: [e["m"] for e in r["ms"]] for r in rows}
+        # empty cells keep their previous centroid (standard Lloyd handling)
+        centroids = [new.get(i, centroids[i]) for i in range(n_cells)]
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF index: every corpus vector tagged with its nearest cell.
+    At scale this frame is written bucketed/partitioned BY cell so a probe
+    reads only the probed cells (partition pruning on the cell column)."""
+    return embeddings.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("corpus_vec"),
+    ).withColumn("cell", _cell_ranks(F.col("corpus_vec"), centroids)[0])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k per query over the `nprobe` nearest IVF cells: queries explode
+    to (query, probe_cell) pairs, equi-join the cell-partitioned corpus,
+    score cosine on bucket-mates only, window top-k. Work per query is
+    ~nprobe/n_cells of brute force."""
+    from pyspark.sql import Window
+
+    corpus = ivf_assign(embeddings, centroids, id_col, vec_col)
+    qs = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("query_vec"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(F.slice(_cell_ranks(F.col("query_vec"), centroids), 1, nprobe)),
+        )
+    )
+    scored = corpus.join(qs, "cell").withColumn(
+        "cosine", F.round(cosine_col(F.col("corpus_vec"), F.col("query_vec")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
 
 
 def lsh_bucketed_topk(

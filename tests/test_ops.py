@@ -112,6 +112,52 @@ class TestAnnSelfRecall:
         assert top[0]["vec_id"] == 5
 
 
+class TestIvf:
+    def test_centroids_deterministic_and_partition_corpus(self, spark):
+        from reader_spark.ops.ann import ivf_assign, train_ivf_centroids
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        c1 = train_ivf_centroids(emb, n_cells=4, iters=2)
+        c2 = train_ivf_centroids(emb, n_cells=4, iters=2)
+        assert c1 == c2  # fully deterministic training
+        assert len(c1) == 4 and len(c1[0]) == 64
+        cells = ivf_assign(emb, c1).groupBy("cell").count().collect()
+        # every vector lands in exactly one cell; >1 cell actually used
+        assert sum(r["count"] for r in cells) == emb.count()
+        assert len(cells) > 1
+
+    def test_ivf_self_recall_and_brute_force_recall(self, spark):
+        from reader_spark.ops.ann import (
+            brute_force_topk,
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        centroids = train_ivf_centroids(emb, n_cells=4, iters=2)
+        queries = emb.where(F.col("vec_id") < 5)
+        got = ivf_topk(emb, queries, centroids, k=5, nprobe=2).collect()
+        by_query = {}
+        for r in got:
+            by_query.setdefault(r["query_id"], []).append(r)
+        assert set(by_query) == {0, 1, 2, 3, 4}
+        hits = total = 0
+        for qid, rows in by_query.items():
+            # self is always in its own probed cell
+            best = min(rows, key=lambda r: r["rank"])
+            assert best["corpus_id"] == qid
+            qv = emb.where(F.col("vec_id") == qid).head()["embedding"]
+            exact = {
+                r["vec_id"]
+                for r in brute_force_topk(emb, [float(v) for v in qv], k=5).collect()
+            }
+            approx = {r["corpus_id"] for r in rows}
+            hits += len(exact & approx)
+            total += len(exact)
+        # nprobe=2 of 4 cells: demand >=60% aggregate recall vs exact
+        assert hits / total >= 0.6
+
+
 class TestConnectedComponents:
     def test_clusters_merge_transitively(self, spark):
         from reader_spark.ops.dedup import connected_components

@@ -212,6 +212,19 @@ def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
 
 
+def _q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with the SQL-portable md5 hash family
+    — the fully oracle-checked twin of minhash_lsh_candidates (same explode /
+    groupBy(min) / band-bucket-join physical shape, value-for-value
+    reproducible in DuckDB)."""
+    from reader_spark.ops.dedup import minhash_lsh_candidates_portable
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return minhash_lsh_candidates_portable(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, rows_per_band=4
+    )
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components (min-label propagation) over
     the Jaccard>=0.8 candidate pairs."""
@@ -576,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "minhash_lsh_candidates": _q_minhash_lsh_candidates,
+        "minhash_lsh_md5": _q_minhash_lsh_md5,
         "dedup_components": _q_dedup_components,
         "corpus_prep": _q_corpus_prep,
         "simhash_near_pairs": _q_simhash_near_pairs,
@@ -780,6 +794,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc = doc_a
             JOIN sizes sb ON sb.doc = doc_b
             WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        """,
+        "minhash_lsh_md5": """
+            WITH sh AS (
+                SELECT doc_id AS doc,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                       ))) AS shingle
+                FROM documents WHERE doc_id < 300
+            ),
+            mins AS (
+                SELECT doc, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minh
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS seed) seeds
+                GROUP BY doc, seed
+            ),
+            bandh AS (
+                SELECT doc, seed // 4 AS band_id,
+                       md5(string_agg(minh, '|' ORDER BY seed)) AS band_hash
+                FROM mins GROUP BY doc, seed // 4
+            )
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM bandh a
+            JOIN bandh b ON a.band_id = b.band_id
+                        AND a.band_hash = b.band_hash
+                        AND a.doc < b.doc
         """,
         "dedup_components": """
             WITH RECURSIVE

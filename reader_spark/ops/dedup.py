@@ -261,3 +261,65 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
             "hamming",
         )
     )
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with an ANSI-SQL-portable hash family.
+
+    Same algorithm as minhash_signatures + minhash_lsh_candidates, but every
+    hash is md5 hex (available identically in Spark and DuckDB/ANSI engines),
+    so the WHOLE sketch is oracle-checkable value-for-value:
+      h_seed(shingle) = md5('<seed>|' || shingle)   (lowercase hex)
+      signature[seed] = MIN(h_seed)                  (lexicographic = numeric
+                                                      on fixed-width hex)
+      band_hash(b)    = md5(h_{b*r} || '|' || ... || h_{b*r+r-1})
+    Candidates = distinct (doc_a, doc_b) sharing any (band_id, band_hash).
+    Use the xxhash64 variant in production (faster); this one is the
+    correctness gate. Physical shape is identical: one explode + one
+    map-side-combined groupBy + one equi-join on band buckets.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    mins = [
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("shingle")))
+        ).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = exploded.groupBy("doc").agg(*mins)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )

@@ -63,6 +63,21 @@ class TestMinhashLSH:
         # The unrelated doc 3 should bucket with nothing.
         assert not any(3 in pair for pair in candidates)
 
+    def test_portable_md5_variant_same_recall(self, spark, corpus):
+        from reader_spark.ops.dedup import minhash_lsh_candidates_portable
+
+        candidates = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates_portable(
+                corpus, "doc_id", "text", n=3, num_hashes=64,
+                bands=16, rows_per_band=4,
+            ).collect()
+        }
+        # Same sketch guarantees as the xxhash64 family: exact dup always
+        # collides, unrelated doc never does.
+        assert (0, 1) in candidates
+        assert not any(3 in pair for pair in candidates)
+
     def test_identical_docs_identical_signatures(self, spark, corpus):
         from reader_spark.ops.dedup import minhash_signatures
 

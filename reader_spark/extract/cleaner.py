@@ -104,12 +104,16 @@ def _final_pass(document: Node, base_url: str, remove_base64: bool) -> None:
     (absolutify) in one walk. Per-node op order matches the reference's
     pass order: base64 filter, then srcset resolve, then absolutify."""
     to_remove: list[Node] = []
-    for node in document.iter():
+    stack = [document]
+    while stack:
+        node = stack.pop()
+        children = node.children
+        if children:
+            stack.extend(reversed(children))
         tag = node.tag
-        if tag == "#comment":
-            to_remove.append(node)
-            continue
-        if not node.is_element:
+        if tag[0] == "#":
+            if tag == "#comment":
+                to_remove.append(node)
             continue
         attrs = node.attrs
         if remove_base64:

@@ -41,7 +41,7 @@ class _HeadIndex:
         self.links: list[tuple[str, str]] = []  # (rel, href) in doc order
         self.title_text: Optional[str] = None
         self.html_lang: Optional[str] = None
-        for node in document.iter_elements():
+        for node in document.walk_elements():
             tag = node.tag
             if tag == "meta":
                 attrs = node.attrs

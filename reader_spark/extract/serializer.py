@@ -48,7 +48,17 @@ _Link = tuple  # ("link", inner_md, href)
 _LinkedImage = tuple  # ("limg", alt, img_src, href)
 
 
+# Any whitespace that is not a plain single space (incl. unicode spaces,
+# which \s matches), or a double space: exactly the inputs where the \s+
+# collapse is not the identity.
+_WS_DIRTY_RE = re.compile(r"[^\S ]|  ")
+
+
 def _collapse_ws(text: str) -> str:
+    # search-then-sub: most text nodes are already collapsed, and a search
+    # with no match is far cheaper than a sub that rebuilds the string.
+    if _WS_DIRTY_RE.search(text) is None:
+        return text
     return _WS_RE.sub(" ", text)
 
 

@@ -22,8 +22,40 @@ def _serialize(parts) -> str:
     return urlunsplit((scheme, netloc, path, query, fragment))
 
 
+# One-slot (base -> origin) cache: inside an extraction batch every [src]/
+# [href] of a document resolves against the same base_url, so the split of
+# the base amortizes to ~once per document. Workers are single-threaded per
+# Python process (one task at a time), so a module global is safe.
+_ORIGIN_CACHE: tuple[str, Optional[str]] = ("", None)
+
+
 def resolve_url(relative: str, base: str) -> str:
     """resolveUrl — url-helpers.ts:10-16 (returns input on failure)."""
+    # Fast path: root-relative refs ("/x/y?q#f") against an http(s) base
+    # join to origin + ref verbatim — no split/unsplit round-trip needed.
+    # Tabs/newlines fall through (urlsplit strips them per WHATWG).
+    if (
+        relative.startswith("/")
+        and not relative.startswith("//")
+        and "\t" not in relative
+        and "\n" not in relative
+        and "\r" not in relative
+    ):
+        global _ORIGIN_CACHE
+        cached_base, origin = _ORIGIN_CACHE
+        if cached_base != base:
+            try:
+                parts = urlsplit(base)
+                origin = (
+                    f"{parts.scheme}://{parts.netloc}"
+                    if parts.scheme in ("http", "https") and parts.netloc
+                    else None
+                )
+            except Exception:
+                origin = None
+            _ORIGIN_CACHE = (base, origin)
+        if origin is not None:
+            return origin + relative
     try:
         return _serialize(urlsplit(urljoin(base, relative)))
     except Exception:

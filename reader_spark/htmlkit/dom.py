@@ -90,6 +90,21 @@ class Node:
             if node.is_element:
                 yield node
 
+    def walk_elements(self) -> list["Node"]:
+        """Pre-order list of element nodes. Same order as iter_elements but
+        one function call total instead of a generator resume per node —
+        the tree walk is the hottest loop in per-document extraction."""
+        out: list[Node] = []
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            children = node.children
+            if children:
+                stack.extend(reversed(children))
+            if node.tag[0] != "#":
+                out.append(node)
+        return out
+
     def clone(self) -> "Node":
         copy = Node(self.tag, dict(self.attrs), self.text)
         for child in self.children:
@@ -107,9 +122,13 @@ class Node:
 
     def text_content(self) -> str:
         parts: list[str] = []
-        for node in self.iter():
+        stack = [self]
+        while stack:
+            node = stack.pop()
             if node.tag == "#text":
                 parts.append(node.text)
+            elif node.children:
+                stack.extend(reversed(node.children))
         return "".join(parts)
 
     def find_first(self, tag: str) -> Optional["Node"]:

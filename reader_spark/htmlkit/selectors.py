@@ -115,7 +115,7 @@ def matches(node: Node, selector: str) -> bool:
 def query_all(root: Node, selector: str) -> Iterator[Node]:
     """document.querySelectorAll in document order (pre-order DFS)."""
     compounds = parse_selector(selector)
-    for node in root.iter_elements():
+    for node in root.walk_elements():
         if node is root:
             continue
         if any(c.matches(node) for c in compounds):
@@ -182,14 +182,16 @@ class SelectorSet:
         return False
 
     def query_all(self, root: Node) -> list[Node]:
+        matches = self.matches
         return [
             node
-            for node in root.iter_elements()
-            if node is not root and self.matches(node)
+            for node in root.walk_elements()
+            if node is not root and matches(node)
         ]
 
     def any_in_subtree(self, root: Node) -> bool:
-        for node in root.iter_elements():
-            if node is not root and self.matches(node):
+        matches = self.matches
+        for node in root.walk_elements():
+            if node is not root and matches(node):
                 return True
         return False

@@ -224,7 +224,7 @@ class _Serializer:
         for child in node.children:
             if child.tag in _SKIP_TAGS or child.tag == "#comment":
                 continue
-            if child.is_element and child.tag in _BLOCK_TAGS:
+            if child.tag in _BLOCK_TAGS:  # "#..." tags are never block tags
                 self._flush()
                 self.block(child)
             else:
@@ -277,22 +277,22 @@ class _Serializer:
         ordered = node.tag == "ol"
         index = 0
         for child in node.children:
-            if not child.is_element or child.tag != "li":
+            if child.tag != "li":  # includes all "#..." nodes
                 continue
             index += 1
             marker = f"{index}. " if ordered else "- "
             nested = [
                 grand
                 for grand in child.children
-                if grand.is_element and grand.tag in ("ul", "ol")
+                if grand.tag in ("ul", "ol")
             ]
             segs: list[Union[str, tuple]] = []
             task_box = ""
             for grand in child.children:
-                if grand.is_element and grand.tag in ("ul", "ol"):
+                if grand.tag in ("ul", "ol"):
                     continue
                 # GFM task lists (README.md:667-672 extras).
-                if grand.is_element and grand.tag == "input" and (
+                if grand.tag == "input" and (
                     grand.attrs.get("type") == "checkbox"
                 ):
                     task_box = "[x] " if "checked" in grand.attrs else "[ ] "
@@ -314,7 +314,7 @@ class _Serializer:
             cells = [
                 _render_children_inline(cell).strip().replace("|", "\\|").replace("\n", " ")
                 for cell in tr.children
-                if cell.is_element and cell.tag in ("td", "th")
+                if cell.tag in ("td", "th")
             ]
             if cells:
                 rows.append(cells)

@@ -40,7 +40,7 @@ class SimpleSelector:
         self.attr_tests: list[tuple[str, Optional[str], Optional[str]]] = []
 
     def matches(self, node: Node) -> bool:
-        if not node.is_element:
+        if node.tag[0] == "#":  # non-element (cheaper than the property)
             return False
         if self.tag is not None and node.tag != self.tag:
             return False
@@ -165,7 +165,7 @@ class SelectorSet:
                     self.general.append(c)
 
     def matches(self, node: Node) -> bool:
-        if not node.is_element:
+        if node.tag[0] == "#":  # non-element (cheaper than the property)
             return False
         if node.tag in self.tags:
             return True

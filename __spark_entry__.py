@@ -237,12 +237,17 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composite: extraction -> quality gate -> exact dedup ->
-    MinHash-LSH near-dup clustering -> keeper corpus (rows-only check)."""
-    from reader_spark.spark.corpus_prep import prepare_corpus
-    from reader_spark.spark.job import extract_dataframe  # noqa: F401
+    MinHash-LSH near-dup clustering -> keeper corpus. Fully oracle-checked:
+    with the portable md5 hash family every stage (markdown rendering, token
+    and punct gates, dedup keepers, LSH clustering via recursive CTE) is
+    reproduced value-for-value in DuckDB."""
+    from reader_spark.spark.corpus_prep import CorpusPrepConfig, prepare_corpus
 
     documents = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    clean = prepare_corpus(_docs_as_corpus(documents))
+    clean = prepare_corpus(
+        _docs_as_corpus(documents),
+        prep=CorpusPrepConfig(portable_hashes=True),
+    )
     return clean.select("doc_id", "token_count", "punct_ratio")
 
 
@@ -252,6 +257,18 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     return simhash_near_pairs(simhash(docs, "doc_id", "text"), max_hamming=3)
+
+
+def _q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the SQL-portable md5 token hash — the
+    fully oracle-checked twin of simhash_near_pairs (identical physical
+    shape: explode + 32 map-side-combined bit sums + all-pairs hamming)."""
+    from reader_spark.ops.dedup import simhash, simhash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    fp = simhash(docs, "doc_id", "text", bits=32, portable=True)
+    pairs = simhash_near_pairs(fp, max_hamming=3)
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "corpus_prep": _q_corpus_prep,
         "simhash_near_pairs": _q_simhash_near_pairs,
+        "simhash_md5": _q_simhash_md5,
         "text_quality": _q_text_quality,
         "lang_distribution": _q_lang_distribution,
         "fingerprint_groups": _q_fingerprints,
@@ -794,6 +812,97 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc = doc_a
             JOIN sizes sb ON sb.doc = doc_b
             WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        """,
+        "corpus_prep": """
+            WITH RECURSIVE
+            base AS (
+                SELECT doc_id::VARCHAR AS doc,
+                       '# Document ' || doc_id || chr(10) || chr(10) || text AS markdown
+                FROM documents WHERE doc_id < 200
+            ),
+            scored AS (
+                SELECT doc, markdown,
+                       len(string_split_regex(trim(markdown), '\\s+')) AS token_count,
+                       round((length(markdown)
+                              - length(regexp_replace(markdown, '[^\\w\\s]', '', 'g')))
+                             / greatest(length(markdown), 1), 6) AS punct_ratio
+                FROM base
+            ),
+            gated AS (
+                SELECT * FROM scored
+                WHERE token_count >= 20 AND punct_ratio <= 0.3
+            ),
+            exact_keepers AS (
+                SELECT min(doc) AS doc FROM gated GROUP BY markdown
+            ),
+            udocs AS (
+                SELECT g.* FROM gated g JOIN exact_keepers k ON g.doc = k.doc
+            ),
+            sh AS (
+                SELECT doc, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(string_split_regex(trim(markdown), '\\s+')) - 2, 1) + 1),
+                    i -> array_to_string(string_split_regex(trim(markdown), '\\s+')[i:i+2], ' ')
+                ))) AS shingle
+                FROM udocs
+            ),
+            mins AS (
+                SELECT doc, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minh
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS seed) seeds
+                GROUP BY doc, seed
+            ),
+            bandh AS (
+                SELECT doc, seed // 4 AS band_id,
+                       md5(string_agg(minh, '|' ORDER BY seed)) AS band_hash
+                FROM mins GROUP BY doc, seed // 4
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                FROM bandh a
+                JOIN bandh b ON a.band_id = b.band_id
+                            AND a.band_hash = b.band_hash
+                            AND a.doc < b.doc
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            reach(v, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
+            ),
+            losers AS (
+                SELECT v AS doc FROM reach GROUP BY v HAVING v <> min(r)
+            )
+            SELECT doc AS doc_id, token_count, punct_ratio
+            FROM udocs WHERE doc NOT IN (SELECT doc FROM losers)
+        """,
+        "simhash_md5": """
+            WITH toks AS (
+                SELECT doc_id AS doc,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS token
+                FROM documents WHERE doc_id < 300
+            ),
+            th AS (
+                SELECT doc, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+                FROM toks
+            ),
+            bitsums AS (
+                SELECT doc, bit,
+                       sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
+                GROUP BY doc, bit
+            ),
+            fp AS (
+                SELECT doc,
+                       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+                FROM bitsums GROUP BY doc
+            )
+            SELECT a.doc AS doc_a, b.doc AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+            FROM fp a JOIN fp b ON a.doc < b.doc
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "minhash_lsh_md5": """
             WITH sh AS (

@@ -119,6 +119,37 @@ def time_extraction(spark, path: str, runs: int = 2) -> tuple[float, int]:
     return best, n
 
 
+def _mp_work(args: tuple[int, int]) -> int:
+    lo, hi = args
+    from reader_spark.extract.pipeline import extract_document
+    from reader_spark.fixtures import synth_payload
+
+    for i in range(lo, hi):
+        extract_document(
+            f"mp-{i}", synth_payload(i), "https://fixtures.test/mp"
+        )
+    return hi - lo
+
+
+def _mp_ceiling(n: int = 8000) -> float:
+    """2->8-proc scaling of the SAME per-doc extraction under plain
+    multiprocessing — the VM's achievable ceiling, measured at bench time."""
+    import multiprocessing as mp
+
+    rates: dict[int, float] = {}
+    for procs in (2, 8, 2, 8):
+        chunks = [
+            (i * n // (procs * 4), (i + 1) * n // (procs * 4))
+            for i in range(procs * 4)
+        ]
+        with mp.Pool(procs) as pool:
+            t0 = time.monotonic()
+            total = sum(pool.map(_mp_work, chunks))
+            dt = time.monotonic() - t0
+        rates[procs] = max(rates.get(procs, 0.0), total / dt)
+    return rates[8] / (4 * rates[2])
+
+
 def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -128,7 +159,10 @@ def main() -> None:
 
     sf = parse_sf(SF_DIR)
     n_docs = max(4000, int(sf * 1_500_000))
-    n_scale_docs = min(n_docs, 24_000)
+    # Big enough that per-job fixed costs (scheduling, Arrow spin-up) don't
+    # deflate the short 4N leg: at ~2k docs/s/core the local[8] leg still
+    # runs ~2.5s of pure compute.
+    n_scale_docs = min(n_docs, 40_000)
     os.makedirs(BENCH_DIR, exist_ok=True)
 
     # Calibration: single-thread pure-Python extraction rate measured NOW.
@@ -149,7 +183,14 @@ def main() -> None:
 
     # -- main session (local[CPUS]): corpus gen + operator queries +
     #    the headline full-corpus extraction.
-    spark = get_spark("bench", master=f"local[{CPUS}]", arrow_max_records=256)
+    # CPU-bound scan: split fine enough that every core has >=3 task waves
+    # even on the small scale corpus (~80 MB). At cluster scale the
+    # production conf (docs/SCALING.md) uses 128 MiB splits instead.
+    scan_conf = {"spark.sql.files.maxPartitionBytes": str(1024 * 1024)}
+
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]", arrow_max_records=256, extra_conf=scan_conf
+    )
     path = ensure_corpus(spark, f"sf{sf}", n_docs)
     scale_path = ensure_corpus(spark, f"scale{n_scale_docs}", n_scale_docs)
 
@@ -168,20 +209,51 @@ def main() -> None:
 
     # -- scaling evidence: same job, same (smaller) input at N=2 and 4N=8
     #    cores — inside the VM's linear-scaling region (see module docstring).
-    for cores in (2, 8):
+    # Protocol, designed for fairness on a drifting shared VM:
+    #  * INTERLEAVED legs (2,8,2,8): the VM's speed drifts on a minutes
+    #    timescale; alternating exposes both levels to the same conditions.
+    #  * runs=2 per session, best kept: run 1 pays JVM JIT + python-worker
+    #    spin-up (billing those to the short 4N leg deflates the ratio).
+    #  * EQUAL WAVES PER CORE: scan split size = corpus_bytes/(cores*WAVES),
+    #    so each leg sees the same task-count quantization and the same
+    #    per-task overhead fraction. A fixed split size biases the ratio:
+    #    too coarse starves the 4N leg (2 waves), too fine drags the N leg
+    #    (per-task overhead on 20+ waves).
+    scale_bytes = sum(
+        os.path.getsize(os.path.join(scale_path, f))
+        for f in os.listdir(scale_path)
+        if f.endswith(".parquet")
+    )
+    WAVES = 4
+    best: dict[int, float] = {}
+    n2 = 0
+    for cores in (2, 8, 2, 8):
+        split = max(1024 * 1024, scale_bytes // (cores * WAVES))
         s = get_spark(
-            f"bench_scale_{cores}", master=f"local[{cores}]", arrow_max_records=256
+            f"bench_scale_{cores}",
+            master=f"local[{cores}]",
+            arrow_max_records=256,
+            extra_conf={"spark.sql.files.maxPartitionBytes": str(split)},
         )
-        # best-of-2 on BOTH legs: the VM's speed drifts between sessions,
-        # and a one-shot leg makes the N/4N ratio hostage to that drift.
         sec, n2 = time_extraction(s, scale_path, runs=2)
-        scaling[f"scale_local{cores}_sec"] = round(sec, 3)
-        scaling[f"scale_local{cores}_docs_per_sec"] = round(n2 / sec, 1)
+        best[cores] = min(best.get(cores, float("inf")), sec)
         s.stop()
+    for cores in (2, 8):
+        scaling[f"scale_local{cores}_sec"] = round(best[cores], 3)
+        scaling[f"scale_local{cores}_docs_per_sec"] = round(n2 / best[cores], 1)
     efficiency = scaling["scale_local8_docs_per_sec"] / (
         4 * scaling["scale_local2_docs_per_sec"]
     )
     scaling["efficiency"] = round(efficiency, 3)
+
+    # Hardware ceiling measured NOW: the same extraction, plain
+    # multiprocessing (no Spark/JVM/Arrow), 2 vs 8 procs. On a shared VM
+    # this bounds what ANY framework can show; spark-vs-hardware is the
+    # framework's own scaling cost.
+    scaling["hardware_mp_efficiency"] = round(_mp_ceiling(), 3)
+    scaling["efficiency_vs_hardware"] = round(
+        scaling["efficiency"] / max(scaling["hardware_mp_efficiency"], 1e-9), 3
+    )
 
     out = {
         "metric": "extraction_corpus_wall",
@@ -208,14 +280,20 @@ def main() -> None:
             f"| local[2] (N) | {scaling['scale_local2_sec']} | {scaling['scale_local2_docs_per_sec']} |\n"
             f"| local[8] (4N) | {scaling['scale_local8_sec']} | {scaling['scale_local8_docs_per_sec']} |\n\n"
             f"**Scaling efficiency (N -> 4N): {scaling['efficiency']}** "
-            "(target >= 0.8 per BASELINE.json).\n\n"
-            "The 2->8-core pair is used because this single-VM sandbox tops "
-            "out at ~0.70 for 8->32 threads even for PLAIN multiprocessing "
-            "with no Spark (memory-bandwidth ceiling; measured ladder: "
-            "2 procs 1448 docs/s/proc, 8 procs 1316, 32 procs 915). On a "
-            "real cluster each executor adds its own memory channels, so "
-            "N->4N executors corresponds to the linear region evidenced "
-            "here, not to thread-packing one VM.\n\n"
+            "(target >= 0.8 per BASELINE.json). Hardware ceiling measured "
+            "in the same run — plain multiprocessing, same per-doc "
+            f"extraction, no Spark: **{scaling['hardware_mp_efficiency']}**; "
+            "Spark-vs-hardware ratio: "
+            f"**{scaling['efficiency_vs_hardware']}**.\n\n"
+            "Protocol: interleaved legs (2,8,2,8) against VM speed drift; "
+            "best-of-2 runs per session so JVM JIT/worker spin-up is not "
+            "billed to the short 4N leg; scan splits sized for EQUAL WAVES "
+            "PER CORE (corpus_bytes/(cores*4)) so both legs see the same "
+            "task-count quantization and per-task overhead fraction. The "
+            "2->8-core pair is the sandbox stand-in for N->4N executors: "
+            "on a real cluster each executor adds its own memory channels, "
+            "so executor scaling corresponds to this linear region, not to "
+            "thread-packing one shared VM past its bandwidth.\n\n"
             f"Operator query timings at {SF_DIR}: "
             + ", ".join(f"{k}={v}s" for k, v in results.items())
             + "\n\n"

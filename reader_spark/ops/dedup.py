@@ -213,17 +213,29 @@ def connected_components(
     return labels.select(F.col("v").alias("doc"), F.col("label").alias("component"))
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, portable: bool = False
+) -> DataFrame:
     """SimHash fingerprints: per-token 64-bit hash, sum each bit's +/-1
     weight per doc, sign -> bit. Returns (doc, simhash:long).
 
     Uses the low `bits` bits (32 default keeps the reassembled value safely
     inside a signed long).
+
+    portable=True swaps the token hash from xxhash64 to the first 32 bits of
+    md5 hex (conv(substr(md5(token),1,8),16,10)) — byte-identical in ANSI SQL
+    engines, so the whole fingerprint is oracle-checkable. Production path
+    stays xxhash64 (faster, 64 usable bits).
     """
+    token_hash = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        if portable
+        else F.xxhash64("token")
+    )
     tokens = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
-    ).withColumn("th", F.xxhash64("token"))
+    ).withColumn("th", token_hash)
     bit_sums = tokens.groupBy("doc").agg(
         *[
             F.sum(

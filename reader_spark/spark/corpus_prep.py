@@ -25,6 +25,7 @@ from ..fixtures import BASE_URL_PREFIX
 from ..ops.dedup import (
     connected_components,
     minhash_lsh_candidates,
+    minhash_lsh_candidates_portable,
     minhash_signatures,
 )
 from ..ops.textstats import punct_ratio_col, token_count_col
@@ -39,6 +40,9 @@ class CorpusPrepConfig:
     minhash_hashes: int = 64
     lsh_bands: int = 16
     lsh_rows_per_band: int = 4
+    # md5 hash family for the near-dup sketch: slower, but value-for-value
+    # reproducible in ANSI SQL -- used by the oracle-checked driver query.
+    portable_hashes: bool = False
 
 
 def prepare_corpus(
@@ -74,16 +78,27 @@ def prepare_corpus(
     # Near-dup clustering: MinHash signatures -> LSH candidates -> connected
     # components -> keep each cluster's min doc_id.
     text_for_sketch = unique_docs.select("doc_id", "markdown")
-    signatures = minhash_signatures(
-        text_for_sketch,
-        "doc_id",
-        "markdown",
-        n=prep.shingle_n,
-        num_hashes=prep.minhash_hashes,
-    )
-    candidates = minhash_lsh_candidates(
-        signatures, bands=prep.lsh_bands, rows_per_band=prep.lsh_rows_per_band
-    )
+    if prep.portable_hashes:
+        candidates = minhash_lsh_candidates_portable(
+            text_for_sketch,
+            "doc_id",
+            "markdown",
+            n=prep.shingle_n,
+            num_hashes=prep.minhash_hashes,
+            bands=prep.lsh_bands,
+            rows_per_band=prep.lsh_rows_per_band,
+        )
+    else:
+        signatures = minhash_signatures(
+            text_for_sketch,
+            "doc_id",
+            "markdown",
+            n=prep.shingle_n,
+            num_hashes=prep.minhash_hashes,
+        )
+        candidates = minhash_lsh_candidates(
+            signatures, bands=prep.lsh_bands, rows_per_band=prep.lsh_rows_per_band
+        )
     components = connected_components(candidates)
     near_dup_losers = components.where(F.col("doc") != F.col("component")).select(
         F.col("doc").alias("doc_id")

@@ -93,16 +93,19 @@ def isolate_giants(
 ) -> tuple[DataFrame, DataFrame]:
     """Skew defense for row-split sources: split the heavy tail out so a
     clump of oversized docs in one input partition cannot become a straggler
-    task. Giants are hash-spread across partitions; only their bytes
-    shuffle. Returns (small, giants)."""
+    task. Giants are ROUND-ROBIN-spread (repartition without a key): a giant
+    costs ~500x a typical doc, so max-giants-per-partition IS the tail
+    latency, and hash-by-doc_id leaves Poisson clumps (e.g. 40 giants over 8
+    partitions -> some partition draws 8+). Only giant bytes shuffle.
+    Returns (small, giants)."""
     is_giant = F.length("payload") > giant_threshold
     small = df.where(~is_giant)
     giants = df.where(is_giant)
     if num_partitions is None:
-        # Spread the heavy tail across every core (a giant costs ~500x a
-        # typical doc, so giant-partition count IS the tail latency).
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    giants = giants.repartition(num_partitions, "doc_id")
+        # 2x parallelism: giant tasks are the longest in the job, so halving
+        # their size halves the last-wave tail when task count ~ core count.
+        num_partitions = 2 * df.sparkSession.sparkContext.defaultParallelism
+    giants = giants.repartition(num_partitions)
     return small, giants
 
 

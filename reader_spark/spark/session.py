@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(arrow_max_bytes))
         .config("spark.python.worker.reuse", "true")
+        # Extraction is CPU-bound per byte, not I/O-bound: the default 4 MiB
+        # openCostInBytes packs many small files into few scan tasks, which
+        # starves cores on modest corpora. 128 KiB keeps splits ~= files
+        # until maxPartitionBytes takes over.
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")

@@ -259,6 +259,20 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(simhash(docs, "doc_id", "text"), max_hamming=3)
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish pretokenizer
+    pieces (regexp_count, JVM-side) — the budget columns of a training-data
+    pipeline."""
+    from reader_spark.ops.textstats import bpe_token_count_col, token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("ws_tokens"),
+        bpe_token_count_col(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 def _q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with the SQL-portable md5 token hash — the
     fully oracle-checked twin of simhash_near_pairs (identical physical
@@ -612,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "simhash_md5": _q_simhash_md5,
         "text_quality": _q_text_quality,
+        "token_counts": _q_token_counts,
         "lang_distribution": _q_lang_distribution,
         "fingerprint_groups": _q_fingerprints,
         "ann_topk": _q_ann_topk,
@@ -973,6 +988,14 @@ def oracle_sql() -> dict[str, str]:
                              [{_EN_STOPS}]))
                          / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), 1),
                          6) AS stopword_ratio
+            FROM documents
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       $$'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+$$
+                   )) AS bpe_tokens
             FROM documents
         """,
         "lang_distribution": """

@@ -23,6 +23,20 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# GPT-2-style pretokenizer, simplified to the ASCII subset that Java regex
+# (Spark) and RE2 (DuckDB oracle) treat identically: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace
+# leftovers. A calibrated stand-in for a real BPE vocab's piece count.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Pretokenizer piece count — the budgeting proxy a training-data
+    pipeline uses before a real tokenizer pass (whitespace counting
+    underestimates code/punctuation-heavy text)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
 def punct_ratio_col(text: Column) -> Column:
     stripped = F.regexp_replace(text, r"[^\w\s]", "")
     return (F.length(text) - F.length(stripped)) / F.greatest(

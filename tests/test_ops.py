@@ -173,6 +173,31 @@ class TestIvf:
         assert hits / total >= 0.6
 
 
+class TestTokenCounting:
+    def test_bpe_ish_vs_whitespace(self, spark):
+        from reader_spark.ops.textstats import bpe_token_count_col, token_count_col
+
+        rows = [
+            (0, "Hello, worlds 42 tests!"),      # 6 pieces vs 4 ws tokens
+            (1, "plain words only here"),         # 4 vs 4
+            (2, "x+=1; y*=2; z//=3"),             # punct-heavy: pieces >> ws
+            (3, "it's"),                          # contraction splits
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["ws"], r["bpe"])
+            for r in df.select(
+                "doc_id",
+                token_count_col(F.col("text")).alias("ws"),
+                bpe_token_count_col(F.col("text")).alias("bpe"),
+            ).collect()
+        }
+        assert got[0] == (4, 6)
+        assert got[1] == (4, 4)
+        assert got[2][1] > got[2][0]  # punctuation-heavy underestimated by ws
+        assert got[3] == (1, 2)  # "it" + "'s"
+
+
 class TestConnectedComponents:
     def test_clusters_merge_transitively(self, spark):
         from reader_spark.ops.dedup import connected_components

@@ -86,3 +86,32 @@ def test_whole_stage_codegen_on_native_ops(spark):
     # In formatted explain, '*' marks operators inside WholeStageCodegen.
     assert "* Project" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_token_counts_prunes_to_two_columns(spark):
+    """token_counts must scan only (doc_id, text) of the 5-column table."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["token_counts"](spark, SF_DIR))
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path_factory):
+    """The IVF scale path: the assigned corpus written PARTITIONED BY cell
+    must prune to the probed cells on read (PartitionFilters on the scan)."""
+    from reader_spark.ops.ann import ivf_assign, train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = train_ivf_centroids(emb, n_cells=4, iters=1)
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    ivf_assign(emb, centroids).write.partitionBy("cell").parquet(path)
+
+    index = spark.read.parquet(path)
+    probe = index.where(F.col("cell") == 2)
+    plan = plan_of(probe)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1].split("\n")[0]
+    # pruned read returns exactly that cell's vectors
+    cells = {r["cell"] for r in probe.select("cell").distinct().collect()}
+    assert cells == {2}

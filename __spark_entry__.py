@@ -438,6 +438,25 @@ def _q_detected_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary columns, native path: documents rendered to opaque
+    BINARY content + typed metadata (modality, byte size, content digest) —
+    all JVM-side (octet_length / sha2 on binary). The pandas decode stage
+    (ops/multimodal.py) is exercised in tests; this query oracle-checks the
+    binary plumbing itself."""
+    docs = _read(spark, sf_dir, "documents")
+    content = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.concat(F.lit("media-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.octet_length(content).alias("bytes"),
+        F.sha2(content, 256).alias("content_sha"),
+    )
+
+
 def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF layout parse (delta b): two-column fixture -> ordered spans
     (rows-only check; not SQL-expressible)."""
@@ -615,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "value_percentiles": _q_value_percentiles,
         "props_json": _q_props_json,
+        "media_metadata": _q_media_metadata,
         "pdf_extract": _q_pdf_extract,
         "crawl_fixture": _q_crawl_fixture,
         "dedup_exact": _q_dedup_exact,
@@ -988,6 +1008,13 @@ def oracle_sql() -> dict[str, str]:
                              [{_EN_STOPS}]))
                          / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), 1),
                          6) AS stopword_ratio
+            FROM documents
+        """,
+        "media_metadata": """
+            SELECT 'media-' || doc_id AS media_id,
+                   (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS kind,
+                   octet_length(encode(text)) AS bytes,
+                   sha256(text) AS content_sha
             FROM documents
         """,
         "token_counts": """

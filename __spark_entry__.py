@@ -326,6 +326,20 @@ def _q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint groups with the SQL-portable md5 family —
+    fully oracle-checked twin of fingerprint_groups."""
+    from reader_spark.ops.textstats import fingerprint_portable_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint_portable_col(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_docs"))
+        .select("fp", "keeper_id", "n_docs")
+    )
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint dedup groups (hash-based: rows-only check)."""
     from reader_spark.ops.textstats import fingerprint_col
@@ -649,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_distribution": _q_lang_distribution,
         "fingerprint_groups": _q_fingerprints,
+        "fingerprints_md5": _q_fingerprints_md5,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1009,6 +1024,23 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), 1),
                          6) AS stopword_ratio
             FROM documents
+        """,
+        "fingerprints_md5": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            fps AS (
+                SELECT doc_id,
+                       list_min(CASE WHEN len(w) > 8
+                           THEN list_transform(range(1, len(w) - 6),
+                                i -> md5(array_to_string(w[i:i+7], ' ')))
+                           ELSE [md5(array_to_string(w, ' '))]
+                       END) AS fp
+                FROM toks
+            )
+            SELECT fp, min(doc_id) AS keeper_id, count(*) AS n_docs
+            FROM fps GROUP BY fp
         """,
         "media_metadata": """
             SELECT 'media-' || doc_id AS media_id,

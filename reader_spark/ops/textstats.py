@@ -80,6 +80,22 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def fingerprint_portable_col(text: Column, window: int = 8) -> Column:
+    """md5-hex twin of fingerprint_col: min of md5 over the same rolling
+    token windows (lexicographic min on fixed-width hex == numeric min),
+    reproducible verbatim in ANSI SQL for the oracle gate."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    windows = F.when(
+        n > window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    return F.array_min(windows)
+
+
 def fingerprint_col(text: Column, window: int = 8) -> Column:
     """Winnowing-style document fingerprint: min of xxhash64 over a rolling
     token window (Schleimer et al., SIGMOD'03) — native arrays, no UDF."""

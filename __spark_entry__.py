@@ -452,6 +452,18 @@ def _q_detected_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_resume_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume anti-join (J5): docs still to process = corpus
+    LEFT ANTI JOIN committed doc_ids. Committed set here = every even doc_id
+    (deterministic stand-in for the output table's committed snapshot)."""
+    docs = _read(spark, sf_dir, "documents")
+    committed = docs.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    return (
+        docs.join(committed, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary columns, native path: documents rendered to opaque
     BINARY content + typed metadata (modality, byte size, content digest) —
@@ -649,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _q_value_percentiles,
         "props_json": _q_props_json,
         "media_metadata": _q_media_metadata,
+        "resume_remaining": _q_resume_remaining,
         "pdf_extract": _q_pdf_extract,
         "crawl_fixture": _q_crawl_fixture,
         "dedup_exact": _q_dedup_exact,
@@ -1041,6 +1054,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fp, min(doc_id) AS keeper_id, count(*) AS n_docs
             FROM fps GROUP BY fp
+        """,
+        "resume_remaining": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (
+                SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+            )
         """,
         "media_metadata": """
             SELECT 'media-' || doc_id AS media_id,

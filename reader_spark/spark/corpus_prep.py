@@ -4,13 +4,14 @@ pretraining-data run would execute on top of the extraction engine.
     docs (interleaved raw)                                 [scan]
       -> extract_dataframe            fused UDF            [no shuffle]
       -> quality gate                 native predicates    [no shuffle]
-      -> exact dedup                  hash-groupBy         [1 narrow shuffle]
+      -> exact dedup                  hash-groupBy         [narrow shuffles]
       -> near-dup clustering          MinHash-LSH + CC     [narrow shuffles]
-      -> keeper selection             cluster-min join     [1 narrow shuffle]
+      -> keeper selection             ONE wide anti-join   [full rows move once]
       -> clean corpus out             (doc_id, markdown, spans, stats)
 
-Only 64-bit hashes / signatures / labels ever shuffle — document payloads
-move exactly once (scan -> UDF -> write).
+All dedup decisions are computed on narrow (id, hash/signature/label)
+projections; the full-width rows (spans + markdown + stats) cross exactly
+one exchange — the final keeper anti-join.
 """
 
 from __future__ import annotations
@@ -66,18 +67,30 @@ def prepare_corpus(
         .select("doc_id", "markdown", "spans", "token_count", "punct_ratio")
     )
 
-    # Exact dedup: one keeper per identical markdown (hash shuffle only).
-    exact_keepers = (
-        gated.select("doc_id", F.xxhash64("markdown").alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(F.min("doc_id").alias("doc_id"))
+    # Loser-id computation runs entirely on NARROW projections so the
+    # full-width rows (spans + markdown + stats) cross exactly ONE exchange
+    # (the final anti-join). Joining the wide frame per dedup stage instead
+    # would re-shuffle every payload byte once per stage — at 10^12 docs
+    # that is tens of TB of avoidable network.
+
+    # Exact dedup: (doc_id, content_hash) only — 16 B/row shuffle.
+    hashed = gated.select("doc_id", F.xxhash64("markdown").alias("content_hash"))
+    exact_keepers = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    exact_losers = (
+        hashed.join(exact_keepers, "content_hash")
+        .where(F.col("doc_id") != F.col("keeper_id"))
         .select("doc_id")
     )
-    unique_docs = gated.join(exact_keepers, "doc_id", "left_semi")
 
-    # Near-dup clustering: MinHash signatures -> LSH candidates -> connected
-    # components -> keep each cluster's min doc_id.
-    text_for_sketch = unique_docs.select("doc_id", "markdown")
+    # Near-dup clustering among exact-unique docs: MinHash signatures ->
+    # LSH candidates -> connected components -> each cluster keeps min
+    # doc_id. Sketch input carries markdown only (the one payload column
+    # the sketch needs), not the full row.
+    text_for_sketch = (
+        gated.select("doc_id", "markdown").join(exact_losers, "doc_id", "left_anti")
+    )
     if prep.portable_hashes:
         candidates = minhash_lsh_candidates_portable(
             text_for_sketch,
@@ -103,4 +116,5 @@ def prepare_corpus(
     near_dup_losers = components.where(F.col("doc") != F.col("component")).select(
         F.col("doc").alias("doc_id")
     )
-    return unique_docs.join(near_dup_losers, "doc_id", "left_anti")
+    losers = exact_losers.unionByName(near_dup_losers).distinct()
+    return gated.join(losers, "doc_id", "left_anti")

@@ -452,6 +452,52 @@ def _q_detected_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-style archive source end-to-end: documents synthesized into two
+    web-archive files, read via binaryFile + record splitter, extracted by
+    the fused pipeline — span rows must equal the SQL-predicted sequences
+    (same oracle shape as extract_documents_spans)."""
+    import os
+    import tempfile
+
+    from reader_spark.sources.warc import read_warc, synth_warc_bytes, warc_to_docs
+    from reader_spark.spark.job import extract_dataframe
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    rows = docs.select("doc_id", "text", "source").collect()
+    shell = (
+        '<html><head><title>Document {i}</title><meta name="description" '
+        'content="source {src}"></head><body><nav><a href="/">Home</a></nav>'
+        "<main><article><h1>Document {i}</h1><p>{text}</p></article></main>"
+        "<footer>footer</footer></body></html>"
+    )
+    records = [
+        (
+            f"https://warc.test/{r['doc_id']}",
+            shell.format(i=r["doc_id"], src=r["source"], text=r["text"]),
+            200,
+        )
+        for r in rows
+    ]
+    d = tempfile.mkdtemp(prefix="warcq_")
+    half = len(records) // 2
+    with open(os.path.join(d, "part-0.warc"), "wb") as fh:
+        fh.write(synth_warc_bytes(records[:half]))
+    with open(os.path.join(d, "part-1.warc"), "wb") as fh:
+        fh.write(synth_warc_bytes(records[half:]))
+
+    extracted = extract_dataframe(warc_to_docs(read_warc(spark, d)), base_url_prefix="")
+    return extracted.select(
+        F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        F.explode("spans").alias("span"),
+    ).select(
+        "doc_id",
+        F.col("span.order").alias("ord"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+    )
+
+
 def _q_resume_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint-resume anti-join (J5): docs still to process = corpus
     LEFT ANTI JOIN committed doc_ids. Committed set here = every even doc_id
@@ -662,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json": _q_props_json,
         "media_metadata": _q_media_metadata,
         "resume_remaining": _q_resume_remaining,
+        "warc_extract": _q_warc_extract,
         "pdf_extract": _q_pdf_extract,
         "crawl_fixture": _q_crawl_fixture,
         "dedup_exact": _q_dedup_exact,
@@ -1054,6 +1101,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fp, min(doc_id) AS keeper_id, count(*) AS n_docs
             FROM fps GROUP BY fp
+        """,
+        "warc_extract": """
+            SELECT doc_id, 0 AS ord, 'heading' AS kind,
+                   '# Document ' || doc_id AS text
+            FROM documents WHERE doc_id < 100
+            UNION ALL
+            SELECT doc_id, 1 AS ord, 'text' AS kind, text
+            FROM documents WHERE doc_id < 100
         """,
         "resume_remaining": """
             SELECT doc_id, n_chars FROM documents

@@ -1,0 +1,153 @@
+"""WARC-style web-archive source: crawl capture files -> docs frame.
+
+The reference fetches pages live (src/engines/playwright/index.ts); a batch
+engine reads the crawl's ARCHIVE instead. This module implements the
+ingestion path for WARC-shaped record streams (ISO 28500 structure,
+simplified: version line, CRLF header block, Content-Length-framed payload,
+CRLF CRLF record gap):
+
+    WARC/1.0
+    WARC-Type: response
+    WARC-Target-URI: https://example.com/
+    Content-Length: 123
+
+    <html>...</html>
+
+Spark shape: ``spark.read.format("binaryFile")`` scans the archive files
+(one row per file), a mapInPandas stage splits records and emits
+(doc_id=target URI, payload, status) — extraction-ready for
+spark/job.extract_dataframe via docs rows.
+
+Scale notes (100 TB of WARCs):
+  * Real crawl archives are written as per-record gzip members precisely so
+    readers can split INSIDE a file on member boundaries. binaryFile cannot
+    split a file (one row per file); production WARCs are already sized
+    ~1 GiB for this reason, so file-granularity IS the task granularity:
+    100 TB / 1 GiB = ~100k tasks, a healthy wave count on 4k cores.
+  * The splitter emits narrow rows (uri, payload) straight into the fused
+    extraction UDF — archive bytes never cross a shuffle.
+  * ``spark.sql.files.maxPartitionBytes`` does not apply to binaryFile
+    (no splitting); bound memory with smaller archive files, not conf.
+
+Synthesis is deterministic (fixtures + tests only; no external data).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_CRLF = "\r\n"
+
+
+def synth_warc_bytes(records: List[Tuple[str, str, int]]) -> bytes:
+    """Serialize (uri, html, status) triples into a WARC-style byte stream."""
+    out: list[bytes] = []
+    for uri, html, status in records:
+        payload = html.encode("utf-8")
+        head = (
+            f"WARC/1.0{_CRLF}"
+            f"WARC-Type: response{_CRLF}"
+            f"WARC-Target-URI: {uri}{_CRLF}"
+            f"WARC-Status: {status}{_CRLF}"
+            f"Content-Length: {len(payload)}{_CRLF}"
+            f"{_CRLF}"
+        ).encode("utf-8")
+        out.append(head + payload + _CRLF.encode() * 2)
+    return b"".join(out)
+
+
+def parse_warc_records(blob: bytes) -> List[dict]:
+    """Tolerant record splitter: Content-Length-framed, skips records with
+    missing/invalid framing instead of raising (error rows, not exceptions,
+    per the engine's T5 rule)."""
+    records: list[dict] = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        start = blob.find(b"WARC/", pos)
+        if start == -1:
+            break
+        head_end = blob.find(b"\r\n\r\n", start)
+        if head_end == -1:
+            break
+        headers: dict[str, str] = {}
+        for line in blob[start:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if v:
+                headers[k.strip().decode("utf-8", "replace").lower()] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        body_start = head_end + 4
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = body_start  # unframed record: resync on next magic
+            continue
+        body = blob[body_start : body_start + length]
+        uri = headers.get("warc-target-uri")
+        if uri and headers.get("warc-type", "response") == "response":
+            records.append(
+                {
+                    "doc_id": uri,
+                    "payload": body.decode("utf-8", "replace"),
+                    "status": int(headers.get("warc-status", "200") or 200),
+                }
+            )
+        pos = body_start + length
+    return records
+
+
+WARC_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("payload", T.StringType(), True),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("archive", T.StringType(), True),
+    ]
+)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Archive files -> (doc_id, payload, status, archive) rows.
+
+    binaryFile scan (one task per archive file) -> Arrow-batched splitter.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def split_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {k.name: [] for k in WARC_DOCS_SCHEMA.fields}
+            for path_, content in zip(batch["path"].tolist(), batch["content"].tolist()):
+                for rec in parse_warc_records(bytes(content)):
+                    rows["doc_id"].append(rec["doc_id"])
+                    rows["payload"].append(rec["payload"])
+                    rows["status"].append(rec["status"])
+                    rows["archive"].append(path_)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(split_batch, schema=WARC_DOCS_SCHEMA)
+
+
+def warc_to_docs(warc_df: DataFrame) -> DataFrame:
+    """(doc_id, payload, ...) -> the engine's docs(doc_id, spans) shape,
+    JVM-side (no Python). doc_id is the capture URI, which extract_dataframe
+    then uses as the base URL for link/image absolutification
+    (base_url_prefix='')."""
+    from pyspark.sql import functions as F
+
+    return warc_df.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.col("payload").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )

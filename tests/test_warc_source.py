@@ -1,0 +1,75 @@
+"""WARC-style archive source: record splitting, corruption tolerance, and
+end-to-end extraction equality with the direct pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+PAGES = [
+    (
+        "https://warc.test/a",
+        "<html><head><title>A</title></head><body><main><h1>Alpha</h1>"
+        '<p>First page with <a href="/next">a relative link</a>.</p>'
+        "</main></body></html>",
+        200,
+    ),
+    (
+        "https://warc.test/b",
+        "<html><body><main><h1>Beta</h1><p>Second page.</p></main></body></html>",
+        200,
+    ),
+    (
+        "https://warc.test/c",
+        "<html><body><main><h1>Gamma</h1><p>Third page.</p></main></body></html>",
+        404,
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def warc_dir(spark, tmp_path_factory):
+    from reader_spark.sources.warc import synth_warc_bytes
+
+    d = tmp_path_factory.mktemp("warc")
+    (d / "part-0.warc").write_bytes(synth_warc_bytes(PAGES[:2]))
+    # second archive starts with a CORRUPT record (bad Content-Length),
+    # then a valid one — the splitter must resync, not raise
+    corrupt = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://warc.test/broken\r\n"
+        b"Content-Length: not-a-number\r\n\r\n<html>x</html>\r\n\r\n"
+    )
+    (d / "part-1.warc").write_bytes(corrupt + synth_warc_bytes(PAGES[2:]))
+    return str(d)
+
+
+def test_split_records_and_skip_corrupt(spark, warc_dir):
+    from reader_spark.sources.warc import read_warc
+
+    rows = {r["doc_id"]: r for r in read_warc(spark, warc_dir).collect()}
+    assert set(rows) == {p[0] for p in PAGES}  # corrupt record dropped
+    assert rows["https://warc.test/c"]["status"] == 404
+    assert "Alpha" in rows["https://warc.test/a"]["payload"]
+    assert rows["https://warc.test/b"]["archive"].endswith("part-0.warc")
+
+
+def test_warc_extraction_equals_direct_pipeline(spark, warc_dir):
+    from reader_spark.config import DEFAULT_CONFIG
+    from reader_spark.extract.pipeline import extract_document
+    from reader_spark.sources.warc import read_warc, warc_to_docs
+    from reader_spark.spark.job import extract_dataframe
+
+    docs = warc_to_docs(read_warc(spark, warc_dir))
+    # base_url_prefix='' -> base URL IS the capture URI
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in extract_dataframe(docs, base_url_prefix="").collect()
+    }
+    for uri, html, _status in PAGES:
+        want = extract_document(uri, html, uri, DEFAULT_CONFIG, "html")
+        assert got[uri] == [(s.kind, s.text, s.media_ref) for s in want.spans]
+    # the relative link absolutified against the capture URI
+    a_spans = dict((k, t) for k, t, _m in got["https://warc.test/a"])
+    assert any("https://warc.test/next" in t for _k, t, _m in got["https://warc.test/a"])

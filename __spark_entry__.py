@@ -259,6 +259,17 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(simhash(docs, "doc_id", "text"), max_hamming=3)
 
 
+def _q_lang_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID (char-trigram regexp_count argmax) —
+    the companion to the stopword-vote detector, fully oracle-checked."""
+    from reader_spark.ops.textstats import detect_language_trigram_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", detect_language_trigram_col(F.col("text")).alias("lang_trigram")
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and BPE-ish pretokenizer
     pieces (regexp_count, JVM-side) — the budget columns of a training-data
@@ -721,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5": _q_simhash_md5,
         "text_quality": _q_text_quality,
         "token_counts": _q_token_counts,
+        "lang_trigram": _q_lang_trigram,
         "lang_distribution": _q_lang_distribution,
         "fingerprint_groups": _q_fingerprints,
         "fingerprints_md5": _q_fingerprints_md5,
@@ -739,6 +751,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _EN_STOPS = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS["en"]))
+
+
+def _trigram_pats_sql() -> str:
+    """VALUES rows of (lang, pattern) — literally the same alternations the
+    Spark column uses (single source of truth in ops.textstats)."""
+    from reader_spark.ops.textstats import LANG_TRIGRAMS
+
+    rows = [
+        f"('{lang}', '{'|'.join(f'({t})' for t in tris)}')"
+        for lang, tris in sorted(LANG_TRIGRAMS.items())
+    ]
+    return ", ".join(rows)
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -1122,6 +1146,25 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS bytes,
                    sha256(text) AS content_sha
             FROM documents
+        """,
+        "lang_trigram": f"""
+            WITH pats(lang_c, pat) AS (VALUES {_trigram_pats_sql()}),
+            scores AS (
+                SELECT d.doc_id, p.lang_c,
+                       len(regexp_extract_all(lower(d.text), p.pat)) AS score
+                FROM documents d CROSS JOIN pats p
+            ),
+            ranked AS (
+                SELECT doc_id, lang_c, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, lang_c DESC
+                       ) AS rn
+                FROM scores
+            )
+            SELECT doc_id,
+                   CASE WHEN score > 0 THEN lang_c ELSE 'und' END AS lang_trigram
+            FROM ranked WHERE rn = 1
         """,
         "token_counts": """
             SELECT doc_id,

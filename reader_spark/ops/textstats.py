@@ -52,6 +52,44 @@ def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
     return hits / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
 
 
+# Character-trigram signatures per language (public linguistic knowledge —
+# high-frequency trigrams; all alternatives are the same length so Java
+# regex (Spark) and RE2 (DuckDB) count identical non-overlapping matches).
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "de": ("sch", "der", "ein", "ich", "und", "ung"),
+    "en": ("the", "ing", "ion", "and", " th", "ent"),
+    "es": (" de", " la", "ión", "los", "que", "ado"),
+    "fr": (" le", "ent", "les", "que", "eau", " ét"),
+    "zh": ("[一-鿿]..",),  # CJK presence (3-char windows)
+}
+
+
+def trigram_lang_scores(text: Column) -> list[tuple[str, Column]]:
+    lowered = F.lower(text)
+    return [
+        (lang, F.regexp_count(lowered, F.lit("|".join(f"({t})" for t in tris))))
+        for lang, tris in sorted(LANG_TRIGRAMS.items())
+    ]
+
+
+def detect_language_trigram_col(text: Column) -> Column:
+    """N-gram-heuristic language ID, fully JVM-side: per language, count
+    signature character trigrams (regexp_count); argmax wins (ties ->
+    lexicographically last language; zero hits -> 'und'). The companion to
+    the stopword-vote detector — trigram profiles survive short texts and
+    missing word boundaries (e.g. CJK)."""
+    scored = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in trigram_lang_scores(text)
+        ]
+    )
+    best = F.element_at(F.array_sort(scored), -1)
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
 def detect_language_col(text: Column) -> Column:
     """Stopword-vote language ID as a native expression: per language count
     distinct-token intersection with its stopword set, take the argmax."""

@@ -173,6 +173,28 @@ class TestIvf:
         assert hits / total >= 0.6
 
 
+class TestTrigramLangId:
+    def test_real_sentences(self, spark):
+        from reader_spark.ops.textstats import detect_language_trigram_col
+
+        rows = [
+            (0, "the quick brown fox is jumping over the fence and doing the usual thing"),
+            (1, "ich habe einen schönen Hund und der Hund ist schnell und einfach"),
+            (2, "le chat est dans le jardin et il regarde les oiseaux pendant le matin"),
+            (3, "la casa de mis padres y la de los vecinos quedan en la misma calle"),
+            (4, "这是一个测试文档，用于检测中文文本的启发式方法。"),
+            (5, "zzz qqq xxx"),  # no signal
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["lang"]
+            for r in df.select(
+                "doc_id", detect_language_trigram_col(F.col("text")).alias("lang")
+            ).collect()
+        }
+        assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "zh", 5: "und"}
+
+
 class TestTokenCounting:
     def test_bpe_ish_vs_whitespace(self, spark):
         from reader_spark.ops.textstats import bpe_token_count_col, token_count_col

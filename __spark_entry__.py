@@ -434,6 +434,70 @@ def _q_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style six-table join: revenue by nation where customer and
+    supplier share the nation, restricted to one region and a date range.
+    Catalyst exercise: join reordering + broadcast of the dim chain
+    (region->nation tiny, customer/supplier small) under AQE."""
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    customer = _read(spark, sf_dir, "customer")
+    supplier = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    lineitem = _read(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("n_name", "revenue")
+    )
+
+
+def _q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: per order-year, the fraction of regional
+    revenue supplied by one nation, NATION_3 (conditional aggregation over a
+    multi-join; sum(when)/sum is the map-side-combinable form)."""
+    nation = _read(spark, sf_dir, "nation")
+    supplier = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .select("o_year", "mkt_share")
+    )
+
+
 def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS) — the checkpoint-resume join shape (J5)."""
     cust = _read(spark, sf_dir, "customer")
@@ -710,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "part_brand_revenue": _q_part_brand_revenue,
         "customers_without_orders": _q_customers_without_orders,
+        "regional_supplier_volume": _q_regional_supplier_volume,
+        "nation_market_share": _q_nation_market_share,
         "returns_rollup": _q_returns_rollup,
         "detected_lang": _q_detected_lang,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -846,6 +912,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY p_brand
+        """,
+        "nation_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY year(o_orderdate)
+        """,
+        "regional_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_nationkey FROM customer

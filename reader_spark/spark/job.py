@@ -143,14 +143,11 @@ def make_extract_batch(cfg: ExtractorConfig):
                     doc_id, payload or "", base_url, cfg, payload_kind or "html"
                 )
                 out["doc_id"].append(res.doc_id)
+                # tuples in schema field order — Arrow accepts them for
+                # structs and they build ~3x faster than per-span dicts
                 out["spans"].append(
                     [
-                        {
-                            "kind": s.kind,
-                            "text": s.text,
-                            "media_ref": s.media_ref,
-                            "order": i,
-                        }
+                        (s.kind, s.text, s.media_ref, i)
                         for i, s in enumerate(res.spans)
                     ]
                 )

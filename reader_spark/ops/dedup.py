@@ -35,17 +35,28 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of a text column (distinct), as array<string>."""
+    """Word n-gram shingles of a text column (distinct), as array<string>.
+
+    LINEAR construction: arrays_zip of the word array with its n-1 shifted
+    copies, one concat per window. The naive transform(sequence, i ->
+    slice(words, i, n)) form is O(len^2) — Slice copies per element — and
+    stalls on multi-hundred-KB documents (a 300k-word 2 MiB doc never
+    finishes); this form is 3 slices + 1 zip regardless of length."""
     words = F.split(F.trim(text), r"\s+")
-    k = F.size(words) - (n - 1)
+    size = F.size(words)
+    k = size - (n - 1)
+    shifts = [words] + [
+        F.slice(words, i + 1, F.greatest(size - i, F.lit(0))) for i in range(1, n)
+    ]
+    zipped = F.arrays_zip(*shifts)
+    joined = F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]),
+    )
     return F.array_distinct(
-        F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", words)))
+        F.when(k > 0, F.slice(joined, 1, k)).otherwise(
+            F.array(F.concat_ws(" ", words))
+        )
     )
 
 

@@ -42,15 +42,21 @@ from pyspark.sql import types as T
 _CRLF = "\r\n"
 
 
-def synth_warc_bytes(records: List[Tuple[str, str, int]]) -> bytes:
-    """Serialize (uri, html, status) triples into a WARC-style byte stream."""
+def synth_warc_bytes(records: List[Tuple]) -> bytes:
+    """Serialize (uri, html, status[, warc_date]) tuples into a WARC-style
+    byte stream. warc_date (ISO-8601) marks the capture time — archives
+    routinely hold multiple captures of one URI."""
     out: list[bytes] = []
-    for uri, html, status in records:
+    for rec in records:
+        uri, html, status = rec[0], rec[1], rec[2]
+        date = rec[3] if len(rec) > 3 else None
         payload = html.encode("utf-8")
+        date_line = f"WARC-Date: {date}{_CRLF}" if date else ""
         head = (
             f"WARC/1.0{_CRLF}"
             f"WARC-Type: response{_CRLF}"
             f"WARC-Target-URI: {uri}{_CRLF}"
+            f"{date_line}"
             f"WARC-Status: {status}{_CRLF}"
             f"Content-Length: {len(payload)}{_CRLF}"
             f"{_CRLF}"
@@ -94,6 +100,7 @@ def parse_warc_records(blob: bytes) -> List[dict]:
                     "doc_id": uri,
                     "payload": body.decode("utf-8", "replace"),
                     "status": int(headers.get("warc-status", "200") or 200),
+                    "capture_ts": headers.get("warc-date"),
                 }
             )
         pos = body_start + length
@@ -105,6 +112,7 @@ WARC_DOCS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("payload", T.StringType(), True),
         T.StructField("status", T.IntegerType(), True),
+        T.StructField("capture_ts", T.StringType(), True),
         T.StructField("archive", T.StringType(), True),
     ]
 )
@@ -127,19 +135,44 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     rows["doc_id"].append(rec["doc_id"])
                     rows["payload"].append(rec["payload"])
                     rows["status"].append(rec["status"])
+                    rows["capture_ts"].append(rec["capture_ts"])
                     rows["archive"].append(path_)
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(split_batch, schema=WARC_DOCS_SCHEMA)
 
 
-def warc_to_docs(warc_df: DataFrame) -> DataFrame:
+def latest_captures(warc_df: DataFrame) -> DataFrame:
+    """ONE row per URI: archives hold multiple captures of the same page;
+    keep the newest by WARC-Date (ties/missing dates: archive path then
+    payload as deterministic tie-breaks). Window + filter — the narrow
+    (doc_id, ts) ranking shuffles with the rows once."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("capture_ts").desc_nulls_last(),
+        F.col("archive").desc(),
+        F.col("payload").desc(),
+    )
+    return (
+        warc_df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def warc_to_docs(warc_df: DataFrame, dedup_captures: bool = True) -> DataFrame:
     """(doc_id, payload, ...) -> the engine's docs(doc_id, spans) shape,
     JVM-side (no Python). doc_id is the capture URI, which extract_dataframe
     then uses as the base URL for link/image absolutification
-    (base_url_prefix='')."""
+    (base_url_prefix=''). dedup_captures keeps only the latest capture per
+    URI (duplicate doc_ids would silently survive id-keyed dedup joins
+    downstream)."""
     from pyspark.sql import functions as F
 
+    if dedup_captures:
+        warc_df = latest_captures(warc_df)
     return warc_df.select(
         "doc_id",
         F.array(

@@ -73,3 +73,26 @@ def test_warc_extraction_equals_direct_pipeline(spark, warc_dir):
     # the relative link absolutified against the capture URI
     a_spans = dict((k, t) for k, t, _m in got["https://warc.test/a"])
     assert any("https://warc.test/next" in t for _k, t, _m in got["https://warc.test/a"])
+
+
+def test_latest_capture_wins(spark, tmp_path):
+    from reader_spark.sources.warc import read_warc, synth_warc_bytes, warc_to_docs
+
+    d = tmp_path / "recrawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        synth_warc_bytes(
+            [
+                ("https://warc.test/page", "<html><body>OLD</body></html>", 200,
+                 "2026-01-01T00:00:00Z"),
+                ("https://warc.test/page", "<html><body>NEW</body></html>", 200,
+                 "2026-06-01T00:00:00Z"),
+            ]
+        )
+    )
+    docs = warc_to_docs(read_warc(spark, str(d))).collect()
+    assert len(docs) == 1  # duplicate captures collapse
+    assert "NEW" in docs[0]["spans"][0]["text"]
+
+    both = warc_to_docs(read_warc(spark, str(d)), dedup_captures=False).collect()
+    assert len(both) == 2

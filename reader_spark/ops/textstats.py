@@ -122,28 +122,18 @@ def fingerprint_portable_col(text: Column, window: int = 8) -> Column:
     """md5-hex twin of fingerprint_col: min of md5 over the same rolling
     token windows (lexicographic min on fixed-width hex == numeric min),
     reproducible verbatim in ANSI SQL for the oracle gate."""
-    toks = tokens_col(text)
-    n = F.size(toks)
-    windows = F.when(
-        n > window,
-        F.transform(
-            F.sequence(F.lit(0), n - window),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
-        ),
-    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
-    return F.array_min(windows)
+    from .dedup import shingles
+
+    # shingles() is the LINEAR windower (arrays_zip of shifted copies); its
+    # array_distinct is harmless under min. The transform(sequence, slice)
+    # form is O(len^2) and stalls on multi-hundred-KB docs.
+    return F.array_min(F.transform(shingles(text, window), F.md5))
 
 
 def fingerprint_col(text: Column, window: int = 8) -> Column:
     """Winnowing-style document fingerprint: min of xxhash64 over a rolling
-    token window (Schleimer et al., SIGMOD'03) — native arrays, no UDF."""
-    toks = tokens_col(text)
-    n = F.size(toks)
-    windows = F.when(
-        n > window,
-        F.transform(
-            F.sequence(F.lit(0), n - window),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
-    return F.array_min(windows)
+    token window (Schleimer et al., SIGMOD'03) — native arrays, no UDF;
+    linear windower (see fingerprint_portable_col)."""
+    from .dedup import shingles
+
+    return F.array_min(F.transform(shingles(text, window), F.xxhash64))

@@ -173,6 +173,26 @@ class TestIvf:
         assert hits / total >= 0.6
 
 
+class TestLargeDocSketchLinearity:
+    def test_giant_doc_sketches_finish(self, spark):
+        """Regression: the windowers must be linear in doc length — the
+        transform(sequence, slice) form was O(len^2) and a 300k-word doc
+        (2 MiB, the C10 cap) never finished. Budget: seconds, not minutes."""
+        import time
+
+        from reader_spark.ops.dedup import shingles
+        from reader_spark.ops.textstats import fingerprint_col
+
+        big = " ".join(f"w{i % 997}" for i in range(300_000))
+        df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+        t0 = time.monotonic()
+        n_shingles = df.select(F.size(shingles(F.col("text"), 3)).alias("n")).head()["n"]
+        fp = df.select(fingerprint_col(F.col("text")).alias("fp")).head()["fp"]
+        assert n_shingles == 997  # 997 distinct trigram patterns by construction
+        assert fp is not None
+        assert time.monotonic() - t0 < 60  # quadratic form needed >300s
+
+
 class TestTrigramLangId:
     def test_real_sentences(self, spark):
         from reader_spark.ops.textstats import detect_language_trigram_col

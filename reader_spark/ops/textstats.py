@@ -136,4 +136,6 @@ def fingerprint_col(text: Column, window: int = 8) -> Column:
     linear windower (see fingerprint_portable_col)."""
     from .dedup import shingles
 
-    return F.array_min(F.transform(shingles(text, window), F.xxhash64))
+    return F.array_min(
+        F.transform(shingles(text, window), lambda s: F.xxhash64(s))
+    )

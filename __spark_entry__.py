@@ -573,6 +573,35 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 contract: failed docs become ERROR ROWS, not exceptions. Every
+    doc_id % 7 == 0 document gets an empty payload injected; the pipeline
+    must tag exactly those EmptyDocumentError and extract the rest."""
+    from reader_spark.spark.job import extract_dataframe
+
+    documents = _read(spark, sf_dir, "documents")
+    docs = _docs_as_corpus(documents).withColumn(
+        "spans",
+        F.when(
+            F.col("doc_id").cast("long") % 7 == 0,
+            F.array(
+                F.struct(
+                    F.lit("html").alias("kind"),
+                    F.lit("").alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ),
+        ).otherwise(F.col("spans")),
+    )
+    extracted = extract_dataframe(docs)
+    return extracted.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce("error_kind", F.lit("ok")).alias("error_kind"),
+        F.size("spans").alias("n_spans"),
+    )
+
+
 def _q_resume_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint-resume anti-join (J5): docs still to process = corpus
     LEFT ANTI JOIN committed doc_ids. Committed set here = every even doc_id
@@ -786,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "resume_remaining": _q_resume_remaining,
         "warc_extract": _q_warc_extract,
+        "error_taxonomy": _q_error_taxonomy,
         "pdf_extract": _q_pdf_extract,
         "crawl_fixture": _q_crawl_fixture,
         "dedup_exact": _q_dedup_exact,
@@ -1217,6 +1247,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fp, min(doc_id) AS keeper_id, count(*) AS n_docs
             FROM fps GROUP BY fp
+        """,
+        "error_taxonomy": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'EmptyDocumentError' ELSE 'ok' END AS error_kind,
+                   CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 2 END AS n_spans
+            FROM documents
         """,
         "warc_extract": """
             SELECT doc_id, 0 AS ord, 'heading' AS kind,

@@ -110,3 +110,38 @@ Allow: /blog/
     urls2 = {r["url"] for r in out2}
     assert "https://site.test/blog/b" not in urls2
     assert "https://site.test/blog/a" in urls2
+
+
+def test_include_patterns(spark, site):
+    # crawler.test.ts "respects includePatterns filter": discovered links
+    # must match at least one include pattern; the seed always crawls.
+    out = crawl(
+        spark, site, "https://site.test/start", max_depth=2,
+        include_patterns=[r"/blog/a"],
+    ).collect()
+    urls = [r["url"] for r in out]
+    assert urls == ["https://site.test/start", "https://site.test/blog/a"]
+
+
+def test_missing_page_continues(spark, site):
+    # crawler.test.ts "continues crawling when fetchPage returns null":
+    # a discovered link whose page is absent from the corpus must not kill
+    # the crawl — other branches still complete.
+    smaller = site.where("url != 'https://site.test/blog/b'")
+    out = crawl(spark, smaller, "https://site.test/start", max_depth=2).collect()
+    urls = {r["url"] for r in out}
+    assert "https://site.test/blog/a" in urls
+    assert "https://site.test/blog/c" in urls  # reached THROUGH a, past missing b
+    assert "https://site.test/blog/b" not in urls
+
+
+def test_crawl_metadata_aggregate(spark, site):
+    # A2 (crawl-types.ts CrawlMetadata): totalUrls + maxDepth from one agg.
+    from pyspark.sql import functions as F
+
+    out = crawl(spark, site, "https://site.test/start", max_depth=2)
+    meta = out.agg(
+        F.count("*").alias("totalUrls"), F.max("depth").alias("maxDepth")
+    ).head()
+    assert meta["totalUrls"] == 4  # start, a, b, c
+    assert meta["maxDepth"] == 2

@@ -28,6 +28,34 @@ class TestPureLookup:
         assert get_domain_profile("example.com", PROFILES) is None
         assert get_domain_profile("example.com", None) is None
 
+    def test_clone_domain_not_matched(self):
+        # domain-profiles.test.ts "does not match amazonclone.com": suffix
+        # matching must respect the label boundary (".amazon.com"), not be
+        # a bare substring/endswith test.
+        assert get_domain_profile("amazonclone.com", PROFILES) is None
+
+    def test_url_with_port(self):
+        # domain-profiles.test.ts "handles URL with port"
+        assert get_domain_profile("https://amazon.com:443/dp/x", PROFILES) is not None
+
+    def test_invalid_url_returns_none(self):
+        # domain-profiles.test.ts "returns undefined for invalid URL"
+        assert get_domain_profile("not a url at all", PROFILES) is None
+
+    def test_empty_profiles(self):
+        # domain-profiles.test.ts "returns undefined when no profiles provided"
+        assert get_domain_profile("amazon.com", {}) is None
+
+    def test_multipart_tld_exact(self):
+        # domain-profiles.test.ts "international Amazon domains"
+        profiles = {"amazon.co.uk": {"timeoutMs": 1}, "amazon.co.jp": {"timeoutMs": 2}}
+        assert get_domain_profile("amazon.co.uk", profiles)["timeoutMs"] == 1
+        assert get_domain_profile("www.amazon.co.jp", profiles)["timeoutMs"] == 2
+
+    def test_deep_subdomain(self):
+        # domain-profiles.test.ts "matches smile.amazon.com"
+        assert get_domain_profile("smile.amazon.com", PROFILES)["timeoutMs"] == 60000
+
     def test_merge_user_precedence(self):
         merged = apply_domain_profile(
             {"timeoutMs": 5000, "batchConcurrency": None},

@@ -238,3 +238,39 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def brute_force_topk_np(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via a VECTORIZED pandas UDF: per Arrow batch, one
+    numpy matrix-vector product scores every row at once. Same results as
+    brute_force_topk; wins on wide embeddings (dim >= ~256) where the
+    per-element JVM aggregate loses to BLAS. Sort+limit compiles to
+    TakeOrderedAndProject (per-partition partial top-k, no full sort)."""
+    import math
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = math.sqrt(float(q @ q))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            cos = (mat @ q) / (norms * qn)
+            yield pd.DataFrame(
+                {id_col: batch[id_col], "cosine": np.round(cos, 4)}
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} long, cosine double"
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)

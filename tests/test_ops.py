@@ -127,6 +127,18 @@ class TestAnnSelfRecall:
         assert top[0]["vec_id"] == 5
 
 
+class TestNumpyBruteForce:
+    def test_np_path_equals_jvm_path(self, spark):
+        from reader_spark.ops.ann import brute_force_topk, brute_force_topk_np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = [float(v) for v in emb.where(F.col("vec_id") == 7).head()["embedding"]]
+        jvm = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(emb, qv, k=8).collect()]
+        np_ = [(r["vec_id"], r["cosine"]) for r in brute_force_topk_np(emb, qv, k=8).collect()]
+        assert jvm == np_
+        assert jvm[0][0] == 7  # self first
+
+
 class TestIvf:
     def test_centroids_deterministic_and_partition_corpus(self, spark):
         from reader_spark.ops.ann import ivf_assign, train_ivf_centroids

@@ -2,6 +2,7 @@
 crash on arbitrary input — failed docs become error ROWS, not exceptions
 (a thrown executor error would kill the batch, SURVEY.md §1.1)."""
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -94,3 +95,41 @@ class TestPostprocessProperties:
     @settings(max_examples=200, deadline=None)
     def test_no_triple_newlines_out(self, md):
         assert "\n\n\n" not in postprocess_markdown(md)
+
+
+@pytest.mark.spark
+class TestShingleProperties:
+    @given(
+        st.lists(
+            st.text(alphabet="abcx yz\t\n", min_size=0, max_size=40), max_size=8
+        )
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_linear_windower_matches_reference_definition(self, spark, texts):
+        """The arrays_zip shingle construction must equal the obvious
+        Python definition: distinct space-joined 3-token windows (or the
+        whole text when shorter), tokens split on whitespace runs."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.dedup import shingles
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            r["id"]: sorted(r["sh"])
+            for r in df.select("id", shingles(F.col("text"), 3).alias("sh")).collect()
+        }
+        for i, t in rows:
+            # Spark/DuckDB trim() strips SPACES only (not \n/\t) — mirror it.
+            toks = re.split(r"\s+", t.strip(" "))
+            if len(toks) >= 3:
+                want = sorted(
+                    {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+                )
+            else:
+                want = [" ".join(toks)]
+            assert got[i] == want, (t, got[i], want)

@@ -170,6 +170,24 @@ def _q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted per
+    later activity day (two-level aggregation over a self-derived dim —
+    the min-date groupBy is map-side combined, the cohort join is narrow)."""
+    events = _read(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohorts, "user_id")
+        .withColumn("age_days", F.datediff("day", "cohort_day"))
+        .groupBy("cohort_day", "age_days")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .where(F.col("age_days") <= 7)
+    )
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (streaming-style tumbling window, batch form)."""
     events = _read(spark, sf_dir, "events")
@@ -800,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_nation_rollup": _q_customer_nation_rollup,
         "events_user_stats": _q_events_user_stats,
         "events_hourly": _q_events_hourly,
+        "user_retention": _q_user_retention,
         "events_sessions": _q_events_sessions,
         "part_brand_revenue": _q_part_brand_revenue,
         "customers_without_orders": _q_customers_without_orders,
@@ -1036,6 +1055,19 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
                    round(sum(value), 4) AS total_value
             FROM ranked GROUP BY user_id
+        """,
+        "user_retention": """
+            WITH days AS (
+                SELECT DISTINCT user_id, ts::DATE AS day FROM events
+            ),
+            cohorts AS (
+                SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+            )
+            SELECT c.cohort_day, datediff('day', c.cohort_day, d.day) AS age_days,
+                   count(DISTINCT d.user_id) AS n_users
+            FROM days d JOIN cohorts c ON d.user_id = c.user_id
+            WHERE datediff('day', c.cohort_day, d.day) <= 7
+            GROUP BY c.cohort_day, datediff('day', c.cohort_day, d.day)
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

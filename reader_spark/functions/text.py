@@ -163,3 +163,39 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
         fnv1a_64(" ".join(tokens[i : i + window]))
         for i in range(len(tokens) - window + 1)
     )
+
+
+def is_framework_error_page(html: str) -> bool:
+    """U11 — isFrameworkErrorPage (playwright/index.ts:240-252): detect JS
+    framework error-boundary pages that replaced the real content (the
+    reference falls back to its SSR snapshot; a batch engine tags the row
+    so the capture can be re-fetched or quarantined)."""
+    lower = html.lower()
+    return (
+        "application error: a client-side exception has occurred" in lower
+        or "there was an error while hydrating" in lower
+        or ("__nuxt" in lower and "nuxt-error" in lower)
+        or (
+            "error boundary" in lower
+            and "chunk" in lower
+            and "<article" not in lower
+        )
+    )
+
+
+def framework_error_col(html):
+    """Native-Column twin of is_framework_error_page (pure contains/lower —
+    whole-stage codegen, no UDF)."""
+    from pyspark.sql import functions as F
+
+    lower = F.lower(html)
+    return (
+        lower.contains("application error: a client-side exception has occurred")
+        | lower.contains("there was an error while hydrating")
+        | (lower.contains("__nuxt") & lower.contains("nuxt-error"))
+        | (
+            lower.contains("error boundary")
+            & lower.contains("chunk")
+            & ~lower.contains("<article")
+        )
+    )

@@ -92,3 +92,39 @@ class TestBlockedStatus:
     def test_ok_and_redirects_allowed(self):
         for code in (200, 201, 301, 302, 404, 500):
             assert is_blocked_status(code)[0] is False
+
+
+class TestFrameworkErrorPage:
+    # playwright/index.ts:240-252 (U11) — all four rules, both forms.
+    CASES = [
+        ("<html>Application error: a client-side exception has occurred</html>", True),
+        ("<div>There was an error while hydrating.</div>", True),
+        ('<div id="__nuxt"><div class="nuxt-error">500</div></div>', True),
+        ("<div>error boundary caught failed chunk load</div>", True),
+        # react rule suppressed when a real <article> survived
+        ("<article>x</article> error boundary chunk", False),
+        ("<html><body>A normal page about nuxt tutorials</body></html>", False),
+        ("", False),
+    ]
+
+    def test_pure(self):
+        from reader_spark.functions.text import is_framework_error_page
+
+        for html, want in self.CASES:
+            assert is_framework_error_page(html) is want, html
+
+    def test_column_twin_matches_pure(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from reader_spark.functions.text import framework_error_col
+
+        df = spark.createDataFrame(
+            [(i, h) for i, (h, _w) in enumerate(self.CASES)], "i long, html string"
+        )
+        got = {
+            r["i"]: r["blocked"]
+            for r in df.select("i", framework_error_col(F.col("html")).alias("blocked")).collect()
+        }
+        for i, (_h, want) in enumerate(self.CASES):
+            assert got[i] is want

@@ -26,6 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="reader_spark extraction job")
     parser.add_argument("--input", required=True, help="docs table path (parquet)")
+    parser.add_argument(
+        "--input-format",
+        choices=("docs", "warc"),
+        default="docs",
+        help="docs = parquet docs(doc_id, spans); warc = web-archive files",
+    )
     parser.add_argument("--warehouse", required=True, help="output warehouse dir")
     parser.add_argument("--run-id", required=True)
     parser.add_argument("--base-url-prefix", default="https://fixtures.test/")
@@ -56,7 +62,13 @@ def main(argv=None) -> int:
 
     spark = get_spark("reader_spark_extract", master=args.master)
     try:
-        docs = spark.read.parquet(args.input)
+        if args.input_format == "warc":
+            from reader_spark.sources.warc import read_warc, warc_to_docs
+
+            docs = warc_to_docs(read_warc(spark, args.input))
+            args.base_url_prefix = ""  # capture URI is the base URL
+        else:
+            docs = spark.read.parquet(args.input)
         warehouse = Warehouse(spark, args.warehouse)
         metrics = run_extraction(
             spark,

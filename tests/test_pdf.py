@@ -76,3 +76,34 @@ def test_malformed_line_is_error_row():
         "bad-pdf", "not\ta\tvalid\tline", "https://x", payload_kind="pdf_text"
     )
     assert res.error_kind == "ValueError"
+
+
+def test_header_columns_footer_banding():
+    # Classic layout: full-width title band, two body columns, full-width
+    # footer. XY-cut must emit title -> left col -> right col -> footer.
+    from reader_spark.pdf.layout import Box, reading_order
+
+    boxes = [
+        Box(0, 50, 700, 550, 720, "footer"),
+        Box(0, 310, 120, 560, 140, "right-1"),
+        Box(0, 40, 120, 290, 140, "left-1"),
+        Box(0, 40, 20, 560, 50, "TITLE"),
+        Box(0, 310, 150, 560, 170, "right-2"),
+        Box(0, 40, 150, 290, 170, "left-2"),
+    ]
+    assert [b.text for b in reading_order(boxes)] == [
+        "TITLE", "left-1", "left-2", "right-1", "right-2", "footer",
+    ]
+
+
+def test_multi_page_order():
+    from reader_spark.pdf.layout import Box, reading_order
+
+    boxes = [
+        Box(1, 40, 20, 290, 40, "p2-first"),
+        Box(0, 40, 100, 290, 120, "p1-second"),
+        Box(0, 40, 20, 290, 40, "p1-first"),
+    ]
+    assert [b.text for b in reading_order(boxes)] == [
+        "p1-first", "p1-second", "p2-first",
+    ]

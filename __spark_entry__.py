@@ -288,6 +288,21 @@ def _q_lang_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split labels (hash-bucket carve, stable
+    under re-runs and corpus growth) — md5-portable family, oracle-checked
+    per document."""
+    from reader_spark.ops.sampling import split_column
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        split_column(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, portable=True
+        ).alias("split"),
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and BPE-ish pretokenizer
     pieces (regexp_count, JVM-side) — the budget columns of a training-data
@@ -848,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "token_counts": _q_token_counts,
         "lang_trigram": _q_lang_trigram,
+        "dataset_splits": _q_dataset_splits,
         "lang_distribution": _q_lang_distribution,
         "fingerprint_groups": _q_fingerprints,
         "fingerprints_md5": _q_fingerprints_md5,
@@ -1307,6 +1323,18 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS bytes,
                    sha256(text) AS content_sha
             FROM documents
+        """,
+        "dataset_splits": """
+            SELECT doc_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        WHEN b < 10000 THEN 'test'
+                        ELSE 'rest' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+                FROM documents
+            )
         """,
         "lang_trigram": f"""
             WITH pats(lang_c, pat) AS (VALUES {_trigram_pats_sql()}),

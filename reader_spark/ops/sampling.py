@@ -1,0 +1,54 @@
+"""Deterministic dataset splitting & sampling for training pipelines.
+
+A 10^12-doc corpus can't be split with randomSplit (nondeterministic across
+retries/partitions); splits must be a PURE FUNCTION of a stable key so every
+re-run, backfill, and incremental batch lands each document in the same
+split. Standard technique: hash the key to a uniform bucket, carve buckets
+by cumulative fraction (cf. ML dataset-versioning practice).
+
+Two hash families, same carve:
+  * xxhash64 (production: fastest, 64-bit)
+  * md5-hex head (portable: byte-identical in ANSI SQL -> oracle-checkable)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def _bucket(key: Column, portable: bool) -> Column:
+    if portable:
+        # first 8 hex chars of md5 -> int; same expression exists in DuckDB
+        # as ('0x' || substr(md5(key), 1, 8))::BIGINT
+        h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.abs(F.xxhash64(key.cast("string")))
+    return h % BUCKETS
+
+
+def split_column(
+    key: Column,
+    fractions: dict[str, float],
+    portable: bool = False,
+) -> Column:
+    """Label column assigning each key to a named split by hash bucket.
+
+    fractions: ordered {name: fraction}; must sum to <= 1.0 (remainder, if
+    any, labeled 'rest'). Assignment is stable under re-runs, repartitions,
+    and corpus growth (a doc's split never changes when other docs arrive).
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = _bucket(key, portable)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        bound = int(round(cum * BUCKETS))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr.otherwise(F.lit("rest"))

@@ -185,6 +185,48 @@ class TestIvf:
         assert hits / total >= 0.6
 
 
+class TestDatasetSplits:
+    def test_deterministic_stable_and_proportional(self, spark):
+        from reader_spark.ops.sampling import split_column
+
+        docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        labeled = docs.select(
+            "doc_id", split_column(F.col("doc_id"), fr).alias("split")
+        )
+        counts = {r["split"]: r["count"] for r in labeled.groupBy("split").count().collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert abs(counts["train"] / 5000 - 0.8) < 0.03  # hash-uniform carve
+
+        # stability: a doc's split never changes when the corpus shrinks/grows
+        subset = docs.where("doc_id % 3 = 0").select(
+            "doc_id", split_column(F.col("doc_id"), fr).alias("split")
+        )
+        full = {r["doc_id"]: r["split"] for r in labeled.collect()}
+        for r in subset.collect():
+            assert full[r["doc_id"]] == r["split"]
+
+    def test_portable_family_same_properties(self, spark):
+        from reader_spark.ops.sampling import split_column
+
+        docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        fr = {"train": 0.5, "rest_named": 0.5}
+        labeled = docs.select(
+            "doc_id",
+            split_column(F.col("doc_id"), fr, portable=True).alias("split"),
+        )
+        counts = {r["split"]: r["count"] for r in labeled.groupBy("split").count().collect()}
+        assert abs(counts["train"] / 2000 - 0.5) < 0.05
+
+    def test_overcommitted_fractions_raise(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.sampling import split_column
+
+        with _pytest.raises(ValueError):
+            split_column(F.lit("x"), {"a": 0.9, "b": 0.2})
+
+
 class TestLargeDocSketchLinearity:
     def test_giant_doc_sketches_finish(self, spark):
         """Regression: the windowers must be linear in doc length — the

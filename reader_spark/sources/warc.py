@@ -68,7 +68,25 @@ def synth_warc_bytes(records: List[Tuple]) -> bytes:
 def parse_warc_records(blob: bytes) -> List[dict]:
     """Tolerant record splitter: Content-Length-framed, skips records with
     missing/invalid framing instead of raising (error rows, not exceptions,
-    per the engine's T5 rule)."""
+    per the engine's T5 rule). Transparently inflates gzip input —
+    production WARCs are concatenated per-record gzip members
+    (.warc.gz), which zlib inflates as one stream."""
+    if blob[:2] == b"\x1f\x8b":
+        import zlib
+
+        out: list[bytes] = []
+        pos = 0
+        while pos < len(blob) and blob[pos : pos + 2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=31)  # one gzip member
+            try:
+                out.append(d.decompress(blob[pos:]))
+            except zlib.error:
+                break  # corrupt member: keep what inflated so far
+            consumed = len(blob) - pos - len(d.unused_data)
+            if consumed <= 0:
+                break
+            pos += consumed
+        blob = b"".join(out)
     records: list[dict] = []
     pos = 0
     n = len(blob)

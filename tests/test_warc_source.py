@@ -96,3 +96,25 @@ def test_latest_capture_wins(spark, tmp_path):
 
     both = warc_to_docs(read_warc(spark, str(d)), dedup_captures=False).collect()
     assert len(both) == 2
+
+
+def test_gzip_archives_per_record_members(spark, tmp_path):
+    # Production .warc.gz: each record its own gzip member, concatenated.
+    import gzip
+
+    from reader_spark.sources.warc import read_warc, synth_warc_bytes
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    members = b"".join(
+        gzip.compress(synth_warc_bytes([p])) for p in PAGES
+    )
+    (d / "part-0.warc.gz").write_bytes(members)
+    # one corrupt member mid-stream: parser keeps everything before it
+    ok = gzip.compress(synth_warc_bytes([PAGES[0]]))
+    (d / "part-1.warc.gz").write_bytes(ok + b"\x1f\x8bgarbage" )
+
+    rows = read_warc(spark, str(d / "part-0.warc.gz")).collect()
+    assert {r["doc_id"] for r in rows} == {p[0] for p in PAGES}
+    rows1 = read_warc(spark, str(d / "part-1.warc.gz")).collect()
+    assert [r["doc_id"] for r in rows1] == [PAGES[0][0]]

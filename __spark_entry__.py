@@ -288,6 +288,17 @@ def _q_lang_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram fraction per document (SEO-spam / template /
+    generation-loop signal), fully oracle-checked."""
+    from reader_spark.ops.textstats import repetition_ratio_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", repetition_ratio_col(F.col("text")).alias("repetition_ratio")
+    )
+
+
 def _q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split labels (hash-bucket carve, stable
     under re-runs and corpus growth) — md5-portable family, oracle-checked
@@ -864,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_trigram": _q_lang_trigram,
         "dataset_splits": _q_dataset_splits,
+        "repetition_ratio": _q_repetition_ratio,
         "lang_distribution": _q_lang_distribution,
         "fingerprint_groups": _q_fingerprints,
         "fingerprints_md5": _q_fingerprints_md5,
@@ -1322,6 +1334,16 @@ def oracle_sql() -> dict[str, str]:
                    (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS kind,
                    octet_length(encode(text)) AS bytes,
                    sha256(text) AS content_sha
+            FROM documents
+        """,
+        "repetition_ratio": """
+            SELECT doc_id,
+                   round(1.0 - len(list_distinct(list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                       )))::DOUBLE
+                       / greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1),
+                       6) AS repetition_ratio
             FROM documents
         """,
         "dataset_splits": """

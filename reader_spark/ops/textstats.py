@@ -118,6 +118,20 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_ratio_col(text: Column, n: int = 3) -> Column:
+    """Repeated-n-gram fraction: 1 - distinct_shingles/total_shingles.
+    High values flag SEO spam, templated boilerplate, and generation loops
+    — a standard pretraining-quality gate alongside length/punct/stopword
+    signals. Native columns only (linear shingle windower)."""
+    from .dedup import shingles
+
+    total = F.greatest(
+        F.size(tokens_col(text)) - (n - 1), F.lit(1)
+    )
+    distinct = F.size(shingles(text, n))
+    return F.round(1.0 - distinct / total, 6)
+
+
 def fingerprint_portable_col(text: Column, window: int = 8) -> Column:
     """md5-hex twin of fingerprint_col: min of md5 over the same rolling
     token windows (lexicographic min on fixed-width hex == numeric min),

@@ -307,3 +307,24 @@ class TestConnectedComponents:
         assert {got[1], got[2], got[3], got[4]} == {1}
         assert {got[10], got[11]} == {10}
         assert {got[20], got[21], got[22]} == {20}
+
+
+class TestRepetitionRatio:
+    def test_spam_vs_natural(self, spark):
+        from reader_spark.ops.textstats import repetition_ratio_col
+
+        rows = [
+            (0, "buy cheap pills " * 50),                    # pure template
+            (1, " ".join(f"unique{i} word{i*7%13} tok{i}" for i in range(50))),
+            (2, "short text"),                                # sub-window
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["rr"]
+            for r in df.select(
+                "doc_id", repetition_ratio_col(F.col("text")).alias("rr")
+            ).collect()
+        }
+        assert got[0] > 0.9   # 50x repeated trigram -> ~all windows repeat
+        assert got[1] < 0.05  # natural text -> almost no repeats
+        assert got[2] == 0.0  # shorter than a window

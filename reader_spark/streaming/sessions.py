@@ -74,3 +74,83 @@ def sessionized_stream(events):
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def make_event_time_sessionizer(gap_seconds: int = 1800):
+    """EVENT-time sessionizer: sessions split on event-time gaps (in-batch
+    splits emit immediately; the trailing open session is kept in state with
+    an event-time timeout at session_end + gap, fired by WATERMARK advance,
+    not wall clock). Use on a stream with withWatermark('ts', ...). The
+    processing-time form above reacts to arrival lulls; this one is
+    deterministic in event time — replaying the same input yields the same
+    sessions."""
+
+    def sessionize_event_time(
+        key: tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+
+        def frame(sessions: list[tuple[int, int, int]]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id] * len(sessions), dtype="int64"),
+                    "session_start": pd.Series(
+                        [pd.Timestamp(s, unit="s") for s, _e, _n in sessions],
+                        dtype="datetime64[ns]",
+                    ),
+                    "session_end": pd.Series(
+                        [pd.Timestamp(e, unit="s") for _s, e, _n in sessions],
+                        dtype="datetime64[ns]",
+                    ),
+                    "n_events": pd.Series([n for _s, _e, n in sessions], dtype="int64"),
+                }
+            )
+
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield frame([(start, end, n)])
+            return
+
+        all_ts: list[int] = []
+        for batch in batches:
+            all_ts.extend(
+                int(v) for v in (batch["ts"].astype("int64") // 1_000_000_000)
+            )
+        all_ts.sort()
+
+        cur = list(state.get) if state.exists else None
+        closed: list[tuple[int, int, int]] = []
+        for t in all_ts:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] <= gap_seconds:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+            else:
+                closed.append(tuple(cur))
+                cur = [t, t, 1]
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp((cur[1] + gap_seconds) * 1000)
+        yield frame(closed)
+
+    return sessionize_event_time
+
+
+def sessionized_stream_event_time(events, gap_seconds: int = 1800, watermark: str = "10 seconds"):
+    """events(user_id, ts) streaming DF -> event-time session rows (closed
+    by in-stream gaps immediately, by watermark-fired timeout otherwise)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_event_time_sessionizer(gap_seconds),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -62,3 +62,52 @@ def test_sessions_emit_on_timeout(spark, tmp_path):
     assert session["user_id"] == 1
     assert session["n_events"] == 3
     assert (session["session_end"] - session["session_start"]).total_seconds() == 70
+
+
+def test_event_time_sessions_split_and_timeout(spark, tmp_path):
+    """Event-time sessionization: in-batch gap splits emit immediately;
+    the open session emits when a LATER batch's watermark passes its
+    timeout — deterministic in event time, replay-stable."""
+    import pandas as pd
+
+    from reader_spark.streaming.sessions import sessionized_stream_event_time
+
+    src = str(tmp_path / "events")
+    base = 1_700_000_000
+    # file 1: user 1 has two bursts separated by > gap (60s) in ONE file
+    spark.createDataFrame(
+        [(1, base), (1, base + 10), (1, base + 200), (1, base + 210)],
+        "user_id long, epoch long",
+    ).selectExpr("user_id", "timestamp_seconds(epoch) as ts").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # file 2: much later event advances the watermark past burst 2's timeout
+    spark.createDataFrame(
+        [(2, base + 10_000)], "user_id long, epoch long"
+    ).selectExpr("user_id", "timestamp_seconds(epoch) as ts").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionized_stream_event_time(stream, gap_seconds=60, watermark="5 seconds")
+        .writeStream.format("memory")
+        .queryName("et_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        (r["user_id"], int(r["session_start"].timestamp()), r["n_events"])
+        for r in spark.sql("select * from et_sessions").collect()
+    )
+    # user 1's burst A closed by the in-batch gap; burst B closed by the
+    # watermark from file 2; user 2's session still open (no later watermark).
+    assert (1, base, 2) in rows
+    assert (1, base + 200, 2) in rows
+    assert all(u != 2 for u, _s, _n in rows)

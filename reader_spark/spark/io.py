@@ -65,7 +65,11 @@ class Warehouse:
             else:
                 writer.createOrReplace()
             return
-        df.write.mode(mode).parquet(self.path(table))
+        # zstd: ~25-35% smaller than snappy on markdown/span text at similar
+        # scan speed — at 10^12 docs that is tens of TB of storage and scan
+        # I/O. Level 3 default; no sort imposed (doc_id arrival order already
+        # clusters the bucket layout from ddl/iceberg.sql).
+        df.write.mode(mode).option("compression", "zstd").parquet(self.path(table))
 
     def read_or_none(self, table: str) -> Optional[DataFrame]:
         return self.read(table) if self.exists(table) else None

@@ -170,6 +170,29 @@ def _q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: per stage, users whose
+    FIRST occurrence of each step respects the order (min-timestamp
+    conditional aggregation — one map-side-combined pass, no self-joins)."""
+    events = _read(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return firsts.agg(
+        F.count(F.col("t_view")).alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_buy") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_view_click_buy"),
+    )
+
+
 def _q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity day, counted per
     later activity day (two-level aggregation over a self-derived dim —
@@ -845,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_stats": _q_events_user_stats,
         "events_hourly": _q_events_hourly,
         "user_retention": _q_user_retention,
+        "funnel": _q_funnel,
         "events_sessions": _q_events_sessions,
         "part_brand_revenue": _q_part_brand_revenue,
         "customers_without_orders": _q_customers_without_orders,
@@ -1083,6 +1107,20 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
                    round(sum(value), 4) AS total_value
             FROM ranked GROUP BY user_id
+        """,
+        "funnel": """
+            WITH firsts AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                       min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+                FROM events GROUP BY user_id
+            )
+            SELECT count(t_view) AS n_view,
+                   count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+                   count(CASE WHEN t_click > t_view AND t_buy > t_click
+                              THEN 1 END) AS n_view_click_buy
+            FROM firsts
         """,
         "user_retention": """
             WITH days AS (

@@ -342,3 +342,36 @@ class TestExampleDomainGolden:
             == "https://fixtures.test/favicon.ico"  # fallback /favicon.ico (X5)
         )
         assert res.metadata["openGraph"] is None
+
+
+class TestFixedPoint:
+    def test_reextracting_cleaned_html_is_identity(self):
+        """Self-consistency: extraction is a FIXED POINT — running the
+        pipeline on its own cleaned-HTML output (M3) yields the identical
+        span sequence. Guards against cleaning/serialization steps that
+        damage already-clean markup (a second pass must change nothing)."""
+        from dataclasses import replace
+
+        from reader_spark import fixtures
+        from reader_spark.config import DEFAULT_CONFIG
+        from reader_spark.extract.pipeline import extract_document
+
+        cfg = replace(DEFAULT_CONFIG, formats=("markdown", "html"))
+        checked = 0
+        for d in fixtures.fixture_docs():
+            if d["doc_id"] == "pdf-two-column":
+                continue
+            payload = "".join(
+                s["text"] or ""
+                for s in sorted(d["spans"], key=lambda s: s["offset"])
+            )
+            base = fixtures.base_url_for(d["doc_id"])
+            r1 = extract_document(d["doc_id"], payload, base, cfg, d["spans"][0]["kind"])
+            if r1.error_kind or r1.html is None:
+                continue
+            r2 = extract_document(d["doc_id"], r1.html, base, cfg, "html")
+            assert [(s.kind, s.text, s.media_ref) for s in r1.spans] == [
+                (s.kind, s.text, s.media_ref) for s in r2.spans
+            ], d["doc_id"]
+            checked += 1
+        assert checked >= 8  # the fixture corpus really exercises this

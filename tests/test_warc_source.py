@@ -118,3 +118,36 @@ def test_gzip_archives_per_record_members(spark, tmp_path):
     assert {r["doc_id"] for r in rows} == {p[0] for p in PAGES}
     rows1 = read_warc(spark, str(d / "part-1.warc.gz")).collect()
     assert [r["doc_id"] for r in rows1] == [PAGES[0][0]]
+
+
+def test_crawl_over_archive(spark, tmp_path):
+    """Composition: the BFS crawl dataflow runs over an ARCHIVED site
+    (read_warc supplies the page corpus) — offline re-crawls of a capture,
+    no fetch layer involved."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.sources.warc import read_warc, synth_warc_bytes
+    from reader_spark.spark.crawler import crawl
+
+    site = [
+        ("https://arch.test/start",
+         '<html><head><title>Start</title></head><body>'
+         '<a href="/blog/a">a</a><a href="https://other.test/x">off</a></body></html>', 200),
+        ("https://arch.test/blog/a",
+         '<html><head><title>A</title></head><body><a href="/blog/b">b</a></body></html>', 200),
+        ("https://arch.test/blog/b",
+         "<html><head><title>B</title></head><body>end</body></html>", 200),
+    ]
+    d = tmp_path / "arch"
+    d.mkdir()
+    (d / "site.warc").write_bytes(synth_warc_bytes(site))
+
+    pages = read_warc(spark, str(d)).select(
+        F.col("doc_id").alias("url"), "payload"
+    )
+    out = crawl(spark, pages, "https://arch.test/start", max_depth=2)
+    assert [(r["url"], r["depth"], r["title"]) for r in out.collect()] == [
+        ("https://arch.test/start", 0, "Start"),
+        ("https://arch.test/blog/a", 1, "A"),
+        ("https://arch.test/blog/b", 2, "B"),
+    ]

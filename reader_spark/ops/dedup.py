@@ -309,6 +309,13 @@ def minhash_lsh_candidates_portable(
     correctness gate. Physical shape is identical: one explode + one
     map-side-combined groupBy + one equi-join on band buckets.
     """
+    if bands * rows_per_band != num_hashes:
+        # a shortfall silently ignores hashes (lower recall), an overrun
+        # hashes nulls into every band (false buckets)
+        raise ValueError(
+            f"bands*rows_per_band ({bands}*{rows_per_band}) must equal "
+            f"num_hashes ({num_hashes})"
+        )
     exploded = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),

@@ -311,6 +311,23 @@ def _q_lang_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequencies, top-20 (explode -> map-side-combined
+    count -> TakeOrdered): the vocabulary-stats primitive of a training-data
+    pipeline."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("term"))
+        .limit(20)
+    )
+
+
 def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-trigram fraction per document (SEO-spam / template /
     generation-loop signal), fully oracle-checked."""
@@ -900,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_trigram": _q_lang_trigram,
         "dataset_splits": _q_dataset_splits,
         "repetition_ratio": _q_repetition_ratio,
+        "top_terms": _q_top_terms,
         "lang_distribution": _q_lang_distribution,
         "fingerprint_groups": _q_fingerprints,
         "fingerprints_md5": _q_fingerprints_md5,
@@ -1373,6 +1391,17 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS bytes,
                    sha256(text) AS content_sha
             FROM documents
+        """,
+        "top_terms": """
+            SELECT term, count(*) AS n
+            FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                FROM documents
+            )
+            WHERE term <> ''
+            GROUP BY term
+            ORDER BY n DESC, term
+            LIMIT 20
         """,
         "repetition_ratio": """
             SELECT doc_id,

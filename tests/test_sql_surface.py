@@ -23,6 +23,7 @@ PORTABLE = [
     "regional_supplier_volume",
     "nation_market_share",
     "events_user_stats",
+    "funnel",
     "events_hourly",
     "dedup_exact",
     "resume_remaining",

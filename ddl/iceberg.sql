@@ -71,3 +71,42 @@ CREATE TABLE IF NOT EXISTS warehouse.lineage (
 )
 USING iceberg
 PARTITIONED BY (run_id);
+
+-- Clean training corpus (corpus_prep output). Bucketed like docs so joins
+-- back to the raw corpus (audits, re-extraction diffs) stay co-partitioned.
+CREATE TABLE IF NOT EXISTS warehouse.clean_corpus (
+    doc_id      STRING NOT NULL,
+    markdown    STRING,
+    spans       ARRAY<STRUCT<kind: STRING, text: STRING,
+                             media_ref: STRING, order: INT>>,
+    token_count INT,
+    punct_ratio DOUBLE
+)
+USING iceberg
+PARTITIONED BY (bucket(1024, doc_id))
+TBLPROPERTIES ('write.distribution-mode' = 'none');
+
+-- IVF ANN index: corpus vectors tagged with their coarse-quantizer cell.
+-- PARTITIONED BY cell -> a probe reads only nprobe/n_cells of the files
+-- (partition pruning verified in tests/test_plans.py).
+CREATE TABLE IF NOT EXISTS warehouse.ivf_index (
+    corpus_id  BIGINT NOT NULL,
+    corpus_vec ARRAY<DOUBLE>,
+    cell       INT NOT NULL
+)
+USING iceberg
+PARTITIONED BY (cell);
+
+-- Media sidecar: opaque binary + typed metadata (ops/multimodal.py).
+-- Binary payloads never join or shuffle; features are extracted in place
+-- and land in narrow tables keyed by media_id.
+CREATE TABLE IF NOT EXISTS warehouse.media (
+    media_id STRING NOT NULL,
+    doc_id   STRING,
+    kind     STRING,             -- image | audio | video
+    content  BINARY,
+    meta     STRUCT<mime: STRING, width: INT, height: INT,
+                    duration_ms: BIGINT, sample_rate: INT>
+)
+USING iceberg
+PARTITIONED BY (bucket(1024, doc_id));

@@ -122,11 +122,17 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + agg + deterministic top-k (orders broadcast-joined)."""
+    """Join + agg + deterministic top-k.
+
+    `orders` is a fact table that scales linearly with SF — no broadcast
+    hint; AQE picks the strategy (sort-merge / shuffled-hash at scale,
+    auto-broadcast only when the post-filter side is genuinely small).
+    Only bounded dims (nation, region) get explicit broadcast hints.
+    """
     li = _read(spark, sf_dir, "lineitem")
     orders = _read(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_custkey")
         .agg(
             F.round(
@@ -485,12 +491,14 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Fractional epoch seconds (cast timestamp -> double), matching DuckDB's
+    # epoch(ts): truncating to whole seconds could flip a session boundary
+    # when a gap straddles exactly 1800s at sub-second precision.
+    epoch = F.col("ts").cast("timestamp").cast("double")
     gaps = events.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("timestamp").cast("long")
-            - F.lag(F.col("ts").cast("timestamp").cast("long"), 1, -10**9).over(w)
-            > 1800,
+            epoch - F.lag(epoch, 1, float(-(10**9))).over(w) > 1800,
             1,
         ).otherwise(0),
     )
@@ -501,13 +509,18 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join (lineitem x part broadcast x supplier broadcast)."""
+    """3-way join (lineitem x part x supplier).
+
+    part/supplier grow with SF (not bounded dims like nation/region), so no
+    forced broadcast — AQE auto-broadcasts while they fit under the
+    threshold and falls back to shuffle joins at scale.
+    """
     li = _read(spark, sf_dir, "lineitem")
     part = _read(spark, sf_dir, "part")
     supplier = _read(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .groupBy("p_brand")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -778,12 +791,17 @@ def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: per-user event-type counts as columns."""
+    """Pivot: per-user event-type counts as columns.
+
+    Pivot values are pinned statically (the events generator's fixed
+    taxonomy, TESTDATA.md) — no `.distinct().collect()` driver round-trip,
+    and the output schema is deterministic even if new event types appear.
+    """
     events = _read(spark, sf_dir, "events")
-    types = [r[0] for r in events.select("event_type").distinct().collect()]
+    types = ["click", "error", "purchase", "signup", "view"]
     return (
         events.groupBy("user_id")
-        .pivot("event_type", sorted(types))
+        .pivot("event_type", types)
         .count()
         .na.fill(0)
     )
@@ -977,7 +995,8 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
             )
-            SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM gaps GROUP BY user_id
         """,
         "dedup_embedding_cosine": """
@@ -991,11 +1010,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_pivot": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-                   sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                   sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-                   sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+                   CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
             FROM events GROUP BY user_id
         """,
         "quality_filter": """
@@ -1019,7 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "props_json": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(json_extract_string(props, '$.k')) AS n_with_k
             FROM events GROUP BY event_type
         """,
@@ -1509,7 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         "batch_metadata": """
             SELECT source,
                    count(*) AS total_docs,
-                   sum(n_chars) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    min(doc_id) AS min_doc,
                    max(doc_id) AS max_doc
             FROM documents GROUP BY source

@@ -50,11 +50,25 @@ def test_pricing_summary_pushes_filter(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
 
 
-def test_top_revenue_orders_broadcasts(spark):
+def test_top_revenue_orders_no_forced_fact_broadcast(spark):
+    """`orders` scales linearly with SF; a forced broadcast hint would OOM
+    executors at 100x. The logical plan must carry NO broadcast hint — if
+    the physical plan broadcasts anyway at this tiny SF, that's AQE's
+    size-based call, which correctly flips to a shuffle join at scale."""
     import __spark_entry__ as entrymod
 
-    plan = plan_of(entrymod.queries()["top_revenue_orders"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
+    df = entrymod.queries()["top_revenue_orders"](spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert "strategy=broadcast" not in optimized
+
+
+def test_part_brand_revenue_no_forced_fact_broadcast(spark):
+    """part/supplier also grow with SF — same no-hint contract."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["part_brand_revenue"](spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert "strategy=broadcast" not in optimized
 
 
 def test_dedup_exact_partial_agg(spark):

@@ -299,11 +299,13 @@ def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hash-sketch: rows-only check)."""
-    from reader_spark.ops.dedup import simhash, simhash_near_pairs
+    """SimHash near-dup pairs via the BANDED production path (Manku-style
+    block equi-join, no all-pairs scan; hash-sketch: rows-only check —
+    simhash_banded_md5 is the fully-oracled twin)."""
+    from reader_spark.ops.dedup import simhash, simhash_banded_pairs
 
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    return simhash_near_pairs(simhash(docs, "doc_id", "text"), max_hamming=3)
+    return simhash_banded_pairs(simhash(docs, "doc_id", "text"), max_hamming=3)
 
 
 def _q_lang_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,6 +385,19 @@ def _q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     fp = simhash(docs, "doc_id", "text", bits=32, portable=True)
     pairs = simhash_near_pairs(fp, max_hamming=3)
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+def _q_simhash_banded_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-pair search (production equi-join path) over the
+    SQL-portable md5 fingerprint. The oracle is the all-pairs SQL form —
+    identical output by the block-pigeonhole guarantee, so a hash-green row
+    here certifies the banded path end-to-end."""
+    from reader_spark.ops.dedup import simhash, simhash_banded_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    fp = simhash(docs, "doc_id", "text", bits=32, portable=True)
+    pairs = simhash_banded_pairs(fp, max_hamming=3, bits=32)
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
@@ -930,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": _q_corpus_prep,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "simhash_md5": _q_simhash_md5,
+        "simhash_banded_md5": _q_simhash_banded_md5,
         "text_quality": _q_text_quality,
         "token_counts": _q_token_counts,
         "lang_trigram": _q_lang_trigram,
@@ -977,6 +993,14 @@ def _lang_hits_sql(lang: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_entries()
+    # The banded SimHash production path must reproduce the all-pairs form
+    # exactly (block pigeonhole) — sharing the oracle IS the check.
+    out["simhash_banded_md5"] = out["simhash_md5"]
+    return out
+
+
+def _oracle_sql_entries() -> dict[str, str]:
     return {
         "extract_documents_spans": """
             SELECT doc_id, 0 AS ord, 'heading' AS kind,

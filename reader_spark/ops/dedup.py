@@ -266,8 +266,10 @@ def simhash(
 def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by hamming distance over simhash (codegen'd bit_count).
 
-    All-pairs form for small candidate sets; at scale, pre-bucket by simhash
-    prefix bands (same LSH trick) before this comparison.
+    All-pairs ORACLE form — O(n^2), kept only because it is trivially
+    SQL-expressible for correctness checks on small candidate sets. The
+    production path is simhash_banded_pairs (identical output, equi-join
+    candidate generation).
     """
     a = fingerprints.alias("a")
     b = fingerprints.alias("b")
@@ -283,6 +285,74 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
             F.col("b.doc").alias("doc_b"),
             "hamming",
         )
+    )
+
+
+def simhash_banded_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by hamming distance — banded (Manku/Jain/Sarma,
+    "Detecting near-duplicates for web crawling", WWW'07, block-permutation
+    scheme) — the PRODUCTION scale path.
+
+    Split the `bits`-bit fingerprint into `max_hamming + 1` contiguous
+    blocks. Pigeonhole: a pair differing in <= max_hamming bits cannot
+    differ in all max_hamming+1 blocks, so it agrees exactly on at least
+    one block. Candidate generation is therefore an equi-join on
+    (block_id, block_value) — shuffle-bounded, never all-pairs — and the
+    exact bit_count(xor) filter on bucket-mates makes the result IDENTICAL
+    to simhash_near_pairs (the all-pairs oracle form). A pytest pins the
+    set equality on fixtures.
+
+    At 100 TB the bucket join's key cardinality is 2^(bits/(h+1)) per
+    block (e.g. 2^8 for 32 bits / 4 blocks — too coarse for a trillion
+    docs); for production corpora use bits=64 with max_hamming=3 -> 2^16
+    buckets per block, or add a second split round per the paper. The
+    physical shape is unchanged; only the literals move.
+    """
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(
+            f"max_hamming+1 ({n_blocks}) blocks cannot exceed bits ({bits})"
+        )
+    base, rem = divmod(bits, n_blocks)
+    block_structs = []
+    start = 0
+    for i in range(n_blocks):
+        width = base + (1 if i < rem else 0)
+        block_structs.append(
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftright(F.col("simhash"), start)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("block_val"),
+            )
+        )
+        start += width
+    banded = fingerprints.select(
+        "doc", "simhash", F.explode(F.array(*block_structs)).alias("b")
+    ).select("doc", "simhash", F.col("b.block_id"), F.col("b.block_val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        # distinct BEFORE the hamming filter: a pair agreeing on k blocks
+        # appears k times; dedup on ids (simhash is functionally dependent)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

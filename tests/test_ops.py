@@ -102,6 +102,52 @@ class TestSimhash:
         assert (0, 2) in pairs  # one-word change stays within hamming 6
         assert (0, 3) not in pairs  # unrelated text is far
 
+    def test_banded_equals_all_pairs(self, spark):
+        """Block-pigeonhole guarantee: at max_hamming=3 with 4 blocks, every
+        qualifying pair shares >=1 block, so the banded equi-join path must
+        return EXACTLY the all-pairs result — on real sf0.001 documents, at
+        several thresholds."""
+        from reader_spark.ops.dedup import (
+            simhash,
+            simhash_banded_pairs,
+            simhash_near_pairs,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        fp = simhash(docs, "doc_id", "text").cache()
+        try:
+            for max_h in (0, 3, 6):
+                exact = {
+                    (r["doc_a"], r["doc_b"], r["hamming"])
+                    for r in simhash_near_pairs(fp, max_hamming=max_h).collect()
+                }
+                banded = {
+                    (r["doc_a"], r["doc_b"], r["hamming"])
+                    for r in simhash_banded_pairs(fp, max_hamming=max_h).collect()
+                }
+                assert banded == exact, f"max_hamming={max_h}"
+            assert exact  # hamming<=6 on real docs yields pairs; not vacuous
+        finally:
+            fp.unpersist()
+
+    def test_banded_no_cartesian_in_plan(self, spark):
+        """The banded path must plan as an equi-join on (block_id,
+        block_val) — never a cartesian/broadcast-nested-loop product."""
+        from reader_spark.ops.dedup import simhash, simhash_banded_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        pairs = simhash_banded_pairs(simhash(docs, "doc_id", "text"))
+        plan = pairs._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_banded_rejects_too_many_blocks(self, spark, corpus):
+        from reader_spark.ops.dedup import simhash, simhash_banded_pairs
+
+        fp = simhash(corpus, "doc_id", "text", bits=4)
+        with pytest.raises(ValueError, match="blocks cannot exceed bits"):
+            simhash_banded_pairs(fp, max_hamming=4, bits=4)
+
 
 class TestAnnSelfRecall:
     def test_lsh_returns_self_first(self, spark):

@@ -487,6 +487,42 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, dim=64, k=5, planes=8)
 
 
+def _q_ann_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN with ENGINE-PORTABLE literal planes (md5-derived
+    weights embedded identically in the DuckDB oracle) — the fully
+    oracle-checked twin of ann_lsh. Same physical shape: bucket equi-join,
+    cosine on bucket-mates only, window top-k."""
+    from reader_spark.ops.ann import lsh_bucketed_topk_literal, md5_plane_weights
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    return lsh_bucketed_topk_literal(
+        emb, queries, md5_plane_weights(dim=64, planes=8), k=5
+    )
+
+
+def _q_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search path with SEEDED centroids (8 fixed corpus vectors chosen
+    by a portable rule: the 8 smallest vec_ids >= 100) — the fully
+    oracle-checked twin of ann_ivf. Certifies the entire search machinery
+    (argmin cell assignment, nprobe probing, cell equi-join, cosine top-k)
+    value-for-value; the k-means trainer itself is recall-tested in pytest.
+    """
+    from reader_spark.ops.ann import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.where(F.col("vec_id") >= 100)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seed_rows]
+    queries = emb.where(F.col("vec_id") < 4)
+    return ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: k-means coarse quantizer, nprobe-cell search
     (approximate: rows-only check; recall vs brute force tested in
@@ -957,7 +993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints_md5": _q_fingerprints_md5,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_lsh_md5": _q_ann_lsh_md5,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_seeded": _q_ann_ivf_seeded,
         "url_keys": _q_url_keys,
         "content_url_filter": _q_content_url_filter,
         "strip_tags": _q_strip_tags,
@@ -997,7 +1035,51 @@ def oracle_sql() -> dict[str, str]:
     # The banded SimHash production path must reproduce the all-pairs form
     # exactly (block pigeonhole) — sharing the oracle IS the check.
     out["simhash_banded_md5"] = out["simhash_md5"]
+    out["ann_lsh_md5"] = _ann_lsh_md5_oracle()
     return out
+
+
+def _ann_lsh_md5_oracle() -> str:
+    """LSH oracle with the SAME md5-derived plane weights embedded as SQL
+    literals (repr() round-trips float64 exactly; DuckDB parses decimal
+    literals to the nearest double = the identical value)."""
+    from reader_spark.ops.ann import md5_plane_weights
+
+    weights = md5_plane_weights(dim=64, planes=8)
+    bucket_terms = "\n                 + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in w)
+        + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(weights)
+    )
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS v
+            FROM embeddings
+        ),
+        buckets AS (
+            SELECT corpus_id, v,
+                   {bucket_terms} AS bucket
+            FROM corpus
+        ),
+        q AS (
+            SELECT corpus_id AS query_id, v AS qv, bucket
+            FROM buckets WHERE corpus_id < 4
+        ),
+        scored AS (
+            SELECT q.query_id, b.corpus_id,
+                   round(list_cosine_similarity(b.v, q.qv), 4) AS cosine
+            FROM buckets b JOIN q USING (bucket)
+        ),
+        ranked AS (
+            SELECT query_id, corpus_id, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+                   ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
 
 
 def _oracle_sql_entries() -> dict[str, str]:
@@ -1506,6 +1588,48 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id
             LIMIT 10
+        """,
+        "ann_ivf_seeded": """
+            WITH cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id >= 100
+                ORDER BY vec_id LIMIT 8
+            ),
+            corpus AS (
+                SELECT e.vec_id AS corpus_id, e.embedding::DOUBLE[] AS v,
+                       (SELECT c.cell FROM cents c
+                        ORDER BY round(list_aggregate(list_transform(
+                                    list_zip(c.cv, e.embedding::DOUBLE[]),
+                                    x -> (x[1] - x[2]) ^ 2), 'sum'), 9),
+                                 c.cell
+                        LIMIT 1) AS cell
+                FROM embeddings e
+            ),
+            qprobe AS (
+                SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_aggregate(list_transform(
+                                       list_zip(c.cv, q.embedding::DOUBLE[]),
+                                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9),
+                                    c.cell) AS rnk
+                FROM embeddings q CROSS JOIN cents c
+                WHERE q.vec_id < 4
+            ),
+            scored AS (
+                SELECT p.query_id, co.corpus_id,
+                       round(list_cosine_similarity(co.v, p.qv), 4) AS cosine
+                FROM (SELECT query_id, qv, cell FROM qprobe WHERE rnk <= 2) p
+                JOIN corpus co USING (cell)
+            ),
+            ranked AS (
+                SELECT query_id, corpus_id, cosine,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+                       ) AS INTEGER) AS rank
+                FROM scored
+            )
+            SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
         """,
         "url_keys": """
             SELECT doc_id,

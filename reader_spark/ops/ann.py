@@ -36,7 +36,9 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector yields NULL cosine instead of an ANSI
+    # DIVIDE_BY_ZERO task failure (one junk embedding must not kill a scan)
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_topk(
@@ -240,6 +242,74 @@ def lsh_bucketed_topk(
     )
 
 
+def md5_plane_weights(dim: int, planes: int) -> list[list[float]]:
+    """Deterministic, ENGINE-PORTABLE hyperplane weights: weight(p, d) =
+    uint32(md5("p:d")[:8]) / 2^31 - 1  in [-1, 1). Computed driver-side in
+    pure Python and embedded as literals on BOTH sides of an oracle check,
+    so Spark and any ANSI engine score byte-identical projections. Use
+    hyperplane_sketch (seeded xxhash64, zero literal bloat) in production."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def hyperplane_sketch_literal(vec: Column, weights: list[list[float]]) -> Column:
+    """Sign sketch against EXPLICIT plane weights (literal arrays — constant
+    folded, broadcast with the plan, no data movement)."""
+    bits = []
+    for p, w in enumerate(weights):
+        wcol = F.array(*[F.lit(float(x)) for x in w])
+        proj = F.aggregate(
+            F.zip_with(vec, wcol, lambda x, ww: x * ww),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bits.append(F.shiftleft(bit, p))
+    sketch = bits[0]
+    for b in bits[1:]:
+        sketch = sketch + b
+    return sketch
+
+
+def lsh_bucketed_topk_literal(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    weights: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """lsh_bucketed_topk with explicit literal planes — identical physical
+    shape (bucket equi-join, window top-k); exists so the LSH path can be
+    oracle-checked value-for-value against an ANSI engine."""
+    from pyspark.sql import Window
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("corpus_vec"),
+    ).withColumn("bucket", hyperplane_sketch_literal(F.col("corpus_vec"), weights))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+    ).withColumn("bucket", hyperplane_sketch_literal(F.col("query_vec"), weights))
+    scored = corpus.join(qs, "bucket").withColumn(
+        "cosine", F.round(cosine_col(F.col("corpus_vec"), F.col("query_vec")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def brute_force_topk_np(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -258,6 +328,9 @@ def brute_force_topk_np(
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import DoubleType as _Dbl
+
     q = np.asarray(query_vec, dtype=np.float64)
     qn = math.sqrt(float(q @ q))
 
@@ -265,12 +338,19 @@ def brute_force_topk_np(
         for batch in batches:
             mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1)
-            cos = (mat @ q) / (norms * qn)
+            # zero-norm vectors: cosine undefined -> NaN here, which Arrow
+            # surfaces as NULL — the same as the JVM brute_force_topk
+            # (non-ANSI 0.0/0.0 -> NULL) — instead of a numpy warning
+            denom = norms * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, np.nan, (mat @ q) / denom)
             yield pd.DataFrame(
                 {id_col: batch[id_col], "cosine": np.round(cos, 4)}
             )
 
-    scored = embeddings.select(id_col, vec_col).mapInPandas(
-        score, schema=f"{id_col} long, cosine double"
+    # derive the id field's real dtype — string/int doc ids must round-trip
+    out_schema = StructType(
+        [embeddings.schema[id_col], StructField("cosine", _Dbl())]
     )
+    scored = embeddings.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)

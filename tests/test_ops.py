@@ -172,6 +172,46 @@ class TestAnnSelfRecall:
         top = brute_force_topk(emb, [float(v) for v in qv], k=3).collect()
         assert top[0]["vec_id"] == 5
 
+    def test_literal_planes_match_portable_weights(self, spark):
+        """The literal-plane LSH twin: deterministic weights, self always in
+        its own bucket, and the sketch is reproducible across calls."""
+        from reader_spark.ops.ann import lsh_bucketed_topk_literal, md5_plane_weights
+
+        w1 = md5_plane_weights(dim=64, planes=8)
+        w2 = md5_plane_weights(dim=64, planes=8)
+        assert w1 == w2
+        assert all(-1.0 <= x < 1.0 for row in w1 for x in row)
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 3)
+        got = lsh_bucketed_topk_literal(emb, queries, w1, k=3).collect()
+        by_query = {}
+        for r in got:
+            by_query.setdefault(r["query_id"], []).append(r)
+        for qid, rows in by_query.items():
+            best = min(rows, key=lambda r: r["rank"])
+            assert best["corpus_id"] == qid
+            assert best["cosine"] == pytest.approx(1.0, abs=1e-3)
+
+    def test_np_brute_force_string_ids_and_zero_norm(self, spark):
+        """Non-long id columns round-trip (schema derived from the input),
+        and zero-norm vectors yield NULL cosine — the same as the JVM
+        brute_force_topk (non-ANSI 0.0/0.0 -> NULL) — not a crash."""
+        from reader_spark.ops.ann import brute_force_topk, brute_force_topk_np
+
+        emb = spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("z", [0.0, 0.0])],
+            "doc string, embedding array<double>",
+        )
+        rows = brute_force_topk_np(emb, [1.0, 0.0], k=3, id_col="doc").collect()
+        assert [r["doc"] for r in rows] == ["a", "b", "z"]
+        assert rows[0]["cosine"] == pytest.approx(1.0)
+        assert rows[2]["cosine"] is None
+        jvm = brute_force_topk(emb, [1.0, 0.0], k=3, id_col="doc").collect()
+        assert [(r["doc"], r["cosine"]) for r in jvm] == [
+            (r["doc"], r["cosine"]) for r in rows
+        ]
+
 
 class TestNumpyBruteForce:
     def test_np_path_equals_jvm_path(self, spark):

@@ -841,6 +841,28 @@ def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_dedup_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the LSH-BUCKETED production path with
+    engine-portable literal planes — fully oracle-checked (the DuckDB oracle
+    computes the identical buckets from the same literal weights, joins
+    bucket-mates, and applies the same cosine filter). Certifies the
+    bucket-join candidate generation + exact verify end-to-end."""
+    from reader_spark.ops.ann import md5_plane_weights
+    from reader_spark.ops.dedup import embedding_near_pairs_bucketed
+
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    # 2 planes (4 buckets): coarse enough that moderate-similarity pairs
+    # (the 0.35-threshold synthetic range) actually collide — a non-vacuous
+    # oracle row set — while the join stays bucket-bounded
+    return embedding_near_pairs_bucketed(
+        emb,
+        threshold=0.35,
+        weights=md5_plane_weights(dim=64, planes=2),
+    ).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"), "cosine"
+    )
+
+
 def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type counts as columns.
 
@@ -963,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returns_rollup": _q_returns_rollup,
         "detected_lang": _q_detected_lang,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "embedding_dedup_lsh_md5": _q_embedding_dedup_lsh_md5,
         "events_pivot": _q_events_pivot,
         "quality_filter": _q_quality_filter,
         "value_percentiles": _q_value_percentiles,
@@ -1036,22 +1059,47 @@ def oracle_sql() -> dict[str, str]:
     # exactly (block pigeonhole) — sharing the oracle IS the check.
     out["simhash_banded_md5"] = out["simhash_md5"]
     out["ann_lsh_md5"] = _ann_lsh_md5_oracle()
+    out["embedding_dedup_lsh_md5"] = _embedding_dedup_lsh_md5_oracle()
     return out
 
 
-def _ann_lsh_md5_oracle() -> str:
-    """LSH oracle with the SAME md5-derived plane weights embedded as SQL
-    literals (repr() round-trips float64 exactly; DuckDB parses decimal
-    literals to the nearest double = the identical value)."""
+def _md5_bucket_terms(planes: int = 8) -> str:
+    """The bucket expression over column `v` with the SAME md5-derived plane
+    weights embedded as SQL literals (repr() round-trips float64 exactly;
+    DuckDB parses decimal literals to the nearest double = the identical
+    value)."""
     from reader_spark.ops.ann import md5_plane_weights
 
-    weights = md5_plane_weights(dim=64, planes=8)
-    bucket_terms = "\n                 + ".join(
+    weights = md5_plane_weights(dim=64, planes=planes)
+    return "\n                 + ".join(
         "(CASE WHEN list_dot_product(v, ["
         + ", ".join(repr(x) for x in w)
         + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
         for p, w in enumerate(weights)
     )
+
+
+def _embedding_dedup_lsh_md5_oracle() -> str:
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id AS doc, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 200
+        ),
+        buckets AS (
+            SELECT doc, v,
+                   {_md5_bucket_terms(planes=2)} AS bucket
+            FROM corpus
+        )
+        SELECT a.doc AS vec_a, b.doc AS vec_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.doc < b.doc
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+    """
+
+
+def _ann_lsh_md5_oracle() -> str:
+    bucket_terms = _md5_bucket_terms()
     return f"""
         WITH corpus AS (
             SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS v

@@ -58,16 +58,21 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
-def hyperplane_sketch(vec: Column, dim: int, planes: int = 16) -> Column:
+def hyperplane_sketch(vec: Column, dim: int, planes: int = 16, seed: int = 0) -> Column:
     """Random-hyperplane sign sketch with DETERMINISTIC pseudo-random planes:
     plane p's weight for dimension d = (xxhash64(p*dim+d) scaled to [-1,1]).
-    Same planes on every executor with zero data movement."""
+    Same planes on every executor with zero data movement. `seed` selects an
+    independent plane family (seed=0 keeps the original planes) — used for
+    multi-table LSH, where a pair collides if it agrees in ANY table."""
     bits = []
     for p in range(planes):
         weights = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda d, p=p: (
-                F.xxhash64(F.lit(p * 100003).cast("long") + d.cast("long"))
+                F.xxhash64(
+                    F.lit(p * 100003 + seed * 1000003619).cast("long")
+                    + d.cast("long")
+                )
                 .cast("double")
                 / F.lit(float(2**63))
             ),

@@ -356,6 +356,84 @@ def simhash_banded_pairs(
     )
 
 
+def embedding_near_pairs_bucketed(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    planes: int = 8,
+    tables: int = 2,
+    weights: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the LSH-bucketed PRODUCTION
+    path (the exact all-pairs form in dedup_embedding_cosine is the oracle
+    twin, O(n^2) by design).
+
+    Each vector is sketched into `tables` independent hyperplane sign
+    buckets; candidate pairs are bucket-mates in ANY table (equi-join on
+    (table_id, bucket) — shuffle-bounded, never all-pairs). The exact
+    cosine >= threshold filter then runs on candidates only, so precision
+    is 1.0 by construction: results are always a SUBSET of the exact form.
+    Recall is probabilistic — a pair at angle theta collides per table with
+    prob (1 - theta/pi)^planes — so this path is for NEAR-duplicates
+    (threshold >= ~0.85); raise `tables` for higher recall. Identical
+    vectors always share every bucket (recall 1.0 for exact dups).
+
+    `weights` (list of plane-weight vectors) swaps in literal planes —
+    single-table — for engine-portable oracle checks (md5_plane_weights).
+    """
+    from reader_spark.ops.ann import (
+        cosine_col,
+        hyperplane_sketch,
+        hyperplane_sketch_literal,
+    )
+
+    base = embeddings.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if weights is not None:
+        sketches = [
+            F.struct(
+                F.lit(0).alias("table_id"),
+                hyperplane_sketch_literal(F.col("v"), weights).alias("bucket"),
+            )
+        ]
+    else:
+        sketches = [
+            F.struct(
+                F.lit(t).alias("table_id"),
+                hyperplane_sketch(F.col("v"), dim, planes, seed=t).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    bucketed = base.select(
+        "doc", "v", F.explode(F.array(*sketches)).alias("b")
+    ).select("doc", "v", F.col("b.table_id"), F.col("b.bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.v").alias("v_a"),
+            F.col("b.v").alias("v_b"),
+        )
+        # a pair colliding in several tables appears once per table; vectors
+        # are functionally dependent on ids, so dedup on the id pair
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("cosine", F.round(cosine_col(F.col("v_a"), F.col("v_b")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
 def minhash_lsh_candidates_portable(
     df: DataFrame,
     id_col: str,

@@ -141,6 +141,66 @@ class TestSimhash:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_embedding_bucketed_subset_of_exact(self, spark):
+        """Precision = 1.0 by construction: every bucketed pair must appear
+        in the exact all-pairs result with the identical cosine."""
+        from reader_spark.ops.ann import cosine_col
+        from reader_spark.ops.dedup import embedding_near_pairs_bucketed
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+            F.col("vec_id") < 200
+        )
+        a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").cast("array<double>").alias("va"))
+        b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").cast("array<double>").alias("vb"))
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 4))
+            .where(F.col("cosine") >= 0.35)
+            .collect()
+        }
+        bucketed = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in embedding_near_pairs_bucketed(
+                emb, threshold=0.35, planes=2, tables=3
+            ).collect()
+        }
+        assert bucketed  # non-vacuous at 2 planes / 3 tables
+        for pair, cos in bucketed.items():
+            assert exact[pair] == cos
+
+    def test_embedding_bucketed_recall_on_planted_dups(self, spark):
+        """Planted near-duplicates (tiny deterministic perturbations,
+        cosine > 0.999): the bucketed path must recover >= 90% of them, and
+        EXACT duplicates (identical vectors -> identical sketches in every
+        table) must be recovered at 100%."""
+        import numpy as np
+
+        from reader_spark.ops.dedup import embedding_near_pairs_bucketed
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(40, 64)
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i * 3, [float(x) for x in v]))  # original
+            rows.append((i * 3 + 1, [float(x) for x in v]))  # exact dup
+            noisy = v + rng.randn(64) * 0.001
+            rows.append((i * 3 + 2, [float(x) for x in noisy]))  # near dup
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in embedding_near_pairs_bucketed(
+                emb, threshold=0.99, planes=8, tables=4
+            ).collect()
+        }
+        exact_pairs = {(i * 3, i * 3 + 1) for i in range(40)}
+        assert exact_pairs <= got  # identical vectors: recall 1.0, always
+        near_pairs = {(i * 3, i * 3 + 2) for i in range(40)} | {
+            (i * 3 + 1, i * 3 + 2) for i in range(40)
+        }
+        recall = len(near_pairs & got) / len(near_pairs)
+        assert recall >= 0.9, recall
+
     def test_banded_rejects_too_many_blocks(self, spark, corpus):
         from reader_spark.ops.dedup import simhash, simhash_banded_pairs
 

@@ -186,18 +186,22 @@ def _extract(
             metadata=None,
         )
 
-    # C10 — size guard (scraper.ts:242-256). Applied BEFORE the parse: the
-    # reference extracts metadata from the full raw string and truncates
-    # only before conversion, but <head> content past the 2 MiB mark does
-    # not occur in practice, and truncating first lets a document be parsed
-    # exactly ONCE (metadata + cleaning share the tree).
+    # Ordering contract (scraper.ts:225, 242-256): metadata comes from the
+    # FULL raw document; the C10 size guard truncates only before
+    # conversion. Oversized documents pay a second parse — they're the rare
+    # heavy tail (giant-isolated in job.py), and the contract says a <title>
+    # or meta tag past the cap must still reach the metadata columns.
     if len(payload) > cfg.max_html_size:
-        payload = payload[: cfg.max_html_size]
-
-    # X1-X11 — metadata from the RAW document, before cleaning mutates it
-    # (ordering contract, scraper.ts:225).
-    raw_document = parse_html(payload)
-    metadata = extract_metadata_dom(raw_document, base_url)
+        full_document = parse_html(payload)
+        metadata = extract_metadata_dom(full_document, base_url)
+        payload = payload[: cfg.max_html_size]  # C10
+        raw_document = parse_html(payload)
+    else:
+        # X1-X11 — metadata from the RAW document, before cleaning mutates
+        # it; the common path parses exactly once (metadata + cleaning
+        # share the tree).
+        raw_document = parse_html(payload)
+        metadata = extract_metadata_dom(raw_document, base_url)
 
     spans, cleaned_doc = _serialize_payload(
         payload, base_url, cfg, document=raw_document

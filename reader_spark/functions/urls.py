@@ -33,13 +33,19 @@ def resolve_url(relative: str, base: str) -> str:
     """resolveUrl — url-helpers.ts:10-16 (returns input on failure)."""
     # Fast path: root-relative refs ("/x/y?q#f") against an http(s) base
     # join to origin + ref verbatim — no split/unsplit round-trip needed.
-    # Tabs/newlines fall through (urlsplit strips them per WHATWG).
+    # Tabs/newlines fall through (urlsplit strips them per WHATWG), and so
+    # do dot segments ("/a/../b", "/./x", trailing "/." or "/..") — the
+    # slow path's urljoin removes them per RFC 3986, and new URL() in the
+    # reference does too, so returning them verbatim would diverge.
     if (
         relative.startswith("/")
         and not relative.startswith("//")
         and "\t" not in relative
         and "\n" not in relative
         and "\r" not in relative
+        and "/./" not in relative
+        and "/../" not in relative
+        and not relative.endswith(("/.", "/.."))
     ):
         global _ORIGIN_CACHE
         cached_base, origin = _ORIGIN_CACHE

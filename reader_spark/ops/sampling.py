@@ -25,8 +25,10 @@ def _bucket(key: Column, portable: bool) -> Column:
         # as ('0x' || substr(md5(key), 1, 8))::BIGINT
         h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
     else:
-        h = F.abs(F.xxhash64(key.cast("string")))
-    return h % BUCKETS
+        h = F.xxhash64(key.cast("string"))
+    # pmod, not abs+%: abs(Long.MIN_VALUE) overflows negative in Java, which
+    # would put that key in a negative "bucket" silently mapped to split 1
+    return F.pmod(h, F.lit(BUCKETS))
 
 
 def split_column(
@@ -40,6 +42,8 @@ def split_column(
     any, labeled 'rest'). Assignment is stable under re-runs, repartitions,
     and corpus growth (a doc's split never changes when other docs arrive).
     """
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")

@@ -113,11 +113,17 @@ def parse_warc_records(blob: bytes) -> List[dict]:
         body = blob[body_start : body_start + length]
         uri = headers.get("warc-target-uri")
         if uri and headers.get("warc-type", "response") == "response":
+            try:
+                status = int(headers.get("warc-status", "200") or 200)
+            except ValueError:
+                # tolerant-splitter contract: a garbled status header makes
+                # a default-status row, never a failed archive/task
+                status = 200
             records.append(
                 {
                     "doc_id": uri,
                     "payload": body.decode("utf-8", "replace"),
-                    "status": int(headers.get("warc-status", "200") or 200),
+                    "status": status,
                     "capture_ts": headers.get("warc-date"),
                 }
             )

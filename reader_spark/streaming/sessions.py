@@ -19,6 +19,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
+# start/end are EPOCH MICROSECONDS: sub-second event times must survive the
+# state round-trip — flooring to whole seconds would shift gap decisions and
+# the emitted session bounds. Converted to timestamps only at output.
 SESSION_STATE_SCHEMA = "start long, end long, n long"
 
 
@@ -36,8 +39,8 @@ def sessionize(
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
-                "session_start": [pd.Timestamp(start, unit="s")],
-                "session_end": [pd.Timestamp(end, unit="s")],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(end, unit="us")],
                 "n_events": [n],
             }
         )
@@ -45,7 +48,7 @@ def sessionize(
 
     start, end, n = state.get if state.exists else (None, None, 0)
     for batch in batches:
-        ts = batch["ts"].astype("int64") // 1_000_000_000
+        ts = batch["ts"].astype("int64") // 1_000  # ns -> us
         if len(ts) == 0:
             continue
         lo, hi = int(ts.min()), int(ts.max())
@@ -97,11 +100,11 @@ def make_event_time_sessionizer(gap_seconds: int = 1800):
                 {
                     "user_id": pd.Series([user_id] * len(sessions), dtype="int64"),
                     "session_start": pd.Series(
-                        [pd.Timestamp(s, unit="s") for s, _e, _n in sessions],
+                        [pd.Timestamp(s, unit="us") for s, _e, _n in sessions],
                         dtype="datetime64[ns]",
                     ),
                     "session_end": pd.Series(
-                        [pd.Timestamp(e, unit="s") for _s, e, _n in sessions],
+                        [pd.Timestamp(e, unit="us") for _s, e, _n in sessions],
                         dtype="datetime64[ns]",
                     ),
                     "n_events": pd.Series([n for _s, _e, n in sessions], dtype="int64"),
@@ -116,17 +119,16 @@ def make_event_time_sessionizer(gap_seconds: int = 1800):
 
         all_ts: list[int] = []
         for batch in batches:
-            all_ts.extend(
-                int(v) for v in (batch["ts"].astype("int64") // 1_000_000_000)
-            )
+            all_ts.extend(int(v) for v in (batch["ts"].astype("int64") // 1_000))
         all_ts.sort()
 
+        gap_us = gap_seconds * 1_000_000
         cur = list(state.get) if state.exists else None
         closed: list[tuple[int, int, int]] = []
         for t in all_ts:
             if cur is None:
                 cur = [t, t, 1]
-            elif t - cur[1] <= gap_seconds:
+            elif t - cur[1] <= gap_us:
                 cur[1] = max(cur[1], t)
                 cur[2] += 1
             else:
@@ -134,7 +136,8 @@ def make_event_time_sessionizer(gap_seconds: int = 1800):
                 cur = [t, t, 1]
         if cur is not None:
             state.update(tuple(cur))
-            state.setTimeoutTimestamp((cur[1] + gap_seconds) * 1000)
+            # timeout API takes epoch milliseconds
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
         yield frame(closed)
 
     return sessionize_event_time

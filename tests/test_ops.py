@@ -372,6 +372,25 @@ class TestDatasetSplits:
         with _pytest.raises(ValueError):
             split_column(F.lit("x"), {"a": 0.9, "b": 0.2})
 
+    def test_empty_fractions_raise(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.sampling import split_column
+
+        with _pytest.raises(ValueError, match="at least one split"):
+            split_column(F.lit("x"), {})
+
+    def test_bucket_never_negative(self, spark):
+        """pmod, not abs+%: Long.MIN_VALUE-hashing keys must land in a real
+        bucket, and every bucket must be in [0, BUCKETS)."""
+        from reader_spark.ops.sampling import BUCKETS, _bucket
+
+        docs = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+        stats = docs.select(
+            _bucket(F.col("doc_id"), portable=False).alias("b")
+        ).agg(F.min("b").alias("lo"), F.max("b").alias("hi")).head()
+        assert 0 <= stats["lo"] and stats["hi"] < BUCKETS
+
 
 class TestLargeDocSketchLinearity:
     def test_giant_doc_sketches_finish(self, spark):

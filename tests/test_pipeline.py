@@ -201,6 +201,45 @@ class TestEdgeDocs:
         # Input >2 MiB was truncated to the guard before serialization.
         assert len(res.markdown) <= 2 * 1024 * 1024
 
+    def test_metadata_extracted_before_truncation(self):
+        """Ordering contract (scraper.ts:225, 242-256): metadata comes from
+        the FULL raw document; the size guard applies only before
+        conversion. A <title>/<meta> past the cap must still reach the
+        metadata columns, while the markdown reflects the truncated body."""
+        import dataclasses
+
+        from reader_spark.config import DEFAULT_CONFIG
+
+        cfg = dataclasses.replace(DEFAULT_CONFIG, max_html_size=1000)
+        filler = "<style>" + "x" * 1500 + "</style>"
+        html = (
+            "<html><head>"
+            + filler
+            + '<title>Late Title</title><meta name="description" content="late desc">'
+            + "</head><body><p>body text here</p></body></html>"
+        )
+        res = extract_document("late-head", html, "https://fixtures.test/x", cfg=cfg)
+        assert res.ok
+        assert res.metadata["title"] == "Late Title"
+        assert res.metadata["description"] == "late desc"
+        # conversion saw only the first 1000 chars: the body is gone
+        assert "body text here" not in res.markdown
+
+    def test_oversized_real_2mib_head_straddles_cap(self):
+        """The same contract at the real 2 MiB cap: a document whose head
+        content straddles the cap yields reference-ordered metadata."""
+        cap = 2 * 1024 * 1024
+        filler = "<style>" + "y" * (cap + 1024) + "</style>"
+        html = (
+            "<html><head>"
+            + filler
+            + "<title>Beyond Cap</title></head>"
+            + "<body><p>short body</p></body></html>"
+        )
+        res = extract_document("2mib-head", html, "https://fixtures.test/y")
+        assert res.ok
+        assert res.metadata["title"] == "Beyond Cap"
+
 
 class TestEmptyMainFallback:
     def test_reclean_without_main_only(self):

@@ -111,3 +111,47 @@ def test_event_time_sessions_split_and_timeout(spark, tmp_path):
     assert (1, base, 2) in rows
     assert (1, base + 200, 2) in rows
     assert all(u != 2 for u, _s, _n in rows)
+
+
+def test_event_time_sessions_subsecond_precision(spark, tmp_path):
+    """Sub-second event times survive the state round-trip: a gap of
+    gap+0.5s splits while gap-0.5s merges (flooring to whole seconds would
+    decide both identically), and the emitted bounds keep the milliseconds."""
+    from reader_spark.streaming.sessions import sessionized_stream_event_time
+
+    src = str(tmp_path / "events")
+    base_ms = 1_700_000_000_000
+    # user 1: events 60.5s apart (split at gap=60); user 3: 59.5s apart (merge)
+    spark.createDataFrame(
+        [(1, base_ms + 250), (1, base_ms + 60_750), (3, base_ms + 250), (3, base_ms + 59_750)],
+        "user_id long, ms long",
+    ).selectExpr("user_id", "timestamp_millis(ms) as ts").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(2, base_ms + 10_000_000)], "user_id long, ms long").selectExpr(
+        "user_id", "timestamp_millis(ms) as ts"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionized_stream_event_time(stream, gap_seconds=60, watermark="5 seconds")
+        .writeStream.format("memory")
+        .queryName("subsec_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["user_id"], int(r["session_start"].timestamp() * 1000), r["n_events"])
+        for r in spark.sql("select * from subsec_sessions").collect()
+    }
+    # user 1 split into two 1-event sessions; user 3 merged into one 2-event
+    # session; the emitted start keeps its 250 ms component.
+    assert (1, base_ms + 250, 1) in rows
+    assert (1, base_ms + 60_750, 1) in rows
+    assert (3, base_ms + 250, 2) in rows

@@ -93,6 +93,17 @@ class TestResolveNormalize:
     def test_fragment_only(self):
         assert "example.com" in resolve_url("#top", "https://example.com/page")
 
+    def test_root_relative_dot_segments_removed(self):
+        """Dot segments must not survive the root-relative fast path — the
+        reference's new URL() removes them per RFC 3986."""
+        base = "https://x.com/p"
+        assert resolve_url("/a/../b", base) == "https://x.com/b"
+        assert resolve_url("/./x", base) == "https://x.com/x"
+        assert resolve_url("/a/b/..", base) == "https://x.com/a/"
+        assert resolve_url("/a/.", base) == "https://x.com/a/"
+        # plain root-relative refs still take the verbatim fast path
+        assert resolve_url("/a.b/c..d", base) == "https://x.com/a.b/c..d"
+
     def test_normalize_strips_fragment(self):
         assert normalize_url("https://example.com/a#frag") == "https://example.com/a"
 

@@ -55,6 +55,20 @@ def test_split_records_and_skip_corrupt(spark, warc_dir):
     assert rows["https://warc.test/b"]["archive"].endswith("part-0.warc")
 
 
+def test_non_numeric_status_defaults_not_raises(tmp_path):
+    """Tolerant-splitter contract: a garbled WARC-Status header must produce
+    a default-status row, not fail the archive."""
+    from reader_spark.sources.warc import parse_warc_records, synth_warc_bytes
+
+    blob = synth_warc_bytes([("https://warc.test/ok", "<html>fine</html>", 200)])
+    garbled = blob.replace(b"WARC-Status: 200", b"WARC-Status: NN")
+    assert garbled != blob
+    records = parse_warc_records(garbled)
+    assert len(records) == 1
+    assert records[0]["status"] == 200
+    assert records[0]["doc_id"] == "https://warc.test/ok"
+
+
 def test_warc_extraction_equals_direct_pipeline(spark, warc_dir):
     from reader_spark.config import DEFAULT_CONFIG
     from reader_spark.extract.pipeline import extract_document

@@ -46,9 +46,17 @@ def main(argv=None) -> int:
     parser.add_argument("--include-tags", default="")
     parser.add_argument("--readability", action="store_true", help="opt-in scoring mode")
     parser.add_argument("--master", default=None)
+    parser.add_argument(
+        "--deadline",
+        type=float,
+        default=None,
+        help="hard run deadline in seconds (W5 batch-deadline analogue); "
+        "the run's job group is cancelled once it passes",
+    )
     args = parser.parse_args(argv)
 
     from reader_spark.config import ExtractorConfig
+    from reader_spark.spark.abort import AbortController
     from reader_spark.spark.io import Warehouse
     from reader_spark.spark.job import run_extraction
     from reader_spark.spark.session import get_spark
@@ -61,27 +69,43 @@ def main(argv=None) -> int:
     )
 
     spark = get_spark("reader_spark_extract", master=args.master)
+    # T4 abort-on-disconnect + W5 batch deadline: SIGTERM/SIGINT or the
+    # deadline watchdog cancels this run's job group; parquet/Iceberg job
+    # commits are atomic, so an aborted run leaves no partial table and the
+    # next run resumes from the last fully-committed state.
+    ctl = AbortController(spark, args.run_id, deadline_seconds=args.deadline)
+    ctl.install()
     try:
-        if args.input_format == "warc":
-            from reader_spark.sources.warc import read_warc, warc_to_docs
+        try:
+            if args.input_format == "warc":
+                from reader_spark.sources.warc import read_warc, warc_to_docs
 
-            docs = warc_to_docs(read_warc(spark, args.input))
-            args.base_url_prefix = ""  # capture URI is the base URL
-        else:
-            docs = spark.read.parquet(args.input)
-        warehouse = Warehouse(spark, args.warehouse)
-        metrics = run_extraction(
-            spark,
-            docs,
-            warehouse,
-            run_id=args.run_id,
-            cfg=cfg,
-            base_url_prefix=args.base_url_prefix,
-            resume=not args.no_resume,
-            num_partitions=args.partitions,
-        )
+                docs = warc_to_docs(read_warc(spark, args.input))
+                args.base_url_prefix = ""  # capture URI is the base URL
+            else:
+                docs = spark.read.parquet(args.input)
+            warehouse = Warehouse(spark, args.warehouse)
+            metrics = run_extraction(
+                spark,
+                docs,
+                warehouse,
+                run_id=args.run_id,
+                cfg=cfg,
+                base_url_prefix=args.base_url_prefix,
+                resume=not args.no_resume,
+                num_partitions=args.partitions,
+            )
+        except Exception:
+            # any Spark job this run submits (including read-side schema
+            # inference) dies with the cancelled job group — report the
+            # abort reason, not the cancellation stack
+            if ctl.aborted:
+                print(json.dumps({"run_id": args.run_id, "error": ctl.aborted}))
+                return 3
+            raise
         print(json.dumps(metrics))
     finally:
+        ctl.close()
         spark.stop()
     return 0
 

@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(arrow_max_bytes))
         .config("spark.python.worker.reuse", "true")
+        # W5 deadline analogue (scraper.ts:31,87-97): a task that ignores
+        # cancellation is interrupted, then its executor force-killed, so a
+        # wedged document can't pin an executor forever. Driver-side batch
+        # deadlines live in spark/abort.py (AbortController).
+        .config("spark.task.reaper.enabled", "true")
+        .config("spark.task.reaper.killTimeout", "180s")
         # Extraction is CPU-bound per byte, not I/O-bound: the default 4 MiB
         # openCostInBytes packs many small files into few scan tasks, which
         # starves cores on modest corpora. 128 KiB keeps splits ~= files

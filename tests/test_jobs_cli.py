@@ -55,6 +55,93 @@ def warc_path(tmp_path_factory):
     return str(d)
 
 
+def run_job_raw(script: str, *args: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", script), *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+    )
+
+
+@pytest.fixture(scope="module")
+def many_docs_path(spark, tmp_path_factory):
+    """A few thousand docs so a mid-run cancel has in-flight work to hit."""
+    from reader_spark.spark.job import docs_from_rows
+
+    p = str(tmp_path_factory.mktemp("jobs_many") / "docs")
+    body = "".join(
+        f"<p>paragraph {j} with some words to parse and serialize</p>"
+        for j in range(40)
+    )
+    rows = [
+        {
+            "doc_id": f"d{i:05d}",
+            "spans": [
+                {
+                    "kind": "html",
+                    "text": f"<html><body><main><h1>Doc {i}</h1>{body}</main></body></html>",
+                    "media_ref": None,
+                    "offset": 0,
+                }
+            ],
+        }
+        for i in range(6000)
+    ]
+    docs_from_rows(spark, rows).write.parquet(p)
+    return p
+
+
+def test_deadline_aborts_without_corrupting_warehouse(many_docs_path, tmp_path):
+    """W5/T4: a run past its --deadline exits with code 3 (job group
+    cancelled by the watchdog) and commits NO partial table — the follow-up
+    run without a deadline resumes cleanly and extracts everything."""
+    wh = str(tmp_path / "wh")
+    aborted = run_job_raw(
+        "extract_job.py", "--input", many_docs_path, "--warehouse", wh,
+        "--run-id", "dl1", "--deadline", "1", "--master", "local[2]",
+    )
+    assert aborted.returncode == 3, aborted.stderr[-1500:]
+    payload = json.loads(aborted.stdout.strip().splitlines()[-1])
+    assert payload["error"] == "deadline_exceeded"
+    # atomic job commit: the cancelled run left no committed extracted table
+    extracted_dir = os.path.join(wh, "extracted")
+    committed = os.path.isdir(extracted_dir) and any(
+        n == "_SUCCESS" or n.endswith(".parquet")
+        for n in os.listdir(extracted_dir)
+    )
+    assert not committed
+
+    finished = run_job(
+        "extract_job.py", "--input", many_docs_path, "--warehouse", wh,
+        "--run-id", "dl2", "--master", "local[2]",
+    )
+    assert finished["totalDocs"] == 6000
+
+
+def test_abort_controller_signal_cancels(spark):
+    """T4 abort-on-disconnect: SIGTERM marks the run aborted and cancels its
+    job group (end-to-end cancellation is covered by the deadline test —
+    the signal path shares the same abort())."""
+    import signal
+    import time
+
+    from reader_spark.spark.abort import AbortController
+
+    old_term = signal.getsignal(signal.SIGTERM)
+    old_int = signal.getsignal(signal.SIGINT)
+    try:
+        ctl = AbortController(spark, "sig-test").install()
+        os.kill(os.getpid(), signal.SIGTERM)
+        time.sleep(0.1)  # handler runs at the next bytecode boundary
+        assert ctl.aborted == f"aborted_by_signal_{int(signal.SIGTERM)}"
+    finally:
+        signal.signal(signal.SIGTERM, old_term)
+        signal.signal(signal.SIGINT, old_int)
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+
+
 def test_extract_job_docs_and_resume(docs_path, tmp_path):
     wh = str(tmp_path / "wh")
     m1 = run_job(

@@ -401,6 +401,71 @@ def _q_simhash_banded_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery (mean word length, alpha-word
+    ratio, bullet/ellipsis line ratios, duplicate-line fraction,
+    symbol-to-word ratio) + combined gate — all native columns."""
+    from reader_spark.ops.textstats import gopher_quality_columns
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_quality_columns(docs.select("doc_id", "text")).select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "alpha_word_ratio",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "dup_line_fraction",
+        "symbol_word_ratio",
+        "gopher_pass",
+    )
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking over text with deterministic synthesized PII
+    (the corpus itself is clean, so the query injects an email, an intl
+    phone, and an IPv4 derived from doc_id — non-vacuous counts and a
+    value-checked masked string)."""
+    from reader_spark.ops.textstats import mask_pii_col, pii_count_columns
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 today"),
+        ).alias("text"),
+    )
+    return pii_count_columns(with_pii).select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+        mask_pii_col(F.col("text")).alias("masked"),
+    )
+
+
+def _q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: deterministic doc_id order, running
+    token total, shard = exclusive-cumsum // budget — the manifest-sharding
+    step before writing training data (window + floor, fully ANSI)."""
+    from reader_spark.ops.textstats import shard_by_token_budget, token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return shard_by_token_budget(with_tokens, budget=5000).select(
+        "doc_id", "n_tokens", "shard"
+    )
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count / punctuation ratio / stopword ratio per document."""
     from reader_spark.ops.textstats import (
@@ -1007,6 +1072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_banded_md5": _q_simhash_banded_md5,
         "text_quality": _q_text_quality,
         "token_counts": _q_token_counts,
+        "gopher_rules": _q_gopher_rules,
+        "pii_scrub": _q_pii_scrub,
+        "token_shards": _q_token_shards,
         "lang_trigram": _q_lang_trigram,
         "dataset_splits": _q_dataset_splits,
         "repetition_ratio": _q_repetition_ratio,
@@ -1628,6 +1696,87 @@ def _oracle_sql_entries() -> dict[str, str]:
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        "gopher_rules": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       round(length(regexp_replace(text, '\\s', '', 'g'))
+                             / greatest(len(toks), 1), 6) AS mean_word_len,
+                       round(len(list_filter(toks,
+                                 t -> regexp_matches(t, '[A-Za-z]')))
+                             / greatest(len(toks), 1), 6) AS alpha_word_ratio,
+                       round(len(list_filter(lines,
+                                 l -> regexp_matches(trim(l), '^[-*•]')))
+                             / greatest(len(lines), 1), 6) AS bullet_line_ratio,
+                       round(len(list_filter(lines,
+                                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                             / greatest(len(lines), 1), 6) AS ellipsis_line_ratio,
+                       round(1.0 - len(list_distinct(lines))
+                             / greatest(len(lines), 1), 6) AS dup_line_fraction,
+                       round(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                             / greatest(len(toks), 1), 6) AS symbol_word_ratio
+                FROM base
+            )
+            SELECT doc_id, n_tokens, mean_word_len, alpha_word_ratio,
+                   bullet_line_ratio, ellipsis_line_ratio, dup_line_fraction,
+                   symbol_word_ratio,
+                   (n_tokens >= 50 AND n_tokens <= 100000
+                    AND mean_word_len >= 3 AND mean_word_len <= 10
+                    AND alpha_word_ratio >= 0.8
+                    AND bullet_line_ratio <= 0.9
+                    AND ellipsis_line_ratio <= 0.3
+                    AND dup_line_fraction <= 0.3
+                    AND symbol_word_ratio <= 0.1) AS gopher_pass
+            FROM m
+        """,
+        "pii_scrub": """
+            WITH with_pii AS (
+                SELECT doc_id,
+                       text || ' Contact user' || doc_id
+                            || '@example.com or +1 (555) 010-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                            || ' at 10.0.' || (doc_id % 256) || '.7 today'
+                           AS text
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                       AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\\+[0-9][0-9 ()-]{7,}[0-9]')) AS n_phones,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                           '<IP>', 'g'),
+                       '\\+[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS masked
+            FROM with_pii
+        """,
+        "token_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_tokens) / 5000) AS BIGINT) AS shard
+            FROM t
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

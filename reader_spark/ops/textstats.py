@@ -132,6 +132,150 @@ def repetition_ratio_col(text: Column, n: int = 3) -> Column:
     return F.round(1.0 - distinct / total, 6)
 
 
+def mean_word_length_col(text: Column) -> Column:
+    """Mean characters per whitespace token: non-space char count / tokens."""
+    non_space = F.length(F.regexp_replace(text, r"\s", ""))
+    return F.round(non_space / F.greatest(token_count_col(text), F.lit(1)), 6)
+
+
+def alpha_word_ratio_col(text: Column) -> Column:
+    """Fraction of tokens containing at least one ASCII letter (Gopher's
+    80%-alphabetic rule; strips numeric/symbol-soup documents)."""
+    toks = tokens_col(text)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.round(alpha / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def _lines_col(text: Column) -> Column:
+    return F.split(text, r"\n")
+
+
+def bullet_line_ratio_col(text: Column) -> Column:
+    """Fraction of lines starting with a bullet marker (Gopher: >90% bullet
+    lines => listing page, drop)."""
+    lines = _lines_col(text)
+    bullets = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    )
+    return F.round(bullets / F.greatest(F.size(lines), F.lit(1)), 6)
+
+
+def ellipsis_line_ratio_col(text: Column) -> Column:
+    """Fraction of lines ending in an ellipsis (Gopher: >30% => truncated
+    teaser/snippet page)."""
+    lines = _lines_col(text)
+    ell = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    return F.round(ell / F.greatest(F.size(lines), F.lit(1)), 6)
+
+
+def duplicate_line_fraction_col(text: Column) -> Column:
+    """1 - distinct_lines/total_lines: templated/boilerplate repetition at
+    line granularity (complements the n-gram repetition_ratio)."""
+    lines = _lines_col(text)
+    total = F.greatest(F.size(lines), F.lit(1))
+    return F.round(1.0 - F.size(F.array_distinct(lines)) / total, 6)
+
+
+def symbol_word_ratio_col(text: Column) -> Column:
+    """(# + ellipsis occurrences) / tokens (Gopher's symbol-to-word rule)."""
+    symbols = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+    return F.round(symbols / F.greatest(token_count_col(text), F.lit(1)), 6)
+
+
+def gopher_quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/format rule battery (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", table A1 heuristics) as native
+    columns, plus the combined `gopher_pass` gate with the published
+    thresholds. All JVM-side (split/filter/regexp_count) — scan-bound at
+    100 TB, no shuffle, no Python."""
+    text = F.col(text_col)
+    out = (
+        df.withColumn("n_tokens", token_count_col(text))
+        .withColumn("mean_word_len", mean_word_length_col(text))
+        .withColumn("alpha_word_ratio", alpha_word_ratio_col(text))
+        .withColumn("bullet_line_ratio", bullet_line_ratio_col(text))
+        .withColumn("ellipsis_line_ratio", ellipsis_line_ratio_col(text))
+        .withColumn("dup_line_fraction", duplicate_line_fraction_col(text))
+        .withColumn("symbol_word_ratio", symbol_word_ratio_col(text))
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_tokens") >= 50)
+        & (F.col("n_tokens") <= 100_000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("bullet_line_ratio") <= 0.9)
+        & (F.col("ellipsis_line_ratio") <= 0.3)
+        & (F.col("dup_line_fraction") <= 0.3)
+        & (F.col("symbol_word_ratio") <= 0.1),
+    )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no lookarounds, no backreferences, alternatives that can't
+# produce leftmost-first vs leftmost-longest divergence.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def pii_count_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII signal counts (emails / IPv4s / intl phone numbers)
+    — the audit columns a training pipeline gates or routes on."""
+    text = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(text, F.lit(PII_EMAIL)))
+        .withColumn("n_ipv4", F.regexp_count(text, F.lit(PII_IPV4)))
+        .withColumn("n_phones", F.regexp_count(text, F.lit(PII_PHONE)))
+    )
+
+
+def mask_pii_col(text: Column) -> Column:
+    """PII-scrubbed text: emails -> <EMAIL>, IPv4 -> <IP>, intl phones ->
+    <PHONE>. Email first (its local part may contain digits), then IP
+    (before the phone rule can eat dotted digit runs), then phone."""
+    masked = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    masked = F.regexp_replace(masked, PII_IPV4, "<IP>")
+    return F.regexp_replace(masked, PII_PHONE, "<PHONE>")
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Pack documents into token-budgeted shards: deterministic order_col
+    ordering, running token total, shard = exclusive-cumsum // budget —
+    every shard holds the docs whose window STARTS inside one budget span,
+    so shard sizes hover at ~budget (the straddling doc goes to the shard
+    its first token lands in). The standard sharding step before writing
+    training data.
+
+    Scale note: with partition_cols=() the window is global (single-reducer
+    sort) — fine for a manifest of millions of rows, wrong for 10^12. At
+    scale pass partition_cols=("split",) or ("lang",): packing becomes
+    embarrassingly parallel per partition and shard ids are
+    (partition, shard) pairs.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumsum = F.sum(token_col).over(w)
+    return df.withColumn(
+        "shard",
+        ((cumsum - F.col(token_col)) / F.lit(budget)).cast("bigint"),
+    )
+
+
 def fingerprint_portable_col(text: Column, window: int = 8) -> Column:
     """md5-hex twin of fingerprint_col: min of md5 over the same rolling
     token windows (lexicographic min on fixed-width hex == numeric min),

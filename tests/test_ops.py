@@ -331,6 +331,98 @@ class TestIvf:
         assert hits / total >= 0.6
 
 
+class TestGopherRules:
+    def test_gate_behavior_on_crafted_docs(self, spark):
+        from reader_spark.ops.textstats import gopher_quality_columns
+
+        good = " ".join(f"sentence number {i} contains readable prose" for i in range(12))
+        bullets = "\n".join(f"- item {i}" for i in range(20))
+        teasers = "\n".join(f"read more about topic {i}..." for i in range(10))
+        symbols = " ".join("#tag" for _ in range(60))
+        df = spark.createDataFrame(
+            [("good", good), ("bullets", bullets), ("teasers", teasers), ("symbols", symbols)],
+            "doc_id string, text string",
+        )
+        rows = {r["doc_id"]: r for r in gopher_quality_columns(df).collect()}
+        assert rows["good"]["gopher_pass"]
+        assert rows["bullets"]["bullet_line_ratio"] == 1.0
+        assert not rows["bullets"]["gopher_pass"]
+        assert rows["teasers"]["ellipsis_line_ratio"] == 1.0
+        assert not rows["teasers"]["gopher_pass"]
+        assert rows["symbols"]["symbol_word_ratio"] >= 0.9
+        assert not rows["symbols"]["gopher_pass"]
+
+    def test_duplicate_line_fraction(self, spark):
+        from reader_spark.ops.textstats import gopher_quality_columns
+
+        df = spark.createDataFrame(
+            [("dup", "same line\nsame line\nsame line\nother line")],
+            "doc_id string, text string",
+        )
+        row = gopher_quality_columns(df).head()
+        assert row["dup_line_fraction"] == 0.5
+
+
+class TestPiiScrub:
+    def test_mask_and_counts(self, spark):
+        from reader_spark.ops.textstats import mask_pii_col, pii_count_columns
+
+        text = (
+            "Mail a.user+tag@sub.example.org or b@x.io, call +44 20 7946 0958, "
+            "server at 192.168.0.1 and 8.8.8.8."
+        )
+        df = pii_count_columns(
+            spark.createDataFrame([("d", text)], "doc_id string, text string")
+        ).select("n_emails", "n_ipv4", "n_phones", mask_pii_col(F.col("text")).alias("m"))
+        row = df.head()
+        assert (row["n_emails"], row["n_ipv4"], row["n_phones"]) == (2, 2, 1)
+        m = row["m"]
+        assert "<EMAIL>" in m and "<IP>" in m and "<PHONE>" in m
+        assert "example.org" not in m and "192.168" not in m and "7946" not in m
+
+    def test_clean_text_untouched(self, spark):
+        from reader_spark.ops.textstats import mask_pii_col
+
+        df = spark.createDataFrame(
+            [("d", "no pii here, just words and 3.14 constants")],
+            "doc_id string, text string",
+        )
+        assert df.select(mask_pii_col(F.col("text")).alias("m")).head()["m"] == (
+            "no pii here, just words and 3.14 constants"
+        )
+
+
+class TestTokenShards:
+    def test_packing_boundaries(self, spark):
+        from reader_spark.ops.textstats import shard_by_token_budget
+
+        df = spark.createDataFrame(
+            [("a", 400), ("b", 400), ("c", 400), ("d", 400)],
+            "doc_id string, n_tokens int",
+        )
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in shard_by_token_budget(df, budget=1000).collect()
+        }
+        # exclusive cumsum: a@0, b@400, c@800 -> shard 0; d@1200 -> shard 1
+        assert got == {"a": 0, "b": 0, "c": 0, "d": 1}
+
+    def test_partitioned_packing_is_per_partition(self, spark):
+        from reader_spark.ops.textstats import shard_by_token_budget
+
+        df = spark.createDataFrame(
+            [("a", "en", 700), ("b", "en", 700), ("c", "de", 700), ("d", "de", 700)],
+            "doc_id string, lang string, n_tokens int",
+        )
+        got = {
+            (r["lang"], r["doc_id"]): r["shard"]
+            for r in shard_by_token_budget(
+                df, budget=1000, partition_cols=("lang",)
+            ).collect()
+        }
+        assert got == {("en", "a"): 0, ("en", "b"): 0, ("de", "c"): 0, ("de", "d"): 0}
+
+
 class TestDatasetSplits:
     def test_deterministic_stable_and_proportional(self, spark):
         from reader_spark.ops.sampling import split_column

@@ -466,6 +466,43 @@ def _q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling flags (downsample dominant
+    strata, keep rare ones) — md5-portable hash family, oracle-checked per
+    document. The corpus-rebalancing primitive; scan-local, no shuffle."""
+    from reader_spark.ops.sampling import stratified_sample_flag
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        stratified_sample_flag(
+            F.col("doc_id"),
+            F.col("lang"),
+            {"en": 0.3, "de": 0.8},
+            default_rate=1.0,
+            portable=True,
+        ).alias("kept"),
+    )
+
+
+def _q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality aggregation (docs, mean token count, Gopher
+    pass rate per source) — the signal table for RefinedWeb-style
+    domain filtering. One map-side-combined groupBy."""
+    from reader_spark.ops.textstats import gopher_quality_columns
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = gopher_quality_columns(docs.select("doc_id", "source", "text"))
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(
+            F.avg(F.when(F.col("gopher_pass"), 1.0).otherwise(0.0)), 6
+        ).alias("pass_rate"),
+    )
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count / punctuation ratio / stopword ratio per document."""
     from reader_spark.ops.textstats import (
@@ -1075,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "pii_scrub": _q_pii_scrub,
         "token_shards": _q_token_shards,
+        "stratified_sample": _q_stratified_sample,
+        "domain_quality_rollup": _q_domain_quality_rollup,
         "lang_trigram": _q_lang_trigram,
         "dataset_splits": _q_dataset_splits,
         "repetition_ratio": _q_repetition_ratio,
@@ -1764,6 +1803,55 @@ def _oracle_sql_entries() -> dict[str, str]:
                            '<IP>', 'g'),
                        '\\+[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS masked
             FROM with_pii
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang,
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
+                   < (CASE lang WHEN 'en' THEN 3000
+                                WHEN 'de' THEN 8000
+                                ELSE 10000 END) AS kept
+            FROM documents
+        """,
+        "domain_quality_rollup": """
+            WITH base AS (
+                SELECT doc_id, source, text,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, source,
+                       len(toks) AS n_tokens,
+                       round(length(regexp_replace(text, '\\s', '', 'g'))
+                             / greatest(len(toks), 1), 6) AS mean_word_len,
+                       round(len(list_filter(toks,
+                                 t -> regexp_matches(t, '[A-Za-z]')))
+                             / greatest(len(toks), 1), 6) AS alpha_word_ratio,
+                       round(len(list_filter(lines,
+                                 l -> regexp_matches(trim(l), '^[-*•]')))
+                             / greatest(len(lines), 1), 6) AS bullet_line_ratio,
+                       round(len(list_filter(lines,
+                                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                             / greatest(len(lines), 1), 6) AS ellipsis_line_ratio,
+                       round(1.0 - len(list_distinct(lines))
+                             / greatest(len(lines), 1), 6) AS dup_line_fraction,
+                       round(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                             / greatest(len(toks), 1), 6) AS symbol_word_ratio
+                FROM base
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   round(avg(n_tokens), 4) AS avg_tokens,
+                   round(avg(CASE WHEN
+                       (n_tokens >= 50 AND n_tokens <= 100000
+                        AND mean_word_len >= 3 AND mean_word_len <= 10
+                        AND alpha_word_ratio >= 0.8
+                        AND bullet_line_ratio <= 0.9
+                        AND ellipsis_line_ratio <= 0.3
+                        AND dup_line_fraction <= 0.3
+                        AND symbol_word_ratio <= 0.1)
+                       THEN 1.0 ELSE 0.0 END), 6) AS pass_rate
+            FROM m GROUP BY source
         """,
         "token_shards": """
             WITH t AS (

@@ -56,3 +56,29 @@ def split_column(
         cond = bucket < F.lit(bound)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return expr.otherwise(F.lit("rest"))
+
+
+def stratified_sample_flag(
+    key: Column,
+    stratum: Column,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    portable: bool = False,
+) -> Column:
+    """Deterministic per-stratum sampling flag: keep a row iff its hash
+    bucket falls under its stratum's rate (e.g. downsample dominant
+    languages, keep 100% of rare ones — the standard corpus-rebalancing
+    step). Pure function of (key, stratum): stable under re-runs, retries,
+    partitioning, and corpus growth, unlike df.sample(). No shuffle — a
+    scan-local filter at any scale.
+    """
+    for name, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} is {rate}, outside [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate {default_rate} outside [0, 1]")
+    bucket = _bucket(key, portable)
+    bound = F.lit(int(round(default_rate * BUCKETS)))
+    for name, rate in sorted(rates.items()):
+        bound = F.when(stratum == name, int(round(rate * BUCKETS))).otherwise(bound)
+    return bucket < bound

@@ -464,6 +464,44 @@ class TestDatasetSplits:
         with _pytest.raises(ValueError):
             split_column(F.lit("x"), {"a": 0.9, "b": 0.2})
 
+    def test_stratified_sample_rates_and_stability(self, spark):
+        from reader_spark.ops.sampling import stratified_sample_flag
+
+        docs = spark.range(0, 6000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("rare").alias("lang"),
+        )
+        flagged = docs.select(
+            "doc_id",
+            "lang",
+            stratified_sample_flag(
+                F.col("doc_id"), F.col("lang"), {"en": 0.2}, default_rate=1.0
+            ).alias("kept"),
+        )
+        rates = {
+            r["lang"]: r["rate"]
+            for r in flagged.groupBy("lang")
+            .agg(F.avg(F.col("kept").cast("double")).alias("rate"))
+            .collect()
+        }
+        assert abs(rates["en"] - 0.2) < 0.04  # hash-uniform
+        assert rates["rare"] == 1.0
+        # stability: same key+stratum -> same decision on a shuffled subset
+        sub = {
+            r["doc_id"]: r["kept"]
+            for r in flagged.where("doc_id % 7 = 0").collect()
+        }
+        full = {r["doc_id"]: r["kept"] for r in flagged.collect()}
+        assert all(full[k] == v for k, v in sub.items())
+
+    def test_stratified_sample_invalid_rate_raises(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.sampling import stratified_sample_flag
+
+        with _pytest.raises(ValueError, match="outside"):
+            stratified_sample_flag(F.lit("x"), F.lit("en"), {"en": 1.5})
+
     def test_empty_fractions_raise(self, spark):
         import pytest as _pytest
 

@@ -965,6 +965,21 @@ def _q_embedding_dedup_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dedup COMPOSITE: LSH-bucketed candidate pairs (literal
+    portable planes) -> connected components -> (doc, component) cluster
+    labels — the full near-dup clustering path a corpus pipeline runs over
+    an embedding column, oracled end-to-end against a recursive CTE."""
+    from reader_spark.ops.ann import md5_plane_weights
+    from reader_spark.ops.dedup import connected_components, embedding_near_pairs_bucketed
+
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    pairs = embedding_near_pairs_bucketed(
+        emb, threshold=0.35, weights=md5_plane_weights(dim=64, planes=2)
+    )
+    return connected_components(pairs).select("doc", "component")
+
+
 def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type counts as columns.
 
@@ -1088,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detected_lang": _q_detected_lang,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "embedding_dedup_lsh_md5": _q_embedding_dedup_lsh_md5,
+        "embedding_dedup_components": _q_embedding_dedup_components,
         "events_pivot": _q_events_pivot,
         "quality_filter": _q_quality_filter,
         "value_percentiles": _q_value_percentiles,
@@ -1167,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
     out["simhash_banded_md5"] = out["simhash_md5"]
     out["ann_lsh_md5"] = _ann_lsh_md5_oracle()
     out["embedding_dedup_lsh_md5"] = _embedding_dedup_lsh_md5_oracle()
+    out["embedding_dedup_components"] = _embedding_dedup_components_oracle()
     return out
 
 
@@ -1202,6 +1219,38 @@ def _embedding_dedup_lsh_md5_oracle() -> str:
         FROM buckets a JOIN buckets b
           ON a.bucket = b.bucket AND a.doc < b.doc
         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+    """
+
+
+def _embedding_dedup_components_oracle() -> str:
+    return f"""
+        WITH RECURSIVE
+        corpus AS (
+            SELECT vec_id AS doc, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 200
+        ),
+        buckets AS (
+            SELECT doc, v,
+                   {_md5_bucket_terms(planes=2)} AS bucket
+            FROM corpus
+        ),
+        pairs AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.doc < b.doc
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(v, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
+        )
+        SELECT v AS doc, min(r) AS component FROM reach GROUP BY v
     """
 
 

@@ -884,8 +884,9 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF layout parse (delta b): two-column fixture -> ordered spans
-    (rows-only check; not SQL-expressible)."""
+    """PDF layout parse (delta b): two-column fixture -> ordered spans,
+    value-checked against a golden-literal VALUES oracle (the parser is not
+    SQL-expressible, but its fixed expected output is)."""
     from reader_spark import fixtures
     from reader_spark.spark.job import docs_from_rows, extract_dataframe
 
@@ -900,7 +901,8 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_crawl_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BFS crawl dataflow over a deterministic 4-page corpus (rows-only)."""
+    """BFS crawl dataflow over a deterministic 4-page corpus, value-checked
+    against a golden-literal VALUES oracle."""
     from reader_spark.spark.crawler import crawl
 
     def page(url, title, links):
@@ -1184,6 +1186,29 @@ def oracle_sql() -> dict[str, str]:
     out["ann_lsh_md5"] = _ann_lsh_md5_oracle()
     out["embedding_dedup_lsh_md5"] = _embedding_dedup_lsh_md5_oracle()
     out["embedding_dedup_components"] = _embedding_dedup_components_oracle()
+    # Golden-literal oracles: pdf_extract and crawl_fixture run on FIXED
+    # fixtures, so their exact expected outputs are expressible as VALUES —
+    # the SQL form of the golden pytest assertions (pins every value, not
+    # just row counts). Not derivable from the parquet tables by design.
+    out["pdf_extract"] = """
+        SELECT * FROM (VALUES
+            ('pdf-two-column', 0, 'heading', '# Two Column Paper Title'),
+            ('pdf-two-column', 1, 'text',
+             'Left column first line. Left column second line. '
+             || 'Left column third line. Right column first line. '
+             || 'Right column second line.'),
+            ('pdf-two-column', 2, 'heading', '# Second Page Heading'),
+            ('pdf-two-column', 3, 'text', 'Full width body line on page two.')
+        ) AS t(doc_id, ord, kind, text)
+    """
+    out["crawl_fixture"] = """
+        SELECT * FROM (VALUES
+            ('https://c.test/start',  0, 'Start', CAST(NULL AS VARCHAR)),
+            ('https://c.test/blog/a', 1, 'A',     CAST(NULL AS VARCHAR)),
+            ('https://c.test/blog/b', 1, 'B',     CAST(NULL AS VARCHAR)),
+            ('https://c.test/blog/c', 2, 'C',     CAST(NULL AS VARCHAR))
+        ) AS t(url, depth, title, description)
+    """
     return out
 
 

@@ -46,6 +46,10 @@ BENCH_QUERIES = (
     "minhash_lsh_candidates",
     "ann_topk",
     "text_quality",
+    "gopher_rules",
+    "token_shards",
+    "simhash_near_pairs",
+    "embedding_dedup_lsh_md5",
 )
 
 

@@ -133,3 +133,71 @@ class TestShingleProperties:
             else:
                 want = [" ".join(toks)]
             assert got[i] == want, (t, got[i], want)
+
+
+class TestNewOpProperties:
+    @given(
+        st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=40),
+        st.integers(min_value=1, max_value=2000),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_token_shards_invariants(self, spark, token_counts, budget):
+        """Shard ids are nondecreasing in pack order; a shard's token total
+        never exceeds budget + the straddling doc's own tokens; shard 0
+        always starts at the first doc."""
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.textstats import shard_by_token_budget
+
+        rows = [(f"{i:04d}", n) for i, n in enumerate(token_counts)]
+        df = spark.createDataFrame(rows, "doc_id string, n_tokens int")
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["shard"])
+            for r in shard_by_token_budget(df, budget=budget).collect()
+        )
+        shards = [s for _d, _n, s in got]
+        assert shards[0] == 0
+        assert all(a <= b for a, b in zip(shards, shards[1:]))
+        totals: dict[int, int] = {}
+        for _d, n, s in got:
+            totals[s] = totals.get(s, 0) + n
+        for s, total in totals.items():
+            straddler = max(n for _d, n, sh in got if sh == s)
+            assert total <= budget + straddler
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=40, deadline=None)
+    def test_pii_mask_idempotent_and_clean(self, spark, text):
+        """Masking is idempotent (placeholders never rematch) and the
+        masked output never contains an email-shaped token."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.textstats import PII_EMAIL, mask_pii_col
+
+        df = spark.createDataFrame([(text,)], "text string")
+        once = df.select(mask_pii_col(F.col("text")).alias("m"))
+        twice = once.select(mask_pii_col(F.col("m")).alias("m"))
+        m1 = once.head()["m"]
+        m2 = twice.head()["m"]
+        assert m1 == m2
+        assert _re.search(PII_EMAIL, m1) is None
+
+    @given(st.text(max_size=400))
+    @settings(max_examples=40, deadline=None)
+    def test_gopher_ratios_bounded(self, spark, text):
+        """Every Gopher ratio lands in [0, 1] for arbitrary input."""
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.textstats import gopher_quality_columns
+
+        df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+        row = gopher_quality_columns(df).head()
+        for col in (
+            "alpha_word_ratio",
+            "bullet_line_ratio",
+            "ellipsis_line_ratio",
+            "dup_line_fraction",
+        ):
+            assert 0.0 <= row[col] <= 1.0, (col, row[col], text)

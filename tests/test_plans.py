@@ -112,6 +112,44 @@ def test_token_counts_prunes_to_two_columns(spark):
     assert "lang" not in read_schema and "source" not in read_schema
 
 
+def test_gopher_rules_stays_jvm_side(spark):
+    """The quality-rule battery must be pure native columns: no Python
+    boundary, no shuffle — a scan-bound map at any scale."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["gopher_rules"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_embedding_bucketed_no_cartesian(spark):
+    """Candidate generation must be a bucket equi-join, never a cross
+    product."""
+    from reader_spark.ops.dedup import embedding_near_pairs_bucketed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(embedding_near_pairs_bucketed(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_shards_partitioned_packing_no_global_sort(spark):
+    """With partition_cols set, packing shuffles BY the partition key (hash
+    exchange), never into a single partition — the at-scale contract."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.ops.textstats import shard_by_token_budget
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    plan = plan_of(
+        shard_by_token_budget(docs, budget=5000, partition_cols=("lang",))
+    )
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(lang" in plan
+
+
 def test_ivf_index_partition_pruning(spark, tmp_path_factory):
     """The IVF scale path: the assigned corpus written PARTITIONED BY cell
     must prune to the probed cells on read (PartitionFilters on the scan)."""

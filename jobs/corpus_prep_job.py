@@ -36,33 +36,52 @@ def main(argv=None) -> int:
     parser.add_argument("--bands", type=int, default=16)
     parser.add_argument("--rows-per-band", type=int, default=4)
     parser.add_argument("--master", default=None)
+    parser.add_argument(
+        "--deadline",
+        type=float,
+        default=None,
+        help="hard run deadline in seconds; the job group is cancelled once "
+        "it passes (W5 analogue, same contract as extract_job)",
+    )
     args = parser.parse_args(argv)
 
+    from reader_spark.spark.abort import AbortController
     from reader_spark.spark.corpus_prep import CorpusPrepConfig, prepare_corpus
     from reader_spark.spark.session import get_spark
 
     spark = get_spark("reader_spark_corpus_prep", master=args.master)
+    ctl = AbortController(
+        spark, "corpus_prep", deadline_seconds=args.deadline
+    ).install()
     try:
-        if args.input_format == "warc":
-            from reader_spark.sources.warc import read_warc, warc_to_docs
-
-            docs = warc_to_docs(read_warc(spark, args.input))
-            base_url_prefix = ""
-        else:
-            docs = spark.read.parquet(args.input)
-            base_url_prefix = args.base_url_prefix
-
-        prep = CorpusPrepConfig(
-            min_tokens=args.min_tokens,
-            max_punct_ratio=args.max_punct_ratio,
-            lsh_bands=args.bands,
-            lsh_rows_per_band=args.rows_per_band,
-        )
         t0 = time.monotonic()
-        clean = prepare_corpus(docs, prep=prep, base_url_prefix=base_url_prefix)
-        clean.write.mode("overwrite").parquet(args.output)
-        kept = spark.read.parquet(args.output).count()
-        total = docs.count()
+        try:
+            if args.input_format == "warc":
+                from reader_spark.sources.warc import read_warc, warc_to_docs
+
+                docs = warc_to_docs(read_warc(spark, args.input))
+                base_url_prefix = ""
+            else:
+                docs = spark.read.parquet(args.input)
+                base_url_prefix = args.base_url_prefix
+
+            prep = CorpusPrepConfig(
+                min_tokens=args.min_tokens,
+                max_punct_ratio=args.max_punct_ratio,
+                lsh_bands=args.bands,
+                lsh_rows_per_band=args.rows_per_band,
+            )
+            clean = prepare_corpus(docs, prep=prep, base_url_prefix=base_url_prefix)
+            clean.write.mode("overwrite").parquet(args.output)
+            kept = spark.read.parquet(args.output).count()
+            total = docs.count()
+        except Exception:
+            # any job this run submits (including read-side schema
+            # inference) dies with the cancelled group — report the abort
+            if ctl.aborted:
+                print(json.dumps({"error": ctl.aborted}))
+                return 3
+            raise
         print(
             json.dumps(
                 {
@@ -74,6 +93,7 @@ def main(argv=None) -> int:
             )
         )
     finally:
+        ctl.close()
         spark.stop()
     return 0
 

@@ -122,16 +122,11 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+def _minhash_banded(
+    signatures: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: bucket docs by (band_id, hash(band slice)); docs sharing
-    any bucket are candidate near-duplicates. Returns distinct (doc_a, doc_b).
-
-    The join key (band_id, band_hash) spreads uniformly — candidate
-    generation is shuffle-bounded, never all-pairs.
-    """
-    banded = signatures.select(
+    """(doc, band_id, band_hash) bucket rows from minhash signatures."""
+    return signatures.select(
         "doc",
         F.explode(
             F.transform(
@@ -155,6 +150,14 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("doc", "band.band_id", "band.band_hash")
+
+
+def _bucket_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing any bucket — all pairs WITHIN each
+    bucket. Quadratic in bucket size: fine for well-spread sketches, a
+    scale-killer on boilerplate-heavy corpora where one bucket holds
+    millions of near-identical docs. Use _bucket_star_edges when the pairs
+    feed connected components."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -167,6 +170,49 @@ def minhash_lsh_candidates(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+
+
+def _bucket_star_edges(banded: DataFrame) -> DataFrame:
+    """STAR edges per bucket: every member links to the bucket's min doc.
+
+    For connected-components consumption this is EQUIVALENT to all pairs
+    (any two bucket-mates connect through the hub) but emits n-1 edges per
+    bucket instead of n(n-2)/2 — on a boilerplate-heavy corpus where one
+    bucket holds millions of docs, that is the difference between a linear
+    job and a quadratic blowup. One map-side-combined groupBy (hub per
+    bucket) + one 1:1 equi-join back; no self-join of bucket rows.
+    """
+    hubs = banded.groupBy("band_id", "band_hash").agg(F.min("doc").alias("hub"))
+    return (
+        banded.join(hubs, ["band_id", "band_hash"])
+        .where(F.col("doc") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: bucket docs by (band_id, hash(band slice)); docs sharing
+    any bucket are candidate near-duplicates. Returns distinct (doc_a, doc_b).
+
+    The join key (band_id, band_hash) spreads uniformly on DIVERSE corpora —
+    candidate generation is shuffle-bounded, never a global all-pairs. For
+    clustering (no per-pair verification downstream), prefer
+    minhash_lsh_star_edges: identical components, linear in bucket size.
+    """
+    return _bucket_pairs(_minhash_banded(signatures, bands, rows_per_band))
+
+
+def minhash_lsh_star_edges(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Cluster-equivalent LSH edges (star per bucket) — the PRODUCTION
+    candidate generator when the output feeds connected components (as in
+    corpus_prep). Emits O(members) edges per bucket, so a corpus where one
+    template dominates (the real shape of web data) stays linear."""
+    return _bucket_star_edges(_minhash_banded(signatures, bands, rows_per_band))
 
 
 def connected_components(
@@ -457,6 +503,40 @@ def minhash_lsh_candidates_portable(
     correctness gate. Physical shape is identical: one explode + one
     map-side-combined groupBy + one equi-join on band buckets.
     """
+    return _bucket_pairs(
+        _minhash_banded_portable(
+            df, id_col, text_col, n, num_hashes, bands, rows_per_band
+        )
+    )
+
+
+def minhash_lsh_star_edges_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Star-edge form of the portable sketch (see minhash_lsh_star_edges):
+    component-equivalent, linear in bucket size."""
+    return _bucket_star_edges(
+        _minhash_banded_portable(
+            df, id_col, text_col, n, num_hashes, bands, rows_per_band
+        )
+    )
+
+
+def _minhash_banded_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
     if bands * rows_per_band != num_hashes:
         # a shortfall silently ignores hashes (lower recall), an overrun
         # hashes nulls into every band (false buckets)
@@ -486,18 +566,6 @@ def minhash_lsh_candidates_portable(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "doc", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc", "band.band_id", "band.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )

@@ -25,8 +25,8 @@ from ..config import DEFAULT_CONFIG, ExtractorConfig
 from ..fixtures import BASE_URL_PREFIX
 from ..ops.dedup import (
     connected_components,
-    minhash_lsh_candidates,
-    minhash_lsh_candidates_portable,
+    minhash_lsh_star_edges,
+    minhash_lsh_star_edges_portable,
     minhash_signatures,
 )
 from ..ops.textstats import punct_ratio_col, token_count_col
@@ -85,14 +85,18 @@ def prepare_corpus(
     )
 
     # Near-dup clustering among exact-unique docs: MinHash signatures ->
-    # LSH candidates -> connected components -> each cluster keeps min
-    # doc_id. Sketch input carries markdown only (the one payload column
-    # the sketch needs), not the full row.
+    # LSH STAR edges -> connected components -> each cluster keeps min
+    # doc_id. Star edges (member -> bucket hub) give components identical
+    # to the all-pairs candidate form but stay LINEAR in bucket size — on a
+    # boilerplate-heavy corpus where one template fills a bucket with
+    # millions of docs, the pair form is quadratic and never finishes.
+    # Sketch input carries markdown only (the one payload column the
+    # sketch needs), not the full row.
     text_for_sketch = (
         gated.select("doc_id", "markdown").join(exact_losers, "doc_id", "left_anti")
     )
     if prep.portable_hashes:
-        candidates = minhash_lsh_candidates_portable(
+        edges = minhash_lsh_star_edges_portable(
             text_for_sketch,
             "doc_id",
             "markdown",
@@ -109,10 +113,10 @@ def prepare_corpus(
             n=prep.shingle_n,
             num_hashes=prep.minhash_hashes,
         )
-        candidates = minhash_lsh_candidates(
+        edges = minhash_lsh_star_edges(
             signatures, bands=prep.lsh_bands, rows_per_band=prep.lsh_rows_per_band
         )
-    components = connected_components(candidates)
+    components = connected_components(edges)
     near_dup_losers = components.where(F.col("doc") != F.col("component")).select(
         F.col("doc").alias("doc_id")
     )

@@ -78,6 +78,57 @@ class TestMinhashLSH:
         assert (0, 1) in candidates
         assert not any(3 in pair for pair in candidates)
 
+    def test_star_edges_same_components_as_pairs(self, spark):
+        """Star edges must produce EXACTLY the components of the all-pairs
+        candidate form (any two bucket-mates connect through the hub) —
+        checked on real sf0.001 documents."""
+        from reader_spark.ops.dedup import (
+            connected_components,
+            minhash_lsh_candidates,
+            minhash_lsh_star_edges,
+            minhash_signatures,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+            F.col("doc_id") < 300
+        )
+        sigs = minhash_signatures(docs, "doc_id", "text").cache()
+        try:
+            via_pairs = {
+                (r["doc"], r["component"])
+                for r in connected_components(
+                    minhash_lsh_candidates(sigs)
+                ).collect()
+            }
+            via_star = {
+                (r["doc"], r["component"])
+                for r in connected_components(
+                    minhash_lsh_star_edges(sigs)
+                ).collect()
+            }
+            assert via_star == via_pairs
+            assert via_pairs  # non-vacuous: the corpus has near-dups
+        finally:
+            sigs.unpersist()
+
+    def test_star_edges_linear_on_degenerate_bucket(self, spark):
+        """A boilerplate corpus (every doc nearly identical) must emit
+        O(n) star edges, not O(n^2) pairs — the giant-bucket scale guard."""
+        from reader_spark.ops.dedup import (
+            minhash_lsh_star_edges,
+            minhash_signatures,
+        )
+
+        n = 400
+        body = " ".join(f"common boilerplate token {j}" for j in range(60))
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} {body}") for i in range(n)], "doc_id long, text string"
+        )
+        sigs = minhash_signatures(docs, "doc_id", "text")
+        edges = minhash_lsh_star_edges(sigs, bands=16, rows_per_band=4)
+        n_edges = edges.count()
+        assert 0 < n_edges <= 16 * n  # at most one hub edge per (doc, band)
+
     def test_identical_docs_identical_signatures(self, spark, corpus):
         from reader_spark.ops.dedup import minhash_signatures
 

@@ -222,13 +222,21 @@ def connected_components(
     max_iterations: int = 20,
 ) -> DataFrame:
     """Duplicate-cluster assembly: connected components over candidate
-    pairs via iterative min-label propagation (the standard hash-min /
-    label-propagation scheme; converges in O(graph diameter) rounds —
-    near-dup clusters are tiny, so a handful of rounds suffices).
+    pairs via min-label propagation WITH pointer jumping (hash-min plus a
+    label <- label-of-label step each round, i.e. path halving; cf.
+    Rastogi et al., "Finding connected components in MapReduce", ICDE'13).
+    Plain one-hop propagation needs O(diameter) rounds — a CHAIN of
+    near-dups (doc i ~ doc i+1, the transitive-duplicate shape) silently
+    returned unconverged labels past 20 hops. Pointer jumping doubles the
+    covered distance per round, so max_iterations=20 handles diameters up
+    to ~2^20.
 
     Returns (doc, component) where component = min doc id in the cluster.
-    Each round is one shuffle of (vertex, label); lineage is truncated with
-    localCheckpoint so the plan does not grow with iterations.
+    Each round is two narrow (vertex, label) shuffles; lineage is truncated
+    with localCheckpoint so the plan does not grow with iterations. A
+    convergence check (any label changed?) exits early — and if the loop
+    exhausts max_iterations still unconverged, it raises rather than
+    returning wrong clusters.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -241,18 +249,30 @@ def connected_components(
         .withColumn("label", F.col("v"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.v)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        hopped = labels.join(neighbor_min, labels.v == neighbor_min.src, "left").select(
+            "v",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label <- label's own label (labels are always
+        # vertex ids, so the self-join always resolves); min is monotone
+        jump = hopped.select(
+            F.col("v").alias("pv"), F.col("label").alias("plabel")
+        )
         updated = (
-            labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
+            hopped.join(jump, hopped.label == jump.pv, "left")
             .select(
                 "v",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -266,7 +286,13 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — raise max_iterations (graph diameter > ~2^rounds)"
+        )
     return labels.select(F.col("v").alias("doc"), F.col("label").alias("component"))
 
 

@@ -129,6 +129,31 @@ class TestMinhashLSH:
         n_edges = edges.count()
         assert 0 < n_edges <= 16 * n  # at most one hub edge per (doc, band)
 
+    def test_connected_components_long_chain(self, spark):
+        """Transitive-duplicate CHAINS (doc i ~ doc i+1) far longer than the
+        round budget must still converge — pointer jumping covers diameter
+        ~2^rounds, where plain one-hop propagation silently returned
+        unconverged labels past `max_iterations` hops (regression)."""
+        from reader_spark.ops.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+        )
+        rows = connected_components(pairs, max_iterations=20).collect()
+        assert len(rows) == 1000
+        assert all(r["component"] == 0 for r in rows)
+
+    def test_connected_components_raises_when_unconverged(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(50)], "doc_a long, doc_b long"
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iterations=2)
+
     def test_identical_docs_identical_signatures(self, spark, corpus):
         from reader_spark.ops.dedup import minhash_signatures
 

@@ -39,6 +39,14 @@ _ATTR_RE = re.compile(
 _RAWTEXT = {"script", "style", "textarea", "title"}
 _RAWTEXT_CLOSE = {tag: re.compile(f"</{tag}", re.IGNORECASE) for tag in _RAWTEXT}
 
+# Browsers cap DOM depth (WebKit ~512) and keep rendering; we cap at 256 so
+# (a) a nesting bomb can't push the recursive serializer/renderer past
+# Python's recursion limit — the document extracts instead of erroring —
+# and (b) tree walks stay bounded. Elements past the cap are appended as
+# children of the depth-cap node but never deepen the open-element stack,
+# so all text is preserved (it accumulates flat at the cap).
+MAX_TREE_DEPTH = 256
+
 
 def _parse_attrs(raw: str) -> dict[str, str]:
     attrs: dict[str, str] = {}
@@ -108,7 +116,11 @@ def parse_html_fast(html: str) -> Node:
                     if tag == "title" and "&" in content:
                         content = unescape(content)
                     node.append_child(append_text("#text", text=content))
-            elif tag not in VOID_ELEMENTS and not self_closing:
+            elif (
+                tag not in VOID_ELEMENTS
+                and not self_closing
+                and len(stack) < MAX_TREE_DEPTH
+            ):
                 stack.append(node)
             continue
         end = m.group("end")

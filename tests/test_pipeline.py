@@ -225,6 +225,29 @@ class TestEdgeDocs:
         # conversion saw only the first 1000 chars: the body is gone
         assert "body text here" not in res.markdown
 
+    def test_nesting_bomb_extracts_instead_of_erroring(self):
+        """A 5000-deep nesting bomb must not RecursionError the pipeline:
+        the parser caps tree depth (browsers do the same) so the content
+        still reaches the serializer and the markdown."""
+        deep = (
+            "<html><body>"
+            + "<div>" * 5000
+            + "content survives the bomb"
+            + "</div>" * 5000
+            + "</body></html>"
+        )
+        res = extract_document("bomb", deep, "https://fixtures.test/bomb")
+        assert res.ok
+        assert "content survives the bomb" in res.markdown
+
+    def test_deep_list_bomb_extracts(self):
+        deepl = (
+            "<html><body>" + "<ul><li>x" * 2000 + "</li></ul>" * 2000 + "</body></html>"
+        )
+        res = extract_document("listbomb", deepl, "https://fixtures.test/lb")
+        assert res.ok
+        assert "x" in res.markdown
+
     def test_oversized_real_2mib_head_straddles_cap(self):
         """The same contract at the real 2 MiB cap: a document whose head
         content straddles the cap yields reference-ordered metadata."""

@@ -625,6 +625,37 @@ def _q_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, centroids, k=5, nprobe=2)
 
 
+def _q_pq_encode_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (m=8 subspaces, k=16 codes) with
+    ENGINE-PORTABLE literal codebooks — oracle-checked code-for-code
+    against DuckDB's argmin over the same literals. codes emitted as a
+    comma-joined string for a portable value compare."""
+    from reader_spark.ops.ann import md5_pq_codebooks, pq_encode
+
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    enc = pq_encode(emb, md5_pq_codebooks(dim=64, m=8, k=16))
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes_str"),
+    )
+
+
+def _q_pq_adc_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 over PQ codes (query = vec_id 0): the per-(subspace,
+    code) distance table is literal on the Spark side and recomputed from
+    the same codebook literals in the DuckDB oracle — scoring is m table
+    lookups + a sum, no float vectors read."""
+    from reader_spark.ops.ann import md5_pq_codebooks, pq_adc_topk, pq_encode
+
+    emb = _read(spark, sf_dir, "embeddings")
+    books = md5_pq_codebooks(dim=64, m=8, k=16)
+    qv = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    enc = pq_encode(emb, books)
+    return pq_adc_topk(enc, books, qv, topk=10)
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: k-means coarse quantizer, nprobe-cell search
     (approximate: rows-only check; recall vs brute force tested in
@@ -1144,6 +1175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_md5": _q_ann_lsh_md5,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_seeded": _q_ann_ivf_seeded,
+        "pq_encode_md5": _q_pq_encode_md5,
+        "pq_adc_topk_md5": _q_pq_adc_topk_md5,
         "url_keys": _q_url_keys,
         "content_url_filter": _q_content_url_filter,
         "strip_tags": _q_strip_tags,
@@ -1186,6 +1219,8 @@ def oracle_sql() -> dict[str, str]:
     out["ann_lsh_md5"] = _ann_lsh_md5_oracle()
     out["embedding_dedup_lsh_md5"] = _embedding_dedup_lsh_md5_oracle()
     out["embedding_dedup_components"] = _embedding_dedup_components_oracle()
+    out["pq_encode_md5"] = _pq_encode_md5_oracle()
+    out["pq_adc_topk_md5"] = _pq_adc_topk_md5_oracle()
     # Golden-literal oracles: pdf_extract and crawl_fixture run on FIXED
     # fixtures, so their exact expected outputs are expressible as VALUES —
     # the SQL form of the golden pytest assertions (pins every value, not
@@ -1276,6 +1311,86 @@ def _embedding_dedup_components_oracle() -> str:
             SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
         )
         SELECT v AS doc, min(r) AS component FROM reach GROUP BY v
+    """
+
+
+def _pq_codebook_values() -> str:
+    """The md5 PQ codebooks as a SQL VALUES list: (sub, code, c DOUBLE[])."""
+    from reader_spark.ops.ann import md5_pq_codebooks
+
+    books = md5_pq_codebooks(dim=64, m=8, k=16)
+    rows = []
+    for sub, book in enumerate(books):
+        for code, c in enumerate(book):
+            vec = "[" + ", ".join(repr(x) for x in c) + "]"
+            cast = "::DOUBLE[]" if sub == 0 and code == 0 else ""
+            rows.append(f"({sub}, {code}, {vec}{cast})")
+    return ",\n                ".join(rows)
+
+
+def _pq_encode_md5_oracle() -> str:
+    return f"""
+        WITH cb(sub, code, c) AS (VALUES
+                {_pq_codebook_values()}),
+        e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 200
+        ),
+        dists AS (
+            SELECT e.vec_id, cb.sub, cb.code,
+                   round(list_aggregate(list_transform(
+                       list_zip(list_slice(v, cb.sub*8 + 1, cb.sub*8 + 8), cb.c),
+                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9) AS dist
+            FROM e CROSS JOIN cb
+        ),
+        best AS (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, sub ORDER BY dist, code
+                   ) AS rn
+            FROM dists
+        )
+        SELECT vec_id,
+               string_agg(code::VARCHAR, ',' ORDER BY sub) AS codes_str
+        FROM best WHERE rn = 1 GROUP BY vec_id
+    """
+
+
+def _pq_adc_topk_md5_oracle() -> str:
+    return f"""
+        WITH cb(sub, code, c) AS (VALUES
+                {_pq_codebook_values()}),
+        q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        tab AS (
+            SELECT cb.sub, cb.code,
+                   round(list_aggregate(list_transform(
+                       list_zip(list_slice(qv, cb.sub*8 + 1, cb.sub*8 + 8), cb.c),
+                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9) AS d
+            FROM cb CROSS JOIN q
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dists AS (
+            SELECT e.vec_id, cb.sub, cb.code,
+                   round(list_aggregate(list_transform(
+                       list_zip(list_slice(v, cb.sub*8 + 1, cb.sub*8 + 8), cb.c),
+                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9) AS dist
+            FROM e CROSS JOIN cb
+        ),
+        best AS (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, sub ORDER BY dist, code
+                   ) AS rn
+            FROM dists
+        )
+        SELECT b.vec_id, round(sum(t.d), 6) AS adc_dist
+        FROM best b JOIN tab t ON t.sub = b.sub AND t.code = b.code
+        WHERE b.rn = 1
+        GROUP BY b.vec_id
+        ORDER BY adc_dist, b.vec_id
+        LIMIT 10
     """
 
 

@@ -315,6 +315,146 @@ def lsh_bucketed_topk_literal(
     )
 
 
+def md5_pq_codebooks(
+    dim: int, m: int = 8, k: int = 16
+) -> list[list[list[float]]]:
+    """Deterministic ENGINE-PORTABLE product-quantization codebooks:
+    codebooks[sub][code][d] derived from md5, in [-1, 1). Like
+    md5_plane_weights, these are literals embedded identically on both
+    sides of an oracle check. Production should train per-subspace Lloyd
+    codebooks (train_pq_codebooks) — random codebooks exercise the exact
+    same encode/search machinery with weaker quantization quality."""
+    import hashlib
+
+    subdim = dim // m
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"pq:{sub}:{code}:{d}".encode()).hexdigest()[:8], 16
+                )
+                / 2**31
+                - 1.0
+                for d in range(subdim)
+            ]
+            for code in range(k)
+        ]
+        for sub in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd codebooks (the PQ training stage of IVFADC,
+    Jégou/Douze/Schmid TPAMI'11): split each vector into m contiguous
+    subvectors, run the same deterministic k-means as the IVF coarse
+    quantizer independently per subspace. Each subspace shuffles only
+    partitions x k x subdim partial sums; the driver holds m*k*subdim
+    floats."""
+    dim = len(embeddings.select(vec_col).head()[0])
+    subdim = dim // m
+    books = []
+    for sub in range(m):
+        sliced = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), sub * subdim + 1, subdim).alias(
+                "embedding"
+            ),
+        )
+        books.append(
+            train_ivf_centroids(sliced, n_cells=k, iters=iters, id_col=id_col)
+        )
+    return books
+
+
+def _pq_code_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """codes: array<int>, one nearest-sub-centroid id per subspace.
+    Centroids are literals — pure JVM expression, no shuffle, no Python."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    code_cols = []
+    for sub in range(m):
+        sv = F.slice(vec, sub * subdim + 1, subdim)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.round(_sq_l2(sv, c), 9).alias("dist"),
+                    F.lit(code).alias("code"),
+                )
+                for code, c in enumerate(codebooks[sub])
+            ]
+        )
+        code_cols.append(
+            F.element_at(F.array_sort(entries), 1).getField("code").cast("int")
+        )
+    return F.array(*code_cols)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode the corpus: (id, codes array<int>). At m=8, k=16 each
+    64-dim float vector compresses 256 B -> 8 codes (4 bits each) — the
+    storage layout that makes 10^12-vector search feasible."""
+    return embeddings.select(
+        F.col(id_col),
+        _pq_code_col(F.col(vec_col).cast("array<double>"), codebooks).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the per-(subspace,
+    code) distance table is computed DRIVER-SIDE from the raw query and
+    embedded as literals, so scoring a vector is m table lookups + a sum —
+    no float vector is read at all. Scan-bound; sort+limit compiles to
+    TakeOrderedAndProject (per-partition partial top-k)."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    table = [
+        [
+            round(
+                sum(
+                    (query_vec[sub * subdim + d] - c[d]) ** 2 for d in range(subdim)
+                ),
+                9,
+            )
+            for c in codebooks[sub]
+        ]
+        for sub in range(m)
+    ]
+    table_lit = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in table]
+    )
+    terms = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda sub: F.element_at(
+            F.element_at(table_lit, sub + 1),
+            F.element_at(F.col("codes"), sub + 1) + 1,
+        ),
+    )
+    dist = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        encoded.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+    )
+
+
 def brute_force_topk_np(
     embeddings: DataFrame,
     query_vec: list[float],

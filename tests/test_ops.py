@@ -407,6 +407,54 @@ class TestIvf:
         assert hits / total >= 0.6
 
 
+class TestProductQuantization:
+    def test_codes_shape_and_bounds(self, spark):
+        from reader_spark.ops.ann import md5_pq_codebooks, pq_encode
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = md5_pq_codebooks(dim=64, m=8, k=16)
+        rows = pq_encode(emb.where(F.col("vec_id") < 50), books).collect()
+        assert len(rows) == 50
+        for r in rows:
+            assert len(r["codes"]) == 8
+            assert all(0 <= c < 16 for c in r["codes"])
+
+    def test_trained_adc_recall_vs_brute_force(self, spark):
+        """With per-subspace Lloyd codebooks, ADC top-10 must recover a
+        reasonable share of the true (exact-L2) top-10 — the quantizer is
+        lossy by design, but trained books on this corpus are far above
+        chance (10/500)."""
+        from reader_spark.ops.ann import pq_adc_topk, pq_encode, train_pq_codebooks
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = train_pq_codebooks(emb, m=8, k=16, iters=2)
+        qv = [float(v) for v in emb.where(F.col("vec_id") == 7).head()["embedding"]]
+        got = {
+            r["vec_id"]
+            for r in pq_adc_topk(pq_encode(emb, books), books, qv, topk=10).collect()
+        }
+        # exact L2 top-10 via brute force on the driver (500 x 64 is tiny)
+        import numpy as np
+
+        mat = np.array(
+            [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+        )
+        d = ((mat - np.array(qv)) ** 2).sum(axis=1)
+        true10 = set(np.argsort(d, kind="stable")[:10].tolist())
+        assert 7 in got  # the query itself quantizes to itself
+        # On synthetic Gaussian 64-dim data distances concentrate, so PQ
+        # recall is inherently modest at m=8,k=16 — require well above
+        # chance (E[|overlap|] = 10*10/500 = 0.2), not production recall.
+        assert len(got & true10) >= 2, (got, true10)
+
+    def test_adc_empty_corpus(self, spark):
+        from reader_spark.ops.ann import md5_pq_codebooks, pq_adc_topk, pq_encode
+
+        books = md5_pq_codebooks(dim=64, m=8, k=16)
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert pq_adc_topk(pq_encode(empty, books), books, [0.0] * 64).count() == 0
+
+
 class TestGopherRules:
     def test_gate_behavior_on_crafted_docs(self, spark):
         from reader_spark.ops.textstats import gopher_quality_columns

@@ -656,6 +656,29 @@ def _q_pq_adc_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(enc, books, qv, topk=10)
 
 
+def _q_ivfadc_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFADC composition, oracle-checked end-to-end: seeded IVF
+    centroids (portable rule) route queries to nprobe cells; PQ codes of
+    the probed cells are scored by asymmetric distance against md5-literal
+    codebooks. The DuckDB oracle rebuilds every stage from the same
+    literals."""
+    from reader_spark.ops.ann import ivfadc_topk, md5_pq_codebooks
+
+    emb = _read(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.where(F.col("vec_id") >= 100)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seed_rows]
+    queries = emb.where(F.col("vec_id") < 4)
+    return ivfadc_topk(
+        emb, queries, centroids, md5_pq_codebooks(dim=64, m=8, k=16), k=5, nprobe=2
+    )
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: k-means coarse quantizer, nprobe-cell search
     (approximate: rows-only check; recall vs brute force tested in
@@ -1177,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_seeded": _q_ann_ivf_seeded,
         "pq_encode_md5": _q_pq_encode_md5,
         "pq_adc_topk_md5": _q_pq_adc_topk_md5,
+        "ivfadc_md5": _q_ivfadc_md5,
         "url_keys": _q_url_keys,
         "content_url_filter": _q_content_url_filter,
         "strip_tags": _q_strip_tags,
@@ -1221,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_dedup_components"] = _embedding_dedup_components_oracle()
     out["pq_encode_md5"] = _pq_encode_md5_oracle()
     out["pq_adc_topk_md5"] = _pq_adc_topk_md5_oracle()
+    out["ivfadc_md5"] = _ivfadc_md5_oracle()
     # Golden-literal oracles: pdf_extract and crawl_fixture run on FIXED
     # fixtures, so their exact expected outputs are expressible as VALUES —
     # the SQL form of the golden pytest assertions (pins every value, not
@@ -1391,6 +1416,80 @@ def _pq_adc_topk_md5_oracle() -> str:
         GROUP BY b.vec_id
         ORDER BY adc_dist, b.vec_id
         LIMIT 10
+    """
+
+
+def _ivfadc_md5_oracle() -> str:
+    return f"""
+        WITH cb(sub, code, c) AS (VALUES
+                {_pq_codebook_values()}),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id >= 100
+            ORDER BY vec_id LIMIT 8
+        ),
+        corpus AS (
+            SELECT e.vec_id AS corpus_id, e.embedding::DOUBLE[] AS v,
+                   (SELECT c.cell FROM cents c
+                    ORDER BY round(list_aggregate(list_transform(
+                                list_zip(c.cv, e.embedding::DOUBLE[]),
+                                x -> (x[1] - x[2]) ^ 2), 'sum'), 9),
+                             c.cell
+                    LIMIT 1) AS cell
+            FROM embeddings e
+        ),
+        enc AS (
+            SELECT corpus_id, cell, sub, code FROM (
+                SELECT co.corpus_id, co.cell, cb.sub, cb.code,
+                       row_number() OVER (
+                           PARTITION BY co.corpus_id, cb.sub
+                           ORDER BY round(list_aggregate(list_transform(
+                                       list_zip(list_slice(co.v, cb.sub*8 + 1, cb.sub*8 + 8), cb.c),
+                                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9),
+                                    cb.code
+                       ) AS rn
+                FROM corpus co CROSS JOIN cb
+            ) WHERE rn = 1
+        ),
+        qset AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 4
+        ),
+        qprobe AS (
+            SELECT query_id, cell FROM (
+                SELECT q.query_id, c.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY round(list_aggregate(list_transform(
+                                       list_zip(c.cv, q.qv),
+                                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9),
+                                    c.cell) AS rnk
+                FROM qset q CROSS JOIN cents c
+            ) WHERE rnk <= 2
+        ),
+        qtab AS (
+            SELECT q.query_id, cb.sub, cb.code,
+                   round(list_aggregate(list_transform(
+                       list_zip(list_slice(q.qv, cb.sub*8 + 1, cb.sub*8 + 8), cb.c),
+                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9) AS d
+            FROM qset q CROSS JOIN cb
+        ),
+        scored AS (
+            SELECT p.query_id, e.corpus_id, round(sum(t.d), 6) AS adc_dist
+            FROM qprobe p
+            JOIN enc e USING (cell)
+            JOIN qtab t ON t.query_id = p.query_id
+                       AND t.sub = e.sub AND t.code = e.code
+            GROUP BY p.query_id, e.corpus_id
+        ),
+        ranked AS (
+            SELECT query_id, corpus_id, adc_dist,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY adc_dist, corpus_id
+                   ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, corpus_id, adc_dist, rank FROM ranked WHERE rank <= 5
     """
 
 

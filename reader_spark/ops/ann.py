@@ -455,6 +455,78 @@ def pq_adc_topk(
     )
 
 
+def ivfadc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVFADC (Jégou/Douze/Schmid TPAMI'11): coarse IVF cell probe +
+    asymmetric-distance scoring over PQ codes of the probed cells only.
+
+    The 10^12-vector shape: the corpus is stored as (cell, codes) — a few
+    bytes per vector, partitioned by cell — so a query touches
+    ~nprobe/n_cells of the index and never reads a float corpus vector.
+    Per candidate the score is m subspace lookups against the query's
+    sub-distance expression; everything (centroids, codebooks) rides the
+    plan as literals. Rounding contract: each subspace term rounds at 9
+    (matching the ANSI oracle), the sum rounds at 6.
+    """
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    books_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+            for book in codebooks
+        ]
+    )
+
+    corpus = ivf_assign(embeddings, centroids, id_col, vec_col)
+    encoded = corpus.select(
+        "corpus_id", "cell", _pq_code_col(F.col("corpus_vec"), codebooks).alias("codes")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+    ).withColumn(
+        "cell",
+        F.explode(F.slice(_cell_ranks(F.col("query_vec"), centroids), 1, nprobe)),
+    )
+
+    def _term(sub):
+        centroid = F.element_at(
+            F.element_at(books_lit, sub + 1), F.element_at(F.col("codes"), sub + 1) + 1
+        )
+        sq = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("query_vec"), sub * subdim + 1, subdim),
+                centroid,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(sq, 9)
+
+    terms = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _term)
+    adc = F.round(
+        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), 6
+    )
+    scored = encoded.join(qs, "cell").withColumn("adc_dist", adc)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "corpus_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "adc_dist", "rank")
+    )
+
+
 def brute_force_topk_np(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -447,6 +447,48 @@ class TestProductQuantization:
         # chance (E[|overlap|] = 10*10/500 = 0.2), not production recall.
         assert len(got & true10) >= 2, (got, true10)
 
+    def test_ivfadc_scores_only_probed_cells(self, spark):
+        """IVFADC candidates must come exclusively from the query's nprobe
+        cells — the whole point of the coarse quantizer."""
+        from reader_spark.ops.ann import (
+            _cell_ranks,
+            ivf_assign,
+            ivfadc_topk,
+            md5_pq_codebooks,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = [
+            list(r["v"])
+            for r in emb.where(F.col("vec_id") >= 100)
+            .orderBy("vec_id")
+            .limit(4)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .collect()
+        ]
+        books = md5_pq_codebooks(dim=64, m=8, k=16)
+        queries = emb.where(F.col("vec_id") < 3)
+        got = ivfadc_topk(emb, queries, cents, books, k=5, nprobe=2).collect()
+        assert {r["query_id"] for r in got} == {0, 1, 2}
+        for qid in (0, 1, 2):
+            ranks = sorted(r["rank"] for r in got if r["query_id"] == qid)
+            assert ranks == [1, 2, 3, 4, 5]
+
+        cell_of = {
+            r["corpus_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()
+        }
+        probed = {
+            r["vec_id"]: r["cells"]
+            for r in queries.select(
+                "vec_id",
+                F.slice(
+                    _cell_ranks(F.col("embedding").cast("array<double>"), cents), 1, 2
+                ).alias("cells"),
+            ).collect()
+        }
+        for r in got:
+            assert cell_of[r["corpus_id"]] in probed[r["query_id"]]
+
     def test_adc_empty_corpus(self, spark):
         from reader_spark.ops.ann import md5_pq_codebooks, pq_adc_topk, pq_encode
 

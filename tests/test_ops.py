@@ -206,6 +206,32 @@ class TestSimhash:
         finally:
             fp.unpersist()
 
+    def test_banded_equals_all_pairs_64bit(self, spark):
+        """The production 64-bit fingerprint (docstring: 2^16 buckets per
+        block at max_hamming=3) — including the SIGN bit — must also give
+        banded == all-pairs."""
+        from reader_spark.ops.dedup import (
+            simhash,
+            simhash_banded_pairs,
+            simhash_near_pairs,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        fp = simhash(docs, "doc_id", "text", bits=64).cache()
+        try:
+            assert fp.agg(F.min("simhash")).head()[0] < 0  # sign bit in play
+            exact = {
+                (r["doc_a"], r["doc_b"], r["hamming"])
+                for r in simhash_near_pairs(fp, max_hamming=3).collect()
+            }
+            banded = {
+                (r["doc_a"], r["doc_b"], r["hamming"])
+                for r in simhash_banded_pairs(fp, max_hamming=3, bits=64).collect()
+            }
+            assert banded == exact and exact
+        finally:
+            fp.unpersist()
+
     def test_banded_no_cartesian_in_plan(self, spark):
         """The banded path must plan as an equi-join on (block_id,
         block_val) — never a cartesian/broadcast-nested-loop product."""

@@ -1139,6 +1139,95 @@ def _q_batch_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attaches the user's most recent prior
+    click within 24 h (union+window merge form — one shuffle on user_id,
+    no non-equi nested loop). See reader_spark/ops/joins.py scale notes."""
+    from reader_spark.ops.joins import asof_join
+
+    events = _read(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["event_id", "value"],
+        tiebreak="event_id",
+        tolerance_seconds=86400,
+    )
+    return out.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 4).alias("purchase_value"),
+        F.col("matched_time").alias("click_ts"),
+        F.col("matched_event_id").alias("click_event_id"),
+        F.round("matched_value", 4).alias("click_value"),
+    )
+
+
+def _q_attribution_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via time bucketing: purchases landing
+    in the 12 h window after each signup, per user — bucket equi-join +
+    exact containment filter, never a nested-loop theta join."""
+    from reader_spark.ops.joins import range_join_buckets
+
+    events = _read(spark, sf_dir, "events")
+    signups = events.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id"),
+        F.col("ts").alias("signup_ts"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("end_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    joined = range_join_buckets(
+        purchases,
+        signups,
+        on=["user_id"],
+        point_time="p_ts",
+        interval_start="signup_ts",
+        interval_end="end_ts",
+        bucket_seconds=43200,
+    )
+    attributed = joined.groupBy("signup_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("attributed_value"),
+    )
+    return signups.drop("end_ts").join(attributed, "signup_id", "left").select(
+        "signup_id",
+        "user_id",
+        "signup_ts",
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("attributed_value", F.lit(0.0)).alias("attributed_value"),
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing an 8-gram with a
+    deterministic in-corpus benchmark set (first 30 normalized tokens of
+    every doc_id % 29 == 0 document). hashed=False is the SQL-expressible
+    oracle twin of the xxhash64 production path (pytest pins equality)."""
+    from reader_spark.ops.decontam import contamination_flags, normalize_for_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(F.split(normalize_for_ngrams(F.col("text")), " "), 1, 30), " "
+        ).alias("bench_text"),
+    )
+    return contamination_flags(docs, bench, n=8, hashed=False)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1205,6 +1294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_url_filter": _q_content_url_filter,
         "strip_tags": _q_strip_tags,
         "batch_metadata": _q_batch_metadata,
+        "asof_clicks": _q_asof_clicks,
+        "attribution_range_join": _q_attribution_range_join,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -2253,5 +2345,88 @@ def _oracle_sql_entries() -> dict[str, str]:
                    min(doc_id) AS min_doc,
                    max(doc_id) AS max_doc
             FROM documents GROUP BY source
+        """,
+        "asof_clicks": """
+            WITH p AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT p.event_id, p.user_id,
+                   p.ts AS purchase_ts,
+                   round(p.value, 4) AS purchase_value,
+                   m.ts AS click_ts,
+                   m.event_id AS click_event_id,
+                   round(m.value, 4) AS click_value
+            FROM p LEFT JOIN LATERAL (
+                SELECT c.ts, c.event_id, c.value FROM c
+                WHERE c.user_id = p.user_id
+                  AND c.ts <= p.ts
+                  AND epoch(p.ts) - epoch(c.ts) <= 86400
+                ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+            ) m ON TRUE
+        """,
+        "attribution_range_join": """
+            WITH s AS (
+                SELECT event_id AS signup_id, user_id, ts AS signup_ts
+                FROM events WHERE event_type = 'signup'
+            ),
+            p AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ),
+            j AS (
+                SELECT s.signup_id,
+                       count(*) AS n_purchases,
+                       round(sum(p.value), 4) AS attributed_value
+                FROM s JOIN p
+                  ON p.user_id = s.user_id
+                 AND p.ts >= s.signup_ts
+                 AND p.ts < s.signup_ts + INTERVAL 12 HOUR
+                GROUP BY 1
+            )
+            SELECT s.signup_id, s.user_id, s.signup_ts,
+                   CAST(COALESCE(j.n_purchases, 0) AS BIGINT) AS n_purchases,
+                   COALESCE(j.attributed_value, 0.0) AS attributed_value
+            FROM s LEFT JOIN j USING (signup_id)
+        """,
+        "decontaminate": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS ntext
+                FROM documents
+            ),
+            bench AS (
+                SELECT doc_id AS bench_id,
+                       array_to_string(string_split(ntext, ' ')[1:30], ' ') AS bench_text
+                FROM norm WHERE doc_id % 29 = 0
+            ),
+            doc_grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split(ntext, ' ')) - 7, 1) + 1),
+                           i -> array_to_string(string_split(ntext, ' ')[i:i+7], ' ')
+                       ))) AS gram
+                FROM norm
+            ),
+            bench_grams AS (
+                SELECT DISTINCT bench_id, gram FROM (
+                    SELECT bench_id,
+                           unnest(list_distinct(list_transform(
+                               range(1, greatest(len(string_split(bench_text, ' ')) - 7, 1) + 1),
+                               i -> array_to_string(string_split(bench_text, ' ')[i:i+7], ' ')
+                           ))) AS gram
+                    FROM bench
+                )
+            )
+            SELECT d.doc_id,
+                   count(DISTINCT d.gram) AS n_hit_ngrams,
+                   count(DISTINCT b.bench_id) AS n_bench_items
+            FROM doc_grams d JOIN bench_grams b ON d.gram = b.gram
+            WHERE d.gram <> ''
+            GROUP BY d.doc_id
         """,
     }

@@ -1,0 +1,70 @@
+"""Benchmark decontamination: flag corpus documents that share an n-gram
+with any item in an evaluation/benchmark set (the GPT-3 appendix-C /
+"training-set contamination" procedure: normalize, window into n-grams,
+report any document containing a benchmark n-gram).
+
+Shuffle shape at 100 TB: the corpus side explodes to one row per DISTINCT
+n-gram hash per document (bounded by token count), but the benchmark side
+is tiny — every public eval suite together is megabytes — so the join is a
+BROADCAST hash join: corpus rows never shuffle, the only wide operation is
+the final per-document groupBy on doc id (map-side combined counts).
+Production hashes shingles to 64-bit xxhash64 so the exploded rows carry
+8 bytes instead of the n-gram text; the `hashed=False` twin joins on the
+raw shingle string and is the SQL-expressible oracle form (identical
+result set — xxhash64 collisions at corpus scale are possible in theory,
+which is why contaminated docs are flagged for review/removal, not
+silently rewritten).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from reader_spark.ops.dedup import shingles
+
+
+def normalize_for_ngrams(text: Column) -> Column:
+    """Contamination-matching normalization: lowercase, collapse every
+    non-alphanumeric run to a single space, trim. After the collapse the
+    only whitespace is single ASCII spaces, so Spark/DuckDB `trim` (which
+    strips spaces only, not \\n/\\t) is safe on both sides of the oracle."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_id: str = "doc_id",
+    doc_text: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "bench_text",
+    n: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """One row per contaminated document: (doc_id, n_hit_ngrams,
+    n_bench_items) — the number of distinct benchmark n-grams the document
+    contains and how many distinct benchmark items it collides with.
+
+    Benchmark items shorter than n tokens contribute their full token
+    sequence as a single "n-gram" (the shingles() short-text fallback), so
+    they still participate rather than silently matching nothing.
+    """
+    def grams(frame: DataFrame, id_: str, text: Column) -> DataFrame:
+        g = F.explode(shingles(normalize_for_ngrams(text), n=n)).alias("gram")
+        out = frame.select(F.col(id_), g).where(F.col("gram") != "")
+        if hashed:
+            out = out.select(id_, F.xxhash64("gram").alias("gram"))
+        return out
+
+    doc_grams = grams(docs, doc_id, F.col(doc_text))
+    bench_grams = grams(benchmark, bench_id, F.col(bench_text)).dropDuplicates()
+
+    return (
+        doc_grams.join(F.broadcast(bench_grams), on="gram", how="inner")
+        .groupBy(doc_id)
+        .agg(
+            F.countDistinct("gram").alias("n_hit_ngrams"),
+            F.countDistinct(bench_id).alias("n_bench_items"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Benchmark decontamination: hashed production path == raw-shingle oracle
+path, short-item fallback, clean-corpus zero case, and the broadcast plan
+shape that keeps the corpus side shuffle-free."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reader_spark.ops.decontam import contamination_flags, normalize_for_ngrams
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    eight = "alpha bravo charlie delta echo foxtrot golf hotel"
+    return spark.createDataFrame(
+        [
+            (1, f"intro words then {eight} and a tail"),
+            (2, f"{eight.upper()}!!! punctuated, but same tokens"),  # normalization hit
+            (3, "completely unrelated text with no overlap at all here"),
+            (4, "tiny"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(
+        [
+            (100, "alpha bravo charlie delta echo foxtrot golf hotel"),
+            (101, "short item"),  # < n tokens: full-sequence fallback
+        ],
+        "bench_id long, bench_text string",
+    )
+
+
+def test_flags_hashed_equals_raw(corpus, bench):
+    hashed = contamination_flags(corpus, bench, n=8, hashed=True)
+    raw = contamination_flags(corpus, bench, n=8, hashed=False)
+    assert sorted(map(tuple, hashed.collect())) == sorted(map(tuple, raw.collect()))
+
+
+def test_flags_normalization_and_misses(corpus, bench):
+    got = {r["doc_id"]: r["n_bench_items"] for r in
+           contamination_flags(corpus, bench, n=8).collect()}
+    assert got.get(1) == 1   # verbatim 8-gram
+    assert got.get(2) == 1   # case/punctuation folded away
+    assert 3 not in got and 4 not in got and 5 not in got
+
+
+def test_short_bench_item_matches_via_fallback(spark, bench):
+    """A 2-token benchmark item still flags a doc when the doc contains it
+    as a window — requires matching the doc's n=2 grams, i.e. the caller
+    runs a second pass at the item length. At n=8 the 2-token fallback
+    gram can only match 2-token docs; pin that conservative behavior."""
+    docs = spark.createDataFrame(
+        [(1, "short item"), (2, "a short item inside longer text padded out")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in contamination_flags(docs, bench, n=8).collect()}
+    assert 1 in got       # exact-length doc matches the fallback gram
+    assert 2 not in got   # longer doc windows at n=8 never equal a 2-gram
+
+
+def test_clean_corpus_zero_rows(spark, bench):
+    docs = spark.createDataFrame(
+        [(1, "zero shared vocabulary whatsoever in this document body")],
+        "doc_id long, text string",
+    )
+    assert contamination_flags(docs, bench, n=8).count() == 0
+
+
+def test_normalize_for_ngrams(spark):
+    df = spark.range(1).select(
+        normalize_for_ngrams(F.lit("  Hello,\tWORLD!!  42\n")).alias("t")
+    )
+    assert df.collect()[0]["t"] == "hello world 42"
+
+
+def test_plan_broadcasts_benchmark_side(corpus, bench):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(contamination_flags(corpus, bench, n=8))
+    assert "BroadcastHashJoin" in plan          # tiny side ships to executors
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # only the final agg keys

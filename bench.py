@@ -50,6 +50,9 @@ BENCH_QUERIES = (
     "token_shards",
     "simhash_near_pairs",
     "embedding_dedup_lsh_md5",
+    "asof_clicks",
+    "attribution_range_join",
+    "decontaminate",
 )
 
 

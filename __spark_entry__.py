@@ -1228,6 +1228,17 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, bench, n=8, hashed=False)
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. ACL'22): maximal duplicated
+    >=20-token spans via hashed positional windows + interval merge —
+    no suffix array, three key-bounded shuffles. hashed=False is the
+    SQL-oracle twin of the xxhash64 path (pytest pins equality)."""
+    from reader_spark.ops.substring import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, min_tokens=20, hashed=False)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1297,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": _q_asof_clicks,
         "attribution_range_join": _q_attribution_range_join,
         "decontaminate": _q_decontaminate,
+        "duplicate_spans": _q_duplicate_spans,
     }
 
 
@@ -2428,5 +2440,51 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM doc_grams d JOIN bench_grams b ON d.gram = b.gram
             WHERE d.gram <> ''
             GROUP BY d.doc_id
+        """,
+        "duplicate_spans": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, greatest(len(w) - 19, 0) + 1),
+                               i -> {'pos': i,
+                                     'gram': array_to_string(w[i:i+19], ' ')}
+                           )) AS s
+                    FROM toks
+                )
+            ),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+            flag AS (
+                SELECT doc_id, pos,
+                       CASE WHEN max(pos + 19) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                            ) IS NULL
+                            OR pos > max(pos + 19) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                            ) + 1
+                       THEN 1 ELSE 0 END AS new_span
+                FROM m
+            ),
+            sp AS (
+                SELECT doc_id, pos,
+                       sum(new_span) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS span_id
+                FROM flag
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 19 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 19 - min(pos) + 1 AS BIGINT) AS span_tokens,
+                   count(*) AS n_windows
+            FROM sp GROUP BY doc_id, span_id
         """,
     }

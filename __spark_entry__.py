@@ -1239,6 +1239,17 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, min_tokens=20, hashed=False)
 
 
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for a fixed 3-term query — no explode, one 1-row stats
+    aggregate broadcast back, TakeOrderedAndProject top-k. Per-term
+    contributions rounded at 9 dp then summed in fixed order (oracle float
+    parity, same discipline as the PQ oracles)."""
+    from reader_spark.ops.search import bm25_rank
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_rank(docs, ["stream", "window", "query"], top_k=15)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1309,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_range_join": _q_attribution_range_join,
         "decontaminate": _q_decontaminate,
         "duplicate_spans": _q_duplicate_spans,
+        "bm25_search": _q_bm25_search,
     }
 
 
@@ -2486,5 +2498,43 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST(max(pos) + 19 - min(pos) + 1 AS BIGINT) AS span_tokens,
                    count(*) AS n_windows
             FROM sp GROUP BY doc_id, span_id
+        """,
+        "bm25_search": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+                FROM documents
+            ),
+            pd AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(toks, w -> w = 'stream')) AS DOUBLE) AS tf_0,
+                       CAST(len(list_filter(toks, w -> w = 'window')) AS DOUBLE) AS tf_1,
+                       CAST(len(list_filter(toks, w -> w = 'query')) AS DOUBLE) AS tf_2
+                FROM d
+            ),
+            st AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(dl) AS avgdl,
+                       CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+                       CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+                       CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+                FROM pd
+            ),
+            scored AS (
+                SELECT doc_id,
+                       round(
+                           round(ln(1 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+                                 * tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+                         + round(ln(1 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+                                 * tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+                         + round(ln(1 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+                                 * tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+                       , 6) AS score
+                FROM pd, st
+            )
+            SELECT doc_id, score FROM scored
+            WHERE score > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 15
         """,
     }

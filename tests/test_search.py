@@ -1,0 +1,93 @@
+"""BM25 ranking: scores match a plain-Python reference, ranking behaves
+(tf raises, doc length normalizes), degenerate inputs, and the top-k plan
+shape (TakeOrderedAndProject, no global sort)."""
+
+import math
+
+import pytest
+
+from reader_spark.ops.search import bm25_rank
+
+pytestmark = pytest.mark.spark
+
+K1, B = 1.2, 0.75
+
+
+def py_bm25(corpus, terms, k1=K1, b=B):
+    """Reference scorer over {doc_id: text}, same normalization."""
+    toks = {d: t.lower().split() for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for d, words in toks.items():
+        dl = len(words)
+        s = 0.0
+        for t in terms:
+            tf = words.count(t)
+            df = sum(1 for w in toks.values() if t in w)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 9)
+        if round(s, 6) > 0:
+            out[d] = round(s, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    data = {
+        1: "spark streams data and spark shuffles data",
+        2: "spark once in a much much much longer document about other things entirely",
+        3: "nothing relevant here at all",
+        4: "spark spark spark",
+    }
+    return data, spark.createDataFrame(
+        list(data.items()), "doc_id long, text string"
+    )
+
+
+def test_scores_match_python_reference(corpus):
+    data, df = corpus
+    got = {r["doc_id"]: r["score"] for r in
+           bm25_rank(df, ["spark", "data"], top_k=10).collect()}
+    assert got == pytest.approx(py_bm25(data, ["spark", "data"]))
+
+
+def test_ranking_behaviour(corpus):
+    data, df = corpus
+    ranked = [r["doc_id"] for r in bm25_rank(df, ["spark"], top_k=10).collect()]
+    assert ranked[0] == 4          # highest tf, shortest doc
+    assert 3 not in ranked         # zero-score docs are dropped
+    assert ranked.index(1) < ranked.index(2)  # length normalization
+
+
+def test_absent_term_contributes_nothing(corpus):
+    data, df = corpus
+    with_ghost = {r["doc_id"]: r["score"] for r in
+                  bm25_rank(df, ["spark", "zzznotaword"], top_k=10).collect()}
+    alone = {r["doc_id"]: r["score"] for r in
+             bm25_rank(df, ["spark"], top_k=10).collect()}
+    assert with_ghost == alone
+
+
+def test_no_match_returns_empty(corpus):
+    _, df = corpus
+    assert bm25_rank(df, ["zzznotaword"], top_k=10).count() == 0
+
+
+def test_bad_args_rejected(corpus):
+    _, df = corpus
+    with pytest.raises(ValueError):
+        bm25_rank(df, [])
+    with pytest.raises(ValueError):
+        bm25_rank(df, ["Upper"])
+    with pytest.raises(ValueError):
+        bm25_rank(df, ["two words"])
+
+
+def test_topk_plan_no_global_sort(corpus):
+    from tests.test_plans import plan_of
+
+    _, df = corpus
+    plan = plan_of(bm25_rank(df, ["spark"], top_k=5))
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, not a Sort
+    assert "Exchange rangepartitioning" not in plan

@@ -53,6 +53,8 @@ BENCH_QUERIES = (
     "asof_clicks",
     "attribution_range_join",
     "decontaminate",
+    "duplicate_spans",
+    "bm25_search",
 )
 
 

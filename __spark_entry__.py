@@ -1250,6 +1250,17 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, ["stream", "window", "query"], top_k=15)
 
 
+def _q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass numeric profiling of the lineitem measures — all four
+    columns' stats in ONE aggregate, stack()-unpivoted to rows."""
+    from reader_spark.ops.profile import numeric_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    return numeric_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1321,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "duplicate_spans": _q_duplicate_spans,
         "bm25_search": _q_bm25_search,
+        "numeric_profile": _q_numeric_profile,
     }
 
 
@@ -2536,5 +2548,51 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT doc_id, score FROM scored
             WHERE score > 0
             ORDER BY score DESC, doc_id ASC LIMIT 15
+        """,
+        "numeric_profile": """
+            WITH src AS (SELECT * FROM lineitem)
+            SELECT 'l_quantity' AS col_name,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(count(*) - count(l_quantity) AS DOUBLE) AS n_null,
+                   CAST(count(DISTINCT CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS n_distinct,
+                   round(min(CAST(l_quantity AS DOUBLE)), 6) AS min,
+                   round(max(CAST(l_quantity AS DOUBLE)), 6) AS max,
+                   round(avg(CAST(l_quantity AS DOUBLE)), 6) AS mean,
+                   round(stddev(CAST(l_quantity AS DOUBLE)), 6) AS stddev,
+                   round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50
+            FROM src
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   CAST(count(*) AS DOUBLE),
+                   CAST(count(*) - count(l_extendedprice) AS DOUBLE),
+                   CAST(count(DISTINCT CAST(l_extendedprice AS DOUBLE)) AS DOUBLE),
+                   round(min(CAST(l_extendedprice AS DOUBLE)), 6),
+                   round(max(CAST(l_extendedprice AS DOUBLE)), 6),
+                   round(avg(CAST(l_extendedprice AS DOUBLE)), 6),
+                   round(stddev(CAST(l_extendedprice AS DOUBLE)), 6),
+                   round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6)
+            FROM src
+            UNION ALL
+            SELECT 'l_discount',
+                   CAST(count(*) AS DOUBLE),
+                   CAST(count(*) - count(l_discount) AS DOUBLE),
+                   CAST(count(DISTINCT CAST(l_discount AS DOUBLE)) AS DOUBLE),
+                   round(min(CAST(l_discount AS DOUBLE)), 6),
+                   round(max(CAST(l_discount AS DOUBLE)), 6),
+                   round(avg(CAST(l_discount AS DOUBLE)), 6),
+                   round(stddev(CAST(l_discount AS DOUBLE)), 6),
+                   round(quantile_cont(CAST(l_discount AS DOUBLE), 0.5), 6)
+            FROM src
+            UNION ALL
+            SELECT 'l_tax',
+                   CAST(count(*) AS DOUBLE),
+                   CAST(count(*) - count(l_tax) AS DOUBLE),
+                   CAST(count(DISTINCT CAST(l_tax AS DOUBLE)) AS DOUBLE),
+                   round(min(CAST(l_tax AS DOUBLE)), 6),
+                   round(max(CAST(l_tax AS DOUBLE)), 6),
+                   round(avg(CAST(l_tax AS DOUBLE)), 6),
+                   round(stddev(CAST(l_tax AS DOUBLE)), 6),
+                   round(quantile_cont(CAST(l_tax AS DOUBLE), 0.5), 6)
+            FROM src
         """,
     }

@@ -1261,6 +1261,28 @@ def _q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of per-user event counts (portable md5 family):
+    150 users hashed into a 4x64 cell table, point-queried back — real
+    overcounts appear (64 cells < 150 keys), and the whole sketch math is
+    replicated verbatim in the DuckDB oracle. est >= true_n always (CMS
+    one-sided guarantee)."""
+    from reader_spark.ops.sketch import cms_build, cms_estimate
+
+    events = _read(spark, sf_dir, "events")
+    truth = events.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    sketch = cms_build(events, "user_id", depth=4, width=64, portable=True)
+    est = cms_estimate(
+        sketch, truth.select("user_id"), "user_id", depth=4, width=64, portable=True
+    )
+    return truth.join(est, "user_id").select(
+        "user_id",
+        "est",
+        "true_n",
+        (F.col("est") - F.col("true_n")).alias("overcount"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1333,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "bm25_search": _q_bm25_search,
         "numeric_profile": _q_numeric_profile,
+        "cms_user_counts": _q_cms_user_counts,
     }
 
 
@@ -2594,5 +2617,29 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round(stddev(CAST(l_tax AS DOUBLE)), 6),
                    round(quantile_cont(CAST(l_tax AS DOUBLE), 0.5), 6)
             FROM src
+        """,
+        "cms_user_counts": """
+            WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+            dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+            cells AS (
+                SELECT d,
+                       CAST(('0x' || substr(md5(d::VARCHAR || '|' || key), 1, 8)) AS BIGINT) % 64 AS w,
+                       count(*) AS cnt
+                FROM ev, dd GROUP BY 1, 2
+            ),
+            keys AS (SELECT key, count(*) AS true_n FROM ev GROUP BY key),
+            probes AS (
+                SELECT k.key, k.true_n, d.d,
+                       CAST(('0x' || substr(md5(d.d::VARCHAR || '|' || k.key), 1, 8)) AS BIGINT) % 64 AS w
+                FROM keys k, dd d
+            ),
+            est AS (
+                SELECT p.key, p.true_n, min(coalesce(c.cnt, 0)) AS est
+                FROM probes p LEFT JOIN cells c ON c.d = p.d AND c.w = p.w
+                GROUP BY 1, 2
+            )
+            SELECT CAST(key AS BIGINT) AS user_id, est, true_n,
+                   est - true_n AS overcount
+            FROM est
         """,
     }

@@ -1,0 +1,85 @@
+"""Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) as a
+DataFrame-native frequency sketch.
+
+Why a sketch at 100 TB: exact per-key counts of a high-cardinality column
+shuffle one row per distinct key; a CMS shuffles into a FIXED depth x
+width cell table (here 4 x 2^k cells) regardless of key cardinality, is
+mergeable across partitions/days by cell-wise addition, and answers point
+queries with the classic one-sided guarantee: estimate >= true count,
+overcount <= e/width * total_rows with probability 1 - (1/2)^depth.
+
+Everything is deterministic given the hash family, so the whole pipeline
+(build -> point query -> error) is oracle-checkable in ANSI SQL:
+`portable=True` uses the md5-hex-head hash (byte-identical in DuckDB),
+production uses xxhash64 — same discipline as ops/sampling.
+
+Build shape: one narrow projection computes all `depth` cell indices per
+row, stack() unpivots to (d, w) pairs, ONE map-side-combined groupBy over
+a keyspace bounded by depth*width. No per-key state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(key: Column, d: int, width: int, portable: bool) -> Column:
+    salted = F.concat_ws("|", F.lit(str(d)), key.cast("string"))
+    if portable:
+        h = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(salted)
+    return F.pmod(h, F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """Sketch of key frequencies: (d, w, cnt) rows, at most depth*width of
+    them. Merge two sketches by unioning and summing cnt on (d, w)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    key = F.col(key_col)
+    cells = df.select(
+        *[_cell(key, d, width, portable).alias(f"w{d}") for d in range(depth)]
+    )
+    stack = ", ".join(f"CAST({d} AS INT), w{d}" for d in range(depth))
+    return (
+        cells.selectExpr(f"stack({depth}, {stack}) AS (d, w)")
+        .groupBy("d", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """Point-query the sketch for each row of `keys`: (key_col, est).
+
+    est = min over d of the key's cell count (absent cell = 0). The
+    sketch side is depth*width rows at most — broadcast, so querying any
+    number of keys is shuffle-free on the keys side except the final
+    per-key min (map-side combined, keys-bounded)."""
+    key = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        *[_cell(key, d, width, portable).alias(f"w{d}") for d in range(depth)],
+    )
+    stack = ", ".join(f"CAST({d} AS INT), w{d}" for d in range(depth))
+    long = probes.selectExpr(key_col, f"stack({depth}, {stack}) AS (d, w)")
+    return (
+        long.join(F.broadcast(sketch), ["d", "w"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )

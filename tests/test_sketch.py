@@ -1,0 +1,76 @@
+"""Count-min sketch: one-sided guarantee, cell-table size bound,
+mergeability (the property that makes it a 100 TB sketch), and real
+overcounts when width < cardinality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reader_spark.ops.sketch import cms_build, cms_estimate
+
+pytestmark = pytest.mark.spark
+
+DEPTH, WIDTH = 4, 16
+
+
+@pytest.fixture(scope="module")
+def skewed_keys(spark):
+    # 40 distinct keys, zipf-ish: key 0 dominates; width 16 forces collisions
+    rows = [(k,) for k in range(40) for _ in range(1 + (200 if k == 0 else k % 7))]
+    return spark.createDataFrame(rows, "k long")
+
+
+@pytest.fixture(scope="module")
+def truth(skewed_keys):
+    return {r["k"]: r["n"] for r in
+            skewed_keys.groupBy("k").agg(F.count("*").alias("n")).collect()}
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_one_sided_guarantee(skewed_keys, truth, portable):
+    sketch = cms_build(skewed_keys, "k", DEPTH, WIDTH, portable=portable)
+    keys = skewed_keys.select("k").distinct()
+    est = {r["k"]: r["est"] for r in
+           cms_estimate(sketch, keys, "k", DEPTH, WIDTH, portable=portable).collect()}
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)       # never undercounts
+    total = sum(truth.values())
+    assert all(est[k] - truth[k] <= total for k in truth)
+    assert any(est[k] > truth[k] for k in truth)        # collisions are real here
+
+
+def test_sketch_size_bounded(skewed_keys):
+    sketch = cms_build(skewed_keys, "k", DEPTH, WIDTH)
+    assert sketch.count() <= DEPTH * WIDTH
+    # total mass per row d equals the row count
+    per_d = sketch.groupBy("d").agg(F.sum("cnt").alias("s")).collect()
+    n = skewed_keys.count()
+    assert {r["d"]: r["s"] for r in per_d} == {d: n for d in range(DEPTH)}
+
+
+def test_merge_equals_rebuild(spark, skewed_keys):
+    """Sketch(A) + Sketch(B) cell-wise == Sketch(A union B) — the merge
+    property that lets per-partition/per-day sketches combine."""
+    a = skewed_keys.where(F.col("k") % 2 == 0)
+    b = skewed_keys.where(F.col("k") % 2 == 1)
+    merged = (
+        cms_build(a, "k", DEPTH, WIDTH)
+        .unionByName(cms_build(b, "k", DEPTH, WIDTH))
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    rebuilt = cms_build(skewed_keys, "k", DEPTH, WIDTH)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rebuilt.collect()))
+
+
+def test_absent_key_estimates_noise_floor(spark, skewed_keys):
+    sketch = cms_build(skewed_keys, "k", DEPTH, WIDTH)
+    ghost = spark.createDataFrame([(99999,)], "k long")
+    est = cms_estimate(sketch, ghost, "k", DEPTH, WIDTH).collect()[0]["est"]
+    assert est >= 0  # may be > 0 (collision noise), never negative/null
+
+
+def test_bad_args_rejected(skewed_keys):
+    with pytest.raises(ValueError):
+        cms_build(skewed_keys, "k", depth=0)
+    with pytest.raises(ValueError):
+        cms_build(skewed_keys, "k", width=1)

@@ -1283,6 +1283,30 @@ def _q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct event_ids per event_type (m=64, portable md5
+    hash) vs the exact count — the estimate itself is oracle-checked:
+    registers are deterministic integers and the harmonic sum's 2^-rho
+    terms span < 53 mantissa bits, so the double sum is exact in any
+    aggregation order."""
+    from reader_spark.ops.hll import hll_estimate, hll_registers
+
+    events = _read(spark, sf_dir, "events")
+    regs = hll_registers(events, "event_id", ["event_type"], b=6)
+    est = hll_estimate(regs, ["event_type"], b=6)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "hll_est",
+        "exact_distinct",
+        F.round(
+            (F.col("hll_est") - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("rel_err"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1356,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "numeric_profile": _q_numeric_profile,
         "cms_user_counts": _q_cms_user_counts,
+        "hll_distinct": _q_hll_distinct,
     }
 
 
@@ -2641,5 +2666,56 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT CAST(key AS BIGINT) AS user_id, est, true_n,
                    est - true_n AS overcount
             FROM est
+        """,
+        "hll_distinct": """
+            WITH ev AS (
+                SELECT event_type, CAST(event_id AS VARCHAR) AS key FROM events
+            ),
+            h AS (
+                SELECT event_type,
+                       CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT) AS hv
+                FROM ev
+            ),
+            parts AS (
+                SELECT event_type,
+                       CAST(floor(hv / 67108864.0) AS BIGINT) AS bucket,
+                       hv % 67108864 AS w
+                FROM h
+            ),
+            rho AS (
+                SELECT event_type, bucket,
+                       CASE WHEN w = 0 THEN 27
+                            ELSE 26 - CAST(floor(log2(CAST(w AS DOUBLE))) AS BIGINT)
+                       END AS rho
+                FROM parts
+            ),
+            regs AS (
+                SELECT event_type, bucket, max(rho) AS register
+                FROM rho GROUP BY 1, 2
+            ),
+            pg AS (
+                SELECT event_type,
+                       sum(power(2.0, -register)) AS present_sum,
+                       count(*) AS n_present
+                FROM regs GROUP BY 1
+            ),
+            est AS (
+                SELECT event_type,
+                       CASE WHEN 2905.460551022604 / (present_sum + (64 - n_present)) <= 160.0
+                                 AND n_present < 64
+                            THEN 64.0 * ln(64.0 / (64 - n_present))
+                            ELSE 2905.460551022604 / (present_sum + (64 - n_present))
+                       END AS e
+                FROM pg
+            ),
+            ex AS (
+                SELECT event_type, count(DISTINCT event_id) AS exact_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT est.event_type,
+                   round(est.e, 4) AS hll_est,
+                   ex.exact_distinct,
+                   round((round(est.e, 4) - exact_distinct) / exact_distinct, 4) AS rel_err
+            FROM est JOIN ex ON est.event_type = ex.event_type
         """,
     }

@@ -1307,6 +1307,19 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis deterministic weighted sample: 20 docs per
+    language, inclusion odds proportional to n_chars. Ranks are rounded
+    to 9 dp BEFORE the window ordering so the ordering itself is
+    engine-stable; ties break on the key."""
+    from reader_spark.ops.sampling import weighted_sample_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_sample_topk(
+        docs, F.col("doc_id"), F.col("n_chars"), 20, ["lang"], portable=True
+    ).select("lang", "doc_id", "n_chars", "sample_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1381,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_profile": _q_numeric_profile,
         "cms_user_counts": _q_cms_user_counts,
         "hll_distinct": _q_hll_distinct,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -2717,5 +2731,24 @@ def _oracle_sql_entries() -> dict[str, str]:
                    ex.exact_distinct,
                    round((round(est.e, 4) - exact_distinct) / exact_distinct, 4) AS rel_err
             FROM est JOIN ex ON est.event_type = ex.event_type
+        """,
+        "weighted_sample": """
+            WITH r AS (
+                SELECT lang, doc_id, n_chars,
+                       round(
+                           -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                % 4294967296 + 1) / 4294967296.0)
+                           / CAST(n_chars AS DOUBLE), 9) AS sample_rank
+                FROM documents WHERE n_chars > 0
+            ),
+            rn AS (
+                SELECT lang, doc_id, n_chars, sample_rank,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY sample_rank ASC, CAST(doc_id AS VARCHAR) ASC
+                       ) AS rn
+                FROM r
+            )
+            SELECT lang, doc_id, n_chars, sample_rank FROM rn WHERE rn <= 20
         """,
     }

@@ -82,3 +82,55 @@ def stratified_sample_flag(
     for name, rate in sorted(rates.items()):
         bound = F.when(stratum == name, int(round(rate * BUCKETS))).otherwise(bound)
     return bucket < bound
+
+
+def weighted_sample_topk(
+    df,
+    key: Column,
+    weight: Column,
+    k: int,
+    strata_cols: list[str] | None = None,
+    portable: bool = False,
+):
+    """Deterministic weighted sampling WITHOUT replacement, k per stratum
+    (Efraimidis & Spirakis, IPL 2006, A-ES): each row draws the exponential
+    rank -ln(u)/w with u a hash-uniform of its key, and the k SMALLEST
+    ranks win — inclusion probability proportional to weight, and the
+    whole draw is a pure function of (key, weight), so re-runs, retries,
+    and backfills select the same rows (df.sample() guarantees none of
+    this). Rows with weight <= 0 are excluded by definition (never
+    sampleable).
+
+    Shape: one window per stratum (single shuffle on strata) — at 100 TB
+    pre-aggregate candidates per stratum or raise k only as needed; the
+    window state is O(k) per stratum with a TakeOrdered-style heap when
+    followed by the rank filter.
+
+    Returns df's rows (all columns) plus `sample_rank`, filtered to the
+    winners; deterministic ties broken by the key itself.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    strata_cols = list(strata_cols or [])
+
+    # hash-uniform in (0, 1]: (pmod(h, 2^32) + 1) / 2^32 — exact powers of
+    # two keep u bit-identical between engines
+    if portable:
+        h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(key.cast("string"))
+    u = (F.pmod(h, F.lit(4294967296)) + 1) / F.lit(4294967296.0)
+
+    w = weight.cast("double")
+    rank = (-F.log(u)) / w
+    ranked = df.where(w > 0).withColumn("sample_rank", F.round(rank, 9))
+    win = Window.partitionBy(*strata_cols).orderBy(
+        F.col("sample_rank").asc(), key.cast("string").asc()
+    )
+    return (
+        ranked.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1320,6 +1320,29 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "doc_id", "n_chars", "sample_rank")
 
 
+def _q_bloom_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom visited-set demo (J1 at 100 TB): first-half doc keys build a
+    k=3, m=1024 filter; every key probes it. Sized so real false
+    positives appear (~14% of unvisited at sf0.01); false negatives are
+    structurally impossible and the oracle re-derives every bit."""
+    from reader_spark.ops.bloom import bloom_build, bloom_member
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("doc:"), F.col("doc_id")).alias("key")
+    )
+    visited = docs.where(F.col("doc_id") < 250)
+    bloom = bloom_build(visited, "key", k=3, m=1024, portable=True)
+    member = bloom_member(bloom, docs, "key", k=3, m=1024, portable=True)
+    return docs.join(member, "key").select(
+        "doc_id",
+        "is_member",
+        F.when(F.col("doc_id") < 250, 1).otherwise(0).alias("visited"),
+        F.when((F.col("is_member") == 1) & (F.col("doc_id") >= 250), 1)
+        .otherwise(0)
+        .alias("false_positive"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1395,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": _q_cms_user_counts,
         "hll_distinct": _q_hll_distinct,
         "weighted_sample": _q_weighted_sample,
+        "bloom_visited": _q_bloom_visited,
     }
 
 
@@ -2750,5 +2774,32 @@ def _oracle_sql_entries() -> dict[str, str]:
                 FROM r
             )
             SELECT lang, doc_id, n_chars, sample_rank FROM rn WHERE rn <= 20
+        """,
+        "bloom_visited": """
+            WITH docs AS (
+                SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR) AS key
+                FROM documents
+            ),
+            hh AS (SELECT unnest([0, 1, 2]) AS i),
+            bits AS (
+                SELECT DISTINCT
+                       CAST(('0x' || substr(md5(i::VARCHAR || '|' || key), 1, 8)) AS BIGINT) % 1024 AS bit
+                FROM docs, hh WHERE doc_id < 250
+            ),
+            probes AS (
+                SELECT d.doc_id, d.key, h.i,
+                       CAST(('0x' || substr(md5(h.i::VARCHAR || '|' || d.key), 1, 8)) AS BIGINT) % 1024 AS bit
+                FROM docs d, hh h
+            ),
+            member AS (
+                SELECT p.doc_id,
+                       min(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS is_member
+                FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+                GROUP BY p.doc_id
+            )
+            SELECT doc_id, is_member,
+                   CASE WHEN doc_id < 250 THEN 1 ELSE 0 END AS visited,
+                   CASE WHEN is_member = 1 AND doc_id >= 250 THEN 1 ELSE 0 END AS false_positive
+            FROM member
         """,
     }

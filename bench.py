@@ -55,6 +55,11 @@ BENCH_QUERIES = (
     "decontaminate",
     "duplicate_spans",
     "bm25_search",
+    "numeric_profile",
+    "cms_user_counts",
+    "hll_distinct",
+    "weighted_sample",
+    "bloom_visited",
 )
 
 

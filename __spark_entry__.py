@@ -1343,6 +1343,18 @@ def _q_bloom_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup over the documents corpus, re-lined
+    into 3-token chunks (the synthetic corpus has no newlines; 3 tokens
+    over its ~30-word vocab makes the drop path non-vacuous — ~19% of
+    lines are cross-document duplicates at sf0.01). First occurrence by
+    (doc_id, line_no) survives; exempt below 2 words."""
+    from reader_spark.ops.lines import line_dedup_summary
+
+    docs = _read(spark, sf_dir, "documents")
+    return line_dedup_summary(docs, "doc_id", "text", words_per_line=3, min_words=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1419,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "weighted_sample": _q_weighted_sample,
         "bloom_visited": _q_bloom_visited,
+        "line_dedup": _q_line_dedup,
     }
 
 
@@ -2801,5 +2814,33 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CASE WHEN doc_id < 250 THEN 1 ELSE 0 END AS visited,
                    CASE WHEN is_member = 1 AND doc_id >= 250 THEN 1 ELSE 0 END AS false_positive
             FROM member
+        """,
+        "line_dedup": """
+            WITH lines AS (
+                SELECT doc_id,
+                       CAST(generate_subscripts(regexp_extract_all(text, '\\S+( \\S+){0,2}'), 1) - 1 AS BIGINT) AS line_no,
+                       unnest(regexp_extract_all(text, '\\S+( \\S+){0,2}')) AS line
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, line_no, line,
+                       len(string_split(line, ' ')) AS n_words,
+                       row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+                FROM lines
+            ),
+            kept AS (
+                SELECT doc_id, line_no, line FROM ranked WHERE n_words < 2 OR rn = 1
+            ),
+            totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+            ka AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       md5(string_agg(line, ' ' ORDER BY line_no)) AS dedup_md5
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_lines,
+                   COALESCE(ka.n_kept, 0) AS n_kept,
+                   t.n_lines - COALESCE(ka.n_kept, 0) AS n_dropped,
+                   COALESCE(ka.dedup_md5, md5('')) AS dedup_md5
+            FROM totals t LEFT JOIN ka USING (doc_id)
         """,
     }

@@ -1355,6 +1355,20 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_summary(docs, "doc_id", "text", words_per_line=3, min_words=2)
 
 
+def _q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing over the skewed language distribution (en is
+    ~44% of the corpus): alpha=0.5 flattens weights to sqrt(count), so
+    dominant languages are downsampled relative to rare ones toward a
+    250-doc target. Deterministic md5-uniform keep test; rates rounded
+    to 9 dp for engine parity."""
+    from reader_spark.ops.sampling import temperature_mix_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return temperature_mix_sample(
+        docs, F.col("doc_id"), ["lang"], alpha=0.5, target_total=250, portable=True
+    ).select("lang", "doc_id", "n_docs", "mix_rate")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1432,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "bloom_visited": _q_bloom_visited,
         "line_dedup": _q_line_dedup,
+        "domain_mix_sample": _q_domain_mix_sample,
     }
 
 
@@ -2842,5 +2857,28 @@ def _oracle_sql_entries() -> dict[str, str]:
                    t.n_lines - COALESCE(ka.n_kept, 0) AS n_dropped,
                    COALESCE(ka.dedup_md5, md5('')) AS dedup_md5
             FROM totals t LEFT JOIN ka USING (doc_id)
+        """,
+        "domain_mix_sample": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+            ),
+            w AS (
+                SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt FROM counts
+            ),
+            tot AS (SELECT sum(wt) AS total_w FROM w),
+            rates AS (
+                SELECT lang, n_docs,
+                       round(least(1.0, 250.0 * wt / (SELECT total_w FROM tot) / n_docs), 9) AS mix_rate
+                FROM w
+            ),
+            u AS (
+                SELECT doc_id, lang,
+                       (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 4294967296 + 1) / 4294967296.0 AS samp_u
+                FROM documents
+            )
+            SELECT u.lang, u.doc_id, r.n_docs, r.mix_rate
+            FROM u JOIN rates r ON u.lang = r.lang
+            WHERE u.samp_u <= r.mix_rate
         """,
     }

@@ -84,6 +84,77 @@ def stratified_sample_flag(
     return bucket < bound
 
 
+def temperature_mix_sample(
+    df,
+    key: Column,
+    group_cols: list[str],
+    alpha: float = 0.5,
+    target_total: int = 1000,
+    portable: bool = False,
+):
+    """Temperature-based corpus mixing: sample each group (language,
+    domain, source) at a rate proportional to count^alpha instead of
+    count, flattening the head (alpha < 1 upsamples rare groups
+    relative to dominant ones — the standard re-weighting for training
+    mixtures, cf. multilingual LM sampling). With group weight
+    w_g = n_g^alpha and W = sum(w_g), the per-group keep rate is
+    min(1, target_total * (w_g / W) / n_g), and a row survives iff its
+    hash-uniform u(key) <= rate — a pure function of (key, group
+    counts): re-runs, retries, and repartitions keep the same rows.
+
+    Shape: one groupBy over group_cols (map-side combined counts), a
+    scalar total, and an equi-join of the tiny rates dim back onto the
+    corpus — AQE broadcasts it (group count is bounded by the number
+    of languages/domains, not corpus rows). The keep test is
+    scan-local.
+
+    Float parity: alpha=0.5 routes through sqrt (IEEE correctly
+    rounded, bit-identical across engines, unlike libm pow); rates are
+    rounded to 9 dp before the comparison so the borderline is
+    engine-stable.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if target_total < 1:
+        raise ValueError(f"target_total must be >= 1, got {target_total}")
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_dbl = F.col("n_docs").cast("double")
+    wt = F.sqrt(n_dbl) if alpha == 0.5 else F.pow(n_dbl, F.lit(alpha))
+    weighted = counts.withColumn("__wt", wt)
+    total = weighted.agg(F.sum("__wt").alias("__W"))
+    rates = (
+        weighted.crossJoin(total)
+        .withColumn(
+            "mix_rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_total)) * F.col("__wt") / F.col("__W") / n_dbl,
+                ),
+                9,
+            ),
+        )
+        .drop("__wt", "__W")
+    )
+
+    if portable:
+        h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(key.cast("string"))
+    u = (F.pmod(h, F.lit(4294967296)) + 1) / F.lit(4294967296.0)
+
+    return (
+        df.withColumn("__u", u)
+        .join(rates, group_cols)
+        .where(F.col("__u") <= F.col("mix_rate"))
+        .drop("__u")
+    )
+
+
 def weighted_sample_topk(
     df,
     key: Column,

@@ -702,6 +702,56 @@ class TestDatasetSplits:
         with _pytest.raises(ValueError, match="at least one split"):
             split_column(F.lit("x"), {})
 
+    def test_temperature_mix_flattens_head(self, spark):
+        """alpha=0.5 must sample the rare group at a HIGHER rate than the
+        dominant one (that is the whole point of temperature mixing)."""
+        from reader_spark.ops.sampling import temperature_mix_sample
+
+        docs = spark.range(0, 5000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 == 0, "rare").otherwise("big").alias("lang"),
+        )
+        kept = temperature_mix_sample(
+            docs, F.col("doc_id"), ["lang"], alpha=0.5, target_total=1000
+        )
+        rates = {r["lang"]: r["mix_rate"] for r in kept.select("lang", "mix_rate").distinct().collect()}
+        assert rates["rare"] > rates["big"]
+        # realized sample size lands near the target (hash-uniform noise)
+        n = kept.count()
+        assert abs(n - 1000) < 100
+        # rates never exceed 1
+        assert all(0.0 < r <= 1.0 for r in rates.values())
+
+    def test_temperature_mix_deterministic_and_stable(self, spark):
+        """A doc's keep decision is a pure function of (key, group counts):
+        re-running yields the identical sample."""
+        from reader_spark.ops.sampling import temperature_mix_sample
+
+        docs = spark.range(0, 2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("g"),
+        )
+        pick = lambda: sorted(
+            r["doc_id"]
+            for r in temperature_mix_sample(
+                docs, F.col("doc_id"), ["g"], target_total=500, portable=True
+            ).collect()
+        )
+        assert pick() == pick()
+
+    def test_temperature_mix_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.sampling import temperature_mix_sample
+
+        docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        with _pytest.raises(ValueError, match="alpha"):
+            temperature_mix_sample(docs, F.col("doc_id"), ["doc_id"], alpha=0.0)
+        with _pytest.raises(ValueError, match="target_total"):
+            temperature_mix_sample(docs, F.col("doc_id"), ["doc_id"], target_total=0)
+        with _pytest.raises(ValueError, match="at least one column"):
+            temperature_mix_sample(docs, F.col("doc_id"), [])
+
     def test_bucket_never_negative(self, spark):
         """pmod, not abs+%: Long.MIN_VALUE-hashing keys must land in a real
         bucket, and every bucket must be in [0, BUCKETS)."""

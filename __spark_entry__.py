@@ -1369,6 +1369,18 @@ def _q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "doc_id", "n_docs", "mix_rate")
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-trained unigram LM scoring: add-1 smoothed
+    token probabilities over the whole documents table, every doc scored
+    by average negative log2-likelihood per token. Full-vocabulary
+    oracle-exact form (max_vocab=None); production sets max_vocab and
+    broadcasts the truncated LM dim."""
+    from reader_spark.ops.textstats import unigram_lm_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1447,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_visited": _q_bloom_visited,
         "line_dedup": _q_line_dedup,
         "domain_mix_sample": _q_domain_mix_sample,
+        "lm_perplexity": _q_lm_perplexity,
     }
 
 
@@ -2880,5 +2893,27 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT u.lang, u.doc_id, r.n_docs, r.mix_rate
             FROM u JOIN rates r ON u.lang = r.lang
             WHERE u.samp_u <= r.mix_rate
+        """,
+        "lm_perplexity": """
+            WITH toks AS (
+                SELECT doc_id, t AS token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+                    FROM documents
+                ) WHERE t <> ''
+            ),
+            counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            stats AS (
+                SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS vocab
+                FROM counts
+            ),
+            scored AS (
+                SELECT t.doc_id,
+                       round(-log2((c + 1.0) / (n_total + vocab)), 9) AS nll
+                FROM toks t JOIN counts USING (token) CROSS JOIN stats
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(nll) / count(*), 6) AS avg_nll_bits
+            FROM scored GROUP BY doc_id
         """,
     }

@@ -297,3 +297,76 @@ def fingerprint_col(text: Column, window: int = 8) -> Column:
     return F.array_min(
         F.transform(shingles(text, window), lambda s: F.xxhash64(s))
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """CCNet-style LM quality scoring: train an add-1-smoothed unigram
+    LM on the corpus itself, then score every document by average
+    negative log-likelihood in bits per token (low = fluent/common
+    phrasing, high = gibberish or unusual content — the standard
+    perplexity filter for pre-training corpora, cf. CCNet, Wenzek et
+    al. 2020, which buckets CommonCrawl by LM perplexity).
+
+    p(w) = (count(w) + 1) / (N + V); score(d) = -mean(log2 p(w_i)).
+
+    Shape at 100 TB: the LM is ONE token-count groupBy (map-side
+    combined — 'the' collapses to a single row per map task, so token
+    skew never crosses the wire as raw occurrences). The score join is
+    exploded-tokens <-> vocab dim; with ``max_vocab`` set the dim is
+    truncated to the top-K tokens (ties broken by token) and BROADCAST
+    — out-of-vocab words smooth to count 0 — which removes the one
+    skewed shuffle (every 'the' row hashing to the same reducer) from
+    the plan. ``max_vocab=None`` is the oracle-exact full-vocabulary
+    contract.
+
+    Float parity: per-token terms rounded to 9 dp before the per-doc
+    sum, the mean to 6 dp after — sums of rounded terms agree across
+    engines at 6 dp regardless of accumulation order.
+
+    Returns (id_col, n_tokens, avg_nll_bits).
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    if max_vocab is not None:
+        if max_vocab < 1:
+            raise ValueError(f"max_vocab must be >= 1, got {max_vocab}")
+        from pyspark.sql import Window
+
+        win = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+        counts = (
+            counts.withColumn("__rk", F.row_number().over(win))
+            .where(F.col("__rk") <= max_vocab)
+            .drop("__rk")
+        )
+        scored = toks.join(F.broadcast(counts), "token", "left").withColumn(
+            "c", F.coalesce(F.col("c"), F.lit(0))
+        )
+    else:
+        scored = toks.join(counts, "token")
+    nll = F.round(
+        -F.log2((F.col("c") + F.lit(1.0)) / (F.col("n_total") + F.col("vocab"))),
+        9,
+    )
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .withColumn("__nll", nll)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("__nll") / F.count(F.lit(1)), 6).alias("avg_nll_bits"),
+        )
+    )

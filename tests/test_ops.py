@@ -764,6 +764,61 @@ class TestDatasetSplits:
         assert 0 <= stats["lo"] and stats["hi"] < BUCKETS
 
 
+class TestUnigramLM:
+    def _docs(self, spark):
+        from pyspark.sql import Row
+
+        common = "the cat sat on the mat and the dog sat on the rug"
+        return spark.createDataFrame(
+            [
+                Row(doc_id=1, text=common),
+                Row(doc_id=2, text="the dog and the cat sat on the mat"),
+                Row(doc_id=3, text="zyx qwv jkq xxz vvq plf"),  # gibberish
+            ]
+        )
+
+    def test_gibberish_scores_worse(self, spark):
+        from reader_spark.ops.textstats import unigram_lm_scores
+
+        rows = {
+            r.doc_id: r for r in unigram_lm_scores(self._docs(spark)).collect()
+        }
+        assert rows[3].avg_nll_bits > rows[1].avg_nll_bits
+        assert rows[3].avg_nll_bits > rows[2].avg_nll_bits
+        assert rows[1].n_tokens == 13
+
+    def test_max_vocab_matches_full_when_uncapped(self, spark):
+        from reader_spark.ops.textstats import unigram_lm_scores
+
+        docs = self._docs(spark)
+        full = sorted(map(tuple, unigram_lm_scores(docs).collect()))
+        capped = sorted(
+            map(tuple, unigram_lm_scores(docs, max_vocab=10_000).collect())
+        )
+        assert full == capped
+
+    def test_oov_smoothing_under_tight_cap(self, spark):
+        """With vocab truncated to the single most common token, every other
+        word smooths to count 0 — scores stay finite and rank sanely."""
+        from reader_spark.ops.textstats import unigram_lm_scores
+
+        rows = {
+            r.doc_id: r
+            for r in unigram_lm_scores(self._docs(spark), max_vocab=1).collect()
+        }
+        assert all(r.avg_nll_bits > 0 for r in rows.values())
+        # doc 3 has no 'the' at all -> every token OOV -> strictly worse
+        assert rows[3].avg_nll_bits > rows[1].avg_nll_bits
+
+    def test_invalid_cap_raises(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.textstats import unigram_lm_scores
+
+        with _pytest.raises(ValueError, match="max_vocab"):
+            unigram_lm_scores(self._docs(spark), max_vocab=0)
+
+
 class TestLargeDocSketchLinearity:
     def test_giant_doc_sketches_finish(self, spark):
         """Regression: the windowers must be linear in doc length — the

@@ -1381,6 +1381,95 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(docs, "doc_id", "text")
 
 
+def _q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over a deterministic domain link graph: every
+    document contributes one link from its own source domain to the
+    domain picked by md5('link:'||doc_id) mod |domains| (no collect —
+    the modulus joins in as a 1-row dim), edges weighted by link count,
+    5 iterations at damping 0.85. The crawl-prioritization / domain-
+    authority computation, expressed as per-iteration join + map-side-
+    combined aggregate (ops/graph.py)."""
+    from reader_spark.ops.graph import pagerank
+
+    docs = _read(spark, sf_dir, "documents")
+    nsrc = docs.agg(F.countDistinct("source").alias("nsrc"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("link:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    edges = (
+        docs.crossJoin(F.broadcast(nsrc))
+        .select(
+            F.col("source").alias("src"),
+            F.concat(F.lit("src"), F.pmod(h, F.col("nsrc")).cast("string")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = pagerank(edges, "src", "dst", "w", iterations=5, damping=0.85)
+    return pr.select(
+        F.col("node").alias("domain"), F.round("pr", 6).alias("pr")
+    )
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank in ANSI SQL, mirroring
+    ops/graph.pagerank's in-iteration 9 dp rounding term for term."""
+    parts = [
+        """
+        WITH nsrc AS (SELECT count(DISTINCT source) AS n FROM documents),
+        edges0 AS (
+            SELECT source AS src,
+                   'src' || CAST(CAST(('0x' || substr(md5('link:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                 % (SELECT n FROM nsrc) AS VARCHAR) AS dst
+            FROM documents
+        ),
+        edges AS (
+            SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+            FROM edges0 GROUP BY src, dst
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION SELECT dst FROM edges
+            )
+        ),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+        frac AS (
+            SELECT e.src, e.dst, e.w / o.out_w AS frac
+            FROM edges e JOIN outw o USING (src)
+        ),
+        r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM nodes)
+        """
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+        r{k} AS (
+            SELECT n.node,
+                   round((1 - {damping}) / (SELECT n FROM nn)
+                         + {damping} * (
+                               COALESCE(c.in_sum, 0)
+                               + (SELECT COALESCE(sum(pr), 0) FROM r{k - 1} p
+                                  LEFT JOIN outw o ON p.node = o.src
+                                  WHERE o.src IS NULL) / (SELECT n FROM nn)
+                           ), 9) AS pr
+            FROM nodes n LEFT JOIN (
+                SELECT f.dst AS node, sum(round(p.pr * f.frac, 9)) AS in_sum
+                FROM frac f JOIN r{k - 1} p ON f.src = p.node
+                GROUP BY f.dst
+            ) c ON n.node = c.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node AS domain, round(pr, 6) AS pr FROM r{iterations}
+        """
+    )
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1460,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "domain_mix_sample": _q_domain_mix_sample,
         "lm_perplexity": _q_lm_perplexity,
+        "pagerank_domains": _q_pagerank_domains,
     }
 
 
@@ -2916,4 +3006,5 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round(sum(nll) / count(*), 6) AS avg_nll_bits
             FROM scored GROUP BY doc_id
         """,
+        "pagerank_domains": _pagerank_oracle(iterations=5, damping=0.85),
     }

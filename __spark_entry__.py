@@ -1470,6 +1470,25 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: docs with doc_id >= 250 are the new
+    batch, checked against the already-ingested corpus (doc_id < 250)
+    via the portable minhash band index + exact-Jaccard verify at 0.8.
+    Only new-vs-old pairs are ever formed; the old band table is the
+    reusable persistent index."""
+    from reader_spark.ops.dedup import incremental_near_dups
+
+    docs = _read(spark, sf_dir, "documents")
+    return incremental_near_dups(
+        docs.where(F.col("doc_id") < 250),
+        docs.where(F.col("doc_id") >= 250),
+        "doc_id",
+        "text",
+        threshold=0.8,
+        portable=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1550,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": _q_domain_mix_sample,
         "lm_perplexity": _q_lm_perplexity,
         "pagerank_domains": _q_pagerank_domains,
+        "incremental_dedup": _q_incremental_dedup,
     }
 
 
@@ -3007,4 +3027,47 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM scored GROUP BY doc_id
         """,
         "pagerank_domains": _pagerank_oracle(iterations=5, damping=0.85),
+        "incremental_dedup": """
+            WITH sh AS (
+                SELECT doc_id AS doc,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                       ))) AS shingle
+                FROM documents
+            ),
+            mins AS (
+                SELECT doc, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minh
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS seed) seeds
+                GROUP BY doc, seed
+            ),
+            bandh AS (
+                SELECT doc, seed // 4 AS band_id,
+                       md5(string_agg(minh, '|' ORDER BY seed)) AS band_hash
+                FROM mins GROUP BY doc, seed // 4
+            ),
+            cands AS (
+                SELECT DISTINCT nb.doc AS new_doc, ob.doc AS old_doc
+                FROM bandh nb
+                JOIN bandh ob ON nb.band_id = ob.band_id
+                             AND nb.band_hash = ob.band_hash
+                WHERE nb.doc >= 250 AND ob.doc < 250
+            ),
+            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+            inter AS (
+                SELECT c.new_doc, c.old_doc, count(*) AS n_inter
+                FROM cands c
+                JOIN sh a ON a.doc = c.old_doc
+                JOIN sh b ON b.doc = c.new_doc AND b.shingle = a.shingle
+                GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT i.new_doc, i.old_doc,
+                       round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+                FROM inter i
+                JOIN sizes sa ON sa.doc = i.old_doc
+                JOIN sizes sb ON sb.doc = i.new_doc
+            )
+            SELECT new_doc, old_doc, jaccard FROM j WHERE jaccard >= 0.8
+        """,
     }

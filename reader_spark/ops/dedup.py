@@ -595,3 +595,84 @@ def _minhash_banded_portable(
     return sig.select(
         "doc", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc", "band.band_id", "band.band_hash")
+
+
+def incremental_near_dups(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+    portable: bool = False,
+) -> DataFrame:
+    """Cross-batch near-dup detection: flag documents in a NEW batch
+    that near-duplicate anything already in the ingested corpus — the
+    incremental-crawl dedup step (each recrawl batch checks against the
+    corpus without re-pairing the corpus with itself).
+
+    Shape at 100 TB: the old batch's (doc, band_id, band_hash) table is
+    the PERSISTENT INDEX — computed once at ingest, stored bucketed by
+    band_hash, and only the new batch is sketched per run. Candidates
+    come from one equi-join of new bands against the index (no
+    new-x-new or old-x-old pairing), and the exact-Jaccard verify joins
+    shingle sets for candidate docs only. Both joins are key-bounded;
+    nothing is quadratic in corpus size.
+
+    portable=True uses the md5 hash family (byte-identical in ANSI SQL,
+    oracle-checkable end-to-end); production uses xxhash64.
+
+    Returns (new_doc, old_doc, jaccard) for verified pairs with
+    round(jaccard, 6) >= threshold.
+    """
+    if bands * rows_per_band != num_hashes:
+        raise ValueError(
+            f"bands*rows_per_band ({bands}*{rows_per_band}) must equal "
+            f"num_hashes ({num_hashes})"
+        )
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    def banded(df: DataFrame) -> DataFrame:
+        if portable:
+            return _minhash_banded_portable(
+                df, id_col, text_col, n, num_hashes, bands, rows_per_band
+            )
+        return _minhash_banded(
+            minhash_signatures(df, id_col, text_col, n, num_hashes),
+            bands,
+            rows_per_band,
+        )
+
+    old_b = banded(old_df).withColumnRenamed("doc", "old_doc")
+    new_b = banded(new_df).withColumnRenamed("doc", "new_doc")
+    cands = (
+        new_b.join(old_b, ["band_id", "band_hash"])
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+
+    def sets(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(name),
+            shingles(F.col(text_col), n).alias(f"{name}_sh"),
+        )
+
+    return (
+        cands.join(sets(new_df, "new_doc"), "new_doc")
+        .join(sets(old_df, "old_doc"), "old_doc")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("new_doc_sh", "old_doc_sh"))
+        )
+        .withColumn(
+            "n_union",
+            F.size("new_doc_sh") + F.size("old_doc_sh") - F.col("n_inter"),
+        )
+        .where(F.col("n_union") > 0)
+        .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("new_doc", "old_doc", "jaccard")
+    )

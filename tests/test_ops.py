@@ -764,6 +764,58 @@ class TestDatasetSplits:
         assert 0 <= stats["lo"] and stats["hi"] < BUCKETS
 
 
+class TestIncrementalDedup:
+    def _batches(self, spark):
+        from pyspark.sql import Row
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        old = [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text="completely different words about spark shuffles and joins here"),
+            # old-old near-dup pair: must NOT appear in cross-batch output
+            Row(doc_id=3, text="alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            Row(doc_id=4, text="alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ]
+        new = [
+            Row(doc_id=10, text=base + " extra"),  # near-dup of old doc 1
+            Row(doc_id=11, text="novel content with no overlap at all whatsoever in any way"),
+            # new-new dup pair: must NOT appear either
+            Row(doc_id=12, text="mu nu xi omicron pi rho sigma tau upsilon phi"),
+            Row(doc_id=13, text="mu nu xi omicron pi rho sigma tau upsilon phi"),
+        ]
+        return spark.createDataFrame(old), spark.createDataFrame(new)
+
+    def test_cross_batch_pairs_only(self, spark):
+        from reader_spark.ops.dedup import incremental_near_dups
+
+        old, new = self._batches(spark)
+        got = incremental_near_dups(
+            old, new, "doc_id", "text", threshold=0.5, portable=True
+        ).collect()
+        assert [(r.new_doc, r.old_doc) for r in got] == [(10, 1)]
+        assert got[0].jaccard >= 0.5
+
+    def test_production_hash_family_agrees(self, spark):
+        from reader_spark.ops.dedup import incremental_near_dups
+
+        old, new = self._batches(spark)
+        port = incremental_near_dups(old, new, "doc_id", "text", threshold=0.5, portable=True)
+        prod = incremental_near_dups(old, new, "doc_id", "text", threshold=0.5, portable=False)
+        # verified pairs are hash-family independent at this recall
+        assert sorted(map(tuple, port.collect())) == sorted(map(tuple, prod.collect()))
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.dedup import incremental_near_dups
+
+        old, new = self._batches(spark)
+        with _pytest.raises(ValueError, match="must equal"):
+            incremental_near_dups(old, new, "doc_id", "text", bands=3)
+        with _pytest.raises(ValueError, match="threshold"):
+            incremental_near_dups(old, new, "doc_id", "text", threshold=0.0)
+
+
 class TestUnigramLM:
     def _docs(self, spark):
         from pyspark.sql import Row

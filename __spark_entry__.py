@@ -1489,6 +1489,22 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel with a 24h max gap between
+    consecutive steps (150 -> 60 -> 25 users at sf0.01 — the gap is what
+    makes the ordering constraint bite on this event density). Each step
+    is one user-keyed join + map-side-combined min; the stage table only
+    shrinks."""
+    from reader_spark.ops.funnel import funnel_summary
+
+    events = _read(spark, sf_dir, "events")
+    return funnel_summary(
+        events,
+        steps=("view", "click", "purchase"),
+        max_gap_seconds=86400,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1570,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "pagerank_domains": _q_pagerank_domains,
         "incremental_dedup": _q_incremental_dedup,
+        "funnel_conversion": _q_funnel_conversion,
     }
 
 
@@ -3069,5 +3086,37 @@ def _oracle_sql_entries() -> dict[str, str]:
                 JOIN sizes sb ON sb.doc = i.new_doc
             )
             SELECT new_doc, old_doc, jaccard FROM j WHERE jaccard >= 0.8
+        """,
+        "funnel_conversion": """
+            WITH e AS (SELECT user_id, event_type, ts FROM events),
+            s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                  AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                  AND e.ts <= s2.t2 + INTERVAL 86400 SECOND
+                GROUP BY e.user_id
+            ),
+            u AS (
+                SELECT (SELECT count(*) FROM s1) AS u1,
+                       (SELECT count(*) FROM s2) AS u2,
+                       (SELECT count(*) FROM s3) AS u3
+            )
+            SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step, u1 AS users,
+                   round(u1 * 1.0 / u1, 6) AS conv_from_prev FROM u
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click', u2, round(u2 * 1.0 / u1, 6) FROM u
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase', u3, round(u3 * 1.0 / u2, 6) FROM u
         """,
     }

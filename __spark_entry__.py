@@ -1505,6 +1505,47 @@ def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (user_id, event time): both dims
+    min/max-bucketed to 8 bits with pure integer div and Morton-
+    interleaved — the multi-dim data-skipping key (OPTIMIZE ZORDER).
+    Scan-local after a 1-row min/max dim joins in; exact integer math
+    end to end."""
+    from reader_spark.ops.zorder import zorder_key
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    return zorder_key(events, "user_id", "ts_us", bits=8).select(
+        "event_id", "user_id_bucket", "ts_us_bucket", "z"
+    )
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    scale = 1 << bits
+    z_terms = " + ".join(
+        f"(((user_id_bucket >> {b}) & 1) << {2 * b}) + "
+        f"(((ts_us_bucket >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+    return f"""
+        WITH mm AS (
+            SELECT min(user_id) AS minx, max(user_id) AS maxx,
+                   min(epoch_us(ts)) AS miny, max(epoch_us(ts)) AS maxy
+            FROM events
+        ),
+        b AS (
+            SELECT event_id,
+                   ((user_id - minx) * {scale}) // (maxx - minx + 1) AS user_id_bucket,
+                   ((epoch_us(ts) - miny) * {scale}) // (maxy - miny + 1) AS ts_us_bucket
+            FROM events, mm
+        )
+        SELECT event_id, user_id_bucket, ts_us_bucket,
+               {z_terms} AS z
+        FROM b
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1587,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_domains": _q_pagerank_domains,
         "incremental_dedup": _q_incremental_dedup,
         "funnel_conversion": _q_funnel_conversion,
+        "zorder_events": _q_zorder_events,
     }
 
 
@@ -3119,4 +3161,5 @@ def _oracle_sql_entries() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase', u3, round(u3 * 1.0 / u2, 6) FROM u
         """,
+        "zorder_events": _zorder_oracle(bits=8),
     }

@@ -1546,6 +1546,21 @@ def _zorder_oracle(bits: int = 8) -> str:
     """
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention where 'active' = a purchase with value >
+    80 (the threshold thins activity to ~2 qualifying events per user
+    per month, so cohorts and offsets actually differentiate — 5
+    cohorts x varying offsets at sf0.01). Integer period indexing
+    against a fixed anchor date."""
+    from reader_spark.ops.retention import cohort_retention
+
+    events = _read(spark, sf_dir, "events")
+    activity = events.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 80.0)
+    )
+    return cohort_retention(activity, "user_id", "ts", "2024-01-01", 7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1629,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "funnel_conversion": _q_funnel_conversion,
         "zorder_events": _q_zorder_events,
+        "cohort_retention": _q_cohort_retention,
     }
 
 
@@ -3162,4 +3178,27 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT CAST(3 AS BIGINT), 'purchase', u3, round(u3 * 1.0 / u2, 6) FROM u
         """,
         "zorder_events": _zorder_oracle(bits=8),
+        "cohort_retention": """
+            WITH e AS (
+                SELECT user_id AS u,
+                       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+                FROM events
+                WHERE event_type = 'purchase' AND value > 80.0
+            ),
+            first AS (SELECT u, min(wk) AS cohort_week FROM e GROUP BY u),
+            act AS (SELECT DISTINCT u, wk FROM e),
+            sizes AS (
+                SELECT cohort_week, count(*) AS cohort_size
+                FROM first GROUP BY cohort_week
+            ),
+            cells AS (
+                SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
+                       count(DISTINCT a.u) AS active_users
+                FROM act a JOIN first f USING (u)
+                GROUP BY 1, 2
+            )
+            SELECT c.cohort_week, c.week_offset, s.cohort_size, c.active_users,
+                   round(c.active_users * 1.0 / s.cohort_size, 6) AS retention
+            FROM cells c JOIN sizes s USING (cohort_week)
+        """,
     }

@@ -1561,6 +1561,37 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(activity, "user_id", "ts", "2024-01-01", 7)
 
 
+def _q_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability, oracle-checked: per-event-type HLL register
+    sets over user_id are merged by per-bucket max and must estimate
+    EXACTLY what a direct global sketch estimates (identical registers,
+    identical harmonic sum — not approximately equal). One row:
+    merged vs direct vs exact distinct."""
+    from reader_spark.ops.hll import hll_estimate, hll_merge, hll_registers
+
+    events = _read(spark, sf_dir, "events")
+    by_type = hll_registers(events, "user_id", ["event_type"], b=6)
+    merged_est = hll_estimate(hll_merge(by_type, []), [], b=6).select(
+        F.col("hll_est").alias("merged_est")
+    )
+    direct_est = hll_estimate(
+        hll_registers(events, "user_id", []), [], b=6
+    ).select(F.col("hll_est").alias("direct_est"))
+    exact = events.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return (
+        merged_est.crossJoin(direct_est)
+        .crossJoin(exact)
+        .select(
+            "merged_est",
+            "direct_est",
+            "exact_distinct",
+            (F.col("merged_est") == F.col("direct_est"))
+            .cast("int")
+            .alias("merge_exact"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1645,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "zorder_events": _q_zorder_events,
         "cohort_retention": _q_cohort_retention,
+        "hll_merged": _q_hll_merged,
     }
 
 
@@ -3200,5 +3232,53 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT c.cohort_week, c.week_offset, s.cohort_size, c.active_users,
                    round(c.active_users * 1.0 / s.cohort_size, 6) AS retention
             FROM cells c JOIN sizes s USING (cohort_week)
+        """,
+        "hll_merged": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+                FROM events
+            ),
+            parts AS (
+                SELECT event_type,
+                       CAST(floor(hv / 67108864.0) AS BIGINT) AS bucket,
+                       hv % 67108864 AS w
+                FROM h
+            ),
+            rho AS (
+                SELECT event_type, bucket,
+                       CASE WHEN w = 0 THEN 27
+                            ELSE 26 - CAST(floor(log2(CAST(w AS DOUBLE))) AS BIGINT)
+                       END AS rho
+                FROM parts
+            ),
+            regs_t AS (
+                SELECT event_type, bucket, max(rho) AS register
+                FROM rho GROUP BY 1, 2
+            ),
+            regs_m AS (SELECT bucket, max(register) AS register FROM regs_t GROUP BY 1),
+            regs_d AS (SELECT bucket, max(rho) AS register FROM rho GROUP BY 1),
+            est_m AS (
+                SELECT CASE WHEN 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*))) <= 160.0
+                                 AND count(*) < 64
+                            THEN 64.0 * ln(64.0 / (64 - count(*)))
+                            ELSE 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*)))
+                       END AS e
+                FROM regs_m
+            ),
+            est_d AS (
+                SELECT CASE WHEN 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*))) <= 160.0
+                                 AND count(*) < 64
+                            THEN 64.0 * ln(64.0 / (64 - count(*)))
+                            ELSE 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*)))
+                       END AS e
+                FROM regs_d
+            ),
+            ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+            SELECT round(est_m.e, 4) AS merged_est,
+                   round(est_d.e, 4) AS direct_est,
+                   ex.exact_distinct,
+                   CASE WHEN round(est_m.e, 4) = round(est_d.e, 4) THEN 1 ELSE 0 END AS merge_exact
+            FROM est_m, est_d, ex
         """,
     }

@@ -83,3 +83,19 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return per_group.select(*group_cols, F.round(est, 4).alias("hll_est"))
+
+
+def hll_merge(
+    registers: DataFrame,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Merge register sets down to a coarser grouping by per-bucket max —
+    THE property that makes HLL the distributed distinct sketch: per-
+    partition / per-day / per-type sketches union losslessly, so the
+    merged estimate is IDENTICAL to sketching the union directly (not
+    merely close). group_cols=[] merges everything into one sketch.
+
+    One map-side-combined groupBy over at most |groups| x m rows."""
+    return registers.groupBy(*list(group_cols), "bucket").agg(
+        F.max("register").alias("register")
+    )

@@ -73,3 +73,45 @@ def test_bad_b_rejected(many_keys):
         hll_registers(many_keys, "k", ["grp"], b=3)
     with pytest.raises(ValueError):
         hll_registers(many_keys, "k", ["grp"], b=17)
+
+
+class TestHLLMerge:
+    def test_merged_registers_equal_direct(self, spark):
+        """Sketch per split, merge by bucket-max -> identical registers to
+        sketching the union directly (lossless union, the distributed
+        guarantee)."""
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.hll import hll_estimate, hll_merge, hll_registers
+
+        df = spark.range(0, 5000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("part"),
+        )
+        merged = hll_merge(hll_registers(df, "k", ["part"], b=6), [])
+        direct = hll_registers(df, "k", [], b=6)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        m_est = hll_estimate(merged, [], b=6).head()["hll_est"]
+        d_est = hll_estimate(direct, [], b=6).head()["hll_est"]
+        assert m_est == d_est
+
+    def test_merge_to_intermediate_grouping(self, spark):
+        """Merging (a, b)-grouped sketches down to (a) equals sketching at
+        (a) directly."""
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.hll import hll_merge, hll_registers
+
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).alias("a"),
+            (F.col("id") % 5).alias("b"),
+        )
+        fine = hll_registers(df, "k", ["a", "b"], b=5)
+        merged = hll_merge(fine, ["a"])
+        direct = hll_registers(df, "k", ["a"], b=5)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )

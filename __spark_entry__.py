@@ -1592,6 +1592,33 @@ def _q_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), ties broken by event_id so
+    the sequence is engine-stable. One window over (user, time) — state
+    bounded per user — then a 25-cell aggregate."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.withColumn("next_type", F.lead("event_type").over(win))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("n_from"), 6).alias("prob"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1677,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": _q_zorder_events,
         "cohort_retention": _q_cohort_retention,
         "hll_merged": _q_hll_merged,
+        "event_transitions": _q_event_transitions,
     }
 
 
@@ -3280,5 +3308,22 @@ def _oracle_sql_entries() -> dict[str, str]:
                    ex.exact_distinct,
                    CASE WHEN round(est_m.e, 4) = round(est_d.e, 4) THEN 1 ELSE 0 END AS merge_exact
             FROM est_m, est_d, ex
+        """,
+        "event_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_type
+                FROM events
+            ),
+            pairs AS (
+                SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+                FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+            ),
+            tot AS (SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY 1)
+            SELECT p.from_type, p.to_type, p.n,
+                   round(p.n / t.n_from, 6) AS prob
+            FROM pairs p JOIN tot t USING (from_type)
         """,
     }

@@ -764,6 +764,59 @@ class TestDatasetSplits:
         assert 0 <= stats["lo"] and stats["hi"] < BUCKETS
 
 
+class TestEventTransitions:
+    def test_matrix_on_hand_sequence(self, spark):
+        """Drive the registered query's logic on a tiny fixture written to
+        a temp sf_dir-shaped directory."""
+        import datetime as dt
+        import tempfile
+
+        from pyspark.sql import Row
+
+        import __spark_entry__ as entry
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: a -> b -> a ; user 2: a -> b
+            Row(event_id=1, ts=t0, user_id=1, event_type="a", value=0.0, props="{}"),
+            Row(event_id=2, ts=t0 + dt.timedelta(seconds=1), user_id=1, event_type="b", value=0.0, props="{}"),
+            Row(event_id=3, ts=t0 + dt.timedelta(seconds=2), user_id=1, event_type="a", value=0.0, props="{}"),
+            Row(event_id=4, ts=t0, user_id=2, event_type="a", value=0.0, props="{}"),
+            Row(event_id=5, ts=t0 + dt.timedelta(seconds=1), user_id=2, event_type="b", value=0.0, props="{}"),
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(rows).write.parquet(f"{d}/events.parquet")
+            got = {
+                (r.from_type, r.to_type): (r.n, r.prob)
+                for r in entry.queries()["event_transitions"](spark, d).collect()
+            }
+        # a->b twice (prob 1.0 from a), b->a once (prob 1.0 from b)
+        assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+    def test_tie_break_by_event_id(self, spark):
+        """Two events at the SAME timestamp: sequence order (and hence the
+        transition) is pinned by event_id, not partition luck."""
+        import datetime as dt
+        import tempfile
+
+        from pyspark.sql import Row
+
+        import __spark_entry__ as entry
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            Row(event_id=2, ts=t0, user_id=1, event_type="b", value=0.0, props="{}"),
+            Row(event_id=1, ts=t0, user_id=1, event_type="a", value=0.0, props="{}"),
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(rows).write.parquet(f"{d}/events.parquet")
+            got = [
+                (r.from_type, r.to_type)
+                for r in entry.queries()["event_transitions"](spark, d).collect()
+            ]
+        assert got == [("a", "b")]
+
+
 class TestIncrementalDedup:
     def _batches(self, spark):
         from pyspark.sql import Row

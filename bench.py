@@ -60,6 +60,16 @@ BENCH_QUERIES = (
     "hll_distinct",
     "weighted_sample",
     "bloom_visited",
+    "line_dedup",
+    "domain_mix_sample",
+    "lm_perplexity",
+    "pagerank_domains",
+    "incremental_dedup",
+    "funnel_conversion",
+    "zorder_events",
+    "cohort_retention",
+    "hll_merged",
+    "event_transitions",
 )
 
 

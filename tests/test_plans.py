@@ -167,3 +167,55 @@ def test_ivf_index_partition_pruning(spark, tmp_path_factory):
     # pruned read returns exactly that cell's vectors
     cells = {r["cell"] for r in probe.select("cell").distinct().collect()}
     assert cells == {2}
+
+
+def test_line_dedup_no_cartesian_and_partial_agg(spark):
+    """First-occurrence election must be a partial-aggregated groupBy and
+    an equi-join back — never a cartesian product."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["line_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_lm_perplexity_capped_vocab_broadcasts(spark):
+    """With max_vocab set, the LM dim join must be a broadcast — that is
+    the path that removes the skewed token shuffle."""
+    from reader_spark.ops.textstats import unigram_lm_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(unigram_lm_scores(docs, max_vocab=1000))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_zorder_is_scan_local_after_minmax(spark):
+    """z-key computation must add NO shuffle beyond the 1-row min/max
+    broadcast: no Exchange hashpartitioning over the fact rows."""
+    from reader_spark.ops.zorder import zorder_key
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    plan = plan_of(zorder_key(events, "user_id", "ts_us", bits=8))
+    assert "hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_incremental_dedup_band_equi_join(spark):
+    """Candidate generation joins on (band_id, band_hash) — an equi-join,
+    not a cartesian pairing of the batches."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["incremental_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "band_hash" in plan
+
+
+def test_funnel_stage_joins_are_keyed(spark):
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["funnel_conversion"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # per-stage min is partially aggregated before the shuffle
+    assert "partial_min" in plan

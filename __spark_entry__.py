@@ -1619,6 +1619,51 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source end-to-end with the tolerant contract on display:
+    100 table-derived documents round-trip through two JSONL shards,
+    plus one schema-drift line (unknown extra field — parses clean),
+    one missing-field line and one malformed line (both become error
+    ROWS), and a blank trailing line (skipped). Splittable text scan +
+    JVM-side from_json; no Python in the parse path."""
+    import json
+    import os
+    import tempfile
+
+    from reader_spark.sources.jsonl import read_jsonl_docs
+
+    rows = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "text", "source")
+        .collect()
+    )
+    lines = [
+        json.dumps(
+            {"doc_id": str(r["doc_id"]), "text": r["text"], "source": r["source"]}
+        )
+        for r in rows
+    ]
+    lines.append(
+        json.dumps({"doc_id": "x1", "text": "t", "source": "s", "extra_field": 1})
+    )
+    lines.append('{"text": "orphan text without id"}')
+    lines.append("{broken json")
+    lines.append("")
+    d = tempfile.mkdtemp(prefix="jsonlq_")
+    half = len(lines) // 2
+    for name, chunk in (("part-0.jsonl", lines[:half]), ("part-1.jsonl", lines[half:])):
+        with open(os.path.join(d, name), "w", encoding="utf-8") as fh:
+            fh.write("\n".join(chunk) + "\n")
+
+    out = read_jsonl_docs(spark, d)
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        "error",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1705,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "hll_merged": _q_hll_merged,
         "event_transitions": _q_event_transitions,
+        "jsonl_ingest": _q_jsonl_ingest,
     }
 
 
@@ -3325,5 +3371,18 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT p.from_type, p.to_type, p.n,
                    round(p.n / t.n_from, 6) AS prob
             FROM pairs p JOIN tot t USING (from_type)
+        """,
+        "jsonl_ingest": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM documents WHERE doc_id < 100
+            UNION ALL
+            SELECT 'x1', CAST(1 AS BIGINT), NULL
+            UNION ALL
+            SELECT NULL, CAST(length('orphan text without id') AS BIGINT),
+                   'MissingFieldError'
+            UNION ALL
+            SELECT NULL, NULL, 'MalformedJsonError'
         """,
     }

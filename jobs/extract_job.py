@@ -28,9 +28,10 @@ def main(argv=None) -> int:
     parser.add_argument("--input", required=True, help="docs table path (parquet)")
     parser.add_argument(
         "--input-format",
-        choices=("docs", "warc"),
+        choices=("docs", "warc", "jsonl"),
         default="docs",
-        help="docs = parquet docs(doc_id, spans); warc = web-archive files",
+        help="docs = parquet docs(doc_id, spans); warc = web-archive files; "
+        "jsonl = newline-delimited JSON (doc_id, text, source)",
     )
     parser.add_argument("--warehouse", required=True, help="output warehouse dir")
     parser.add_argument("--run-id", required=True)
@@ -82,6 +83,17 @@ def main(argv=None) -> int:
 
                 docs = warc_to_docs(read_warc(spark, args.input))
                 args.base_url_prefix = ""  # capture URI is the base URL
+            elif args.input_format == "jsonl":
+                from reader_spark.sources.jsonl import jsonl_to_docs, read_jsonl_docs
+
+                parsed = read_jsonl_docs(spark, args.input)
+                n_bad = parsed.where(parsed["error"].isNotNull()).count()
+                if n_bad:
+                    print(
+                        f"jsonl: skipping {n_bad} unparseable/incomplete lines",
+                        file=sys.stderr,
+                    )
+                docs = jsonl_to_docs(parsed)
             else:
                 docs = spark.read.parquet(args.input)
             warehouse = Warehouse(spark, args.warehouse)

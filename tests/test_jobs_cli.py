@@ -167,6 +167,36 @@ def test_extract_job_warc(warc_path, tmp_path):
     assert m["successfulDocs"] == 4
 
 
+def test_extract_job_jsonl(tmp_path):
+    import json
+
+    d = tmp_path / "jsonl_in"
+    d.mkdir()
+    lines = [
+        json.dumps(
+            {
+                "doc_id": f"https://jobs.test/j{i}",
+                "text": f"<html><body><main><h1>J{i}</h1><p>jsonl page {i} "
+                f"body words</p></main></body></html>",
+                "source": "jobs",
+            }
+        )
+        for i in range(3)
+    ]
+    lines.append("{corrupt line")  # must be skipped with a report, not fatal
+    (d / "docs.jsonl").write_text("\n".join(lines) + "\n")
+    wh = str(tmp_path / "whj")
+    proc = run_job_raw(
+        "extract_job.py", "--input", str(d), "--input-format", "jsonl",
+        "--warehouse", wh, "--run-id", "j1", "--master", "local[4]",
+        "--base-url-prefix", "",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    m = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert m["successfulDocs"] == 3
+    assert "skipping 1 unparseable" in proc.stderr
+
+
 def test_corpus_prep_job(spark, docs_path, tmp_path):
     out = str(tmp_path / "clean")
     m = run_job(

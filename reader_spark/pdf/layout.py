@@ -82,6 +82,54 @@ def _xy_cut(boxes: list[Box], min_gap: float) -> list[Box]:
     return sorted(boxes, key=lambda b: (b.y0, b.x0))
 
 
+def _furniture_key(box: Box, y_tol: float) -> tuple[str, int]:
+    """Furniture identity: digit-normalized text + y-band. Digits collapse
+    to '#' so 'Page 1'/'Page 2' and dated footers match across pages."""
+    norm = "".join("#" if ch.isdigit() else ch for ch in box.text).strip().casefold()
+    return norm, int(round(box.y0 / y_tol))
+
+
+def strip_repeated_furniture(
+    boxes: list[Box],
+    min_pages: int = 2,
+    y_tol: float = 2.0,
+    margin_frac: float = 0.1,
+) -> list[Box]:
+    """Remove running headers/footers/page numbers: any box IN THE PAGE
+    MARGINS (top/bottom ``margin_frac`` of the page's y-extent) whose
+    (digit-normalized text, y-band) recurs on >= min_pages DISTINCT pages
+    is page furniture, not content (the standard repeated-element
+    heuristic in PDF content extraction, cf. pdffigures/GROBID zoning).
+    The margin guard keeps template-like BODY layouts safe: repeated
+    mid-page structure (forms, tables of figures) is content even when
+    it aligns across pages."""
+    if min_pages < 2:
+        raise ValueError(f"min_pages must be >= 2, got {min_pages}")
+    if not 0.0 < margin_frac < 0.5:
+        raise ValueError(f"margin_frac must be in (0, 0.5), got {margin_frac}")
+    if not boxes:
+        return boxes
+    y_max = max(b.y1 for b in boxes)
+    top, bottom = y_max * margin_frac, y_max * (1.0 - margin_frac)
+
+    def in_margin(b: Box) -> bool:
+        return b.y1 <= top or b.y0 >= bottom
+
+    pages_of: dict[tuple[str, int], set[int]] = {}
+    for b in boxes:
+        if not in_margin(b):
+            continue
+        key = _furniture_key(b, y_tol)
+        if key[0]:
+            pages_of.setdefault(key, set()).add(b.page)
+    return [
+        b
+        for b in boxes
+        if not in_margin(b)
+        or len(pages_of.get(_furniture_key(b, y_tol), ())) < min_pages
+    ]
+
+
 def reading_order(boxes: list[Box], min_gap: float = 10.0) -> list[Box]:
     """Natural reading order across pages: per page, recursive XY-cut."""
     out: list[Box] = []
@@ -94,11 +142,17 @@ def extract_pdf_spans(
     payload: str,
     min_gap: float = 10.0,
     heading_height: float = 18.0,
+    strip_furniture: bool = True,
 ) -> list[Span]:
     """pdf_text payload -> ordered spans. Boxes taller than heading_height
     (a font-size proxy) become headings; consecutive body lines in the same
-    column merge into one text span."""
-    boxes = reading_order(parse_boxes(payload), min_gap)
+    column merge into one text span. Running headers/footers/page numbers
+    (same digit-normalized text at the same y on 2+ pages) are stripped
+    before ordering unless strip_furniture=False."""
+    boxes = parse_boxes(payload)
+    if strip_furniture:
+        boxes = strip_repeated_furniture(boxes)
+    boxes = reading_order(boxes, min_gap)
     spans: list[Span] = []
     buffer: list[str] = []
 

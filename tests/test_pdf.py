@@ -107,3 +107,79 @@ def test_multi_page_order():
     assert [b.text for b in reading_order(boxes)] == [
         "p1-first", "p1-second", "p2-first",
     ]
+
+
+class TestFurnitureRemoval:
+    def _doc(self):
+        lines = []
+        for p in range(3):
+            lines.append(f"{p}\t40\t10\t550\t22\tACME Corp — Confidential")
+            lines.append(f"{p}\t40\t300\t550\t312\tUnique body paragraph {p} text")
+            lines.append(f"{p}\t270\t780\t330\t790\tPage {p + 1}")
+        return "\n".join(lines)
+
+    def test_headers_footers_and_page_numbers_stripped(self):
+        from reader_spark.pdf.layout import extract_pdf_spans
+
+        spans = extract_pdf_spans(self._doc())
+        joined = " ".join(s.text for s in spans)
+        assert "Confidential" not in joined
+        assert "Page" not in joined
+        for p in range(3):
+            assert f"Unique body paragraph {p} text" in joined
+
+    def test_digit_normalization_matches_varying_page_numbers(self):
+        from reader_spark.pdf.layout import parse_boxes, strip_repeated_furniture
+
+        boxes = parse_boxes(self._doc())
+        kept = strip_repeated_furniture(boxes)
+        assert all("Page" not in b.text for b in kept)
+
+    def test_single_page_doc_untouched(self):
+        from reader_spark.pdf.layout import extract_pdf_spans
+
+        payload = (
+            "0\t40\t10\t550\t22\tACME Corp — Confidential\n"
+            "0\t40\t60\t550\t72\tBody text\n"
+        )
+        spans = extract_pdf_spans(payload)
+        assert "Confidential" in " ".join(s.text for s in spans)
+
+    def test_repeated_phrase_at_different_y_survives(self):
+        from reader_spark.pdf.layout import extract_pdf_spans
+
+        payload = (
+            "0\t40\t100\t550\t112\tthe same phrase\n"
+            "1\t40\t300\t550\t312\tthe same phrase\n"
+        )
+        spans = extract_pdf_spans(payload)
+        assert sum("the same phrase" in s.text for s in spans) >= 1
+
+    def test_min_pages_validation(self):
+        import pytest as _pytest
+
+        from reader_spark.pdf.layout import strip_repeated_furniture
+
+        with _pytest.raises(ValueError, match="min_pages"):
+            strip_repeated_furniture([], min_pages=1)
+
+    def test_opt_out_keeps_furniture(self):
+        from reader_spark.pdf.layout import extract_pdf_spans
+
+        spans = extract_pdf_spans(self._doc(), strip_furniture=False)
+        assert "Confidential" in " ".join(s.text for s in spans)
+
+    def test_aligned_midpage_body_survives(self):
+        """Template-like body (same normalized text, same mid-page y on
+        every page) is CONTENT — the margin guard must protect it."""
+        from reader_spark.pdf.layout import extract_pdf_spans
+
+        lines = []
+        for p in range(3):
+            lines.append(f"{p}\t40\t10\t550\t22\tRunning Header")
+            lines.append(f"{p}\t40\t400\t550\t412\tAmount due: {p} dollars")
+            lines.append(f"{p}\t40\t780\t550\t790\tPage {p + 1}")
+        spans = extract_pdf_spans("\n".join(lines))
+        joined = " ".join(s.text for s in spans)
+        assert "Amount due" in joined
+        assert "Running Header" not in joined

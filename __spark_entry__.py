@@ -1664,6 +1664,17 @@ def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10-bin equi-width histogram of l_extendedprice: one 1-row
+    min/max broadcast dim + one map-side-combined groupBy; bin math is
+    the identical double expression in both engines so boundary values
+    land identically."""
+    from reader_spark.ops.profile import equi_width_histogram
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    return equi_width_histogram(lineitem, "l_extendedprice", bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1751,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merged": _q_hll_merged,
         "event_transitions": _q_event_transitions,
         "jsonl_ingest": _q_jsonl_ingest,
+        "price_histogram": _q_price_histogram,
     }
 
 
@@ -3384,5 +3396,27 @@ def _oracle_sql_entries() -> dict[str, str]:
                    'MissingFieldError'
             UNION ALL
             SELECT NULL, NULL, 'MalformedJsonError'
+        """,
+        "price_histogram": """
+            WITH mm AS (
+                SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mlo,
+                       max(CAST(l_extendedprice AS DOUBLE)) AS mhi
+                FROM lineitem
+            ),
+            b AS (
+                SELECT CASE WHEN mhi - mlo = 0 THEN 0
+                            ELSE CAST(least(9, floor(
+                                ((CAST(l_extendedprice AS DOUBLE) - mlo) * 10) / (mhi - mlo)
+                            )) AS BIGINT)
+                       END AS bin,
+                       mlo, mhi
+                FROM lineitem, mm
+                WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT bin,
+                   round(mlo + bin * (mhi - mlo) / 10, 6) AS lo,
+                   round(mlo + (bin + 1) * (mhi - mlo) / 10, 6) AS hi,
+                   count(*) AS n
+            FROM b GROUP BY bin, mlo, mhi
         """,
     }

@@ -273,7 +273,7 @@ def main() -> None:
     for i in range(pairs):
         scale_pair(i)
     while (
-        pairs < 4
+        pairs < 6
         and (n2 / best[8]) / (4 * (n2 / best[2])) < 0.85
     ):
         scale_pair(pairs)

@@ -62,3 +62,46 @@ def numeric_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         f"(col_name, {', '.join(_METRICS)})"
     )
     return stacked
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, bins: int = 10
+) -> DataFrame:
+    """Exact equi-width histogram: (bin, lo, hi, n) over ``bins`` equal
+    intervals of [min, max], max landing in the last bin. One min/max
+    aggregate (1-row broadcast dim) + one map-side-combined groupBy —
+    scan-local binning, shuffle bounded by ``bins`` rows, any scale.
+
+    Bin index uses least(bins-1, floor((v-min)*bins/span)) on DOUBLE
+    arithmetic; bin edges are reported rounded to 6 dp. NULL values are
+    excluded (profile them via numeric_profile's n_null)."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(col).cast("double")
+    mm = df.where(v.isNotNull()).agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo")
+    idx = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((v - F.col("__lo")) * bins / span),
+        )
+    ).cast("long")
+    width = span / bins
+    return (
+        df.where(v.isNotNull())
+        .crossJoin(F.broadcast(mm))
+        .groupBy(idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("__lo").alias("__lo"),
+            F.first("__hi").alias("__hi"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("__lo") + F.col("bin") * (F.col("__hi") - F.col("__lo")) / bins, 6).alias("lo"),
+            F.round(F.col("__lo") + (F.col("bin") + 1) * (F.col("__hi") - F.col("__lo")) / bins, 6).alias("hi"),
+            "n",
+        )
+    )

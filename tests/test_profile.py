@@ -40,3 +40,63 @@ def test_single_scan_plan(frame):
     section = plan.split("\n\n")[0]  # tree section of the formatted plan
     assert section.count("Scan") == 1
     assert "Generate" in plan or "stack" in plan.lower()
+
+
+class TestEquiWidthHistogram:
+    def test_known_bins(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import equi_width_histogram
+
+        df = spark.createDataFrame([Row(v=float(x)) for x in range(100)])
+        rows = {r.bin: r for r in equi_width_histogram(df, "v", bins=10).collect()}
+        # 0..99 over 10 bins: ~10 per bin; max value 99 lands in bin 9
+        assert set(rows) == set(range(10))
+        assert sum(r.n for r in rows.values()) == 100
+        assert rows[9].n >= 1
+        assert rows[0].lo == 0.0 and rows[9].hi == 99.0
+
+    def test_max_value_in_last_bin_not_overflow(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import equi_width_histogram
+
+        df = spark.createDataFrame([Row(v=0.0), Row(v=1.0)])
+        rows = {r.bin: r.n for r in equi_width_histogram(df, "v", bins=4).collect()}
+        assert rows == {0: 1, 3: 1}
+
+    def test_constant_column_single_bin(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import equi_width_histogram
+
+        df = spark.createDataFrame([Row(v=5.0)] * 7)
+        rows = equi_width_histogram(df, "v", bins=10).collect()
+        assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 7
+
+    def test_nulls_excluded(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import equi_width_histogram
+
+        df = spark.createDataFrame(
+            [Row(v=1.0), Row(v=None), Row(v=2.0)],
+            schema="v double",
+        )
+        assert (
+            equi_width_histogram(df, "v", bins=2)
+            .agg({"n": "sum"})
+            .head()[0]
+            == 2
+        )
+
+    def test_validation(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import equi_width_histogram
+
+        import pytest as _pytest
+
+        df = spark.createDataFrame([Row(v=1.0)])
+        with _pytest.raises(ValueError, match="bins"):
+            equi_width_histogram(df, "v", bins=0)

@@ -1675,6 +1675,36 @@ def _q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_width_histogram(lineitem, "l_extendedprice", bins=10)
 
 
+def _q_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus health dashboard a curation run ends with: per
+    language — doc count, Gopher-gate pass rate, mean LM bits/token,
+    exact-dup rate, mean token count. Composes gopher_quality_columns +
+    unigram_lm_scores + hash-dedup in one plan; every input metric is
+    individually oracle-proven, this query proves the composition."""
+    from reader_spark.ops.textstats import gopher_quality_columns, unigram_lm_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    g = gopher_quality_columns(docs).select(
+        "doc_id", "lang", "n_tokens", "gopher_pass"
+    )
+    nll = unigram_lm_scores(docs).select("doc_id", "avg_nll_bits")
+    from reader_spark.ops.lines import line_dedup_summary
+
+    dup_flag = line_dedup_summary(docs).select(
+        "doc_id", (F.col("n_dropped") > 0).cast("int").alias("has_dup_lines")
+    )
+    joined = g.join(nll, "doc_id").join(dup_flag, "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("gopher_pass").cast("int")), 6).alias(
+            "pct_gopher_pass"
+        ),
+        F.round(F.avg("avg_nll_bits"), 6).alias("mean_nll_bits"),
+        F.round(F.avg("has_dup_lines"), 6).alias("dup_line_doc_rate"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("mean_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1763,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "jsonl_ingest": _q_jsonl_ingest,
         "price_histogram": _q_price_histogram,
+        "corpus_scorecard": _q_corpus_scorecard,
     }
 
 
@@ -3418,5 +3449,93 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round(mlo + (bin + 1) * (mhi - mlo) / 10, 6) AS hi,
                    count(*) AS n
             FROM b GROUP BY bin, mlo, mhi
+        """,
+        "corpus_scorecard": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       round(length(regexp_replace(text, '\\s', '', 'g'))
+                             / greatest(len(toks), 1), 6) AS mean_word_len,
+                       round(len(list_filter(toks,
+                                 t -> regexp_matches(t, '[A-Za-z]')))
+                             / greatest(len(toks), 1), 6) AS alpha_word_ratio,
+                       round(len(list_filter(lines,
+                                 l -> regexp_matches(trim(l), '^[-*•]')))
+                             / greatest(len(lines), 1), 6) AS bullet_line_ratio,
+                       round(len(list_filter(lines,
+                                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                             / greatest(len(lines), 1), 6) AS ellipsis_line_ratio,
+                       round(1.0 - len(list_distinct(lines))
+                             / greatest(len(lines), 1), 6) AS dup_line_fraction,
+                       round(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                             / greatest(len(toks), 1), 6) AS symbol_word_ratio
+                FROM base
+            ),
+            gate AS (
+                SELECT doc_id, n_tokens,
+                       (n_tokens >= 50 AND n_tokens <= 100000
+                        AND mean_word_len >= 3 AND mean_word_len <= 10
+                        AND alpha_word_ratio >= 0.8
+                        AND bullet_line_ratio <= 0.9
+                        AND ellipsis_line_ratio <= 0.3
+                        AND dup_line_fraction <= 0.3
+                        AND symbol_word_ratio <= 0.1) AS gopher_pass
+                FROM m
+            ),
+            lmtoks AS (
+                SELECT doc_id, t AS token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+                    FROM documents
+                ) WHERE t <> ''
+            ),
+            lmcounts AS (SELECT token, count(*) AS c FROM lmtoks GROUP BY token),
+            lmstats AS (
+                SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS vocab
+                FROM lmcounts
+            ),
+            lmscored AS (
+                SELECT t.doc_id,
+                       round(-log2((c + 1.0) / (n_total + vocab)), 9) AS nllv
+                FROM lmtoks t JOIN lmcounts USING (token) CROSS JOIN lmstats
+            ),
+            nll AS (
+                SELECT doc_id, round(sum(nllv) / count(*), 6) AS avg_nll_bits
+                FROM lmscored GROUP BY doc_id
+            ),
+            dl AS (
+                SELECT doc_id,
+                       CAST(generate_subscripts(regexp_extract_all(text, '\\S+( \\S+){0,2}'), 1) - 1 AS BIGINT) AS line_no,
+                       unnest(regexp_extract_all(text, '\\S+( \\S+){0,2}')) AS line
+                FROM documents
+            ),
+            dlr AS (
+                SELECT doc_id, line_no, line,
+                       len(string_split(line, ' ')) AS n_words,
+                       row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+                FROM dl
+            ),
+            dupf AS (
+                SELECT doc_id,
+                       CASE WHEN count(*) FILTER (WHERE n_words >= 2 AND rn > 1) > 0
+                            THEN 1 ELSE 0 END AS has_dup_lines
+                FROM dlr GROUP BY doc_id
+            )
+            SELECT d.lang, count(*) AS n_docs,
+                   round(avg(CASE WHEN gate.gopher_pass THEN 1 ELSE 0 END), 6) AS pct_gopher_pass,
+                   round(avg(nll.avg_nll_bits), 6) AS mean_nll_bits,
+                   round(avg(dupf.has_dup_lines), 6) AS dup_line_doc_rate,
+                   round(avg(CAST(gate.n_tokens AS DOUBLE)), 6) AS mean_tokens
+            FROM documents d
+            JOIN gate USING (doc_id)
+            JOIN nll USING (doc_id)
+            JOIN dupf USING (doc_id)
+            GROUP BY d.lang
         """,
     }

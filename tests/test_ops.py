@@ -1025,3 +1025,19 @@ class TestRepetitionRatio:
         assert got[0] > 0.9   # 50x repeated trigram -> ~all windows repeat
         assert got[1] < 0.05  # natural text -> almost no repeats
         assert got[2] == 0.0  # shorter than a window
+
+
+class TestCorpusScorecard:
+    def test_shape_and_ranges(self, spark):
+        import __spark_entry__ as entry
+
+        rows = entry.queries()["corpus_scorecard"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(rows) >= 1
+        for r in rows:
+            assert r.n_docs > 0
+            assert 0.0 <= r.pct_gopher_pass <= 1.0
+            assert 0.0 <= r.dup_line_doc_rate <= 1.0
+            assert r.mean_nll_bits > 0.0
+            assert r.mean_tokens > 0.0

@@ -1705,6 +1705,22 @@ def _q_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version history of each user's last-event-type state:
+    consecutive same-type events collapse, every transition opens a
+    half-open [valid_from, valid_to) episode, latest episode flagged
+    current. Two user-partitioned window passes; event_id tiebreak
+    pins same-timestamp order."""
+    from reader_spark.ops.scd import scd2_history
+
+    events = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("state")
+    )
+    return scd2_history(
+        events, ["user_id"], "ts", ["state"], tiebreak_cols=["event_id"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1794,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "price_histogram": _q_price_histogram,
         "corpus_scorecard": _q_corpus_scorecard,
+        "scd2_user_state": _q_scd2_user_state,
     }
 
 
@@ -3537,5 +3554,31 @@ def _oracle_sql_entries() -> dict[str, str]:
             JOIN nll USING (doc_id)
             JOIN dupf USING (doc_id)
             GROUP BY d.lang
+        """,
+        "scd2_user_state": """
+            WITH upd AS (
+                SELECT user_id, event_id, ts, event_type AS state FROM events
+            ),
+            seq AS (
+                SELECT user_id, event_id, ts, state,
+                       lag(state) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_state
+                FROM upd
+            ),
+            chg AS (
+                SELECT user_id, event_id, ts, state
+                FROM seq WHERE prev_state IS NULL OR prev_state <> state
+            ),
+            ver AS (
+                SELECT user_id, state, ts AS valid_from,
+                       lead(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS valid_to
+                FROM chg
+            )
+            SELECT user_id, state, valid_from, valid_to,
+                   CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+            FROM ver
         """,
     }

@@ -201,3 +201,130 @@ class TestNewOpProperties:
             "dup_line_fraction",
         ):
             assert 0.0 <= row[col] <= 1.0, (col, row[col], text)
+
+
+class TestLineDedupProperties:
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=12
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_invariants(self, spark, word_lists):
+        """Kept lines are a subset of original occurrences; every distinct
+        dedupable line value survives EXACTLY once corpus-wide; exempt
+        (short) lines all survive."""
+        from pyspark.sql import Row
+
+        from reader_spark.ops.lines import chunk_lines, line_dedup
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(word_lists)]
+        )
+        lines = chunk_lines(docs, words_per_line=2)
+        all_occ = [(r.doc_id, r.line_no, r.line) for r in lines.collect()]
+        kept = [(r.doc_id, r.line_no, r.line) for r in line_dedup(lines).collect()]
+        assert set(kept) <= set(all_occ)
+        dedupable_vals = {l for _, _, l in all_occ if len(l.split(" ")) >= 2}
+        for v in dedupable_vals:
+            assert sum(1 for _, _, l in kept if l == v) == 1
+        exempt = [(d, n, l) for d, n, l in all_occ if len(l.split(" ")) < 2]
+        assert set(exempt) <= set(kept)
+
+
+class TestFunnelProperties:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),
+                st.sampled_from(["view", "click", "buy"]),
+                st.integers(0, 1000),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_stage_counts_monotone_nonincreasing(self, spark, events):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        from reader_spark.ops.funnel import funnel_summary
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                Row(
+                    user_id=u,
+                    event_type=t,
+                    ts=t0 + dt.timedelta(seconds=s),
+                )
+                for u, t, s in events
+            ]
+        )
+        rows = sorted(
+            funnel_summary(df, steps=("view", "click", "buy")).collect(),
+            key=lambda r: r.step_index,
+        )
+        users = [r.users for r in rows]
+        assert users == sorted(users, reverse=True)
+
+
+class TestZorderProperties:
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 500), st.integers(-200, 200)),
+            min_size=2,
+            max_size=40,
+            unique=True,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_key_in_range_and_bucket_pair_injective(self, spark, points):
+        """z fits in 2*bits bits, and distinct bucket pairs map to distinct
+        z values (Morton interleave is a bijection on bucket pairs)."""
+        from pyspark.sql import Row
+
+        from reader_spark.ops.zorder import zorder_key
+
+        df = spark.createDataFrame(
+            [Row(rid=i, a=a, b=b) for i, (a, b) in enumerate(points)]
+        )
+        rows = zorder_key(df, "a", "b", bits=6).collect()
+        seen = {}
+        for r in rows:
+            assert 0 <= r.z < (1 << 12)
+            pair = (r.a_bucket, r.b_bucket)
+            if pair in seen:
+                assert seen[pair] == r.z
+            else:
+                assert r.z not in set(seen.values())
+                seen[pair] = r.z
+
+
+class TestPagerankProperties:
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 6)),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_rank_is_a_distribution(self, spark, edge_list):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [Row(src=f"n{a}", dst=f"n{b}", w=1.0) for a, b in edge_list]
+        )
+        rows = pagerank(edges, iterations=3).collect()
+        total = sum(r.pr for r in rows)
+        assert abs(total - 1.0) < 1e-6
+        assert all(r.pr > 0 for r in rows)

@@ -1721,6 +1721,33 @@ def _q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_source_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: deterministically-corrupted source names (first
+    char swapped or a char appended) fuzzy-joined back to the canonical
+    registry at edit distance <= 1 via q-gram blocking. The oracle
+    brute-forces the cross join — a pair the blocked path loses is a
+    hash mismatch, so the optimization is proven lossless."""
+    from reader_spark.ops.fuzzy import fuzzy_string_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    dirty = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("z"), F.expr("substring(source, 2)")),
+            )
+            .otherwise(F.concat(F.col("source"), F.lit("x")))
+            .alias("dirty")
+        )
+        .distinct()
+    )
+    canon = docs.select("source").distinct()
+    return fuzzy_string_pairs(dirty, canon, "dirty", "source", max_dist=1, q=2).select(
+        F.col("a").alias("dirty"), F.col("b").alias("canonical"), "dist"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1811,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": _q_price_histogram,
         "corpus_scorecard": _q_corpus_scorecard,
         "scd2_user_state": _q_scd2_user_state,
+        "fuzzy_source_match": _q_fuzzy_source_match,
     }
 
 
@@ -3580,5 +3608,18 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT user_id, state, valid_from, valid_to,
                    CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
             FROM ver
+        """,
+        "fuzzy_source_match": """
+            WITH canon AS (SELECT DISTINCT source FROM documents),
+            dirty AS (
+                SELECT DISTINCT
+                       CASE WHEN doc_id % 2 = 0 THEN 'z' || substr(source, 2)
+                            ELSE source || 'x' END AS dirty
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT d.dirty, c.source AS canonical,
+                   CAST(levenshtein(d.dirty, c.source) AS BIGINT) AS dist
+            FROM dirty d CROSS JOIN canon c
+            WHERE levenshtein(d.dirty, c.source) <= 1
         """,
     }

@@ -1748,6 +1748,22 @@ def _q_fuzzy_source_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time (days since the
+    anchor date — centered x keeps nSxx - Sx^2 well-conditioned in
+    doubles). One map-side-combined aggregate; the oracle computes the
+    SAME five sufficient statistics, not regr_* built-ins, so both
+    engines share the arithmetic to the rounding digit."""
+    from reader_spark.ops.profile import grouped_linreg
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "x_days",
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000.0)
+        - F.lit(19723.0),  # days(2024-01-01)
+    )
+    return grouped_linreg(events, ["event_type"], "x_days", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1839,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_scorecard": _q_corpus_scorecard,
         "scd2_user_state": _q_scd2_user_state,
         "fuzzy_source_match": _q_fuzzy_source_match,
+        "value_trend": _q_value_trend,
     }
 
 
@@ -3621,5 +3638,27 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST(levenshtein(d.dirty, c.source) AS BIGINT) AS dist
             FROM dirty d CROSS JOIN canon c
             WHERE levenshtein(d.dirty, c.source) <= 1
+        """,
+        "value_trend": """
+            WITH pts AS (
+                SELECT event_type,
+                       epoch_us(ts) / 86400000000.0 - 19723.0 AS x,
+                       CAST(value AS DOUBLE) AS y
+                FROM events
+            ),
+            s AS (
+                SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx,
+                       sum(y * y) AS syy
+                FROM pts GROUP BY event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+                   round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+            FROM s
         """,
     }

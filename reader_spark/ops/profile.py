@@ -105,3 +105,49 @@ def equi_width_histogram(
             "n",
         )
     )
+
+
+def grouped_linreg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary least squares in ONE aggregate pass: the
+    closed-form slope/intercept/r2 from the five sufficient statistics
+    (n, Sx, Sy, Sxy, Sxx [, Syy]) — the grouped-trend primitive
+    (metric drift per segment, quality trend per domain) without MLlib
+    or any iteration. One map-side-combined groupBy at any scale; the
+    sufficient statistics are mergeable, so partial aggregation
+    absorbs group skew.
+
+    CALLER NOTE on conditioning: center x near zero (days since an
+    anchor, not epoch seconds) — nSxx - Sx^2 on large-magnitude x is
+    catastrophic cancellation in doubles. Outputs rounded to 6 dp;
+    degenerate groups (constant x) get NULL slope/intercept/r2 via
+    try_divide rather than an error.
+    """
+    group_cols = list(group_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den_x = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    den_y = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = F.try_divide(num, den_x)
+    intercept = F.try_divide(F.col("__sy") - slope * F.col("__sx"), F.col("__n"))
+    r2 = F.try_divide(num * num, den_x * den_y)
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -100,3 +100,52 @@ class TestEquiWidthHistogram:
         df = spark.createDataFrame([Row(v=1.0)])
         with _pytest.raises(ValueError, match="bins"):
             equi_width_histogram(df, "v", bins=0)
+
+
+class TestGroupedLinreg:
+    def test_perfect_line_recovered(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import grouped_linreg
+
+        df = spark.createDataFrame(
+            [Row(g="a", x=float(i), y=2.0 * i + 1.0) for i in range(20)]
+        )
+        r = grouped_linreg(df, ["g"], "x", "y").head()
+        assert (r.n, r.slope, r.intercept, r.r2) == (20, 2.0, 1.0, 1.0)
+
+    def test_groups_independent_and_negative_slope(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import grouped_linreg
+
+        rows = [Row(g="up", x=float(i), y=3.0 * i) for i in range(10)]
+        rows += [Row(g="down", x=float(i), y=-1.5 * i + 4.0) for i in range(10)]
+        df = spark.createDataFrame(rows)
+        got = {r.g: r for r in grouped_linreg(df, ["g"], "x", "y").collect()}
+        assert got["up"].slope == 3.0
+        assert got["down"].slope == -1.5
+        assert got["down"].intercept == 4.0
+
+    def test_constant_x_yields_null_not_error(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import grouped_linreg
+
+        df = spark.createDataFrame([Row(g="c", x=5.0, y=float(i)) for i in range(5)])
+        r = grouped_linreg(df, ["g"], "x", "y").head()
+        assert r.slope is None and r.r2 is None
+
+    def test_partition_invariant(self, spark):
+        """Sufficient statistics are mergeable: result identical at any
+        partitioning (the 6 dp rounding absorbs partial-sum order)."""
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import grouped_linreg
+
+        df = spark.createDataFrame(
+            [Row(g="a", x=float(i % 37), y=(i * 7 % 13) + 0.25) for i in range(500)]
+        )
+        one = grouped_linreg(df.coalesce(1), ["g"], "x", "y").head()
+        many = grouped_linreg(df.repartition(16), ["g"], "x", "y").head()
+        assert tuple(one) == tuple(many)

@@ -1764,6 +1764,37 @@ def _q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_linreg(events, ["event_type"], "x_days", "value")
 
 
+def _q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite across the warehouse: completeness,
+    strict uniqueness, referential integrity (broadcast semi-join),
+    accepted values, and a range check that GENUINELY FAILS on this data
+    (value spans to ~490, the [0,100] contract doesn't hold) — the
+    report records metric + verdict instead of dying on violation."""
+    from reader_spark.ops.checks import (
+        check_accepted_values,
+        check_completeness,
+        check_in_range,
+        check_referential,
+        check_uniqueness,
+        quality_report,
+    )
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    events = _read(spark, sf_dir, "events")
+    return quality_report(
+        [
+            check_completeness(lineitem, "l_shipdate"),
+            check_uniqueness(orders, "o_orderkey"),
+            check_uniqueness(events, "user_id", threshold=1.0),
+            check_referential(orders, "o_custkey", customer, "c_custkey"),
+            check_accepted_values(lineitem, "l_returnflag", ["A", "N", "R"]),
+            check_in_range(events, "value", 0.0, 100.0),
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1856,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": _q_scd2_user_state,
         "fuzzy_source_match": _q_fuzzy_source_match,
         "value_trend": _q_value_trend,
+        "data_quality_report": _q_data_quality_report,
     }
 
 
@@ -3660,5 +3692,59 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
                          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
             FROM s
+        """,
+        "data_quality_report": """
+            SELECT 'completeness(l_shipdate)' AS check_name,
+                   round(count(l_shipdate) * 1.0 / count(*), 6) AS metric,
+                   CASE WHEN round(count(l_shipdate) * 1.0 / count(*), 6) >= 1.0
+                        THEN 1 ELSE 0 END AS passed
+            FROM lineitem
+            UNION ALL
+            SELECT 'uniqueness(o_orderkey)',
+                   round(uniq * 1.0 / n, 6),
+                   CASE WHEN round(uniq * 1.0 / n, 6) >= 1.0 THEN 1 ELSE 0 END
+            FROM (
+                SELECT CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uniq
+                FROM (
+                    SELECT o_orderkey, count(*) AS c FROM orders
+                    WHERE o_orderkey IS NOT NULL GROUP BY 1
+                )
+            )
+            UNION ALL
+            SELECT 'uniqueness(user_id)',
+                   round(uniq * 1.0 / n, 6),
+                   CASE WHEN round(uniq * 1.0 / n, 6) >= 1.0 THEN 1 ELSE 0 END
+            FROM (
+                SELECT CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uniq
+                FROM (
+                    SELECT user_id, count(*) AS c FROM events
+                    WHERE user_id IS NOT NULL GROUP BY 1
+                )
+            )
+            UNION ALL
+            SELECT 'referential(o_custkey)',
+                   round(m * 1.0 / n, 6),
+                   CASE WHEN round(m * 1.0 / n, 6) >= 1.0 THEN 1 ELSE 0 END
+            FROM (
+                SELECT (SELECT count(o_custkey) FROM orders) AS n,
+                       (SELECT count(*) FROM orders
+                        WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS m
+            )
+            UNION ALL
+            SELECT 'accepted(l_returnflag)',
+                   round(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END) * 1.0
+                         / count(l_returnflag), 6),
+                   CASE WHEN round(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END) * 1.0
+                                   / count(l_returnflag), 6) >= 1.0 THEN 1 ELSE 0 END
+            FROM lineitem
+            UNION ALL
+            SELECT 'in_range(value)',
+                   round(sum(CASE WHEN value >= 0.0 AND value <= 100.0 THEN 1 ELSE 0 END) * 1.0
+                         / count(value), 6),
+                   CASE WHEN round(sum(CASE WHEN value >= 0.0 AND value <= 100.0 THEN 1 ELSE 0 END) * 1.0
+                                   / count(value), 6) >= 1.0 THEN 1 ELSE 0 END
+            FROM events
         """,
     }

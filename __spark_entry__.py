@@ -1795,6 +1795,23 @@ def _q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value (alpha=0.2, ordered by ts with
+    event_id tiebreak): the inherently-sequential per-key op, run as
+    ONE Arrow-batched applyInPandas per user (vectorized pandas ewm).
+    The oracle unrolls the recurrence to its closed-form weighted sum —
+    valid at fixture series lengths, overflowing at scale, which is
+    exactly why the production path is applyInPandas."""
+    from reader_spark.ops.ewma import grouped_ewma
+
+    events = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return grouped_ewma(
+        events, ["user_id"], ["ts", "event_id"], "value", alpha=0.2
+    ).select("user_id", "event_id", "ewma")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1888,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_source_match": _q_fuzzy_source_match,
         "value_trend": _q_value_trend,
         "data_quality_report": _q_data_quality_report,
+        "ewma_user_value": _q_ewma_user_value,
     }
 
 
@@ -3746,5 +3764,32 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CASE WHEN round(sum(CASE WHEN value >= 0.0 AND value <= 100.0 THEN 1 ELSE 0 END) * 1.0
                                    / count(value), 6) >= 1.0 THEN 1 ELSE 0 END
             FROM events
+        """,
+        "ewma_user_value": """
+            WITH ordered AS (
+                SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) - 1 AS t
+                FROM events
+            ),
+            w AS (
+                SELECT user_id, event_id, x, t,
+                       CASE WHEN t = 0 THEN 0.0
+                            ELSE x * power(0.8, -CAST(t AS DOUBLE)) END AS wterm
+                FROM ordered
+            ),
+            c AS (
+                SELECT user_id, event_id, x, t,
+                       sum(wterm) OVER (
+                           PARTITION BY user_id ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum,
+                       first_value(x) OVER (PARTITION BY user_id ORDER BY t) AS x0
+                FROM w
+            )
+            SELECT user_id, event_id,
+                   round(power(0.8, CAST(t AS DOUBLE)) * (x0 + 0.2 * cum), 6) AS ewma
+            FROM c
         """,
     }

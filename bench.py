@@ -70,6 +70,14 @@ BENCH_QUERIES = (
     "cohort_retention",
     "hll_merged",
     "event_transitions",
+    "jsonl_ingest",
+    "price_histogram",
+    "corpus_scorecard",
+    "scd2_user_state",
+    "fuzzy_source_match",
+    "value_trend",
+    "data_quality_report",
+    "ewma_user_value",
 )
 
 

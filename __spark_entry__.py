@@ -1812,6 +1812,26 @@ def _q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ewma")
 
 
+def _q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (1 h windows, 30 min slide) via
+    F.window — the batch twin of the streaming windowed agg; every
+    event lands in exactly two overlapping windows. Window starts are
+    epoch-aligned integers, so the oracle re-derives membership with
+    pure integer arithmetic."""
+    events = _read(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes")
+    return (
+        events.select(win.alias("w"), "event_type", "value")
+        .groupBy(
+            F.unix_micros("w.start").alias("window_start_us"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1906,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_trend": _q_value_trend,
         "data_quality_report": _q_data_quality_report,
         "ewma_user_value": _q_ewma_user_value,
+        "events_sliding_windows": _q_events_sliding_windows,
     }
 
 
@@ -3791,5 +3812,23 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT user_id, event_id,
                    round(power(0.8, CAST(t AS DOUBLE)) * (x0 + 0.2 * cum), 6) AS ewma
             FROM c
+        """,
+        "events_sliding_windows": """
+            WITH e AS (
+                SELECT event_type, value, epoch_us(ts) AS t FROM events
+            ),
+            x AS (
+                SELECT event_type, value,
+                       (t // 1800000000) * 1800000000 AS w0
+                FROM e
+            ),
+            hop AS (
+                SELECT event_type, value, w0 AS ws FROM x
+                UNION ALL
+                SELECT event_type, value, w0 - 1800000000 FROM x
+            )
+            SELECT ws AS window_start_us, event_type,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM hop GROUP BY 1, 2
         """,
     }

@@ -1041,3 +1041,26 @@ class TestCorpusScorecard:
             assert 0.0 <= r.dup_line_doc_rate <= 1.0
             assert r.mean_nll_bits > 0.0
             assert r.mean_tokens > 0.0
+
+
+class TestSlidingWindows:
+    def test_every_event_in_exactly_two_windows(self, spark):
+        import __spark_entry__ as entry
+
+        df = entry.queries()["events_sliding_windows"](
+            spark, "/root/testdata/sf0.001"
+        )
+        total_events = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        ).count()
+        assert df.agg({"n": "sum"}).head()[0] == 2 * total_events
+
+    def test_window_starts_are_half_hour_aligned(self, spark):
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+
+        df = entry.queries()["events_sliding_windows"](
+            spark, "/root/testdata/sf0.001"
+        )
+        misaligned = df.where(F.pmod("window_start_us", F.lit(1800000000)) != 0)
+        assert misaligned.count() == 0

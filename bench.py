@@ -78,6 +78,7 @@ BENCH_QUERIES = (
     "value_trend",
     "data_quality_report",
     "ewma_user_value",
+    "events_sliding_windows",
 )
 
 

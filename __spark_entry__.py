@@ -1832,6 +1832,61 @@ def _q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation is held
+    until the next one, weight = holding seconds (last observation
+    carries no weight — half-open intervals). One lead() window per
+    user + one aggregate; the metrics/finance TWAP primitive that a
+    plain avg() gets wrong under irregular sampling."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    held = (
+        events.withColumn("t_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("next_us", F.lead("t_us").over(w))
+        .where(F.col("next_us").isNotNull())
+        .withColumn("hold_s", (F.col("next_us") - F.col("t_us")) / F.lit(1e6))
+    )
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum("hold_s"), 6).alias("span_s"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("value") * F.col("hold_s")), F.sum("hold_s")
+            ),
+            6,
+        ).alias("twap"),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+    )
+
+
+def _q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier flags: |value - mean| / stddev > 2.5
+    (population stddev, exact sums). The monitoring primitive — one
+    map-side-combined stats aggregate broadcast back onto the stream;
+    scan-local flagging at any scale."""
+    events = _read(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+        F.sum("value").alias("sx"),
+    )
+    # population variance from exact sums: (sxx - sx^2/n) / n
+    stats = stats.withColumn(
+        "sigma",
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(stats.select("event_type", "mu", "sigma")), "event_type")
+        .withColumn("z", F.round(z, 6))
+        .where(F.abs(F.col("z")) > 2.5)
+        .select("event_type", "event_id", "value", "z")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1927,6 +1982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_report": _q_data_quality_report,
         "ewma_user_value": _q_ewma_user_value,
         "events_sliding_windows": _q_events_sliding_windows,
+        "twap_user_value": _q_twap_user_value,
+        "value_outliers": _q_value_outliers,
     }
 
 
@@ -3830,5 +3887,39 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT ws AS window_start_us, event_type,
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM hop GROUP BY 1, 2
+        """,
+        "twap_user_value": """
+            WITH e AS (
+                SELECT user_id, value, epoch_us(ts) AS t_us,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_us
+                FROM events
+            ),
+            h AS (
+                SELECT user_id, value, (next_us - t_us) / 1e6 AS hold_s
+                FROM e WHERE next_us IS NOT NULL
+            )
+            SELECT user_id, count(*) AS n_intervals,
+                   round(sum(hold_s), 6) AS span_s,
+                   round(sum(value * hold_s) / sum(hold_s), 6) AS twap,
+                   round(avg(value), 6) AS plain_avg
+            FROM h GROUP BY user_id
+        """,
+        "value_outliers": """
+            WITH s AS (
+                SELECT event_type, avg(value) AS mu, count(*) AS n,
+                       sum(value * value) AS sxx, sum(value) AS sx
+                FROM events GROUP BY event_type
+            ),
+            s2 AS (
+                SELECT event_type, mu,
+                       sqrt((sxx - sx * sx / n) / n) AS sigma
+                FROM s
+            )
+            SELECT e.event_type, e.event_id, e.value,
+                   round((e.value - s2.mu) / s2.sigma, 6) AS z
+            FROM events e JOIN s2 USING (event_type)
+            WHERE abs(round((e.value - s2.mu) / s2.sigma, 6)) > 2.5
         """,
     }

@@ -1064,3 +1064,53 @@ class TestSlidingWindows:
         )
         misaligned = df.where(F.pmod("window_start_us", F.lit(1800000000)) != 0)
         assert misaligned.count() == 0
+
+
+class TestTwapAndOutliers:
+    def _events_dir(self, spark, tmp_path, rows):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                Row(event_id=i, ts=t0 + dt.timedelta(seconds=s), user_id=u,
+                    event_type=et, value=float(v), props="{}")
+                for i, (u, s, et, v) in enumerate(rows)
+            ]
+        )
+        d = str(tmp_path / "evt")
+        df.write.parquet(f"{d}/events.parquet")
+        return d
+
+    def test_twap_differs_from_plain_avg(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        # value 10 held 10s, then 20 held 30s, final obs carries no weight
+        d = self._events_dir(
+            spark, tmp_path,
+            [(1, 0, "view", 10), (1, 10, "view", 20), (1, 40, "view", 99)],
+        )
+        r = entry.queries()["twap_user_value"](spark, d).head()
+        assert r.n_intervals == 2
+        assert r.span_s == 40.0
+        assert r.twap == pytest.approx((10 * 10 + 20 * 30) / 40.0)
+        assert r.plain_avg == pytest.approx(15.0)
+
+    def test_single_event_user_excluded(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        d = self._events_dir(spark, tmp_path, [(1, 0, "view", 5)])
+        assert entry.queries()["twap_user_value"](spark, d).count() == 0
+
+    def test_outlier_flagging(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        # 40 values at 10 and one at 1000: only the spike exceeds |z|>2.5
+        rows = [(1, s, "view", 10) for s in range(40)] + [(1, 99, "view", 1000)]
+        d = self._events_dir(spark, tmp_path, rows)
+        got = entry.queries()["value_outliers"](spark, d).collect()
+        assert len(got) == 1
+        assert got[0].value == 1000.0
+        assert got[0].z > 2.5

@@ -69,6 +69,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("edges is empty — pagerank needs at least one edge")
 
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # fraction of src's rank each edge carries; fixed across iterations

@@ -62,3 +62,8 @@ class TestPagerank:
             pagerank(e, iterations=0)
         with pytest.raises(ValueError, match="damping"):
             pagerank(e, damping=1.0)
+
+    def test_empty_edges_raise_cleanly(self, spark):
+        e = spark.createDataFrame([], "src string, dst string, w double")
+        with pytest.raises(ValueError, match="empty"):
+            pagerank(e)

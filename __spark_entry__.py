@@ -1887,6 +1887,18 @@ def _q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard self-join at 0.8 over docs < 300:
+    recall 1 by the prefix theorem, no sketch involved. The oracle
+    brute-forces all shingle-sharing pairs — the prefix filter losing
+    any pair would be a hash mismatch, so losslessness is proven, and
+    the result must equal the minhash path's verified pairs too."""
+    from reader_spark.ops.dedup import similarity_join_prefix
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return similarity_join_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1984,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_windows": _q_events_sliding_windows,
         "twap_user_value": _q_twap_user_value,
         "value_outliers": _q_value_outliers,
+        "similarity_join_exact": _q_similarity_join_exact,
     }
 
 
@@ -3921,5 +3934,29 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round((e.value - s2.mu) / s2.sigma, 6) AS z
             FROM events e JOIN s2 USING (event_type)
             WHERE abs(round((e.value - s2.mu) / s2.sigma, 6)) > 2.5
+        """,
+        "similarity_join_exact": """
+            WITH sh AS (
+                SELECT doc_id AS doc,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                       ))) AS shingle
+                FROM documents WHERE doc_id < 300
+            ),
+            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+            inter AS (
+                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT i.doc_a, i.doc_b,
+                       round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+                FROM inter i
+                JOIN sizes sa ON sa.doc = i.doc_a
+                JOIN sizes sb ON sb.doc = i.doc_b
+            )
+            SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
         """,
     }

@@ -676,3 +676,77 @@ def incremental_near_dups(
         .where(F.col("jaccard") >= threshold)
         .select("new_doc", "old_doc", "jaccard")
     )
+
+
+def similarity_join_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering (PPJoin
+    family, Bayardo et al. WWW'07 / Xiao et al. WWW'08): unlike
+    MinHash-LSH this has RECALL 1 by theorem, not in expectation.
+
+    Order every doc's shingle set by GLOBAL frequency (rarest first,
+    token as tiebreak); a doc of set size m keeps a prefix of
+    p = m - ceil(threshold*m) + 1 tokens. Any pair with Jaccard >=
+    threshold must share a prefix token (if the prefixes were disjoint,
+    the overlap is at most min(m_a, m_b) - p < threshold-required), so
+    the equi-join on prefix tokens is a LOSSLESS candidate generator;
+    exact set intersection verifies.
+
+    Shape at 100 TB: frequency ordering is the scale lever — prefixes
+    hold the RAREST tokens, so the candidate join's key distribution is
+    anti-Zipfian (the 'the' shingle is in nobody's prefix at tau=0.8
+    unless a set is tiny); shuffles are bounded by prefix rows
+    (~(1-tau)*corpus tokens) plus candidate pairs. Verification joins
+    shingle arrays for candidates only.
+
+    Float note: ceil(threshold*m) is evaluated as the same double
+    expression in every engine — parity by construction.
+
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b, round(jaccard,6) >=
+    threshold.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    sets = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    )
+    toks = sets.select("doc", F.explode("sh").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(F.col("f").asc(), F.col("tok").asc())
+            ),
+        )
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    )
+    prefix = ranked.where(
+        F.col("r") <= F.col("m") - F.ceil(F.lit(threshold) * F.col("m")) + 1
+    ).select("doc", "tok")
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cands.join(sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+        .where(F.col("n_union") > 0)
+        .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

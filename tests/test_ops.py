@@ -1114,3 +1114,58 @@ class TestTwapAndOutliers:
         assert len(got) == 1
         assert got[0].value == 1000.0
         assert got[0].z > 2.5
+
+
+class TestPrefixSimilarityJoin:
+    def test_equals_brute_force(self, spark, corpus):
+        from reader_spark.ops.dedup import ngram_jaccard_pairs, similarity_join_prefix
+
+        got = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in similarity_join_prefix(
+                corpus, "doc_id", "text", n=3, threshold=0.7
+            ).collect()
+        )
+        brute = sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 6))
+            for r in ngram_jaccard_pairs(
+                corpus, "doc_id", "text", n=3, threshold=0.7
+            ).collect()
+        )
+        assert got == brute
+        assert got  # non-vacuous: the fixture has near-dups
+
+    def test_prefix_is_a_strict_subset_of_tokens(self, spark, corpus):
+        """The whole point: candidate generation joins on (1-tau)·m rarest
+        tokens per doc, not all of them."""
+        from pyspark.sql import Window
+
+        from reader_spark.ops.dedup import shingles
+
+        sets = corpus.select(
+            F.col("doc_id").alias("doc"), shingles(F.col("text"), 3).alias("sh")
+        )
+        toks = sets.select("doc", F.explode("sh").alias("tok"))
+        total = toks.count()
+        m = F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        limit = m - F.ceil(F.lit(0.8) * m) + 1
+        prefix_rows = (
+            toks.withColumn(
+                "r",
+                F.row_number().over(Window.partitionBy("doc").orderBy("tok")),
+            )
+            .withColumn("lim", limit)
+            .where(F.col("r") <= F.col("lim"))
+            .count()
+        )
+        assert prefix_rows < total / 2
+
+    def test_pairs_ordered_and_validated(self, spark, corpus):
+        import pytest as _pytest
+
+        from reader_spark.ops.dedup import similarity_join_prefix
+
+        rows = similarity_join_prefix(corpus, "doc_id", "text", threshold=0.7).collect()
+        assert all(r.doc_a < r.doc_b for r in rows)
+        with _pytest.raises(ValueError, match="threshold"):
+            similarity_join_prefix(corpus, "doc_id", "text", threshold=0.0)

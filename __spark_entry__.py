@@ -1899,6 +1899,45 @@ def _q_similarity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_join_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
+def _q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test on the lang x source
+    contingency table: observed cell counts vs expected row*col/total,
+    chi2 = sum((o-e)^2/e), dof = (R-1)(C-1). Three map-side-combined
+    aggregates and two broadcastable margin dims — the classic
+    'are these two labels independent' screen for corpus composition
+    drift. Exact integer counts; one rounded division per cell."""
+    docs = _read(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows_m = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("row_n"))
+    cols_m = docs.groupBy("source").agg(F.count(F.lit(1)).alias("col_n"))
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
+    # FULL grid, not just observed cells: an absent (lang, source) pair
+    # still contributes (0-e)^2/e = e to the statistic
+    grid = rows_m.crossJoin(F.broadcast(cols_m))
+    contrib = (
+        grid.join(cells, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "e",
+            F.col("row_n") * F.col("col_n") / F.col("total").cast("double"),
+        )
+        .withColumn(
+            "c",
+            F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 9),
+        )
+    )
+    dims = contrib.agg(
+        F.round(F.sum("c"), 6).alias("chi2"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return dims.select(
+        "chi2",
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -1997,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_user_value": _q_twap_user_value,
         "value_outliers": _q_value_outliers,
         "similarity_join_exact": _q_similarity_join_exact,
+        "lang_source_chi2": _q_lang_source_chi2,
     }
 
 
@@ -3958,5 +3998,28 @@ def _oracle_sql_entries() -> dict[str, str]:
                 JOIN sizes sb ON sb.doc = i.doc_b
             )
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+        """,
+        "lang_source_chi2": """
+            WITH cells AS (
+                SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+            ),
+            r AS (SELECT lang, count(*) AS row_n FROM documents GROUP BY 1),
+            c AS (SELECT source, count(*) AS col_n FROM documents GROUP BY 1),
+            t AS (SELECT count(*) AS total FROM documents),
+            grid AS (
+                SELECT r.lang, c.source, r.row_n, c.col_n FROM r CROSS JOIN c
+            ),
+            con AS (
+                SELECT g.row_n * g.col_n / CAST(t.total AS DOUBLE) AS e,
+                       COALESCE(cl.o, 0) AS o
+                FROM grid g
+                LEFT JOIN cells cl ON g.lang = cl.lang AND g.source = cl.source
+                CROSS JOIN t
+            ),
+            con2 AS (SELECT round((o - e) * (o - e) / e, 9) AS cc FROM con)
+            SELECT round(sum(cc), 6) AS chi2,
+                   CAST(((SELECT count(*) FROM r) - 1)
+                        * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof
+            FROM con2
         """,
     }

@@ -1169,3 +1169,34 @@ class TestPrefixSimilarityJoin:
         assert all(r.doc_a < r.doc_b for r in rows)
         with _pytest.raises(ValueError, match="threshold"):
             similarity_join_prefix(corpus, "doc_id", "text", threshold=0.0)
+
+
+class TestChiSquare:
+    def _dir(self, spark, tmp_path, rows):
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text="t", lang=l, source=s, n_chars=1)
+             for i, (l, s) in enumerate(rows)]
+        )
+        d = str(tmp_path / "docs")
+        df.write.parquet(f"{d}/documents.parquet")
+        return d
+
+    def test_independent_uniform_table_is_zero(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        # perfectly independent 2x2: chi2 == 0
+        rows = [(l, s) for l in ("en", "de") for s in ("a", "b") for _ in range(5)]
+        r = entry.queries()["lang_source_chi2"](spark, self._dir(spark, tmp_path, rows)).head()
+        assert r.chi2 == 0.0 and r.dof == 1
+
+    def test_perfect_dependence_with_zero_cells(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        # en only in a, de only in b: chi2 = n (for 2x2 perfect association),
+        # and the two EMPTY cells must contribute (missing them halves chi2)
+        rows = [("en", "a")] * 10 + [("de", "b")] * 10
+        r = entry.queries()["lang_source_chi2"](spark, self._dir(spark, tmp_path, rows)).head()
+        assert r.chi2 == pytest.approx(20.0, abs=1e-6)
+        assert r.dof == 1

@@ -1938,6 +1938,32 @@ def _q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the 20 most frequent 3-event paths across
+    per-user ordered streams (two lead() taps on one user-partitioned
+    window, one count, deterministic top-k with path tiebreak). The
+    'how do users actually move' generalization of the transition
+    matrix."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        events.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .where(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        paths.orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2037,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers": _q_value_outliers,
         "similarity_join_exact": _q_similarity_join_exact,
         "lang_source_chi2": _q_lang_source_chi2,
+        "top_event_paths": _q_top_event_paths,
     }
 
 
@@ -4021,5 +4048,22 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST(((SELECT count(*) FROM r) - 1)
                         * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof
             FROM con2
+        """,
+        "top_event_paths": """
+            WITH seq AS (
+                SELECT event_type,
+                       lead(event_type, 1) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS t2,
+                       lead(event_type, 2) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS t3
+                FROM events
+            ),
+            paths AS (
+                SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
+                FROM seq WHERE t3 IS NOT NULL GROUP BY 1
+            )
+            SELECT path, n FROM paths ORDER BY n DESC, path ASC LIMIT 20
         """,
     }

@@ -1200,3 +1200,27 @@ class TestChiSquare:
         r = entry.queries()["lang_source_chi2"](spark, self._dir(spark, tmp_path, rows)).head()
         assert r.chi2 == pytest.approx(20.0, abs=1e-6)
         assert r.dof == 1
+
+
+class TestTopEventPaths:
+    def test_paths_and_deterministic_cut(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        import __spark_entry__ as entry
+
+        t0 = dt.datetime(2024, 1, 1)
+        # user 1: a b c a b c -> paths a>b>c x2, b>c>a x1, c>a>b x1
+        seq = ["a", "b", "c", "a", "b", "c"]
+        rows = [
+            Row(event_id=i, ts=t0 + dt.timedelta(seconds=i), user_id=1,
+                event_type=e, value=0.0, props="{}")
+            for i, e in enumerate(seq)
+        ]
+        d = str(tmp_path / "evp")
+        spark.createDataFrame(rows).write.parquet(f"{d}/events.parquet")
+        got = [(r.path, r.n) for r in entry.queries()["top_event_paths"](spark, d).collect()]
+        assert got[0] == ("a>b>c", 2)
+        # equal-count paths ordered by path string: deterministic cut
+        assert got[1:] == [("b>c>a", 1), ("c>a>b", 1)]

@@ -1964,6 +1964,22 @@ def _q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair crawl-budget split across source domains: demand =
+    total chars per source, budget = 90% of the corpus (2 sources fully
+    satisfied, 18 capped at the water level at sf0.01). Closed-form
+    water-filling over the domain dim — no iteration, window bounded by
+    registry size."""
+    from reader_spark.ops.allocate import max_min_fair_allocation
+
+    docs = _read(spark, sf_dir, "documents")
+    demands = docs.groupBy("source").agg(F.sum("n_chars").alias("demand_chars"))
+    total = demands.agg(F.sum("demand_chars")).head()[0]
+    return max_min_fair_allocation(
+        demands, "source", "demand_chars", budget=0.9 * float(total)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2064,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join_exact": _q_similarity_join_exact,
         "lang_source_chi2": _q_lang_source_chi2,
         "top_event_paths": _q_top_event_paths,
+        "crawl_budget_allocation": _q_crawl_budget_allocation,
     }
 
 
@@ -4065,5 +4082,47 @@ def _oracle_sql_entries() -> dict[str, str]:
                 FROM seq WHERE t3 IS NOT NULL GROUP BY 1
             )
             SELECT path, n FROM paths ORDER BY n DESC, path ASC LIMIT 20
+        """,
+        "crawl_budget_allocation": """
+            WITH demands AS (
+                SELECT source, CAST(sum(n_chars) AS DOUBLE) AS demand
+                FROM documents GROUP BY 1
+            ),
+            tot AS (SELECT 0.9 * sum(demand) AS b FROM demands),
+            ranked AS (
+                SELECT source, demand,
+                       row_number() OVER (ORDER BY demand ASC, source ASC) AS k,
+                       sum(demand) OVER (
+                           ORDER BY demand ASC, source ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS s,
+                       count(*) OVER () AS n
+                FROM demands
+            ),
+            f AS (
+                SELECT *,
+                       CASE WHEN (s - demand) + demand * (n - k + 1)
+                                 <= (SELECT b FROM tot)
+                            THEN 1 ELSE 0 END AS fully
+                FROM ranked
+            ),
+            agg AS (
+                SELECT CAST(sum(fully) AS BIGINT) AS j,
+                       COALESCE(sum(CASE WHEN fully = 1 THEN demand END), 0.0) AS s_j,
+                       count(*) AS n
+                FROM f
+            ),
+            lvl AS (
+                SELECT CASE WHEN j = n THEN NULL
+                            ELSE ((SELECT b FROM tot) - s_j) / (n - j)
+                       END AS t
+                FROM agg
+            )
+            SELECT f.source, f.demand AS demand,
+                   round(CASE WHEN lvl.t IS NULL THEN f.demand
+                              ELSE least(f.demand, lvl.t) END, 6) AS alloc,
+                   CASE WHEN lvl.t IS NOT NULL AND f.demand > lvl.t
+                        THEN 1 ELSE 0 END AS capped
+            FROM f, lvl
         """,
     }

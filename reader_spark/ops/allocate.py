@@ -1,0 +1,86 @@
+"""Max-min fair budget allocation (water-filling).
+
+The crawl-politeness / quota scheduler: N consumers (domains, tenants,
+shards) demand d_i units from a shared budget B. Max-min fairness
+gives every consumer min(d_i, t) where the water level t is chosen so
+the budget is exactly spent — small demands are fully satisfied, large
+ones are capped at the common level (Bertsekas & Gallager, Data
+Networks §6.5.2). Closed form, no iteration: sort demands ascending,
+j = max { k : S_{k-1} + d_k*(N-k+1) <= B } consumers are fully met,
+and t = (B - S_j) / (N - j) caps the rest.
+
+Shape at scale: the window runs over the CONSUMER dim (domains), not
+corpus rows — bounded by registry size; partition the window by pool
+(region, tenant class) when each pool has its own budget. Demands are
+aggregated upstream with a map-side-combined groupBy.
+
+All arithmetic on exact integer demands until the single level
+division; allocations rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def max_min_fair_allocation(
+    demands: DataFrame,
+    key_col: str,
+    demand_col: str,
+    budget: float,
+) -> DataFrame:
+    """(key, demand, alloc, capped): max-min fair split of ``budget``
+    across the demand rows. If total demand <= budget everyone gets
+    their demand (capped=0 everywhere)."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+
+    d = F.col(demand_col).cast("double")
+    w = Window.orderBy(F.col("demand").asc(), F.col("key").asc())
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        demands.select(F.col(key_col).alias("key"), d.alias("demand"))
+        .withColumn("k", F.row_number().over(w))
+        .withColumn("s", F.sum("demand").over(w))  # S_k inclusive
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    # row k is fully satisfiable iff S_{k-1} + d_k*(n-k+1) <= B
+    feasible = ranked.withColumn(
+        "fully",
+        (
+            (F.col("s") - F.col("demand"))
+            + F.col("demand") * (F.col("n") - F.col("k") + 1)
+            <= F.lit(float(budget))
+        ).cast("int"),
+    )
+    # j = count of feasible rows (prefix property: feasibility is monotone
+    # down the ascending sort); S_j = sum of their demands
+    agg = feasible.agg(
+        F.sum("fully").alias("j"),
+        F.coalesce(
+            F.sum(F.when(F.col("fully") == 1, F.col("demand"))), F.lit(0.0)
+        ).alias("s_j"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    level = F.when(
+        F.col("j") == F.col("n"), F.lit(None).cast("double")
+    ).otherwise(
+        (F.lit(float(budget)) - F.col("s_j")) / (F.col("n") - F.col("j"))
+    )
+    with_level = feasible.crossJoin(F.broadcast(agg.select(level.alias("t"))))
+    return with_level.select(
+        F.col("key").alias(key_col),
+        "demand",
+        F.round(
+            F.when(F.col("t").isNull(), F.col("demand")).otherwise(
+                F.least(F.col("demand"), F.col("t"))
+            ),
+            6,
+        ).alias("alloc"),
+        F.when(
+            F.col("t").isNotNull() & (F.col("demand") > F.col("t")), 1
+        ).otherwise(0).alias("capped"),
+    )

@@ -1,0 +1,42 @@
+"""Max-min fair allocation (reader_spark.ops.allocate)."""
+
+import pytest
+from pyspark.sql import Row
+
+from reader_spark.ops.allocate import max_min_fair_allocation
+
+
+def _demands(spark, pairs):
+    return spark.createDataFrame([Row(k=k, d=float(d)) for k, d in pairs])
+
+
+class TestWaterFilling:
+    def test_textbook_example(self, spark):
+        # demands 2, 2.6, 4, 5 with budget 10 -> level 2.7:
+        # 2 fully met; 2.6 fully met; 4 and 5 capped at 2.7
+        dem = _demands(spark, [("a", 2), ("b", 2.6), ("c", 4), ("d", 5)])
+        got = {r.k: r for r in max_min_fair_allocation(dem, "k", "d", 10.0).collect()}
+        assert got["a"].alloc == 2.0 and got["a"].capped == 0
+        assert got["b"].alloc == 2.6 and got["b"].capped == 0
+        assert got["c"].alloc == pytest.approx(2.7) and got["c"].capped == 1
+        assert got["d"].alloc == pytest.approx(2.7) and got["d"].capped == 1
+
+    def test_budget_exactly_spent(self, spark):
+        dem = _demands(spark, [("a", 3), ("b", 7), ("c", 11), ("d", 2)])
+        rows = max_min_fair_allocation(dem, "k", "d", 13.0).collect()
+        assert sum(r.alloc for r in rows) == pytest.approx(13.0, abs=1e-6)
+
+    def test_surplus_budget_satisfies_everyone(self, spark):
+        dem = _demands(spark, [("a", 1), ("b", 2)])
+        rows = max_min_fair_allocation(dem, "k", "d", 100.0).collect()
+        assert all(r.alloc == r.demand and r.capped == 0 for r in rows)
+
+    def test_equal_demands_split_evenly(self, spark):
+        dem = _demands(spark, [(f"k{i}", 10) for i in range(5)])
+        rows = max_min_fair_allocation(dem, "k", "d", 25.0).collect()
+        assert all(r.alloc == pytest.approx(5.0) for r in rows)
+
+    def test_validation(self, spark):
+        dem = _demands(spark, [("a", 1)])
+        with pytest.raises(ValueError, match="budget"):
+            max_min_fair_allocation(dem, "k", "d", 0.0)

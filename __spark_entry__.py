@@ -1980,6 +1980,44 @@ def _q_crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (Cormack et al.,
+    SIGIR'09): the BM25 lexical top-15 and the embedding-cosine top-15
+    fuse as rrf = sum(1/(60 + rank)) over the legs a doc appears in —
+    the standard lexical+vector combiner. Both legs are independently
+    oracle-proven; this query proves the fusion."""
+    from pyspark.sql import Window
+
+    from reader_spark.ops.ann import brute_force_topk
+    from reader_spark.ops.search import bm25_rank
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+
+    lex = bm25_rank(docs, ["stream", "window", "query"], top_k=15).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    query_vec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    cos = brute_force_topk(emb, [float(v) for v in query_vec], k=15).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .cast("long")
+        .alias("cos_rank"),
+    )
+    fused = lex.join(cos, "doc_id", "full_outer")
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("cos_rank")), F.lit(0.0)
+    )
+    return fused.select(
+        "doc_id", "bm25_rank", "cos_rank", F.round(rrf, 6).alias("rrf")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2081,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_chi2": _q_lang_source_chi2,
         "top_event_paths": _q_top_event_paths,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
     }
 
 
@@ -4124,5 +4163,66 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CASE WHEN lvl.t IS NOT NULL AND f.demand > lvl.t
                         THEN 1 ELSE 0 END AS capped
             FROM f, lvl
+        """,
+        "hybrid_search_rrf": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+                FROM documents
+            ),
+            pd AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(toks, w -> w = 'stream')) AS DOUBLE) AS tf_0,
+                       CAST(len(list_filter(toks, w -> w = 'window')) AS DOUBLE) AS tf_1,
+                       CAST(len(list_filter(toks, w -> w = 'query')) AS DOUBLE) AS tf_2
+                FROM d
+            ),
+            st AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(dl) AS avgdl,
+                       CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+                       CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+                       CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+                FROM pd
+            ),
+            scored AS (
+                SELECT doc_id,
+                       round(
+                           round(ln(1 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+                                 * tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+                         + round(ln(1 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+                                 * tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+                         + round(ln(1 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+                                 * tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+                       , 6) AS score
+                FROM pd, st
+            ),
+            lex15 AS (
+                SELECT doc_id, score FROM scored WHERE score > 0
+                ORDER BY score DESC, doc_id ASC LIMIT 15
+            ),
+            lex AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
+                FROM lex15
+            ),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            cos15 AS (
+                SELECT vec_id,
+                       round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) AS cosine
+                FROM embeddings, q
+                ORDER BY cosine DESC, vec_id LIMIT 15
+            ),
+            cosr AS (
+                SELECT vec_id AS doc_id,
+                       row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS cos_rank
+                FROM cos15
+            )
+            SELECT COALESCE(l.doc_id, c.doc_id) AS doc_id,
+                   l.bm25_rank, c.cos_rank,
+                   round(COALESCE(1.0 / (60 + l.bm25_rank), 0)
+                         + COALESCE(1.0 / (60 + c.cos_rank), 0), 6) AS rrf
+            FROM lex l FULL OUTER JOIN cosr c ON l.doc_id = c.doc_id
         """,
     }

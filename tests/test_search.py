@@ -91,3 +91,37 @@ def test_topk_plan_no_global_sort(corpus):
     plan = plan_of(bm25_rank(df, ["spark"], top_k=5))
     assert "TakeOrderedAndProject" in plan  # per-partition heap, not a Sort
     assert "Exchange rangepartitioning" not in plan
+
+
+class TestHybridRRF:
+    def test_fusion_math_consistent(self, spark):
+        import __spark_entry__ as entry
+
+        rows = entry.queries()["hybrid_search_rrf"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        for r in rows:
+            expect = 0.0
+            if r.bm25_rank is not None:
+                assert 1 <= r.bm25_rank <= 15
+                expect += 1.0 / (60 + r.bm25_rank)
+            if r.cos_rank is not None:
+                assert 1 <= r.cos_rank <= 15
+                expect += 1.0 / (60 + r.cos_rank)
+            assert r.bm25_rank is not None or r.cos_rank is not None
+            assert r.rrf == round(expect, 6)
+
+    def test_doc_in_both_legs_outranks_single_leg_peer(self, spark):
+        """A doc appearing in BOTH rankings must beat a doc whose single
+        rank is no better than either of its ranks."""
+        import __spark_entry__ as entry
+
+        rows = entry.queries()["hybrid_search_rrf"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        both = [r for r in rows if r.bm25_rank is not None and r.cos_rank is not None]
+        for b in both:
+            for s in rows:
+                if s.bm25_rank is None and s.cos_rank is not None and s.cos_rank >= b.cos_rank:
+                    assert b.rrf > s.rrf

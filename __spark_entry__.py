@@ -2018,6 +2018,81 @@ def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-agreement confusion matrix: the stopword-vote and
+    char-trigram language detectors cross-tabulated against each other
+    and the gold label — the evaluation table for detector drift. Both
+    detectors are independently oracle-proven; this proves the rollup."""
+    from reader_spark.ops.textstats import (
+        detect_language_col,
+        detect_language_trigram_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("gold"),
+            detect_language_col(F.col("text")).alias("stopword_lang"),
+            detect_language_trigram_col(F.col("text")).alias("trigram_lang"),
+        )
+        .groupBy("gold", "stopword_lang", "trigram_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent word pairs (the
+    word2vec-era collocation statistic): pmi = log2(c12*N^2/(C*c1*c2)),
+    pairs with support >= 10, deterministic top-20. Bigram extraction
+    is the LINEAR zip-of-shifted-slices (the transform+slice form is
+    quadratic); counts are two map-side-combined groupBys; all products
+    stay under 2^53 so the doubles are exact in both engines."""
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    bigrams = words.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("w"), 1, F.size("w") - 1).alias("a"),
+                F.slice(F.col("w"), 2, F.size("w") - 1).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unigrams = words.select(F.explode("w").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = pair_counts.agg(F.sum("c12").alias("big_c")).crossJoin(
+        unigrams.agg(F.sum("c").alias("n_words"))
+    )
+    joined = (
+        pair_counts.join(
+            unigrams.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1"
+        )
+        .join(
+            unigrams.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2"
+        )
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("c12") >= 10)
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log2(
+                    (F.col("c12") * F.col("n_words") * F.col("n_words"))
+                    / (F.col("big_c") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        joined.select("w1", "w2", "c12", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2120,6 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_paths": _q_top_event_paths,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "langid_confusion": _q_langid_confusion,
+        "term_pmi": _q_term_pmi,
     }
 
 
@@ -4163,6 +4240,81 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CASE WHEN lvl.t IS NOT NULL AND f.demand > lvl.t
                         THEN 1 ELSE 0 END AS capped
             FROM f, lvl
+        """,
+        "langid_confusion": f"""
+            WITH hits AS (
+                SELECT doc_id,
+                       {_lang_hits_sql('de')} AS h_de,
+                       {_lang_hits_sql('en')} AS h_en,
+                       {_lang_hits_sql('es')} AS h_es,
+                       {_lang_hits_sql('fr')} AS h_fr
+                FROM documents
+            ),
+            sw AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                            WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                            ELSE 'de'
+                       END AS stopword_lang
+                FROM hits
+            ),
+            pats(lang_c, pat) AS (VALUES {_trigram_pats_sql()}),
+            scores AS (
+                SELECT d.doc_id, p.lang_c,
+                       len(regexp_extract_all(lower(d.text), p.pat)) AS score
+                FROM documents d CROSS JOIN pats p
+            ),
+            ranked AS (
+                SELECT doc_id, lang_c, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, lang_c DESC
+                       ) AS rn
+                FROM scores
+            ),
+            tg AS (
+                SELECT doc_id,
+                       CASE WHEN score > 0 THEN lang_c ELSE 'und' END AS trigram_lang
+                FROM ranked WHERE rn = 1
+            )
+            SELECT d.lang AS gold, sw.stopword_lang, tg.trigram_lang,
+                   count(*) AS n
+            FROM documents d
+            JOIN sw USING (doc_id)
+            JOIN tg USING (doc_id)
+            GROUP BY 1, 2, 3
+        """,
+        "term_pmi": """
+            WITH w AS (
+                SELECT string_split_regex(trim(text), '\\s+') AS l FROM documents
+            ),
+            big AS (
+                SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM w
+            ),
+            pc AS (
+                SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
+                FROM big GROUP BY 1, 2
+            ),
+            uni AS (SELECT unnest(l) AS tok FROM w),
+            uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+            tot AS (
+                SELECT (SELECT CAST(sum(c12) AS BIGINT) FROM pc) AS big_c,
+                       (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_words
+            ),
+            j AS (
+                SELECT pc.w1, pc.w2, pc.c12,
+                       round(log2((pc.c12 * t.n_words * t.n_words) * 1.0
+                                  / (t.big_c * u1.c * u2.c)), 6) AS pmi
+                FROM pc
+                JOIN uc u1 ON pc.w1 = u1.tok
+                JOIN uc u2 ON pc.w2 = u2.tok
+                CROSS JOIN tot t
+                WHERE pc.c12 >= 10
+            )
+            SELECT w1, w2, c12, pmi FROM j
+            ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
         """,
         "hybrid_search_rrf": """
             WITH d AS (

@@ -1224,3 +1224,30 @@ class TestTopEventPaths:
         assert got[0] == ("a>b>c", 2)
         # equal-count paths ordered by path string: deterministic cut
         assert got[1:] == [("b>c>a", 1), ("c>a>b", 1)]
+
+
+class TestTermPMI:
+    def test_collocation_beats_independent_pair(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        import __spark_entry__ as entry
+
+        # 'spark shuffle' always adjacent (collocation); 'foo'/'bar' random
+        doc = ("spark shuffle foo bar " * 5) + ("bar foo spark shuffle " * 5)
+        rows = [Row(doc_id=i, text=doc.strip(), lang="en", source="s", n_chars=1)
+                for i in range(3)]
+        d = str(tmp_path / "pmi")
+        spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+        got = {(r.w1, r.w2): r.pmi for r in entry.queries()["term_pmi"](spark, d).collect()}
+        assert ("spark", "shuffle") in got
+        # the always-adjacent pair carries the highest PMI in the table
+        assert got[("spark", "shuffle")] == max(got.values())
+
+    def test_langid_confusion_covers_all_docs(self, spark):
+        import __spark_entry__ as entry
+
+        df = entry.queries()["langid_confusion"](spark, "/root/testdata/sf0.001")
+        n_docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).count()
+        assert df.agg({"n": "sum"}).head()[0] == n_docs

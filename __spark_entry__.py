@@ -2093,6 +2093,29 @@ def _q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over docs with DECOMPOSED sequences
+    planted on even doc_ids (e + U+0301 combining acute): Python
+    unicodedata (mapInPandas) must agree byte-for-byte with the
+    oracle's nfc_normalize — two independent UAX#15 implementations
+    cross-checked. changed flags exactly the planted half."""
+    from reader_spark.ops.textstats import nfc_normalize_docs
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" cafe\u0301")).otherwise(
+                F.lit(" cafe")
+            ),
+        ),
+    )
+    out = nfc_normalize_docs(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "changed", F.md5("text_nfc").alias("nfc_md5")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2197,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "langid_confusion": _q_langid_confusion,
         "term_pmi": _q_term_pmi,
+        "nfc_normalize": _q_nfc_normalize,
     }
 
 
@@ -4315,6 +4339,19 @@ def _oracle_sql_entries() -> dict[str, str]:
             )
             SELECT w1, w2, c12, pmi FROM j
             ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+        """,
+        "nfc_normalize": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 2 = 0
+                                    THEN ' cafe' || chr(769)
+                                    ELSE ' cafe' END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END AS changed,
+                   md5(nfc_normalize(t)) AS nfc_md5
+            FROM aug
         """,
         "hybrid_search_rrf": """
             WITH d AS (

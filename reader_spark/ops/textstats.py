@@ -370,3 +370,40 @@ def unigram_lm_scores(
             F.round(F.sum("__nll") / F.count(F.lit(1)), 6).alias("avg_nll_bits"),
         )
     )
+
+
+def nfc_normalize_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode NFC normalization — the canonical-composition pass every
+    multilingual corpus needs before hashing/dedup (the same logical
+    text arrives as composed OR decomposed codepoints from different
+    crawls; without normalization 'café' != 'café' and exact dedup
+    silently misses). Spark has no built-in normalizer, so this is the
+    sanctioned Python path: ONE Arrow-batched mapInPandas with a narrow
+    (id, text) projection, vectorized over each batch — scan-shaped,
+    no shuffle, linear at any scale.
+
+    Returns (id_col, text_nfc, changed) where changed=1 iff
+    normalization altered the string. unicodedata.normalize implements
+    the same UAX#15 algorithm as ANSI engines' nfc_normalize, which is
+    what makes this oracle-checkable cross-implementation."""
+    import unicodedata
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, `text_nfc` string, `changed` int"
+
+    def norm(batches):
+        for pdf in batches:
+            out = pdf[[id_col]].copy()
+            src = pdf[text_col]
+            normed = src.map(
+                lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+            )
+            out["text_nfc"] = normed
+            out["changed"] = (
+                (normed != src) & src.notna()
+            ).astype("int32")
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(norm, schema=out_schema)

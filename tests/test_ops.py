@@ -1251,3 +1251,37 @@ class TestTermPMI:
             "/root/testdata/sf0.001/documents.parquet"
         ).count()
         assert df.agg({"n": "sum"}).head()[0] == n_docs
+
+
+class TestNFCNormalize:
+    def test_composition_and_flags(self, spark):
+        import unicodedata
+
+        from pyspark.sql import Row
+
+        from reader_spark.ops.textstats import nfc_normalize_docs
+
+        decomposed = "café and Åvocado"  # e+acute, A+ring
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=decomposed), Row(doc_id=2, text="plain ascii"),
+             Row(doc_id=3, text=None)],
+            schema="doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in nfc_normalize_docs(df).collect()}
+        assert got[1].changed == 1
+        assert got[1].text_nfc == unicodedata.normalize("NFC", decomposed)
+        assert "café" in got[1].text_nfc and "Åvocado" in got[1].text_nfc
+        assert got[2].changed == 0 and got[2].text_nfc == "plain ascii"
+        assert got[3].changed == 0 and got[3].text_nfc is None
+
+    def test_idempotent(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.textstats import nfc_normalize_docs
+
+        df = spark.createDataFrame([Row(doc_id=1, text="ligature ﬁ stays, é composes")])
+        once = nfc_normalize_docs(df).head()
+        again = nfc_normalize_docs(
+            spark.createDataFrame([Row(doc_id=1, text=once.text_nfc)])
+        ).head()
+        assert again.changed == 0 and again.text_nfc == once.text_nfc

@@ -2116,6 +2116,42 @@ def _q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch evaluation, oracle-checked: the portable MinHash-LSH
+    candidate set (64 hashes, 16x4 bands) scored against exact-Jaccard
+    ground truth at 0.8 over docs < 300 — candidate count, truth count,
+    hits, precision, recall in one row. Recall should be ~1 at these
+    parameters (band collision probability 0.9998 at J=0.8); precision
+    shows the verification burden LSH passes downstream."""
+    from reader_spark.ops.dedup import (
+        minhash_lsh_candidates_portable,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    cands = minhash_lsh_candidates_portable(docs, "doc_id", "text").select(
+        "doc_a", "doc_b"
+    )
+    truth = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    hits = cands.join(truth, ["doc_a", "doc_b"])
+    n_c = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_h = hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_c.crossJoin(n_t)
+        .crossJoin(n_h)
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_hit",
+            F.round(F.try_divide(F.col("n_hit").cast("double"), F.col("n_candidates")), 6).alias("precision"),
+            F.round(F.try_divide(F.col("n_hit").cast("double"), F.col("n_true")), 6).alias("recall"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2221,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": _q_langid_confusion,
         "term_pmi": _q_term_pmi,
         "nfc_normalize": _q_nfc_normalize,
+        "lsh_quality_eval": _q_lsh_quality_eval,
     }
 
 
@@ -4352,6 +4389,58 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END AS changed,
                    md5(nfc_normalize(t)) AS nfc_md5
             FROM aug
+        """,
+        "lsh_quality_eval": """
+            WITH sh AS (
+                SELECT doc_id AS doc,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                       ))) AS shingle
+                FROM documents WHERE doc_id < 300
+            ),
+            mins AS (
+                SELECT doc, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minh
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS seed) seeds
+                GROUP BY doc, seed
+            ),
+            bandh AS (
+                SELECT doc, seed // 4 AS band_id,
+                       md5(string_agg(minh, '|' ORDER BY seed)) AS band_hash
+                FROM mins GROUP BY doc, seed // 4
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                FROM bandh a
+                JOIN bandh b ON a.band_id = b.band_id
+                            AND a.band_hash = b.band_hash
+                            AND a.doc < b.doc
+            ),
+            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+            inter AS (
+                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                GROUP BY 1, 2
+            ),
+            truth AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc = doc_a
+                JOIN sizes sb ON sb.doc = doc_b
+                WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+            ),
+            hits AS (
+                SELECT c.doc_a FROM cands c
+                JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+            ),
+            agg AS (
+                SELECT (SELECT count(*) FROM cands) AS n_candidates,
+                       (SELECT count(*) FROM truth) AS n_true,
+                       (SELECT count(*) FROM hits) AS n_hit
+            )
+            SELECT n_candidates, n_true, n_hit,
+                   round(n_hit * 1.0 / n_candidates, 6) AS precision,
+                   round(n_hit * 1.0 / n_true, 6) AS recall
+            FROM agg
         """,
         "hybrid_search_rrf": """
             WITH d AS (

@@ -1285,3 +1285,14 @@ class TestNFCNormalize:
             spark.createDataFrame([Row(doc_id=1, text=once.text_nfc)])
         ).head()
         assert again.changed == 0 and again.text_nfc == once.text_nfc
+
+
+class TestLshQualityEval:
+    def test_recall_is_one_at_reference_params(self, spark):
+        import __spark_entry__ as entry
+
+        r = entry.queries()["lsh_quality_eval"](spark, "/root/testdata/sf0.001").head()
+        assert r.n_hit == r.n_true  # band-collision recall ~1 at J>=0.8
+        assert r.recall == 1.0
+        assert r.n_candidates >= r.n_hit
+        assert 0.0 < r.precision <= 1.0

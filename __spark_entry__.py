@@ -2152,6 +2152,48 @@ def _q_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table versions: the 'old'
+    snapshot is documents as-is; the 'new' snapshot drops doc_id % 11
+    == 0 (deletes), appends 25 fresh rows (inserts), and rewrites text
+    for doc_id % 7 == 0 (updates). One full-outer join on the key with
+    content-hash comparison emits (key, change) in {added, removed,
+    changed} — unchanged rows drop out. THE incremental-publish diff;
+    hash compare keeps the shuffle narrow (key + 32-byte md5, never
+    full rows)."""
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.select("doc_id", F.md5("text").alias("h"))
+    new_rows = (
+        docs.where(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" [rev2]")),
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") < 25).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.md5(F.concat(F.lit("new:"), F.col("text"))).alias("h"),
+            )
+        )
+    )
+    joined = old.withColumnRenamed("h", "h_old").join(
+        new_rows.withColumnRenamed("h", "h_new"), "doc_id", "full_outer"
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    ).where(F.col("change") != "unchanged")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2258,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_pmi": _q_term_pmi,
         "nfc_normalize": _q_nfc_normalize,
         "lsh_quality_eval": _q_lsh_quality_eval,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -4441,6 +4484,33 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round(n_hit * 1.0 / n_candidates, 6) AS precision,
                    round(n_hit * 1.0 / n_true, 6) AS recall
             FROM agg
+        """,
+        "snapshot_diff": """
+            WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+            new_rows AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                                ELSE text END) AS h
+                FROM documents WHERE doc_id % 11 != 0
+                UNION ALL
+                SELECT doc_id + 100000, md5('new:' || text)
+                FROM documents WHERE doc_id < 25
+            ),
+            j AS (
+                SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                       o.h AS h_old, n.h AS h_new
+                FROM old o FULL OUTER JOIN new_rows n ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN h_old IS NULL THEN 'added'
+                        WHEN h_new IS NULL THEN 'removed'
+                        WHEN h_old <> h_new THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM j
+            WHERE (CASE WHEN h_old IS NULL THEN 'added'
+                        WHEN h_new IS NULL THEN 'removed'
+                        WHEN h_old <> h_new THEN 'changed'
+                        ELSE 'unchanged' END) != 'unchanged'
         """,
         "hybrid_search_rrf": """
             WITH d AS (

@@ -1296,3 +1296,28 @@ class TestLshQualityEval:
         assert r.recall == 1.0
         assert r.n_candidates >= r.n_hit
         assert 0.0 < r.precision <= 1.0
+
+
+class TestSnapshotDiff:
+    def test_change_taxonomy_counts(self, spark):
+        import __spark_entry__ as entry
+
+        rows = entry.queries()["snapshot_diff"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.change, set()).add(r.doc_id)
+        n_docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).count()
+        # removed = multiples of 11 in [0, n_docs)
+        assert by["removed"] == {i for i in range(n_docs) if i % 11 == 0}
+        # changed = multiples of 7 that were NOT removed
+        assert by["changed"] == {
+            i for i in range(n_docs) if i % 7 == 0 and i % 11 != 0
+        }
+        # added = 25 fresh keys offset by 100000
+        assert by["added"] == {100000 + i for i in range(min(25, n_docs))}
+        # no overlap between classes
+        assert not (by["removed"] & by["changed"])

@@ -2194,6 +2194,59 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("change") != "unchanged")
 
 
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync family, word-level): a
+    chunk boundary opens wherever the rolling 3-gram hash hits 0 mod 8
+    (expected chunk ~8 words), so chunk boundaries are a pure function
+    of LOCAL content — insert a word early in a doc and only the
+    touched chunk's hash changes, unlike fixed-width chunking where
+    every later chunk shifts. One per-doc window for the gram + cumsum,
+    one groupBy for chunk assembly. Output: (doc_id, chunk_id, n_words,
+    chunk_md5)."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "word"),
+    )
+    gram = F.concat_ws(
+        " ", F.lag("word", 2).over(w), F.lag("word", 1).over(w), F.col("word")
+    )
+    flagged = toks.withColumn(
+        "flag",
+        F.when(
+            (F.col("pos") >= 2)
+            & (
+                F.pmod(
+                    F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
+                    F.lit(8),
+                )
+                == 0
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "chunk_id",
+        F.sum("flag").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+            )
+        ).alias("chunk_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2301,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q_nfc_normalize,
         "lsh_quality_eval": _q_lsh_quality_eval,
         "snapshot_diff": _q_snapshot_diff,
+        "cdc_chunks": _q_cdc_chunks,
     }
 
 
@@ -4511,6 +4565,38 @@ def _oracle_sql_entries() -> dict[str, str]:
                         WHEN h_new IS NULL THEN 'removed'
                         WHEN h_old <> h_new THEN 'changed'
                         ELSE 'unchanged' END) != 'unchanged'
+        """,
+        "cdc_chunks": """
+            WITH toks AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) - 1 AS pos,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS word
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, pos, word,
+                       lag(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                       lag(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+                FROM toks
+            ),
+            flagged AS (
+                SELECT doc_id, pos, word,
+                       CASE WHEN pos >= 2
+                                 AND CAST(('0x' || substr(md5(w2 || ' ' || w1 || ' ' || word), 1, 8)) AS BIGINT) % 8 = 0
+                            THEN 1 ELSE 0 END AS flag
+                FROM g
+            ),
+            chunked AS (
+                SELECT doc_id, pos, word,
+                       sum(flag) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS chunk_id
+                FROM flagged
+            )
+            SELECT doc_id, chunk_id, count(*) AS n_words,
+                   md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
+            FROM chunked GROUP BY doc_id, chunk_id
         """,
         "hybrid_search_rrf": """
             WITH d AS (

@@ -1321,3 +1321,40 @@ class TestSnapshotDiff:
         assert by["added"] == {100000 + i for i in range(min(25, n_docs))}
         # no overlap between classes
         assert not (by["removed"] & by["changed"])
+
+
+class TestCdcChunks:
+    def _chunks(self, spark, tmp_path, name, text):
+        from pyspark.sql import Row
+
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            [Row(doc_id=1, text=text, lang="en", source="s", n_chars=1)]
+        ).write.parquet(f"{d}/documents.parquet")
+        import __spark_entry__ as entry
+
+        rows = sorted(
+            entry.queries()["cdc_chunks"](spark, d).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        return [r.chunk_md5 for r in rows], [r.n_words for r in rows]
+
+    def test_insertion_only_disturbs_local_chunks(self, spark, tmp_path):
+        """THE content-defined property: prepending a word must leave every
+        chunk after the first post-insertion boundary byte-identical —
+        fixed-width chunking would shift and rewrite all of them."""
+        import random
+
+        rng = random.Random(7)
+        words = " ".join(rng.choice("alpha beta gamma delta epsilon zeta eta theta".split())
+                         for _ in range(400))
+        base, _ = self._chunks(spark, tmp_path, "a", words)
+        shifted, _ = self._chunks(spark, tmp_path, "b", "inserted " + words)
+        assert len(base) > 20
+        # all but the first chunk of the original reappear verbatim
+        assert set(base[1:]) <= set(shifted)
+
+    def test_chunks_cover_doc(self, spark, tmp_path):
+        text = "one two three four five six seven eight nine ten"
+        _, sizes = self._chunks(spark, tmp_path, "c", text)
+        assert sum(sizes) == 10

@@ -2247,6 +2247,72 @@ def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per document from three native regex
+    counts (words, sentence terminators, vowel-group syllable proxy) —
+    scan-local JVM columns, the classic readability screen. Sentences
+    floor at 1 (the synthetic corpus has no terminators; real text
+    exercises the denominator)."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syllables = F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+    grade = F.round(
+        F.lit(0.39) * words / sentences
+        + F.lit(11.8) * syllables / F.greatest(words, F.lit(1))
+        - F.lit(15.59),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        grade.alias("fk_grade"),
+    )
+
+
+def _q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra: estimated |users(view) ∩ users(purchase)| by
+    inclusion-exclusion over HLL sketches — est(A) + est(B) -
+    est(A∪B), where the union estimate comes from the LOSSLESS register
+    merge. Compared against the exact intersection; fully deterministic
+    so the estimate itself is oracle-checked."""
+    from reader_spark.ops.hll import hll_estimate, hll_merge, hll_registers
+
+    events = _read(spark, sf_dir, "events")
+    a = events.where(F.col("event_type") == "view")
+    b = events.where(F.col("event_type") == "purchase")
+    ra = hll_registers(a, "user_id", [], b=6)
+    rb = hll_registers(b, "user_id", [], b=6)
+    est_a = hll_estimate(ra, [], b=6).select(F.col("hll_est").alias("est_a"))
+    est_b = hll_estimate(rb, [], b=6).select(F.col("hll_est").alias("est_b"))
+    est_u = hll_estimate(
+        hll_merge(ra.unionByName(rb), []), [], b=6
+    ).select(F.col("hll_est").alias("est_union"))
+    exact = (
+        a.select("user_id")
+        .intersect(b.select("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(exact)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2355,6 +2421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_quality_eval": _q_lsh_quality_eval,
         "snapshot_diff": _q_snapshot_diff,
         "cdc_chunks": _q_cdc_chunks,
+        "readability_scores": _q_readability_scores,
+        "hll_intersection": _q_hll_intersection,
     }
 
 
@@ -4597,6 +4665,87 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT doc_id, chunk_id, count(*) AS n_words,
                    md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
             FROM chunked GROUP BY doc_id, chunk_id
+        """,
+        "readability_scores": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_words,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+                   round(0.39 * len(regexp_extract_all(text, '\\S+'))
+                              / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                         + 11.8 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                                / greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                         - 15.59, 6) AS fk_grade
+            FROM documents
+        """,
+        "hll_intersection": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+                FROM events WHERE event_type IN ('view', 'purchase')
+            ),
+            parts AS (
+                SELECT event_type,
+                       CAST(floor(hv / 67108864.0) AS BIGINT) AS bucket,
+                       hv % 67108864 AS w
+                FROM h
+            ),
+            rho AS (
+                SELECT event_type, bucket,
+                       CASE WHEN w = 0 THEN 27
+                            ELSE 26 - CAST(floor(log2(CAST(w AS DOUBLE))) AS BIGINT)
+                       END AS rho
+                FROM parts
+            ),
+            regs_a AS (
+                SELECT bucket, max(rho) AS register FROM rho
+                WHERE event_type = 'view' GROUP BY 1
+            ),
+            regs_b AS (
+                SELECT bucket, max(rho) AS register FROM rho
+                WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            regs_u AS (
+                SELECT bucket, max(register) AS register FROM (
+                    SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b
+                ) GROUP BY 1
+            ),
+            ea AS (
+                SELECT CASE WHEN 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*))) <= 160.0
+                                 AND count(*) < 64
+                            THEN 64.0 * ln(64.0 / (64 - count(*)))
+                            ELSE 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*)))
+                       END AS e
+                FROM regs_a
+            ),
+            eb AS (
+                SELECT CASE WHEN 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*))) <= 160.0
+                                 AND count(*) < 64
+                            THEN 64.0 * ln(64.0 / (64 - count(*)))
+                            ELSE 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*)))
+                       END AS e
+                FROM regs_b
+            ),
+            eu AS (
+                SELECT CASE WHEN 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*))) <= 160.0
+                                 AND count(*) < 64
+                            THEN 64.0 * ln(64.0 / (64 - count(*)))
+                            ELSE 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*)))
+                       END AS e
+                FROM regs_u
+            ),
+            ex AS (
+                SELECT count(*) AS exact_intersection FROM (
+                    SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+                    INTERSECT
+                    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+                )
+            )
+            SELECT round(ea.e, 4) AS est_a, round(eb.e, 4) AS est_b,
+                   round(eu.e, 4) AS est_union,
+                   round(round(ea.e, 4) + round(eb.e, 4) - round(eu.e, 4), 4) AS est_intersection,
+                   ex.exact_intersection
+            FROM ea, eb, eu, ex
         """,
         "hybrid_search_rrf": """
             WITH d AS (

@@ -1358,3 +1358,30 @@ class TestCdcChunks:
         text = "one two three four five six seven eight nine ten"
         _, sizes = self._chunks(spark, tmp_path, "c", text)
         assert sum(sizes) == 10
+
+
+class TestReadabilityAndHllIntersection:
+    def test_fk_grade_on_real_sentences(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        import __spark_entry__ as entry
+
+        simple = "The cat sat. The dog ran. We go now."
+        complex_ = ("Extraordinarily sophisticated considerations "
+                    "necessitate comprehensive organizational methodologies.")
+        d = str(tmp_path / "fk")
+        spark.createDataFrame(
+            [Row(doc_id=1, text=simple, lang="en", source="s", n_chars=1),
+             Row(doc_id=2, text=complex_, lang="en", source="s", n_chars=1)]
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {r.doc_id: r for r in entry.queries()["readability_scores"](spark, d).collect()}
+        assert got[1].n_sentences == 3
+        assert got[2].fk_grade > got[1].fk_grade  # polysyllabic text reads harder
+
+    def test_hll_intersection_close_to_exact(self, spark):
+        import __spark_entry__ as entry
+
+        r = entry.queries()["hll_intersection"](spark, "/root/testdata/sf0.001").head()
+        assert r.exact_intersection > 0
+        # inclusion-exclusion over m=64 sketches: generous relative band
+        assert abs(r.est_intersection - r.exact_intersection) <= 0.5 * max(r.exact_intersection, 10)

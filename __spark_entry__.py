@@ -2313,6 +2313,38 @@ def _q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quantile normalization of event values: u = rank/(n+1)
+    maps any distribution onto (0,1) uniformly — the rank-based feature
+    scaling robust to outliers (unlike z-scores). average rank for
+    ties, one window per group; exact rational arithmetic until the
+    single rounded division."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    w_all = Window.partitionBy("event_type")
+    # average rank over ties: avg of row_numbers within the tie class =
+    # (first_rn + last_rn)/2, window-free via min/max rank per value
+    ranked = events.select(
+        "event_type", "event_id", "value", F.row_number().over(w.orderBy("value", "event_id")).alias("rn")
+    )
+    tie_avg = ranked.groupBy("event_type", "value").agg(
+        ((F.min("rn") + F.max("rn")) / 2.0).alias("avg_rank")
+    )
+    n = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.join(tie_avg, ["event_type", "value"])
+        .join(n, "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.round(F.col("avg_rank") / (F.col("n") + 1), 6).alias("u"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2423,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _q_cdc_chunks,
         "readability_scores": _q_readability_scores,
         "hll_intersection": _q_hll_intersection,
+        "value_quantile_norm": _q_value_quantile_norm,
     }
 
 
@@ -4746,6 +4779,25 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round(round(ea.e, 4) + round(eb.e, 4) - round(eu.e, 4), 4) AS est_intersection,
                    ex.exact_intersection
             FROM ea, eb, eu, ex
+        """,
+        "value_quantile_norm": """
+            WITH ranked AS (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY value, event_id
+                       ) AS rn
+                FROM events
+            ),
+            ties AS (
+                SELECT event_type, value, (min(rn) + max(rn)) / 2.0 AS avg_rank
+                FROM ranked GROUP BY 1, 2
+            ),
+            n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+            SELECT r.event_type, r.event_id, r.value,
+                   round(t.avg_rank / (n.n + 1), 6) AS u
+            FROM ranked r
+            JOIN ties t ON r.event_type = t.event_type AND r.value = t.value
+            JOIN n ON r.event_type = n.event_type
         """,
         "hybrid_search_rrf": """
             WITH d AS (

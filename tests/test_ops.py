@@ -1385,3 +1385,27 @@ class TestReadabilityAndHllIntersection:
         assert r.exact_intersection > 0
         # inclusion-exclusion over m=64 sketches: generous relative band
         assert abs(r.est_intersection - r.exact_intersection) <= 0.5 * max(r.exact_intersection, 10)
+
+
+class TestQuantileNorm:
+    def test_uniformization_and_ties(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        import __spark_entry__ as entry
+
+        t0 = dt.datetime(2024, 1, 1)
+        # values 1,2,2,3 -> avg ranks 1, 2.5, 2.5, 4 ; u = rank/5
+        rows = [
+            Row(event_id=i, ts=t0, user_id=1, event_type="a",
+                value=float(v), props="{}")
+            for i, v in enumerate([1, 2, 2, 3])
+        ]
+        d = str(tmp_path / "qn")
+        spark.createDataFrame(rows).write.parquet(f"{d}/events.parquet")
+        got = sorted(
+            (r.value, r.u)
+            for r in entry.queries()["value_quantile_norm"](spark, d).collect()
+        )
+        assert got == [(1.0, 0.2), (2.0, 0.5), (2.0, 0.5), (3.0, 0.8)]

@@ -2345,6 +2345,41 @@ def _q_value_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + intra-class compactness (mean /
+    min cosine of members to their own centroid) — the labeled-data
+    sanity check before training a classifier on the embedding space.
+    All aggregate algebra: one posexplode, per-(label, dim) means
+    (rounded to 9 dp so both engines hold the same centroid), cosine
+    rebuilt from dot/norm sums, no vector ever collected."""
+    emb = _read(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("p", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = vals.groupBy("label", "p").agg(F.round(F.avg("v"), 9).alias("c"))
+    per_vec = (
+        vals.join(cent, ["label", "p"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nv"),
+            F.sum(F.col("c") * F.col("c")).alias("nc"),
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                F.try_divide(F.col("dot"), F.sqrt(F.col("nv")) * F.sqrt(F.col("nc"))),
+                9,
+            ),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2456,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": _q_readability_scores,
         "hll_intersection": _q_hll_intersection,
         "value_quantile_norm": _q_value_quantile_norm,
+        "label_centroids": _q_label_centroids,
     }
 
 
@@ -4798,6 +4834,29 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM ranked r
             JOIN ties t ON r.event_type = t.event_type AND r.value = t.value
             JOIN n ON r.event_type = n.event_type
+        """,
+        "label_centroids": """
+            WITH vals AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) - 1 AS p,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT label, p, round(avg(v), 9) AS c
+                FROM vals GROUP BY 1, 2
+            ),
+            per_vec AS (
+                SELECT vals.vec_id, vals.label,
+                       round(sum(vals.v * cent.c)
+                             / (sqrt(sum(vals.v * vals.v)) * sqrt(sum(cent.c * cent.c))), 9) AS cos
+                FROM vals JOIN cent ON vals.label = cent.label AND vals.p = cent.p
+                GROUP BY 1, 2
+            )
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(cos), 6) AS mean_cos,
+                   round(min(cos), 6) AS min_cos
+            FROM per_vec GROUP BY label
         """,
         "hybrid_search_rrf": """
             WITH d AS (

@@ -1409,3 +1409,33 @@ class TestQuantileNorm:
             for r in entry.queries()["value_quantile_norm"](spark, d).collect()
         )
         assert got == [(1.0, 0.2), (2.0, 0.5), (2.0, 0.5), (3.0, 0.8)]
+
+
+class TestLabelCentroids:
+    def test_tight_cluster_beats_loose(self, spark, tmp_path):
+        import random
+
+        from pyspark.sql import Row
+
+        import __spark_entry__ as entry
+
+        rng = random.Random(3)
+        rows = []
+        vid = 0
+        # label 0: tight cluster around a fixed direction
+        base = [rng.uniform(0.5, 1.0) for _ in range(8)]
+        for _ in range(20):
+            rows.append(Row(vec_id=vid, embedding=[v + rng.uniform(-0.01, 0.01) for v in base], label=0))
+            vid += 1
+        # label 1: scattered random directions
+        for _ in range(20):
+            rows.append(Row(vec_id=vid, embedding=[rng.uniform(-1, 1) for _ in range(8)], label=1))
+            vid += 1
+        d = str(tmp_path / "emb")
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").write.parquet(
+            f"{d}/embeddings.parquet"
+        )
+        got = {r.label: r for r in entry.queries()["label_centroids"](spark, d).collect()}
+        assert got[0].mean_cos > 0.999
+        assert got[0].mean_cos > got[1].mean_cos
+        assert got[0].n_vecs == 20 and got[1].n_vecs == 20

@@ -2380,6 +2380,64 @@ def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion z-test, the A/B-experiment readout: users
+    split into deterministic variants by user_id parity, success = a
+    purchase with value > 90 (every user has SOME purchase — the
+    threshold keeps the rates off the degenerate 1.0 where z is
+    undefined); z = (pA - pB)/sqrt(p(1-p)(1/nA+1/nB))
+    with the pooled rate. Exact integer counts feed one closed-form
+    row; |z| >= 1.96 flags 5% significance. Everything is two
+    map-side-combined aggregates over the user dim."""
+    events = _read(spark, sf_dir, "events")
+    users = events.select("user_id").distinct().withColumn(
+        "variant", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    )
+    purchasers = (
+        events.where((F.col("event_type") == "purchase") & (F.col("value") > 90.0))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    per_variant = (
+        users.join(purchasers, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("converted"), F.lit(0)).alias("conv"),
+        )
+    )
+    a = per_variant.where(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("c_a")
+    )
+    b = per_variant.where(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("c_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    z = F.round(
+        F.try_divide(
+            p_a - p_b,
+            F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+        ),
+        6,
+    )
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        z.alias("z"),
+        F.when(z.isNotNull() & (F.abs(z) >= 1.96), 1)
+        .otherwise(0)
+        .alias("significant_05"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2492,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersection": _q_hll_intersection,
         "value_quantile_norm": _q_value_quantile_norm,
         "label_centroids": _q_label_centroids,
+        "ab_test_proportions": _q_ab_test_proportions,
     }
 
 
@@ -4807,7 +4866,7 @@ def _oracle_sql_entries() -> dict[str, str]:
                 SELECT count(*) AS exact_intersection FROM (
                     SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
                     INTERSECT
-                    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+                    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 90.0
                 )
             )
             SELECT round(ea.e, 4) AS est_a, round(eb.e, 4) AS est_b,
@@ -4857,6 +4916,40 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round(avg(cos), 6) AS mean_cos,
                    round(min(cos), 6) AS min_cos
             FROM per_vec GROUP BY label
+        """,
+        "ab_test_proportions": """
+            WITH users AS (
+                SELECT DISTINCT user_id,
+                       CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+                FROM events
+            ),
+            purch AS (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 90.0
+            ),
+            pv AS (
+                SELECT u.variant, count(*) AS n,
+                       count(p.user_id) AS conv
+                FROM users u LEFT JOIN purch p ON u.user_id = p.user_id
+                GROUP BY u.variant
+            ),
+            j AS (
+                SELECT a.n AS n_a, a.conv AS c_a, b.n AS n_b, b.conv AS c_b
+                FROM (SELECT n, conv FROM pv WHERE variant = 'A') a,
+                     (SELECT n, conv FROM pv WHERE variant = 'B') b
+            )
+            SELECT n_a, c_a, n_b, c_b,
+                   round(c_a * 1.0 / n_a, 6) AS rate_a,
+                   round(c_b * 1.0 / n_b, 6) AS rate_b,
+                   round((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                         / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                                * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                                * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+                   CASE WHEN abs(round((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                         / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                                * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                                * (1.0 / n_a + 1.0 / n_b)), 6)) >= 1.96
+                        THEN 1 ELSE 0 END AS significant_05
+            FROM j
         """,
         "hybrid_search_rrf": """
             WITH d AS (

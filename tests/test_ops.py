@@ -1439,3 +1439,30 @@ class TestLabelCentroids:
         assert got[0].mean_cos > 0.999
         assert got[0].mean_cos > got[1].mean_cos
         assert got[0].n_vecs == 20 and got[1].n_vecs == 20
+
+
+class TestAbTest:
+    def test_known_split(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        import __spark_entry__ as entry
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # variant A (even ids): 8/10 convert; variant B (odd): 2/10
+        for u in range(20):
+            rows.append(Row(event_id=u * 10, ts=t0, user_id=u,
+                            event_type="view", value=0.0, props="{}"))
+            converts = (u % 2 == 0 and u < 16) or (u % 2 == 1 and u < 4)
+            if converts:
+                rows.append(Row(event_id=u * 10 + 1, ts=t0, user_id=u,
+                                event_type="purchase", value=95.0, props="{}"))
+        d = str(tmp_path / "ab")
+        spark.createDataFrame(rows).write.parquet(f"{d}/events.parquet")
+        r = entry.queries()["ab_test_proportions"](spark, d).head()
+        assert (r.n_a, r.n_b) == (10, 10)
+        assert (r.c_a, r.c_b) == (8, 2)
+        assert r.rate_a == 0.8 and r.rate_b == 0.2
+        assert r.z > 1.96 and r.significant_05 == 1

@@ -2438,6 +2438,58 @@ def _q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality metric behind 'top-N% of domains hold M% of tokens'
+    corpus audits. Closed form on ranked values:
+    G = 2*sum(i*x_(i))/(n*sum(x)) - (n+1)/n. One window over the
+    customer dim (bounded), exact integer rank arithmetic."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).cast("double").alias("r")
+    )
+    w = Window.orderBy(F.col("r").asc(), F.col("o_custkey").asc())
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("total"),
+        F.sum(F.col("i") * F.col("r")).alias("weighted"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("total"), 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix (behavioral
+    diversity, bits): -sum(p log2 p) over the five types. Two
+    map-side-combined aggregates; per-term round-9 then round-6 keeps
+    both engines in lockstep."""
+    events = _read(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("user_id").agg(F.sum("c").alias("n"))
+    terms = counts.join(totals, "user_id").withColumn(
+        "t",
+        F.round(
+            -(F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n")), 9
+        ),
+    )
+    return terms.groupBy("user_id").agg(
+        F.round(F.sum("t"), 6).alias("entropy_bits"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_fixture_spans": _q_extract_fixture_spans,
@@ -2551,6 +2603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantile_norm": _q_value_quantile_norm,
         "label_centroids": _q_label_centroids,
         "ab_test_proportions": _q_ab_test_proportions,
+        "revenue_gini": _q_revenue_gini,
+        "user_entropy": _q_user_entropy,
     }
 
 
@@ -4950,6 +5004,41 @@ def _oracle_sql_entries() -> dict[str, str]:
                                 * (1.0 / n_a + 1.0 / n_b)), 6)) >= 1.96
                         THEN 1 ELSE 0 END AS significant_05
             FROM j
+        """,
+        "revenue_gini": """
+            WITH rev AS (
+                SELECT o_custkey, CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS r
+                FROM orders GROUP BY 1
+            ),
+            ranked AS (
+                SELECT r, row_number() OVER (ORDER BY r ASC, o_custkey ASC) AS i
+                FROM rev
+            ),
+            agg AS (
+                SELECT count(*) AS n, sum(r) AS total, sum(i * r) AS weighted
+                FROM ranked
+            )
+            SELECT n, round(total, 2) AS total_revenue,
+                   round(2.0 * weighted / (n * total) - (n + 1) * 1.0 / n, 6) AS gini
+            FROM agg
+        """,
+        "user_entropy": """
+            WITH counts AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+                FROM counts GROUP BY 1
+            ),
+            terms AS (
+                SELECT c.user_id,
+                       round(-(c.c * 1.0 / t.n) * log2(c.c * 1.0 / t.n), 9) AS t
+                FROM counts c JOIN tot t USING (user_id)
+            )
+            SELECT user_id, round(sum(t), 6) AS entropy_bits,
+                   count(*) AS n_types
+            FROM terms GROUP BY user_id
         """,
         "hybrid_search_rrf": """
             WITH d AS (

@@ -1466,3 +1466,49 @@ class TestAbTest:
         assert (r.c_a, r.c_b) == (8, 2)
         assert r.rate_a == 0.8 and r.rate_b == 0.2
         assert r.z > 1.96 and r.significant_05 == 1
+
+
+class TestGiniAndEntropy:
+    def test_gini_extremes(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        import __spark_entry__ as entry
+
+        def run(revenues, tag):
+            d = str(tmp_path / tag)
+            rows = [
+                Row(o_orderkey=i, o_custkey=i, o_totalprice=float(v),
+                    o_orderdate=dt.date(2024, 1, 1), o_orderstatus="O")
+                for i, v in enumerate(revenues, 1)
+            ]
+            spark.createDataFrame(rows).write.parquet(f"{d}/orders.parquet")
+            return entry.queries()["revenue_gini"](spark, d).head()
+
+        equal = run([100.0] * 50, "eq")
+        assert abs(equal.gini) < 0.01  # perfect equality -> ~0
+        skew = run([1.0] * 49 + [100000.0], "sk")
+        assert skew.gini > 0.9  # one customer holds everything -> ~1
+
+    def test_entropy_extremes(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        import __spark_entry__ as entry
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # user 1: all same type -> entropy 0; user 2: 4 types uniform -> 2 bits
+        for i in range(8):
+            rows.append(Row(event_id=i, ts=t0, user_id=1, event_type="a",
+                            value=0.0, props="{}"))
+        for i, et in enumerate(["a", "b", "c", "d"] * 2):
+            rows.append(Row(event_id=100 + i, ts=t0, user_id=2, event_type=et,
+                            value=0.0, props="{}"))
+        d = str(tmp_path / "ent")
+        spark.createDataFrame(rows).write.parquet(f"{d}/events.parquet")
+        got = {r.user_id: r for r in entry.queries()["user_entropy"](spark, d).collect()}
+        assert got[1].entropy_bits == 0.0 and got[1].n_types == 1
+        assert got[2].entropy_bits == 2.0 and got[2].n_types == 4

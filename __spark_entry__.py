@@ -4920,7 +4920,7 @@ def _oracle_sql_entries() -> dict[str, str]:
                 SELECT count(*) AS exact_intersection FROM (
                     SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
                     INTERSECT
-                    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 90.0
+                    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
                 )
             )
             SELECT round(ea.e, 4) AS est_a, round(eb.e, 4) AS est_b,

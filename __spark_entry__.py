@@ -2490,8 +2490,81 @@ def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's correctness snapshot covers the FIRST 50 registry entries in
+# iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
+# curates the window: flagship extraction/pipeline queries plus every
+# operator family that has not yet received a driver-level row, each with a
+# full value-hash oracle.  Everything not listed follows in original order
+# (most of it already driver-green in r01/r02).
+_DRIVER_WINDOW = [
+    # flagship extraction / pipeline surface
+    "extract_documents_spans",
+    "warc_extract",
+    "pdf_extract",
+    "crawl_fixture",
+    "error_taxonomy",
+    "resume_remaining",
+    "corpus_prep",
+    "media_metadata",
+    "events_sessions",
+    # round-2 flagships never driver-verified (VERDICT r2 next-round #2)
+    "ann_lsh_md5",
+    "ann_ivf_seeded",
+    "pq_encode_md5",
+    "pq_adc_topk_md5",
+    "ivfadc_md5",
+    "asof_clicks",
+    "attribution_range_join",
+    "duplicate_spans",
+    "line_dedup",
+    "bm25_search",
+    "pagerank_domains",
+    "batch_metadata",
+    "hll_merged",
+    "hll_intersection",
+    "snapshot_diff",
+    "similarity_join_exact",
+    # remaining never-driver-verified oracled operators, one per family
+    "decontaminate",
+    "incremental_dedup",
+    "lm_perplexity",
+    "domain_mix_sample",
+    "weighted_sample",
+    "bloom_visited",
+    "cms_user_counts",
+    "hll_distinct",
+    "numeric_profile",
+    "fuzzy_source_match",
+    "jsonl_ingest",
+    "zorder_events",
+    "cohort_retention",
+    "event_transitions",
+    "scd2_user_state",
+    "value_trend",
+    "data_quality_report",
+    "ewma_user_value",
+    "twap_user_value",
+    "hybrid_search_rrf",
+    "term_pmi",
+    "nfc_normalize",
+    "lsh_quality_eval",
+    "cdc_chunks",
+    "readability_scores",
+]
+
+
+def _curate(registry: dict) -> dict:
+    """Reorder the registry so _DRIVER_WINDOW names come first."""
+    missing = [n for n in _DRIVER_WINDOW if n not in registry]
+    if missing:  # fail loudly: a typo here silently wastes a window slot
+        raise KeyError(f"_DRIVER_WINDOW names not in registry: {missing}")
+    head = {n: registry[n] for n in _DRIVER_WINDOW}
+    tail = {n: f for n, f in registry.items() if n not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _curate({
         "extract_fixture_spans": _q_extract_fixture_spans,
         "extract_documents_spans": _q_extract_documents_spans,
         "pricing_summary": _q_pricing_summary,
@@ -2605,7 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_proportions": _q_ab_test_proportions,
         "revenue_gini": _q_revenue_gini,
         "user_entropy": _q_user_entropy,
-    }
+    })
 
 
 # ---------------------------------------------------------------------------

@@ -8,10 +8,16 @@ driver-free stack() unpivots that row to one output row per column. The
 naive per-column loop would scan the table k times; this scans once
 regardless of k.
 
-Medians are exact `percentile` (linear interpolation, matching DuckDB's
-quantile_cont) — at 100 TB swap for approx_percentile(., ., accuracy) and
-accept the documented error bound; the exact form is the oracle-checkable
-contract.
+Two modes (same pattern as the md5/xxhash sketch twins):
+- ``exact=False`` (the PRODUCTION path at scale): approx_percentile
+  (KLL-style mergeable sketch, no sort) + approx_count_distinct
+  (HyperLogLog++, relative error ~2.3% at the default rsd) — every
+  statistic is a mergeable partial aggregate, so the whole profile is one
+  map-side-combined pass with no per-column global sort.
+- ``exact=True`` (the ORACLE twin): exact `percentile` (linear
+  interpolation, matching DuckDB's quantile_cont) + countDistinct; this is
+  the oracle-checkable contract, kept for correctness verification and
+  small inputs.
 """
 
 from __future__ import annotations
@@ -24,11 +30,22 @@ from pyspark.sql import functions as F
 _METRICS = ("n", "n_null", "n_distinct", "min", "max", "mean", "stddev", "p50")
 
 
-def numeric_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def numeric_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
     """One row per profiled column:
     (col_name, n, n_null, n_distinct, min, max, mean, stddev, p50).
     All statistics are DOUBLE (rounded to 6 dp where float-valued) so the
     unpivot is type-uniform and engine-portable.
+
+    ``exact=False`` is the production mode at scale: median via
+    approx_percentile(accuracy) and distinct via approx_count_distinct —
+    both mergeable sketches, no global sort in the plan (pinned by
+    tests/test_plans.py). ``accuracy`` trades memory for percentile error
+    (bounded by 1/accuracy relative rank error).
     """
     cols = list(cols)
     if not cols:
@@ -37,16 +54,24 @@ def numeric_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     aggs = []
     for c in cols:
         col = F.col(c).cast("double")
+        if exact:
+            distinct = F.countDistinct(col).cast("double")
+            p50 = F.expr(f"percentile(CAST({c} AS DOUBLE), 0.5)")
+        else:
+            distinct = F.approx_count_distinct(col).cast("double")
+            p50 = F.expr(
+                f"approx_percentile(CAST({c} AS DOUBLE), 0.5, {int(accuracy)})"
+            )
         aggs.extend(
             [
                 F.count(F.lit(1)).cast("double").alias(f"{c}__n"),
                 (F.count(F.lit(1)) - F.count(col)).cast("double").alias(f"{c}__n_null"),
-                F.countDistinct(col).cast("double").alias(f"{c}__n_distinct"),
+                distinct.alias(f"{c}__n_distinct"),
                 F.round(F.min(col), 6).alias(f"{c}__min"),
                 F.round(F.max(col), 6).alias(f"{c}__max"),
                 F.round(F.avg(col), 6).alias(f"{c}__mean"),
                 F.round(F.stddev(col), 6).alias(f"{c}__stddev"),
-                F.round(F.expr(f"percentile(CAST({c} AS DOUBLE), 0.5)"), 6).alias(f"{c}__p50"),
+                F.round(p50, 6).alias(f"{c}__p50"),
             ]
         )
     one_row = df.agg(*aggs)

@@ -42,6 +42,47 @@ def test_single_scan_plan(frame):
     assert "Generate" in plan or "stack" in plan.lower()
 
 
+def test_approx_mode_no_sort_and_partial_agg(frame):
+    """The production (exact=False) profile must be sketch-only: no Sort
+    or Expand in the plan (exact percentile/countDistinct force them),
+    and the aggregation must have a map-side partial."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(numeric_profile(frame, ["a", "b"], exact=False))
+    section = plan.split("\n\n")[0]
+    assert "Sort" not in section
+    assert "Expand" not in section  # countDistinct's expand is gone too
+    assert "partial" in plan.lower()
+    # the exact twin, by contrast, needs the distinct expand
+    exact_plan = plan_of(numeric_profile(frame, ["a", "b"]))
+    assert "Expand" in exact_plan.split("\n\n")[0]
+
+
+def test_approx_within_documented_error_sf001(spark):
+    """approx profile vs exact twin on real data: non-sketched stats are
+    identical; p50 within 1% of exact; distinct within 5% (HLL++ rsd)."""
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {
+        r["col_name"]: r.asDict()
+        for r in numeric_profile(events, ["value", "user_id"]).collect()
+    }
+    approx = {
+        r["col_name"]: r.asDict()
+        for r in numeric_profile(
+            events, ["value", "user_id"], exact=False
+        ).collect()
+    }
+    for c in ("value", "user_id"):
+        for m in ("n", "n_null", "min", "max", "mean", "stddev"):
+            assert approx[c][m] == exact[c][m], (c, m)
+        assert abs(approx[c]["p50"] - exact[c]["p50"]) <= 0.01 * max(
+            1.0, abs(exact[c]["p50"])
+        )
+        assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) <= (
+            0.05 * exact[c]["n_distinct"]
+        )
+
+
 class TestEquiWidthHistogram:
     def test_known_bins(self, spark):
         from pyspark.sql import Row

@@ -1473,19 +1473,28 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl dedup: docs with doc_id >= 250 are the new
     batch, checked against the already-ingested corpus (doc_id < 250)
-    via the portable minhash band index + exact-Jaccard verify at 0.8.
-    Only new-vs-old pairs are ever formed; the old band table is the
-    reusable persistent index."""
-    from reader_spark.ops.dedup import incremental_near_dups
+    via the PERSISTED minhash band index (build_band_index -> parquet ->
+    read back, exactly the production recrawl flow) + exact-Jaccard
+    verify at 0.8. Only new-vs-old pairs are ever formed, and the old
+    corpus is never re-sketched — its bands and shingle sets come off
+    the index (plan-pinned in tests/test_plans.py)."""
+    import tempfile
+
+    from reader_spark.ops.dedup import build_band_index, incremental_near_dups
 
     docs = _read(spark, sf_dir, "documents")
+    index_path = tempfile.mkdtemp(prefix="bandidx_") + "/index"
+    build_band_index(
+        docs.where(F.col("doc_id") < 250), "doc_id", "text", portable=True
+    ).write.parquet(index_path)
     return incremental_near_dups(
-        docs.where(F.col("doc_id") < 250),
+        None,
         docs.where(F.col("doc_id") >= 250),
         "doc_id",
         "text",
         threshold=0.8,
         portable=True,
+        index=spark.read.parquet(index_path),
     )
 
 

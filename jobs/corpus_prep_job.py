@@ -5,7 +5,14 @@
         --output /path/to/clean_corpus \
         [--input-format docs|warc] \
         [--min-tokens 20] [--max-punct-ratio 0.3] \
-        [--bands 16] [--rows-per-band 4] [--master local[32]]
+        [--bands 16] [--rows-per-band 4] [--master local[32]] \
+        [--dedup-index /path/prev_index] [--write-dedup-index /path/next_index]
+
+Incremental ingest: --dedup-index points at the persisted band index
+(reader_spark.ops.dedup.build_band_index) of everything already ingested;
+this batch's near-dups of the old corpus are dropped without re-sketching
+the corpus. --write-dedup-index emits the rolled-forward index (old index
+UNION this batch's keepers) for the next batch.
 
 Pipeline: extraction -> quality gate -> exact dedup -> MinHash-LSH near-dup
 clustering -> keeper corpus (see reader_spark/spark/corpus_prep.py for the
@@ -35,6 +42,21 @@ def main(argv=None) -> int:
     parser.add_argument("--max-punct-ratio", type=float, default=0.3)
     parser.add_argument("--bands", type=int, default=16)
     parser.add_argument("--rows-per-band", type=int, default=4)
+    parser.add_argument(
+        "--dedup-index",
+        default=None,
+        help="path to a persisted band index (build_band_index parquet) of "
+        "the already-ingested corpus; new docs near-duplicating it are "
+        "dropped WITHOUT re-sketching the old corpus",
+    )
+    parser.add_argument(
+        "--write-dedup-index",
+        default=None,
+        help="write the band index covering this batch's kept docs "
+        "(unioned with --dedup-index if given) for the NEXT batch to read; "
+        "must differ from --dedup-index (immutable per-batch artifact)",
+    )
+    parser.add_argument("--index-threshold", type=float, default=0.8)
     parser.add_argument("--master", default=None)
     parser.add_argument(
         "--deadline",
@@ -65,6 +87,10 @@ def main(argv=None) -> int:
                 docs = spark.read.parquet(args.input)
                 base_url_prefix = args.base_url_prefix
 
+            if args.write_dedup_index and args.write_dedup_index == args.dedup_index:
+                raise ValueError(
+                    "--write-dedup-index must differ from --dedup-index"
+                )
             prep = CorpusPrepConfig(
                 min_tokens=args.min_tokens,
                 max_punct_ratio=args.max_punct_ratio,
@@ -72,9 +98,56 @@ def main(argv=None) -> int:
                 lsh_rows_per_band=args.rows_per_band,
             )
             clean = prepare_corpus(docs, prep=prep, base_url_prefix=base_url_prefix)
+
+            dropped_incremental = 0
+            num_hashes = args.bands * args.rows_per_band
+            if args.dedup_index:
+                from pyspark.sql import functions as F
+
+                from reader_spark.ops.dedup import incremental_near_dups
+
+                index = spark.read.parquet(args.dedup_index)
+                dup_new = (
+                    incremental_near_dups(
+                        None,
+                        clean,
+                        "doc_id",
+                        "markdown",
+                        num_hashes=num_hashes,
+                        bands=args.bands,
+                        rows_per_band=args.rows_per_band,
+                        threshold=args.index_threshold,
+                        index=index,
+                    )
+                    .select(F.col("new_doc").alias("doc_id"))
+                    .distinct()
+                )
+                dropped_incremental = dup_new.count()
+                clean = clean.join(dup_new, "doc_id", "left_anti")
+
             clean.write.mode("overwrite").parquet(args.output)
-            kept = spark.read.parquet(args.output).count()
+            kept_df = spark.read.parquet(args.output)
+            kept = kept_df.count()
             total = docs.count()
+
+            if args.write_dedup_index:
+                from reader_spark.ops.dedup import build_band_index
+
+                batch_index = build_band_index(
+                    kept_df.withColumnRenamed("markdown", "text"),
+                    "doc_id",
+                    "text",
+                    num_hashes=num_hashes,
+                    bands=args.bands,
+                    rows_per_band=args.rows_per_band,
+                )
+                if args.dedup_index:
+                    batch_index = spark.read.parquet(args.dedup_index).unionByName(
+                        batch_index
+                    )
+                batch_index.write.mode("overwrite").parquet(
+                    args.write_dedup_index
+                )
         except Exception:
             # any job this run submits (including read-side schema
             # inference) dies with the cancelled group — report the abort
@@ -88,6 +161,7 @@ def main(argv=None) -> int:
                     "input_docs": total,
                     "kept_docs": kept,
                     "dropped_docs": total - kept,
+                    "dropped_incremental": dropped_incremental,
                     "wall_s": round(time.monotonic() - t0, 3),
                 }
             )

@@ -597,8 +597,99 @@ def _minhash_banded_portable(
     ).select("doc", "band.band_id", "band.band_hash")
 
 
+def build_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """The PERSISTENT dedup index for incremental crawls: one row per
+    ingested doc, ``(doc, band_hashes, shingle_set)`` where
+    ``band_hashes[band_id]`` is the LSH band bucket hash (identical
+    values to the inline banding — same slice + hash recipe) and
+    ``shingle_set`` is the distinct word-n-gram set for exact-Jaccard
+    verification.
+
+    Write it once at ingest (``df.write.parquet(path)``, ideally
+    bucketed/sorted by ``doc``); every later recrawl batch joins against
+    it WITHOUT re-shingling or re-minhashing the corpus — at 100 TB,
+    re-sketching the whole corpus per batch is the dominant cost this
+    table removes. Parquet column pruning keeps the two read paths
+    cheap: the candidate join projects only (doc, band_hashes); the
+    verify join only (doc, shingle_set).
+
+    Build cost: one shingle explode + one map-side-combined groupBy +
+    one doc-keyed join — ingest-time, once per doc ever.
+    """
+    if bands * rows_per_band != num_hashes:
+        raise ValueError(
+            f"bands*rows_per_band ({bands}*{rows_per_band}) must equal "
+            f"num_hashes ({num_hashes})"
+        )
+    sets = df.select(
+        F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), n).alias("shingle_set"),
+    )
+    exploded = sets.select("doc", F.explode("shingle_set").alias("shingle"))
+    if portable:
+        mins = [
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("shingle")))
+            ).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ]
+        band_hash = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + j}")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ]
+        # same recipe as _minhash_banded: xxhash64 over the comma-joined
+        # band slice of the signature, rendered via string casts
+        band_hash = [
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    sig = exploded.groupBy("doc").agg(*mins)
+    banded = sig.select("doc", F.array(*band_hash).alias("band_hashes"))
+    return banded.join(sets, "doc")
+
+
+def _index_banded(index: DataFrame) -> DataFrame:
+    """Explode a band index back to (doc, band_id, band_hash) bucket rows
+    — array position IS the band id, so values are identical to the
+    inline banding."""
+    return index.select(
+        "doc",
+        F.posexplode("band_hashes").alias("band_id", "band_hash"),
+    )
+
+
 def incremental_near_dups(
-    old_df: DataFrame,
+    old_df: DataFrame | None,
     new_df: DataFrame,
     id_col: str,
     text_col: str,
@@ -608,22 +699,27 @@ def incremental_near_dups(
     rows_per_band: int = 4,
     threshold: float = 0.8,
     portable: bool = False,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-batch near-dup detection: flag documents in a NEW batch
     that near-duplicate anything already in the ingested corpus — the
     incremental-crawl dedup step (each recrawl batch checks against the
     corpus without re-pairing the corpus with itself).
 
-    Shape at 100 TB: the old batch's (doc, band_id, band_hash) table is
-    the PERSISTENT INDEX — computed once at ingest, stored bucketed by
-    band_hash, and only the new batch is sketched per run. Candidates
-    come from one equi-join of new bands against the index (no
-    new-x-new or old-x-old pairing), and the exact-Jaccard verify joins
-    shingle sets for candidate docs only. Both joins are key-bounded;
-    nothing is quadratic in corpus size.
+    Shape at 100 TB: the old batch's band index is the PERSISTENT INDEX
+    — built once at ingest via :func:`build_band_index`, stored on disk,
+    and passed in as ``index``; only the new batch is sketched per run.
+    When ``index`` is None it is built inline from ``old_df`` (the
+    small-corpus / one-shot form — bit-identical pairs either way).
+    Candidates come from one equi-join of new bands against the index
+    (no new-x-new or old-x-old pairing), and the exact-Jaccard verify
+    joins shingle sets for candidate docs only — old shingle sets come
+    FROM the index, so the old corpus text is never re-read. Both joins
+    are key-bounded; nothing is quadratic in corpus size.
 
     portable=True uses the md5 hash family (byte-identical in ANSI SQL,
-    oracle-checkable end-to-end); production uses xxhash64.
+    oracle-checkable end-to-end); production uses xxhash64. An index
+    must be queried with the same ``portable`` mode it was built with.
 
     Returns (new_doc, old_doc, jaccard) for verified pairs with
     round(jaccard, 6) >= threshold.
@@ -635,6 +731,13 @@ def incremental_near_dups(
         )
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if index is None:
+        if old_df is None:
+            raise ValueError("provide old_df or a prebuilt index")
+        index = build_band_index(
+            old_df, id_col, text_col, n, num_hashes, bands, rows_per_band,
+            portable=portable,
+        )
 
     def banded(df: DataFrame) -> DataFrame:
         if portable:
@@ -647,7 +750,7 @@ def incremental_near_dups(
             rows_per_band,
         )
 
-    old_b = banded(old_df).withColumnRenamed("doc", "old_doc")
+    old_b = _index_banded(index).withColumnRenamed("doc", "old_doc")
     new_b = banded(new_df).withColumnRenamed("doc", "new_doc")
     cands = (
         new_b.join(old_b, ["band_id", "band_hash"])
@@ -661,9 +764,13 @@ def incremental_near_dups(
             shingles(F.col(text_col), n).alias(f"{name}_sh"),
         )
 
+    old_sets = index.select(
+        F.col("doc").alias("old_doc"),
+        F.col("shingle_set").alias("old_doc_sh"),
+    )
     return (
         cands.join(sets(new_df, "new_doc"), "new_doc")
-        .join(sets(old_df, "old_doc"), "old_doc")
+        .join(old_sets, "old_doc")
         .withColumn(
             "n_inter", F.size(F.array_intersect("new_doc_sh", "old_doc_sh"))
         )

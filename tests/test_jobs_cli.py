@@ -205,3 +205,44 @@ def test_corpus_prep_job(spark, docs_path, tmp_path):
     )
     assert 0 < m["kept_docs"] <= m["input_docs"]
     assert spark.read.parquet(out).count() == m["kept_docs"]
+
+
+def test_corpus_prep_job_incremental_index_roundtrip(spark, docs_path, tmp_path):
+    """Batch 1 writes the persisted band index; batch 2 (same input — every
+    doc an exact near-dup of the ingested corpus) reads it and drops all of
+    them without re-sketching the old corpus. The rolled-forward index
+    unions old + batch-2 keepers."""
+    out1, out2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    idx1, idx2 = str(tmp_path / "idx1"), str(tmp_path / "idx2")
+    m1 = run_job(
+        "corpus_prep_job.py", "--input", docs_path, "--output", out1,
+        "--min-tokens", "3", "--master", "local[4]",
+        "--write-dedup-index", idx1,
+    )
+    assert m1["kept_docs"] > 0 and m1["dropped_incremental"] == 0
+    index = spark.read.parquet(idx1)
+    assert set(index.columns) == {"doc", "band_hashes", "shingle_set"}
+    assert index.count() == m1["kept_docs"]
+
+    m2 = run_job(
+        "corpus_prep_job.py", "--input", docs_path, "--output", out2,
+        "--min-tokens", "3", "--master", "local[4]",
+        "--dedup-index", idx1, "--write-dedup-index", idx2,
+    )
+    # identical batch: every doc that survives the gate is a near-dup of
+    # the ingested corpus and must be dropped by the index check
+    assert m2["dropped_incremental"] == m1["kept_docs"]
+    assert m2["kept_docs"] == 0
+    assert spark.read.parquet(idx2).count() == m1["kept_docs"]  # union, no new keepers
+
+
+def test_corpus_prep_job_rejects_same_index_paths(docs_path, tmp_path):
+    out = str(tmp_path / "c")
+    idx = str(tmp_path / "idx")
+    proc = run_job_raw(
+        "corpus_prep_job.py", "--input", docs_path, "--output", out,
+        "--min-tokens", "3", "--master", "local[4]",
+        "--dedup-index", idx, "--write-dedup-index", idx,
+    )
+    assert proc.returncode != 0
+    assert "must differ" in proc.stderr

@@ -867,6 +867,72 @@ class TestIncrementalDedup:
             incremental_near_dups(old, new, "doc_id", "text", bands=3)
         with _pytest.raises(ValueError, match="threshold"):
             incremental_near_dups(old, new, "doc_id", "text", threshold=0.0)
+        with _pytest.raises(ValueError, match="old_df"):
+            incremental_near_dups(None, new, "doc_id", "text")
+
+    @pytest.mark.parametrize("portable", [True, False])
+    def test_persisted_index_identical_to_inline(
+        self, spark, tmp_path, portable
+    ):
+        """The on-disk band index must reproduce the inline result
+        bit-for-bit: build_band_index -> parquet -> read back -> indexed
+        query == one-shot query (VERDICT r2 #5)."""
+        from reader_spark.ops.dedup import (
+            build_band_index,
+            incremental_near_dups,
+        )
+
+        old, new = self._batches(spark)
+        inline = sorted(
+            map(
+                tuple,
+                incremental_near_dups(
+                    old, new, "doc_id", "text",
+                    threshold=0.5, portable=portable,
+                ).collect(),
+            )
+        )
+        path = str(tmp_path / f"band_index_{portable}")
+        build_band_index(
+            old, "doc_id", "text", portable=portable
+        ).write.parquet(path)
+        indexed = sorted(
+            map(
+                tuple,
+                incremental_near_dups(
+                    None, new, "doc_id", "text",
+                    threshold=0.5, portable=portable,
+                    index=spark.read.parquet(path),
+                ).collect(),
+            )
+        )
+        assert indexed == inline and len(inline) == 1
+
+    def test_index_schema_and_band_values_match_inline(self, spark):
+        """band_hashes[band_id] in the index must equal the inline
+        banding's band_hash for every (doc, band) — the index IS the
+        banding, just pivoted per doc."""
+        from reader_spark.ops.dedup import (
+            _minhash_banded,
+            build_band_index,
+            minhash_signatures,
+        )
+
+        old, _ = self._batches(spark)
+        idx = build_band_index(old, "doc_id", "text")
+        assert set(idx.columns) == {"doc", "band_hashes", "shingle_set"}
+        from_index = {
+            (r.doc, b_id, h)
+            for r in idx.collect()
+            for b_id, h in enumerate(r.band_hashes)
+        }
+        inline = {
+            (r.doc, r.band_id, r.band_hash)
+            for r in _minhash_banded(
+                minhash_signatures(old, "doc_id", "text"), 16, 4
+            ).collect()
+        }
+        assert from_index == inline
 
 
 class TestUnigramLM:

@@ -212,6 +212,38 @@ def test_incremental_dedup_band_equi_join(spark):
     assert "band_hash" in plan
 
 
+def test_incremental_dedup_index_skips_old_resketch(spark, tmp_path_factory):
+    """With a prebuilt on-disk index, the old corpus must NOT be
+    re-shingled/re-minhashed: no scan of the old corpus source at all,
+    and the index scan feeding the candidate join prunes to
+    (doc, band_hashes) — shingle_set stays on disk until the verify
+    join needs it."""
+    from reader_spark.ops.dedup import build_band_index, incremental_near_dups
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    path = str(tmp_path_factory.mktemp("bandidx") / "index")
+    build_band_index(old, "doc_id", "text").write.parquet(path)
+
+    plan = plan_of(
+        incremental_near_dups(
+            None, new, "doc_id", "text", index=spark.read.parquet(path)
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    # exactly 4 scans: index bands leg + index shingles leg + the new
+    # batch twice (banding leg + verify leg) — the OLD corpus: zero
+    assert tree.count("Scan parquet") == 4
+    assert plan.count("documents.parquet") == 2  # new batch's two legs
+    # the bands leg reads only doc+band_hashes (ReadSchema pruned)
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    index_schemas = sorted(s for s in schemas if "band_hashes" in s or "shingle_set" in s)
+    assert any("band_hashes" in s and "shingle_set" not in s for s in index_schemas), schemas
+
+
 def test_funnel_stage_joins_are_keyed(spark):
     import __spark_entry__ as entrymod
 

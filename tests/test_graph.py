@@ -67,3 +67,20 @@ class TestPagerank:
         e = spark.createDataFrame([], "src string, dst string, w double")
         with pytest.raises(ValueError, match="empty"):
             pagerank(e)
+
+
+def test_pagerank_iterations_are_driver_free():
+    """Dangling mass must fold in as a broadcast dim, not a per-iteration
+    .head()/.collect() driver sync (VERDICT r2 #6) — on a 50-iteration
+    convergence run each sync is an extra job launch on the critical
+    path."""
+    import inspect
+
+    from reader_spark.ops import graph
+
+    loop_body = inspect.getsource(graph.pagerank).split(
+        "for _ in range(iterations):"
+    )[1]
+    assert ".head()" not in loop_body
+    assert ".collect()" not in loop_body
+    assert "broadcast" in loop_body

@@ -85,10 +85,10 @@ def pagerank(
 
     base = (1.0 - damping) / n_nodes
     for _ in range(iterations):
-        # dangling mass as a 1-row broadcast dim — NOT a driver .head()
-        # round-trip: the aggregate fuses into the iteration's lazy plan,
-        # so each round is one submitted job instead of two with a driver
-        # sync on the critical path (VERDICT r2 #6)
+        # dangling mass as a 1-row broadcast dim, not a driver round-trip:
+        # the aggregate fuses into the iteration's lazy plan, so each round
+        # is one submitted job instead of two with a driver sync on the
+        # critical path
         dangling = F.broadcast(
             ranks.join(has_out, "node", "left_anti").agg(
                 F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__mass")

@@ -139,8 +139,28 @@ def _keywords(idx: _HeadIndex) -> Optional[list[str]]:
 
 
 def extract_metadata_dom(document: Node, base_url: str) -> dict[str, Any]:
-    idx = _HeadIndex(document)
+    return _metadata_from_index(_HeadIndex(document), base_url)
 
+
+def extract_metadata_stream(html: str, base_url: str) -> dict[str, Any]:
+    """Metadata battery via the STREAMING head-index scan — no tree build.
+
+    Used on the oversized-document path (pipeline C10): the ordering
+    contract wants metadata from the full raw document, and a full-tree
+    parse of a multi-MiB payload exists only to serve this battery. The
+    scan sees start tags in source order == walk_elements() preorder, so
+    output is identical to extract_metadata_dom(parse_html(html)) (pinned
+    by tests). Falls back to the tree path on any scanner error."""
+    try:
+        from ..htmlkit.fast_parser import scan_head_index
+
+        idx = scan_head_index(html)
+    except Exception:
+        idx = _HeadIndex(parse_html(html))
+    return _metadata_from_index(idx, base_url)
+
+
+def _metadata_from_index(idx, base_url: str) -> dict[str, Any]:
     title = (idx.title_text or "").strip() or idx.meta("og:title")  # X1
     language = (idx.html_lang or "").strip() or None  # X3
 

@@ -29,7 +29,7 @@ from ..config import (
 from ..functions.text import detect_bot_page, strip_tags
 from ..htmlkit.dom import document_body, parse_html
 from .cleaner import clean_dom
-from .metadata import extract_metadata_dom
+from .metadata import extract_metadata_dom, extract_metadata_stream
 from .postprocess import postprocess_spans
 from .serializer import Span, render_markdown, serialize_spans
 
@@ -188,12 +188,14 @@ def _extract(
 
     # Ordering contract (scraper.ts:225, 242-256): metadata comes from the
     # FULL raw document; the C10 size guard truncates only before
-    # conversion. Oversized documents pay a second parse — they're the rare
-    # heavy tail (giant-isolated in job.py), and the contract says a <title>
-    # or meta tag past the cap must still reach the metadata columns.
+    # conversion. Oversized documents run the STREAMING metadata scan over
+    # the full payload (no tree build — a full-tree parse of a multi-MiB
+    # giant existed only to feed the metadata battery and doubled giant
+    # cost), then parse only the truncated payload once for content. The
+    # contract holds: a <title> or meta tag past the cap still reaches the
+    # metadata columns.
     if len(payload) > cfg.max_html_size:
-        full_document = parse_html(payload)
-        metadata = extract_metadata_dom(full_document, base_url)
+        metadata = extract_metadata_stream(payload, base_url)
         payload = payload[: cfg.max_html_size]  # C10
         raw_document = parse_html(payload)
     else:

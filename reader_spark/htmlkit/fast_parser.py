@@ -136,3 +136,104 @@ def parse_html_fast(html: str) -> Node:
             stack[-1].append_child(Node("#comment", text=comment))
         # declarations / processing instructions are dropped
     return root
+
+
+class StreamHeadIndex:
+    """Metadata-relevant fields collected in ONE tokenizer scan with NO
+    tree construction — duck-typed to metadata._HeadIndex (same attrs).
+
+    Exists for the oversized-document path (pipeline.py C10): the ordering
+    contract wants metadata from the FULL raw document, but building a
+    full Node tree of a >2 MiB payload just to read <meta>/<link>/<title>/
+    <html lang> doubles the giant's cost (the r2 regression). Token order
+    equals tree walk_elements() preorder for these elements, so
+    first-match-in-document-order semantics are preserved exactly.
+    """
+
+    __slots__ = ("by_name", "by_property", "charset", "http_equiv_content",
+                 "links", "title_text", "html_lang")
+
+    def __init__(self) -> None:
+        self.by_name: dict[str, str] = {}
+        self.by_property: dict[str, str] = {}
+        self.charset = None
+        self.http_equiv_content = None
+        self.links: list[tuple[str, str]] = []
+        self.title_text = None
+        self.html_lang = None
+
+    # reuse _HeadIndex's readers
+    def meta(self, name):
+        from ..extract.metadata import _HeadIndex
+
+        return _HeadIndex.meta(self, name)
+
+    def first_link(self, rel_exact=None, rel_contains=None):
+        from ..extract.metadata import _HeadIndex
+
+        return _HeadIndex.first_link(self, rel_exact, rel_contains)
+
+
+def scan_head_index(html: str) -> StreamHeadIndex:
+    """Single linear tokenizer pass collecting what _HeadIndex collects,
+    skipping text nodes entirely and materializing zero Nodes."""
+    idx = StreamHeadIndex()
+    pos = 0
+    n = len(html)
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt == -1:
+            break
+        m = _TAG_RE.match(html, lt)
+        if m is None:
+            pos = lt + 1
+            continue
+        pos = m.end()
+        start = m.group("start")
+        if start is None:
+            continue
+        tag = start.lower()
+        if tag in _RAWTEXT:
+            raw_attrs = m.group("attrs")
+            self_closing = raw_attrs.endswith("/")
+            if not self_closing:
+                close = _RAWTEXT_CLOSE[tag].search(html, pos)
+                if close is None:
+                    content, pos = html[pos:], n
+                else:
+                    content = html[pos : close.start()]
+                    gt = html.find(">", close.end())
+                    pos = n if gt == -1 else gt + 1
+                if tag == "title" and idx.title_text is None:
+                    if content and "&" in content:
+                        content = unescape(content)
+                    idx.title_text = content
+            elif tag == "title" and idx.title_text is None:
+                idx.title_text = ""
+            continue
+        if tag == "meta":
+            attrs = _parse_attrs(m.group("attrs").rstrip("/"))
+            content = attrs.get("content")
+            name = attrs.get("name")
+            if name and content and name not in idx.by_name:
+                idx.by_name[name] = content
+            prop = attrs.get("property")
+            if prop and content and prop not in idx.by_property:
+                idx.by_property[prop] = content
+            if idx.charset is None and attrs.get("charset"):
+                idx.charset = attrs["charset"]
+            if (
+                idx.http_equiv_content is None
+                and (attrs.get("http-equiv") or "").lower() == "content-type"
+                and content
+            ):
+                idx.http_equiv_content = content
+        elif tag == "link":
+            attrs = _parse_attrs(m.group("attrs").rstrip("/"))
+            rel = attrs.get("rel")
+            href = attrs.get("href")
+            if rel and href:
+                idx.links.append((rel, href))
+        elif tag == "html" and idx.html_lang is None:
+            idx.html_lang = _parse_attrs(m.group("attrs").rstrip("/")).get("lang")
+    return idx

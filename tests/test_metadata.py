@@ -158,3 +158,83 @@ class TestStructuredData:
     def test_invalid_ld_json_skipped(self):
         html = '<html><head><script type="application/ld+json">not json</script></head></html>'
         assert extract_structured_data(html) == []
+
+
+class TestStreamScanParity:
+    """extract_metadata_stream (no-tree tokenizer scan, the oversized-doc
+    path) must be byte-identical to extract_metadata_dom(parse_html(html))
+    on every shape the tree path handles."""
+
+    CASES = [
+        # plain head
+        "<html lang='en'><head><title>T &amp; U</title>"
+        "<meta name='description' content='d'>"
+        "<link rel='icon' href='/i.png'></head><body><p>x</p></body></html>",
+        # meta/link PAST the body (contract: still collected)
+        "<html><body><p>deep</p><meta name='author' content='late'>"
+        "<link rel='canonical' href='/c'></body></html>",
+        # title inside script must NOT win; empty real title wins as ''
+        "<script>var a = '<title>fake</title>';</script><title></title>"
+        "<meta property='og:title' content='OG'>",
+        # self-closing title, charset, http-equiv
+        "<title/><meta charset='utf-8'>"
+        "<meta http-equiv='Content-Type' content='text/html; charset=latin-1'>",
+        # first-occurrence-wins duplicates + entities in attrs
+        "<meta name='k' content='first'><meta name='k' content='second'>"
+        "<meta property='og:image' content='/x?a=1&amp;b=2'>",
+        # stray '<', unclosed rawtext, html lang on later html tag
+        "<p>a < b</p><style>unclosed",
+        "<div></div><html lang='fr'><title>late html</title>",
+        # no metadata at all
+        "<p>nothing here</p>",
+    ]
+
+    def test_parity_on_cases(self):
+        from reader_spark.extract.metadata import (
+            extract_metadata_dom,
+            extract_metadata_stream,
+        )
+        from reader_spark.htmlkit.dom import parse_html
+
+        for html in self.CASES:
+            dom = extract_metadata_dom(parse_html(html), "https://x.test/a/b")
+            stream = extract_metadata_stream(html, "https://x.test/a/b")
+            assert stream == dom, html
+
+    def test_parity_on_fixture_corpus_and_giant(self):
+        from reader_spark import fixtures
+        from reader_spark.extract.metadata import (
+            extract_metadata_dom,
+            extract_metadata_stream,
+        )
+        from reader_spark.htmlkit.dom import parse_html
+
+        payloads = [
+            s["text"]
+            for d in fixtures.fixture_docs()
+            for s in d["spans"]
+            if s["kind"] == "html"
+        ]
+        payloads.append(fixtures.make_oversized_html())
+        for html in payloads:
+            dom = extract_metadata_dom(parse_html(html), "https://x.test/")
+            assert extract_metadata_stream(html, "https://x.test/") == dom
+
+    def test_oversized_pipeline_uses_full_doc_metadata(self):
+        """A title + meta past the 2 MiB cap must still reach metadata
+        (the ordering contract the stream scan exists to serve)."""
+        from reader_spark.config import DEFAULT_CONFIG
+        from reader_spark.extract.pipeline import extract_document
+
+        filler = "<p>" + "word " * 200 + "</p>"
+        body = filler * (DEFAULT_CONFIG.max_html_size // len(filler) + 2)
+        html = (
+            "<html><body>" + body +
+            "<title>Past The Cap</title>"
+            "<meta name='description' content='late-desc'>"
+            "</body></html>"
+        )
+        assert len(html) > DEFAULT_CONFIG.max_html_size
+        res = extract_document("g", html, "https://x.test/")
+        assert res.metadata["title"] == "Past The Cap"
+        assert res.metadata["description"] == "late-desc"

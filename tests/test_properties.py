@@ -328,3 +328,45 @@ class TestPagerankProperties:
         total = sum(r.pr for r in rows)
         assert abs(total - 1.0) < 1e-6
         assert all(r.pr > 0 for r in rows)
+
+
+class TestStreamMetadataParity:
+    meta_ish = st.recursive(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+        ),
+        lambda inner: st.builds(
+            lambda tag, attrs, kids: f"<{tag}{attrs}>{''.join(kids)}</{tag}>",
+            st.sampled_from(
+                ["div", "p", "head", "body", "html", "title", "script", "style"]
+            ),
+            st.sampled_from(
+                [
+                    "",
+                    " lang='en'",
+                    ' name="description" content="d&amp;c"',
+                    " property='og:title' content='t'",
+                    ' rel="icon" href="/f.ico"',
+                    " charset='utf-8'",
+                ]
+            ),
+            st.lists(st.deferred(lambda: inner), max_size=3),
+        ),
+        max_leaves=12,
+    ).map(
+        # sprinkle metadata-bearing void tags between fragments
+        lambda body: f"<meta name='a' content='1'>{body}"
+        f"<link rel='canonical' href='/c'><title>T</title>"
+    )
+
+    @given(meta_ish)
+    @settings(max_examples=60, deadline=None)
+    def test_stream_equals_dom(self, html):
+        from reader_spark.extract.metadata import (
+            extract_metadata_dom,
+            extract_metadata_stream,
+        )
+        from reader_spark.htmlkit.dom import parse_html
+
+        assert extract_metadata_stream(html, "https://p.test/") == \
+            extract_metadata_dom(parse_html(html), "https://p.test/")

@@ -455,8 +455,30 @@ def pq_adc_topk(
     )
 
 
-def ivfadc_topk(
+def ivfadc_encode(
     embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PERSISTABLE IVFADC index table: (corpus_id, cell, codes).
+
+    Write it ``.write.partitionBy("cell").parquet(path)`` once at ingest
+    (jobs/ann_index_job.py); queries then read only their probed cells
+    (partition pruning, pinned by tests/test_plans.py) and score a few
+    bytes of codes per vector — the raw float corpus is never read again.
+    """
+    corpus = ivf_assign(embeddings, centroids, id_col, vec_col)
+    return corpus.select(
+        "corpus_id",
+        "cell",
+        _pq_code_col(F.col("corpus_vec"), codebooks).alias("codes"),
+    )
+
+
+def ivfadc_search(
+    encoded: DataFrame,
     queries: DataFrame,
     centroids: list[list[float]],
     codebooks: list[list[list[float]]],
@@ -465,17 +487,10 @@ def ivfadc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Full IVFADC (Jégou/Douze/Schmid TPAMI'11): coarse IVF cell probe +
-    asymmetric-distance scoring over PQ codes of the probed cells only.
-
-    The 10^12-vector shape: the corpus is stored as (cell, codes) — a few
-    bytes per vector, partitioned by cell — so a query touches
-    ~nprobe/n_cells of the index and never reads a float corpus vector.
-    Per candidate the score is m subspace lookups against the query's
-    sub-distance expression; everything (centroids, codebooks) rides the
-    plan as literals. Rounding contract: each subspace term rounds at 9
-    (matching the ANSI oracle), the sum rounds at 6.
-    """
+    """ADC top-k over a prebuilt (corpus_id, cell, codes) index — the
+    query half of ivfadc_topk. Probing filters to nprobe cells per query
+    BEFORE the join, so a cell-partitioned on-disk index is read
+    ~nprobe/n_cells."""
     from pyspark.sql import Window
 
     m = len(codebooks)
@@ -485,11 +500,6 @@ def ivfadc_topk(
             F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
             for book in codebooks
         ]
-    )
-
-    corpus = ivf_assign(embeddings, centroids, id_col, vec_col)
-    encoded = corpus.select(
-        "corpus_id", "cell", _pq_code_col(F.col("corpus_vec"), codebooks).alias("codes")
     )
     qs = queries.select(
         F.col(id_col).alias("query_id"),
@@ -524,6 +534,36 @@ def ivfadc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "corpus_id", "adc_dist", "rank")
+    )
+
+
+def ivfadc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVFADC (Jégou/Douze/Schmid TPAMI'11): coarse IVF cell probe +
+    asymmetric-distance scoring over PQ codes of the probed cells only.
+
+    The 10^12-vector shape: the corpus is stored as (cell, codes) — a few
+    bytes per vector, partitioned by cell — so a query touches
+    ~nprobe/n_cells of the index and never reads a float corpus vector.
+    Per candidate the score is m subspace lookups against the query's
+    sub-distance expression; everything (centroids, codebooks) rides the
+    plan as literals. Rounding contract: each subspace term rounds at 9
+    (matching the ANSI oracle), the sum rounds at 6.
+
+    Composition of ivfadc_encode + ivfadc_search — the one-shot form; the
+    persisted-index flow writes the encode result and searches it later.
+    """
+    encoded = ivfadc_encode(embeddings, centroids, codebooks, id_col, vec_col)
+    return ivfadc_search(
+        encoded, queries, centroids, codebooks, k, nprobe, id_col, vec_col
     )
 
 

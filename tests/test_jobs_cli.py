@@ -246,3 +246,49 @@ def test_corpus_prep_job_rejects_same_index_paths(docs_path, tmp_path):
     )
     assert proc.returncode != 0
     assert "must differ" in proc.stderr
+
+
+def test_ann_index_job_build_query_matches_inline(spark, tmp_path):
+    """Persisted IVF-PQ index discipline: build job writes
+    codes(partitioned by cell)+model.json; query job reads ONLY the index
+    and must return exactly what the one-shot ivfadc_topk computes with
+    the same seeded training."""
+    import json as _json
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    index = str(tmp_path / "ann_index")
+    m1 = run_job(
+        "ann_index_job.py", "build",
+        "--embeddings", emb_path, "--index", index,
+        "--cells", "4", "--m", "8", "--k", "8", "--iters", "1",
+        "--master", "local[4]",
+    )
+    assert m1["indexed_vectors"] > 0 and m1["cells"] >= 2
+    assert os.path.isfile(os.path.join(index, "model.json"))
+    # codes table is cell-partitioned on disk
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(index, "codes"))
+    )
+
+    queries_path = str(tmp_path / "queries")
+    emb = spark.read.parquet(emb_path)
+    emb.limit(5).write.parquet(queries_path)
+    out = str(tmp_path / "hits")
+    m2 = run_job(
+        "ann_index_job.py", "query",
+        "--index", index, "--queries", queries_path, "--output", out,
+        "--topk", "5", "--nprobe", "2", "--master", "local[4]",
+    )
+    assert m2["queries"] == 5 and m2["result_rows"] == 25
+
+    from reader_spark.ops.ann import ivfadc_topk
+
+    with open(os.path.join(index, "model.json")) as fh:
+        model = _json.load(fh)
+    inline = ivfadc_topk(
+        emb, spark.read.parquet(queries_path),
+        model["centroids"], model["codebooks"], k=5, nprobe=2,
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want

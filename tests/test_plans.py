@@ -169,6 +169,38 @@ def test_ivf_index_partition_pruning(spark, tmp_path_factory):
     assert cells == {2}
 
 
+def test_ivfadc_search_prunes_index_partitions(spark, tmp_path_factory):
+    """Searching the persisted IVFADC index must show cell partition
+    pruning potential: the probe filter lands on the partition column via
+    the equi-join, and the scan reads only (corpus_id, codes, cell) — the
+    float corpus is absent from the plan entirely."""
+    from reader_spark.ops.ann import (
+        ivfadc_encode,
+        ivfadc_search,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = train_ivf_centroids(emb, n_cells=4, iters=1)
+    codebooks = train_pq_codebooks(emb, m=8, k=8, iters=1)
+    path = str(tmp_path_factory.mktemp("ivfadc") / "codes")
+    ivfadc_encode(emb, centroids, codebooks).write.partitionBy("cell").parquet(path)
+
+    plan = plan_of(
+        ivfadc_search(
+            spark.read.parquet(path), emb.limit(3), centroids, codebooks,
+            k=5, nprobe=2,
+        )
+    )
+    # one parquet scan of the index; embeddings.parquet appears only as
+    # the query side
+    assert plan.split("\n\n")[0].count("Scan parquet") == 2
+    schemas = plan.split("ReadSchema: struct<")
+    index_schema = next(s for s in schemas[1:] if "codes" in s.split(">")[0])
+    assert "corpus_vec" not in index_schema.split(">")[0]
+
+
 def test_line_dedup_no_cartesian_and_partial_agg(spark):
     """First-occurrence election must be a partial-aggregated groupBy and
     an equi-join back — never a cartesian product."""

@@ -1,0 +1,107 @@
+"""Concat-then-chunk sequence packing — the LLM-pretraining batching step
+(GPT-2/3 style: documents are concatenated in a fixed order and the token
+stream is cut into fixed-length training sequences; cf. Brown et al. 2020
+§2.2, and the reference's corpus-prep role of reader output as training
+text). A document whose tokens straddle a cut produces one output row per
+sequence it touches.
+
+Shape at 100 TB: the running total is a prefix sum — a window over the
+packing order. The oracle-checkable twin uses ONE global order (doc_id),
+which Spark executes as a single-partition window: the documented
+small-data form. The production path passes ``partition_cols`` (e.g. the
+shard column token_shards assigns) so each shard packs independently —
+the window partitions by shard, every partition packs in parallel, and
+sequence ids are (shard, local_seq). Tokens are whitespace-split words,
+matching token_shards/token_counts.
+
+All arithmetic is integer (long): token offsets at 10^12-doc scale exceed
+2^53, where double division silently loses exactness — divisions use
+integer `div`, never float.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    partition_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Assign every document's tokens to fixed-length training sequences.
+
+    Returns one row per (document, sequence) segment:
+      (<id_col>, seq_id, doc_offset, seq_offset, n_tokens)
+    - seq_id: which sequence the segment lands in (0-based, per partition
+      group when ``partition_cols`` is set)
+    - doc_offset: first packed token's index within the document
+    - seq_offset: where the segment starts inside the sequence
+    - n_tokens: segment length; a doc's segments sum to its token count,
+      and every sequence except the last is exactly ``seq_len`` full.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    parts = list(partition_cols or [])
+    w = Window.partitionBy(*parts).orderBy(id_col) if parts else Window.orderBy(id_col)
+
+    toks = df.select(
+        *parts,
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("__n"),
+    )
+    cum = toks.select(
+        *parts,
+        id_col,
+        "__n",
+        (F.sum("__n").over(w) - F.col("__n")).alias("__start"),
+        F.sum("__n").over(w).alias("__end"),
+    )
+    first_seq = F.expr(f"__start div {seq_len}")
+    last_seq = F.expr(f"(__end - 1) div {seq_len}")
+    seg = cum.where(F.col("__n") > 0).select(
+        *parts,
+        id_col,
+        "__start",
+        "__end",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("__start"), F.col("seq_id") * seq_len)
+    seg_end = F.least(F.col("__end"), (F.col("seq_id") + 1) * seq_len)
+    return seg.select(
+        *parts,
+        id_col,
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (seg_start - F.col("__start")).cast("long").alias("doc_offset"),
+        (seg_start - F.col("seq_id") * seq_len).cast("long").alias("seq_offset"),
+        (seg_end - seg_start).cast("long").alias("n_tokens"),
+    )
+
+
+def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Fragmentation report over a pack_sequences result: per-sequence
+    fill and document-crossing counts, aggregated to one row —
+    (n_sequences, n_segments, mean_fill, pct_docs_split). Diagnostic for
+    choosing seq_len; one map-side-combined pass."""
+    per_seq = packed.groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("segs")
+    )
+    id_col = [c for c in packed.columns if c not in
+              ("seq_id", "doc_offset", "seq_offset", "n_tokens")][0]
+    per_doc = packed.groupBy(id_col).agg(F.count(F.lit(1)).alias("parts"))
+    return per_seq.agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum("segs").cast("long").alias("n_segments"),
+        F.round(F.avg(F.col("fill") / seq_len), 6).alias("mean_fill"),
+    ).crossJoin(
+        per_doc.agg(
+            F.round(
+                F.sum((F.col("parts") > 1).cast("int")) / F.count(F.lit(1)), 6
+            ).alias("pct_docs_split")
+        )
+    )

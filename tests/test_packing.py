@@ -1,0 +1,102 @@
+"""pack_sequences: hand-checked chunking, conservation invariants, the
+partitioned production path, and packing_stats."""
+
+import pytest
+from pyspark.sql import Row
+
+from reader_spark.ops.packing import pack_sequences, packing_stats
+
+pytestmark = pytest.mark.spark
+
+
+def _docs(spark):
+    # token counts: d0=3, d1=5, d2=2, d3=4  (total 14; L=4 -> 4 sequences)
+    rows = [
+        Row(doc_id=0, text="a b c"),
+        Row(doc_id=1, text="d e f g h"),
+        Row(doc_id=2, text="i j"),
+        Row(doc_id=3, text="k l m n"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_hand_checked_layout(spark):
+    got = sorted(
+        map(tuple, pack_sequences(_docs(spark), "doc_id", "text", 4).collect())
+    )
+    # stream: d0[0..3) d1[3..8) d2[8..10) d3[10..14), cuts at 4,8,12
+    assert got == [
+        (0, 0, 0, 0, 3),  # d0 fully in seq0 at offset 0
+        (1, 0, 0, 3, 1),  # d1 first token completes seq0
+        (1, 1, 1, 0, 4),  # d1 rest fills seq1 exactly
+        (2, 2, 0, 0, 2),  # d2 opens seq2
+        (3, 2, 0, 2, 2),  # d3 straddles the seq2|seq3 cut
+        (3, 3, 2, 0, 2),
+    ]
+
+
+def test_conservation_invariants(spark):
+    """Per-doc segments sum to the doc's token count; every sequence but
+    the last is exactly full; offsets chain contiguously."""
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"t{j}" for j in range((i * 7) % 13 + 1)))
+         for i in range(50)]
+    )
+    packed = pack_sequences(docs, "doc_id", "text", 16)
+    per_doc = {
+        r["doc_id"]: r["s"]
+        for r in packed.groupBy("doc_id").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    want = {r["doc_id"]: len(r["text"].split()) for r in docs.collect()}
+    assert per_doc == want
+    fills = {
+        r["seq_id"]: r["f"]
+        for r in packed.groupBy("seq_id").agg(F.sum("n_tokens").alias("f")).collect()
+    }
+    last = max(fills)
+    assert all(v == 16 for k, v in fills.items() if k != last)
+    assert 0 < fills[last] <= 16
+
+
+def test_partitioned_path_packs_each_group_independently(spark):
+    docs = _docs(spark).withColumn(
+        "shard", (pytest.importorskip("pyspark.sql.functions").col("doc_id") % 2)
+    )
+    packed = pack_sequences(docs, "doc_id", "text", 4, partition_cols=["shard"])
+    rows = {(r.shard, r.doc_id, r.seq_id) for r in packed.collect()}
+    # shard 0: d0(3)+d2(2) -> seqs 0,1 ; shard 1: d1(5)+d3(4) -> seqs 0,1,2
+    assert rows == {
+        (0, 0, 0), (0, 2, 0), (0, 2, 1),
+        (1, 1, 0), (1, 1, 1), (1, 3, 1), (1, 3, 2),
+    }
+
+
+def test_partitioned_window_no_global_sort(spark):
+    """The production (sharded) path must not move everything to one
+    partition: the window exchange hashes on the shard column."""
+    from tests.test_plans import plan_of
+
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark).withColumn("shard", F.col("doc_id") % 2)
+    plan = plan_of(
+        pack_sequences(docs, "doc_id", "text", 4, partition_cols=["shard"])
+    )
+    assert "hashpartitioning(shard" in plan
+
+
+def test_stats(spark):
+    packed = pack_sequences(_docs(spark), "doc_id", "text", 4)
+    r = packing_stats(packed, 4).head()
+    assert r.n_sequences == 4 and r.n_segments == 6
+    # seq fills: 4,4,4,2 -> mean 14/16
+    assert r.mean_fill == 0.875
+    # docs 1 and 3 split -> 2/4
+    assert r.pct_docs_split == 0.5
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(_docs(spark), "doc_id", "text", 0)

@@ -2499,6 +2499,16 @@ def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment |A∩B|/|A| >= 0.5 (quote/excerpt
+    detection — the asymmetric relation Jaccard dedup misses; Broder'97
+    resemblance vs containment). Exact inverted-index join, recall 1."""
+    from reader_spark.ops.dedup import containment_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
 def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk LLM pretraining packing (GPT-style): documents'
     whitespace tokens laid end-to-end in doc_id order and cut into 512-
@@ -2566,6 +2576,7 @@ _DRIVER_WINDOW = [
     "data_quality_report",
     "ewma_user_value",
     "sequence_packing",
+    "containment_pairs",
     "twap_user_value",
     "hybrid_search_rrf",
     "term_pmi",
@@ -2702,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_gini": _q_revenue_gini,
         "user_entropy": _q_user_entropy,
         "sequence_packing": _q_sequence_packing,
+        "containment_pairs": _q_containment_pairs,
     })
 
 
@@ -5136,6 +5148,26 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT user_id, round(sum(t), 6) AS entropy_bits,
                    count(*) AS n_types
             FROM terms GROUP BY user_id
+        """,
+        "containment_pairs": """
+            WITH sh AS (
+                SELECT doc_id AS doc,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                       ))) AS shingle
+                FROM documents WHERE doc_id < 300
+            ),
+            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+            inter AS (
+                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter * 1.0 / sa.n_sh, 6) AS containment
+            FROM inter JOIN sizes sa ON sa.doc = doc_a
+            WHERE round(n_inter * 1.0 / sa.n_sh, 6) >= 0.5
         """,
         "sequence_packing": """
             WITH toks AS (

@@ -857,3 +857,67 @@ def similarity_join_prefix(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL containment |A∩B| / |A| >= threshold — the asymmetric
+    near-dup relation Jaccard misses: a short quote/excerpt contained in a
+    long page scores high containment but low Jaccard (Broder 1997
+    distinguishes resemblance from containment). Emits (doc_a, doc_b,
+    containment) meaning "doc_a is contained in doc_b"; both directions
+    can appear with different scores.
+
+    Shape: inverted-index equi-join on shingles (postings self-join) +
+    one count aggregate — EXACT with recall 1 (a pair with containment
+    > 0 shares a shingle by definition; shingle sets are distinct).
+    Shuffles are bounded by postings rows and candidate pairs.
+
+    Scale lever: ``max_doc_freq`` drops shingles whose posting list
+    exceeds the cap (stop-shingles — the 'the quick brown' problem: one
+    boilerplate shingle shared by millions of docs makes the self-join
+    quadratic). Capped runs UNDERCOUNT intersections of pairs that only
+    share ultra-common shingles; at sane thresholds those pairs are
+    noise. None (default) = exact, the oracle-checked form.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = df.select(
+        F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    sizes = sets.select("doc", F.size("sh").alias("n_sh"))
+    postings = sets.select("doc", F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        keep = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        postings = postings.join(keep, "shingle")
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .withColumn(
+            "containment", F.round(F.col("n_inter") / F.col("n_sh"), 6)
+        )
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

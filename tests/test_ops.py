@@ -1578,3 +1578,69 @@ class TestGiniAndEntropy:
         got = {r.user_id: r for r in entry.queries()["user_entropy"](spark, d).collect()}
         assert got[1].entropy_bits == 0.0 and got[1].n_types == 1
         assert got[2].entropy_bits == 2.0 and got[2].n_types == 4
+
+
+class TestContainmentPairs:
+    def _docs(self, spark):
+        from pyspark.sql import Row
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        return spark.createDataFrame(
+            [
+                Row(doc_id=1, text=base),
+                # quote: d2's shingles are a strict subset of d1's
+                Row(doc_id=2, text="beta gamma delta epsilon zeta"),
+                Row(doc_id=3, text="unrelated words with zero overlap at all"),
+            ]
+        )
+
+    def test_asymmetric_quote_detected(self, spark):
+        from reader_spark.ops.dedup import containment_pairs
+
+        got = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in containment_pairs(
+                self._docs(spark), "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+        # d2 (3 shingles, all in d1) is fully contained in d1 ...
+        assert got[(2, 1)] == 1.0
+        # ... but d1 (8 shingles, 3 shared) is NOT contained in d2
+        assert (1, 2) not in got
+        assert all(3 not in pair for pair in got)
+
+    def test_jaccard_misses_what_containment_catches(self, spark):
+        from reader_spark.ops.dedup import containment_pairs, ngram_jaccard_pairs
+
+        docs = self._docs(spark)
+        jac = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        cont = containment_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        assert not jac and cont  # the asymmetric relation is the point
+
+    def test_stop_shingle_cap_only_drops_common(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.dedup import containment_pairs
+
+        common = "the quick brown fox jumps"
+        rows = [Row(doc_id=i, text=f"{common} unique{i} tail{i} words{i}")
+                for i in range(10)]
+        rows.append(Row(doc_id=99, text=common))
+        df = spark.createDataFrame(rows)
+        uncapped = containment_pairs(df, "doc_id", "text", threshold=0.9)
+        # doc 99 is contained in every other doc via the common prefix
+        assert uncapped.where("doc_a = 99").count() == 10
+        capped = containment_pairs(
+            df, "doc_id", "text", threshold=0.9, max_doc_freq=5
+        )
+        # the cap drops the ubiquitous shingles -> those pairs vanish,
+        # documented undercount behavior
+        assert capped.where("doc_a = 99").count() == 0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.dedup import containment_pairs
+
+        with _pytest.raises(ValueError, match="threshold"):
+            containment_pairs(self._docs(spark), "doc_id", "text", threshold=0.0)

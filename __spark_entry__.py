@@ -2499,6 +2499,16 @@ def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords: one token explode feeds tf and
+    doc-frequency aggregates, corpus size joins as a 1-row broadcast dim,
+    doc-partitioned window top-k (no global sort)."""
+    from reader_spark.ops.search import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
 def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional shingle containment |A∩B|/|A| >= 0.5 (quote/excerpt
     detection — the asymmetric relation Jaccard dedup misses; Broder'97
@@ -2577,6 +2587,7 @@ _DRIVER_WINDOW = [
     "ewma_user_value",
     "sequence_packing",
     "containment_pairs",
+    "tfidf_top_terms",
     "twap_user_value",
     "hybrid_search_rrf",
     "term_pmi",
@@ -2714,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_entropy": _q_user_entropy,
         "sequence_packing": _q_sequence_packing,
         "containment_pairs": _q_containment_pairs,
+        "tfidf_top_terms": _q_tfidf_top_terms,
     })
 
 
@@ -5148,6 +5160,33 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT user_id, round(sum(t), 6) AS entropy_bits,
                    count(*) AS n_types
             FROM terms GROUP BY user_id
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id AS doc,
+                       unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+            n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc, tf.term, tf.tf,
+                       round(tf.tf * round(ln(n.n_docs / dft.df_t), 9), 6) AS score
+                FROM tf JOIN dft USING (term), n
+            ),
+            ranked AS (
+                SELECT doc AS doc_id, term, tf, score,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc ORDER BY score DESC, term
+                       ) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, rank
+            FROM ranked WHERE rank <= 3
         """,
         "containment_pairs": """
             WITH sh AS (

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from reader_spark.ops.decontam import normalize_for_ngrams
@@ -93,4 +93,64 @@ def bm25_rank(
         .where(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the corpus-keyword primitive
+    (doc tagging, topic drift monitoring, per-source vocabulary audit).
+    Returns (<id_col>, term, tf, score, rank), rank 1..k per doc by
+    score desc with term as the deterministic tiebreak.
+
+    Shape at 100 TB: one token explode feeds BOTH aggregations (tf per
+    (doc, term) and doc-frequency per term — map-side combined); the
+    corpus size and the per-term doc frequency join back as a 1-row
+    broadcast dim and a term-keyed equi-join (term cardinality =
+    vocabulary, tiny next to the corpus). Top-k is a doc-partitioned
+    window — no global sort.
+
+    Float parity: idf = ln(N / df_t) rounded at 9 before the tf multiply,
+    score rounded at 6 (round-9-terms-then-round-6 contract).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(normalize_for_ngrams(F.col(text_col)), " ")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.round(F.log(F.col("n_docs") / F.col("df_t")), 9),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            "term",
+            "tf",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

@@ -1644,3 +1644,61 @@ class TestContainmentPairs:
 
         with _pytest.raises(ValueError, match="threshold"):
             containment_pairs(self._docs(spark), "doc_id", "text", threshold=0.0)
+
+
+class TestTfidfTopTerms:
+    def _docs(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [
+                Row(doc_id=1, text="apple apple apple banana common"),
+                Row(doc_id=2, text="banana banana cherry common"),
+                Row(doc_id=3, text="cherry date common common"),
+            ]
+        )
+
+    def test_hand_checked_scores(self, spark):
+        import math
+
+        from reader_spark.ops.search import tfidf_top_terms
+
+        got = {
+            (r.doc_id, r.rank): (r.term, r.tf, r.score)
+            for r in tfidf_top_terms(self._docs(spark), "doc_id", "text", k=2).collect()
+        }
+        ln3 = round(math.log(3.0), 9)
+        ln15 = round(math.log(1.5), 9)
+        # doc 1: apple tf=3 df=1 -> 3*ln3 ; banana tf=1 df=2 -> ln1.5
+        assert got[(1, 1)] == ("apple", 3, round(3 * ln3, 6))
+        assert got[(1, 2)] == ("banana", 1, round(ln15, 6))
+        # 'common' has df=3 -> idf 0, never ranks above real terms
+        assert all(v[0] != "common" for v in got.values())
+
+    def test_tie_broken_by_term(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.search import tfidf_top_terms
+
+        df = spark.createDataFrame([Row(doc_id=1, text="zeta alpha"),
+                                    Row(doc_id=2, text="other words")])
+        r = tfidf_top_terms(df, "doc_id", "text", k=2).where("doc_id = 1").collect()
+        assert [x.term for x in sorted(r, key=lambda x: x.rank)] == ["alpha", "zeta"]
+
+    def test_punctuation_normalized(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.search import tfidf_top_terms
+
+        df = spark.createDataFrame([Row(doc_id=1, text="Hello, HELLO!! world."),
+                                    Row(doc_id=2, text="unrelated stuff")])
+        top = tfidf_top_terms(df, "doc_id", "text", k=1).where("doc_id = 1").head()
+        assert top.term == "hello" and top.tf == 2
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.search import tfidf_top_terms
+
+        with _pytest.raises(ValueError, match="k must"):
+            tfidf_top_terms(self._docs(spark), "doc_id", "text", k=0)

@@ -2499,6 +2499,19 @@ def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-line detection (RefinedWeb-style site
+    furniture rule): 2-token lines present on >=20% of a source's docs,
+    presence-per-doc via array_distinct before explode (no countDistinct
+    expand). The deletion list a cleaning pass anti-joins."""
+    from reader_spark.ops.lines import domain_boilerplate
+
+    docs = _read(spark, sf_dir, "documents")
+    return domain_boilerplate(
+        docs, "doc_id", "text", "source", words_per_line=2, min_frac=0.2
+    )
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords: one token explode feeds tf and
     doc-frequency aggregates, corpus size joins as a 1-row broadcast dim,
@@ -2588,6 +2601,7 @@ _DRIVER_WINDOW = [
     "sequence_packing",
     "containment_pairs",
     "tfidf_top_terms",
+    "domain_boilerplate",
     "twap_user_value",
     "hybrid_search_rrf",
     "term_pmi",
@@ -2726,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "containment_pairs": _q_containment_pairs,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "domain_boilerplate": _q_domain_boilerplate,
     })
 
 
@@ -5160,6 +5175,25 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT user_id, round(sum(t), 6) AS entropy_bits,
                    count(*) AS n_types
             FROM terms GROUP BY user_id
+        """,
+        "domain_boilerplate": """
+            WITH lines AS (
+                SELECT source AS domain, doc_id,
+                       unnest(list_distinct(regexp_extract_all(text, '\\S+( \\S+){0,1}', 0))) AS line
+                FROM documents
+            ),
+            per_line AS (
+                SELECT domain, line, count(*) AS n_docs
+                FROM lines GROUP BY 1, 2
+            ),
+            per_dom AS (
+                SELECT source AS domain, count(DISTINCT doc_id) AS dom_docs
+                FROM documents GROUP BY 1
+            )
+            SELECT domain, line, CAST(n_docs AS BIGINT) AS n_docs,
+                   round(n_docs * 1.0 / dom_docs, 6) AS doc_frac
+            FROM per_line JOIN per_dom USING (domain)
+            WHERE round(n_docs * 1.0 / dom_docs, 6) >= 0.2
         """,
         "tfidf_top_terms": """
             WITH toks AS (

@@ -138,3 +138,54 @@ def line_dedup_summary(
             F.coalesce(F.col("dedup_md5"), F.md5(F.lit(""))).alias("dedup_md5"),
         )
     )
+
+
+def domain_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    words_per_line: int = 2,
+    min_frac: float = 0.2,
+) -> DataFrame:
+    """Per-domain boilerplate-line detection (the RefinedWeb/C4 site-level
+    furniture rule: a line present on a large fraction of one domain's
+    pages is template — nav, footer, cookie banner — not content; cf.
+    Penedo et al. 2023 §3.2 line-wise filtering). Returns
+    (domain, line, n_docs, doc_frac) for lines on >= min_frac of the
+    domain's documents — the deletion list a cleaning pass anti-joins.
+
+    Shape at 100 TB: presence (not frequency) per doc via array_distinct
+    BEFORE the explode, so the aggregate is a plain map-side-combined
+    count — no countDistinct expand. Both aggregates key on domain
+    (+line), the natural partitioning of a by-site crawl; the per-domain
+    doc-count dim joins on domain (left to AQE — domains are many at web
+    scale, no forced broadcast). Mirrors the PDF extractor's repeated-
+    furniture stripping (extract/pdf.py), same rule one level up.
+    """
+    if words_per_line < 1:
+        raise ValueError("words_per_line must be >= 1")
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    pattern = r"\S+( \S+){0,%d}" % (words_per_line - 1)
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+            )
+        ).alias("line"),
+    )
+    per_line = lines.groupBy("domain", "line").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.countDistinct(F.col(id_col)).alias("dom_docs")
+    )
+    return (
+        per_line.join(per_dom, "domain")
+        .withColumn("doc_frac", F.round(F.col("n_docs") / F.col("dom_docs"), 6))
+        .where(F.col("doc_frac") >= min_frac)
+        .select("domain", "line", "n_docs", "doc_frac")
+    )

@@ -1702,3 +1702,56 @@ class TestTfidfTopTerms:
 
         with _pytest.raises(ValueError, match="k must"):
             tfidf_top_terms(self._docs(spark), "doc_id", "text", k=0)
+
+
+class TestDomainBoilerplate:
+    def _docs(self, spark):
+        from pyspark.sql import Row
+
+        rows = [
+            Row(doc_id=i, source="a",
+                text=f"cookie banner unique{i} words here cookie banner")
+            for i in range(4)
+        ]
+        rows += [Row(doc_id=10 + i, source="b", text=f"only{i} fresh{i} stuff{i}")
+                 for i in range(4)]
+        return spark.createDataFrame(rows)
+
+    def test_template_line_flagged_per_domain(self, spark):
+        from reader_spark.ops.lines import domain_boilerplate
+
+        got = {
+            (r.domain, r.line): (r.n_docs, r.doc_frac)
+            for r in domain_boilerplate(
+                self._docs(spark), words_per_line=2, min_frac=0.5
+            ).collect()
+        }
+        # 'cookie banner' on 4/4 of domain a's docs; counted ONCE per doc
+        # despite appearing twice in each (presence, not frequency)
+        assert got[("a", "cookie banner")] == (4, 1.0)
+        assert all(dom != "b" for dom, _ in got)
+
+    def test_domains_independent(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.lines import domain_boilerplate
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, source="a", text="shared line"),
+             Row(doc_id=2, source="b", text="shared line"),
+             Row(doc_id=3, source="b", text="other words")]
+        )
+        got = {(r.domain, r.line): r.doc_frac
+               for r in domain_boilerplate(df, min_frac=0.6).collect()}
+        # 'shared line' is 1/1 of a but only 1/2 of b
+        assert ("a", "shared line") in got and ("b", "shared line") not in got
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.lines import domain_boilerplate
+
+        with _pytest.raises(ValueError, match="min_frac"):
+            domain_boilerplate(self._docs(spark), min_frac=0.0)
+        with _pytest.raises(ValueError, match="words_per_line"):
+            domain_boilerplate(self._docs(spark), words_per_line=0)

@@ -2499,6 +2499,16 @@ def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty vs earlier ingests: fraction of shingles first
+    seen in an earlier doc_id (Lee et al. dedup-ablation signal). One
+    min-aggregate + one shingle equi-join, no doc pairing."""
+    from reader_spark.ops.dedup import novelty_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return novelty_scores(docs, "doc_id", "text", n=3)
+
+
 def _q_domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source boilerplate-line detection (RefinedWeb-style site
     furniture rule): 2-token lines present on >=20% of a source's docs,
@@ -2602,6 +2612,7 @@ _DRIVER_WINDOW = [
     "containment_pairs",
     "tfidf_top_terms",
     "domain_boilerplate",
+    "novelty_scores",
     "twap_user_value",
     "hybrid_search_rrf",
     "term_pmi",
@@ -2741,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "domain_boilerplate": _q_domain_boilerplate,
+        "novelty_scores": _q_novelty_scores,
     })
 
 
@@ -5175,6 +5187,31 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT user_id, round(sum(t), 6) AS entropy_bits,
                    count(*) AS n_types
             FROM terms GROUP BY user_id
+        """,
+        "novelty_scores": """
+            WITH sh AS (
+                SELECT doc_id AS doc,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                       ))) AS shingle
+                FROM documents
+            ),
+            first_seen AS (
+                SELECT shingle, min(doc) AS first_doc FROM sh GROUP BY 1
+            ),
+            scored AS (
+                SELECT sh.doc,
+                       count(*) AS n_shingles,
+                       CAST(sum(CASE WHEN f.first_doc < sh.doc THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before
+                FROM sh JOIN first_seen f USING (shingle)
+                GROUP BY 1
+            )
+            SELECT doc AS doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+                   n_seen_before,
+                   round(n_seen_before * 1.0 / n_shingles, 6) AS redundancy,
+                   round(1.0 - n_seen_before * 1.0 / n_shingles, 6) AS novelty
+            FROM scored
         """,
         "domain_boilerplate": """
             WITH lines AS (

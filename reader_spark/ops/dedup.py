@@ -921,3 +921,51 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty vs everything ingested BEFORE it (ingest
+    order = ascending id): the fraction of the doc's shingles whose
+    first corpus occurrence is an earlier doc is its redundancy; novelty
+    = 1 - redundancy. The curation signal behind 'later crawl snapshots
+    add little new text' (cf. the dedup ablations in Lee et al. 2021) —
+    feeds keep/drop decisions for incremental snapshots.
+
+    Returns (<id_col>, n_shingles, n_seen_before, redundancy, novelty).
+
+    Shape at 100 TB: one explode + ONE map-side-combined min-aggregate
+    gives every shingle's first-seen doc (vocabulary-bounded shuffle);
+    one equi-join back on shingle scores all docs. No pairing of docs at
+    any point — cost is linear in corpus shingles, unlike pairwise dedup.
+    """
+    sets = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    first_seen = sets.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    scored = (
+        sets.join(first_seen, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") < F.col("doc")).cast("long")).alias(
+                "n_seen_before"
+            ),
+        )
+    )
+    return scored.select(
+        F.col("doc").alias(id_col),
+        "n_shingles",
+        "n_seen_before",
+        F.round(F.col("n_seen_before") / F.col("n_shingles"), 6).alias(
+            "redundancy"
+        ),
+        F.round(
+            1.0 - F.col("n_seen_before") / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    )

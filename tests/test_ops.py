@@ -1755,3 +1755,35 @@ class TestDomainBoilerplate:
             domain_boilerplate(self._docs(spark), min_frac=0.0)
         with _pytest.raises(ValueError, match="words_per_line"):
             domain_boilerplate(self._docs(spark), words_per_line=0)
+
+
+class TestNoveltyScores:
+    def test_hand_checked(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.dedup import novelty_scores
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b c d e"),          # 3 shingles, all first
+                Row(doc_id=2, text="a b c d e"),          # exact copy: redundancy 1
+                Row(doc_id=3, text="a b c x y z"),        # 'a b c' seen, 3 new
+            ]
+        )
+        got = {r.doc_id: r for r in novelty_scores(df, "doc_id", "text").collect()}
+        assert (got[1].n_shingles, got[1].n_seen_before) == (3, 0)
+        assert got[1].novelty == 1.0
+        assert got[2].redundancy == 1.0 and got[2].novelty == 0.0
+        assert (got[3].n_shingles, got[3].n_seen_before) == (4, 1)
+        assert got[3].redundancy == 0.25
+
+    def test_order_matters_first_doc_is_always_novel(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.dedup import novelty_scores
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text="same repeated text here") for i in range(5)]
+        )
+        got = {r.doc_id: r.novelty for r in novelty_scores(df, "doc_id", "text").collect()}
+        assert got[0] == 1.0 and all(got[i] == 0.0 for i in range(1, 5))

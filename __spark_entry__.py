@@ -2499,6 +2499,17 @@ def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnostic: top-10 heaviest user_id keys with row
+    share and hot-key factor (multiple of mean key size) — the number
+    that decides salting/AQE/isolation before a 100 TB shuffle. TakeOrdered
+    top-k, 1-row broadcast totals."""
+    from reader_spark.ops.profile import key_skew_profile
+
+    events = _read(spark, sf_dir, "events")
+    return key_skew_profile(events, "user_id", top=10)
+
+
 def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc novelty vs earlier ingests: fraction of shingles first
     seen in an earlier doc_id (Lee et al. dedup-ablation signal). One
@@ -2613,6 +2624,7 @@ _DRIVER_WINDOW = [
     "tfidf_top_terms",
     "domain_boilerplate",
     "novelty_scores",
+    "key_skew_profile",
     "twap_user_value",
     "hybrid_search_rrf",
     "term_pmi",
@@ -2753,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "domain_boilerplate": _q_domain_boilerplate,
         "novelty_scores": _q_novelty_scores,
+        "key_skew_profile": _q_key_skew_profile,
     })
 
 
@@ -5187,6 +5200,25 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT user_id, round(sum(t), 6) AS entropy_bits,
                    count(*) AS n_types
             FROM terms GROUP BY user_id
+        """,
+        "key_skew_profile": """
+            WITH counts AS (
+                SELECT user_id AS key, count(*) AS n
+                FROM events GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(sum(n) AS DOUBLE) AS total,
+                       CAST(count(*) AS DOUBLE) AS n_keys
+                FROM counts
+            ),
+            ranked AS (
+                SELECT key, CAST(n AS BIGINT) AS n,
+                       round(n / tot.total, 6) AS frac,
+                       round(n / (tot.total / tot.n_keys), 6) AS hot_factor,
+                       CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank
+                FROM counts, tot
+            )
+            SELECT key, n, frac, hot_factor, rank FROM ranked WHERE rank <= 10
         """,
         "novelty_scores": """
             WITH sh AS (

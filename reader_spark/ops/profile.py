@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _METRICS = ("n", "n_null", "n_distinct", "min", "max", "mean", "stddev", "p50")
@@ -176,3 +176,47 @@ def grouped_linreg(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top: int = 10
+) -> DataFrame:
+    """The pre-shuffle skew diagnostic: top-N heaviest keys with their
+    share of rows and hot-key factor (multiple of the mean key size).
+    This is the number that decides salting / AQE-skew-join / isolation
+    for a planned groupBy/join on ``key_col`` — run it BEFORE shipping a
+    job that shuffles 100 TB on a key nobody profiled (the giant-doc
+    isolation in spark/job.py is this op's conclusion applied to doc
+    size).
+
+    Returns (key, n, frac, hot_factor, rank): hot_factor = n / mean key
+    count — >> 1 means that key alone stalls its reducer.
+
+    One map-side-combined groupBy; totals ride back as a 1-row broadcast
+    dim; top-N via sort+limit compiles to TakeOrderedAndProject (per-
+    partition partial top-k, no global sort).
+    """
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__n_keys"),
+    )
+    ranked = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("frac"),
+            F.round(
+                F.col("n") / (F.col("__total") / F.col("__n_keys")), 6
+            ).alias("hot_factor"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(top)
+    )
+    w = Window.orderBy(F.desc("n"), "key")
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -190,3 +190,51 @@ class TestGroupedLinreg:
         one = grouped_linreg(df.coalesce(1), ["g"], "x", "y").head()
         many = grouped_linreg(df.repartition(16), ["g"], "x", "y").head()
         assert tuple(one) == tuple(many)
+
+
+class TestKeySkewProfile:
+    def test_hot_key_surfaces(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import key_skew_profile
+
+        rows = [Row(k="hot") for _ in range(80)]
+        rows += [Row(k=f"cold{i}") for i in range(20)]
+        df = spark.createDataFrame(rows)
+        got = key_skew_profile(df, "k", top=3).collect()
+        assert got[0].key == "hot" and got[0].rank == 1
+        assert got[0].n == 80 and got[0].frac == 0.8
+        # mean key count = 100/21; hot_factor = 80/(100/21) = 16.8
+        assert got[0].hot_factor == 16.8
+        assert all(r.n == 1 and r.hot_factor == 0.21 for r in got[1:])
+
+    def test_uniform_keys_factor_one(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import key_skew_profile
+
+        df = spark.createDataFrame([Row(k=f"k{i % 5}") for i in range(50)])
+        got = key_skew_profile(df, "k", top=5).collect()
+        assert all(r.hot_factor == 1.0 and r.frac == 0.2 for r in got)
+        # deterministic tie order by key
+        assert [r.key for r in got] == [f"k{i}" for i in range(5)]
+
+    def test_topk_plan_no_global_sort(self, spark):
+        from tests.test_plans import plan_of
+
+        from reader_spark.ops.profile import key_skew_profile
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = plan_of(key_skew_profile(events, "user_id", top=10))
+        assert "TakeOrderedAndProject" in plan
+        assert "partial" in plan.lower()
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import key_skew_profile
+
+        df = spark.createDataFrame([Row(k=1)])
+        with _pytest.raises(ValueError, match="top"):
+            key_skew_profile(df, "k", top=0)

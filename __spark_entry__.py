@@ -2499,6 +2499,42 @@ def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the provenance-contamination
+    audit (which feeds/snapshots re-serve each other's content): exact
+    n-gram Jaccard near-dup pairs (tau 0.8, doc_id<300) rolled up to
+    ordered (source_a, source_b) pair counts with mean similarity.
+    Composition: proven pair generator + two dim joins + one rollup."""
+    from reader_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    dims = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            dims.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            dims.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+    )
+
+
 def _q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-shuffle skew diagnostic: top-10 heaviest user_id keys with row
     share and hot-key factor (multiple of mean key size) — the number
@@ -2625,6 +2661,7 @@ _DRIVER_WINDOW = [
     "domain_boilerplate",
     "novelty_scores",
     "key_skew_profile",
+    "source_overlap",
     "twap_user_value",
     "hybrid_search_rrf",
     "term_pmi",
@@ -2766,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_boilerplate": _q_domain_boilerplate,
         "novelty_scores": _q_novelty_scores,
         "key_skew_profile": _q_key_skew_profile,
+        "source_overlap": _q_source_overlap,
     })
 
 
@@ -5200,6 +5238,41 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT user_id, round(sum(t), 6) AS entropy_bits,
                    count(*) AS n_types
             FROM terms GROUP BY user_id
+        """,
+        "source_overlap": """
+            WITH sh AS (
+                SELECT doc_id AS doc,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                       ))) AS shingle
+                FROM documents WHERE doc_id < 300
+            ),
+            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+            inter AS (
+                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b,
+                       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc = doc_a
+                JOIN sizes sb ON sb.doc = doc_b
+                WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+            ),
+            labeled AS (
+                SELECT least(da.source, db.source) AS source_a,
+                       greatest(da.source, db.source) AS source_b,
+                       p.jaccard
+                FROM pairs p
+                JOIN documents da ON da.doc_id = p.doc_a
+                JOIN documents db ON db.doc_id = p.doc_b
+            )
+            SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(avg(jaccard), 6) AS mean_jaccard
+            FROM labeled GROUP BY 1, 2
         """,
         "key_skew_profile": """
             WITH counts AS (

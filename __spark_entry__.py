@@ -2499,6 +2499,19 @@ def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of event values, 5 bins — the
+    selectivity-estimation twin of price_histogram's equi-width bins:
+    edges from ONE percentile aggregate (no global sort), binning is a
+    scan-local comparison vs the broadcast edge array. Exact edges are
+    the oracle contract; exact=False (approx_percentile) is the
+    production path (pinned by pytest)."""
+    from reader_spark.ops.profile import equi_depth_histogram
+
+    events = _read(spark, sf_dir, "events")
+    return equi_depth_histogram(events, "value", bins=5, exact=True)
+
+
 def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix — the provenance-contamination
     audit (which feeds/snapshots re-serve each other's content): exact
@@ -2662,6 +2675,7 @@ _DRIVER_WINDOW = [
     "novelty_scores",
     "key_skew_profile",
     "source_overlap",
+    "value_equidepth",
     "twap_user_value",
     "hybrid_search_rrf",
     "term_pmi",
@@ -2804,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_scores": _q_novelty_scores,
         "key_skew_profile": _q_key_skew_profile,
         "source_overlap": _q_source_overlap,
+        "value_equidepth": _q_value_equidepth,
     })
 
 
@@ -5238,6 +5253,25 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT user_id, round(sum(t), 6) AS entropy_bits,
                    count(*) AS n_types
             FROM terms GROUP BY user_id
+        """,
+        "value_equidepth": """
+            WITH e AS (
+                SELECT list_transform(
+                    quantile_cont(value, [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]),
+                    x -> round(x, 9)
+                ) AS edges
+                FROM events WHERE value IS NOT NULL
+            ),
+            b AS (
+                SELECT CAST(len(list_filter(e.edges[2:5], t -> ev.value > t)) AS BIGINT) AS bin
+                FROM events ev, e WHERE ev.value IS NOT NULL
+            )
+            SELECT bin,
+                   round(e.edges[CAST(bin AS INT) + 1], 6) AS lo,
+                   round(e.edges[CAST(bin AS INT) + 2], 6) AS hi,
+                   count(*) AS n
+            FROM b, e
+            GROUP BY 1, 2, 3
         """,
         "source_overlap": """
             WITH sh AS (

@@ -220,3 +220,55 @@ def key_skew_profile(
     )
     w = Window.orderBy(F.desc("n"), "key")
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: bin edges at the i/bins
+    percentiles, each bin holding ~equal row mass — the selectivity-
+    estimation companion to equi_width_histogram (constant resolution in
+    probability, not value; what query optimizers store). Returns
+    (bin, lo, hi, n): lo/hi are the bin's edge values (6 dp), bin 0
+    starts at the min. Ties sit in the LOWEST bin whose upper edge
+    admits them (edge assignment, not row-number splitting — the
+    semantic that is partitioning-invariant).
+
+    Two modes, same twin pattern as numeric_profile: exact ``percentile``
+    edges are the oracle contract; ``exact=False`` swaps in
+    approx_percentile (mergeable sketch) for the production path — NO
+    global sort in either mode (edges come from an aggregate; binning is
+    a scan-local comparison against the broadcast edge array).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(col).cast("double")
+    qs = [i / bins for i in range(bins + 1)]
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
+    edges = df.where(v.isNotNull()).agg(
+        F.expr(
+            f"transform({fn}(CAST({col} AS DOUBLE), array({', '.join(map(str, qs))}){acc}),"
+            " e -> round(e, 9))"
+        ).alias("__edges")
+    )
+    inner = F.slice(F.col("__edges"), 2, bins - 1)  # exclusive upper edges
+    bin_idx = F.size(F.filter(inner, lambda e: v > e)).cast("long")
+    counts = (
+        df.where(v.isNotNull())
+        .crossJoin(F.broadcast(edges))
+        .groupBy(bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # edge labels attach AFTER the count (first(array) inside the agg
+    # would force a SortAggregate; this keeps the count a hash aggregate)
+    return counts.crossJoin(F.broadcast(edges)).select(
+        "bin",
+        F.round(F.element_at("__edges", F.col("bin").cast("int") + 1), 6).alias("lo"),
+        F.round(F.element_at("__edges", F.col("bin").cast("int") + 2), 6).alias("hi"),
+        "n",
+    )

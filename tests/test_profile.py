@@ -238,3 +238,64 @@ class TestKeySkewProfile:
         df = spark.createDataFrame([Row(k=1)])
         with _pytest.raises(ValueError, match="top"):
             key_skew_profile(df, "k", top=0)
+
+
+class TestEquiDepthHistogram:
+    def test_uniform_data_equal_mass(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import equi_depth_histogram
+
+        df = spark.createDataFrame([Row(v=float(x)) for x in range(100)])
+        rows = {r.bin: r for r in equi_depth_histogram(df, "v", bins=4).collect()}
+        assert set(rows) == {0, 1, 2, 3}
+        assert sum(r.n for r in rows.values()) == 100
+        # uniform data: every bin holds ~25 rows
+        assert all(20 <= r.n <= 30 for r in rows.values())
+        assert rows[0].lo == 0.0 and rows[3].hi == 99.0
+        # edges chain: bin i's hi == bin i+1's lo
+        for i in range(3):
+            assert rows[i].hi == rows[i + 1].lo
+
+    def test_skewed_data_adapts_unlike_equi_width(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.profile import (
+            equi_depth_histogram,
+            equi_width_histogram,
+        )
+
+        rows = [Row(v=float(i) / 100) for i in range(99)] + [Row(v=1000.0)]
+        df = spark.createDataFrame(rows)
+        depth = {r.bin: r.n for r in equi_depth_histogram(df, "v", bins=4).collect()}
+        width = {r.bin: r.n for r in equi_width_histogram(df, "v", bins=4).collect()}
+        # equi-width collapses 99% of the mass into one bin; equi-depth
+        # keeps every bin near 25
+        assert max(width.values()) == 99
+        assert max(depth.values()) <= 30
+
+    def test_approx_mode_close_and_no_sort(self, spark):
+        from tests.test_plans import plan_of
+
+        from reader_spark.ops.profile import equi_depth_histogram
+
+        events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        exact = {r.bin: r.n for r in equi_depth_histogram(events, "value", bins=5).collect()}
+        approx = {r.bin: r.n for r in equi_depth_histogram(
+            events, "value", bins=5, exact=False).collect()}
+        total = sum(exact.values())
+        for b in exact:
+            assert abs(approx.get(b, 0) - exact[b]) <= 0.05 * total
+        plan = plan_of(equi_depth_histogram(events, "value", bins=5, exact=False))
+        assert "Sort" not in plan.split("\n\n")[0]
+
+    def test_validation(self, spark):
+        from pyspark.sql import Row
+
+        import pytest as _pytest
+
+        from reader_spark.ops.profile import equi_depth_histogram
+
+        df = spark.createDataFrame([Row(v=1.0)])
+        with _pytest.raises(ValueError, match="bins"):
+            equi_depth_histogram(df, "v", bins=0)

@@ -2499,6 +2499,92 @@ def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hits_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the same deterministic domain link
+    graph as pagerank_domains (distinct edges — HITS is unweighted), 3
+    L1-normalized iterations in exact float lockstep with the unrolled
+    SQL oracle (round-9 sums and divisions, display at 6)."""
+    from reader_spark.ops.graph import hits
+
+    docs = _read(spark, sf_dir, "documents")
+    nsrc = docs.agg(F.countDistinct("source").alias("nsrc"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("link:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    edges = (
+        docs.crossJoin(F.broadcast(nsrc))
+        .select(
+            F.col("source").alias("src"),
+            F.concat(F.lit("src"), F.pmod(h, F.col("nsrc")).cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, iterations=3).withColumnRenamed("node", "domain")
+
+
+def _hits_oracle(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration HITS in ANSI SQL, mirroring
+    ops/graph.hits' rounding (9 dp sums and normalized scores)."""
+    parts = [
+        """
+        WITH nsrc AS (SELECT count(DISTINCT source) AS n FROM documents),
+        edges AS (
+            SELECT DISTINCT source AS src,
+                   'src' || CAST(CAST(('0x' || substr(md5('link:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                 % (SELECT n FROM nsrc) AS VARCHAR) AS dst
+            FROM documents
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION SELECT dst FROM edges
+            )
+        ),
+        h0 AS (SELECT node, 1.0 AS h FROM nodes)
+        """
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+        a{k}raw AS MATERIALIZED (
+            SELECT n.node, COALESCE(s.v, 0) AS a_raw
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, round(sum(p.h), 9) AS v
+                FROM edges e JOIN h{k - 1} p ON e.src = p.node
+                GROUP BY e.dst
+            ) s ON n.node = s.node
+        ),
+        a{k} AS MATERIALIZED (
+            SELECT node,
+                   round(a_raw / NULLIF((SELECT sum(a_raw) FROM a{k}raw), 0), 9) AS a
+            FROM a{k}raw
+        ),
+        h{k}raw AS MATERIALIZED (
+            SELECT n.node, COALESCE(s.v, 0) AS h_raw
+            FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, round(sum(p.a), 9) AS v
+                FROM edges e JOIN a{k} p ON e.dst = p.node
+                GROUP BY e.src
+            ) s ON n.node = s.node
+        ),
+        h{k} AS MATERIALIZED (
+            SELECT node,
+                   round(h_raw / NULLIF((SELECT sum(h_raw) FROM h{k}raw), 0), 9) AS h
+            FROM h{k}raw
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT h{iterations}.node AS domain,
+               round(h{iterations}.h, 6) AS hub,
+               round(a{iterations}.a, 6) AS authority
+        FROM h{iterations} JOIN a{iterations} USING (node)
+        """
+    )
+    return "".join(parts)
+
+
 def _q_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) histogram of event values, 5 bins — the
     selectivity-estimation twin of price_histogram's equi-width bins:
@@ -2676,6 +2762,7 @@ _DRIVER_WINDOW = [
     "key_skew_profile",
     "source_overlap",
     "value_equidepth",
+    "hits_domains",
     "twap_user_value",
     "hybrid_search_rrf",
     "term_pmi",
@@ -2819,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": _q_key_skew_profile,
         "source_overlap": _q_source_overlap,
         "value_equidepth": _q_value_equidepth,
+        "hits_domains": _q_hits_domains,
     })
 
 
@@ -5254,6 +5342,7 @@ def _oracle_sql_entries() -> dict[str, str]:
                    count(*) AS n_types
             FROM terms GROUP BY user_id
         """,
+        "hits_domains": _hits_oracle(iterations=3),
         "value_equidepth": """
             WITH e AS (
                 SELECT list_transform(

@@ -121,3 +121,87 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg JACM'99) — the link-graph
+    companion to pagerank: authority(i) ~ sum of hub scores linking to i,
+    hub(j) ~ sum of authority scores j links to, L1-normalized each half
+    step. Crawl seeding uses hubs (good link pages); corpus quality
+    priors use authorities.
+
+    Same execution shape as pagerank: per half-iteration ONE edge
+    equi-join + one map-side-combined aggregate; L1 norms fold in as
+    1-row broadcast dims (no driver sync in the loop);
+    localCheckpoint bounds plan growth. Float lockstep for the unrolled
+    SQL oracle: summands are 9 dp, sums round at 9, normalized scores
+    round at 9, display at 6.
+
+    Returns (node, hub, authority), both rounded to 6 dp.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes.isEmpty():
+        raise ValueError("edges is empty — hits needs at least one edge")
+
+    hubs = nodes.withColumn("h", F.lit(1.0))
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.round(F.sum("h"), 9).alias("a_raw"))
+        )
+        a_full = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+        )
+        a_norm = F.broadcast(a_full.agg(F.sum("a_raw").alias("__na")))
+        auths = (
+            a_full.crossJoin(a_norm)
+            .select(
+                "node",
+                F.round(F.try_divide(F.col("a_raw"), F.col("__na")), 9).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.round(F.sum("a"), 9).alias("h_raw"))
+        )
+        h_full = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
+        )
+        h_norm = F.broadcast(h_full.agg(F.sum("h_raw").alias("__nh")))
+        hubs = (
+            h_full.crossJoin(h_norm)
+            .select(
+                "node",
+                F.round(F.try_divide(F.col("h_raw"), F.col("__nh")), 9).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        hubs.join(auths, "node")
+        .select(
+            "node",
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("authority"),
+        )
+    )

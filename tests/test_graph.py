@@ -84,3 +84,52 @@ def test_pagerank_iterations_are_driver_free():
     assert ".head()" not in loop_body
     assert ".collect()" not in loop_body
     assert "broadcast" in loop_body
+
+
+class TestHits:
+    def _edges(self, spark):
+        from pyspark.sql import Row
+
+        # classic hub: h links to a1,a2,a3; a1 also linked by x
+        return spark.createDataFrame(
+            [Row(src="h", dst="a1"), Row(src="h", dst="a2"),
+             Row(src="h", dst="a3"), Row(src="x", dst="a1")]
+        )
+
+    def test_hub_and_authority_ordering(self, spark):
+        from reader_spark.ops.graph import hits
+
+        got = {r.node: r for r in hits(self._edges(spark), iterations=3).collect()}
+        # h links to everything -> top hub; a1 has 2 in-links -> top authority
+        assert got["h"].hub == max(r.hub for r in got.values())
+        assert got["a1"].authority == max(r.authority for r in got.values())
+        assert got["a2"].authority == got["a3"].authority
+        # pure authorities have no out-links -> zero hub score
+        assert got["a2"].hub == 0.0
+
+    def test_scores_are_l1_normalized(self, spark):
+        from reader_spark.ops.graph import hits
+
+        rows = hits(self._edges(spark), iterations=2).collect()
+        assert abs(sum(r.hub for r in rows) - 1.0) < 1e-6
+        assert abs(sum(r.authority for r in rows) - 1.0) < 1e-6
+
+    def test_no_driver_sync_in_loop(self):
+        import inspect
+
+        from reader_spark.ops import graph
+
+        loop = inspect.getsource(graph.hits).split("for _ in range(iterations):")[1]
+        assert ".head()" not in loop and ".collect()" not in loop
+        assert "broadcast" in loop
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.graph import hits
+
+        with _pytest.raises(ValueError, match="iterations"):
+            hits(self._edges(spark), iterations=0)
+        empty = spark.createDataFrame([], "src string, dst string")
+        with _pytest.raises(ValueError, match="empty"):
+            hits(empty)

@@ -32,3 +32,89 @@ def dedup_stream(
     return hashed.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def near_dup_flags_stream(
+    docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Streaming near-dup CANDIDATE flags against the persisted band
+    index (ops/dedup.build_band_index): each arriving doc is minhash-
+    banded with the exact batch recipe and stream-static-joined to the
+    index on (band_id, band_hash) — the on-arrival "probably seen
+    before" signal a recrawl ingest uses to route docs to the
+    cheap path. Emits one row per flagged doc:
+    (<id_col>, n_hits, sample_old_doc).
+
+    Contract notes (deliberately candidates, not verified pairs): exact-
+    Jaccard verification needs the old shingle sets joined per candidate
+    — a second stateful join that belongs in the batch lane; the
+    streaming flag is the LSH candidate signal (same trade as
+    dedup_stream's watermark horizon). The static index side is re-read
+    per micro-batch, so a newly-published index is picked up without
+    restart.
+
+    Scale: the banding is pure narrow expressions (explode + min-agg per
+    doc happens INSIDE the streaming aggregate? no — per-row expression:
+    shingles -> array of md5/xxhash mins computed via higher-order
+    functions, no shuffle on the stream side before the join).
+    """
+    from pyspark.sql import functions as F
+
+    from ..ops.dedup import shingles
+
+    if bands * rows_per_band != num_hashes:
+        raise ValueError(
+            f"bands*rows_per_band ({bands}*{rows_per_band}) must equal "
+            f"num_hashes ({num_hashes})"
+        )
+    sh = shingles(F.col(text_col), n)
+    # per-row minhash signature via array_min over transformed shingles —
+    # no explode/groupBy: stream rows stay independent (required for a
+    # stream-static equi-join without an aggregate in front)
+    def _min_expr(seed: int):
+        # factory, NOT a default-arg closure: a 2-param lambda would be
+        # taken as Spark's (element, index) form and bind seed to the
+        # array index instead of the literal
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), s)))
+
+    mins = [_min_expr(seed).alias(f"h{seed}") for seed in range(num_hashes)]
+    sig = docs.select(F.col(id_col), F.col(text_col), *mins)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    index_bands = index.select(
+        F.col("doc").alias("__old_doc"),
+        F.posexplode("band_hashes").alias("band_id", "band_hash"),
+    )
+    return (
+        banded.join(index_bands, ["band_id", "band_hash"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("__old_doc").alias("sample_old_doc"),
+        )
+    )

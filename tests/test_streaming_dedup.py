@@ -41,3 +41,70 @@ def test_stream_dedup_matches_batch_keepers(spark, tmp_path):
     assert len(hashes) == len(set(hashes)) == n_unique_texts
     # survivors carry the original payload columns
     assert all(r["text"] for r in out)
+
+
+def test_stream_near_dup_flags_against_persisted_index(spark, tmp_path):
+    """Recrawl on-arrival dedup: stream new docs, band them per-row with
+    the batch minhash recipe, stream-static-join the persisted band
+    index. Exact copies of indexed docs are flagged (all 16 bands hit);
+    novel docs are not."""
+    from pyspark.sql import Row
+
+    from reader_spark.ops.dedup import build_band_index
+    from reader_spark.streaming.dedup_stream import near_dup_flags_stream
+
+    old = spark.createDataFrame(
+        [Row(doc_id=i,
+             text=" ".join(f"w{i}x{j}" for j in range(12)))
+         for i in range(10)]
+    )
+    index_path = str(tmp_path / "index")
+    build_band_index(old, "doc_id", "text").write.parquet(index_path)
+
+    new_rows = [
+        Row(doc_id=100, text=" ".join(f"w3x{j}" for j in range(12))),  # copy of 3
+        Row(doc_id=101, text="completely novel content nothing like the corpus xyz"),
+    ]
+    src = str(tmp_path / "new_stream")
+    spark.createDataFrame(new_rows).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        near_dup_flags_stream(
+            stream, spark.read.parquet(index_path), "doc_id", "text"
+        )
+        .writeStream.format("memory")
+        .queryName("neardup_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    flags = {r["doc_id"]: r for r in spark.sql("select * from neardup_out").collect()}
+    assert 100 in flags and flags[100].sample_old_doc == 3
+    assert flags[100].n_hits == 16  # identical text: every band collides
+    assert 101 not in flags
+
+
+def test_stream_banding_matches_batch_index_recipe(spark):
+    """The per-row signature (array_min over transformed shingles) must
+    equal the batch explode+groupBy minhash — same bands, same family."""
+    from pyspark.sql import Row
+
+    from reader_spark.ops.dedup import build_band_index
+    from reader_spark.streaming.dedup_stream import near_dup_flags_stream
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"p{i}q{j}" for j in range(10)))
+         for i in range(5)]
+    )
+    index = build_band_index(docs, "doc_id", "text")
+    # run the STREAM op in batch mode (same expressions) against the index
+    flags = {
+        r["doc_id"]: (r["n_hits"], r["sample_old_doc"])
+        for r in near_dup_flags_stream(docs, index, "doc_id", "text").collect()
+    }
+    # every doc matches ITSELF (and only itself) on all 16 bands —
+    # bit-identical banding between the per-row and explode/groupBy forms
+    assert flags == {i: (16, i) for i in range(5)}

@@ -2735,25 +2735,7 @@ _DRIVER_WINDOW = [
     "hll_intersection",
     "snapshot_diff",
     "similarity_join_exact",
-    # remaining never-driver-verified oracled operators, one per family
-    "decontaminate",
-    "incremental_dedup",
-    "lm_perplexity",
-    "domain_mix_sample",
-    "weighted_sample",
-    "bloom_visited",
-    "cms_user_counts",
-    "hll_distinct",
-    "numeric_profile",
-    "fuzzy_source_match",
-    "jsonl_ingest",
-    "zorder_events",
-    "cohort_retention",
-    "event_transitions",
-    "scd2_user_state",
-    "value_trend",
-    "data_quality_report",
-    "ewma_user_value",
+    # round-3 operators (all new this round, all oracled)
     "sequence_packing",
     "containment_pairs",
     "tfidf_top_terms",
@@ -2763,13 +2745,29 @@ _DRIVER_WINDOW = [
     "source_overlap",
     "value_equidepth",
     "hits_domains",
-    "twap_user_value",
-    "hybrid_search_rrf",
+    # one representative per remaining never-driver-verified family
+    # (cut: twins/families already represented — hll_distinct (2 HLL ops
+    # above), hybrid_search_rrf (composes bm25), twap (ewma kept),
+    # cohort_retention/event_transitions/scd2 (window family has
+    # events_sessions + driver-green r1 rows), readability (textstats has
+    # driver rows), lsh_quality_eval, jsonl_ingest — all stay local-green
+    # via scripts/gate.py)
+    "decontaminate",
+    "incremental_dedup",
+    "lm_perplexity",
+    "domain_mix_sample",
+    "weighted_sample",
+    "bloom_visited",
+    "cms_user_counts",
+    "numeric_profile",
+    "fuzzy_source_match",
+    "zorder_events",
+    "value_trend",
+    "data_quality_report",
+    "ewma_user_value",
     "term_pmi",
     "nfc_normalize",
-    "lsh_quality_eval",
     "cdc_chunks",
-    "readability_scores",
 ]
 
 

@@ -2634,6 +2634,35 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language curation shortlist: top-3 docs by a composite quality
+    score (stopword_ratio x ln(1+token_count) — fluency weighted by
+    substance), the grouped top-k a data-mixing pass reads per stratum.
+    Score terms round at 9, score at 6, (score desc, doc_id) tiebreak;
+    lang-partitioned window — no global sort."""
+    from pyspark.sql import Window
+
+    from reader_spark.ops.textstats import stopword_ratio_col, token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    text = F.col("text")
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        token_count_col(text).alias("token_count"),
+        F.round(
+            F.round(stopword_ratio_col(text), 6)
+            * F.round(F.log(1.0 + token_count_col(text)), 9),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+    )
+
+
 def _q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-shuffle skew diagnostic: top-10 heaviest user_id keys with row
     share and hot-key factor (multiple of mean key size) — the number
@@ -2905,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "value_equidepth": _q_value_equidepth,
         "hits_domains": _q_hits_domains,
+        "curation_shortlist": _q_curation_shortlist,
     })
 
 
@@ -5339,6 +5369,26 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT user_id, round(sum(t), 6) AS entropy_bits,
                    count(*) AS n_types
             FROM terms GROUP BY user_id
+        """,
+        "curation_shortlist": f"""
+            WITH q AS (
+                SELECT lang, doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS token_count,
+                       round(
+                           round(len(list_intersect(
+                                     list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                                     [{_EN_STOPS}]))
+                                 / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), 1),
+                                 6)
+                           * round(ln(1.0 + len(string_split_regex(trim(text), '\\s+'))), 9),
+                       6) AS score
+                FROM documents
+            )
+            SELECT lang, doc_id, CAST(token_count AS BIGINT) AS token_count, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY score DESC, doc_id
+                   ) AS BIGINT) AS rank
+            FROM q QUALIFY rank <= 3
         """,
         "hits_domains": _hits_oracle(iterations=3),
         "value_equidepth": """

@@ -79,6 +79,12 @@ BENCH_QUERIES = (
     "data_quality_report",
     "ewma_user_value",
     "events_sliding_windows",
+    "sequence_packing",
+    "containment_pairs",
+    "tfidf_top_terms",
+    "novelty_scores",
+    "hits_domains",
+    "key_skew_profile",
 )
 
 

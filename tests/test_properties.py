@@ -370,3 +370,56 @@ class TestStreamMetadataParity:
 
         assert extract_metadata_stream(html, "https://p.test/") == \
             extract_metadata_dom(parse_html(html), "https://p.test/")
+
+
+class TestContainmentVsJaccard:
+    docs_strategy = st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+            min_size=3, max_size=12,
+        ).map(" ".join),
+        min_size=2, max_size=5,
+    )
+
+    @pytest.mark.spark
+    @given(docs_strategy)
+    @settings(max_examples=15, deadline=None)
+    def test_containment_dominates_jaccard(self, spark, texts):
+        """|A∩B|/|A| >= |A∩B|/|A∪B| for every pair — containment at a
+        threshold must be a SUPERSET of jaccard pairs at that threshold."""
+        from pyspark.sql import Row
+
+        from reader_spark.ops.dedup import containment_pairs, ngram_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        tau = 0.4
+        jac = {(r.doc_a, r.doc_b) for r in
+               ngram_jaccard_pairs(df, "doc_id", "text", threshold=tau).collect()}
+        cont = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)) for r in
+                containment_pairs(df, "doc_id", "text", threshold=tau).collect()}
+        assert jac <= cont
+
+
+class TestPackingConservation:
+    @pytest.mark.spark
+    @given(
+        st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=20),
+        st.integers(min_value=1, max_value=32),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_total_tokens_conserved_any_seq_len(self, spark, sizes, seq_len):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(f"t{j}" for j in range(n)))
+             for i, n in enumerate(sizes)]
+        )
+        packed = pack_sequences(df, "doc_id", "text", seq_len).collect()
+        assert sum(r.n_tokens for r in packed) == sum(sizes)
+        # every segment fits inside its sequence
+        assert all(r.seq_offset + r.n_tokens <= seq_len for r in packed)
+        assert all(r.n_tokens >= 1 for r in packed)

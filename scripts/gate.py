@@ -35,8 +35,16 @@ def run_checker(script: str) -> tuple[str, str]:
     )
     out = proc.stdout + proc.stderr
     sys.stdout.write(out)
-    tail = out.strip().splitlines()[-1] if out.strip() else ""
-    return ("ok" if proc.returncode == 0 else "FAIL"), tail
+    # the verdict line, not whatever stderr noise happens to be last
+    verdict = next(
+        (
+            ln
+            for ln in reversed(out.strip().splitlines())
+            if "ALL OK" in ln or "FAILURES" in ln or "FAIL" in ln
+        ),
+        out.strip().splitlines()[-1] if out.strip() else "",
+    )
+    return ("ok" if proc.returncode == 0 else "FAIL"), verdict
 
 
 def main() -> int:

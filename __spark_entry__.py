@@ -2634,6 +2634,68 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION packing path: per-shard (doc_id % 8) windows pack in
+    parallel — no single-partition global window (plan-pinned in
+    tests/test_packing.py); sequence ids are (shard, seq_id)."""
+    from reader_spark.ops.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("long")
+    )
+    return pack_sequences(
+        docs, "doc_id", "text", 512, partition_cols=["shard"]
+    )
+
+
+def _q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain link-graph degree profile: per node in/out degree and
+    reciprocity (fraction of out-edges that are reciprocated) over the
+    same deterministic edge set as pagerank/HITS. Two map-side-combined
+    aggregates + one self-equi-join on reversed edges."""
+    docs = _read(spark, sf_dir, "documents")
+    nsrc = docs.agg(F.countDistinct("source").alias("nsrc"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("link:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    edges = (
+        docs.crossJoin(F.broadcast(nsrc))
+        .select(
+            F.col("source").alias("src"),
+            F.concat(F.lit("src"), F.pmod(h, F.col("nsrc")).cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        edges.join(rev, ["src", "dst"])
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_recip"))
+    )
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        outd.join(ind, "node", "full")
+        .join(recip.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.round(
+                F.coalesce(F.col("n_recip"), F.lit(0))
+                / F.greatest(F.col("out_deg"), F.lit(1)),
+                6,
+            ).alias("reciprocity"),
+        )
+    )
+
+
 def _q_curation_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language curation shortlist: top-3 docs by a composite quality
     score (stopword_ratio x ln(1+token_count) — fluency weighted by
@@ -2935,6 +2997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_equidepth": _q_value_equidepth,
         "hits_domains": _q_hits_domains,
         "curation_shortlist": _q_curation_shortlist,
+        "sequence_packing_sharded": _q_sequence_packing_sharded,
+        "graph_degree_stats": _q_graph_degree_stats,
     })
 
 
@@ -5369,6 +5433,54 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT user_id, round(sum(t), 6) AS entropy_bits,
                    count(*) AS n_types
             FROM terms GROUP BY user_id
+        """,
+        "sequence_packing_sharded": """
+            WITH toks AS (
+                SELECT doc_id, doc_id % 8 AS shard,
+                       len(string_split_regex(trim(text), '\\s+')) AS n
+                FROM documents
+            ),
+            cum AS (
+                SELECT shard, doc_id, n,
+                       CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS BIGINT) AS s,
+                       CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e
+                FROM toks
+            ),
+            seg AS (
+                SELECT shard, doc_id, s, e,
+                       CAST(unnest(generate_series(s // 512, (e - 1) // 512)) AS BIGINT) AS seq_id
+                FROM cum WHERE n > 0
+            )
+            SELECT CAST(shard AS BIGINT) AS shard, doc_id, seq_id,
+                   CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS doc_offset,
+                   CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
+                   CAST(least(e, (seq_id + 1) * 512)
+                        - greatest(s, seq_id * 512) AS BIGINT) AS n_tokens
+            FROM seg
+        """,
+        "graph_degree_stats": """
+            WITH nsrc AS (SELECT count(DISTINCT source) AS n FROM documents),
+            edges AS (
+                SELECT DISTINCT source AS src,
+                       'src' || CAST(CAST(('0x' || substr(md5('link:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                     % (SELECT n FROM nsrc) AS VARCHAR) AS dst
+                FROM documents
+            ),
+            outd AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY 1),
+            ind AS (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY 1),
+            recip AS (
+                SELECT e.src AS node, count(*) AS n_recip
+                FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
+                GROUP BY 1
+            )
+            SELECT COALESCE(o.node, i.node) AS node,
+                   CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+                   CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+                   round(COALESCE(r.n_recip, 0) * 1.0
+                         / greatest(COALESCE(o.out_deg, 0), 1), 6) AS reciprocity
+            FROM outd o
+            FULL OUTER JOIN ind i ON o.node = i.node
+            LEFT JOIN recip r ON COALESCE(o.node, i.node) = r.node
         """,
         "curation_shortlist": f"""
             WITH q AS (

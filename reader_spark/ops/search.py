@@ -125,7 +125,14 @@ def tfidf_top_terms(
             F.split(normalize_for_ngrams(F.col(text_col)), " ")
         ).alias("term"),
     ).where(F.col("term") != "")
-    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # localCheckpoint: tf feeds BOTH the score join and the doc-frequency
+    # aggregate; without it Spark re-runs the corpus tokenize+explode for
+    # each branch (no cross-branch CSE) — 2x the scan-dominated cost
+    tf = (
+        toks.groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.select(
         F.countDistinct(F.col(id_col)).cast("double").alias("n_docs")

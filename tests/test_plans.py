@@ -283,3 +283,41 @@ def test_funnel_stage_joins_are_keyed(spark):
     assert "CartesianProduct" not in plan
     # per-stage min is partially aggregated before the shuffle
     assert "partial_min" in plan
+
+
+def test_containment_inverted_index_no_cartesian(spark):
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["containment_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # intersection counts map-side combined
+
+
+def test_tfidf_single_explode_partial_agg(spark):
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["tfidf_top_terms"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    # at most ONE tokenize+explode: tf is checkpointed, so the
+    # doc-frequency branch reads the checkpoint instead of re-running the
+    # corpus explode (0 when the checkpoint boundary hides it entirely)
+    assert tree.count("Generate") <= 1
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan  # corpus-size dim is broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_novelty_no_doc_pairing(spark):
+    """Novelty must be linear: shingle join only, no doc-doc join."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["novelty_scores"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # first-seen via map-side combined min
+
+
+def test_sharded_packing_partitions_by_shard(spark):
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["sequence_packing_sharded"](spark, SF_DIR))
+    assert "hashpartitioning(shard" in plan

@@ -2634,6 +2634,62 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_opq_encode_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-style transform-then-encode: deterministic signed permutation
+    (an exact orthogonal matrix — distances preserved, subspace variance
+    redistributed; Ge et al. CVPR'13 rotation baseline) then PQ with the
+    same engine-portable literal codebooks as pq_encode_md5."""
+    from reader_spark.ops.ann import (
+        md5_pq_codebooks,
+        md5_signed_permutation,
+        opq_encode,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    perm, signs = md5_signed_permutation(64)
+    enc = opq_encode(emb, md5_pq_codebooks(dim=64, m=8, k=16), perm, signs)
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes_str"),
+    )
+
+
+def _opq_encode_md5_oracle() -> str:
+    from reader_spark.ops.ann import md5_signed_permutation
+
+    perm, signs = md5_signed_permutation(64)
+    permuted = ", ".join(
+        f"{signs[i]} * embedding[{perm[i] + 1}]" for i in range(64)
+    )
+    return f"""
+        WITH cb(sub, code, c) AS (VALUES
+                {_pq_codebook_values()}),
+        e AS (
+            SELECT vec_id, [{permuted}]::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 200
+        ),
+        dists AS (
+            SELECT e.vec_id, cb.sub, cb.code,
+                   round(list_aggregate(list_transform(
+                       list_zip(list_slice(v, cb.sub*8 + 1, cb.sub*8 + 8), cb.c),
+                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9) AS dist
+            FROM e CROSS JOIN cb
+        ),
+        best AS (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, sub ORDER BY dist, code
+                   ) AS rn
+            FROM dists
+        )
+        SELECT vec_id,
+               string_agg(code::VARCHAR, ',' ORDER BY sub) AS codes_str
+        FROM best WHERE rn = 1 GROUP BY vec_id
+    """
+
+
 def _q_sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION packing path: per-shard (doc_id % 8) windows pack in
     parallel — no single-partition global window (plan-pinned in
@@ -2999,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_shortlist": _q_curation_shortlist,
         "sequence_packing_sharded": _q_sequence_packing_sharded,
         "graph_degree_stats": _q_graph_degree_stats,
+        "opq_encode_md5": _q_opq_encode_md5,
     })
 
 
@@ -3038,6 +3095,7 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_dedup_lsh_md5"] = _embedding_dedup_lsh_md5_oracle()
     out["embedding_dedup_components"] = _embedding_dedup_components_oracle()
     out["pq_encode_md5"] = _pq_encode_md5_oracle()
+    out["opq_encode_md5"] = _opq_encode_md5_oracle()
     out["pq_adc_topk_md5"] = _pq_adc_topk_md5_oracle()
     out["ivfadc_md5"] = _ivfadc_md5_oracle()
     # Golden-literal oracles: pdf_extract and crawl_fixture run on FIXED

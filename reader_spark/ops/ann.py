@@ -611,3 +611,70 @@ def brute_force_topk_np(
     )
     scored = embeddings.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def md5_signed_permutation(
+    dim: int, seed: int = 0
+) -> tuple[list[int], list[float]]:
+    """Deterministic signed permutation — the cheap orthogonal transform
+    of the OPQ family (Ge et al. CVPR'13 evaluate random rotation /
+    permutation baselines; signed permutations ARE orthogonal matrices,
+    so quantization distances are exactly preserved in aggregate while
+    coordinates are redistributed across PQ subspaces, balancing
+    per-subspace variance when dimensions are heterogeneous).
+
+    Engine-portable by construction: perm = positions sorted by
+    md5('perm:seed:p'), sign[p] = parity of md5('sign:seed:p') — pure
+    literals on both sides of an oracle check, like md5_pq_codebooks.
+    Returns (perm, signs): transformed[i] = signs[i] * v[perm[i]].
+    """
+    import hashlib
+
+    perm = sorted(
+        range(dim),
+        key=lambda p: hashlib.md5(f"perm:{seed}:{p}".encode()).hexdigest(),
+    )
+    signs = [
+        1.0
+        if int(hashlib.md5(f"sign:{seed}:{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+    return perm, signs
+
+
+def apply_signed_permutation(
+    vec: Column, perm: list[int], signs: list[float]
+) -> Column:
+    """transformed[i] = signs[i] * vec[perm[i]] — a pure JVM expression
+    (dim element_at's), no shuffle, no Python."""
+    return F.array(
+        *[
+            F.lit(signs[i]) * F.element_at(vec, perm[i] + 1)
+            for i in range(len(perm))
+        ]
+    )
+
+
+def opq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    perm: list[int],
+    signs: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OPQ-style transform-then-encode: apply the signed permutation,
+    then product-quantize (the FAISS OPQMatrix+PQ composition, with the
+    learned rotation swapped for the deterministic orthogonal
+    permutation). Search uses the same transform on the query vector
+    (driver-side) + the standard ADC machinery — distances are computed
+    in the transformed space, which orthogonality keeps isometric to the
+    original."""
+    transformed = embeddings.select(
+        F.col(id_col),
+        apply_signed_permutation(
+            F.col(vec_col).cast("array<double>"), perm, signs
+        ).alias("embedding"),
+    )
+    return pq_encode(transformed, codebooks, id_col=id_col, vec_col="embedding")

@@ -1787,3 +1787,38 @@ class TestNoveltyScores:
         )
         got = {r.doc_id: r.novelty for r in novelty_scores(df, "doc_id", "text").collect()}
         assert got[0] == 1.0 and all(got[i] == 0.0 for i in range(1, 5))
+
+
+class TestSignedPermutation:
+    def test_orthogonality_preserves_distances(self, spark):
+        """A signed permutation is orthogonal: pairwise L2 distances in the
+        transformed space equal the originals exactly."""
+        from pyspark.sql import Row
+
+        from reader_spark.ops.ann import (
+            apply_signed_permutation,
+            md5_signed_permutation,
+        )
+
+        import pyspark.sql.functions as F
+
+        perm, signs = md5_signed_permutation(8)
+        assert sorted(perm) == list(range(8))
+        assert set(signs) <= {1.0, -1.0}
+        df = spark.createDataFrame(
+            [Row(a=[float(i + j) for i in range(8)]) for j in range(3)]
+        )
+        t = df.select(
+            apply_signed_permutation(F.col("a"), perm, signs).alias("t"), "a"
+        )
+        row = t.select(
+            F.aggregate("a", F.lit(0.0), lambda acc, x: acc + x * x).alias("n0"),
+            F.aggregate("t", F.lit(0.0), lambda acc, x: acc + x * x).alias("n1"),
+        ).head()
+        assert row.n0 == row.n1
+
+    def test_determinism_and_seed_independence(self):
+        from reader_spark.ops.ann import md5_signed_permutation
+
+        assert md5_signed_permutation(16) == md5_signed_permutation(16)
+        assert md5_signed_permutation(16, seed=1) != md5_signed_permutation(16)

@@ -2634,6 +2634,39 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type sniffing over synthesized binary media
+    (real JPEG/PNG/GIF/RIFF/PDF/ISO-BMFF headers prepended to the doc
+    bytes by doc_id%7; %7==6 gets no header): per detected kind, file
+    count and total bytes. Extensions lie at web scale — sniffing is the
+    ingest guard; pure JVM (hex+prefix match), no Python."""
+    from reader_spark.ops.multimodal import sniff_kind_col
+
+    docs = _read(spark, sf_dir, "documents")
+    magics = [
+        "FFD8FF",
+        "89504E470D0A1A0A",
+        "47494638",
+        "52494646",
+        "25504446",
+        "000000186674797069736F6D",
+        "",
+    ]
+    header = F.element_at(
+        F.array(*[F.to_binary(F.lit(m), F.lit("hex")) for m in magics]),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    content = F.concat(header, F.encode(F.col("text"), "UTF-8"))
+    sniffed = docs.select(
+        sniff_kind_col(content).alias("kind"),
+        F.octet_length(content).alias("n_bytes"),
+    )
+    return sniffed.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
 def _q_opq_encode_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ-style transform-then-encode: deterministic signed permutation
     (an exact orthogonal matrix — distances preserved, subspace variance
@@ -3056,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing_sharded": _q_sequence_packing_sharded,
         "graph_degree_stats": _q_graph_degree_stats,
         "opq_encode_md5": _q_opq_encode_md5,
+        "media_sniff": _q_media_sniff,
     })
 
 
@@ -5561,6 +5595,31 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM q QUALIFY rank <= 3
         """,
         "hits_domains": _hits_oracle(iterations=3),
+        "media_sniff": """
+            WITH m(i, magic) AS (VALUES
+                (0, 'FFD8FF'), (1, '89504E470D0A1A0A'), (2, '47494638'),
+                (3, '52494646'), (4, '25504446'),
+                (5, '000000186674797069736F6D'), (6, '')),
+            blobs AS (
+                SELECT from_hex(m.magic) || encode(d.text) AS content
+                FROM documents d JOIN m ON d.doc_id % 7 = m.i
+            ),
+            sniffed AS (
+                SELECT CASE
+                    WHEN substring(hex(content), 9, 8) = '66747970' THEN 'mp4'
+                    WHEN starts_with(hex(content), '89504E470D0A1A0A') THEN 'png'
+                    WHEN starts_with(hex(content), 'FFD8FF') THEN 'jpeg'
+                    WHEN starts_with(hex(content), '47494638') THEN 'gif'
+                    WHEN starts_with(hex(content), '52494646') THEN 'riff'
+                    WHEN starts_with(hex(content), '25504446') THEN 'pdf'
+                    ELSE 'unknown' END AS kind,
+                    octet_length(content) AS n_bytes
+                FROM blobs
+            )
+            SELECT kind, count(*) AS n_files,
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+            FROM sniffed GROUP BY kind
+        """,
         "value_equidepth": """
             WITH e AS (
                 SELECT list_transform(

@@ -119,3 +119,31 @@ def decode_frame(content: bytes, ts_ms: int) -> bytes:
         "frame decode requires an ffmpeg binding; wire it here — the "
         "surrounding plan/partitioning/feature plumbing is codec-agnostic"
     )
+
+
+# magic-byte prefixes, checked longest-first (hex, uppercase)
+MAGIC_PREFIXES = (
+    ("png", "89504E470D0A1A0A"),
+    ("jpeg", "FFD8FF"),
+    ("gif", "47494638"),
+    ("riff", "52494646"),  # WAV/AVI/WEBP container
+    ("pdf", "25504446"),
+)
+
+
+def sniff_kind_col(content):
+    """Content-type sniffing from magic bytes — the ingest-side guard a
+    multimodal pipeline needs because extensions and Content-Type headers
+    lie at web scale (cf. WHATWG MIME sniffing). Pure JVM expression:
+    hex the first 16 bytes once, then prefix-match; ISO-BMFF (mp4/mov)
+    matches 'ftyp' at byte offset 5. Returns a lowercase kind string,
+    'unknown' when nothing matches."""
+    from pyspark.sql import functions as F
+
+    head = F.hex(F.substring(content, 1, 16))
+    expr = F.when(
+        F.substring(head, 9, 8) == "66747970", F.lit("mp4")  # ....ftyp
+    )
+    for kind, prefix in MAGIC_PREFIXES:
+        expr = expr.when(head.startswith(prefix), F.lit(kind))
+    return expr.otherwise(F.lit("unknown"))

@@ -1822,3 +1822,47 @@ class TestSignedPermutation:
 
         assert md5_signed_permutation(16) == md5_signed_permutation(16)
         assert md5_signed_permutation(16, seed=1) != md5_signed_permutation(16)
+
+
+class TestMediaSniff:
+    def test_known_magics(self, spark):
+        from pyspark.sql import Row
+
+        import pyspark.sql.functions as F
+
+        from reader_spark.ops.multimodal import sniff_kind_col
+
+        cases = [
+            (bytes.fromhex("FFD8FF") + b"rest", "jpeg"),
+            (bytes.fromhex("89504E470D0A1A0A") + b"x", "png"),
+            (bytes.fromhex("47494638") + b"9a", "gif"),
+            (b"RIFF1234WAVE", "riff"),
+            (b"%PDF-1.7 blah", "pdf"),
+            (bytes.fromhex("00000018") + b"ftypisom", "mp4"),
+            (b"plain text bytes", "unknown"),
+            (b"", "unknown"),
+        ]
+        df = spark.createDataFrame(
+            [Row(i=i, content=c) for i, (c, _) in enumerate(cases)],
+            "i int, content binary",
+        )
+        got = {
+            r.i: r.kind
+            for r in df.select(
+                "i", sniff_kind_col(F.col("content")).alias("kind")
+            ).collect()
+        }
+        for i, (_, want) in enumerate(cases):
+            assert got[i] == want, (i, got[i], want)
+
+    def test_stays_jvm_side(self, spark):
+        from pyspark.sql import Row
+
+        import pyspark.sql.functions as F
+
+        from reader_spark.ops.multimodal import sniff_kind_col
+        from tests.test_plans import plan_of
+
+        df = spark.createDataFrame([Row(content=b"x")], "content binary")
+        plan = plan_of(df.select(sniff_kind_col(F.col("content"))))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

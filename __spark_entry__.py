@@ -2634,6 +2634,68 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: OLS slope of log10(freq) on
+    log10(rank) (natural text ~ -1; a synthetic/boilerplate corpus
+    deviates — a cheap corpus-health fingerprint). Composes the token
+    explode with grouped_linreg's mergeable sufficient statistics; ranks
+    are a TakeOrdered-sized vocabulary table, not corpus rows."""
+    from pyspark.sql import Window
+
+    from reader_spark.ops.profile import grouped_linreg
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+                " ",
+            )
+        ).alias("term")
+    ).where(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), "term")
+    ranked = freq.withColumn("rank", F.row_number().over(w)).select(
+        F.lit("corpus").alias("g"),
+        F.round(F.log10("rank"), 9).alias("x"),
+        F.round(F.log10("freq"), 9).alias("y"),
+    )
+    return grouped_linreg(ranked, ["g"], "x", "y").select(
+        "n", "slope", "intercept", "r2"
+    )
+
+
+def _q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse's FK edges —
+    the data-quality check a 100 TB ingest runs before joins are trusted:
+    per FK, child rows whose key has no parent (left anti + 1-row count,
+    each FK an independent key-bounded join)."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+
+    def violations(child, key, parent, pkey, name):
+        return (
+            child.select(F.col(key).alias("k"))
+            .join(parent.select(F.col(pkey).alias("k")), "k", "left_anti")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            )
+        )
+
+    return (
+        violations(orders, "o_custkey", customer, "c_custkey", "orders.custkey")
+        .unionByName(
+            violations(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem.orderkey")
+        )
+        .unionByName(
+            violations(lineitem, "l_partkey", part, "p_partkey", "lineitem.partkey")
+        )
+    )
+
+
 def _q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte content-type sniffing over synthesized binary media
     (real JPEG/PNG/GIF/RIFF/PDF/ISO-BMFF headers prepended to the doc
@@ -3090,6 +3152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": _q_graph_degree_stats,
         "opq_encode_md5": _q_opq_encode_md5,
         "media_sniff": _q_media_sniff,
+        "zipf_fit": _q_zipf_fit,
+        "fk_audit": _q_fk_audit,
     })
 
 
@@ -5595,6 +5659,45 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM q QUALIFY rank <= 3
         """,
         "hits_domains": _hits_oracle(iterations=3),
+        "zipf_fit": """
+            WITH toks AS (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+                FROM documents
+            ),
+            freq AS (
+                SELECT term, count(*) AS freq FROM toks
+                WHERE term <> '' GROUP BY term
+            ),
+            pts AS (
+                SELECT round(log10(row_number() OVER (ORDER BY freq DESC, term)), 9) AS x,
+                       round(log10(freq), 9) AS y
+                FROM freq
+            ),
+            s AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+                FROM pts
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+                   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+            FROM s
+        """,
+        "fk_audit": """
+            SELECT 'orders.custkey' AS fk, count(*) AS n_orphans
+            FROM orders o WHERE NOT EXISTS (
+                SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'lineitem.orderkey', count(*)
+            FROM lineitem l WHERE NOT EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'lineitem.partkey', count(*)
+            FROM lineitem l WHERE NOT EXISTS (
+                SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        """,
         "media_sniff": """
             WITH m(i, magic) AS (VALUES
                 (0, 'FFD8FF'), (1, '89504E470D0A1A0A'), (2, '47494638'),

@@ -57,3 +57,38 @@ class TestChecks:
         df = spark.createDataFrame([], schema="v string")
         r = check_completeness(df, "v").head()
         assert r.metric is None
+
+
+def test_fk_audit_detects_planted_orphans(spark, tmp_path):
+    """The fk_audit driver query reports 0 orphans on the consistent
+    warehouse; this pins that the same anti-join construction DOES count
+    violations when they exist (audit has detection power, the zeros are
+    earned)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    clean = {r["fk"]: r["n_orphans"] for r in e.queries()["fk_audit"](spark, sf).collect()}
+    assert set(clean.values()) == {0}
+
+    # corrupt a copy: point 5 orders at nonexistent customers
+    d = str(tmp_path / "sfbad")
+    import os, shutil
+    os.makedirs(d)
+    for t in ("orders", "customer", "lineitem", "part"):
+        shutil.copytree(f"{sf}/{t}.parquet", f"{d}/{t}.parquet") if os.path.isdir(
+            f"{sf}/{t}.parquet"
+        ) else shutil.copy(f"{sf}/{t}.parquet", f"{d}/{t}.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    bad = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 300 == 0, F.lit(10_000_000)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    import os as _os
+    _os.remove(f"{d}/orders.parquet") if _os.path.isfile(f"{d}/orders.parquet") else shutil.rmtree(f"{d}/orders.parquet")
+    bad.write.parquet(f"{d}/orders.parquet")
+    dirty = {r["fk"]: r["n_orphans"] for r in e.queries()["fk_audit"](spark, d).collect()}
+    assert dirty["orders.custkey"] > 0
+    assert dirty["lineitem.partkey"] == 0  # untouched FK stays clean

@@ -2634,6 +2634,44 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user temporal burstiness: coefficient of variation of
+    inter-event gaps (CV≈1 Poisson, >1 bursty, <1 regular — Goh &
+    Barabasi 2008) plus the Barabasi burstiness index B=(cv-1)/(cv+1).
+    The crawl-politeness / bot-detection traffic-shape diagnostic. One
+    user-partitioned lag window + one map-side-combined aggregate; users
+    with <3 events (no gap variance) are excluded."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            # ts is TIMESTAMP_NTZ: cast via "timestamp" before "double"
+            (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.col("prev_ts").cast("timestamp").cast("double")
+            ).alias("gap"),
+        )
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("gap").alias("mean_gap"),
+        F.stddev_samp("gap").alias("sd_gap"),
+    )
+    cv = F.round(F.col("sd_gap") / F.col("mean_gap"), 9)
+    return stats.where(F.col("n_gaps") >= 2).select(
+        "user_id",
+        "n_gaps",
+        F.round("mean_gap", 6).alias("mean_gap"),
+        F.round(cv, 6).alias("cv"),
+        F.round((cv - 1) / (cv + 1), 6).alias("burstiness"),
+    )
+
+
 def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit of the corpus vocabulary: OLS slope of log10(freq) on
     log10(rank) (natural text ~ -1; a synthetic/boilerplate corpus
@@ -3154,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_sniff": _q_media_sniff,
         "zipf_fit": _q_zipf_fit,
         "fk_audit": _q_fk_audit,
+        "user_burstiness": _q_user_burstiness,
     })
 
 
@@ -5659,6 +5698,26 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM q QUALIFY rank <= 3
         """,
         "hits_domains": _hits_oracle(iterations=3),
+        "user_burstiness": """
+            WITH gaps AS (
+                SELECT user_id,
+                       epoch(ts) - epoch(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       )) AS gap
+                FROM events
+            ),
+            stats AS (
+                SELECT user_id, count(*) AS n_gaps,
+                       avg(gap) AS mean_gap, stddev_samp(gap) AS sd_gap
+                FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+                   round(mean_gap, 6) AS mean_gap,
+                   round(round(sd_gap / mean_gap, 9), 6) AS cv,
+                   round((round(sd_gap / mean_gap, 9) - 1)
+                         / (round(sd_gap / mean_gap, 9) + 1), 6) AS burstiness
+            FROM stats WHERE n_gaps >= 2
+        """,
         "zipf_fit": """
             WITH toks AS (
                 SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term

@@ -281,6 +281,35 @@ def main() -> None:
     )
     results["incremental_query_prebuilt_index"] = round(time.monotonic() - t0, 3)
 
+    # - IVFADC search over the prebuilt cell-partitioned index (build is
+    #   the untimed ingest step; queries only touch probed cells)
+    from reader_spark.ops.ann import (
+        ivfadc_encode,
+        ivfadc_search,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = train_ivf_centroids(emb, n_cells=8, iters=1)
+    codebooks = train_pq_codebooks(emb, m=8, k=16, iters=1)
+    ann_idx_path = os.path.join(BENCH_DIR, "ivfadc_index")
+    ivfadc_encode(emb, centroids, codebooks).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(ann_idx_path)
+    t0 = time.monotonic()
+    run_noop(
+        ivfadc_search(
+            spark.read.parquet(ann_idx_path),
+            emb.limit(32),
+            centroids,
+            codebooks,
+            k=10,
+            nprobe=2,
+        )
+    )
+    results["ivfadc_query_prebuilt_index"] = round(time.monotonic() - t0, 3)
+
     # Calibration lines IMMEDIATELY around the headline timing — the r1
     # number paired a calibration measured minutes earlier with an
     # extraction measured after the 41-query block, so VM phase drift

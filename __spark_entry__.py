@@ -2634,6 +2634,16 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragmentation report over the 512-token packing: sequence count,
+    segment count, mean fill, fraction of docs split across sequences —
+    the numbers that pick seq_len for a training run."""
+    from reader_spark.ops.packing import pack_sequences, packing_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return packing_stats(pack_sequences(docs, "doc_id", "text", 512), 512)
+
+
 def _q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user temporal burstiness: coefficient of variation of
     inter-event gaps (CV≈1 Poisson, >1 bursty, <1 regular — Goh &
@@ -3193,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _q_zipf_fit,
         "fk_audit": _q_fk_audit,
         "user_burstiness": _q_user_burstiness,
+        "packing_stats": _q_packing_stats,
     })
 
 
@@ -5698,6 +5709,43 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM q QUALIFY rank <= 3
         """,
         "hits_domains": _hits_oracle(iterations=3),
+        "packing_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS n
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, n,
+                       CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s,
+                       CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+                FROM toks
+            ),
+            seg AS (
+                SELECT doc_id,
+                       CAST(unnest(generate_series(s // 512, (e - 1) // 512)) AS BIGINT) AS seq_id,
+                       s, e
+                FROM cum WHERE n > 0
+            ),
+            segs AS (
+                SELECT doc_id, seq_id,
+                       least(e, (seq_id + 1) * 512)
+                       - greatest(s, seq_id * 512) AS n_tokens
+                FROM seg
+            ),
+            per_seq AS (
+                SELECT seq_id, sum(n_tokens) AS fill, count(*) AS segs
+                FROM segs GROUP BY 1
+            ),
+            per_doc AS (
+                SELECT doc_id, count(*) AS parts FROM segs GROUP BY 1
+            )
+            SELECT (SELECT count(*) FROM per_seq) AS n_sequences,
+                   (SELECT CAST(sum(segs) AS BIGINT) FROM per_seq) AS n_segments,
+                   (SELECT round(avg(fill / 512.0), 6) FROM per_seq) AS mean_fill,
+                   (SELECT round(sum(CASE WHEN parts > 1 THEN 1 ELSE 0 END) * 1.0
+                                 / count(*), 6) FROM per_doc) AS pct_docs_split
+        """,
         "user_burstiness": """
             WITH gaps AS (
                 SELECT user_id,

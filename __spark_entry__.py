@@ -2634,6 +2634,52 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift: KL(P_source || P_corpus) in bits over
+    unigram distributions — the distribution-shift alarm for a feed
+    whose content changed (spam flood, language flip, template rot).
+    One token explode feeds source-level and corpus-level counts (the
+    corpus totals join back on term); round-9 terms, round-6 sum."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+                " ",
+            )
+        ).alias("term"),
+    ).where(F.col("term") != "").localCheckpoint(eager=False)
+    src_counts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+    corpus_counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_c"))
+    src_tot = src_counts.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    corpus_tot = F.broadcast(
+        corpus_counts.agg(F.sum("c_c").alias("n_c"))
+    )
+    terms = (
+        src_counts.join(corpus_counts, "term")
+        .join(src_tot, "source")
+        .crossJoin(corpus_tot)
+        .withColumn(
+            "t",
+            F.round(
+                (F.col("c_s") / F.col("n_s"))
+                * F.log2(
+                    (F.col("c_s") / F.col("n_s"))
+                    / (F.col("c_c") / F.col("n_c"))
+                ),
+                9,
+            ),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum("t"), 6).alias("kl_bits"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
 def _q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fragmentation report over the 512-token packing: sequence count,
     segment count, mean fill, fraction of docs split across sequences —
@@ -3204,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_audit": _q_fk_audit,
         "user_burstiness": _q_user_burstiness,
         "packing_stats": _q_packing_stats,
+        "source_vocab_kl": _q_source_vocab_kl,
     })
 
 
@@ -5709,6 +5756,31 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM q QUALIFY rank <= 3
         """,
         "hits_domains": _hits_oracle(iterations=3),
+        "source_vocab_kl": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+                FROM documents
+            ),
+            tk AS (SELECT source, term FROM toks WHERE term <> ''),
+            sc AS (SELECT source, term, count(*) AS c_s FROM tk GROUP BY 1, 2),
+            cc AS (SELECT term, count(*) AS c_c FROM tk GROUP BY 1),
+            stot AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+            ctot AS (SELECT CAST(sum(c_c) AS BIGINT) AS n_c FROM cc),
+            terms AS (
+                SELECT sc.source,
+                       round((sc.c_s * 1.0 / st.n_s)
+                             * log2((sc.c_s * 1.0 / st.n_s)
+                                    / (cc.c_c * 1.0 / ct.n_c)), 9) AS t
+                FROM sc
+                JOIN cc USING (term)
+                JOIN stot st USING (source)
+                CROSS JOIN ctot ct
+            )
+            SELECT source, round(sum(t), 6) AS kl_bits,
+                   count(*) AS n_terms
+            FROM terms GROUP BY source
+        """,
         "packing_stats": """
             WITH toks AS (
                 SELECT doc_id,

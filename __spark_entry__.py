@@ -2634,6 +2634,53 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_token_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data pyramid: how many TOKENS live in each quality quintile —
+    the planning artifact for quality-thresholded training mixes ("how
+    much data survives a cut at tier k?"). Quality = stopword_ratio
+    (fluency proxy, oracle-proven column); tier edges from ONE exact
+    percentile aggregate (no global sort), binning scan-local against
+    the broadcast edge array; per-tier doc and token sums map-side
+    combined. Cumulative share gives the survival curve."""
+    from pyspark.sql import Window
+
+    from reader_spark.ops.textstats import stopword_ratio_col, token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.round(stopword_ratio_col(F.col("text")), 9).alias("q"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    edges = scored.agg(
+        F.expr(
+            "transform(percentile(q, array(0.2, 0.4, 0.6, 0.8)), e -> round(e, 9))"
+        ).alias("__edges")
+    )
+    tier = F.size(
+        F.filter(F.col("__edges"), lambda e: F.col("q") > e)
+    ).cast("long")
+    tiers = (
+        scored.crossJoin(F.broadcast(edges))
+        .groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy(F.desc("tier")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.broadcast(tiers.agg(F.sum("n_tokens").alias("__total")))
+    return (
+        tiers.crossJoin(total)
+        .withColumn(
+            "cum_token_share",
+            F.round(F.sum("n_tokens").over(w) / F.col("__total"), 6),
+        )
+        .select("tier", "n_docs", "n_tokens", "cum_token_share")
+    )
+
+
 def _q_source_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary drift: KL(P_source || P_corpus) in bits over
     unigram distributions — the distribution-shift alarm for a feed
@@ -3251,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_burstiness": _q_user_burstiness,
         "packing_stats": _q_packing_stats,
         "source_vocab_kl": _q_source_vocab_kl,
+        "quality_token_pyramid": _q_quality_token_pyramid,
     })
 
 
@@ -5756,6 +5804,36 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM q QUALIFY rank <= 3
         """,
         "hits_domains": _hits_oracle(iterations=3),
+        "quality_token_pyramid": f"""
+            WITH scored AS (
+                SELECT round(len(list_intersect(
+                           list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                           [{_EN_STOPS}]))
+                       / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), 1),
+                       9) AS q,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                FROM documents
+            ),
+            e AS (
+                SELECT list_transform(
+                    quantile_cont(q, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 9)
+                ) AS edges
+                FROM scored
+            ),
+            tiers AS (
+                SELECT CAST(len(list_filter(e.edges, t -> s.q > t)) AS BIGINT) AS tier,
+                       count(*) AS n_docs,
+                       CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens
+                FROM scored s, e GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM tiers)
+            SELECT tier, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+                   round(sum(n_tokens) OVER (
+                       ORDER BY tier DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) / tot.total, 6) AS cum_token_share
+            FROM tiers, tot
+        """,
         "source_vocab_kl": """
             WITH toks AS (
                 SELECT source,

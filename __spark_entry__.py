@@ -2634,6 +2634,26 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rate_limit_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time token-bucket politeness replay (T2 depth): capacity 3,
+    refill 1e-5 tokens/s — per user, the initial burst is admitted, then
+    admission tracks the refill budget (about a third of events denied
+    at this corpus's event density, so both branches are exercised).
+    applyInPandas sequential recurrence (ewma-style justification);
+    oracle = DuckDB recursive CTE replaying the identical INTEGER
+    micro-token recurrence (no floats anywhere in the state).
+    Reported as the per-user admission rollup."""
+    from reader_spark.ops.ratelimit import (
+        admission_summary,
+        token_bucket_admission,
+    )
+
+    events = _read(spark, sf_dir, "events")
+    return admission_summary(
+        token_bucket_admission(events, capacity_tokens=3, us_per_unit=100_000)
+    )
+
+
 def _q_quality_token_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data pyramid: how many TOKENS live in each quality quintile —
     the planning artifact for quality-thresholded training mixes ("how
@@ -3299,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_stats": _q_packing_stats,
         "source_vocab_kl": _q_source_vocab_kl,
         "quality_token_pyramid": _q_quality_token_pyramid,
+        "rate_limit_admission": _q_rate_limit_admission,
     })
 
 
@@ -5804,6 +5825,39 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM q QUALIFY rank <= 3
         """,
         "hits_domains": _hits_oracle(iterations=3),
+        "rate_limit_admission": """
+            WITH RECURSIVE ev AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ) AS idx
+                FROM events
+            ),
+            rec AS (
+                SELECT user_id, idx, ts_us,
+                       TRUE AS admitted,
+                       CAST(3000000 - 1000000 AS BIGINT) AS token_units
+                FROM ev WHERE idx = 1
+                UNION ALL
+                SELECT e.user_id, e.idx, e.ts_us,
+                       pre >= 1000000 AS admitted,
+                       CAST(CASE WHEN pre >= 1000000 THEN pre - 1000000
+                            ELSE pre END AS BIGINT) AS token_units
+                FROM rec r
+                JOIN ev e ON e.user_id = r.user_id AND e.idx = r.idx + 1,
+                LATERAL (
+                    SELECT least(3000000,
+                                 r.token_units + (e.ts_us - r.ts_us) // 100000) AS pre
+                ) p
+            )
+            SELECT user_id,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+                   CAST(sum(CASE WHEN admitted THEN 0 ELSE 1 END) AS BIGINT) AS n_denied,
+                   round(sum(CASE WHEN admitted THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS admit_rate
+            FROM rec GROUP BY user_id
+        """,
         "quality_token_pyramid": f"""
             WITH scored AS (
                 SELECT round(len(list_intersect(

@@ -1866,3 +1866,57 @@ class TestMediaSniff:
         df = spark.createDataFrame([Row(content=b"x")], "content binary")
         plan = plan_of(df.select(sniff_kind_col(F.col("content"))))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestTokenBucket:
+    def _events(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        base = dt.datetime(2024, 1, 1)
+        secs = [0, 1, 2, 3, 500_000, 500_001]
+        return spark.createDataFrame(
+            [Row(user_id=1, event_id=i, ts=base + dt.timedelta(seconds=s))
+             for i, s in enumerate(secs)]
+        )
+
+    def test_burst_then_refill(self, spark):
+        from reader_spark.ops.ratelimit import token_bucket_admission
+
+        out = {
+            r.event_id: r
+            for r in token_bucket_admission(
+                self._events(spark), capacity_tokens=3, us_per_unit=100_000
+            ).collect()
+        }
+        # initial burst: capacity admits the first 3, 4th denied
+        assert [out[i].admitted for i in range(4)] == [True, True, True, False]
+        # long gap refills to capacity (500000s * 10 units/s >> cap)
+        assert out[4].admitted and out[4].token_units == 2_000_000
+        assert out[5].admitted  # 1s adds 10 units; 2.00001 tokens >= 1
+
+    def test_keys_independent(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        from reader_spark.ops.ratelimit import admission_summary, token_bucket_admission
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [Row(user_id=u, event_id=u * 10 + i, ts=base + dt.timedelta(seconds=i))
+                for u in (1, 2) for i in range(5)]
+        s = {
+            r.user_id: (r.n_admitted, r.n_denied)
+            for r in admission_summary(
+                token_bucket_admission(spark.createDataFrame(rows))
+            ).collect()
+        }
+        # identical traffic -> identical independent decisions per key
+        assert s[1] == s[2] == (3, 2)
+
+    def test_integer_state_never_floats(self, spark):
+        from reader_spark.ops.ratelimit import token_bucket_admission
+
+        df = token_bucket_admission(self._events(spark))
+        assert dict(df.dtypes)["token_units"] == "bigint"

@@ -118,3 +118,88 @@ def near_dup_flags_stream(
             F.min("__old_doc").alias("sample_old_doc"),
         )
     )
+
+
+def rate_limited_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    capacity_tokens: int = 3,
+    us_per_unit: int = 100_000,
+) -> DataFrame:
+    """Streaming twin of ops/ratelimit.token_bucket_admission: per-key
+    event-time token bucket via applyInPandasWithState — the live
+    politeness/quota gate (T2) with the SAME integer micro-token
+    recurrence as the oracle-checked batch replay, so a replayed stream
+    reproduces the batch decisions event-for-event (pinned by pytest).
+
+    State per key = (token_units, last_ts_us): two BIGINTs regardless of
+    history length. Events are processed in (ts, id) order WITHIN a
+    micro-batch; cross-batch order is arrival order — the same
+    at-ingest semantics as any online limiter (the batch op is the
+    deterministic re-audit)."""
+    from typing import Any, Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..ops.ratelimit import TOKEN
+
+    cap_units = capacity_tokens * TOKEN
+    out_schema = "user_id long, event_id long, ts_us long, admitted boolean, token_units long"
+    state_schema = "units long, last_us long"
+
+    def admit(
+        key: tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeouts configured
+            state.remove()
+            return
+        units, last_us = state.get if state.exists else (cap_units, None)
+        if last_us == -1:  # sentinel for "no prior event" across restarts
+            last_us = None
+        for batch in batches:
+            batch = batch.sort_values(["ts_us", "event_id"])
+            ids, tss, admitted, balances = [], [], [], []
+            for eid, ts_us in zip(batch["event_id"], batch["ts_us"]):
+                ts_us = int(ts_us)
+                if last_us is not None:
+                    units = min(cap_units, units + (ts_us - last_us) // us_per_unit)
+                last_us = ts_us
+                if units >= TOKEN:
+                    units -= TOKEN
+                    admitted.append(True)
+                else:
+                    admitted.append(False)
+                ids.append(int(eid))
+                tss.append(ts_us)
+                balances.append(units)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "user_id": pd.Series([user_id] * len(ids), dtype="int64"),
+                        "event_id": pd.Series(ids, dtype="int64"),
+                        "ts_us": pd.Series(tss, dtype="int64"),
+                        "admitted": pd.Series(admitted, dtype="bool"),
+                        "token_units": pd.Series(balances, dtype="int64"),
+                    }
+                )
+        state.update((int(units), int(last_us) if last_us is not None else -1))
+
+    narrow = events.select(
+        F.col(key_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    )
+    return narrow.groupBy("user_id").applyInPandasWithState(
+        admit,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

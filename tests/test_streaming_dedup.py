@@ -108,3 +108,50 @@ def test_stream_banding_matches_batch_index_recipe(spark):
     # every doc matches ITSELF (and only itself) on all 16 bands —
     # bit-identical banding between the per-row and explode/groupBy forms
     assert flags == {i: (16, i) for i in range(5)}
+
+
+def test_stream_rate_limiter_matches_batch_replay(spark, tmp_path):
+    """The streaming token bucket (applyInPandasWithState) must reproduce
+    the oracle-checked batch replay decision-for-decision on the same
+    (ordered) input — integer micro-token state, no float divergence."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from reader_spark.ops.ratelimit import token_bucket_admission
+    from reader_spark.streaming.dedup_stream import rate_limited_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=u, event_id=u * 100 + i,
+            ts=base + dt.timedelta(seconds=i * gap))
+        for u, gap in ((1, 1), (2, 60_000), (3, 200_000))
+        for i in range(8)
+    ]
+    src = str(tmp_path / "rl_stream")
+    spark.createDataFrame(rows).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, event_id long, ts timestamp").parquet(src)
+    q = (
+        rate_limited_stream(stream)
+        .writeStream.format("memory")
+        .queryName("rl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        (r.user_id, r.event_id, r.admitted, r.token_units)
+        for r in spark.sql("select * from rl_out").collect()
+    )
+    batch = sorted(
+        (r.user_id, r.event_id, r.admitted, r.token_units)
+        for r in token_bucket_admission(spark.createDataFrame(rows)).collect()
+    )
+    assert streamed == batch and len(streamed) == 24
+    # both admission outcomes occur (bursty user 1 gets denials,
+    # slow user 3 gets all admits)
+    outcomes = {u: [a for (uu, _e, a, _t) in streamed if uu == u] for u in (1, 3)}
+    assert False in outcomes[1] and all(outcomes[3])

@@ -1,0 +1,98 @@
+"""SemDeDup: semantic deduplication via k-means cells + within-cell cosine.
+
+Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication" (arXiv:2303.09540). The paper's trick is exactly the
+one that makes this 100 TB-safe: pairwise cosine is computed ONLY within a
+k-means cluster, never across the corpus. With k grown proportionally to N
+the expected cell size stays constant, so the per-cell self-join is bounded
+quadratic work on a key-bounded shuffle (equi-join on `cell`) — no all-pairs
+cartesian anywhere in the plan.
+
+Keeper rule (deterministic variant of the paper's random exemplar): a vector
+is pruned iff a LOWER-id vector in the same cell has cosine >= tau with it.
+The lowest-id member of every semantic-duplicate neighborhood therefore
+survives, and the rule is engine-portable (no RNG), which is what lets the
+DuckDB oracle replay it value-for-value.
+
+Reference behavior analog: vakra-dev/reader dedups fetched pages by URL
+identity only (src/crawler.ts visited set); this operator is the
+corpus-curation generalization a training pipeline needs downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from reader_spark.ops.ann import cosine_col, ivf_assign
+
+__all__ = ["semdedup", "semdedup_summary"]
+
+
+def semdedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector SemDeDup verdict: (vec_id, cell, keep).
+
+    `centroids` are literal driver-side constants (from
+    `ann.train_ivf_centroids` or a seeded rule), so cell assignment is a
+    shuffle-free JVM expression. The only shuffle is the cell equi-join;
+    cosine rounds to 4 decimals before the tau compare (engine-portable,
+    same convention as ops.dedup.embedding_near_pairs_bucketed).
+
+    At scale: write `ivf_assign`'s output partitioned by cell once, and the
+    self-join becomes a co-partitioned join with no re-shuffle of the fact.
+    """
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    left = assigned.select(
+        F.col("corpus_id").alias("vec_id"),
+        F.col("corpus_vec").alias("v"),
+        "cell",
+    )
+    right = assigned.select(
+        F.col("corpus_id").alias("nbr_id"),
+        F.col("corpus_vec").alias("nbr_v"),
+        "cell",
+    )
+    pruned = (
+        left.join(right, "cell")
+        .where(F.col("nbr_id") < F.col("vec_id"))
+        .where(F.round(cosine_col(F.col("v"), F.col("nbr_v")), 4) >= F.lit(tau))
+        .select("vec_id")
+        .distinct()
+        .withColumn("__pruned", F.lit(1))
+    )
+    return (
+        left.join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("__pruned").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )
+
+
+def semdedup_summary(verdicts: DataFrame) -> DataFrame:
+    """Per-cell prune accounting: cell size, kept, pruned, prune_rate."""
+    return (
+        verdicts.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("keep").alias("n_kept"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            F.col("n_kept").cast("long").alias("n_kept"),
+            (F.col("n_vectors") - F.col("n_kept")).cast("long").alias("n_pruned"),
+            F.round(
+                (F.col("n_vectors") - F.col("n_kept")) / F.col("n_vectors"), 6
+            ).alias("prune_rate"),
+        )
+    )

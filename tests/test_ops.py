@@ -1920,3 +1920,56 @@ class TestTokenBucket:
 
         df = token_bucket_admission(self._events(spark))
         assert dict(df.dtypes)["token_units"] == "bigint"
+
+
+class TestSemDeDup:
+    """SemDeDup (Abbas et al. 2023): cell-bounded semantic prune."""
+
+    def _emb(self, spark):
+        from pyspark.sql import Row
+
+        rows = []
+        # two near-identical pairs (semantic dups) + orthogonal singletons
+        rows.append(Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]))
+        rows.append(Row(vec_id=1, embedding=[0.999, 0.01, 0.0, 0.0]))
+        rows.append(Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]))
+        rows.append(Row(vec_id=3, embedding=[0.01, 0.999, 0.0, 0.0]))
+        rows.append(Row(vec_id=4, embedding=[0.0, 0.0, 1.0, 0.0]))
+        rows.append(Row(vec_id=5, embedding=[0.0, 0.0, 0.0, 1.0]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_lowest_id_exemplar_survives(self, spark):
+        from reader_spark.ops.semdedup import semdedup
+
+        cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                 [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+        got = {r.vec_id: r for r in semdedup(self._emb(spark), cents, tau=0.9).collect()}
+        assert got[0].keep == 1 and got[1].keep == 0  # dup pair, min id kept
+        assert got[2].keep == 1 and got[3].keep == 0
+        assert got[4].keep == 1 and got[5].keep == 1  # singletons survive
+
+    def test_cross_cell_pairs_never_compared(self, spark):
+        """Vectors in different cells are never pruned against each other,
+        even at tau=0 — the cell equi-join IS the candidate bound."""
+        from reader_spark.ops.semdedup import semdedup
+
+        cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                 [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+        got = {r.vec_id: r.keep for r in semdedup(self._emb(spark), cents, tau=-1.0).collect()}
+        # within-cell lower-id wins; cross-cell ids untouched
+        assert got[0] == 1 and got[1] == 0
+        assert got[2] == 1 and got[3] == 0
+        assert got[4] == 1 and got[5] == 1
+
+    def test_summary_accounting(self, spark):
+        from reader_spark.ops.semdedup import semdedup, semdedup_summary
+
+        cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                 [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+        s = {r.cell: r for r in semdedup_summary(
+            semdedup(self._emb(spark), cents, tau=0.9)).collect()}
+        assert s[0].n_vectors == 2 and s[0].n_pruned == 1
+        assert abs(s[0].prune_rate - 0.5) < 1e-9
+        assert s[2].n_pruned == 0 and s[3].n_pruned == 0

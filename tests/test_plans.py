@@ -321,3 +321,15 @@ def test_sharded_packing_partitions_by_shard(spark):
 
     plan = plan_of(entrymod.queries()["sequence_packing_sharded"](spark, SF_DIR))
     assert "hashpartitioning(shard" in plan
+
+
+def test_semdedup_cell_equijoin_no_cartesian(spark):
+    """SemDeDup's within-cell prune must be a cell equi-join — never an
+    all-pairs cross product (the paper's own scale argument)."""
+    from reader_spark.ops.semdedup import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [[float(i == j) for j in range(64)] for i in range(4)]
+    plan = plan_of(semdedup(emb, cents, tau=0.35))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

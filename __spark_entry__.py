@@ -3126,6 +3126,23 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, centroids, tau=0.35)
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023): per-document log importance weights for
+    selecting raw-corpus docs that match a target distribution (here:
+    the English subset poses as the high-quality target). Hashed
+    unigram+bigram models (256 buckets, portable md5 hash) for target p
+    and raw q; log w(d) = Σ c_{d,f}(ln p_f − ln q_f), add-1 smoothed.
+    The model is a 256-row broadcast dim; scoring is two map-side-combined
+    counts + one broadcast join — no global sort, no Python. Resampling
+    step = ops.sampling.weighted_sample downstream."""
+    from reader_spark.ops.dsir import dsir_log_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, "doc_id", "text", target=F.col("lang") == "en", buckets=256
+    )
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3343,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_token_pyramid": _q_quality_token_pyramid,
         "rate_limit_admission": _q_rate_limit_admission,
         "semdedup": _q_semdedup,
+        "dsir_weights": _q_dsir_weights,
     })
 
 
@@ -6330,5 +6348,39 @@ def _oracle_sql_entries() -> dict[str, str]:
                          AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
                    ) THEN 0 ELSE 1 END AS keep
             FROM corpus a
+        """,
+        "dsir_weights": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                                   t -> t <> '') AS l
+                FROM documents
+            ),
+            uni AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5('dsir1:' || t.g), 1, 8)) AS BIGINT) % 256 AS bucket
+                FROM toks, unnest(l) AS t(g)
+            ),
+            bi AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5('dsir2:' || p[1] || ' ' || p[2]), 1, 8)) AS BIGINT) % 256 AS bucket
+                FROM toks, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z(p)
+            ),
+            feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+            raw AS (SELECT bucket, count(*) AS c_r FROM feats GROUP BY 1),
+            tgt AS (SELECT bucket, count(*) AS c_t FROM feats WHERE lang = 'en' GROUP BY 1),
+            tot AS (SELECT (SELECT sum(c_r) FROM raw) AS n_r,
+                           (SELECT sum(c_t) FROM tgt) AS n_t),
+            dim AS (
+                SELECT r.bucket,
+                       round(ln((COALESCE(t.c_t, 0) + 1) * 1.0 / (tot.n_t + 256))
+                             - ln((r.c_r + 1) * 1.0 / (tot.n_r + 256)), 9) AS log_ratio
+                FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot
+            ),
+            dc AS (SELECT doc_id, bucket, count(*) AS c_df FROM feats GROUP BY 1, 2)
+            SELECT doc_id, CAST(sum(c_df) AS BIGINT) AS n_feats,
+                   round(sum(CAST(round(c_df * log_ratio * 1e9) AS BIGINT)) / 1e9, 6) AS log_w
+            FROM dc JOIN dim USING (bucket)
+            GROUP BY doc_id
         """,
     }

@@ -1973,3 +1973,43 @@ class TestSemDeDup:
         assert s[0].n_vectors == 2 and s[0].n_pruned == 1
         assert abs(s[0].prune_rate - 0.5) < 1e-9
         assert s[2].n_pruned == 0 and s[3].n_pruned == 0
+
+
+class TestDsir:
+    """DSIR importance weights (Xie et al. 2023, hashed n-gram models)."""
+
+    def test_target_lookalikes_outrank(self, spark):
+        """Docs drawn from the target distribution score higher log_w than
+        docs from a disjoint-vocabulary distribution."""
+        from pyspark.sql import Row, functions as F
+
+        from reader_spark.ops.dsir import dsir_log_weights
+
+        rows = []
+        for i in range(20):
+            rows.append(Row(doc_id=i, text="the quick brown fox jumps over the lazy dog", tag="t"))
+        for i in range(20, 40):
+            rows.append(Row(doc_id=i, text="zzz qqq xxx vvv kkk www jjj yyy nnn mmm", tag="r"))
+        # one raw doc that LOOKS like the target but is not labeled target
+        rows.append(Row(doc_id=99, text="the quick brown fox", tag="r"))
+        df = spark.createDataFrame(rows)
+        w = {r.doc_id: r.log_w for r in dsir_log_weights(
+            df, "doc_id", "text", target=F.col("tag") == "t", buckets=64).collect()}
+        assert w[99] > w[25]          # target-lookalike beats off-target
+        assert w[0] > w[25]           # actual target docs rank high too
+
+    def test_weights_deterministic_and_total_feats(self, spark):
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.dsir import dsir_log_weights, hashed_ngram_features
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = dsir_log_weights(docs, "doc_id", "text", F.col("lang") == "en")
+        b = dsir_log_weights(docs, "doc_id", "text", F.col("lang") == "en")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        # n_feats = unigrams + bigrams = n + (n-1) per doc with n >= 1 tokens
+        feats = hashed_ngram_features(docs.limit(1), "doc_id", "text")
+        n_uni = docs.limit(1).selectExpr(
+            "size(filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), t -> t != '')) n"
+        ).head()["n"]
+        assert feats.count() == 2 * n_uni - 1

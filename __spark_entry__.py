@@ -3143,6 +3143,48 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drift_arms(events: DataFrame) -> DataFrame:
+    """Drift-check input: the five real event types under a random
+    (user-parity) split — the detector's false-positive-rate check, all
+    five MUST stay quiet — plus one planted 'click_shifted' arm whose odd
+    users report 1.75x values (a feed that silently changed units), which
+    MUST fire. Both branches of the detector appear in one oracle."""
+    a = (F.col("user_id") % 2 == 0).alias("a")
+    base = events.select(F.col("event_type").alias("key"), F.col("value").alias("v"), a)
+    shifted = events.where(F.col("event_type") == "click").select(
+        F.lit("click_shifted").alias("key"),
+        F.when(F.col("user_id") % 2 == 0, F.col("value"))
+        .otherwise(F.round(F.col("value") * 1.75, 9))
+        .alias("v"),
+        a,
+    )
+    return base.unionByName(shifted)
+
+
+def _q_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key two-sample Kolmogorov-Smirnov drift check (exact tie-correct
+    ECDF max-gap + Smirnov's alpha=0.05 critical value): five real event
+    types under a random split stay quiet, the planted 1.75x-shifted arm
+    fires. All windows partition by the key — no global sort."""
+    from reader_spark.ops.drift import ks_two_sample
+
+    events = _read(spark, sf_dir, "events")
+    return ks_two_sample(_drift_arms(events), "key", "v", in_a=F.col("a"))
+
+
+def _q_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key Population Stability Index against decile bins of the
+    reference arm, add-1 smoothed (>0.2 = significant shift): quiet on the
+    five random splits, fires on the planted 1.75x arm. One exact
+    percentile aggregate per key (approx_percentile is the documented
+    100 TB swap), then scan-local binning; sparse bins are exact because
+    both-empty bins contribute 0 after smoothing."""
+    from reader_spark.ops.drift import psi_deciles
+
+    events = _read(spark, sf_dir, "events")
+    return psi_deciles(_drift_arms(events), "key", "v", in_ref=F.col("a"))
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3361,6 +3403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit_admission": _q_rate_limit_admission,
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
+        "value_ks_drift": _q_value_ks_drift,
+        "value_psi_drift": _q_value_psi_drift,
     })
 
 
@@ -6382,5 +6426,98 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round(sum(CAST(round(c_df * log_ratio * 1e9) AS BIGINT)) / 1e9, 6) AS log_w
             FROM dc JOIN dim USING (bucket)
             GROUP BY doc_id
+        """,
+        "value_ks_drift": """
+            WITH arms AS (
+                SELECT event_type AS key, value AS v, user_id % 2 = 0 AS a
+                FROM events
+                UNION ALL
+                SELECT 'click_shifted' AS key,
+                       CASE WHEN user_id % 2 = 0 THEN value
+                            ELSE round(value * 1.75, 9) END AS v,
+                       user_id % 2 = 0 AS a
+                FROM events WHERE event_type = 'click'
+            ),
+            pts AS (
+                SELECT key, v,
+                       count(*) FILTER (a) AS a_c,
+                       count(*) FILTER (NOT a) AS b_c
+                FROM arms GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT key,
+                       sum(a_c) OVER (PARTITION BY key ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                       sum(b_c) OVER (PARTITION BY key ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+                       sum(a_c) OVER (PARTITION BY key) AS n_a,
+                       sum(b_c) OVER (PARTITION BY key) AS n_b
+                FROM pts
+            ),
+            agg AS (
+                SELECT key,
+                       CAST(max(n_a) AS BIGINT) AS n_a,
+                       CAST(max(n_b) AS BIGINT) AS n_b,
+                       round(max(round(abs(ca * 1.0 / n_a - cb * 1.0 / n_b), 9)), 6) AS ks
+                FROM cum GROUP BY 1
+            )
+            SELECT key, n_a, n_b, ks,
+                   round(1.358 * sqrt((n_a + n_b) * 1.0 / (n_a * n_b)), 6) AS ks_crit,
+                   CASE WHEN ks > round(1.358 * sqrt((n_a + n_b) * 1.0 / (n_a * n_b)), 6)
+                        THEN 1 ELSE 0 END AS drifted
+            FROM agg
+        """,
+        "value_psi_drift": """
+            WITH arms AS (
+                SELECT event_type AS key, value AS v, user_id % 2 = 0 AS r
+                FROM events
+                UNION ALL
+                SELECT 'click_shifted' AS key,
+                       CASE WHEN user_id % 2 = 0 THEN value
+                            ELSE round(value * 1.75, 9) END AS v,
+                       user_id % 2 = 0 AS r
+                FROM events WHERE event_type = 'click'
+            ),
+            edges AS (
+                SELECT key,
+                       list_transform(
+                           quantile_cont(CASE WHEN r THEN v END,
+                                         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                           e -> round(e, 9)) AS ed
+                FROM arms GROUP BY 1
+            ),
+            binned AS (
+                SELECT e.key,
+                       len(list_filter(ed, x -> e.v > x)) AS bin,
+                       count(*) FILTER (e.r) AS r_c,
+                       count(*) FILTER (NOT e.r) AS c_c
+                FROM arms e JOIN edges g USING (key)
+                GROUP BY 1, 2
+            ),
+            sm AS (
+                SELECT key, r_c, c_c,
+                       sum(r_c) OVER (PARTITION BY key) AS n_ref,
+                       sum(c_c) OVER (PARTITION BY key) AS n_cur
+                FROM binned
+            ),
+            terms AS (
+                SELECT key, n_ref, n_cur,
+                       CAST(round(round(((r_c + 1) * 1.0 / (n_ref + 10)
+                                         - (c_c + 1) * 1.0 / (n_cur + 10))
+                                        * ln(((r_c + 1) * 1.0 / (n_ref + 10))
+                                             / ((c_c + 1) * 1.0 / (n_cur + 10))), 9)
+                                  * 1e9) AS BIGINT) AS u
+                FROM sm
+            ),
+            agg AS (
+                SELECT key,
+                       CAST(max(n_ref) AS BIGINT) AS n_ref,
+                       CAST(max(n_cur) AS BIGINT) AS n_cur,
+                       round(sum(u) / 1e9, 6) AS psi
+                FROM terms GROUP BY 1
+            )
+            SELECT key, n_ref, n_cur, psi,
+                   CASE WHEN psi > 0.2 THEN 1 ELSE 0 END AS drifted
+            FROM agg
         """,
     }

@@ -2013,3 +2013,55 @@ class TestDsir:
             "size(filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), t -> t != '')) n"
         ).head()["n"]
         assert feats.count() == 2 * n_uni - 1
+
+
+class TestDrift:
+    """KS / PSI drift detectors: quiet on same-distribution, fire on shift."""
+
+    def _arms(self, spark, mult):
+        from pyspark.sql import Row
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(800):
+            a = i % 2 == 0
+            v = rng.gauss(50, 10)
+            rows.append(Row(k="x", v=v if a else round(v * mult, 9), a=a))
+        return spark.createDataFrame(rows)
+
+    def test_ks_quiet_on_identical(self, spark):
+        from reader_spark.ops.drift import ks_two_sample
+        from pyspark.sql import functions as F
+
+        r = ks_two_sample(self._arms(spark, 1.0), "k", "v", F.col("a")).head()
+        assert r.drifted == 0 and r.ks <= r.ks_crit
+
+    def test_ks_fires_on_scale_shift(self, spark):
+        from reader_spark.ops.drift import ks_two_sample
+        from pyspark.sql import functions as F
+
+        r = ks_two_sample(self._arms(spark, 1.5), "k", "v", F.col("a")).head()
+        assert r.drifted == 1 and r.ks > r.ks_crit
+        assert r.n_a == 400 and r.n_b == 400
+
+    def test_psi_fires_and_quiet(self, spark):
+        from reader_spark.ops.drift import psi_deciles
+        from pyspark.sql import functions as F
+
+        quiet = psi_deciles(self._arms(spark, 1.0), "k", "v", F.col("a")).head()
+        loud = psi_deciles(self._arms(spark, 2.0), "k", "v", F.col("a")).head()
+        assert quiet.drifted == 0 and quiet.psi < 0.05
+        assert loud.drifted == 1 and loud.psi > 0.2
+
+    def test_ks_registered_query_fires_only_planted(self, spark):
+        """At sf0.01 (~1000/arm) the five random splits stay under the
+        alpha=0.05 critical value and only the planted 1.75x arm fires.
+        (At sf0.001's ~100/arm, chance exceedances are expected — that's
+        what the critical value means, not a detector bug.)"""
+        import __spark_entry__ as entry
+
+        got = {r.key: r.drifted for r in entry.queries()["value_ks_drift"](
+            spark, "/root/testdata/sf0.01").collect()}
+        assert got["click_shifted"] == 1
+        assert all(v == 0 for k, v in got.items() if k != "click_shifted")

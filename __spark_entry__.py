@@ -3185,6 +3185,33 @@ def _q_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_deciles(_drift_arms(events), "key", "v", in_ref=F.col("a"))
 
 
+def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    same deterministic domain link graph as pagerank/HITS/degree-stats.
+    Degree-oriented enumeration (Suri & Vassilvitskii 2011) — wedges form
+    only at each edge's lower-degree endpoint, so hub nodes cannot go
+    quadratic ('curse of the last reducer'); the oracle counts the same
+    triangles via the canonical a<b<c three-way join."""
+    from reader_spark.ops.graph import triangle_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    nsrc = docs.agg(F.countDistinct("source").alias("nsrc"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("link:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    edges = (
+        docs.crossJoin(F.broadcast(nsrc))
+        .select(
+            F.col("source").alias("src"),
+            F.concat(F.lit("src"), F.pmod(h, F.col("nsrc")).cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3405,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "value_ks_drift": _q_value_ks_drift,
         "value_psi_drift": _q_value_psi_drift,
+        "graph_triangles": _q_graph_triangles,
     })
 
 
@@ -6519,5 +6547,42 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT key, n_ref, n_cur, psi,
                    CASE WHEN psi > 0.2 THEN 1 ELSE 0 END AS drifted
             FROM agg
+        """,
+        "graph_triangles": """
+            WITH nsrc AS (SELECT count(DISTINCT source) AS n FROM documents),
+            edges0 AS (
+                SELECT DISTINCT source AS src,
+                       'src' || CAST(CAST(('0x' || substr(md5('link:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                     % (SELECT n FROM nsrc) AS VARCHAR) AS dst
+                FROM documents
+            ),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM edges0 WHERE src <> dst
+            ),
+            deg AS (
+                SELECT n, count(*) AS deg FROM (
+                    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
+                ) GROUP BY 1
+            ),
+            tri AS (
+                SELECT a.u AS x, a.v AS y, b.v AS z
+                FROM und a
+                JOIN und b ON a.v = b.u
+                JOIN und c ON c.u = a.u AND c.v = b.v
+            ),
+            pern AS (
+                SELECT n, count(*) AS t FROM (
+                    SELECT x AS n FROM tri
+                    UNION ALL SELECT y AS n FROM tri
+                    UNION ALL SELECT z AS n FROM tri
+                ) GROUP BY 1
+            )
+            SELECT d.n AS node, CAST(d.deg AS BIGINT) AS deg,
+                   CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+                   round(CASE WHEN d.deg >= 2
+                              THEN 2.0 * COALESCE(p.t, 0) / (d.deg * (d.deg - 1))
+                              ELSE 0 END, 6) AS clustering
+            FROM deg d LEFT JOIN pern p ON d.n = p.n
         """,
     }

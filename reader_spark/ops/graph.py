@@ -205,3 +205,79 @@ def hits(
             F.round("a", 6).alias("authority"),
         )
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient.
+
+    Degree-oriented triangle enumeration (Suri & Vassilvitskii 2011,
+    "Counting triangles and the curse of the last reducer"): every
+    undirected edge is oriented from its lower-(degree, id) endpoint to the
+    higher one, wedges are built only at each edge's SMALLER endpoint, and
+    each triangle closes exactly once. At web scale this is the standard
+    fix for the quadratic hub problem — a node with degree d contributes
+    O(d_oriented^2) wedges where d_oriented is bounded by O(sqrt(m)) under
+    this orientation, instead of d^2 at the hub. All joins are equi-joins
+    on node keys; no cartesian anywhere.
+
+    Input: directed (src, dst) edges; self-loops and duplicates dropped.
+    Output: (node, deg, n_triangles, clustering) with the usual
+    C(v) = 2T(v) / (deg(v) * (deg(v) - 1)).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = e1.join(e2, "a").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        und,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+    ).select("a", "x", "y")
+    per_node = (
+        closed.select(F.col("a").alias("n"))
+        .unionAll(closed.select(F.col("x").alias("n")))
+        .unionAll(closed.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(per_node, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0
+                    * F.coalesce(F.col("t"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )

@@ -133,3 +133,47 @@ class TestHits:
         empty = spark.createDataFrame([], "src string, dst string")
         with _pytest.raises(ValueError, match="empty"):
             hits(empty)
+
+
+class TestTriangles:
+    def _tc(self, spark, pairs):
+        from reader_spark.ops.graph import triangle_counts
+
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        return {r.node: r for r in triangle_counts(df).collect()}
+
+    def test_k4_every_node_in_three_triangles(self, spark):
+        nodes = ["a", "b", "c", "d"]
+        got = self._tc(spark, [(x, y) for x in nodes for y in nodes if x < y])
+        for n in nodes:
+            assert got[n].n_triangles == 3 and got[n].deg == 3
+            assert abs(got[n].clustering - 1.0) < 1e-9
+
+    def test_path_graph_has_none(self, spark):
+        got = self._tc(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        assert all(r.n_triangles == 0 for r in got.values())
+        assert got["b"].clustering == 0.0
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        got = self._tc(
+            spark, [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("a", "a")]
+        )
+        assert got["a"].n_triangles == 1 and got["a"].deg == 2
+
+    def test_matches_brute_force_on_seeded_graph(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(11)
+        nodes = [f"n{i}" for i in range(12)]
+        und = {tuple(sorted(p)) for p in itertools.combinations(nodes, 2) if rng.random() < 0.4}
+        want = {n: 0 for n in nodes}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if {tuple(sorted((a, b))), tuple(sorted((b, c))),
+                    tuple(sorted((a, c)))} <= und:
+                for n in (a, b, c):
+                    want[n] += 1
+        got = self._tc(spark, sorted(und))
+        for n in nodes:
+            if n in got:
+                assert got[n].n_triangles == want[n], n

@@ -3212,6 +3212,24 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def _q_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization of the embedding corpus: per-dim [min,max]
+    trained distributedly (posexplode + map-side-combined min/max, one-row
+    broadcast dim — never collected), codes = floor(round((v-mn)*255/
+    (mx-mn), 9)) per dimension. The 4x-per-dim memory rung below PQ;
+    oracle recomputes every code from the same range math in SQL."""
+    from reader_spark.ops.ann import sq8_encode, sq8_train_ranges
+
+    emb = _read(spark, sf_dir, "embeddings")
+    enc = sq8_encode(emb, sq8_train_ranges(emb))
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes_str"),
+    )
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3433,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_ks_drift": _q_value_ks_drift,
         "value_psi_drift": _q_value_psi_drift,
         "graph_triangles": _q_graph_triangles,
+        "embedding_sq8": _q_embedding_sq8,
     })
 
 
@@ -6584,5 +6603,26 @@ def _oracle_sql_entries() -> dict[str, str]:
                               THEN 2.0 * COALESCE(p.t, 0) / (d.deg * (d.deg - 1))
                               ELSE 0 END, 6) AS clustering
             FROM deg d LEFT JOIN pern p ON d.n = p.n
+        """,
+        "embedding_sq8": """
+            WITH dims AS (
+                SELECT r.i,
+                       min(e.embedding[r.i]::DOUBLE) AS mn,
+                       max(e.embedding[r.i]::DOUBLE) AS mx
+                FROM embeddings e, range(1, 65) r(i)
+                GROUP BY 1
+            ),
+            codes AS (
+                SELECT e.vec_id, d.i,
+                       CASE WHEN d.mx > d.mn
+                            THEN least(255, CAST(floor(round(
+                                 (e.embedding[d.i]::DOUBLE - d.mn) * 255.0
+                                 / (d.mx - d.mn), 9)) AS INTEGER))
+                            ELSE 0 END AS code
+                FROM embeddings e CROSS JOIN dims d
+            )
+            SELECT vec_id,
+                   string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS codes_str
+            FROM codes GROUP BY vec_id
         """,
     }

@@ -678,3 +678,71 @@ def opq_encode(
         ).alias("embedding"),
     )
     return pq_encode(transformed, codebooks, id_col=id_col, vec_col="embedding")
+
+
+def sq8_train_ranges(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension [min, max] ranges for SQ8 scalar quantization, as a
+    ONE-ROW dim frame (array<struct<mn,mx>> ordered by dimension).
+
+    Fully distributed: posexplode -> per-dim min/max with map-side combine
+    (the shuffle carries partitions x dim rows), re-assembled into a single
+    array row — never collected to the driver, broadcast-joined by the
+    encoder. This is the quantizer 'training' step of e.g. FAISS's
+    ScalarQuantizer QT_8bit (public API semantics, not its code).
+    """
+    return (
+        embeddings.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mn", "mx"))
+            ).alias("__rng")
+        )
+        .select(
+            F.transform(
+                F.col("__rng"), lambda s: F.struct(s.getField("mn").alias("mn"), s.getField("mx").alias("mx"))
+            ).alias("ranges")
+        )
+    )
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    ranges: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 encode: each float dimension to an int code in [0, 255] via
+    code = floor(round((v - mn) * 255 / (mx - mn), 9)), clamped; constant
+    dimensions (mx == mn) encode as 0. 4x memory cut per dimension vs
+    float32 (16x vs the double compute type) with rank-preserving error
+    bounded by the cell width — the cheap first rung below PQ/IVFADC.
+    Engine-portable: the round-9-before-floor keeps the integer codes
+    bit-identical across engines (same convention as zorder/sq twins).
+    """
+    code = lambda v, s: F.least(  # noqa: E731
+        F.lit(255),
+        F.floor(
+            F.round(
+                (v - s.getField("mn")) * 255.0 / (s.getField("mx") - s.getField("mn")),
+                9,
+            )
+        ),
+    ).cast("int")
+    return embeddings.crossJoin(F.broadcast(ranges)).select(
+        F.col(id_col),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("ranges"),
+            lambda v, s: F.when(
+                s.getField("mx") > s.getField("mn"), code(v, s)
+            ).otherwise(F.lit(0)),
+        ).alias("codes"),
+    )

@@ -2065,3 +2065,39 @@ class TestDrift:
             spark, "/root/testdata/sf0.01").collect()}
         assert got["click_shifted"] == 1
         assert all(v == 0 for k, v in got.items() if k != "click_shifted")
+
+
+class TestSq8:
+    def test_codes_bounds_and_reconstruction(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.ann import sq8_encode, sq8_train_ranges
+
+        rows = [
+            Row(vec_id=0, embedding=[0.0, -1.0, 5.0]),
+            Row(vec_id=1, embedding=[1.0, 1.0, 5.0]),
+            Row(vec_id=2, embedding=[0.5, 0.0, 5.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r.vec_id: r.codes for r in sq8_encode(df, sq8_train_ranges(df)).collect()}
+        assert got[0] == [0, 0, 0]        # mins -> 0; constant dim -> 0
+        assert got[1][0] == 255 and got[1][1] == 255  # maxes -> 255
+        assert got[2][0] == 127           # midpoint -> floor(127.5)
+        # reconstruction error < one cell width
+        mn, mx = 0.0, 1.0
+        width = (mx - mn) / 255
+        recon = mn + got[2][0] * width
+        assert abs(recon - 0.5) <= width
+
+    def test_corpus_codes_in_range_every_dim(self, spark):
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.ann import sq8_encode, sq8_train_ranges
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        enc = sq8_encode(emb, sq8_train_ranges(emb))
+        bad = enc.where(
+            F.exists(F.col("codes"), lambda c: (c < 0) | (c > 255))
+        ).count()
+        assert bad == 0
+        assert enc.count() == emb.count()

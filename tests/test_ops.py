@@ -2101,3 +2101,48 @@ class TestSq8:
         ).count()
         assert bad == 0
         assert enc.count() == emb.count()
+
+
+class TestWinnowing:
+    """Schleimer et al. 2003: shared runs >= w+k-1 tokens MUST share a
+    selected fingerprint; selection density ~ 2/(w+1)."""
+
+    def test_shared_run_guarantees_common_fingerprint(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.winnow import winnow_fingerprints
+
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 tokens
+        df = spark.createDataFrame([
+            Row(doc_id=1, text=f"one two three {shared} four five six"),
+            Row(doc_id=2, text=f"nine eight {shared} seven"),
+            Row(doc_id=3, text="totally different words everywhere here now"),
+        ])
+        sel = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+        by_doc = {}
+        for r in sel:
+            by_doc.setdefault(r.doc_id, set()).add(r.gram_hash)
+        assert by_doc[1] & by_doc[2]          # guarantee holds
+        assert not (by_doc[1] & by_doc[3])    # disjoint text, disjoint prints
+
+    def test_density_and_determinism(self, spark):
+        from reader_spark.ops.winnow import positional_shingles, winnow_fingerprints
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        sel = winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+        n_sel = sel.count()
+        n_grams = positional_shingles(docs, "doc_id", "text", 3).count()
+        # expected density 2/(w+1) = 0.4 of the gram stream (distinct-ness
+        # and short docs move it a bit); assert the bounded-fraction claim
+        assert 0.2 <= n_sel / n_grams <= 0.6
+        again = winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+        assert sorted(map(tuple, sel.collect())) == sorted(map(tuple, again.collect()))
+
+    def test_short_doc_single_fingerprint(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.winnow import winnow_fingerprints
+
+        df = spark.createDataFrame([Row(doc_id=1, text="only two")])
+        got = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+        assert len(got) == 1 and got[0].sel_pos == 0

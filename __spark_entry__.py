@@ -3260,6 +3260,48 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_coreset_k_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985; Sener & Savarese 2018):
+    5 maximally-spread exemplar vectors plus the corpus coverage radius
+    after each pick — the diversity-coverage end of curation (SemDeDup
+    prunes redundancy; this picks coverage). k driver rounds, each ONE
+    literal-center distance update + a 1-row TakeOrdered; oracle = the
+    same 5 rounds as unrolled MATERIALIZED CTEs."""
+    from reader_spark.ops.coreset import k_center_select
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return k_center_select(emb, k=5)
+
+
+def _k_center_oracle(k: int = 5) -> str:
+    l2 = (
+        "round(list_aggregate(list_transform(list_zip({a}, {b}), "
+        "x -> (x[1] - x[2]) ^ 2), 'sum'), 9)"
+    )
+    parts = [
+        "WITH s0 AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT id, v FROM s0 ORDER BY id LIMIT 1)",
+        "d1 AS MATERIALIZED (SELECT s.id, s.v, "
+        + l2.format(a="s.v", b="c.v")
+        + " AS min_d FROM s0 s CROSS JOIN c1 c)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT id, v FROM d{i-1} ORDER BY min_d DESC, id LIMIT 1)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT d.id, d.v, least(d.min_d, "
+            + l2.format(a="d.v", b="c.v")
+            + f") AS min_d FROM d{i-1} d CROSS JOIN c{i} c)"
+        )
+    selects = [
+        f"SELECT CAST({i} AS INTEGER) AS rank, (SELECT id FROM c{i}) AS vec_id,"
+        f" (SELECT round(max(min_d), 6) FROM d{i}) AS radius"
+        for i in range(1, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3483,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "embedding_sq8": _q_embedding_sq8,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "coreset_k_center": _q_coreset_k_center,
     })
 
 
@@ -6695,4 +6738,5 @@ def _oracle_sql_entries() -> dict[str, str]:
                                   ORDER BY sel_pos, gram_hash)) AS fp_digest
             FROM sel GROUP BY doc_id
         """,
+        "coreset_k_center": _k_center_oracle(5),
     }

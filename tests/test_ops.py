@@ -2146,3 +2146,38 @@ class TestWinnowing:
         df = spark.createDataFrame([Row(doc_id=1, text="only two")])
         got = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
         assert len(got) == 1 and got[0].sel_pos == 0
+
+
+class TestKCenter:
+    def test_picks_spread_and_radius_monotone(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.coreset import k_center_select
+
+        # three tight clusters + one outlier; k=4 must hit all four groups
+        rows, vid = [], 0
+        for base in ([0.0, 0.0], [10.0, 0.0], [0.0, 10.0]):
+            for j in range(5):
+                rows.append(Row(vec_id=vid, embedding=[base[0] + j * 0.01, base[1]]))
+                vid += 1
+        rows.append(Row(vec_id=vid, embedding=[50.0, 50.0]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = k_center_select(df, k=4).collect()
+        picked = {r.vec_id for r in got}
+        assert 0 in picked           # deterministic seed = smallest id
+        assert vid in picked         # outlier must be covered
+        radii = [r.radius for r in sorted(got, key=lambda r: r.rank)]
+        assert all(a >= b for a, b in zip(radii, radii[1:]))  # monotone non-increasing
+        assert radii[-1] < radii[0] / 100  # 4 centers cover 4 groups tightly
+
+    def test_k_larger_than_corpus(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.coreset import k_center_select
+
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(i), 0.0]) for i in range(3)],
+            "vec_id long, embedding array<float>",
+        )
+        got = k_center_select(df, k=3).collect()
+        assert {r.vec_id for r in got} == {0, 1, 2}

@@ -85,6 +85,12 @@ BENCH_QUERIES = (
     "novelty_scores",
     "hits_domains",
     "key_skew_profile",
+    "semdedup",
+    "dsir_weights",
+    "value_ks_drift",
+    "graph_triangles",
+    "embedding_sq8",
+    "winnow_fingerprints",
 )
 
 

@@ -3302,6 +3302,19 @@ def _k_center_oracle(k: int = 5) -> str:
     return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
+def _q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled linear quality-classifier INFERENCE as pure native
+    columns: sigmoid over literal weights x the oracle-proven feature
+    battery (stopword/punct/word-length/alpha/log-tokens). The scoring
+    path any fasttext-distilled quality model runs at 100 TB — zero
+    Python, zero shuffle, scan-bound; swap the weight dict for a real
+    model's coefficients."""
+    from reader_spark.ops.textstats import quality_logit_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_logit_score(docs)
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3526,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sq8": _q_embedding_sq8,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "coreset_k_center": _q_coreset_k_center,
+        "quality_logit": _q_quality_logit,
     })
 
 
@@ -6739,4 +6753,35 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM sel GROUP BY doc_id
         """,
         "coreset_k_center": _k_center_oracle(5),
+        "quality_logit": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       round(len(list_intersect(
+                                 list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                                 [{_EN_STOPS}]))
+                             / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), 1),
+                             6) AS stopword_ratio,
+                       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(length(regexp_replace(text, '\\s', '', 'g'))
+                             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS mean_word_length,
+                       round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                             t -> regexp_matches(t, '[A-Za-z]')))
+                             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS alpha_word_ratio,
+                       round(ln(1.0 + len(string_split_regex(trim(text), '\\s+'))), 6) AS log_tokens
+                FROM documents
+            ),
+            z AS (
+                SELECT *, round(-3.15 + 4.0 * stopword_ratio + (-3.0) * punct_ratio
+                                + 0.2 * mean_word_length + 1.5 * alpha_word_ratio
+                                + 0.15 * log_tokens, 9) AS zz
+                FROM f
+            )
+            SELECT doc_id, stopword_ratio, punct_ratio, mean_word_length,
+                   alpha_word_ratio, log_tokens,
+                   round(1.0 / (1.0 + exp(-zz)), 6) AS score,
+                   CASE WHEN round(1.0 / (1.0 + exp(-zz)), 6) >= 0.5
+                        THEN 1 ELSE 0 END AS keep
+            FROM z
+        """,
     }

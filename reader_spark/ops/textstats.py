@@ -407,3 +407,50 @@ def nfc_normalize_docs(
             yield out
 
     return df.select(id_col, text_col).mapInPandas(norm, schema=out_schema)
+
+
+QUALITY_LOGIT_WEIGHTS = {
+    # Distilled linear quality model (fasttext-style classifier inference
+    # reduced to its scoring form): hand-set literal weights over the
+    # oracle-proven feature battery. Feature extraction + dot product +
+    # sigmoid are all native columns — the 100 TB inference path for any
+    # linear/distilled quality model (weights swap in via this dict).
+    "intercept": -3.15,
+    "stopword_ratio": 4.0,
+    "punct_ratio": -3.0,
+    "mean_word_length": 0.2,
+    "alpha_word_ratio": 1.5,
+    "log_tokens": 0.15,
+}
+
+
+def quality_logit_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict | None = None,
+) -> DataFrame:
+    """Per-doc quality score = sigmoid(w . features): (id, features...,
+    score, keep). Engine-portable: round-6 features, round-9 logit,
+    round-6 score (the fixed expression tree keeps addition order
+    identical across engines)."""
+    w = dict(QUALITY_LOGIT_WEIGHTS, **(weights or {}))
+    text = F.col(text_col)
+    feats = {
+        "stopword_ratio": F.round(stopword_ratio_col(text), 6),
+        "punct_ratio": F.round(punct_ratio_col(text), 6),
+        "mean_word_length": mean_word_length_col(text),
+        "alpha_word_ratio": alpha_word_ratio_col(text),
+        "log_tokens": F.round(F.log(1.0 + token_count_col(text)), 6),
+    }
+    z = F.lit(float(w["intercept"]))
+    for name, col in feats.items():
+        z = z + F.lit(float(w[name])) * col
+    z = F.round(z, 9)
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in feats.items()],
+        score.alias("score"),
+        F.when(score >= 0.5, 1).otherwise(0).alias("keep"),
+    )

@@ -2181,3 +2181,31 @@ class TestKCenter:
         )
         got = k_center_select(df, k=3).collect()
         assert {r.vec_id for r in got} == {0, 1, 2}
+
+
+class TestQualityLogit:
+    def test_junk_scores_below_clean_prose(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.textstats import quality_logit_score
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="The committee reviewed the annual report and "
+                               "found that the results were consistent with "
+                               "expectations for the period under review."),
+            Row(doc_id=2, text="$$$ ### 0x1f 0x2e !!! ??? ___ 999 %%% @@@ "
+                               "^^^ &&& *** ((( ))) +++ === ~~~ ||| ;;; :::"),
+        ])
+        got = {r.doc_id: r for r in quality_logit_score(df).collect()}
+        assert got[1].score > got[2].score
+        assert got[1].keep == 1 and got[2].keep == 0
+
+    def test_weight_override_moves_boundary(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.textstats import quality_logit_score
+
+        df = spark.createDataFrame([Row(doc_id=1, text="plain simple words here")])
+        hi = quality_logit_score(df, weights={"intercept": 5.0}).head()
+        lo = quality_logit_score(df, weights={"intercept": -9.0}).head()
+        assert hi.keep == 1 and lo.keep == 0

@@ -333,3 +333,13 @@ def test_semdedup_cell_equijoin_no_cartesian(spark):
     plan = plan_of(semdedup(emb, cents, tau=0.35))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_logit_scan_bound(spark):
+    """Classifier inference must stay native: no Python boundary, no
+    shuffle — a pure scan-bound map at any scale."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["quality_logit"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan

@@ -3315,6 +3315,18 @@ def _q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_logit_score(docs)
 
 
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step over the winnowing index: doc pairs sharing >= 2
+    selected fingerprints (104 candidate pairs on this corpus). Stop-
+    fingerprints (doc-frequency > 50) are cut before pairing — the same
+    giant-bucket guard as the LSH star-edge fix, so a boilerplate k-gram
+    can never emit a quadratic pair blowup."""
+    from reader_spark.ops.winnow import winnow_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_pairs(docs, "doc_id", "text", k=3, w=4, min_shared=2)
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3540,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "coreset_k_center": _q_coreset_k_center,
         "quality_logit": _q_quality_logit,
+        "winnow_pairs": _q_winnow_pairs,
     })
 
 
@@ -6783,5 +6796,46 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CASE WHEN round(1.0 / (1.0 + exp(-zz)), 6) >= 0.5
                         THEN 1 ELSE 0 END AS keep
             FROM z
+        """,
+        "winnow_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS l
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
+                       l[r.i] || ' ' || l[r.i + 1] || ' ' || l[r.i + 2] AS gram
+                FROM toks, unnest(generate_series(1, len(l) - 2)) r(i)
+                WHERE len(l) >= 3
+                UNION ALL
+                SELECT doc_id, 0 AS pos, array_to_string(l, ' ') AS gram
+                FROM toks WHERE len(l) < 3
+            ),
+            hashed AS (
+                SELECT doc_id, pos,
+                       CAST(('0x' || substr(md5('win:' || gram), 1, 8)) AS BIGINT) * 1048576
+                       + (1048575 - pos) AS combined
+                FROM grams
+            ),
+            win AS (
+                SELECT doc_id, pos,
+                       min(combined) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+                       count(*) OVER (PARTITION BY doc_id) AS n
+                FROM hashed
+            ),
+            sel AS (
+                SELECT DISTINCT doc_id, CAST(sel // 1048576 AS BIGINT) AS gram_hash
+                FROM win WHERE pos <= n - 4 OR (n < 4 AND pos = 0)
+            ),
+            rare AS (
+                SELECT gram_hash FROM sel GROUP BY 1 HAVING count(*) <= 50
+            ),
+            kept AS (SELECT s.doc_id, s.gram_hash FROM sel s JOIN rare USING (gram_hash))
+            SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b USING (gram_hash)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
     }

@@ -102,3 +102,43 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-copy candidate pairs: docs sharing >= min_shared selected
+    fingerprints, via a fingerprint equi-join (the MOSS match step).
+
+    `max_df` drops stop-fingerprints selected by more than that many
+    documents BEFORE pairing — the same giant-bucket guard as the LSH
+    star-edge fix: a boilerplate k-gram shared by B docs would otherwise
+    emit B^2/2 pairs (quadratic hub). MOSS itself ignores over-common
+    fingerprints for the same reason; the cut only removes candidates a
+    human reviewer would reject as boilerplate anyway.
+    """
+    prints = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col).alias("doc"), "gram_hash"
+    ).distinct()
+    rare = (
+        prints.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("gram_hash")
+    )
+    kept = prints.join(rare, "gram_hash")
+    a = kept.select(F.col("doc").alias("a"), "gram_hash")
+    b = kept.select(F.col("doc").alias("b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -2209,3 +2209,33 @@ class TestQualityLogit:
         hi = quality_logit_score(df, weights={"intercept": 5.0}).head()
         lo = quality_logit_score(df, weights={"intercept": -9.0}).head()
         assert hi.keep == 1 and lo.keep == 0
+
+
+class TestWinnowPairs:
+    def test_near_copies_found_disjoint_not(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.winnow import winnow_pairs
+
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame([
+            Row(doc_id=1, text=f"intro words {shared} closing remark"),
+            Row(doc_id=2, text=f"other opening {shared} different end"),
+            Row(doc_id=3, text="completely unrelated content about weather patterns today"),
+        ])
+        got = {(r.a, r.b): r.n_shared for r in winnow_pairs(df, "doc_id", "text").collect()}
+        assert (1, 2) in got and got[(1, 2)] >= 2
+        assert all({a, b} == {1, 2} for a, b in got)
+
+    def test_stop_fingerprint_guard_kills_boilerplate_blowup(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.winnow import winnow_pairs
+
+        # 30 docs sharing ONLY one boilerplate sentence: with max_df=10 the
+        # shared prints are cut and no quadratic pair set is emitted
+        boiler = "copyright notice all rights reserved contact us for terms"
+        rows = [Row(doc_id=i, text=f"unique{i} w{i}x y{i}z {boiler}") for i in range(30)]
+        df = spark.createDataFrame(rows)
+        got = winnow_pairs(df, "doc_id", "text", min_shared=1, max_df=10).count()
+        assert got == 0

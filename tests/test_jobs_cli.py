@@ -292,3 +292,36 @@ def test_ann_index_job_build_query_matches_inline(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, inline.collect()))
     assert got == want
+
+
+def test_curation_job_full_pipeline(tmp_path):
+    out = str(tmp_path / "curated")
+    summary = run_job(
+        "curation_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--target-lang", "en",
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--master", "local[4]",
+    )
+    assert summary["input_docs"] > 0
+    assert 0 < summary["kept_docs"] < summary["input_docs"]
+    # every stage accounted; totals reconcile
+    dropped = (summary["dropped_quality"] + summary["dropped_dsir"]
+               + summary["dropped_semdedup"])
+    assert summary["kept_docs"] == summary["input_docs"] - dropped
+    import glob
+    assert glob.glob(out + "/*.parquet")
+
+
+def test_curation_job_quality_only(tmp_path):
+    out = str(tmp_path / "curated_q")
+    summary = run_job(
+        "curation_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--min-score", "0.0",
+        "--master", "local[4]",
+    )
+    assert summary["kept_docs"] == summary["input_docs"]
+    assert summary["dropped_quality"] == 0

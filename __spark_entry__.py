@@ -3327,6 +3327,21 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(docs, "doc_id", "text", k=3, w=4, min_shared=2)
 
 
+def _q_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (Weinberger et al. 2009): signed hashed
+    bag-of-words -> L2-unit 64-dim document vectors, no vocabulary, no fit
+    — the deterministic text->vector bridge into SemDeDup/ANN/SQ8/k-center.
+    Integer sign-summed counts make the squared norm EXACT (shuffle-order-
+    proof); emitted as (doc_id, i, v) rows so the value compare stays in
+    native doubles."""
+    from reader_spark.ops.vectorize import feature_hash_vectors
+
+    docs = _read(spark, sf_dir, "documents")
+    return feature_hash_vectors(docs, "doc_id", "text", dim=64).select(
+        "doc_id", F.posexplode("vector").alias("i", "v")
+    )
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3553,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreset_k_center": _q_coreset_k_center,
         "quality_logit": _q_quality_logit,
         "winnow_pairs": _q_winnow_pairs,
+        "feature_hash_vectors": _q_feature_hash_vectors,
     })
 
 
@@ -6837,5 +6853,34 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM kept a JOIN kept b USING (gram_hash)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "feature_hash_vectors": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           t -> t <> '')) AS tok
+                FROM documents
+            ),
+            cells AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('fh1:' || tok), 1, 8)) AS BIGINT) % 64 AS i,
+                       sum(CASE WHEN CAST(('0x' || substr(md5('fh2:' || tok), 1, 8)) AS BIGINT) % 2 = 0
+                                THEN 1 ELSE -1 END) AS c
+                FROM toks GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT d.doc_id, g.i
+                FROM (SELECT DISTINCT doc_id FROM documents) d,
+                     unnest(generate_series(0, 63)) g(i)
+            ),
+            dense AS (
+                SELECT g.doc_id, g.i, COALESCE(c.c, 0)::DOUBLE AS v
+                FROM grid g LEFT JOIN cells c ON g.doc_id = c.doc_id AND g.i = c.i
+            ),
+            nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM dense GROUP BY 1)
+            SELECT d.doc_id, CAST(d.i AS INTEGER) AS i,
+                   CASE WHEN n.nn > 0 THEN round(d.v / n.nn, 6) ELSE d.v END AS v
+            FROM dense d JOIN nrm n USING (doc_id)
         """,
     }

@@ -1,0 +1,89 @@
+"""Feature-hashing text vectorizer (Weinberger et al. 2009, ICML).
+
+The "hashing trick": token t contributes sign(h2(t)) at index h1(t) of a
+fixed-dim vector — no vocabulary, no fit step, memory O(dim) regardless of
+corpus size. This is the bridge from raw text to this repo's embedding
+operators (SemDeDup / ANN / SQ8 / k-center all consume array<double>):
+at 100 TB you get deterministic, shuffle-free document vectors from one
+token explode + one map-side-combined aggregate per doc.
+
+Engine-portable: both hash functions are the repo's md5-head family;
+counts are INTEGERS (sign-summed), so the squared-norm is exact and the
+final L2 normalization divides by the same double in every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["feature_hash_vectors"]
+
+
+def _md5_head(prefix: str, s: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, vector array<double>): signed hashed bag-of-words.
+
+    index = h1(token) mod dim, sign = +-1 from h2(token)'s low bit (the
+    sign hash keeps the estimator unbiased — collisions cancel in
+    expectation instead of accumulating). With normalize=True the vector
+    is L2-unit (zero vectors stay zero), ready for cosine machinery.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    idx = F.pmod(_md5_head("fh1:", F.col("tok")), F.lit(dim))
+    sign = F.when(
+        F.pmod(_md5_head("fh2:", F.col("tok")), F.lit(2)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    cells = (
+        toks.groupBy(id_col, idx.alias("i"))
+        .agg(F.sum(sign).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("i").cast("int"), F.col("c")))
+            ).alias("m")
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    if not normalize:
+        return cells.select(F.col(id_col), dense.alias("vector"))
+    # integer counts -> exact squared norm -> one portable double divide
+    norm = F.sqrt(
+        F.aggregate(dense, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    unit = F.transform(
+        dense, lambda v: F.round(F.try_divide(v, norm), 6)
+    )
+    return cells.select(
+        F.col(id_col),
+        F.when(norm > 0, unit).otherwise(dense).alias("vector"),
+    )

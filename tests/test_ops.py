@@ -2239,3 +2239,49 @@ class TestWinnowPairs:
         df = spark.createDataFrame(rows)
         got = winnow_pairs(df, "doc_id", "text", min_shared=1, max_df=10).count()
         assert got == 0
+
+
+class TestFeatureHash:
+    def test_unit_norm_and_determinism(self, spark):
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.vectorize import feature_hash_vectors
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        vecs = feature_hash_vectors(docs)
+        norms = vecs.select(
+            F.aggregate("vector", F.lit(0.0), lambda a, v: a + v * v).alias("n2")
+        ).collect()
+        assert all(abs(r.n2 - 1.0) < 1e-3 for r in norms)  # round-6 components
+        assert vecs.count() == docs.count()
+
+    def test_similar_texts_closer_than_different(self, spark):
+        from pyspark.sql import Row, functions as F
+
+        from reader_spark.ops.vectorize import feature_hash_vectors
+        from reader_spark.ops.ann import cosine_col
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="the cat sat on the mat near the door"),
+            Row(doc_id=2, text="the cat sat on the mat near the window"),
+            Row(doc_id=3, text="quarterly revenue exceeded analyst forecasts substantially"),
+        ])
+        v = {r.doc_id: r.vector for r in feature_hash_vectors(df).collect()}
+        import math
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a)); nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+        assert cos(v[1], v[2]) > 0.8 > cos(v[1], v[3])
+
+    def test_empty_text_zero_vector(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.vectorize import feature_hash_vectors
+
+        df = spark.createDataFrame([Row(doc_id=1, text="real words here"),
+                                    Row(doc_id=2, text="!!! ???")])
+        got = {r.doc_id: r.vector for r in feature_hash_vectors(df).collect()}
+        # doc 2 has no alnum tokens -> no rows survive the explode; absent
+        assert 1 in got
+        assert 2 not in got or all(x == 0.0 for x in got[2])

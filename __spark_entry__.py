@@ -3342,6 +3342,27 @@ def _q_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TEXT similarity search with no embedding model: hashed
+    doc vectors (feature_hash_vectors) -> exact cosine top-10 for doc 0
+    (brute_force_topk literal-query path, self excluded). The composition
+    proof that the vectorizer's output drops straight into the ANN
+    machinery; at scale the same vectors feed the LSH/IVF bucketed paths."""
+    from reader_spark.ops.ann import brute_force_topk
+    from reader_spark.ops.vectorize import feature_hash_vectors
+
+    docs = _read(spark, sf_dir, "documents")
+    vecs = feature_hash_vectors(docs, "doc_id", "text", dim=64)
+    qv = [float(v) for v in vecs.where(F.col("doc_id") == 0).head()["vector"]]
+    return brute_force_topk(
+        vecs.where(F.col("doc_id") != 0),
+        qv,
+        k=10,
+        id_col="doc_id",
+        vec_col="vector",
+    )
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3569,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logit": _q_quality_logit,
         "winnow_pairs": _q_winnow_pairs,
         "feature_hash_vectors": _q_feature_hash_vectors,
+        "doc_sim_topk": _q_doc_sim_topk,
     })
 
 
@@ -3577,6 +3599,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _EN_STOPS = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS["en"]))
+
+# Shared CTE chain for the feature-hashing vectorizer oracles (the WITH
+# body through per-doc dense components + norms) — single source of truth
+# for feature_hash_vectors and doc_sim_topk.
+_FH_CTES = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                   t -> t <> '')) AS tok
+        FROM documents
+    ),
+    cells AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('fh1:' || tok), 1, 8)) AS BIGINT) % 64 AS i,
+               sum(CASE WHEN CAST(('0x' || substr(md5('fh2:' || tok), 1, 8)) AS BIGINT) % 2 = 0
+                        THEN 1 ELSE -1 END) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.doc_id, g.i
+        FROM (SELECT DISTINCT doc_id FROM documents) d,
+             unnest(generate_series(0, 63)) g(i)
+    ),
+    dense AS (
+        SELECT g.doc_id, g.i, COALESCE(c.c, 0)::DOUBLE AS v
+        FROM grid g LEFT JOIN cells c ON g.doc_id = c.doc_id AND g.i = c.i
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM dense GROUP BY 1)
+"""
 
 
 def _trigram_pats_sql() -> str:
@@ -6854,33 +6906,22 @@ def _oracle_sql_entries() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
-        "feature_hash_vectors": """
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(list_filter(
-                           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-                           t -> t <> '')) AS tok
-                FROM documents
-            ),
-            cells AS (
-                SELECT doc_id,
-                       CAST(('0x' || substr(md5('fh1:' || tok), 1, 8)) AS BIGINT) % 64 AS i,
-                       sum(CASE WHEN CAST(('0x' || substr(md5('fh2:' || tok), 1, 8)) AS BIGINT) % 2 = 0
-                                THEN 1 ELSE -1 END) AS c
-                FROM toks GROUP BY 1, 2
-            ),
-            grid AS (
-                SELECT d.doc_id, g.i
-                FROM (SELECT DISTINCT doc_id FROM documents) d,
-                     unnest(generate_series(0, 63)) g(i)
-            ),
-            dense AS (
-                SELECT g.doc_id, g.i, COALESCE(c.c, 0)::DOUBLE AS v
-                FROM grid g LEFT JOIN cells c ON g.doc_id = c.doc_id AND g.i = c.i
-            ),
-            nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM dense GROUP BY 1)
+        "feature_hash_vectors": _FH_CTES + """
             SELECT d.doc_id, CAST(d.i AS INTEGER) AS i,
                    CASE WHEN n.nn > 0 THEN round(d.v / n.nn, 6) ELSE d.v END AS v
             FROM dense d JOIN nrm n USING (doc_id)
+        """,
+        "doc_sim_topk": _FH_CTES + """,
+            unitv AS (
+                SELECT d.doc_id,
+                       list(CASE WHEN n.nn > 0 THEN round(d.v / n.nn, 6) ELSE d.v END
+                            ORDER BY d.i) AS uv
+                FROM dense d JOIN nrm n USING (doc_id) GROUP BY d.doc_id
+            ),
+            q AS (SELECT uv AS qv FROM unitv WHERE doc_id = 0)
+            SELECT u.doc_id,
+                   round(list_cosine_similarity(u.uv, q.qv), 4) AS cosine
+            FROM unitv u, q WHERE u.doc_id <> 0
+            ORDER BY cosine DESC, u.doc_id LIMIT 10
         """,
     }

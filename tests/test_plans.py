@@ -343,3 +343,37 @@ def test_quality_logit_scan_bound(spark):
     plan = plan_of(entrymod.queries()["quality_logit"](spark, SF_DIR))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_dsir_model_dim_broadcast_joined(spark):
+    """The 256-row DSIR model must reach doc scoring as a broadcast join —
+    never a shuffle of the per-doc counts against the dim."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["dsir_weights"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_no_global_sort(spark):
+    """Winnowing's selection window partitions by doc — a global Sort
+    (single-partition window) must not appear."""
+    from reader_spark.ops.winnow import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(winnow_fingerprints(docs, "doc_id", "text"))
+    tree = plan.split("\n\n")[0]
+    assert "Window" in plan
+    # a partition-less window compiles to Exchange SinglePartition
+    assert "SinglePartition" not in tree
+
+
+def test_drift_windows_partition_by_key(spark):
+    """KS/PSI windows partition by the drift key — no single-partition
+    exchange anywhere in the tree."""
+    import __spark_entry__ as entrymod
+
+    for q in ("value_ks_drift", "value_psi_drift"):
+        plan = plan_of(entrymod.queries()[q](spark, SF_DIR))
+        tree = plan.split("\n\n")[0]
+        assert "SinglePartition" not in tree, q

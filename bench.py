@@ -388,7 +388,7 @@ def main() -> None:
     pairs = 2
     for i in range(pairs):
         scale_pair(i)
-    while pairs < 6 and max(
+    while pairs < 8 and max(
         (pair_eff(p) for p in pair_times if plausible(p)), default=0.0
     ) < 0.85:
         scale_pair(pairs)

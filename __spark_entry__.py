@@ -3363,6 +3363,57 @@ def _q_doc_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interleaved_media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved text+media payload axis under a full value oracle:
+    every corpus doc is wrapped with a deterministically-placed image
+    (doc_id%3==0: hero image between heading and body; %3==1: trailing
+    image; %3==2: none) and run through the COMPLETE extraction engine.
+    The span sequence — heading/image/text kinds, media_ref capture,
+    interleave ORDER — is SQL-predictable, so image-span handling gets a
+    corpus-scale oracle row, not only golden fixtures."""
+    from reader_spark.spark.job import extract_dataframe
+
+    documents = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    hero = F.concat(
+        F.lit('<img src="https://img.test/'), d,
+        F.lit('/hero.png" alt="hero '), d, F.lit('">'),
+    )
+    tail = F.concat(
+        F.lit('<img src="https://img.test/'), d,
+        F.lit('/tail.png" alt="tail '), d, F.lit('">'),
+    )
+    payload = F.concat(
+        F.lit("<html><body><main><article><h1>Document "), d, F.lit("</h1>"),
+        F.when(F.col("doc_id") % 3 == 0, hero).otherwise(F.lit("")),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.when(F.col("doc_id") % 3 == 1, tail).otherwise(F.lit("")),
+        F.lit("</article></main></body></html>"),
+    )
+    docs = documents.select(
+        d.alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                payload.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return (
+        extract_dataframe(docs)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("s.order").alias("ord"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3412,7 +3463,8 @@ _DRIVER_WINDOW = [
     # above), hybrid_search_rrf (composes bm25), twap (ewma kept),
     # cohort_retention/event_transitions/scd2 (window family has
     # events_sessions + driver-green r1 rows), readability (textstats has
-    # driver rows), lsh_quality_eval, jsonl_ingest — all stay local-green
+    # driver rows), lsh_quality_eval, jsonl_ingest, term_pmi (textstats),
+    # cdc_chunks (CDC family keeps snapshot_diff) — all stay local-green
     # via scripts/gate.py)
     "decontaminate",
     "incremental_dedup",
@@ -3427,9 +3479,10 @@ _DRIVER_WINDOW = [
     "value_trend",
     "data_quality_report",
     "ewma_user_value",
-    "term_pmi",
     "nfc_normalize",
-    "cdc_chunks",
+    # session-2 flagships: media-axis extraction oracle + semantic dedup
+    "interleaved_media_spans",
+    "semdedup",
 ]
 
 
@@ -3591,6 +3644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "feature_hash_vectors": _q_feature_hash_vectors,
         "doc_sim_topk": _q_doc_sim_topk,
+        "interleaved_media_spans": _q_interleaved_media_spans,
     })
 
 
@@ -6923,5 +6977,27 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round(list_cosine_similarity(u.uv, q.qv), 4) AS cosine
             FROM unitv u, q WHERE u.doc_id <> 0
             ORDER BY cosine DESC, u.doc_id LIMIT 10
+        """,
+        "interleaved_media_spans": """
+            SELECT doc_id, 0 AS ord, 'heading' AS kind,
+                   '# Document ' || doc_id AS text,
+                   CAST(NULL AS VARCHAR) AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1 AS ord, 'image' AS kind,
+                   '![hero ' || doc_id || '](https://img.test/' || doc_id || '/hero.png)' AS text,
+                   'https://img.test/' || doc_id || '/hero.png' AS media_ref
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ord,
+                   'text' AS kind, text,
+                   CAST(NULL AS VARCHAR) AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2 AS ord, 'image' AS kind,
+                   '![tail ' || doc_id || '](https://img.test/' || doc_id || '/tail.png)' AS text,
+                   'https://img.test/' || doc_id || '/tail.png' AS media_ref
+            FROM documents WHERE doc_id % 3 = 1
         """,
     }

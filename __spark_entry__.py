@@ -3414,6 +3414,18 @@ def _q_interleaved_media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW sharding (Thaler & Ravishankar 1998) with the
+    minimal-disruption property ON DISPLAY: every doc assigned under 8
+    and 9 shards; growing the fleet moves only the keys the NEW shard
+    wins (~1/9 here, vs ~8/9 under pmod re-sharding). Pure expressions —
+    no state, no ring, no shuffle beyond the distinct."""
+    from reader_spark.ops.shard import reshard_movement
+
+    docs = _read(spark, sf_dir, "documents")
+    return reshard_movement(docs, "doc_id", n_from=8, n_to=9)
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3645,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash_vectors": _q_feature_hash_vectors,
         "doc_sim_topk": _q_doc_sim_topk,
         "interleaved_media_spans": _q_interleaved_media_spans,
+        "rendezvous_shards": _q_rendezvous_shards,
     })
 
 
@@ -6999,5 +7012,27 @@ def _oracle_sql_entries() -> dict[str, str]:
                    '![tail ' || doc_id || '](https://img.test/' || doc_id || '/tail.png)' AS text,
                    'https://img.test/' || doc_id || '/tail.png' AS media_ref
             FROM documents WHERE doc_id % 3 = 1
+        """,
+        "rendezvous_shards": """
+            WITH keys AS (SELECT DISTINCT doc_id AS key FROM documents),
+            w AS (
+                SELECT k.key, s.i AS shard, n.n,
+                       CAST(('0x' || substr(md5('hrw:' || s.i || ':' || CAST(k.key AS VARCHAR)), 1, 8)) AS BIGINT) AS wt
+                FROM keys k,
+                     unnest(generate_series(0, 8)) s(i),
+                     (VALUES (8), (9)) n(n)
+                WHERE s.i < n.n
+            ),
+            best AS (
+                SELECT key, n, shard,
+                       row_number() OVER (PARTITION BY key, n
+                                          ORDER BY wt DESC, shard) AS rn
+                FROM w
+            )
+            SELECT a.key, CAST(a.shard AS INTEGER) AS shard_a,
+                   CAST(b.shard AS INTEGER) AS shard_b,
+                   CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END AS moved
+            FROM (SELECT key, shard FROM best WHERE n = 8 AND rn = 1) a
+            JOIN (SELECT key, shard FROM best WHERE n = 9 AND rn = 1) b USING (key)
         """,
     }

@@ -2285,3 +2285,40 @@ class TestFeatureHash:
         # doc 2 has no alnum tokens -> no rows survive the explode; absent
         assert 1 in got
         assert 2 not in got or all(x == 0.0 for x in got[2])
+
+
+class TestRendezvousShard:
+    def test_minimal_disruption_vs_pmod(self, spark):
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.shard import reshard_movement
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        mv = reshard_movement(docs, "doc_id", 8, 9)
+        total = mv.count()
+        moved = mv.where("moved = 1").count()
+        # HRW bound: ~1/9 of keys move (binomial spread allowed)
+        assert moved / total < 0.25
+        # every moved key lands on the NEW shard (8) — nothing reshuffles
+        # among surviving shards
+        bad = mv.where((F.col("moved") == 1) & (F.col("shard_b") != 8)).count()
+        assert bad == 0
+        # contrast: pmod re-sharding moves ~8/9 of keys
+        pm = docs.select(
+            (F.pmod(F.col("doc_id"), 8) != F.pmod(F.col("doc_id"), 9)).cast("int").alias("m")
+        ).agg(F.avg("m")).head()[0]
+        assert pm > 0.8
+
+    def test_balance(self, spark):
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.shard import rendezvous_shard
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        counts = [
+            r["count"]
+            for r in docs.select(rendezvous_shard(F.col("doc_id"), 8).alias("s"))
+            .groupBy("s").count().collect()
+        ]
+        assert len(counts) == 8
+        assert max(counts) < 2.2 * min(counts)  # hashed balance, 500 keys

@@ -3426,6 +3426,33 @@ def _q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reshard_movement(docs, "doc_id", n_from=8, n_to=9)
 
 
+def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from sketches (CMS inner product, Cormode &
+    Muthukrishnan 2005): |views x purchases on user_id| estimated from
+    two 4x64 sketches WITHOUT touching the fact tables — the planner-side
+    cardinality estimate. One row: truth, estimate, overcount (one-sided:
+    est >= truth by construction)."""
+    from reader_spark.ops.sketch import cms_build, cms_join_size
+
+    events = _read(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view")
+    purchases = events.where(F.col("event_type") == "purchase")
+    est = cms_join_size(
+        cms_build(views, "user_id", depth=4, width=64, portable=True),
+        cms_build(purchases, "user_id", depth=4, width=64, portable=True),
+    )
+    va = views.groupBy("user_id").agg(F.count(F.lit(1)).alias("na"))
+    pb = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb"))
+    truth = va.join(pb, "user_id").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("long").alias("true_join_size")
+    )
+    return truth.crossJoin(est).select(
+        "true_join_size",
+        "est_join_size",
+        (F.col("est_join_size") - F.col("true_join_size")).alias("overcount"),
+    )
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3658,6 +3685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sim_topk": _q_doc_sim_topk,
         "interleaved_media_spans": _q_interleaved_media_spans,
         "rendezvous_shards": _q_rendezvous_shards,
+        "cms_join_size": _q_cms_join_size,
     })
 
 
@@ -7034,5 +7062,36 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END AS moved
             FROM (SELECT key, shard FROM best WHERE n = 8 AND rn = 1) a
             JOIN (SELECT key, shard FROM best WHERE n = 9 AND rn = 1) b USING (key)
+        """,
+        "cms_join_size": """
+            WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+            va AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events WHERE event_type = 'view'),
+            pb AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events WHERE event_type = 'purchase'),
+            ca AS (
+                SELECT d,
+                       CAST(('0x' || substr(md5(d::VARCHAR || '|' || key), 1, 8)) AS BIGINT) % 64 AS w,
+                       count(*) AS cnt
+                FROM va, dd GROUP BY 1, 2
+            ),
+            cb AS (
+                SELECT d,
+                       CAST(('0x' || substr(md5(d::VARCHAR || '|' || key), 1, 8)) AS BIGINT) % 64 AS w,
+                       count(*) AS cnt
+                FROM pb, dd GROUP BY 1, 2
+            ),
+            ip AS (
+                SELECT ca.d, sum(ca.cnt * cb.cnt) AS ip
+                FROM ca JOIN cb ON ca.d = cb.d AND ca.w = cb.w
+                GROUP BY 1
+            ),
+            est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip),
+            tr AS (
+                SELECT CAST(sum(a.na * b.nb) AS BIGINT) AS true_join_size
+                FROM (SELECT key, count(*) AS na FROM va GROUP BY 1) a
+                JOIN (SELECT key, count(*) AS nb FROM pb GROUP BY 1) b USING (key)
+            )
+            SELECT true_join_size, est_join_size,
+                   est_join_size - true_join_size AS overcount
+            FROM tr, est
         """,
     }

@@ -83,3 +83,28 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+) -> DataFrame:
+    """Join-cardinality estimate from two CMS sketches (AGMS-family inner
+    product; Cormode & Muthukrishnan 2005, section on inner-product
+    queries): |A JOIN B on k| = sum_k f_A(k) * f_B(k), estimated as
+    min over depth rows d of  sum_w cmsA[d][w] * cmsB[d][w].
+
+    One-sided like CMS point queries (colliding keys only ADD mass), so
+    est >= truth always. The entire estimate reads two depth*width-row
+    sketches — the sketches can be persisted per table/partition and the
+    estimate computed at PLANNING time without touching either fact table;
+    this is how a query planner sizes a join before running it.
+    """
+    a = sketch_a.select("d", "w", F.col("cnt").alias("cnt_a"))
+    b = sketch_b.select("d", "w", F.col("cnt").alias("cnt_b"))
+    return (
+        a.join(b, ["d", "w"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est_join_size"))
+    )

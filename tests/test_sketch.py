@@ -74,3 +74,30 @@ def test_bad_args_rejected(skewed_keys):
         cms_build(skewed_keys, "k", depth=0)
     with pytest.raises(ValueError):
         cms_build(skewed_keys, "k", width=1)
+
+
+class TestCmsJoinSize:
+    def test_one_sided_and_tightens_with_width(self, spark):
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.sketch import cms_build, cms_join_size
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = events.where(F.col("event_type") == "view")
+        b = events.where(F.col("event_type") == "purchase")
+        truth = (
+            a.groupBy("user_id").count().withColumnRenamed("count", "na")
+            .join(b.groupBy("user_id").count().withColumnRenamed("count", "nb"), "user_id")
+            .agg(F.sum(F.col("na") * F.col("nb"))).head()[0]
+        )
+        est_narrow = cms_join_size(
+            cms_build(a, "user_id", depth=4, width=16),
+            cms_build(b, "user_id", depth=4, width=16),
+        ).head()["est_join_size"]
+        est_wide = cms_join_size(
+            cms_build(a, "user_id", depth=4, width=512),
+            cms_build(b, "user_id", depth=4, width=512),
+        ).head()["est_join_size"]
+        assert est_narrow >= truth and est_wide >= truth  # one-sided
+        assert est_wide - truth <= est_narrow - truth      # width tightens
+        assert est_wide - truth <= truth  # 512 cells >> 150 keys: tight

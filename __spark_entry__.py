@@ -3453,6 +3453,30 @@ def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct counting (Bar-Yossef et al. 2002) — the
+    order-statistics sketch family alongside HLL: per event type, the 32
+    smallest user-id hashes give est = (k-1)/u_(k), and the SAME bottom-k
+    set doubles as a mergeable uniform sample of the key space. Truth
+    joined in for the accuracy row; groups under k report exact."""
+    from reader_spark.ops.sketch import kmv_distinct
+
+    events = _read(spark, sf_dir, "events")
+    est = kmv_distinct(events, "event_type", "user_id", k=32)
+    truth = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return truth.join(est, "event_type").select(
+        "event_type",
+        "true_distinct",
+        "n_sketch",
+        "est_distinct",
+        F.round(F.col("est_distinct") / F.col("true_distinct") - 1.0, 6).alias(
+            "rel_err"
+        ),
+    )
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3686,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_media_spans": _q_interleaved_media_spans,
         "rendezvous_shards": _q_rendezvous_shards,
         "cms_join_size": _q_cms_join_size,
+        "kmv_distinct": _q_kmv_distinct,
     })
 
 
@@ -7093,5 +7118,35 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT true_join_size, est_join_size,
                    est_join_size - true_join_size AS overcount
             FROM tr, est
+        """,
+        "kmv_distinct": """
+            WITH u AS (
+                SELECT DISTINCT event_type AS grp,
+                       round((CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                             / 4294967296.0, 9) AS u
+                FROM events
+            ),
+            rk AS (
+                SELECT grp, u,
+                       row_number() OVER (PARTITION BY grp ORDER BY u) AS pos
+                FROM u
+            ),
+            sk AS (
+                SELECT grp, CAST(max(pos) AS INTEGER) AS n_sketch,
+                       max(CASE WHEN pos = 32 THEN u END) AS uk
+                FROM rk WHERE pos <= 32 GROUP BY grp
+            ),
+            tr AS (
+                SELECT event_type AS grp,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT t.grp AS event_type, t.true_distinct, s.n_sketch,
+                   CASE WHEN s.n_sketch < 32 THEN s.n_sketch::DOUBLE
+                        ELSE round(31 / s.uk, 6) END AS est_distinct,
+                   round(CASE WHEN s.n_sketch < 32 THEN s.n_sketch::DOUBLE
+                              ELSE round(31 / s.uk, 6) END
+                         / t.true_distinct - 1.0, 6) AS rel_err
+            FROM tr t JOIN sk s USING (grp)
         """,
     }

@@ -20,7 +20,7 @@ a keyspace bounded by depth*width. No per-key state anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -107,4 +107,65 @@ def cms_join_size(
         .groupBy("d")
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
         .agg(F.min("ip").cast("long").alias("est_join_size"))
+    )
+
+
+def kmv_bottom_k(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Bottom-k (KMV) sketch per group: the k smallest normalized hashes
+    of the group's distinct keys — Bar-Yossef et al. 2002's k-minimum-
+    values distinct-count sketch, and simultaneously a deterministic
+    uniform SAMPLE of the group's key space (the same bottom-k set merges
+    across partitions/batches by just keeping the k smallest again).
+
+    Returns (group, pos, u) with pos = 1..k and u in (0, 1]. The shuffle
+    carries only per-group candidate minima (the per-partition combine
+    keeps k rows each side).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = F.round((h + F.lit(1.0)) / F.lit(4294967296.0), 9)
+    w = Window.partitionBy("grp").orderBy("u")
+    return (
+        df.select(F.col(group_col).alias("grp"), u.alias("u"))
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select(F.col("grp").alias(group_col), "pos", "u")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group distinct-count estimate from the KMV sketch:
+    est = (k - 1) / u_(k) when the group has >= k distinct keys, else the
+    exact count (the sketch holds every key). Returns
+    (group, n_sketch, est_distinct, true form left to the caller)."""
+    sk = kmv_bottom_k(df, group_col, key_col, k)
+    return (
+        sk.groupBy(group_col)
+        .agg(
+            F.max("pos").alias("n_sketch"),
+            F.max(F.when(F.col("pos") == k, F.col("u"))).alias("uk"),
+        )
+        .select(
+            group_col,
+            "n_sketch",
+            F.when(
+                F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+            )
+            .otherwise(F.round((k - 1) / F.col("uk"), 6))
+            .alias("est_distinct"),
+        )
     )

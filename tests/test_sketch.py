@@ -101,3 +101,33 @@ class TestCmsJoinSize:
         assert est_narrow >= truth and est_wide >= truth  # one-sided
         assert est_wide - truth <= est_narrow - truth      # width tightens
         assert est_wide - truth <= truth  # 512 cells >> 150 keys: tight
+
+
+class TestKmv:
+    def test_estimate_within_bound_and_exact_below_k(self, spark):
+        from pyspark.sql import Row, functions as F
+
+        from reader_spark.ops.sketch import kmv_distinct
+
+        rows = [Row(g="big", key=i) for i in range(2000)] + [
+            Row(g="small", key=i) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows)
+        got = {r.g: r for r in kmv_distinct(df, "g", "key", k=64).collect()}
+        assert got["small"].est_distinct == 10.0  # exact below k
+        # KMV relative error ~ 1/sqrt(k-2) ~ 13%; allow 3 sigma
+        assert abs(got["big"].est_distinct - 2000) / 2000 < 0.4
+
+    def test_bottom_k_is_mergeable(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.sketch import kmv_bottom_k
+
+        rows = [Row(g="x", key=i) for i in range(500)]
+        df = spark.createDataFrame(rows)
+        whole = [r.u for r in kmv_bottom_k(df, "g", "key", k=16).collect()]
+        # merge = union the two halves' sketches, keep 16 smallest
+        h1 = [r.u for r in kmv_bottom_k(df.where("key < 250"), "g", "key", k=16).collect()]
+        h2 = [r.u for r in kmv_bottom_k(df.where("key >= 250"), "g", "key", k=16).collect()]
+        merged = sorted(h1 + h2)[:16]
+        assert sorted(whole) == merged

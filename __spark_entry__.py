@@ -3477,6 +3477,51 @@ def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_kinds_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL M1 span-kind contract under one corpus-scale oracle:
+    every doc wrapped with a deterministic page exercising heading, text,
+    list_item (x2), code, table, and inline-link serialization — 7 spans
+    per doc, every kind's markdown form and ORDER SQL-predictable. The
+    golden fixtures pin edge cases; this pins the whole-kind surface at
+    500 docs through the real engine."""
+    from reader_spark.spark.job import extract_dataframe
+
+    documents = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit("<html><body><main><article><h1>Document "), d, F.lit("</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("<ul><li>item "), d, F.lit(" a</li><li>item "), d, F.lit(" b</li></ul>"),
+        F.lit("<pre><code>call("), d, F.lit(")</code></pre>"),
+        F.lit("<table><tr><th>k</th><th>v</th></tr><tr><td>"), d,
+        F.lit("</td><td>"), F.col("source"), F.lit("</td></tr></table>"),
+        F.lit('<p>See <a href="https://ref.test/'), d,
+        F.lit('">spec '), d, F.lit("</a> end.</p>"),
+        F.lit("</article></main></body></html>"),
+    )
+    docs = documents.select(
+        d.alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                payload.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return (
+        extract_dataframe(docs)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("s.order").alias("ord"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+        )
+    )
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3711,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": _q_rendezvous_shards,
         "cms_join_size": _q_cms_join_size,
         "kmv_distinct": _q_kmv_distinct,
+        "span_kinds_full": _q_span_kinds_full,
     })
 
 
@@ -7148,5 +7194,30 @@ def _oracle_sql_entries() -> dict[str, str]:
                               ELSE round(31 / s.uk, 6) END
                          / t.true_distinct - 1.0, 6) AS rel_err
             FROM tr t JOIN sk s USING (grp)
+        """,
+        "span_kinds_full": """
+            SELECT doc_id, 0 AS ord, 'heading' AS kind,
+                   '# Document ' || doc_id AS text FROM documents
+            UNION ALL
+            SELECT doc_id, 1 AS ord, 'text' AS kind, text FROM documents
+            UNION ALL
+            SELECT doc_id, 2 AS ord, 'list_item' AS kind,
+                   '- item ' || doc_id || ' a' AS text FROM documents
+            UNION ALL
+            SELECT doc_id, 3 AS ord, 'list_item' AS kind,
+                   '- item ' || doc_id || ' b' AS text FROM documents
+            UNION ALL
+            SELECT doc_id, 4 AS ord, 'code' AS kind,
+                   '```' || chr(10) || 'call(' || doc_id || ')' || chr(10) || '```' AS text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 5 AS ord, 'table' AS kind,
+                   '| k | v |' || chr(10) || '| --- | --- |' || chr(10)
+                   || '| ' || doc_id || ' | ' || source || ' |' AS text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 6 AS ord, 'text' AS kind,
+                   'See [spec ' || doc_id || '](https://ref.test/' || doc_id || ') end.' AS text
+            FROM documents
         """,
     }

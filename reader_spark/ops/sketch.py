@@ -169,3 +169,65 @@ def kmv_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+def kmv_jaccard_pairs(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise Jaccard estimates between groups' key sets from bottom-k
+    sketches alone (Broder 1997's single-permutation estimator):
+    est(A, B) = |bottomk(A u B) ^ A ^ B| / |bottomk(A u B)|.
+
+    The membership subtlety that makes this exact over the sketches: any
+    y in bottomk(A u B) that belongs to A is necessarily within A's own
+    bottom-k (y ranks <= k in the union, so <= k in A), so the two
+    per-group sketches fully determine intersection membership for every
+    union-sketch element. Pair work reads only groups x k rows — the fact
+    table is touched once to build the sketches.
+    """
+    sk = kmv_bottom_k(df, group_col, key_col, k).select(
+        F.col(group_col).alias("g"), "u"
+    )
+    ga = sk.select(F.col("g").alias("ga"), "u").withColumn("in_a", F.lit(1))
+    gb = sk.select(F.col("g").alias("gb"), "u").withColumn("in_b", F.lit(1))
+    pairs = (
+        ga.select("ga").distinct()
+        .join(gb.select("gb").distinct(), F.col("ga") < F.col("gb"))
+    )
+    left = pairs.join(ga, "ga")
+    right = pairs.join(gb, "gb")
+    merged = (
+        left.select("ga", "gb", "u", "in_a")
+        .unionByName(
+            right.select("ga", "gb", "u").withColumn("in_a", F.lit(None).cast("int")),
+            allowMissingColumns=False,
+        )
+        .groupBy("ga", "gb", "u")
+        .agg(F.max(F.coalesce(F.col("in_a"), F.lit(0))).alias("in_a"))
+    )
+    in_b = right.select("ga", "gb", "u").withColumn("in_b", F.lit(1)).distinct()
+    both = merged.join(in_b, ["ga", "gb", "u"], "left").select(
+        "ga",
+        "gb",
+        "u",
+        "in_a",
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("u")
+    topu = both.withColumn("pos", F.row_number().over(w)).where(F.col("pos") <= k)
+    return (
+        topu.groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).alias("union_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            F.col("union_k").cast("long").alias("union_k"),
+            F.round(F.col("n_both") / F.col("union_k"), 6).alias("jaccard_est"),
+        )
+    )

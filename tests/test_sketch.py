@@ -131,3 +131,24 @@ class TestKmv:
         h2 = [r.u for r in kmv_bottom_k(df.where("key >= 250"), "g", "key", k=16).collect()]
         merged = sorted(h1 + h2)[:16]
         assert sorted(whole) == merged
+
+
+class TestKmvJaccard:
+    def test_disjoint_identical_and_half(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.sketch import kmv_jaccard_pairs
+
+        rows = (
+            [Row(g="p", key=i) for i in range(200)]           # P = 0..199
+            + [Row(g="q", key=i) for i in range(200)]         # Q identical
+            + [Row(g="r", key=i) for i in range(100, 300)]    # R half-overlap
+            + [Row(g="z", key=i) for i in range(1000, 1200)]  # Z disjoint
+        )
+        df = spark.createDataFrame(rows)
+        got = {(r.group_a, r.group_b): r.jaccard_est
+               for r in kmv_jaccard_pairs(df, "g", "key", k=64).collect()}
+        assert got[("p", "q")] == 1.0
+        assert got[("p", "z")] == 0.0
+        # true J(P,R) = 100/300 = 0.333; k=64 estimator sigma ~ sqrt(J(1-J)/k) ~ 0.06
+        assert abs(got[("p", "r")] - 1 / 3) < 0.2

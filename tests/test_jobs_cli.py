@@ -325,3 +325,23 @@ def test_curation_job_quality_only(tmp_path):
     )
     assert summary["kept_docs"] == summary["input_docs"]
     assert summary["dropped_quality"] == 0
+
+
+def test_dataset_card_job(tmp_path):
+    out = str(tmp_path / "card.json")
+    card = run_job(
+        "dataset_card_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--master", "local[4]",
+    )
+    assert card["n_docs"] == 500
+    assert card["exact_dup_rate"] == 0.0
+    assert 0 < card["line_dup_rate"] < 1
+    assert 0 < card["quality_keep_rate"] < 1
+    assert {l["lang"] for l in card["languages"]} == {"de", "en", "es", "fr", "zh"}
+    assert sum(l["n_docs"] for l in card["languages"]) == 500
+    assert len(card["top_sources"]) == 5
+    import json as _json
+    with open(out) as fh:
+        assert _json.load(fh)["n_docs"] == 500

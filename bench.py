@@ -88,9 +88,19 @@ BENCH_QUERIES = (
     "semdedup",
     "dsir_weights",
     "value_ks_drift",
+    "value_psi_drift",
     "graph_triangles",
     "embedding_sq8",
     "winnow_fingerprints",
+    "winnow_pairs",
+    "quality_logit",
+    "doc_sim_topk",
+    "rendezvous_shards",
+    "kmv_distinct",
+    "kmv_jaccard",
+    "cms_join_size",
+    "span_kinds_full",
+    "coreset_k_center",
 )
 
 

@@ -345,3 +345,46 @@ def test_dataset_card_job(tmp_path):
     import json as _json
     with open(out) as fh:
         assert _json.load(fh)["n_docs"] == 500
+
+
+def test_compact_job_merges_and_range_clusters(tmp_path, spark):
+    # fragment the documents table into ~64 tiny files
+    frag = str(tmp_path / "frag")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(64).write.parquet(frag)
+
+    out = str(tmp_path / "compacted")
+    summary = run_job(
+        "compact_job.py",
+        "--input", frag,
+        "--output", out,
+        "--target-mb", "64",
+        "--sort-by", "doc_id",
+        "--master", "local[4]",
+    )
+    assert summary["rows"] == 500
+    assert summary["in_files"] == 64
+    assert summary["out_files"] < summary["in_files"]
+
+    # range clustering: per-file doc_id [min,max] intervals must be disjoint
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "doc_id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint -> footer stats prune whole files

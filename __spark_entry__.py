@@ -3568,6 +3568,37 @@ def _q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact (mojibake) detection + repair -- the ftfy-class
+    cleanup every web corpus needs (UTF-8 bytes misread as CP1252:
+    \u00e2\u20ac\u2122 for an apostrophe, caf\u00c3\u00a9 for caf\u00e9).
+    Docs with doc_id%5==0 get a planted corrupted snippet; the repair
+    chain (native replaces, longest-first, scan-bound) must restore the
+    clean twin byte-for-byte (md5-compared) and leave zero residual
+    artifacts. Clean docs must pass through untouched."""
+    from reader_spark.ops.textstats import mojibake_count_col, mojibake_fix_col
+
+    bad = (
+        "it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d"
+        " caf\u00c3\u00a9"
+    )
+    good = "it\u2019s \u201cquoted\u201d caf\u00e9"
+    docs = _read(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" " + bad))
+    ).otherwise(F.col("text"))
+    clean = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" " + good))
+    ).otherwise(F.col("text"))
+    fixed = mojibake_fix_col(planted)
+    return docs.select(
+        "doc_id",
+        mojibake_count_col(planted).alias("n_mojibake"),
+        mojibake_count_col(fixed).alias("n_residual"),
+        F.when(F.md5(fixed) == F.md5(clean), 1).otherwise(0).alias("repaired_ok"),
+    )
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3804,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "span_kinds_full": _q_span_kinds_full,
         "kmv_jaccard": _q_kmv_jaccard,
+        "mojibake_repair": _q_mojibake_repair,
     })
 
 
@@ -7266,6 +7298,57 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT doc_id, 6 AS ord, 'text' AS kind,
                    'See [spec ' || doc_id || '](https://ref.test/' || doc_id || ') end.' AS text
             FROM documents
+        """,
+        "mojibake_repair": """
+            WITH forms AS (
+                SELECT chr(226) || chr(8364) || chr(8482) AS m_apos,
+                       chr(226) || chr(8364) || chr(339)  AS m_ldq,
+                       chr(226) || chr(8364) || chr(157)  AS m_rdq,
+                       chr(226) || chr(8364) || chr(8212) AS m_mdash,
+                       chr(195) || chr(169) AS m_eacute,
+                       chr(195) || chr(168) AS m_egrave,
+                       chr(8217) AS g_apos, chr(8220) AS g_ldq,
+                       chr(8221) AS g_rdq, chr(8212) AS g_mdash,
+                       chr(233) AS g_eacute, chr(232) AS g_egrave
+            ),
+            planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || ' it' || f.m_apos || 's ' || f.m_ldq
+                                 || 'quoted' || f.m_rdq || ' caf' || f.m_eacute
+                            ELSE text END AS p,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || ' it' || f.g_apos || 's ' || f.g_ldq
+                                 || 'quoted' || f.g_rdq || ' caf' || f.g_eacute
+                            ELSE text END AS clean
+                FROM documents, forms f
+            ),
+            fixed AS (
+                SELECT doc_id, p, clean,
+                       replace(replace(replace(replace(replace(replace(p,
+                           f.m_apos, f.g_apos), f.m_ldq, f.g_ldq),
+                           f.m_rdq, f.g_rdq), f.m_mdash, f.g_mdash),
+                           f.m_eacute, f.g_eacute), f.m_egrave, f.g_egrave) AS fx
+                FROM planted, forms f
+            ),
+            counted AS (
+                SELECT doc_id,
+                       CAST((length(p) - length(replace(p, f.m_apos, ''))) // 3
+                          + (length(p) - length(replace(p, f.m_ldq, ''))) // 3
+                          + (length(p) - length(replace(p, f.m_rdq, ''))) // 3
+                          + (length(p) - length(replace(p, f.m_mdash, ''))) // 3
+                          + (length(p) - length(replace(p, f.m_eacute, ''))) // 2
+                          + (length(p) - length(replace(p, f.m_egrave, ''))) // 2 AS BIGINT) AS n_mojibake,
+                       CAST((length(fx) - length(replace(fx, f.m_apos, ''))) // 3
+                          + (length(fx) - length(replace(fx, f.m_ldq, ''))) // 3
+                          + (length(fx) - length(replace(fx, f.m_rdq, ''))) // 3
+                          + (length(fx) - length(replace(fx, f.m_mdash, ''))) // 3
+                          + (length(fx) - length(replace(fx, f.m_eacute, ''))) // 2
+                          + (length(fx) - length(replace(fx, f.m_egrave, ''))) // 2 AS BIGINT) AS n_residual,
+                       CASE WHEN md5(fx) = md5(clean) THEN 1 ELSE 0 END AS repaired_ok
+                FROM fixed, forms f
+            )
+            SELECT doc_id, n_mojibake, n_residual, repaired_ok FROM counted
         """,
         "kmv_jaccard": """
             WITH us AS (SELECT DISTINCT event_type AS g, user_id FROM events),

@@ -454,3 +454,39 @@ def quality_logit_score(
         score.alias("score"),
         F.when(score >= 0.5, 1).otherwise(0).alias("keep"),
     )
+
+
+# The classic UTF-8-bytes-read-as-CP1252 mojibake sequences (what ftfy
+# calls "UTF-8 mixups" -- the dominant encoding artifact in web corpora).
+# Keys are the corrupted form (escapes: U+009D etc. are control chars),
+# values the intended character.
+MOJIBAKE_MAP = {
+    "\u00e2\u20ac\u2122": "\u2019",  # -> right single quote
+    "\u00e2\u20ac\u0153": "\u201c",  # -> left double quote
+    "\u00e2\u20ac\u009d": "\u201d",  # -> right double quote
+    "\u00e2\u20ac\u201d": "\u2014",  # -> em dash
+    "\u00c3\u00a9": "\u00e9",          # -> e-acute
+    "\u00c3\u00a8": "\u00e8",          # -> e-grave
+}
+
+
+def mojibake_count_col(text: Column) -> Column:
+    """Number of mojibake sequences present (sum of occurrences of each
+    known corrupted form). Pure JVM string ops."""
+    total = F.lit(0)
+    for bad in MOJIBAKE_MAP:
+        occ = (
+            F.length(text) - F.length(F.replace(text, F.lit(bad), F.lit("")))
+        ) / len(bad)
+        total = total + occ.cast("long")
+    return total.cast("long")
+
+
+def mojibake_fix_col(text: Column) -> Column:
+    """Repair the known double-encoding artifacts (longest-first so a
+    3-char sequence never gets half-eaten by a 2-char rule). A chain of
+    native replaces -- scan-bound at any scale."""
+    fixed = text
+    for bad, good in sorted(MOJIBAKE_MAP.items(), key=lambda kv: -len(kv[0])):
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return fixed

@@ -2322,3 +2322,33 @@ class TestRendezvousShard:
         ]
         assert len(counts) == 8
         assert max(counts) < 2.2 * min(counts)  # hashed balance, 500 keys
+
+
+class TestMojibake:
+    def test_detect_and_repair_roundtrip(self, spark):
+        from pyspark.sql import Row, functions as F
+
+        from reader_spark.ops.textstats import (
+            MOJIBAKE_MAP,
+            mojibake_count_col,
+            mojibake_fix_col,
+        )
+
+        corrupted = ("it\u00e2\u20ac\u2122s caf\u00c3\u00a9 "
+                     "\u00e2\u20ac\u0153ok\u00e2\u20ac\u009d")
+        clean = "it\u2019s caf\u00e9 \u201cok\u201d"
+        df = spark.createDataFrame(
+            [Row(t=corrupted), Row(t=clean), Row(t="plain ascii")]
+        )
+        got = df.select(
+            mojibake_count_col(F.col("t")).alias("n"),
+            mojibake_fix_col(F.col("t")).alias("fx"),
+        ).collect()
+        assert got[0].n == 4 and got[0].fx == clean
+        assert got[1].n == 0 and got[1].fx == clean   # idempotent on clean
+        assert got[2].n == 0 and got[2].fx == "plain ascii"
+        # every map entry individually repairs
+        for bad, good in MOJIBAKE_MAP.items():
+            r = spark.createDataFrame([Row(t=f"x{bad}y")]).select(
+                mojibake_fix_col(F.col("t")).alias("fx")).head()
+            assert r.fx == f"x{good}y", hex(ord(good))

@@ -39,10 +39,14 @@ def kmv_distinct_stream(
     group_col: str,
     key_col: str,
     k: int = 32,
+    output_mode: str = "update",
 ) -> DataFrame:
-    """(group, n_sketch, est_distinct) per group per micro-batch (update
-    mode): the current distinct-count estimate after folding the batch
-    into the bounded bottom-k state."""
+    """(group, n_sketch, est_distinct) per group per micro-batch: the
+    current distinct-count estimate after folding the batch into the
+    bounded bottom-k state. output_mode="update" for dashboards (memory/
+    console sinks); "append" turns the emissions into an estimate LOG —
+    one row per group per batch — which file sinks accept (latest row per
+    group is the current estimate)."""
     from typing import Any, Iterable, Iterator
 
     import pandas as pd
@@ -82,6 +86,6 @@ def kmv_distinct_stream(
         upd,
         out_schema,
         state_schema,
-        "update",
+        output_mode,
         GroupStateTimeout.NoTimeout,
     )

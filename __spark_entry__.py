@@ -3599,6 +3599,52 @@ def _q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the retrieval-
+    training data prep of DPR/SimCSE-style pipelines): for each anchor
+    vector, the top-3 most-similar vectors with a DIFFERENT label --
+    the negatives that actually teach a margin, versus random negatives
+    that are trivially far. Anchors = vec_id < 20; cosine round-4,
+    (cosine desc, id) tiebreak. At scale the candidate pool comes from
+    the LSH/IVF bucketed paths instead of the brute-force scorer."""
+    from pyspark.sql import Window
+
+    from reader_spark.ops.ann import cosine_col
+
+    emb = _read(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").cast("array<double>").alias("av"),
+        F.col("label").alias("anchor_label"),
+    )
+    pool = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = (
+        anchors.join(pool, F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(cosine_col(F.col("av"), F.col("nv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "anchor_id", "anchor_label", "neg_id", "neg_label", "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3836,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_kinds_full": _q_span_kinds_full,
         "kmv_jaccard": _q_kmv_jaccard,
         "mojibake_repair": _q_mojibake_repair,
+        "hard_negatives": _q_hard_negatives,
     })
 
 
@@ -7349,6 +7396,27 @@ def _oracle_sql_entries() -> dict[str, str]:
                 FROM fixed, forms f
             )
             SELECT doc_id, n_mojibake, n_residual, repaired_ok FROM counted
+        """,
+        "hard_negatives": """
+            WITH anch AS (
+                SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av,
+                       label AS anchor_label
+                FROM embeddings WHERE vec_id < 20
+            ),
+            scored AS (
+                SELECT a.anchor_id, a.anchor_label,
+                       p.vec_id AS neg_id, p.label AS neg_label,
+                       round(list_cosine_similarity(a.av, p.embedding::DOUBLE[]), 4) AS cosine
+                FROM anch a JOIN embeddings p ON a.anchor_label <> p.label
+            ),
+            ranked AS (
+                SELECT *, CAST(row_number() OVER (
+                           PARTITION BY anchor_id
+                           ORDER BY cosine DESC, neg_id) AS INTEGER) AS rank
+                FROM scored
+            )
+            SELECT anchor_id, anchor_label, neg_id, neg_label, cosine, rank
+            FROM ranked WHERE rank <= 3
         """,
         "kmv_jaccard": """
             WITH us AS (SELECT DISTINCT event_type AS g, user_id FROM events),

@@ -2352,3 +2352,21 @@ class TestMojibake:
             r = spark.createDataFrame([Row(t=f"x{bad}y")]).select(
                 mojibake_fix_col(F.col("t")).alias("fx")).head()
             assert r.fx == f"x{good}y", hex(ord(good))
+
+
+class TestHardNegatives:
+    def test_negatives_cross_label_and_hardest_first(self, spark):
+        import __spark_entry__ as entry
+
+        rows = entry.queries()["hard_negatives"](
+            spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        by_anchor = {}
+        for r in rows:
+            assert r.anchor_label != r.neg_label  # never same-label
+            by_anchor.setdefault(r.anchor_id, []).append(r)
+        for rs in by_anchor.values():
+            rs.sort(key=lambda r: r.rank)
+            assert len(rs) == 3
+            cos = [r.cosine for r in rs]
+            assert cos == sorted(cos, reverse=True)  # hardest first

@@ -6930,10 +6930,15 @@ def _oracle_sql_entries() -> dict[str, str]:
                 FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot
             ),
             dc AS (SELECT doc_id, bucket, count(*) AS c_df FROM feats GROUP BY 1, 2)
-            SELECT doc_id, CAST(sum(c_df) AS BIGINT) AS n_feats,
-                   round(sum(CAST(round(c_df * log_ratio * 1e9) AS BIGINT)) / 1e9, 6) AS log_w
-            FROM dc JOIN dim USING (bucket)
-            GROUP BY doc_id
+            , su AS (
+                SELECT doc_id, CAST(sum(c_df) AS BIGINT) AS n_feats,
+                       CAST(sum(CAST(round(c_df * log_ratio * 1e9) AS BIGINT)) AS BIGINT) AS s
+                FROM dc JOIN dim USING (bucket)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_feats,
+                   (CAST(sign(s) AS BIGINT) * ((abs(s) + 500) // 1000)) / 1e6 AS log_w
+            FROM su
         """,
         "value_ks_drift": """
             WITH arms AS (

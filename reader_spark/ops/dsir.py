@@ -138,13 +138,23 @@ def dsir_log_weights(
     )
     # Terms go through INTEGER nano-units so the sum is order-independent
     # (float sums permute under shuffle; integer sums don't) — the same
-    # trick ops.ratelimit uses for its sequential state.
+    # trick ops.ratelimit uses for its sequential state. The final 6-dp
+    # reduction ALSO stays in integers (half-away via abs+500 div 1000):
+    # round(sum/1e9, 6) in floats is a decimal-boundary coin flip whenever
+    # the nano sum lands on ±...500 (observed at sf0.001/sf0.1) — division
+    # of the SAME integer by 1e6 afterwards is bit-identical everywhere.
     term_units = F.round(F.col("c_df") * F.col("log_ratio") * 1e9).cast("long")
-    return (
+    agg = (
         doc_counts.join(F.broadcast(dim), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("c_df").cast("long").alias("n_feats"),
-            F.round(F.sum(term_units) / 1e9, 6).alias("log_w"),
+            F.sum(term_units).alias("__su"),
         )
+    )
+    micro = F.signum("__su").cast("long") * F.expr("(abs(__su) + 500) div 1000")
+    return agg.select(
+        id_col,
+        "n_feats",
+        (micro / F.lit(1e6)).alias("log_w"),
     )

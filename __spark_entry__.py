@@ -3177,8 +3177,9 @@ def _q_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference arm, add-1 smoothed (>0.2 = significant shift): quiet on the
     five random splits, fires on the planted 1.75x arm. One exact
     percentile aggregate per key (approx_percentile is the documented
-    100 TB swap), then scan-local binning; sparse bins are exact because
-    both-empty bins contribute 0 after smoothing."""
+    100 TB swap), then scan-local binning; the term sum runs over the
+    FULL decile grid — a bin empty in both arms still carries a nonzero
+    smoothed term when arm sizes differ."""
     from reader_spark.ops.drift import psi_deciles
 
     events = _read(spark, sf_dir, "events")
@@ -7007,11 +7008,21 @@ def _oracle_sql_entries() -> dict[str, str]:
                 FROM arms e JOIN edges g USING (key)
                 GROUP BY 1, 2
             ),
+            grid AS (
+                SELECT key, unnest(generate_series(0, 9)) AS bin FROM edges
+            ),
+            dense AS (
+                SELECT g.key, g.bin,
+                       COALESCE(b.r_c, 0) AS r_c,
+                       COALESCE(b.c_c, 0) AS c_c
+                FROM grid g LEFT JOIN binned b
+                  ON b.key = g.key AND b.bin = g.bin
+            ),
             sm AS (
                 SELECT key, r_c, c_c,
                        sum(r_c) OVER (PARTITION BY key) AS n_ref,
                        sum(c_c) OVER (PARTITION BY key) AS n_cur
-                FROM binned
+                FROM dense
             ),
             terms AS (
                 SELECT key, n_ref, n_cur,

@@ -407,12 +407,27 @@ def main() -> None:
     ) < 0.85:
         scale_pair(pairs)
         pairs += 1
-    candidates = [p for p in pair_times if plausible(p)] or pair_times
-    best_pair = max(candidates, key=pair_eff)
+    candidates = [p for p in pair_times if plausible(p)]
+    # If EVERY pair was a super-linear outlier, the measurement window was
+    # noise end-to-end: report the ratio as unmeasured (null) rather than
+    # clamping an outlier to 1.15 and presenting it as data. The table
+    # still shows the least-implausible pair's raw legs for the record.
+    best_pair = max(candidates or pair_times, key=pair_eff)
     for cores, sec in zip((2, 8), best_pair):
         scaling[f"scale_local{cores}_sec"] = round(sec, 3)
         scaling[f"scale_local{cores}_docs_per_sec"] = round(n2 / sec, 1)
-    scaling["efficiency"] = round(min(pair_eff(best_pair), PLAUSIBLE), 3)
+    if candidates:
+        scaling["efficiency"] = round(pair_eff(best_pair), 3)
+        effs = sorted(pair_eff(p) for p in candidates)
+        scaling["efficiency_median_plausible"] = round(
+            effs[len(effs) // 2]
+            if len(effs) % 2
+            else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2,
+            3,
+        )
+    else:
+        scaling["efficiency"] = None
+        scaling["efficiency_median_plausible"] = None
     scaling["pair_efficiencies"] = [round(pair_eff(p), 3) for p in pair_times]
 
     # Hardware ceiling measured NOW: the same extraction, plain
@@ -420,8 +435,13 @@ def main() -> None:
     # this bounds what ANY framework can show; spark-vs-hardware is the
     # framework's own scaling cost.
     scaling["hardware_mp_efficiency"] = round(_mp_ceiling(), 3)
-    scaling["efficiency_vs_hardware"] = round(
-        scaling["efficiency"] / max(scaling["hardware_mp_efficiency"], 1e-9), 3
+    scaling["efficiency_vs_hardware"] = (
+        round(
+            scaling["efficiency"] / max(scaling["hardware_mp_efficiency"], 1e-9),
+            3,
+        )
+        if scaling["efficiency"] is not None
+        else None
     )
 
     out = {
@@ -450,7 +470,10 @@ def main() -> None:
             "| parallelism | wall (s) | docs/sec |\n|---|---|---|\n"
             f"| local[2] (N) | {scaling['scale_local2_sec']} | {scaling['scale_local2_docs_per_sec']} |\n"
             f"| local[8] (4N) | {scaling['scale_local8_sec']} | {scaling['scale_local8_docs_per_sec']} |\n\n"
-            f"**Scaling efficiency (N -> 4N): {scaling['efficiency']}** "
+            f"**Scaling efficiency (N -> 4N): "
+            f"{scaling['efficiency'] if scaling['efficiency'] is not None else 'unmeasured (all pairs super-linear VM outliers)'}"
+            f"** (median plausible pair: "
+            f"{scaling['efficiency_median_plausible']}) "
             "(target >= 0.8 per BASELINE.json). Hardware ceiling measured "
             "in the same run — plain multiprocessing, same per-doc "
             f"extraction, no Spark: **{scaling['hardware_mp_efficiency']}**; "
@@ -488,7 +511,37 @@ def main() -> None:
             "what the VM gives any framework).\n"
         )
 
+    # Full record first (BENCH.md carries the same table), then a COMPACT
+    # headline-only JSON as the FINAL stdout line: the driver keeps only the
+    # last ~2,000 chars of stdout, and r3's single ~2,800-char per-query
+    # line was truncated mid-dict (BENCH_r03.json parsed:null). The final
+    # line must stay well under the tail on its own.
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_docs": out["n_docs"],
+        "docs_per_sec": out["docs_per_sec"],
+        "calibration_adjacent_docs_per_sec": cal_adjacent,
+        "normalized_multiple": out["normalized_multiple"],
+        "scaling": {
+            k: scaling.get(k)
+            for k in (
+                "efficiency",
+                "efficiency_median_plausible",
+                "hardware_mp_efficiency",
+                "efficiency_vs_hardware",
+                "scale_local2_sec",
+                "scale_local8_sec",
+            )
+        },
+        "n_queries_timed": len(results),
+        "full_per_query_table": "BENCH.md",
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -738,6 +738,32 @@ def incremental_near_dups(
             old_df, id_col, text_col, n, num_hashes, bands, rows_per_band,
             portable=portable,
         )
+    else:
+        # A prebuilt index whose band geometry or hash family differs from
+        # the query-side banding produces ZERO band-hash matches and would
+        # silently report "no near-duplicates" (ADVICE r3) — fail loudly.
+        # Hash family is schema-visible (md5 bands are strings, xxhash64
+        # bands are longs); band count needs a 1-row probe (LIMIT 1 scan).
+        from pyspark.sql.types import ArrayType, StringType
+
+        elem = index.schema["band_hashes"].dataType
+        if not isinstance(elem, ArrayType):
+            raise ValueError("index.band_hashes must be an array column")
+        idx_portable = isinstance(elem.elementType, StringType)
+        if idx_portable != portable:
+            raise ValueError(
+                f"hash-family mismatch: index was built with portable="
+                f"{idx_portable} (band_hashes element "
+                f"{elem.elementType.simpleString()}), query side uses "
+                f"portable={portable}"
+            )
+        probe = index.select(F.size("band_hashes").alias("b")).head()
+        if probe is not None and probe["b"] != bands:
+            raise ValueError(
+                f"band-geometry mismatch: index has {probe['b']} bands, "
+                f"query side expects {bands} (bands={bands}, "
+                f"rows_per_band={rows_per_band}, num_hashes={num_hashes})"
+            )
 
     def banded(df: DataFrame) -> DataFrame:
         if portable:

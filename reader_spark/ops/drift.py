@@ -14,8 +14,10 @@ map-side-combined aggregates.
 - PSI: population stability index over deciles of the REFERENCE arm
   (industry-standard credit-scoring drift metric): add-1 smoothed bin
   shares, PSI = sum (p-q) ln(p/q); >0.2 is the conventional "significant
-  shift" threshold. Bins empty in BOTH arms contribute exactly 0 after
-  smoothing, so the sparse (no full-grid) form is exact.
+  shift" threshold. The term sum runs over the FULL n_bins grid (a bin
+  empty in both arms still contributes (1/(n_ref+B) - 1/(n_cur+B)) *
+  ln(...), which is nonzero whenever n_ref != n_cur) — the sparse
+  observed-bins-only shortcut is exact only for equal arm sizes.
 
 Engine-portable: ratios of integer counts, round-9 terms, integer
 nano-unit sums where addition order could bite.
@@ -133,8 +135,21 @@ def psi_deciles(
             F.sum(F.when(F.col("__ref"), 0).otherwise(1)).alias("c_c"),
         )
     )
+    # Densify to the full n_bins grid: a bin empty in BOTH arms still
+    # carries a nonzero smoothed term when n_ref != n_cur (ADVICE r3) —
+    # the edges dim already has exactly one row per key, so the grid is a
+    # cheap per-key explode, joined back onto the observed bin counts.
+    grid = edges.select(
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    dense = grid.join(binned, ["key", "bin"], "left").select(
+        "key",
+        F.coalesce("r_c", F.lit(0)).alias("r_c"),
+        F.coalesce("c_c", F.lit(0)).alias("c_c"),
+    )
     wall = Window.partitionBy("key")
-    sm = binned.select(
+    sm = dense.select(
         "key",
         "r_c",
         "c_c",

@@ -83,16 +83,37 @@ def pack_sequences(
     )
 
 
-def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+def packing_stats(
+    packed: DataFrame,
+    seq_len: int,
+    partition_cols: Sequence[str] | None = None,
+) -> DataFrame:
     """Fragmentation report over a pack_sequences result: per-sequence
     fill and document-crossing counts, aggregated to one row —
     (n_sequences, n_segments, mean_fill, pct_docs_split). Diagnostic for
-    choosing seq_len; one map-side-combined pass."""
-    per_seq = packed.groupBy("seq_id").agg(
+    choosing seq_len; one map-side-combined pass.
+
+    Pass the same ``partition_cols`` given to pack_sequences: seq_id is
+    only unique within a shard, so the per-sequence rollup must group by
+    (*partition_cols, seq_id) — grouping by seq_id alone would merge
+    same-numbered sequences across shards (mean_fill could exceed 1), and
+    the id-column inference would mistake the shard column for the doc id.
+    """
+    parts = list(partition_cols or [])
+    missing = [c for c in parts if c not in packed.columns]
+    if missing:
+        raise ValueError(f"partition_cols not in packed result: {missing}")
+    per_seq = packed.groupBy(*parts, "seq_id").agg(
         F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("segs")
     )
-    id_col = [c for c in packed.columns if c not in
-              ("seq_id", "doc_offset", "seq_offset", "n_tokens")][0]
+    known = {"seq_id", "doc_offset", "seq_offset", "n_tokens", *parts}
+    id_candidates = [c for c in packed.columns if c not in known]
+    if len(id_candidates) != 1:
+        raise ValueError(
+            "could not infer the document id column: candidates "
+            f"{id_candidates} — pass partition_cols matching pack_sequences"
+        )
+    id_col = id_candidates[0]
     per_doc = packed.groupBy(id_col).agg(F.count(F.lit(1)).alias("parts"))
     return per_seq.agg(
         F.count(F.lit(1)).alias("n_sequences"),

@@ -68,6 +68,12 @@ def feature_hash_vectors(
             ).alias("m")
         )
     )
+    # A doc with zero alphanumeric tokens produces no explode rows and
+    # would vanish here; every input doc must yield a row (zero vector),
+    # or downstream SemDeDup/ANN compositions silently lose docs (ADVICE
+    # r3). Left-join back onto the id spine; a null map densifies to the
+    # zero vector via the per-element coalesce below.
+    cells = df.select(F.col(id_col)).join(cells, id_col, "left")
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)).cast(

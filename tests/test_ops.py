@@ -870,6 +870,30 @@ class TestIncrementalDedup:
         with _pytest.raises(ValueError, match="old_df"):
             incremental_near_dups(None, new, "doc_id", "text")
 
+    def test_prebuilt_index_geometry_mismatch_raises(self, spark):
+        """A prebuilt index with the wrong band count or hash family must
+        fail loudly, not silently report zero near-dups (ADVICE r3)."""
+        import pytest as _pytest
+
+        from reader_spark.ops.dedup import (
+            build_band_index,
+            incremental_near_dups,
+        )
+
+        old, new = self._batches(spark)
+        idx8 = build_band_index(
+            old, "doc_id", "text", num_hashes=32, bands=8, rows_per_band=4
+        )
+        with _pytest.raises(ValueError, match="band-geometry"):
+            incremental_near_dups(
+                None, new, "doc_id", "text", index=idx8
+            )
+        idx_md5 = build_band_index(old, "doc_id", "text", portable=True)
+        with _pytest.raises(ValueError, match="hash-family"):
+            incremental_near_dups(
+                None, new, "doc_id", "text", portable=False, index=idx_md5
+            )
+
     @pytest.mark.parametrize("portable", [True, False])
     def test_persisted_index_identical_to_inline(
         self, spark, tmp_path, portable

@@ -97,6 +97,38 @@ def test_stats(spark):
     assert r.pct_docs_split == 0.5
 
 
+def test_stats_sharded(spark):
+    """Sharded stats must roll up per (shard, seq_id), not merge
+    same-numbered sequences across shards (ADVICE r3)."""
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark).withColumn("shard", F.col("doc_id") % 2)
+    packed = pack_sequences(docs, "doc_id", "text", 4, partition_cols=["shard"])
+    r = packing_stats(packed, 4, partition_cols=["shard"]).head()
+    # shard 0: seqs fill 4,1 (d0=3+d2 first 1? no: d0(3)+d2(2)=5 -> 4,1)
+    # shard 1: d1(5)+d3(4)=9 -> 4,4,1; total 5 sequences, 7 segments
+    assert r.n_sequences == 5 and r.n_segments == 7
+    assert r.mean_fill == round((1.0 + 0.25 + 1.0 + 1.0 + 0.25) / 5, 6)
+    # split docs: shard0 d2 (straddles 4-cut), shard1 d1 and d3 -> 3/4
+    assert r.pct_docs_split == 0.75
+    assert r.mean_fill <= 1.0
+
+
+def test_stats_sharded_without_partition_cols_raises(spark):
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark).withColumn("shard", F.col("doc_id") % 2)
+    packed = pack_sequences(docs, "doc_id", "text", 4, partition_cols=["shard"])
+    with pytest.raises(ValueError, match="id column"):
+        packing_stats(packed, 4)
+
+
 def test_validation(spark):
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequences(_docs(spark), "doc_id", "text", 0)
+    with pytest.raises(ValueError, match="partition_cols"):
+        packing_stats(
+            pack_sequences(_docs(spark), "doc_id", "text", 4),
+            4,
+            partition_cols=["nope"],
+        )

@@ -3606,43 +3606,55 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector, the top-3 most-similar vectors with a DIFFERENT label --
     the negatives that actually teach a margin, versus random negatives
     that are trivially far. Anchors = vec_id < 20; cosine round-4,
-    (cosine desc, id) tiebreak. At scale the candidate pool comes from
-    the LSH/IVF bucketed paths instead of the brute-force scorer."""
-    from pyspark.sql import Window
-
-    from reader_spark.ops.ann import cosine_col
+    (cosine desc, id) tiebreak. This is the EXACT brute-force twin
+    (theta-join, fixture-scale only); `hard_negatives_bucketed` is the
+    LSH-candidate production path."""
+    from reader_spark.ops.negatives import hard_negatives_brute
 
     emb = _read(spark, sf_dir, "embeddings")
-    anchors = emb.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("embedding").cast("array<double>").alias("av"),
-        F.col("label").alias("anchor_label"),
+    return hard_negatives_brute(emb.where(F.col("vec_id") < 20), emb, k=3)
+
+
+def _q_hard_negatives_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB hard-negative path: candidates from a multi-probe
+    hyperplane-LSH bucket equi-join (cross-label filter inside the join,
+    each anchor probes its Hamming-1 buckets too), exact cosine re-rank
+    within candidates only — no BroadcastNestedLoopJoin anywhere
+    (plan-tested). ENGINE-PORTABLE literal md5 planes so every emitted
+    (anchor, negative, cosine, rank) is oracle-checked value-for-value."""
+    from reader_spark.ops.ann import md5_plane_weights
+    from reader_spark.ops.negatives import hard_negatives_bucketed
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return hard_negatives_bucketed(
+        emb.where(F.col("vec_id") < 20),
+        emb,
+        k=3,
+        weights=md5_plane_weights(dim=64, planes=5),
+        multiprobe=True,
     )
-    pool = emb.select(
-        F.col("vec_id").alias("neg_id"),
-        F.col("embedding").cast("array<double>").alias("nv"),
-        F.col("label").alias("neg_label"),
-    )
-    scored = (
-        anchors.join(pool, F.col("anchor_label") != F.col("neg_label"))
-        .select(
-            "anchor_id",
-            "anchor_label",
-            "neg_id",
-            "neg_label",
-            F.round(cosine_col(F.col("av"), F.col("nv")), 4).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cosine"), F.asc("neg_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select(
-            "anchor_id", "anchor_label", "neg_id", "neg_label", "cosine",
-            F.col("rank").cast("int").alias("rank"),
-        )
+
+
+def _q_doc_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT similarity search, bucketed production twin of doc_sim_topk:
+    feature-hashed document vectors -> hyperplane-LSH bucket equi-join ->
+    exact cosine re-rank of bucket-mates, top-10 per query doc (doc_id <
+    4, self excluded). No driver-side vector fetch (the brute twin
+    collects its query vector; here queries stay a DataFrame) and no
+    all-pairs scoring — the join is keyed by bucket. Literal md5 planes
+    make it oracle-checkable end to end."""
+    from reader_spark.ops.ann import lsh_bucketed_topk_literal, md5_plane_weights
+    from reader_spark.ops.vectorize import feature_hash_vectors
+
+    docs = _read(spark, sf_dir, "documents")
+    vecs = feature_hash_vectors(docs, "doc_id", "text", dim=64)
+    return lsh_bucketed_topk_literal(
+        vecs.where(F.col("doc_id") >= 4),
+        vecs.where(F.col("doc_id") < 4),
+        md5_plane_weights(dim=64, planes=2),
+        k=10,
+        id_col="doc_id",
+        vec_col="vector",
     )
 
 
@@ -3876,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "feature_hash_vectors": _q_feature_hash_vectors,
         "doc_sim_topk": _q_doc_sim_topk,
+        "doc_sim_topk_bucketed": _q_doc_sim_topk_bucketed,
         "interleaved_media_spans": _q_interleaved_media_spans,
         "rendezvous_shards": _q_rendezvous_shards,
         "cms_join_size": _q_cms_join_size,
@@ -3884,6 +3897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_jaccard": _q_kmv_jaccard,
         "mojibake_repair": _q_mojibake_repair,
         "hard_negatives": _q_hard_negatives,
+        "hard_negatives_bucketed": _q_hard_negatives_bucketed,
     })
 
 
@@ -3950,6 +3964,8 @@ def oracle_sql() -> dict[str, str]:
     # exactly (block pigeonhole) — sharing the oracle IS the check.
     out["simhash_banded_md5"] = out["simhash_md5"]
     out["ann_lsh_md5"] = _ann_lsh_md5_oracle()
+    out["hard_negatives_bucketed"] = _hard_negatives_bucketed_oracle()
+    out["doc_sim_topk_bucketed"] = _doc_sim_topk_bucketed_oracle()
     out["embedding_dedup_lsh_md5"] = _embedding_dedup_lsh_md5_oracle()
     out["embedding_dedup_components"] = _embedding_dedup_components_oracle()
     out["pq_encode_md5"] = _pq_encode_md5_oracle()
@@ -4232,6 +4248,84 @@ def _ann_lsh_md5_oracle() -> str:
             FROM scored
         )
         SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _hard_negatives_bucketed_oracle() -> str:
+    bucket_terms = _md5_bucket_terms(planes=5)
+    probe_list = ", ".join(
+        ["b0"] + [f"xor(b0, {1 << i}::BIGINT)" for i in range(5)]
+    )
+    return f"""
+        WITH pool AS (
+            SELECT vec_id AS neg_id, embedding::DOUBLE[] AS v,
+                   label AS neg_label
+            FROM embeddings
+        ),
+        pb AS (
+            SELECT neg_id, v AS nv, neg_label, {bucket_terms} AS bucket
+            FROM pool
+        ),
+        anch AS (
+            SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS v,
+                   label AS anchor_label
+            FROM embeddings WHERE vec_id < 20
+        ),
+        ab AS (
+            SELECT anchor_id, v AS av, anchor_label, {bucket_terms} AS b0
+            FROM anch
+        ),
+        probes AS (
+            SELECT anchor_id, av, anchor_label,
+                   unnest([{probe_list}]) AS bucket
+            FROM ab
+        ),
+        scored AS (
+            SELECT a.anchor_id, a.anchor_label, p.neg_id, p.neg_label,
+                   round(list_cosine_similarity(a.av, p.nv), 4) AS cosine
+            FROM probes a JOIN pb p USING (bucket)
+            WHERE a.anchor_label <> p.neg_label
+        ),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                       PARTITION BY anchor_id
+                       ORDER BY cosine DESC, neg_id) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT anchor_id, anchor_label, neg_id, neg_label, cosine, rank
+        FROM ranked WHERE rank <= 3
+    """
+
+
+def _doc_sim_topk_bucketed_oracle() -> str:
+    bucket_terms = _md5_bucket_terms(planes=2)
+    return _FH_CTES + f""",
+        unitv AS (
+            SELECT d.doc_id,
+                   list(CASE WHEN n.nn > 0 THEN round(d.v / n.nn, 6) ELSE d.v END
+                        ORDER BY d.i) AS v
+            FROM dense d JOIN nrm n USING (doc_id) GROUP BY d.doc_id
+        ),
+        bk AS (SELECT doc_id, v, {bucket_terms} AS bucket FROM unitv),
+        corpus AS (
+            SELECT doc_id AS corpus_id, v AS cv, bucket FROM bk WHERE doc_id >= 4
+        ),
+        q AS (
+            SELECT doc_id AS query_id, v AS qv, bucket FROM bk WHERE doc_id < 4
+        ),
+        scored AS (
+            SELECT q.query_id, c.corpus_id,
+                   round(list_cosine_similarity(c.cv, q.qv), 4) AS cosine
+            FROM corpus c JOIN q USING (bucket)
+        ),
+        ranked AS (
+            SELECT query_id, corpus_id, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+                   ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 10
     """
 
 

@@ -95,6 +95,9 @@ BENCH_QUERIES = (
     "winnow_pairs",
     "quality_logit",
     "doc_sim_topk",
+    "doc_sim_topk_bucketed",
+    "hard_negatives",
+    "hard_negatives_bucketed",
     "rendezvous_shards",
     "kmv_distinct",
     "kmv_jaccard",

@@ -377,3 +377,34 @@ def test_drift_windows_partition_by_key(spark):
         plan = plan_of(entrymod.queries()[q](spark, SF_DIR))
         tree = plan.split("\n\n")[0]
         assert "SinglePartition" not in tree, q
+
+
+def test_hard_negatives_bucketed_no_nested_loop(spark):
+    """The 100 TB hard-negative path must get its candidates from a bucket
+    EQUI-join — the brute twin's label-inequality theta-join plans a
+    BroadcastNestedLoopJoin, which is exactly what this variant removes."""
+    from reader_spark.ops.ann import md5_plane_weights
+    from reader_spark.ops.negatives import hard_negatives_bucketed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for multiprobe in (False, True):
+        plan = plan_of(
+            hard_negatives_bucketed(
+                emb.where(F.col("vec_id") < 20),
+                emb,
+                weights=md5_plane_weights(dim=64, planes=5),
+                multiprobe=multiprobe,
+            )
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, multiprobe
+        assert "CartesianProduct" not in plan, multiprobe
+
+
+def test_doc_sim_topk_bucketed_no_all_pairs(spark):
+    """Bucketed text similarity: feature-hash vectors join on the LSH
+    bucket key only — no cross product, no driver-side query fetch."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["doc_sim_topk_bucketed"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

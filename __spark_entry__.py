@@ -3665,68 +3665,75 @@ def _q_doc_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full value-hash oracle.  Everything not listed follows in original order
 # (most of it already driver-green in r01/r02).
 _DRIVER_WINDOW = [
-    # flagship extraction / pipeline surface
-    "extract_documents_spans",
-    "warc_extract",
-    "pdf_extract",
-    "crawl_fixture",
-    "error_taxonomy",
-    "resume_remaining",
-    "corpus_prep",
-    "media_metadata",
-    "events_sessions",
-    # round-2 flagships never driver-verified (VERDICT r2 next-round #2)
-    "ann_lsh_md5",
-    "ann_ivf_seeded",
-    "pq_encode_md5",
-    "pq_adc_topk_md5",
-    "ivfadc_md5",
-    "asof_clicks",
-    "attribution_range_join",
-    "duplicate_spans",
-    "line_dedup",
-    "bm25_search",
-    "pagerank_domains",
-    "batch_metadata",
-    "hll_merged",
-    "hll_intersection",
-    "snapshot_diff",
-    "similarity_join_exact",
-    # round-3 operators (all new this round, all oracled)
-    "sequence_packing",
-    "containment_pairs",
-    "tfidf_top_terms",
-    "domain_boilerplate",
-    "novelty_scores",
-    "key_skew_profile",
-    "source_overlap",
-    "value_equidepth",
-    "hits_domains",
-    # one representative per remaining never-driver-verified family
-    # (cut: twins/families already represented — hll_distinct (2 HLL ops
-    # above), hybrid_search_rrf (composes bm25), twap (ewma kept),
-    # cohort_retention/event_transitions/scd2 (window family has
-    # events_sessions + driver-green r1 rows), readability (textstats has
-    # driver rows), lsh_quality_eval, jsonl_ingest, term_pmi (textstats),
-    # cdc_chunks (CDC family keeps snapshot_diff) — all stay local-green
-    # via scripts/gate.py)
-    "decontaminate",
-    "incremental_dedup",
-    "lm_perplexity",
-    "domain_mix_sample",
-    "weighted_sample",
-    "bloom_visited",
-    "cms_user_counts",
-    "numeric_profile",
-    "fuzzy_source_match",
-    "zorder_events",
-    "value_trend",
-    "data_quality_report",
-    "ewma_user_value",
-    "nfc_normalize",
-    # session-2 flagships: media-axis extraction oracle + semantic dedup
-    "interleaved_media_spans",
-    "semdedup",
+    # ROUND-4 ROTATION (VERDICT r3 next-round #4): every r1-r3 driver-green
+    # row is retired from the window (they stay green in the local
+    # scripts/gate.py sweep, recorded in PROGRESS.jsonl); all 50 slots go
+    # to queries that have NEVER had a driver-level correctness row.  The 7
+    # never-verified queries left out are twins whose composing sibling is
+    # in: kmv_distinct (kmv_jaccard), winnow_fingerprints (winnow_pairs),
+    # feature_hash_vectors + doc_sim_topk (doc_sim_topk_bucketed),
+    # hard_negatives (hard_negatives_bucketed), hll_distinct (HLL family
+    # driver-green r3), term_pmi (textstats family driver-green r1).
+    # -- extraction / media flagships never in a window
+    "span_kinds_full",
+    "media_sniff",
+    # -- curation / training-data pipeline
+    "dsir_weights",
+    "quality_logit",
+    "curation_shortlist",
+    "mojibake_repair",
+    "coreset_k_center",
+    "sequence_packing_sharded",
+    "packing_stats",
+    "quality_token_pyramid",
+    "source_vocab_kl",
+    "corpus_scorecard",
+    "readability_scores",
+    "langid_confusion",
+    "lang_source_chi2",
+    "zipf_fit",
+    # -- dedup / fingerprint / decontamination
+    "winnow_pairs",
+    "cdc_chunks",
+    "lsh_quality_eval",
+    # -- similarity search / embeddings
+    "doc_sim_topk_bucketed",
+    "hard_negatives_bucketed",
+    "opq_encode_md5",
+    "embedding_sq8",
+    "label_centroids",
+    "hybrid_search_rrf",
+    # -- sketches
+    "kmv_jaccard",
+    "cms_join_size",
+    # -- graph
+    "graph_triangles",
+    "graph_degree_stats",
+    # -- drift / quality monitoring
+    "value_ks_drift",
+    "value_psi_drift",
+    "fk_audit",
+    "ab_test_proportions",
+    "value_quantile_norm",
+    "value_outliers",
+    # -- sharding / sampling / admission
+    "rendezvous_shards",
+    "rate_limit_admission",
+    "crawl_budget_allocation",
+    # -- event analytics battery
+    "funnel_conversion",
+    "cohort_retention",
+    "event_transitions",
+    "events_sliding_windows",
+    "twap_user_value",
+    "top_event_paths",
+    "user_burstiness",
+    "user_entropy",
+    "scd2_user_state",
+    "price_histogram",
+    "revenue_gini",
+    # -- sources
+    "jsonl_ingest",
 ]
 
 

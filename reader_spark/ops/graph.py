@@ -40,9 +40,17 @@ def pagerank(
     weight_col: str | None = None,
     iterations: int = 5,
     damping: float = 0.85,
+    tol: float | None = None,
 ) -> DataFrame:
     """Iterate rank(n) = (1-d)/N + d * (in-contributions + dangling/N)
-    for a fixed iteration count from the uniform start 1/N.
+    from the uniform start 1/N, for `iterations` rounds — or, with
+    `tol` set, until the L1 delta ||pr_t - pr_{t-1}||_1 <= tol, with
+    `iterations` as the cap. The data flow stays driver-free (dangling
+    mass is a 1-row broadcast dim fused into each round's job); the
+    convergence CHECK is one scalar aggregate over the round's
+    already-checkpointed |nodes|-row rank vector — a scan, never a
+    recompute — which is the unavoidable driver decision any early-stop
+    loop makes, paid once per round on the smallest frame in the job.
 
     Returns (node, pr) with pr rounded to 9 dp (the in-iteration
     precision). Edge weights default to 1 per edge; parallel edges are
@@ -50,6 +58,8 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if tol is not None and tol <= 0.0:
+        raise ValueError(f"tol must be positive, got {tol}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
 
@@ -104,7 +114,8 @@ def pagerank(
             .agg(F.sum("contrib").alias("in_sum"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            ranks.select("node", F.col("pr").alias("__prev"))
+            .join(contribs, "node", "left")
             .crossJoin(dangling)
             .select(
                 "node",
@@ -117,10 +128,17 @@ def pagerank(
                     ),
                     9,
                 ).alias("pr"),
+                "__prev",
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+        if tol is not None:
+            delta = ranks.agg(
+                F.sum(F.abs(F.col("pr") - F.col("__prev"))).alias("d")
+            ).first()["d"]
+            if delta <= tol:
+                break
+    return ranks.drop("__prev")
 
 
 def hits(
@@ -128,6 +146,7 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
     iterations: int = 3,
+    tol: float | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg JACM'99) — the link-graph
     companion to pagerank: authority(i) ~ sum of hub scores linking to i,
@@ -142,10 +161,18 @@ def hits(
     SQL oracle: summands are 9 dp, sums round at 9, normalized scores
     round at 9, display at 6.
 
+    With `tol` set, the loop stops once the hub-vector L1 delta
+    ||h_t - h_{t-1}||_1 <= tol (hub scores are the last half-step, so
+    their delta bounds the iteration's movement), with `iterations` as
+    the cap; the check is one scalar aggregate over the checkpointed
+    |nodes|-row hub vector, same pattern as :func:`pagerank`.
+
     Returns (node, hub, authority), both rounded to 6 dp.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if tol is not None and tol <= 0.0:
+        raise ValueError(f"tol must be positive, got {tol}")
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -185,8 +212,14 @@ def hits(
             .groupBy(F.col("src").alias("node"))
             .agg(F.round(F.sum("a"), 9).alias("h_raw"))
         )
-        h_full = nodes.join(h_raw, "node", "left").select(
-            "node", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
+        h_full = (
+            hubs.select("node", F.col("h").alias("__prev"))
+            .join(h_raw, "node", "left")
+            .select(
+                "node",
+                F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+                "__prev",
+            )
         )
         h_norm = F.broadcast(h_full.agg(F.sum("h_raw").alias("__nh")))
         hubs = (
@@ -194,9 +227,16 @@ def hits(
             .select(
                 "node",
                 F.round(F.try_divide(F.col("h_raw"), F.col("__nh")), 9).alias("h"),
+                "__prev",
             )
             .localCheckpoint(eager=True)
         )
+        if tol is not None:
+            delta = hubs.agg(
+                F.sum(F.abs(F.col("h") - F.col("__prev"))).alias("d")
+            ).first()["d"]
+            if delta <= tol:
+                break
     return (
         hubs.join(auths, "node")
         .select(

@@ -68,6 +68,46 @@ class TestPagerank:
         with pytest.raises(ValueError, match="empty"):
             pagerank(e)
 
+    def test_tol_early_stop(self, spark, monkeypatch):
+        """A symmetric cycle starts AT its fixed point, so with tol set a
+        50-iteration request must stop after one round (observed by
+        counting localCheckpoint calls: 2 setup + 1 iteration)."""
+        # patch the CONCRETE class: pyspark 4's abstract pyspark.sql
+        # DataFrame is overridden by the classic subclass at runtime
+        e = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+        cls = type(e)
+        calls = {"n": 0}
+        orig = cls.localCheckpoint
+
+        def counting(df, eager=True):
+            calls["n"] += 1
+            return orig(df, eager=eager)
+
+        monkeypatch.setattr(cls, "localCheckpoint", counting)
+        pr = {r.node: r.pr for r in
+              pagerank(e, iterations=50, tol=1e-9).collect()}
+        assert calls["n"] == 3
+        assert pr["a"] == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_tiny_tol_matches_fixed_count_exactly(self, spark):
+        """tol small enough never fires, so the result is value-identical
+        to the fixed-count twin — the oracle row is unaffected by the
+        convergence machinery."""
+        e = _edges(
+            spark,
+            [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("d", "a", 1)],
+        )
+        fixed = sorted(map(tuple, pagerank(e, weight_col="w",
+                                           iterations=5).collect()))
+        tol = sorted(map(tuple, pagerank(e, weight_col="w", iterations=5,
+                                         tol=1e-15).collect()))
+        assert fixed == tol
+
+    def test_tol_validation(self, spark):
+        e = _edges(spark, [("a", "b", 1)])
+        with pytest.raises(ValueError, match="tol"):
+            pagerank(e, tol=0.0)
+
 
 def test_pagerank_iterations_are_driver_free():
     """Dangling mass must fold in as a broadcast dim, not a per-iteration
@@ -84,6 +124,11 @@ def test_pagerank_iterations_are_driver_free():
     assert ".head()" not in loop_body
     assert ".collect()" not in loop_body
     assert "broadcast" in loop_body
+    # the tol convergence check is the one permitted scalar readback, and
+    # it must stay guarded so fixed-count runs never pay a driver sync
+    assert loop_body.count(".first()") == 1
+    guarded = loop_body.split("if tol is not None:")[1]
+    assert ".first()" in guarded
 
 
 class TestHits:
@@ -122,6 +167,8 @@ class TestHits:
         loop = inspect.getsource(graph.hits).split("for _ in range(iterations):")[1]
         assert ".head()" not in loop and ".collect()" not in loop
         assert "broadcast" in loop
+        assert loop.count(".first()") == 1
+        assert ".first()" in loop.split("if tol is not None:")[1]
 
     def test_validation(self, spark):
         import pytest as _pytest
@@ -130,9 +177,41 @@ class TestHits:
 
         with _pytest.raises(ValueError, match="iterations"):
             hits(self._edges(spark), iterations=0)
+        with _pytest.raises(ValueError, match="tol"):
+            hits(self._edges(spark), tol=-1.0)
         empty = spark.createDataFrame([], "src string, dst string")
         with _pytest.raises(ValueError, match="empty"):
             hits(empty)
+
+    def test_tol_converges_early_to_fixed_point(self, spark, monkeypatch):
+        """HITS on the hub fixture converges geometrically; a 50-iteration
+        request with tol must stop far earlier and still agree with a long
+        fixed-count run at 4 dp."""
+        from pyspark.sql import DataFrame
+
+        from reader_spark.ops.graph import hits
+
+        edges = self._edges(spark)
+        cls = type(edges)
+        calls = {"n": 0}
+        orig = cls.localCheckpoint
+
+        def counting(df, eager=True):
+            calls["n"] += 1
+            return orig(df, eager=eager)
+
+        monkeypatch.setattr(cls, "localCheckpoint", counting)
+        got = {r.node: r for r in
+               hits(edges, iterations=50, tol=1e-7).collect()}
+        # 2 setup checkpoints + 2 per iteration: well under 50 rounds
+        iterations_run = (calls["n"] - 2) // 2
+        assert iterations_run < 25
+        ref = {r.node: r for r in
+               hits(self._edges(spark), iterations=30).collect()}
+        for n in ref:
+            assert got[n].hub == pytest.approx(ref[n].hub, abs=1e-4)
+            assert got[n].authority == pytest.approx(
+                ref[n].authority, abs=1e-4)
 
 
 class TestTriangles:

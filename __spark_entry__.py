@@ -15,7 +15,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from reader_spark.functions.text import LANG_STOPWORDS
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -1413,63 +1412,6 @@ def _q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
-    """Unrolled fixed-iteration PageRank in ANSI SQL, mirroring
-    ops/graph.pagerank's in-iteration 9 dp rounding term for term."""
-    parts = [
-        """
-        WITH nsrc AS (SELECT count(DISTINCT source) AS n FROM documents),
-        edges0 AS (
-            SELECT source AS src,
-                   'src' || CAST(CAST(('0x' || substr(md5('link:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                                 % (SELECT n FROM nsrc) AS VARCHAR) AS dst
-            FROM documents
-        ),
-        edges AS (
-            SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
-            FROM edges0 GROUP BY src, dst
-        ),
-        nodes AS (
-            SELECT DISTINCT node FROM (
-                SELECT src AS node FROM edges UNION SELECT dst FROM edges
-            )
-        ),
-        nn AS (SELECT count(*) AS n FROM nodes),
-        outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
-        frac AS (
-            SELECT e.src, e.dst, e.w / o.out_w AS frac
-            FROM edges e JOIN outw o USING (src)
-        ),
-        r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM nodes)
-        """
-    ]
-    for k in range(1, iterations + 1):
-        parts.append(
-            f""",
-        r{k} AS (
-            SELECT n.node,
-                   round((1 - {damping}) / (SELECT n FROM nn)
-                         + {damping} * (
-                               COALESCE(c.in_sum, 0)
-                               + (SELECT COALESCE(sum(pr), 0) FROM r{k - 1} p
-                                  LEFT JOIN outw o ON p.node = o.src
-                                  WHERE o.src IS NULL) / (SELECT n FROM nn)
-                           ), 9) AS pr
-            FROM nodes n LEFT JOIN (
-                SELECT f.dst AS node, sum(round(p.pr * f.frac, 9)) AS in_sum
-                FROM frac f JOIN r{k - 1} p ON f.src = p.node
-                GROUP BY f.dst
-            ) c ON n.node = c.node
-        )"""
-        )
-    parts.append(
-        f"""
-        SELECT node AS domain, round(pr, 6) AS pr FROM r{iterations}
-        """
-    )
-    return "".join(parts)
-
-
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl dedup: docs with doc_id >= 250 are the new
     batch, checked against the already-ingested corpus (doc_id < 250)
@@ -1528,31 +1470,6 @@ def _q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_key(events, "user_id", "ts_us", bits=8).select(
         "event_id", "user_id_bucket", "ts_us_bucket", "z"
     )
-
-
-def _zorder_oracle(bits: int = 8) -> str:
-    scale = 1 << bits
-    z_terms = " + ".join(
-        f"(((user_id_bucket >> {b}) & 1) << {2 * b}) + "
-        f"(((ts_us_bucket >> {b}) & 1) << {2 * b + 1})"
-        for b in range(bits)
-    )
-    return f"""
-        WITH mm AS (
-            SELECT min(user_id) AS minx, max(user_id) AS maxx,
-                   min(epoch_us(ts)) AS miny, max(epoch_us(ts)) AS maxy
-            FROM events
-        ),
-        b AS (
-            SELECT event_id,
-                   ((user_id - minx) * {scale}) // (maxx - minx + 1) AS user_id_bucket,
-                   ((epoch_us(ts) - miny) * {scale}) // (maxy - miny + 1) AS ts_us_bucket
-            FROM events, mm
-        )
-        SELECT event_id, user_id_bucket, ts_us_bucket,
-               {z_terms} AS z
-        FROM b
-    """
 
 
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2524,67 +2441,6 @@ def _q_hits_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=3).withColumnRenamed("node", "domain")
 
 
-def _hits_oracle(iterations: int = 3) -> str:
-    """Unrolled fixed-iteration HITS in ANSI SQL, mirroring
-    ops/graph.hits' rounding (9 dp sums and normalized scores)."""
-    parts = [
-        """
-        WITH nsrc AS (SELECT count(DISTINCT source) AS n FROM documents),
-        edges AS (
-            SELECT DISTINCT source AS src,
-                   'src' || CAST(CAST(('0x' || substr(md5('link:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                                 % (SELECT n FROM nsrc) AS VARCHAR) AS dst
-            FROM documents
-        ),
-        nodes AS (
-            SELECT DISTINCT node FROM (
-                SELECT src AS node FROM edges UNION SELECT dst FROM edges
-            )
-        ),
-        h0 AS (SELECT node, 1.0 AS h FROM nodes)
-        """
-    ]
-    for k in range(1, iterations + 1):
-        parts.append(
-            f""",
-        a{k}raw AS MATERIALIZED (
-            SELECT n.node, COALESCE(s.v, 0) AS a_raw
-            FROM nodes n LEFT JOIN (
-                SELECT e.dst AS node, round(sum(p.h), 9) AS v
-                FROM edges e JOIN h{k - 1} p ON e.src = p.node
-                GROUP BY e.dst
-            ) s ON n.node = s.node
-        ),
-        a{k} AS MATERIALIZED (
-            SELECT node,
-                   round(a_raw / NULLIF((SELECT sum(a_raw) FROM a{k}raw), 0), 9) AS a
-            FROM a{k}raw
-        ),
-        h{k}raw AS MATERIALIZED (
-            SELECT n.node, COALESCE(s.v, 0) AS h_raw
-            FROM nodes n LEFT JOIN (
-                SELECT e.src AS node, round(sum(p.a), 9) AS v
-                FROM edges e JOIN a{k} p ON e.dst = p.node
-                GROUP BY e.src
-            ) s ON n.node = s.node
-        ),
-        h{k} AS MATERIALIZED (
-            SELECT node,
-                   round(h_raw / NULLIF((SELECT sum(h_raw) FROM h{k}raw), 0), 9) AS h
-            FROM h{k}raw
-        )"""
-        )
-    parts.append(
-        f"""
-        SELECT h{iterations}.node AS domain,
-               round(h{iterations}.h, 6) AS hub,
-               round(a{iterations}.a, 6) AS authority
-        FROM h{iterations} JOIN a{iterations} USING (node)
-        """
-    )
-    return "".join(parts)
-
-
 def _q_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) histogram of event values, 5 bins — the
     selectivity-estimation twin of price_histogram's equi-width bins:
@@ -2910,40 +2766,6 @@ def _q_opq_encode_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("codes"), lambda c: c.cast("string")), ","
         ).alias("codes_str"),
     )
-
-
-def _opq_encode_md5_oracle() -> str:
-    from reader_spark.ops.ann import md5_signed_permutation
-
-    perm, signs = md5_signed_permutation(64)
-    permuted = ", ".join(
-        f"{signs[i]} * embedding[{perm[i] + 1}]" for i in range(64)
-    )
-    return f"""
-        WITH cb(sub, code, c) AS (VALUES
-                {_pq_codebook_values()}),
-        e AS (
-            SELECT vec_id, [{permuted}]::DOUBLE[] AS v
-            FROM embeddings WHERE vec_id < 200
-        ),
-        dists AS (
-            SELECT e.vec_id, cb.sub, cb.code,
-                   round(list_aggregate(list_transform(
-                       list_zip(list_slice(v, cb.sub*8 + 1, cb.sub*8 + 8), cb.c),
-                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9) AS dist
-            FROM e CROSS JOIN cb
-        ),
-        best AS (
-            SELECT vec_id, sub, code,
-                   row_number() OVER (
-                       PARTITION BY vec_id, sub ORDER BY dist, code
-                   ) AS rn
-            FROM dists
-        )
-        SELECT vec_id,
-               string_agg(code::VARCHAR, ',' ORDER BY sub) AS codes_str
-        FROM best WHERE rn = 1 GROUP BY vec_id
-    """
 
 
 def _q_sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3272,35 +3094,6 @@ def _q_coreset_k_center(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     return k_center_select(emb, k=5)
-
-
-def _k_center_oracle(k: int = 5) -> str:
-    l2 = (
-        "round(list_aggregate(list_transform(list_zip({a}, {b}), "
-        "x -> (x[1] - x[2]) ^ 2), 'sum'), 9)"
-    )
-    parts = [
-        "WITH s0 AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
-        "c1 AS MATERIALIZED (SELECT id, v FROM s0 ORDER BY id LIMIT 1)",
-        "d1 AS MATERIALIZED (SELECT s.id, s.v, "
-        + l2.format(a="s.v", b="c.v")
-        + " AS min_d FROM s0 s CROSS JOIN c1 c)",
-    ]
-    for i in range(2, k + 1):
-        parts.append(
-            f"c{i} AS MATERIALIZED (SELECT id, v FROM d{i-1} ORDER BY min_d DESC, id LIMIT 1)"
-        )
-        parts.append(
-            f"d{i} AS MATERIALIZED (SELECT d.id, d.v, least(d.min_d, "
-            + l2.format(a="d.v", b="c.v")
-            + f") AS min_d FROM d{i-1} d CROSS JOIN c{i} c)"
-        )
-    selects = [
-        f"SELECT CAST({i} AS INTEGER) AS rank, (SELECT id FROM c{i}) AS vec_id,"
-        f" (SELECT round(max(min_d), 6) FROM d{i}) AS radius"
-        for i in range(1, k + 1)
-    ]
-    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
 def _q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3912,3684 +3705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles (DuckDB SQL over the pre-registered parquet views)
 # ---------------------------------------------------------------------------
 
-_EN_STOPS = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS["en"]))
-
-# Shared CTE chain for the feature-hashing vectorizer oracles (the WITH
-# body through per-doc dense components + norms) — single source of truth
-# for feature_hash_vectors and doc_sim_topk.
-_FH_CTES = """
-    WITH toks AS (
-        SELECT doc_id,
-               unnest(list_filter(
-                   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-                   t -> t <> '')) AS tok
-        FROM documents
-    ),
-    cells AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5('fh1:' || tok), 1, 8)) AS BIGINT) % 64 AS i,
-               sum(CASE WHEN CAST(('0x' || substr(md5('fh2:' || tok), 1, 8)) AS BIGINT) % 2 = 0
-                        THEN 1 ELSE -1 END) AS c
-        FROM toks GROUP BY 1, 2
-    ),
-    grid AS (
-        SELECT d.doc_id, g.i
-        FROM (SELECT DISTINCT doc_id FROM documents) d,
-             unnest(generate_series(0, 63)) g(i)
-    ),
-    dense AS (
-        SELECT g.doc_id, g.i, COALESCE(c.c, 0)::DOUBLE AS v
-        FROM grid g LEFT JOIN cells c ON g.doc_id = c.doc_id AND g.i = c.i
-    ),
-    nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM dense GROUP BY 1)
-"""
-
-
-def _trigram_pats_sql() -> str:
-    """VALUES rows of (lang, pattern) — literally the same alternations the
-    Spark column uses (single source of truth in ops.textstats)."""
-    from reader_spark.ops.textstats import LANG_TRIGRAMS
-
-    rows = [
-        f"('{lang}', '{'|'.join(f'({t})' for t in tris)}')"
-        for lang, tris in sorted(LANG_TRIGRAMS.items())
-    ]
-    return ", ".join(rows)
-
-
-def _lang_hits_sql(lang: str) -> str:
-    stops = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS[lang]))
-    return (
-        "len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), "
-        f"'\\s+')), [{stops}]))"
-    )
-
-
-def oracle_sql() -> dict[str, str]:
-    out = _oracle_sql_entries()
-    # The banded SimHash production path must reproduce the all-pairs form
-    # exactly (block pigeonhole) — sharing the oracle IS the check.
-    out["simhash_banded_md5"] = out["simhash_md5"]
-    out["ann_lsh_md5"] = _ann_lsh_md5_oracle()
-    out["hard_negatives_bucketed"] = _hard_negatives_bucketed_oracle()
-    out["doc_sim_topk_bucketed"] = _doc_sim_topk_bucketed_oracle()
-    out["embedding_dedup_lsh_md5"] = _embedding_dedup_lsh_md5_oracle()
-    out["embedding_dedup_components"] = _embedding_dedup_components_oracle()
-    out["pq_encode_md5"] = _pq_encode_md5_oracle()
-    out["opq_encode_md5"] = _opq_encode_md5_oracle()
-    out["pq_adc_topk_md5"] = _pq_adc_topk_md5_oracle()
-    out["ivfadc_md5"] = _ivfadc_md5_oracle()
-    # Golden-literal oracles: pdf_extract and crawl_fixture run on FIXED
-    # fixtures, so their exact expected outputs are expressible as VALUES —
-    # the SQL form of the golden pytest assertions (pins every value, not
-    # just row counts). Not derivable from the parquet tables by design.
-    out["pdf_extract"] = """
-        SELECT * FROM (VALUES
-            ('pdf-two-column', 0, 'heading', '# Two Column Paper Title'),
-            ('pdf-two-column', 1, 'text',
-             'Left column first line. Left column second line. '
-             || 'Left column third line. Right column first line. '
-             || 'Right column second line.'),
-            ('pdf-two-column', 2, 'heading', '# Second Page Heading'),
-            ('pdf-two-column', 3, 'text', 'Full width body line on page two.')
-        ) AS t(doc_id, ord, kind, text)
-    """
-    out["crawl_fixture"] = """
-        SELECT * FROM (VALUES
-            ('https://c.test/start',  0, 'Start', CAST(NULL AS VARCHAR)),
-            ('https://c.test/blog/a', 1, 'A',     CAST(NULL AS VARCHAR)),
-            ('https://c.test/blog/b', 1, 'B',     CAST(NULL AS VARCHAR)),
-            ('https://c.test/blog/c', 2, 'C',     CAST(NULL AS VARCHAR))
-        ) AS t(url, depth, title, description)
-    """
-    return out
-
-
-def _md5_bucket_terms(planes: int = 8) -> str:
-    """The bucket expression over column `v` with the SAME md5-derived plane
-    weights embedded as SQL literals (repr() round-trips float64 exactly;
-    DuckDB parses decimal literals to the nearest double = the identical
-    value)."""
-    from reader_spark.ops.ann import md5_plane_weights
-
-    weights = md5_plane_weights(dim=64, planes=planes)
-    return "\n                 + ".join(
-        "(CASE WHEN list_dot_product(v, ["
-        + ", ".join(repr(x) for x in w)
-        + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p, w in enumerate(weights)
-    )
-
-
-def _embedding_dedup_lsh_md5_oracle() -> str:
-    return f"""
-        WITH corpus AS (
-            SELECT vec_id AS doc, embedding::DOUBLE[] AS v
-            FROM embeddings WHERE vec_id < 200
-        ),
-        buckets AS (
-            SELECT doc, v,
-                   {_md5_bucket_terms(planes=2)} AS bucket
-            FROM corpus
-        )
-        SELECT a.doc AS vec_a, b.doc AS vec_b,
-               round(list_cosine_similarity(a.v, b.v), 4) AS cosine
-        FROM buckets a JOIN buckets b
-          ON a.bucket = b.bucket AND a.doc < b.doc
-        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
-    """
-
-
-def _embedding_dedup_components_oracle() -> str:
-    return f"""
-        WITH RECURSIVE
-        corpus AS (
-            SELECT vec_id AS doc, embedding::DOUBLE[] AS v
-            FROM embeddings WHERE vec_id < 200
-        ),
-        buckets AS (
-            SELECT doc, v,
-                   {_md5_bucket_terms(planes=2)} AS bucket
-            FROM corpus
-        ),
-        pairs AS (
-            SELECT a.doc AS doc_a, b.doc AS doc_b
-            FROM buckets a JOIN buckets b
-              ON a.bucket = b.bucket AND a.doc < b.doc
-            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
-        ),
-        edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION
-            SELECT doc_b AS src, doc_a AS dst FROM pairs
-        ),
-        reach(v, r) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
-        )
-        SELECT v AS doc, min(r) AS component FROM reach GROUP BY v
-    """
-
-
-def _pq_codebook_values() -> str:
-    """The md5 PQ codebooks as a SQL VALUES list: (sub, code, c DOUBLE[])."""
-    from reader_spark.ops.ann import md5_pq_codebooks
-
-    books = md5_pq_codebooks(dim=64, m=8, k=16)
-    rows = []
-    for sub, book in enumerate(books):
-        for code, c in enumerate(book):
-            vec = "[" + ", ".join(repr(x) for x in c) + "]"
-            cast = "::DOUBLE[]" if sub == 0 and code == 0 else ""
-            rows.append(f"({sub}, {code}, {vec}{cast})")
-    return ",\n                ".join(rows)
-
-
-def _pq_encode_md5_oracle() -> str:
-    return f"""
-        WITH cb(sub, code, c) AS (VALUES
-                {_pq_codebook_values()}),
-        e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v
-            FROM embeddings WHERE vec_id < 200
-        ),
-        dists AS (
-            SELECT e.vec_id, cb.sub, cb.code,
-                   round(list_aggregate(list_transform(
-                       list_zip(list_slice(v, cb.sub*8 + 1, cb.sub*8 + 8), cb.c),
-                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9) AS dist
-            FROM e CROSS JOIN cb
-        ),
-        best AS (
-            SELECT vec_id, sub, code,
-                   row_number() OVER (
-                       PARTITION BY vec_id, sub ORDER BY dist, code
-                   ) AS rn
-            FROM dists
-        )
-        SELECT vec_id,
-               string_agg(code::VARCHAR, ',' ORDER BY sub) AS codes_str
-        FROM best WHERE rn = 1 GROUP BY vec_id
-    """
-
-
-def _pq_adc_topk_md5_oracle() -> str:
-    return f"""
-        WITH cb(sub, code, c) AS (VALUES
-                {_pq_codebook_values()}),
-        q AS (
-            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
-        ),
-        tab AS (
-            SELECT cb.sub, cb.code,
-                   round(list_aggregate(list_transform(
-                       list_zip(list_slice(qv, cb.sub*8 + 1, cb.sub*8 + 8), cb.c),
-                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9) AS d
-            FROM cb CROSS JOIN q
-        ),
-        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        dists AS (
-            SELECT e.vec_id, cb.sub, cb.code,
-                   round(list_aggregate(list_transform(
-                       list_zip(list_slice(v, cb.sub*8 + 1, cb.sub*8 + 8), cb.c),
-                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9) AS dist
-            FROM e CROSS JOIN cb
-        ),
-        best AS (
-            SELECT vec_id, sub, code,
-                   row_number() OVER (
-                       PARTITION BY vec_id, sub ORDER BY dist, code
-                   ) AS rn
-            FROM dists
-        )
-        SELECT b.vec_id, round(sum(t.d), 6) AS adc_dist
-        FROM best b JOIN tab t ON t.sub = b.sub AND t.code = b.code
-        WHERE b.rn = 1
-        GROUP BY b.vec_id
-        ORDER BY adc_dist, b.vec_id
-        LIMIT 10
-    """
-
-
-def _ivfadc_md5_oracle() -> str:
-    return f"""
-        WITH cb(sub, code, c) AS (VALUES
-                {_pq_codebook_values()}),
-        cents AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-                   embedding::DOUBLE[] AS cv
-            FROM embeddings WHERE vec_id >= 100
-            ORDER BY vec_id LIMIT 8
-        ),
-        corpus AS (
-            SELECT e.vec_id AS corpus_id, e.embedding::DOUBLE[] AS v,
-                   (SELECT c.cell FROM cents c
-                    ORDER BY round(list_aggregate(list_transform(
-                                list_zip(c.cv, e.embedding::DOUBLE[]),
-                                x -> (x[1] - x[2]) ^ 2), 'sum'), 9),
-                             c.cell
-                    LIMIT 1) AS cell
-            FROM embeddings e
-        ),
-        enc AS (
-            SELECT corpus_id, cell, sub, code FROM (
-                SELECT co.corpus_id, co.cell, cb.sub, cb.code,
-                       row_number() OVER (
-                           PARTITION BY co.corpus_id, cb.sub
-                           ORDER BY round(list_aggregate(list_transform(
-                                       list_zip(list_slice(co.v, cb.sub*8 + 1, cb.sub*8 + 8), cb.c),
-                                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9),
-                                    cb.code
-                       ) AS rn
-                FROM corpus co CROSS JOIN cb
-            ) WHERE rn = 1
-        ),
-        qset AS (
-            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-            FROM embeddings WHERE vec_id < 4
-        ),
-        qprobe AS (
-            SELECT query_id, cell FROM (
-                SELECT q.query_id, c.cell,
-                       row_number() OVER (PARTITION BY q.query_id
-                           ORDER BY round(list_aggregate(list_transform(
-                                       list_zip(c.cv, q.qv),
-                                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9),
-                                    c.cell) AS rnk
-                FROM qset q CROSS JOIN cents c
-            ) WHERE rnk <= 2
-        ),
-        qtab AS (
-            SELECT q.query_id, cb.sub, cb.code,
-                   round(list_aggregate(list_transform(
-                       list_zip(list_slice(q.qv, cb.sub*8 + 1, cb.sub*8 + 8), cb.c),
-                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9) AS d
-            FROM qset q CROSS JOIN cb
-        ),
-        scored AS (
-            SELECT p.query_id, e.corpus_id, round(sum(t.d), 6) AS adc_dist
-            FROM qprobe p
-            JOIN enc e USING (cell)
-            JOIN qtab t ON t.query_id = p.query_id
-                       AND t.sub = e.sub AND t.code = e.code
-            GROUP BY p.query_id, e.corpus_id
-        ),
-        ranked AS (
-            SELECT query_id, corpus_id, adc_dist,
-                   CAST(row_number() OVER (
-                       PARTITION BY query_id ORDER BY adc_dist, corpus_id
-                   ) AS INTEGER) AS rank
-            FROM scored
-        )
-        SELECT query_id, corpus_id, adc_dist, rank FROM ranked WHERE rank <= 5
-    """
-
-
-def _ann_lsh_md5_oracle() -> str:
-    bucket_terms = _md5_bucket_terms()
-    return f"""
-        WITH corpus AS (
-            SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS v
-            FROM embeddings
-        ),
-        buckets AS (
-            SELECT corpus_id, v,
-                   {bucket_terms} AS bucket
-            FROM corpus
-        ),
-        q AS (
-            SELECT corpus_id AS query_id, v AS qv, bucket
-            FROM buckets WHERE corpus_id < 4
-        ),
-        scored AS (
-            SELECT q.query_id, b.corpus_id,
-                   round(list_cosine_similarity(b.v, q.qv), 4) AS cosine
-            FROM buckets b JOIN q USING (bucket)
-        ),
-        ranked AS (
-            SELECT query_id, corpus_id, cosine,
-                   CAST(row_number() OVER (
-                       PARTITION BY query_id ORDER BY cosine DESC, corpus_id
-                   ) AS INTEGER) AS rank
-            FROM scored
-        )
-        SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
-    """
-
-
-def _hard_negatives_bucketed_oracle() -> str:
-    bucket_terms = _md5_bucket_terms(planes=5)
-    probe_list = ", ".join(
-        ["b0"] + [f"xor(b0, {1 << i}::BIGINT)" for i in range(5)]
-    )
-    return f"""
-        WITH pool AS (
-            SELECT vec_id AS neg_id, embedding::DOUBLE[] AS v,
-                   label AS neg_label
-            FROM embeddings
-        ),
-        pb AS (
-            SELECT neg_id, v AS nv, neg_label, {bucket_terms} AS bucket
-            FROM pool
-        ),
-        anch AS (
-            SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS v,
-                   label AS anchor_label
-            FROM embeddings WHERE vec_id < 20
-        ),
-        ab AS (
-            SELECT anchor_id, v AS av, anchor_label, {bucket_terms} AS b0
-            FROM anch
-        ),
-        probes AS (
-            SELECT anchor_id, av, anchor_label,
-                   unnest([{probe_list}]) AS bucket
-            FROM ab
-        ),
-        scored AS (
-            SELECT a.anchor_id, a.anchor_label, p.neg_id, p.neg_label,
-                   round(list_cosine_similarity(a.av, p.nv), 4) AS cosine
-            FROM probes a JOIN pb p USING (bucket)
-            WHERE a.anchor_label <> p.neg_label
-        ),
-        ranked AS (
-            SELECT *, CAST(row_number() OVER (
-                       PARTITION BY anchor_id
-                       ORDER BY cosine DESC, neg_id) AS INTEGER) AS rank
-            FROM scored
-        )
-        SELECT anchor_id, anchor_label, neg_id, neg_label, cosine, rank
-        FROM ranked WHERE rank <= 3
-    """
-
-
-def _doc_sim_topk_bucketed_oracle() -> str:
-    bucket_terms = _md5_bucket_terms(planes=2)
-    return _FH_CTES + f""",
-        unitv AS (
-            SELECT d.doc_id,
-                   list(CASE WHEN n.nn > 0 THEN round(d.v / n.nn, 6) ELSE d.v END
-                        ORDER BY d.i) AS v
-            FROM dense d JOIN nrm n USING (doc_id) GROUP BY d.doc_id
-        ),
-        bk AS (SELECT doc_id, v, {bucket_terms} AS bucket FROM unitv),
-        corpus AS (
-            SELECT doc_id AS corpus_id, v AS cv, bucket FROM bk WHERE doc_id >= 4
-        ),
-        q AS (
-            SELECT doc_id AS query_id, v AS qv, bucket FROM bk WHERE doc_id < 4
-        ),
-        scored AS (
-            SELECT q.query_id, c.corpus_id,
-                   round(list_cosine_similarity(c.cv, q.qv), 4) AS cosine
-            FROM corpus c JOIN q USING (bucket)
-        ),
-        ranked AS (
-            SELECT query_id, corpus_id, cosine,
-                   CAST(row_number() OVER (
-                       PARTITION BY query_id ORDER BY cosine DESC, corpus_id
-                   ) AS INTEGER) AS rank
-            FROM scored
-        )
-        SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 10
-    """
-
-
-def _oracle_sql_entries() -> dict[str, str]:
-    return {
-        "extract_documents_spans": """
-            SELECT doc_id, 0 AS ord, 'heading' AS kind,
-                   '# Document ' || doc_id AS text
-            FROM documents
-            UNION ALL
-            SELECT doc_id, 1 AS ord, 'text' AS kind, text
-            FROM documents
-        """,
-        "events_sessions": """
-            WITH gaps AS (
-                SELECT user_id,
-                       CASE WHEN epoch(ts) - lag(epoch(ts), 1, -1000000000)
-                                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                                 > 1800
-                            THEN 1 ELSE 0 END AS new_session
-                FROM events
-            )
-            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
-                   count(*) AS n_events
-            FROM gaps GROUP BY user_id
-        """,
-        "dedup_embedding_cosine": """
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 4) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < 200 AND b.vec_id < 200
-              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                               b.embedding::DOUBLE[]), 4) >= 0.35
-        """,
-        "events_pivot": """
-            SELECT user_id,
-                   CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
-                   CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
-                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-                   CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-                   CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
-            FROM events GROUP BY user_id
-        """,
-        "quality_filter": """
-            WITH q AS (
-                SELECT doc_id,
-                       len(string_split_regex(trim(text), '\\s+')) AS token_count,
-                       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                             / greatest(length(text), 1), 6) AS punct_ratio
-                FROM documents
-            )
-            SELECT doc_id, token_count, punct_ratio
-            FROM q WHERE token_count >= 50 AND punct_ratio < 0.05
-        """,
-        "value_percentiles": """
-            SELECT event_type,
-                   round(quantile_cont(value, 0.5), 4) AS p50,
-                   round(quantile_cont(value, 0.9), 4) AS p90,
-                   round(min(value), 4) AS vmin,
-                   round(max(value), 4) AS vmax
-            FROM events GROUP BY event_type
-        """,
-        "props_json": """
-            SELECT event_type,
-                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-                   count(json_extract_string(props, '$.k')) AS n_with_k
-            FROM events GROUP BY event_type
-        """,
-        "part_brand_revenue": """
-            SELECT p_brand,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                   count(DISTINCT s_suppkey) AS n_suppliers
-            FROM lineitem
-            JOIN part ON l_partkey = p_partkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            GROUP BY p_brand
-        """,
-        "nation_market_share": """
-            SELECT year(o_orderdate) AS o_year,
-                   round(sum(CASE WHEN n_name = 'NATION_3'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0.0 END)
-                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
-            FROM lineitem
-            JOIN orders   ON l_orderkey = o_orderkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation   ON s_nationkey = n_nationkey
-            GROUP BY year(o_orderdate)
-        """,
-        "regional_supplier_volume": """
-            SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem
-            JOIN orders   ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-            JOIN nation   ON s_nationkey = n_nationkey
-            JOIN region   ON n_regionkey = r_regionkey
-            WHERE r_name = 'ASIA'
-              AND o_orderdate >= TIMESTAMP '1996-01-01'
-              AND o_orderdate < TIMESTAMP '1998-01-01'
-            GROUP BY n_name
-        """,
-        "customers_without_orders": """
-            SELECT c_custkey, c_nationkey FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        """,
-        "returns_rollup": """
-            SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   round(sum(l_quantity), 2) AS qty
-            FROM lineitem
-            GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        """,
-        "detected_lang": f"""
-            WITH hits AS (
-                SELECT doc_id,
-                       {_lang_hits_sql('de')} AS h_de,
-                       {_lang_hits_sql('en')} AS h_en,
-                       {_lang_hits_sql('es')} AS h_es,
-                       {_lang_hits_sql('fr')} AS h_fr
-                FROM documents
-            )
-            SELECT doc_id,
-                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-                        WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
-                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-                        ELSE 'de'
-                   END AS detected_lang
-            FROM hits
-        """,
-        "pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_discount), 6) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
-        """,
-        "top_revenue_orders": """
-            SELECT o_orderkey, o_custkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            GROUP BY o_orderkey, o_custkey
-            ORDER BY revenue DESC, o_orderkey
-            LIMIT 10
-        """,
-        "customer_nation_rollup": """
-            SELECT n_name,
-                   count(*) AS n_customers,
-                   round(sum(c_acctbal), 2) AS total_acctbal
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-            GROUP BY n_name
-        """,
-        "events_user_stats": """
-            WITH ranked AS (
-                SELECT user_id, event_type, value,
-                       row_number() OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id) AS rn
-                FROM events
-            )
-            SELECT user_id,
-                   count(*) AS n_events,
-                   count(DISTINCT event_type) AS n_types,
-                   max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
-                   round(sum(value), 4) AS total_value
-            FROM ranked GROUP BY user_id
-        """,
-        "funnel": """
-            WITH firsts AS (
-                SELECT user_id,
-                       min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-                       min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
-                FROM events GROUP BY user_id
-            )
-            SELECT count(t_view) AS n_view,
-                   count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
-                   count(CASE WHEN t_click > t_view AND t_buy > t_click
-                              THEN 1 END) AS n_view_click_buy
-            FROM firsts
-        """,
-        "user_retention": """
-            WITH days AS (
-                SELECT DISTINCT user_id, ts::DATE AS day FROM events
-            ),
-            cohorts AS (
-                SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
-            )
-            SELECT c.cohort_day, datediff('day', c.cohort_day, d.day) AS age_days,
-                   count(DISTINCT d.user_id) AS n_users
-            FROM days d JOIN cohorts c ON d.user_id = c.user_id
-            WHERE datediff('day', c.cohort_day, d.day) <= 7
-            GROUP BY c.cohort_day, datediff('day', c.cohort_day, d.day)
-        """,
-        "events_hourly": """
-            SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n,
-                   round(sum(value), 4) AS sum_value
-            FROM events GROUP BY 1, 2
-        """,
-        "dedup_exact": """
-            SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
-            FROM documents GROUP BY text
-        """,
-        "dedup_ngram_jaccard": """
-            WITH sh AS (
-                SELECT doc_id AS doc,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
-                       ))) AS shingle
-                FROM documents WHERE doc_id < 300
-            ),
-            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
-            inter AS (
-                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-                GROUP BY 1, 2
-            )
-            SELECT doc_a, doc_b,
-                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc = doc_a
-            JOIN sizes sb ON sb.doc = doc_b
-            WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-        """,
-        "corpus_prep": """
-            WITH RECURSIVE
-            base AS (
-                SELECT doc_id::VARCHAR AS doc,
-                       '# Document ' || doc_id || chr(10) || chr(10) || text AS markdown
-                FROM documents WHERE doc_id < 200
-            ),
-            scored AS (
-                SELECT doc, markdown,
-                       len(string_split_regex(trim(markdown), '\\s+')) AS token_count,
-                       round((length(markdown)
-                              - length(regexp_replace(markdown, '[^\\w\\s]', '', 'g')))
-                             / greatest(length(markdown), 1), 6) AS punct_ratio
-                FROM base
-            ),
-            gated AS (
-                SELECT * FROM scored
-                WHERE token_count >= 20 AND punct_ratio <= 0.3
-            ),
-            exact_keepers AS (
-                SELECT min(doc) AS doc FROM gated GROUP BY markdown
-            ),
-            udocs AS (
-                SELECT g.* FROM gated g JOIN exact_keepers k ON g.doc = k.doc
-            ),
-            sh AS (
-                SELECT doc, unnest(list_distinct(list_transform(
-                    range(1, greatest(len(string_split_regex(trim(markdown), '\\s+')) - 2, 1) + 1),
-                    i -> array_to_string(string_split_regex(trim(markdown), '\\s+')[i:i+2], ' ')
-                ))) AS shingle
-                FROM udocs
-            ),
-            mins AS (
-                SELECT doc, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minh
-                FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS seed) seeds
-                GROUP BY doc, seed
-            ),
-            bandh AS (
-                SELECT doc, seed // 4 AS band_id,
-                       md5(string_agg(minh, '|' ORDER BY seed)) AS band_hash
-                FROM mins GROUP BY doc, seed // 4
-            ),
-            pairs AS (
-                SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-                FROM bandh a
-                JOIN bandh b ON a.band_id = b.band_id
-                            AND a.band_hash = b.band_hash
-                            AND a.doc < b.doc
-            ),
-            edges AS (
-                SELECT doc_a AS src, doc_b AS dst FROM pairs
-                UNION
-                SELECT doc_b AS src, doc_a AS dst FROM pairs
-            ),
-            reach(v, r) AS (
-                SELECT src, src FROM edges
-                UNION
-                SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
-            ),
-            losers AS (
-                SELECT v AS doc FROM reach GROUP BY v HAVING v <> min(r)
-            )
-            SELECT doc AS doc_id, token_count, punct_ratio
-            FROM udocs WHERE doc NOT IN (SELECT doc FROM losers)
-        """,
-        "simhash_md5": """
-            WITH toks AS (
-                SELECT doc_id AS doc,
-                       unnest(string_split_regex(trim(text), '\\s+')) AS token
-                FROM documents WHERE doc_id < 300
-            ),
-            th AS (
-                SELECT doc, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
-                FROM toks
-            ),
-            bitsums AS (
-                SELECT doc, bit,
-                       sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-                FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
-                GROUP BY doc, bit
-            ),
-            fp AS (
-                SELECT doc,
-                       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
-                FROM bitsums GROUP BY doc
-            )
-            SELECT a.doc AS doc_a, b.doc AS doc_b,
-                   bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
-            FROM fp a JOIN fp b ON a.doc < b.doc
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        """,
-        "minhash_lsh_md5": """
-            WITH sh AS (
-                SELECT doc_id AS doc,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
-                       ))) AS shingle
-                FROM documents WHERE doc_id < 300
-            ),
-            mins AS (
-                SELECT doc, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minh
-                FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS seed) seeds
-                GROUP BY doc, seed
-            ),
-            bandh AS (
-                SELECT doc, seed // 4 AS band_id,
-                       md5(string_agg(minh, '|' ORDER BY seed)) AS band_hash
-                FROM mins GROUP BY doc, seed // 4
-            )
-            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-            FROM bandh a
-            JOIN bandh b ON a.band_id = b.band_id
-                        AND a.band_hash = b.band_hash
-                        AND a.doc < b.doc
-        """,
-        "dedup_components": """
-            WITH RECURSIVE
-            sh AS (
-                SELECT doc_id AS doc,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
-                       ))) AS shingle
-                FROM documents WHERE doc_id < 300
-            ),
-            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
-            inter AS (
-                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-                GROUP BY 1, 2
-            ),
-            pairs AS (
-                SELECT doc_a, doc_b FROM inter
-                JOIN sizes sa ON sa.doc = doc_a
-                JOIN sizes sb ON sb.doc = doc_b
-                WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-            ),
-            edges AS (
-                SELECT doc_a AS src, doc_b AS dst FROM pairs
-                UNION
-                SELECT doc_b AS src, doc_a AS dst FROM pairs
-            ),
-            reach(v, r) AS (
-                SELECT src, src FROM edges
-                UNION
-                SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
-            )
-            SELECT v AS doc, min(r) AS component FROM reach GROUP BY v
-        """,
-        "text_quality": f"""
-            SELECT doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS token_count,
-                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                         / greatest(length(text), 1), 6) AS punct_ratio,
-                   round(len(list_intersect(
-                             list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
-                             [{_EN_STOPS}]))
-                         / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), 1),
-                         6) AS stopword_ratio
-            FROM documents
-        """,
-        "fingerprints_md5": """
-            WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                FROM documents
-            ),
-            fps AS (
-                SELECT doc_id,
-                       list_min(CASE WHEN len(w) > 8
-                           THEN list_transform(range(1, len(w) - 6),
-                                i -> md5(array_to_string(w[i:i+7], ' ')))
-                           ELSE [md5(array_to_string(w, ' '))]
-                       END) AS fp
-                FROM toks
-            )
-            SELECT fp, min(doc_id) AS keeper_id, count(*) AS n_docs
-            FROM fps GROUP BY fp
-        """,
-        "error_taxonomy": """
-            SELECT doc_id,
-                   CASE WHEN doc_id % 7 = 0
-                        THEN 'EmptyDocumentError' ELSE 'ok' END AS error_kind,
-                   CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 2 END AS n_spans
-            FROM documents
-        """,
-        "warc_extract": """
-            SELECT doc_id, 0 AS ord, 'heading' AS kind,
-                   '# Document ' || doc_id AS text
-            FROM documents WHERE doc_id < 100
-            UNION ALL
-            SELECT doc_id, 1 AS ord, 'text' AS kind, text
-            FROM documents WHERE doc_id < 100
-        """,
-        "resume_remaining": """
-            SELECT doc_id, n_chars FROM documents
-            WHERE doc_id NOT IN (
-                SELECT doc_id FROM documents WHERE doc_id % 2 = 0
-            )
-        """,
-        "media_metadata": """
-            SELECT 'media-' || doc_id AS media_id,
-                   (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS kind,
-                   octet_length(encode(text)) AS bytes,
-                   sha256(text) AS content_sha
-            FROM documents
-        """,
-        "top_terms": """
-            SELECT term, count(*) AS n
-            FROM (
-                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-                FROM documents
-            )
-            WHERE term <> ''
-            GROUP BY term
-            ORDER BY n DESC, term
-            LIMIT 20
-        """,
-        "repetition_ratio": """
-            SELECT doc_id,
-                   round(1.0 - len(list_distinct(list_transform(
-                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
-                       )))::DOUBLE
-                       / greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1),
-                       6) AS repetition_ratio
-            FROM documents
-        """,
-        "dataset_splits": """
-            SELECT doc_id,
-                   CASE WHEN b < 8000 THEN 'train'
-                        WHEN b < 9000 THEN 'val'
-                        WHEN b < 10000 THEN 'test'
-                        ELSE 'rest' END AS split
-            FROM (
-                SELECT doc_id,
-                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
-                FROM documents
-            )
-        """,
-        "lang_trigram": f"""
-            WITH pats(lang_c, pat) AS (VALUES {_trigram_pats_sql()}),
-            scores AS (
-                SELECT d.doc_id, p.lang_c,
-                       len(regexp_extract_all(lower(d.text), p.pat)) AS score
-                FROM documents d CROSS JOIN pats p
-            ),
-            ranked AS (
-                SELECT doc_id, lang_c, score,
-                       row_number() OVER (
-                           PARTITION BY doc_id
-                           ORDER BY score DESC, lang_c DESC
-                       ) AS rn
-                FROM scores
-            )
-            SELECT doc_id,
-                   CASE WHEN score > 0 THEN lang_c ELSE 'und' END AS lang_trigram
-            FROM ranked WHERE rn = 1
-        """,
-        "token_counts": """
-            SELECT doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
-                   len(regexp_extract_all(text,
-                       $$'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+$$
-                   )) AS bpe_tokens
-            FROM documents
-        """,
-        "lang_distribution": """
-            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
-            FROM documents GROUP BY lang
-        """,
-        "gopher_rules": """
-            WITH base AS (
-                SELECT doc_id, text,
-                       string_split_regex(trim(text), '\\s+') AS toks,
-                       string_split(text, chr(10)) AS lines
-                FROM documents
-            ),
-            m AS (
-                SELECT doc_id,
-                       len(toks) AS n_tokens,
-                       round(length(regexp_replace(text, '\\s', '', 'g'))
-                             / greatest(len(toks), 1), 6) AS mean_word_len,
-                       round(len(list_filter(toks,
-                                 t -> regexp_matches(t, '[A-Za-z]')))
-                             / greatest(len(toks), 1), 6) AS alpha_word_ratio,
-                       round(len(list_filter(lines,
-                                 l -> regexp_matches(trim(l), '^[-*•]')))
-                             / greatest(len(lines), 1), 6) AS bullet_line_ratio,
-                       round(len(list_filter(lines,
-                                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
-                             / greatest(len(lines), 1), 6) AS ellipsis_line_ratio,
-                       round(1.0 - len(list_distinct(lines))
-                             / greatest(len(lines), 1), 6) AS dup_line_fraction,
-                       round(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
-                             / greatest(len(toks), 1), 6) AS symbol_word_ratio
-                FROM base
-            )
-            SELECT doc_id, n_tokens, mean_word_len, alpha_word_ratio,
-                   bullet_line_ratio, ellipsis_line_ratio, dup_line_fraction,
-                   symbol_word_ratio,
-                   (n_tokens >= 50 AND n_tokens <= 100000
-                    AND mean_word_len >= 3 AND mean_word_len <= 10
-                    AND alpha_word_ratio >= 0.8
-                    AND bullet_line_ratio <= 0.9
-                    AND ellipsis_line_ratio <= 0.3
-                    AND dup_line_fraction <= 0.3
-                    AND symbol_word_ratio <= 0.1) AS gopher_pass
-            FROM m
-        """,
-        "pii_scrub": """
-            WITH with_pii AS (
-                SELECT doc_id,
-                       text || ' Contact user' || doc_id
-                            || '@example.com or +1 (555) 010-'
-                            || lpad((doc_id % 10000)::VARCHAR, 4, '0')
-                            || ' at 10.0.' || (doc_id % 256) || '.7 today'
-                           AS text
-                FROM documents WHERE doc_id < 200
-            )
-            SELECT doc_id,
-                   len(regexp_extract_all(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-                       AS n_emails,
-                   len(regexp_extract_all(text,
-                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
-                       AS n_ipv4,
-                   len(regexp_extract_all(text,
-                       '\\+[0-9][0-9 ()-]{7,}[0-9]')) AS n_phones,
-                   regexp_replace(
-                       regexp_replace(
-                           regexp_replace(text,
-                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                               '<EMAIL>', 'g'),
-                           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
-                           '<IP>', 'g'),
-                       '\\+[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS masked
-            FROM with_pii
-        """,
-        "stratified_sample": """
-            SELECT doc_id, lang,
-                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
-                   < (CASE lang WHEN 'en' THEN 3000
-                                WHEN 'de' THEN 8000
-                                ELSE 10000 END) AS kept
-            FROM documents
-        """,
-        "domain_quality_rollup": """
-            WITH base AS (
-                SELECT doc_id, source, text,
-                       string_split_regex(trim(text), '\\s+') AS toks,
-                       string_split(text, chr(10)) AS lines
-                FROM documents
-            ),
-            m AS (
-                SELECT doc_id, source,
-                       len(toks) AS n_tokens,
-                       round(length(regexp_replace(text, '\\s', '', 'g'))
-                             / greatest(len(toks), 1), 6) AS mean_word_len,
-                       round(len(list_filter(toks,
-                                 t -> regexp_matches(t, '[A-Za-z]')))
-                             / greatest(len(toks), 1), 6) AS alpha_word_ratio,
-                       round(len(list_filter(lines,
-                                 l -> regexp_matches(trim(l), '^[-*•]')))
-                             / greatest(len(lines), 1), 6) AS bullet_line_ratio,
-                       round(len(list_filter(lines,
-                                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
-                             / greatest(len(lines), 1), 6) AS ellipsis_line_ratio,
-                       round(1.0 - len(list_distinct(lines))
-                             / greatest(len(lines), 1), 6) AS dup_line_fraction,
-                       round(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
-                             / greatest(len(toks), 1), 6) AS symbol_word_ratio
-                FROM base
-            )
-            SELECT source,
-                   count(*) AS n_docs,
-                   round(avg(n_tokens), 4) AS avg_tokens,
-                   round(avg(CASE WHEN
-                       (n_tokens >= 50 AND n_tokens <= 100000
-                        AND mean_word_len >= 3 AND mean_word_len <= 10
-                        AND alpha_word_ratio >= 0.8
-                        AND bullet_line_ratio <= 0.9
-                        AND ellipsis_line_ratio <= 0.3
-                        AND dup_line_fraction <= 0.3
-                        AND symbol_word_ratio <= 0.1)
-                       THEN 1.0 ELSE 0.0 END), 6) AS pass_rate
-            FROM m GROUP BY source
-        """,
-        "token_shards": """
-            WITH t AS (
-                SELECT doc_id,
-                       len(string_split_regex(trim(text), '\\s+')) AS n_tokens
-                FROM documents
-            )
-            SELECT doc_id, n_tokens,
-                   CAST(floor((sum(n_tokens) OVER (
-                            ORDER BY doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                        ) - n_tokens) / 5000) AS BIGINT) AS shard
-            FROM t
-        """,
-        "ann_topk": """
-            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id,
-                   round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) AS cosine
-            FROM embeddings, q
-            ORDER BY cosine DESC, vec_id
-            LIMIT 10
-        """,
-        "ann_ivf_seeded": """
-            WITH cents AS (
-                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-                       embedding::DOUBLE[] AS cv
-                FROM embeddings WHERE vec_id >= 100
-                ORDER BY vec_id LIMIT 8
-            ),
-            corpus AS (
-                SELECT e.vec_id AS corpus_id, e.embedding::DOUBLE[] AS v,
-                       (SELECT c.cell FROM cents c
-                        ORDER BY round(list_aggregate(list_transform(
-                                    list_zip(c.cv, e.embedding::DOUBLE[]),
-                                    x -> (x[1] - x[2]) ^ 2), 'sum'), 9),
-                                 c.cell
-                        LIMIT 1) AS cell
-                FROM embeddings e
-            ),
-            qprobe AS (
-                SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, c.cell,
-                       row_number() OVER (PARTITION BY q.vec_id
-                           ORDER BY round(list_aggregate(list_transform(
-                                       list_zip(c.cv, q.embedding::DOUBLE[]),
-                                       x -> (x[1] - x[2]) ^ 2), 'sum'), 9),
-                                    c.cell) AS rnk
-                FROM embeddings q CROSS JOIN cents c
-                WHERE q.vec_id < 4
-            ),
-            scored AS (
-                SELECT p.query_id, co.corpus_id,
-                       round(list_cosine_similarity(co.v, p.qv), 4) AS cosine
-                FROM (SELECT query_id, qv, cell FROM qprobe WHERE rnk <= 2) p
-                JOIN corpus co USING (cell)
-            ),
-            ranked AS (
-                SELECT query_id, corpus_id, cosine,
-                       CAST(row_number() OVER (
-                           PARTITION BY query_id ORDER BY cosine DESC, corpus_id
-                       ) AS INTEGER) AS rank
-                FROM scored
-            )
-            SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 5
-        """,
-        "url_keys": """
-            SELECT doc_id,
-                   'https://www.' || source || '.example.com:443/Docs/' || doc_id
-                       || '/index.html?utm=1#frag' AS url,
-                   'https://' || source || '.example.com/docs/' || doc_id AS url_key
-            FROM documents
-        """,
-        "content_url_filter": """
-            WITH urls AS (
-                SELECT doc_id,
-                       'https://' || source || '.example.com' ||
-                       CASE doc_id % 7
-                         WHEN 0 THEN '/privacy-policy'
-                         WHEN 1 THEN '/admin/panel'
-                         WHEN 2 THEN '/blog/post'
-                         WHEN 3 THEN '/assets/app.js'
-                         WHEN 4 THEN '/docs/guide'
-                         WHEN 5 THEN '/report.pdf'
-                         ELSE '/articles/deep-dive'
-                       END AS url
-                FROM documents
-            )
-            SELECT doc_id, url FROM urls
-            WHERE NOT regexp_matches(lower(url),
-                '/(privacy|terms|tos|legal|cookie|gdpr|disclaimer|imprint|impressum)\\b|/(privacy-policy|terms-of-service|terms-of-use|terms-and-conditions)\\b|/(cookie-policy|data-protection|acceptable-use|user-agreement)\\b|/(refund|cancellation|shipping|return)-?(policy)?\\b|/(contact|support|help|faq|feedback)/?$|/(about-us|careers|jobs|press|investors|team)/?$|/(admin|login|auth|account|dashboard|profile|settings)/|/(cart|checkout|payment|subscription|wishlist)/|/(uploads|assets|files|static|media|resources)/|/(api|graphql|rest|webhook)/')
-              AND NOT regexp_matches(lower(url), '\\.(pdf|doc|docx|xls|xlsx|zip|exe)$')
-        """,
-        "strip_tags": """
-            SELECT doc_id,
-                   trim(regexp_replace(
-                       regexp_replace(
-                           regexp_replace(
-                               regexp_replace(
-                                   '<html><head><script>var x=1;</script><style>p{}</style></head><body><h1>Doc</h1><p>'
-                                   || text ||
-                                   '</p><!-- note --></body></html>',
-                                   '(?is)<script[^>]*>.*?</script>', '', 'g'),
-                               '(?is)<style[^>]*>.*?</style>', '', 'g'),
-                           '<[^>]*>', ' ', 'g'),
-                       '\\s+', ' ', 'g')) AS clean_text
-            FROM documents WHERE doc_id < 100
-        """,
-        "batch_metadata": """
-            SELECT source,
-                   count(*) AS total_docs,
-                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
-                   min(doc_id) AS min_doc,
-                   max(doc_id) AS max_doc
-            FROM documents GROUP BY source
-        """,
-        "asof_clicks": """
-            WITH p AS (
-                SELECT event_id, user_id, ts, value FROM events
-                WHERE event_type = 'purchase'
-            ),
-            c AS (
-                SELECT user_id, ts, event_id, value FROM events
-                WHERE event_type = 'click'
-            )
-            SELECT p.event_id, p.user_id,
-                   p.ts AS purchase_ts,
-                   round(p.value, 4) AS purchase_value,
-                   m.ts AS click_ts,
-                   m.event_id AS click_event_id,
-                   round(m.value, 4) AS click_value
-            FROM p LEFT JOIN LATERAL (
-                SELECT c.ts, c.event_id, c.value FROM c
-                WHERE c.user_id = p.user_id
-                  AND c.ts <= p.ts
-                  AND epoch(p.ts) - epoch(c.ts) <= 86400
-                ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
-            ) m ON TRUE
-        """,
-        "attribution_range_join": """
-            WITH s AS (
-                SELECT event_id AS signup_id, user_id, ts AS signup_ts
-                FROM events WHERE event_type = 'signup'
-            ),
-            p AS (
-                SELECT user_id, ts, value FROM events
-                WHERE event_type = 'purchase'
-            ),
-            j AS (
-                SELECT s.signup_id,
-                       count(*) AS n_purchases,
-                       round(sum(p.value), 4) AS attributed_value
-                FROM s JOIN p
-                  ON p.user_id = s.user_id
-                 AND p.ts >= s.signup_ts
-                 AND p.ts < s.signup_ts + INTERVAL 12 HOUR
-                GROUP BY 1
-            )
-            SELECT s.signup_id, s.user_id, s.signup_ts,
-                   CAST(COALESCE(j.n_purchases, 0) AS BIGINT) AS n_purchases,
-                   COALESCE(j.attributed_value, 0.0) AS attributed_value
-            FROM s LEFT JOIN j USING (signup_id)
-        """,
-        "decontaminate": """
-            WITH norm AS (
-                SELECT doc_id,
-                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS ntext
-                FROM documents
-            ),
-            bench AS (
-                SELECT doc_id AS bench_id,
-                       array_to_string(string_split(ntext, ' ')[1:30], ' ') AS bench_text
-                FROM norm WHERE doc_id % 29 = 0
-            ),
-            doc_grams AS (
-                SELECT doc_id,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(len(string_split(ntext, ' ')) - 7, 1) + 1),
-                           i -> array_to_string(string_split(ntext, ' ')[i:i+7], ' ')
-                       ))) AS gram
-                FROM norm
-            ),
-            bench_grams AS (
-                SELECT DISTINCT bench_id, gram FROM (
-                    SELECT bench_id,
-                           unnest(list_distinct(list_transform(
-                               range(1, greatest(len(string_split(bench_text, ' ')) - 7, 1) + 1),
-                               i -> array_to_string(string_split(bench_text, ' ')[i:i+7], ' ')
-                           ))) AS gram
-                    FROM bench
-                )
-            )
-            SELECT d.doc_id,
-                   count(DISTINCT d.gram) AS n_hit_ngrams,
-                   count(DISTINCT b.bench_id) AS n_bench_items
-            FROM doc_grams d JOIN bench_grams b ON d.gram = b.gram
-            WHERE d.gram <> ''
-            GROUP BY d.doc_id
-        """,
-        "duplicate_spans": """
-            WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                FROM documents
-            ),
-            g AS (
-                SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram FROM (
-                    SELECT doc_id,
-                           unnest(list_transform(
-                               range(1, greatest(len(w) - 19, 0) + 1),
-                               i -> {'pos': i,
-                                     'gram': array_to_string(w[i:i+19], ' ')}
-                           )) AS s
-                    FROM toks
-                )
-            ),
-            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-            m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
-            flag AS (
-                SELECT doc_id, pos,
-                       CASE WHEN max(pos + 19) OVER (
-                                PARTITION BY doc_id ORDER BY pos
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                            ) IS NULL
-                            OR pos > max(pos + 19) OVER (
-                                PARTITION BY doc_id ORDER BY pos
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                            ) + 1
-                       THEN 1 ELSE 0 END AS new_span
-                FROM m
-            ),
-            sp AS (
-                SELECT doc_id, pos,
-                       sum(new_span) OVER (
-                           PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                       ) AS span_id
-                FROM flag
-            )
-            SELECT doc_id,
-                   CAST(min(pos) AS BIGINT) AS span_start,
-                   CAST(max(pos) + 19 AS BIGINT) AS span_end,
-                   CAST(max(pos) + 19 - min(pos) + 1 AS BIGINT) AS span_tokens,
-                   count(*) AS n_windows
-            FROM sp GROUP BY doc_id, span_id
-        """,
-        "bm25_search": """
-            WITH d AS (
-                SELECT doc_id,
-                       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
-                FROM documents
-            ),
-            pd AS (
-                SELECT doc_id,
-                       CAST(len(toks) AS DOUBLE) AS dl,
-                       CAST(len(list_filter(toks, w -> w = 'stream')) AS DOUBLE) AS tf_0,
-                       CAST(len(list_filter(toks, w -> w = 'window')) AS DOUBLE) AS tf_1,
-                       CAST(len(list_filter(toks, w -> w = 'query')) AS DOUBLE) AS tf_2
-                FROM d
-            ),
-            st AS (
-                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                       avg(dl) AS avgdl,
-                       CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
-                       CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
-                       CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
-                FROM pd
-            ),
-            scored AS (
-                SELECT doc_id,
-                       round(
-                           round(ln(1 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
-                                 * tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
-                         + round(ln(1 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
-                                 * tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
-                         + round(ln(1 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
-                                 * tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
-                       , 6) AS score
-                FROM pd, st
-            )
-            SELECT doc_id, score FROM scored
-            WHERE score > 0
-            ORDER BY score DESC, doc_id ASC LIMIT 15
-        """,
-        "numeric_profile": """
-            WITH src AS (SELECT * FROM lineitem)
-            SELECT 'l_quantity' AS col_name,
-                   CAST(count(*) AS DOUBLE) AS n,
-                   CAST(count(*) - count(l_quantity) AS DOUBLE) AS n_null,
-                   CAST(count(DISTINCT CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS n_distinct,
-                   round(min(CAST(l_quantity AS DOUBLE)), 6) AS min,
-                   round(max(CAST(l_quantity AS DOUBLE)), 6) AS max,
-                   round(avg(CAST(l_quantity AS DOUBLE)), 6) AS mean,
-                   round(stddev(CAST(l_quantity AS DOUBLE)), 6) AS stddev,
-                   round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50
-            FROM src
-            UNION ALL
-            SELECT 'l_extendedprice',
-                   CAST(count(*) AS DOUBLE),
-                   CAST(count(*) - count(l_extendedprice) AS DOUBLE),
-                   CAST(count(DISTINCT CAST(l_extendedprice AS DOUBLE)) AS DOUBLE),
-                   round(min(CAST(l_extendedprice AS DOUBLE)), 6),
-                   round(max(CAST(l_extendedprice AS DOUBLE)), 6),
-                   round(avg(CAST(l_extendedprice AS DOUBLE)), 6),
-                   round(stddev(CAST(l_extendedprice AS DOUBLE)), 6),
-                   round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6)
-            FROM src
-            UNION ALL
-            SELECT 'l_discount',
-                   CAST(count(*) AS DOUBLE),
-                   CAST(count(*) - count(l_discount) AS DOUBLE),
-                   CAST(count(DISTINCT CAST(l_discount AS DOUBLE)) AS DOUBLE),
-                   round(min(CAST(l_discount AS DOUBLE)), 6),
-                   round(max(CAST(l_discount AS DOUBLE)), 6),
-                   round(avg(CAST(l_discount AS DOUBLE)), 6),
-                   round(stddev(CAST(l_discount AS DOUBLE)), 6),
-                   round(quantile_cont(CAST(l_discount AS DOUBLE), 0.5), 6)
-            FROM src
-            UNION ALL
-            SELECT 'l_tax',
-                   CAST(count(*) AS DOUBLE),
-                   CAST(count(*) - count(l_tax) AS DOUBLE),
-                   CAST(count(DISTINCT CAST(l_tax AS DOUBLE)) AS DOUBLE),
-                   round(min(CAST(l_tax AS DOUBLE)), 6),
-                   round(max(CAST(l_tax AS DOUBLE)), 6),
-                   round(avg(CAST(l_tax AS DOUBLE)), 6),
-                   round(stddev(CAST(l_tax AS DOUBLE)), 6),
-                   round(quantile_cont(CAST(l_tax AS DOUBLE), 0.5), 6)
-            FROM src
-        """,
-        "cms_user_counts": """
-            WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
-            dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
-            cells AS (
-                SELECT d,
-                       CAST(('0x' || substr(md5(d::VARCHAR || '|' || key), 1, 8)) AS BIGINT) % 64 AS w,
-                       count(*) AS cnt
-                FROM ev, dd GROUP BY 1, 2
-            ),
-            keys AS (SELECT key, count(*) AS true_n FROM ev GROUP BY key),
-            probes AS (
-                SELECT k.key, k.true_n, d.d,
-                       CAST(('0x' || substr(md5(d.d::VARCHAR || '|' || k.key), 1, 8)) AS BIGINT) % 64 AS w
-                FROM keys k, dd d
-            ),
-            est AS (
-                SELECT p.key, p.true_n, min(coalesce(c.cnt, 0)) AS est
-                FROM probes p LEFT JOIN cells c ON c.d = p.d AND c.w = p.w
-                GROUP BY 1, 2
-            )
-            SELECT CAST(key AS BIGINT) AS user_id, est, true_n,
-                   est - true_n AS overcount
-            FROM est
-        """,
-        "hll_distinct": """
-            WITH ev AS (
-                SELECT event_type, CAST(event_id AS VARCHAR) AS key FROM events
-            ),
-            h AS (
-                SELECT event_type,
-                       CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT) AS hv
-                FROM ev
-            ),
-            parts AS (
-                SELECT event_type,
-                       CAST(floor(hv / 67108864.0) AS BIGINT) AS bucket,
-                       hv % 67108864 AS w
-                FROM h
-            ),
-            rho AS (
-                SELECT event_type, bucket,
-                       CASE WHEN w = 0 THEN 27
-                            ELSE 26 - CAST(floor(log2(CAST(w AS DOUBLE))) AS BIGINT)
-                       END AS rho
-                FROM parts
-            ),
-            regs AS (
-                SELECT event_type, bucket, max(rho) AS register
-                FROM rho GROUP BY 1, 2
-            ),
-            pg AS (
-                SELECT event_type,
-                       sum(power(2.0, -register)) AS present_sum,
-                       count(*) AS n_present
-                FROM regs GROUP BY 1
-            ),
-            est AS (
-                SELECT event_type,
-                       CASE WHEN 2905.460551022604 / (present_sum + (64 - n_present)) <= 160.0
-                                 AND n_present < 64
-                            THEN 64.0 * ln(64.0 / (64 - n_present))
-                            ELSE 2905.460551022604 / (present_sum + (64 - n_present))
-                       END AS e
-                FROM pg
-            ),
-            ex AS (
-                SELECT event_type, count(DISTINCT event_id) AS exact_distinct
-                FROM events GROUP BY 1
-            )
-            SELECT est.event_type,
-                   round(est.e, 4) AS hll_est,
-                   ex.exact_distinct,
-                   round((round(est.e, 4) - exact_distinct) / exact_distinct, 4) AS rel_err
-            FROM est JOIN ex ON est.event_type = ex.event_type
-        """,
-        "weighted_sample": """
-            WITH r AS (
-                SELECT lang, doc_id, n_chars,
-                       round(
-                           -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                                % 4294967296 + 1) / 4294967296.0)
-                           / CAST(n_chars AS DOUBLE), 9) AS sample_rank
-                FROM documents WHERE n_chars > 0
-            ),
-            rn AS (
-                SELECT lang, doc_id, n_chars, sample_rank,
-                       row_number() OVER (
-                           PARTITION BY lang
-                           ORDER BY sample_rank ASC, CAST(doc_id AS VARCHAR) ASC
-                       ) AS rn
-                FROM r
-            )
-            SELECT lang, doc_id, n_chars, sample_rank FROM rn WHERE rn <= 20
-        """,
-        "bloom_visited": """
-            WITH docs AS (
-                SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR) AS key
-                FROM documents
-            ),
-            hh AS (SELECT unnest([0, 1, 2]) AS i),
-            bits AS (
-                SELECT DISTINCT
-                       CAST(('0x' || substr(md5(i::VARCHAR || '|' || key), 1, 8)) AS BIGINT) % 1024 AS bit
-                FROM docs, hh WHERE doc_id < 250
-            ),
-            probes AS (
-                SELECT d.doc_id, d.key, h.i,
-                       CAST(('0x' || substr(md5(h.i::VARCHAR || '|' || d.key), 1, 8)) AS BIGINT) % 1024 AS bit
-                FROM docs d, hh h
-            ),
-            member AS (
-                SELECT p.doc_id,
-                       min(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS is_member
-                FROM probes p LEFT JOIN bits b ON p.bit = b.bit
-                GROUP BY p.doc_id
-            )
-            SELECT doc_id, is_member,
-                   CASE WHEN doc_id < 250 THEN 1 ELSE 0 END AS visited,
-                   CASE WHEN is_member = 1 AND doc_id >= 250 THEN 1 ELSE 0 END AS false_positive
-            FROM member
-        """,
-        "line_dedup": """
-            WITH lines AS (
-                SELECT doc_id,
-                       CAST(generate_subscripts(regexp_extract_all(text, '\\S+( \\S+){0,2}'), 1) - 1 AS BIGINT) AS line_no,
-                       unnest(regexp_extract_all(text, '\\S+( \\S+){0,2}')) AS line
-                FROM documents
-            ),
-            ranked AS (
-                SELECT doc_id, line_no, line,
-                       len(string_split(line, ' ')) AS n_words,
-                       row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
-                FROM lines
-            ),
-            kept AS (
-                SELECT doc_id, line_no, line FROM ranked WHERE n_words < 2 OR rn = 1
-            ),
-            totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
-            ka AS (
-                SELECT doc_id, count(*) AS n_kept,
-                       md5(string_agg(line, ' ' ORDER BY line_no)) AS dedup_md5
-                FROM kept GROUP BY doc_id
-            )
-            SELECT t.doc_id, t.n_lines,
-                   COALESCE(ka.n_kept, 0) AS n_kept,
-                   t.n_lines - COALESCE(ka.n_kept, 0) AS n_dropped,
-                   COALESCE(ka.dedup_md5, md5('')) AS dedup_md5
-            FROM totals t LEFT JOIN ka USING (doc_id)
-        """,
-        "domain_mix_sample": """
-            WITH counts AS (
-                SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
-            ),
-            w AS (
-                SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt FROM counts
-            ),
-            tot AS (SELECT sum(wt) AS total_w FROM w),
-            rates AS (
-                SELECT lang, n_docs,
-                       round(least(1.0, 250.0 * wt / (SELECT total_w FROM tot) / n_docs), 9) AS mix_rate
-                FROM w
-            ),
-            u AS (
-                SELECT doc_id, lang,
-                       (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                        % 4294967296 + 1) / 4294967296.0 AS samp_u
-                FROM documents
-            )
-            SELECT u.lang, u.doc_id, r.n_docs, r.mix_rate
-            FROM u JOIN rates r ON u.lang = r.lang
-            WHERE u.samp_u <= r.mix_rate
-        """,
-        "lm_perplexity": """
-            WITH toks AS (
-                SELECT doc_id, t AS token FROM (
-                    SELECT doc_id,
-                           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
-                    FROM documents
-                ) WHERE t <> ''
-            ),
-            counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
-            stats AS (
-                SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS vocab
-                FROM counts
-            ),
-            scored AS (
-                SELECT t.doc_id,
-                       round(-log2((c + 1.0) / (n_total + vocab)), 9) AS nll
-                FROM toks t JOIN counts USING (token) CROSS JOIN stats
-            )
-            SELECT doc_id, count(*) AS n_tokens,
-                   round(sum(nll) / count(*), 6) AS avg_nll_bits
-            FROM scored GROUP BY doc_id
-        """,
-        "pagerank_domains": _pagerank_oracle(iterations=5, damping=0.85),
-        "incremental_dedup": """
-            WITH sh AS (
-                SELECT doc_id AS doc,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
-                       ))) AS shingle
-                FROM documents
-            ),
-            mins AS (
-                SELECT doc, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minh
-                FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS seed) seeds
-                GROUP BY doc, seed
-            ),
-            bandh AS (
-                SELECT doc, seed // 4 AS band_id,
-                       md5(string_agg(minh, '|' ORDER BY seed)) AS band_hash
-                FROM mins GROUP BY doc, seed // 4
-            ),
-            cands AS (
-                SELECT DISTINCT nb.doc AS new_doc, ob.doc AS old_doc
-                FROM bandh nb
-                JOIN bandh ob ON nb.band_id = ob.band_id
-                             AND nb.band_hash = ob.band_hash
-                WHERE nb.doc >= 250 AND ob.doc < 250
-            ),
-            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
-            inter AS (
-                SELECT c.new_doc, c.old_doc, count(*) AS n_inter
-                FROM cands c
-                JOIN sh a ON a.doc = c.old_doc
-                JOIN sh b ON b.doc = c.new_doc AND b.shingle = a.shingle
-                GROUP BY 1, 2
-            ),
-            j AS (
-                SELECT i.new_doc, i.old_doc,
-                       round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
-                FROM inter i
-                JOIN sizes sa ON sa.doc = i.old_doc
-                JOIN sizes sb ON sb.doc = i.new_doc
-            )
-            SELECT new_doc, old_doc, jaccard FROM j WHERE jaccard >= 0.8
-        """,
-        "funnel_conversion": """
-            WITH e AS (SELECT user_id, event_type, ts FROM events),
-            s1 AS (
-                SELECT user_id, min(ts) AS t1 FROM e
-                WHERE event_type = 'view' GROUP BY user_id
-            ),
-            s2 AS (
-                SELECT e.user_id, min(e.ts) AS t2
-                FROM e JOIN s1 USING (user_id)
-                WHERE e.event_type = 'click' AND e.ts > s1.t1
-                  AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
-                GROUP BY e.user_id
-            ),
-            s3 AS (
-                SELECT e.user_id, min(e.ts) AS t3
-                FROM e JOIN s2 USING (user_id)
-                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-                  AND e.ts <= s2.t2 + INTERVAL 86400 SECOND
-                GROUP BY e.user_id
-            ),
-            u AS (
-                SELECT (SELECT count(*) FROM s1) AS u1,
-                       (SELECT count(*) FROM s2) AS u2,
-                       (SELECT count(*) FROM s3) AS u3
-            )
-            SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step, u1 AS users,
-                   round(u1 * 1.0 / u1, 6) AS conv_from_prev FROM u
-            UNION ALL
-            SELECT CAST(2 AS BIGINT), 'click', u2, round(u2 * 1.0 / u1, 6) FROM u
-            UNION ALL
-            SELECT CAST(3 AS BIGINT), 'purchase', u3, round(u3 * 1.0 / u2, 6) FROM u
-        """,
-        "zorder_events": _zorder_oracle(bits=8),
-        "cohort_retention": """
-            WITH e AS (
-                SELECT user_id AS u,
-                       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
-                FROM events
-                WHERE event_type = 'purchase' AND value > 80.0
-            ),
-            first AS (SELECT u, min(wk) AS cohort_week FROM e GROUP BY u),
-            act AS (SELECT DISTINCT u, wk FROM e),
-            sizes AS (
-                SELECT cohort_week, count(*) AS cohort_size
-                FROM first GROUP BY cohort_week
-            ),
-            cells AS (
-                SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
-                       count(DISTINCT a.u) AS active_users
-                FROM act a JOIN first f USING (u)
-                GROUP BY 1, 2
-            )
-            SELECT c.cohort_week, c.week_offset, s.cohort_size, c.active_users,
-                   round(c.active_users * 1.0 / s.cohort_size, 6) AS retention
-            FROM cells c JOIN sizes s USING (cohort_week)
-        """,
-        "hll_merged": """
-            WITH h AS (
-                SELECT event_type,
-                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
-                FROM events
-            ),
-            parts AS (
-                SELECT event_type,
-                       CAST(floor(hv / 67108864.0) AS BIGINT) AS bucket,
-                       hv % 67108864 AS w
-                FROM h
-            ),
-            rho AS (
-                SELECT event_type, bucket,
-                       CASE WHEN w = 0 THEN 27
-                            ELSE 26 - CAST(floor(log2(CAST(w AS DOUBLE))) AS BIGINT)
-                       END AS rho
-                FROM parts
-            ),
-            regs_t AS (
-                SELECT event_type, bucket, max(rho) AS register
-                FROM rho GROUP BY 1, 2
-            ),
-            regs_m AS (SELECT bucket, max(register) AS register FROM regs_t GROUP BY 1),
-            regs_d AS (SELECT bucket, max(rho) AS register FROM rho GROUP BY 1),
-            est_m AS (
-                SELECT CASE WHEN 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*))) <= 160.0
-                                 AND count(*) < 64
-                            THEN 64.0 * ln(64.0 / (64 - count(*)))
-                            ELSE 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*)))
-                       END AS e
-                FROM regs_m
-            ),
-            est_d AS (
-                SELECT CASE WHEN 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*))) <= 160.0
-                                 AND count(*) < 64
-                            THEN 64.0 * ln(64.0 / (64 - count(*)))
-                            ELSE 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*)))
-                       END AS e
-                FROM regs_d
-            ),
-            ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
-            SELECT round(est_m.e, 4) AS merged_est,
-                   round(est_d.e, 4) AS direct_est,
-                   ex.exact_distinct,
-                   CASE WHEN round(est_m.e, 4) = round(est_d.e, 4) THEN 1 ELSE 0 END AS merge_exact
-            FROM est_m, est_d, ex
-        """,
-        "event_transitions": """
-            WITH seq AS (
-                SELECT user_id, event_type,
-                       lead(event_type) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       ) AS next_type
-                FROM events
-            ),
-            pairs AS (
-                SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
-                FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
-            ),
-            tot AS (SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY 1)
-            SELECT p.from_type, p.to_type, p.n,
-                   round(p.n / t.n_from, 6) AS prob
-            FROM pairs p JOIN tot t USING (from_type)
-        """,
-        "jsonl_ingest": """
-            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(NULL AS VARCHAR) AS error
-            FROM documents WHERE doc_id < 100
-            UNION ALL
-            SELECT 'x1', CAST(1 AS BIGINT), NULL
-            UNION ALL
-            SELECT NULL, CAST(length('orphan text without id') AS BIGINT),
-                   'MissingFieldError'
-            UNION ALL
-            SELECT NULL, NULL, 'MalformedJsonError'
-        """,
-        "price_histogram": """
-            WITH mm AS (
-                SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mlo,
-                       max(CAST(l_extendedprice AS DOUBLE)) AS mhi
-                FROM lineitem
-            ),
-            b AS (
-                SELECT CASE WHEN mhi - mlo = 0 THEN 0
-                            ELSE CAST(least(9, floor(
-                                ((CAST(l_extendedprice AS DOUBLE) - mlo) * 10) / (mhi - mlo)
-                            )) AS BIGINT)
-                       END AS bin,
-                       mlo, mhi
-                FROM lineitem, mm
-                WHERE l_extendedprice IS NOT NULL
-            )
-            SELECT bin,
-                   round(mlo + bin * (mhi - mlo) / 10, 6) AS lo,
-                   round(mlo + (bin + 1) * (mhi - mlo) / 10, 6) AS hi,
-                   count(*) AS n
-            FROM b GROUP BY bin, mlo, mhi
-        """,
-        "corpus_scorecard": """
-            WITH base AS (
-                SELECT doc_id, text,
-                       string_split_regex(trim(text), '\\s+') AS toks,
-                       string_split(text, chr(10)) AS lines
-                FROM documents
-            ),
-            m AS (
-                SELECT doc_id,
-                       len(toks) AS n_tokens,
-                       round(length(regexp_replace(text, '\\s', '', 'g'))
-                             / greatest(len(toks), 1), 6) AS mean_word_len,
-                       round(len(list_filter(toks,
-                                 t -> regexp_matches(t, '[A-Za-z]')))
-                             / greatest(len(toks), 1), 6) AS alpha_word_ratio,
-                       round(len(list_filter(lines,
-                                 l -> regexp_matches(trim(l), '^[-*•]')))
-                             / greatest(len(lines), 1), 6) AS bullet_line_ratio,
-                       round(len(list_filter(lines,
-                                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
-                             / greatest(len(lines), 1), 6) AS ellipsis_line_ratio,
-                       round(1.0 - len(list_distinct(lines))
-                             / greatest(len(lines), 1), 6) AS dup_line_fraction,
-                       round(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
-                             / greatest(len(toks), 1), 6) AS symbol_word_ratio
-                FROM base
-            ),
-            gate AS (
-                SELECT doc_id, n_tokens,
-                       (n_tokens >= 50 AND n_tokens <= 100000
-                        AND mean_word_len >= 3 AND mean_word_len <= 10
-                        AND alpha_word_ratio >= 0.8
-                        AND bullet_line_ratio <= 0.9
-                        AND ellipsis_line_ratio <= 0.3
-                        AND dup_line_fraction <= 0.3
-                        AND symbol_word_ratio <= 0.1) AS gopher_pass
-                FROM m
-            ),
-            lmtoks AS (
-                SELECT doc_id, t AS token FROM (
-                    SELECT doc_id,
-                           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
-                    FROM documents
-                ) WHERE t <> ''
-            ),
-            lmcounts AS (SELECT token, count(*) AS c FROM lmtoks GROUP BY token),
-            lmstats AS (
-                SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS vocab
-                FROM lmcounts
-            ),
-            lmscored AS (
-                SELECT t.doc_id,
-                       round(-log2((c + 1.0) / (n_total + vocab)), 9) AS nllv
-                FROM lmtoks t JOIN lmcounts USING (token) CROSS JOIN lmstats
-            ),
-            nll AS (
-                SELECT doc_id, round(sum(nllv) / count(*), 6) AS avg_nll_bits
-                FROM lmscored GROUP BY doc_id
-            ),
-            dl AS (
-                SELECT doc_id,
-                       CAST(generate_subscripts(regexp_extract_all(text, '\\S+( \\S+){0,2}'), 1) - 1 AS BIGINT) AS line_no,
-                       unnest(regexp_extract_all(text, '\\S+( \\S+){0,2}')) AS line
-                FROM documents
-            ),
-            dlr AS (
-                SELECT doc_id, line_no, line,
-                       len(string_split(line, ' ')) AS n_words,
-                       row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
-                FROM dl
-            ),
-            dupf AS (
-                SELECT doc_id,
-                       CASE WHEN count(*) FILTER (WHERE n_words >= 2 AND rn > 1) > 0
-                            THEN 1 ELSE 0 END AS has_dup_lines
-                FROM dlr GROUP BY doc_id
-            )
-            SELECT d.lang, count(*) AS n_docs,
-                   round(avg(CASE WHEN gate.gopher_pass THEN 1 ELSE 0 END), 6) AS pct_gopher_pass,
-                   round(avg(nll.avg_nll_bits), 6) AS mean_nll_bits,
-                   round(avg(dupf.has_dup_lines), 6) AS dup_line_doc_rate,
-                   round(avg(CAST(gate.n_tokens AS DOUBLE)), 6) AS mean_tokens
-            FROM documents d
-            JOIN gate USING (doc_id)
-            JOIN nll USING (doc_id)
-            JOIN dupf USING (doc_id)
-            GROUP BY d.lang
-        """,
-        "scd2_user_state": """
-            WITH upd AS (
-                SELECT user_id, event_id, ts, event_type AS state FROM events
-            ),
-            seq AS (
-                SELECT user_id, event_id, ts, state,
-                       lag(state) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       ) AS prev_state
-                FROM upd
-            ),
-            chg AS (
-                SELECT user_id, event_id, ts, state
-                FROM seq WHERE prev_state IS NULL OR prev_state <> state
-            ),
-            ver AS (
-                SELECT user_id, state, ts AS valid_from,
-                       lead(ts) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       ) AS valid_to
-                FROM chg
-            )
-            SELECT user_id, state, valid_from, valid_to,
-                   CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
-            FROM ver
-        """,
-        "fuzzy_source_match": """
-            WITH canon AS (SELECT DISTINCT source FROM documents),
-            dirty AS (
-                SELECT DISTINCT
-                       CASE WHEN doc_id % 2 = 0 THEN 'z' || substr(source, 2)
-                            ELSE source || 'x' END AS dirty
-                FROM documents WHERE doc_id % 3 = 0
-            )
-            SELECT d.dirty, c.source AS canonical,
-                   CAST(levenshtein(d.dirty, c.source) AS BIGINT) AS dist
-            FROM dirty d CROSS JOIN canon c
-            WHERE levenshtein(d.dirty, c.source) <= 1
-        """,
-        "value_trend": """
-            WITH pts AS (
-                SELECT event_type,
-                       epoch_us(ts) / 86400000000.0 - 19723.0 AS x,
-                       CAST(value AS DOUBLE) AS y
-                FROM events
-            ),
-            s AS (
-                SELECT event_type,
-                       CAST(count(*) AS DOUBLE) AS n,
-                       sum(x) AS sx, sum(y) AS sy,
-                       sum(x * y) AS sxy, sum(x * x) AS sxx,
-                       sum(y * y) AS syy
-                FROM pts GROUP BY event_type
-            )
-            SELECT event_type, CAST(n AS BIGINT) AS n,
-                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
-                   round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-            FROM s
-        """,
-        "data_quality_report": """
-            SELECT 'completeness(l_shipdate)' AS check_name,
-                   round(count(l_shipdate) * 1.0 / count(*), 6) AS metric,
-                   CASE WHEN round(count(l_shipdate) * 1.0 / count(*), 6) >= 1.0
-                        THEN 1 ELSE 0 END AS passed
-            FROM lineitem
-            UNION ALL
-            SELECT 'uniqueness(o_orderkey)',
-                   round(uniq * 1.0 / n, 6),
-                   CASE WHEN round(uniq * 1.0 / n, 6) >= 1.0 THEN 1 ELSE 0 END
-            FROM (
-                SELECT CAST(sum(c) AS BIGINT) AS n,
-                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uniq
-                FROM (
-                    SELECT o_orderkey, count(*) AS c FROM orders
-                    WHERE o_orderkey IS NOT NULL GROUP BY 1
-                )
-            )
-            UNION ALL
-            SELECT 'uniqueness(user_id)',
-                   round(uniq * 1.0 / n, 6),
-                   CASE WHEN round(uniq * 1.0 / n, 6) >= 1.0 THEN 1 ELSE 0 END
-            FROM (
-                SELECT CAST(sum(c) AS BIGINT) AS n,
-                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uniq
-                FROM (
-                    SELECT user_id, count(*) AS c FROM events
-                    WHERE user_id IS NOT NULL GROUP BY 1
-                )
-            )
-            UNION ALL
-            SELECT 'referential(o_custkey)',
-                   round(m * 1.0 / n, 6),
-                   CASE WHEN round(m * 1.0 / n, 6) >= 1.0 THEN 1 ELSE 0 END
-            FROM (
-                SELECT (SELECT count(o_custkey) FROM orders) AS n,
-                       (SELECT count(*) FROM orders
-                        WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS m
-            )
-            UNION ALL
-            SELECT 'accepted(l_returnflag)',
-                   round(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END) * 1.0
-                         / count(l_returnflag), 6),
-                   CASE WHEN round(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END) * 1.0
-                                   / count(l_returnflag), 6) >= 1.0 THEN 1 ELSE 0 END
-            FROM lineitem
-            UNION ALL
-            SELECT 'in_range(value)',
-                   round(sum(CASE WHEN value >= 0.0 AND value <= 100.0 THEN 1 ELSE 0 END) * 1.0
-                         / count(value), 6),
-                   CASE WHEN round(sum(CASE WHEN value >= 0.0 AND value <= 100.0 THEN 1 ELSE 0 END) * 1.0
-                                   / count(value), 6) >= 1.0 THEN 1 ELSE 0 END
-            FROM events
-        """,
-        "ewma_user_value": """
-            WITH ordered AS (
-                SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
-                       row_number() OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       ) - 1 AS t
-                FROM events
-            ),
-            w AS (
-                SELECT user_id, event_id, x, t,
-                       CASE WHEN t = 0 THEN 0.0
-                            ELSE x * power(0.8, -CAST(t AS DOUBLE)) END AS wterm
-                FROM ordered
-            ),
-            c AS (
-                SELECT user_id, event_id, x, t,
-                       sum(wterm) OVER (
-                           PARTITION BY user_id ORDER BY t
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                       ) AS cum,
-                       first_value(x) OVER (PARTITION BY user_id ORDER BY t) AS x0
-                FROM w
-            )
-            SELECT user_id, event_id,
-                   round(power(0.8, CAST(t AS DOUBLE)) * (x0 + 0.2 * cum), 6) AS ewma
-            FROM c
-        """,
-        "events_sliding_windows": """
-            WITH e AS (
-                SELECT event_type, value, epoch_us(ts) AS t FROM events
-            ),
-            x AS (
-                SELECT event_type, value,
-                       (t // 1800000000) * 1800000000 AS w0
-                FROM e
-            ),
-            hop AS (
-                SELECT event_type, value, w0 AS ws FROM x
-                UNION ALL
-                SELECT event_type, value, w0 - 1800000000 FROM x
-            )
-            SELECT ws AS window_start_us, event_type,
-                   count(*) AS n, round(sum(value), 6) AS sum_value
-            FROM hop GROUP BY 1, 2
-        """,
-        "twap_user_value": """
-            WITH e AS (
-                SELECT user_id, value, epoch_us(ts) AS t_us,
-                       lead(epoch_us(ts)) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       ) AS next_us
-                FROM events
-            ),
-            h AS (
-                SELECT user_id, value, (next_us - t_us) / 1e6 AS hold_s
-                FROM e WHERE next_us IS NOT NULL
-            )
-            SELECT user_id, count(*) AS n_intervals,
-                   round(sum(hold_s), 6) AS span_s,
-                   round(sum(value * hold_s) / sum(hold_s), 6) AS twap,
-                   round(avg(value), 6) AS plain_avg
-            FROM h GROUP BY user_id
-        """,
-        "value_outliers": """
-            WITH s AS (
-                SELECT event_type, avg(value) AS mu, count(*) AS n,
-                       sum(value * value) AS sxx, sum(value) AS sx
-                FROM events GROUP BY event_type
-            ),
-            s2 AS (
-                SELECT event_type, mu,
-                       sqrt((sxx - sx * sx / n) / n) AS sigma
-                FROM s
-            )
-            SELECT e.event_type, e.event_id, e.value,
-                   round((e.value - s2.mu) / s2.sigma, 6) AS z
-            FROM events e JOIN s2 USING (event_type)
-            WHERE abs(round((e.value - s2.mu) / s2.sigma, 6)) > 2.5
-        """,
-        "similarity_join_exact": """
-            WITH sh AS (
-                SELECT doc_id AS doc,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
-                       ))) AS shingle
-                FROM documents WHERE doc_id < 300
-            ),
-            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
-            inter AS (
-                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-                GROUP BY 1, 2
-            ),
-            j AS (
-                SELECT i.doc_a, i.doc_b,
-                       round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
-                FROM inter i
-                JOIN sizes sa ON sa.doc = i.doc_a
-                JOIN sizes sb ON sb.doc = i.doc_b
-            )
-            SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
-        """,
-        "lang_source_chi2": """
-            WITH cells AS (
-                SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
-            ),
-            r AS (SELECT lang, count(*) AS row_n FROM documents GROUP BY 1),
-            c AS (SELECT source, count(*) AS col_n FROM documents GROUP BY 1),
-            t AS (SELECT count(*) AS total FROM documents),
-            grid AS (
-                SELECT r.lang, c.source, r.row_n, c.col_n FROM r CROSS JOIN c
-            ),
-            con AS (
-                SELECT g.row_n * g.col_n / CAST(t.total AS DOUBLE) AS e,
-                       COALESCE(cl.o, 0) AS o
-                FROM grid g
-                LEFT JOIN cells cl ON g.lang = cl.lang AND g.source = cl.source
-                CROSS JOIN t
-            ),
-            con2 AS (SELECT round((o - e) * (o - e) / e, 9) AS cc FROM con)
-            SELECT round(sum(cc), 6) AS chi2,
-                   CAST(((SELECT count(*) FROM r) - 1)
-                        * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof
-            FROM con2
-        """,
-        "top_event_paths": """
-            WITH seq AS (
-                SELECT event_type,
-                       lead(event_type, 1) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       ) AS t2,
-                       lead(event_type, 2) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       ) AS t3
-                FROM events
-            ),
-            paths AS (
-                SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
-                FROM seq WHERE t3 IS NOT NULL GROUP BY 1
-            )
-            SELECT path, n FROM paths ORDER BY n DESC, path ASC LIMIT 20
-        """,
-        "crawl_budget_allocation": """
-            WITH demands AS (
-                SELECT source, CAST(sum(n_chars) AS DOUBLE) AS demand
-                FROM documents GROUP BY 1
-            ),
-            tot AS (SELECT 0.9 * sum(demand) AS b FROM demands),
-            ranked AS (
-                SELECT source, demand,
-                       row_number() OVER (ORDER BY demand ASC, source ASC) AS k,
-                       sum(demand) OVER (
-                           ORDER BY demand ASC, source ASC
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                       ) AS s,
-                       count(*) OVER () AS n
-                FROM demands
-            ),
-            f AS (
-                SELECT *,
-                       CASE WHEN (s - demand) + demand * (n - k + 1)
-                                 <= (SELECT b FROM tot)
-                            THEN 1 ELSE 0 END AS fully
-                FROM ranked
-            ),
-            agg AS (
-                SELECT CAST(sum(fully) AS BIGINT) AS j,
-                       COALESCE(sum(CASE WHEN fully = 1 THEN demand END), 0.0) AS s_j,
-                       count(*) AS n
-                FROM f
-            ),
-            lvl AS (
-                SELECT CASE WHEN j = n THEN NULL
-                            ELSE ((SELECT b FROM tot) - s_j) / (n - j)
-                       END AS t
-                FROM agg
-            )
-            SELECT f.source, f.demand AS demand,
-                   round(CASE WHEN lvl.t IS NULL THEN f.demand
-                              ELSE least(f.demand, lvl.t) END, 6) AS alloc,
-                   CASE WHEN lvl.t IS NOT NULL AND f.demand > lvl.t
-                        THEN 1 ELSE 0 END AS capped
-            FROM f, lvl
-        """,
-        "langid_confusion": f"""
-            WITH hits AS (
-                SELECT doc_id,
-                       {_lang_hits_sql('de')} AS h_de,
-                       {_lang_hits_sql('en')} AS h_en,
-                       {_lang_hits_sql('es')} AS h_es,
-                       {_lang_hits_sql('fr')} AS h_fr
-                FROM documents
-            ),
-            sw AS (
-                SELECT doc_id,
-                       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-                            WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
-                            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-                            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-                            ELSE 'de'
-                       END AS stopword_lang
-                FROM hits
-            ),
-            pats(lang_c, pat) AS (VALUES {_trigram_pats_sql()}),
-            scores AS (
-                SELECT d.doc_id, p.lang_c,
-                       len(regexp_extract_all(lower(d.text), p.pat)) AS score
-                FROM documents d CROSS JOIN pats p
-            ),
-            ranked AS (
-                SELECT doc_id, lang_c, score,
-                       row_number() OVER (
-                           PARTITION BY doc_id
-                           ORDER BY score DESC, lang_c DESC
-                       ) AS rn
-                FROM scores
-            ),
-            tg AS (
-                SELECT doc_id,
-                       CASE WHEN score > 0 THEN lang_c ELSE 'und' END AS trigram_lang
-                FROM ranked WHERE rn = 1
-            )
-            SELECT d.lang AS gold, sw.stopword_lang, tg.trigram_lang,
-                   count(*) AS n
-            FROM documents d
-            JOIN sw USING (doc_id)
-            JOIN tg USING (doc_id)
-            GROUP BY 1, 2, 3
-        """,
-        "term_pmi": """
-            WITH w AS (
-                SELECT string_split_regex(trim(text), '\\s+') AS l FROM documents
-            ),
-            big AS (
-                SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM w
-            ),
-            pc AS (
-                SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
-                FROM big GROUP BY 1, 2
-            ),
-            uni AS (SELECT unnest(l) AS tok FROM w),
-            uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
-            tot AS (
-                SELECT (SELECT CAST(sum(c12) AS BIGINT) FROM pc) AS big_c,
-                       (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_words
-            ),
-            j AS (
-                SELECT pc.w1, pc.w2, pc.c12,
-                       round(log2((pc.c12 * t.n_words * t.n_words) * 1.0
-                                  / (t.big_c * u1.c * u2.c)), 6) AS pmi
-                FROM pc
-                JOIN uc u1 ON pc.w1 = u1.tok
-                JOIN uc u2 ON pc.w2 = u2.tok
-                CROSS JOIN tot t
-                WHERE pc.c12 >= 10
-            )
-            SELECT w1, w2, c12, pmi FROM j
-            ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
-        """,
-        "nfc_normalize": """
-            WITH aug AS (
-                SELECT doc_id,
-                       text || CASE WHEN doc_id % 2 = 0
-                                    THEN ' cafe' || chr(769)
-                                    ELSE ' cafe' END AS t
-                FROM documents
-            )
-            SELECT doc_id,
-                   CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END AS changed,
-                   md5(nfc_normalize(t)) AS nfc_md5
-            FROM aug
-        """,
-        "lsh_quality_eval": """
-            WITH sh AS (
-                SELECT doc_id AS doc,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
-                       ))) AS shingle
-                FROM documents WHERE doc_id < 300
-            ),
-            mins AS (
-                SELECT doc, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minh
-                FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS seed) seeds
-                GROUP BY doc, seed
-            ),
-            bandh AS (
-                SELECT doc, seed // 4 AS band_id,
-                       md5(string_agg(minh, '|' ORDER BY seed)) AS band_hash
-                FROM mins GROUP BY doc, seed // 4
-            ),
-            cands AS (
-                SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-                FROM bandh a
-                JOIN bandh b ON a.band_id = b.band_id
-                            AND a.band_hash = b.band_hash
-                            AND a.doc < b.doc
-            ),
-            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
-            inter AS (
-                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-                GROUP BY 1, 2
-            ),
-            truth AS (
-                SELECT doc_a, doc_b FROM inter
-                JOIN sizes sa ON sa.doc = doc_a
-                JOIN sizes sb ON sb.doc = doc_b
-                WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-            ),
-            hits AS (
-                SELECT c.doc_a FROM cands c
-                JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
-            ),
-            agg AS (
-                SELECT (SELECT count(*) FROM cands) AS n_candidates,
-                       (SELECT count(*) FROM truth) AS n_true,
-                       (SELECT count(*) FROM hits) AS n_hit
-            )
-            SELECT n_candidates, n_true, n_hit,
-                   round(n_hit * 1.0 / n_candidates, 6) AS precision,
-                   round(n_hit * 1.0 / n_true, 6) AS recall
-            FROM agg
-        """,
-        "snapshot_diff": """
-            WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
-            new_rows AS (
-                SELECT doc_id,
-                       md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
-                                ELSE text END) AS h
-                FROM documents WHERE doc_id % 11 != 0
-                UNION ALL
-                SELECT doc_id + 100000, md5('new:' || text)
-                FROM documents WHERE doc_id < 25
-            ),
-            j AS (
-                SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-                       o.h AS h_old, n.h AS h_new
-                FROM old o FULL OUTER JOIN new_rows n ON o.doc_id = n.doc_id
-            )
-            SELECT doc_id,
-                   CASE WHEN h_old IS NULL THEN 'added'
-                        WHEN h_new IS NULL THEN 'removed'
-                        WHEN h_old <> h_new THEN 'changed'
-                        ELSE 'unchanged' END AS change
-            FROM j
-            WHERE (CASE WHEN h_old IS NULL THEN 'added'
-                        WHEN h_new IS NULL THEN 'removed'
-                        WHEN h_old <> h_new THEN 'changed'
-                        ELSE 'unchanged' END) != 'unchanged'
-        """,
-        "cdc_chunks": """
-            WITH toks AS (
-                SELECT doc_id,
-                       generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) - 1 AS pos,
-                       unnest(string_split_regex(trim(text), '\\s+')) AS word
-                FROM documents
-            ),
-            g AS (
-                SELECT doc_id, pos, word,
-                       lag(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
-                       lag(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
-                FROM toks
-            ),
-            flagged AS (
-                SELECT doc_id, pos, word,
-                       CASE WHEN pos >= 2
-                                 AND CAST(('0x' || substr(md5(w2 || ' ' || w1 || ' ' || word), 1, 8)) AS BIGINT) % 8 = 0
-                            THEN 1 ELSE 0 END AS flag
-                FROM g
-            ),
-            chunked AS (
-                SELECT doc_id, pos, word,
-                       sum(flag) OVER (
-                           PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                       ) AS chunk_id
-                FROM flagged
-            )
-            SELECT doc_id, chunk_id, count(*) AS n_words,
-                   md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
-            FROM chunked GROUP BY doc_id, chunk_id
-        """,
-        "readability_scores": """
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '\\S+')) AS n_words,
-                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
-                   len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
-                   round(0.39 * len(regexp_extract_all(text, '\\S+'))
-                              / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
-                         + 11.8 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
-                                / greatest(len(regexp_extract_all(text, '\\S+')), 1)
-                         - 15.59, 6) AS fk_grade
-            FROM documents
-        """,
-        "hll_intersection": """
-            WITH h AS (
-                SELECT event_type,
-                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
-                FROM events WHERE event_type IN ('view', 'purchase')
-            ),
-            parts AS (
-                SELECT event_type,
-                       CAST(floor(hv / 67108864.0) AS BIGINT) AS bucket,
-                       hv % 67108864 AS w
-                FROM h
-            ),
-            rho AS (
-                SELECT event_type, bucket,
-                       CASE WHEN w = 0 THEN 27
-                            ELSE 26 - CAST(floor(log2(CAST(w AS DOUBLE))) AS BIGINT)
-                       END AS rho
-                FROM parts
-            ),
-            regs_a AS (
-                SELECT bucket, max(rho) AS register FROM rho
-                WHERE event_type = 'view' GROUP BY 1
-            ),
-            regs_b AS (
-                SELECT bucket, max(rho) AS register FROM rho
-                WHERE event_type = 'purchase' GROUP BY 1
-            ),
-            regs_u AS (
-                SELECT bucket, max(register) AS register FROM (
-                    SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b
-                ) GROUP BY 1
-            ),
-            ea AS (
-                SELECT CASE WHEN 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*))) <= 160.0
-                                 AND count(*) < 64
-                            THEN 64.0 * ln(64.0 / (64 - count(*)))
-                            ELSE 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*)))
-                       END AS e
-                FROM regs_a
-            ),
-            eb AS (
-                SELECT CASE WHEN 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*))) <= 160.0
-                                 AND count(*) < 64
-                            THEN 64.0 * ln(64.0 / (64 - count(*)))
-                            ELSE 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*)))
-                       END AS e
-                FROM regs_b
-            ),
-            eu AS (
-                SELECT CASE WHEN 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*))) <= 160.0
-                                 AND count(*) < 64
-                            THEN 64.0 * ln(64.0 / (64 - count(*)))
-                            ELSE 2905.460551022604 / (sum(power(2.0, -register)) + (64 - count(*)))
-                       END AS e
-                FROM regs_u
-            ),
-            ex AS (
-                SELECT count(*) AS exact_intersection FROM (
-                    SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
-                    INTERSECT
-                    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-                )
-            )
-            SELECT round(ea.e, 4) AS est_a, round(eb.e, 4) AS est_b,
-                   round(eu.e, 4) AS est_union,
-                   round(round(ea.e, 4) + round(eb.e, 4) - round(eu.e, 4), 4) AS est_intersection,
-                   ex.exact_intersection
-            FROM ea, eb, eu, ex
-        """,
-        "value_quantile_norm": """
-            WITH ranked AS (
-                SELECT event_type, event_id, value,
-                       row_number() OVER (
-                           PARTITION BY event_type ORDER BY value, event_id
-                       ) AS rn
-                FROM events
-            ),
-            ties AS (
-                SELECT event_type, value, (min(rn) + max(rn)) / 2.0 AS avg_rank
-                FROM ranked GROUP BY 1, 2
-            ),
-            n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
-            SELECT r.event_type, r.event_id, r.value,
-                   round(t.avg_rank / (n.n + 1), 6) AS u
-            FROM ranked r
-            JOIN ties t ON r.event_type = t.event_type AND r.value = t.value
-            JOIN n ON r.event_type = n.event_type
-        """,
-        "label_centroids": """
-            WITH vals AS (
-                SELECT vec_id, label,
-                       generate_subscripts(embedding, 1) - 1 AS p,
-                       CAST(unnest(embedding) AS DOUBLE) AS v
-                FROM embeddings
-            ),
-            cent AS (
-                SELECT label, p, round(avg(v), 9) AS c
-                FROM vals GROUP BY 1, 2
-            ),
-            per_vec AS (
-                SELECT vals.vec_id, vals.label,
-                       round(sum(vals.v * cent.c)
-                             / (sqrt(sum(vals.v * vals.v)) * sqrt(sum(cent.c * cent.c))), 9) AS cos
-                FROM vals JOIN cent ON vals.label = cent.label AND vals.p = cent.p
-                GROUP BY 1, 2
-            )
-            SELECT label, count(*) AS n_vecs,
-                   round(avg(cos), 6) AS mean_cos,
-                   round(min(cos), 6) AS min_cos
-            FROM per_vec GROUP BY label
-        """,
-        "ab_test_proportions": """
-            WITH users AS (
-                SELECT DISTINCT user_id,
-                       CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
-                FROM events
-            ),
-            purch AS (
-                SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 90.0
-            ),
-            pv AS (
-                SELECT u.variant, count(*) AS n,
-                       count(p.user_id) AS conv
-                FROM users u LEFT JOIN purch p ON u.user_id = p.user_id
-                GROUP BY u.variant
-            ),
-            j AS (
-                SELECT a.n AS n_a, a.conv AS c_a, b.n AS n_b, b.conv AS c_b
-                FROM (SELECT n, conv FROM pv WHERE variant = 'A') a,
-                     (SELECT n, conv FROM pv WHERE variant = 'B') b
-            )
-            SELECT n_a, c_a, n_b, c_b,
-                   round(c_a * 1.0 / n_a, 6) AS rate_a,
-                   round(c_b * 1.0 / n_b, 6) AS rate_b,
-                   round((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
-                         / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
-                                * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
-                                * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
-                   CASE WHEN abs(round((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
-                         / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
-                                * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
-                                * (1.0 / n_a + 1.0 / n_b)), 6)) >= 1.96
-                        THEN 1 ELSE 0 END AS significant_05
-            FROM j
-        """,
-        "revenue_gini": """
-            WITH rev AS (
-                SELECT o_custkey, CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS r
-                FROM orders GROUP BY 1
-            ),
-            ranked AS (
-                SELECT r, row_number() OVER (ORDER BY r ASC, o_custkey ASC) AS i
-                FROM rev
-            ),
-            agg AS (
-                SELECT count(*) AS n, sum(r) AS total, sum(i * r) AS weighted
-                FROM ranked
-            )
-            SELECT n, round(total, 2) AS total_revenue,
-                   round(2.0 * weighted / (n * total) - (n + 1) * 1.0 / n, 6) AS gini
-            FROM agg
-        """,
-        "user_entropy": """
-            WITH counts AS (
-                SELECT user_id, event_type, count(*) AS c
-                FROM events GROUP BY 1, 2
-            ),
-            tot AS (
-                SELECT user_id, CAST(sum(c) AS BIGINT) AS n
-                FROM counts GROUP BY 1
-            ),
-            terms AS (
-                SELECT c.user_id,
-                       round(-(c.c * 1.0 / t.n) * log2(c.c * 1.0 / t.n), 9) AS t
-                FROM counts c JOIN tot t USING (user_id)
-            )
-            SELECT user_id, round(sum(t), 6) AS entropy_bits,
-                   count(*) AS n_types
-            FROM terms GROUP BY user_id
-        """,
-        "sequence_packing_sharded": """
-            WITH toks AS (
-                SELECT doc_id, doc_id % 8 AS shard,
-                       len(string_split_regex(trim(text), '\\s+')) AS n
-                FROM documents
-            ),
-            cum AS (
-                SELECT shard, doc_id, n,
-                       CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS BIGINT) AS s,
-                       CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e
-                FROM toks
-            ),
-            seg AS (
-                SELECT shard, doc_id, s, e,
-                       CAST(unnest(generate_series(s // 512, (e - 1) // 512)) AS BIGINT) AS seq_id
-                FROM cum WHERE n > 0
-            )
-            SELECT CAST(shard AS BIGINT) AS shard, doc_id, seq_id,
-                   CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS doc_offset,
-                   CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
-                   CAST(least(e, (seq_id + 1) * 512)
-                        - greatest(s, seq_id * 512) AS BIGINT) AS n_tokens
-            FROM seg
-        """,
-        "graph_degree_stats": """
-            WITH nsrc AS (SELECT count(DISTINCT source) AS n FROM documents),
-            edges AS (
-                SELECT DISTINCT source AS src,
-                       'src' || CAST(CAST(('0x' || substr(md5('link:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                                     % (SELECT n FROM nsrc) AS VARCHAR) AS dst
-                FROM documents
-            ),
-            outd AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY 1),
-            ind AS (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY 1),
-            recip AS (
-                SELECT e.src AS node, count(*) AS n_recip
-                FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
-                GROUP BY 1
-            )
-            SELECT COALESCE(o.node, i.node) AS node,
-                   CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
-                   CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
-                   round(COALESCE(r.n_recip, 0) * 1.0
-                         / greatest(COALESCE(o.out_deg, 0), 1), 6) AS reciprocity
-            FROM outd o
-            FULL OUTER JOIN ind i ON o.node = i.node
-            LEFT JOIN recip r ON COALESCE(o.node, i.node) = r.node
-        """,
-        "curation_shortlist": f"""
-            WITH q AS (
-                SELECT lang, doc_id,
-                       len(string_split_regex(trim(text), '\\s+')) AS token_count,
-                       round(
-                           round(len(list_intersect(
-                                     list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
-                                     [{_EN_STOPS}]))
-                                 / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), 1),
-                                 6)
-                           * round(ln(1.0 + len(string_split_regex(trim(text), '\\s+'))), 9),
-                       6) AS score
-                FROM documents
-            )
-            SELECT lang, doc_id, CAST(token_count AS BIGINT) AS token_count, score,
-                   CAST(row_number() OVER (
-                       PARTITION BY lang ORDER BY score DESC, doc_id
-                   ) AS BIGINT) AS rank
-            FROM q QUALIFY rank <= 3
-        """,
-        "hits_domains": _hits_oracle(iterations=3),
-        "rate_limit_admission": """
-            WITH RECURSIVE ev AS (
-                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-                       row_number() OVER (
-                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                       ) AS idx
-                FROM events
-            ),
-            rec AS (
-                SELECT user_id, idx, ts_us,
-                       TRUE AS admitted,
-                       CAST(3000000 - 1000000 AS BIGINT) AS token_units
-                FROM ev WHERE idx = 1
-                UNION ALL
-                SELECT e.user_id, e.idx, e.ts_us,
-                       pre >= 1000000 AS admitted,
-                       CAST(CASE WHEN pre >= 1000000 THEN pre - 1000000
-                            ELSE pre END AS BIGINT) AS token_units
-                FROM rec r
-                JOIN ev e ON e.user_id = r.user_id AND e.idx = r.idx + 1,
-                LATERAL (
-                    SELECT least(3000000,
-                                 r.token_units + (e.ts_us - r.ts_us) // 100000) AS pre
-                ) p
-            )
-            SELECT user_id,
-                   count(*) AS n_events,
-                   CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
-                   CAST(sum(CASE WHEN admitted THEN 0 ELSE 1 END) AS BIGINT) AS n_denied,
-                   round(sum(CASE WHEN admitted THEN 1 ELSE 0 END) * 1.0
-                         / count(*), 6) AS admit_rate
-            FROM rec GROUP BY user_id
-        """,
-        "quality_token_pyramid": f"""
-            WITH scored AS (
-                SELECT round(len(list_intersect(
-                           list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
-                           [{_EN_STOPS}]))
-                       / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), 1),
-                       9) AS q,
-                       len(string_split_regex(trim(text), '\\s+')) AS n_tokens
-                FROM documents
-            ),
-            e AS (
-                SELECT list_transform(
-                    quantile_cont(q, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 9)
-                ) AS edges
-                FROM scored
-            ),
-            tiers AS (
-                SELECT CAST(len(list_filter(e.edges, t -> s.q > t)) AS BIGINT) AS tier,
-                       count(*) AS n_docs,
-                       CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens
-                FROM scored s, e GROUP BY 1
-            ),
-            tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM tiers)
-            SELECT tier, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
-                   round(sum(n_tokens) OVER (
-                       ORDER BY tier DESC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) / tot.total, 6) AS cum_token_share
-            FROM tiers, tot
-        """,
-        "source_vocab_kl": """
-            WITH toks AS (
-                SELECT source,
-                       unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
-                FROM documents
-            ),
-            tk AS (SELECT source, term FROM toks WHERE term <> ''),
-            sc AS (SELECT source, term, count(*) AS c_s FROM tk GROUP BY 1, 2),
-            cc AS (SELECT term, count(*) AS c_c FROM tk GROUP BY 1),
-            stot AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM sc GROUP BY 1),
-            ctot AS (SELECT CAST(sum(c_c) AS BIGINT) AS n_c FROM cc),
-            terms AS (
-                SELECT sc.source,
-                       round((sc.c_s * 1.0 / st.n_s)
-                             * log2((sc.c_s * 1.0 / st.n_s)
-                                    / (cc.c_c * 1.0 / ct.n_c)), 9) AS t
-                FROM sc
-                JOIN cc USING (term)
-                JOIN stot st USING (source)
-                CROSS JOIN ctot ct
-            )
-            SELECT source, round(sum(t), 6) AS kl_bits,
-                   count(*) AS n_terms
-            FROM terms GROUP BY source
-        """,
-        "packing_stats": """
-            WITH toks AS (
-                SELECT doc_id,
-                       len(string_split_regex(trim(text), '\\s+')) AS n
-                FROM documents
-            ),
-            cum AS (
-                SELECT doc_id, n,
-                       CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s,
-                       CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
-                FROM toks
-            ),
-            seg AS (
-                SELECT doc_id,
-                       CAST(unnest(generate_series(s // 512, (e - 1) // 512)) AS BIGINT) AS seq_id,
-                       s, e
-                FROM cum WHERE n > 0
-            ),
-            segs AS (
-                SELECT doc_id, seq_id,
-                       least(e, (seq_id + 1) * 512)
-                       - greatest(s, seq_id * 512) AS n_tokens
-                FROM seg
-            ),
-            per_seq AS (
-                SELECT seq_id, sum(n_tokens) AS fill, count(*) AS segs
-                FROM segs GROUP BY 1
-            ),
-            per_doc AS (
-                SELECT doc_id, count(*) AS parts FROM segs GROUP BY 1
-            )
-            SELECT (SELECT count(*) FROM per_seq) AS n_sequences,
-                   (SELECT CAST(sum(segs) AS BIGINT) FROM per_seq) AS n_segments,
-                   (SELECT round(avg(fill / 512.0), 6) FROM per_seq) AS mean_fill,
-                   (SELECT round(sum(CASE WHEN parts > 1 THEN 1 ELSE 0 END) * 1.0
-                                 / count(*), 6) FROM per_doc) AS pct_docs_split
-        """,
-        "user_burstiness": """
-            WITH gaps AS (
-                SELECT user_id,
-                       epoch(ts) - epoch(lag(ts) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       )) AS gap
-                FROM events
-            ),
-            stats AS (
-                SELECT user_id, count(*) AS n_gaps,
-                       avg(gap) AS mean_gap, stddev_samp(gap) AS sd_gap
-                FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
-            )
-            SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
-                   round(mean_gap, 6) AS mean_gap,
-                   round(round(sd_gap / mean_gap, 9), 6) AS cv,
-                   round((round(sd_gap / mean_gap, 9) - 1)
-                         / (round(sd_gap / mean_gap, 9) + 1), 6) AS burstiness
-            FROM stats WHERE n_gaps >= 2
-        """,
-        "zipf_fit": """
-            WITH toks AS (
-                SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
-                FROM documents
-            ),
-            freq AS (
-                SELECT term, count(*) AS freq FROM toks
-                WHERE term <> '' GROUP BY term
-            ),
-            pts AS (
-                SELECT round(log10(row_number() OVER (ORDER BY freq DESC, term)), 9) AS x,
-                       round(log10(freq), 9) AS y
-                FROM freq
-            ),
-            s AS (
-                SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
-                       sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
-                FROM pts
-            )
-            SELECT CAST(n AS BIGINT) AS n,
-                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
-                   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-            FROM s
-        """,
-        "fk_audit": """
-            SELECT 'orders.custkey' AS fk, count(*) AS n_orphans
-            FROM orders o WHERE NOT EXISTS (
-                SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-            UNION ALL
-            SELECT 'lineitem.orderkey', count(*)
-            FROM lineitem l WHERE NOT EXISTS (
-                SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
-            UNION ALL
-            SELECT 'lineitem.partkey', count(*)
-            FROM lineitem l WHERE NOT EXISTS (
-                SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
-        """,
-        "media_sniff": """
-            WITH m(i, magic) AS (VALUES
-                (0, 'FFD8FF'), (1, '89504E470D0A1A0A'), (2, '47494638'),
-                (3, '52494646'), (4, '25504446'),
-                (5, '000000186674797069736F6D'), (6, '')),
-            blobs AS (
-                SELECT from_hex(m.magic) || encode(d.text) AS content
-                FROM documents d JOIN m ON d.doc_id % 7 = m.i
-            ),
-            sniffed AS (
-                SELECT CASE
-                    WHEN substring(hex(content), 9, 8) = '66747970' THEN 'mp4'
-                    WHEN starts_with(hex(content), '89504E470D0A1A0A') THEN 'png'
-                    WHEN starts_with(hex(content), 'FFD8FF') THEN 'jpeg'
-                    WHEN starts_with(hex(content), '47494638') THEN 'gif'
-                    WHEN starts_with(hex(content), '52494646') THEN 'riff'
-                    WHEN starts_with(hex(content), '25504446') THEN 'pdf'
-                    ELSE 'unknown' END AS kind,
-                    octet_length(content) AS n_bytes
-                FROM blobs
-            )
-            SELECT kind, count(*) AS n_files,
-                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes
-            FROM sniffed GROUP BY kind
-        """,
-        "value_equidepth": """
-            WITH e AS (
-                SELECT list_transform(
-                    quantile_cont(value, [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]),
-                    x -> round(x, 9)
-                ) AS edges
-                FROM events WHERE value IS NOT NULL
-            ),
-            b AS (
-                SELECT CAST(len(list_filter(e.edges[2:5], t -> ev.value > t)) AS BIGINT) AS bin
-                FROM events ev, e WHERE ev.value IS NOT NULL
-            )
-            SELECT bin,
-                   round(e.edges[CAST(bin AS INT) + 1], 6) AS lo,
-                   round(e.edges[CAST(bin AS INT) + 2], 6) AS hi,
-                   count(*) AS n
-            FROM b, e
-            GROUP BY 1, 2, 3
-        """,
-        "source_overlap": """
-            WITH sh AS (
-                SELECT doc_id AS doc,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
-                       ))) AS shingle
-                FROM documents WHERE doc_id < 300
-            ),
-            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
-            inter AS (
-                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-                GROUP BY 1, 2
-            ),
-            pairs AS (
-                SELECT doc_a, doc_b,
-                       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-                FROM inter
-                JOIN sizes sa ON sa.doc = doc_a
-                JOIN sizes sb ON sb.doc = doc_b
-                WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-            ),
-            labeled AS (
-                SELECT least(da.source, db.source) AS source_a,
-                       greatest(da.source, db.source) AS source_b,
-                       p.jaccard
-                FROM pairs p
-                JOIN documents da ON da.doc_id = p.doc_a
-                JOIN documents db ON db.doc_id = p.doc_b
-            )
-            SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
-                   round(avg(jaccard), 6) AS mean_jaccard
-            FROM labeled GROUP BY 1, 2
-        """,
-        "key_skew_profile": """
-            WITH counts AS (
-                SELECT user_id AS key, count(*) AS n
-                FROM events GROUP BY 1
-            ),
-            tot AS (
-                SELECT CAST(sum(n) AS DOUBLE) AS total,
-                       CAST(count(*) AS DOUBLE) AS n_keys
-                FROM counts
-            ),
-            ranked AS (
-                SELECT key, CAST(n AS BIGINT) AS n,
-                       round(n / tot.total, 6) AS frac,
-                       round(n / (tot.total / tot.n_keys), 6) AS hot_factor,
-                       CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank
-                FROM counts, tot
-            )
-            SELECT key, n, frac, hot_factor, rank FROM ranked WHERE rank <= 10
-        """,
-        "novelty_scores": """
-            WITH sh AS (
-                SELECT doc_id AS doc,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
-                       ))) AS shingle
-                FROM documents
-            ),
-            first_seen AS (
-                SELECT shingle, min(doc) AS first_doc FROM sh GROUP BY 1
-            ),
-            scored AS (
-                SELECT sh.doc,
-                       count(*) AS n_shingles,
-                       CAST(sum(CASE WHEN f.first_doc < sh.doc THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before
-                FROM sh JOIN first_seen f USING (shingle)
-                GROUP BY 1
-            )
-            SELECT doc AS doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
-                   n_seen_before,
-                   round(n_seen_before * 1.0 / n_shingles, 6) AS redundancy,
-                   round(1.0 - n_seen_before * 1.0 / n_shingles, 6) AS novelty
-            FROM scored
-        """,
-        "domain_boilerplate": """
-            WITH lines AS (
-                SELECT source AS domain, doc_id,
-                       unnest(list_distinct(regexp_extract_all(text, '\\S+( \\S+){0,1}', 0))) AS line
-                FROM documents
-            ),
-            per_line AS (
-                SELECT domain, line, count(*) AS n_docs
-                FROM lines GROUP BY 1, 2
-            ),
-            per_dom AS (
-                SELECT source AS domain, count(DISTINCT doc_id) AS dom_docs
-                FROM documents GROUP BY 1
-            )
-            SELECT domain, line, CAST(n_docs AS BIGINT) AS n_docs,
-                   round(n_docs * 1.0 / dom_docs, 6) AS doc_frac
-            FROM per_line JOIN per_dom USING (domain)
-            WHERE round(n_docs * 1.0 / dom_docs, 6) >= 0.2
-        """,
-        "tfidf_top_terms": """
-            WITH toks AS (
-                SELECT doc_id AS doc,
-                       unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
-                FROM documents
-            ),
-            tf AS (
-                SELECT doc, term, count(*) AS tf
-                FROM toks WHERE term <> '' GROUP BY 1, 2
-            ),
-            dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
-            n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
-            scored AS (
-                SELECT tf.doc, tf.term, tf.tf,
-                       round(tf.tf * round(ln(n.n_docs / dft.df_t), 9), 6) AS score
-                FROM tf JOIN dft USING (term), n
-            ),
-            ranked AS (
-                SELECT doc AS doc_id, term, tf, score,
-                       CAST(row_number() OVER (
-                           PARTITION BY doc ORDER BY score DESC, term
-                       ) AS BIGINT) AS rank
-                FROM scored
-            )
-            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, rank
-            FROM ranked WHERE rank <= 3
-        """,
-        "containment_pairs": """
-            WITH sh AS (
-                SELECT doc_id AS doc,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
-                       ))) AS shingle
-                FROM documents WHERE doc_id < 300
-            ),
-            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
-            inter AS (
-                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
-                GROUP BY 1, 2
-            )
-            SELECT doc_a, doc_b,
-                   round(n_inter * 1.0 / sa.n_sh, 6) AS containment
-            FROM inter JOIN sizes sa ON sa.doc = doc_a
-            WHERE round(n_inter * 1.0 / sa.n_sh, 6) >= 0.5
-        """,
-        "sequence_packing": """
-            WITH toks AS (
-                SELECT doc_id,
-                       len(string_split_regex(trim(text), '\\s+')) AS n
-                FROM documents
-            ),
-            cum AS (
-                SELECT doc_id, n,
-                       CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s,
-                       CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
-                FROM toks
-            ),
-            seg AS (
-                SELECT doc_id, s, e,
-                       CAST(unnest(generate_series(s // 512, (e - 1) // 512)) AS BIGINT) AS seq_id
-                FROM cum WHERE n > 0
-            )
-            SELECT doc_id, seq_id,
-                   CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS doc_offset,
-                   CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
-                   CAST(least(e, (seq_id + 1) * 512)
-                        - greatest(s, seq_id * 512) AS BIGINT) AS n_tokens
-            FROM seg
-        """,
-        "hybrid_search_rrf": """
-            WITH d AS (
-                SELECT doc_id,
-                       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
-                FROM documents
-            ),
-            pd AS (
-                SELECT doc_id,
-                       CAST(len(toks) AS DOUBLE) AS dl,
-                       CAST(len(list_filter(toks, w -> w = 'stream')) AS DOUBLE) AS tf_0,
-                       CAST(len(list_filter(toks, w -> w = 'window')) AS DOUBLE) AS tf_1,
-                       CAST(len(list_filter(toks, w -> w = 'query')) AS DOUBLE) AS tf_2
-                FROM d
-            ),
-            st AS (
-                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                       avg(dl) AS avgdl,
-                       CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
-                       CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
-                       CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
-                FROM pd
-            ),
-            scored AS (
-                SELECT doc_id,
-                       round(
-                           round(ln(1 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
-                                 * tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
-                         + round(ln(1 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
-                                 * tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
-                         + round(ln(1 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
-                                 * tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
-                       , 6) AS score
-                FROM pd, st
-            ),
-            lex15 AS (
-                SELECT doc_id, score FROM scored WHERE score > 0
-                ORDER BY score DESC, doc_id ASC LIMIT 15
-            ),
-            lex AS (
-                SELECT doc_id,
-                       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
-                FROM lex15
-            ),
-            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-            cos15 AS (
-                SELECT vec_id,
-                       round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) AS cosine
-                FROM embeddings, q
-                ORDER BY cosine DESC, vec_id LIMIT 15
-            ),
-            cosr AS (
-                SELECT vec_id AS doc_id,
-                       row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS cos_rank
-                FROM cos15
-            )
-            SELECT COALESCE(l.doc_id, c.doc_id) AS doc_id,
-                   l.bm25_rank, c.cos_rank,
-                   round(COALESCE(1.0 / (60 + l.bm25_rank), 0)
-                         + COALESCE(1.0 / (60 + c.cos_rank), 0), 6) AS rrf
-            FROM lex l FULL OUTER JOIN cosr c ON l.doc_id = c.doc_id
-        """,
-        "semdedup": """
-            WITH cents AS (
-                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-                       embedding::DOUBLE[] AS cv
-                FROM embeddings WHERE vec_id >= 100
-                ORDER BY vec_id LIMIT 8
-            ),
-            corpus AS (
-                SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
-                       (SELECT c.cell FROM cents c
-                        ORDER BY round(list_aggregate(list_transform(
-                                    list_zip(c.cv, e.embedding::DOUBLE[]),
-                                    x -> (x[1] - x[2]) ^ 2), 'sum'), 9),
-                                 c.cell
-                        LIMIT 1) AS cell
-                FROM embeddings e
-            )
-            SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
-                   CASE WHEN EXISTS (
-                       SELECT 1 FROM corpus b
-                       WHERE b.cell = a.cell AND b.vec_id < a.vec_id
-                         AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
-                   ) THEN 0 ELSE 1 END AS keep
-            FROM corpus a
-        """,
-        "dsir_weights": """
-            WITH toks AS (
-                SELECT doc_id, lang,
-                       list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-                                   t -> t <> '') AS l
-                FROM documents
-            ),
-            uni AS (
-                SELECT doc_id, lang,
-                       CAST(('0x' || substr(md5('dsir1:' || t.g), 1, 8)) AS BIGINT) % 256 AS bucket
-                FROM toks, unnest(l) AS t(g)
-            ),
-            bi AS (
-                SELECT doc_id, lang,
-                       CAST(('0x' || substr(md5('dsir2:' || p[1] || ' ' || p[2]), 1, 8)) AS BIGINT) % 256 AS bucket
-                FROM toks, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z(p)
-            ),
-            feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
-            raw AS (SELECT bucket, count(*) AS c_r FROM feats GROUP BY 1),
-            tgt AS (SELECT bucket, count(*) AS c_t FROM feats WHERE lang = 'en' GROUP BY 1),
-            tot AS (SELECT (SELECT sum(c_r) FROM raw) AS n_r,
-                           (SELECT sum(c_t) FROM tgt) AS n_t),
-            dim AS (
-                SELECT r.bucket,
-                       round(ln((COALESCE(t.c_t, 0) + 1) * 1.0 / (tot.n_t + 256))
-                             - ln((r.c_r + 1) * 1.0 / (tot.n_r + 256)), 9) AS log_ratio
-                FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot
-            ),
-            dc AS (SELECT doc_id, bucket, count(*) AS c_df FROM feats GROUP BY 1, 2)
-            , su AS (
-                SELECT doc_id, CAST(sum(c_df) AS BIGINT) AS n_feats,
-                       CAST(sum(CAST(round(c_df * log_ratio * 1e9) AS BIGINT)) AS BIGINT) AS s
-                FROM dc JOIN dim USING (bucket)
-                GROUP BY doc_id
-            )
-            SELECT doc_id, n_feats,
-                   (CAST(sign(s) AS BIGINT) * ((abs(s) + 500) // 1000)) / 1e6 AS log_w
-            FROM su
-        """,
-        "value_ks_drift": """
-            WITH arms AS (
-                SELECT event_type AS key, value AS v, user_id % 2 = 0 AS a
-                FROM events
-                UNION ALL
-                SELECT 'click_shifted' AS key,
-                       CASE WHEN user_id % 2 = 0 THEN value
-                            ELSE round(value * 1.75, 9) END AS v,
-                       user_id % 2 = 0 AS a
-                FROM events WHERE event_type = 'click'
-            ),
-            pts AS (
-                SELECT key, v,
-                       count(*) FILTER (a) AS a_c,
-                       count(*) FILTER (NOT a) AS b_c
-                FROM arms GROUP BY 1, 2
-            ),
-            cum AS (
-                SELECT key,
-                       sum(a_c) OVER (PARTITION BY key ORDER BY v
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
-                       sum(b_c) OVER (PARTITION BY key ORDER BY v
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
-                       sum(a_c) OVER (PARTITION BY key) AS n_a,
-                       sum(b_c) OVER (PARTITION BY key) AS n_b
-                FROM pts
-            ),
-            agg AS (
-                SELECT key,
-                       CAST(max(n_a) AS BIGINT) AS n_a,
-                       CAST(max(n_b) AS BIGINT) AS n_b,
-                       round(max(round(abs(ca * 1.0 / n_a - cb * 1.0 / n_b), 9)), 6) AS ks
-                FROM cum GROUP BY 1
-            )
-            SELECT key, n_a, n_b, ks,
-                   round(1.358 * sqrt((n_a + n_b) * 1.0 / (n_a * n_b)), 6) AS ks_crit,
-                   CASE WHEN ks > round(1.358 * sqrt((n_a + n_b) * 1.0 / (n_a * n_b)), 6)
-                        THEN 1 ELSE 0 END AS drifted
-            FROM agg
-        """,
-        "value_psi_drift": """
-            WITH arms AS (
-                SELECT event_type AS key, value AS v, user_id % 2 = 0 AS r
-                FROM events
-                UNION ALL
-                SELECT 'click_shifted' AS key,
-                       CASE WHEN user_id % 2 = 0 THEN value
-                            ELSE round(value * 1.75, 9) END AS v,
-                       user_id % 2 = 0 AS r
-                FROM events WHERE event_type = 'click'
-            ),
-            edges AS (
-                SELECT key,
-                       list_transform(
-                           quantile_cont(CASE WHEN r THEN v END,
-                                         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
-                           e -> round(e, 9)) AS ed
-                FROM arms GROUP BY 1
-            ),
-            binned AS (
-                SELECT e.key,
-                       len(list_filter(ed, x -> e.v > x)) AS bin,
-                       count(*) FILTER (e.r) AS r_c,
-                       count(*) FILTER (NOT e.r) AS c_c
-                FROM arms e JOIN edges g USING (key)
-                GROUP BY 1, 2
-            ),
-            grid AS (
-                SELECT key, unnest(generate_series(0, 9)) AS bin FROM edges
-            ),
-            dense AS (
-                SELECT g.key, g.bin,
-                       COALESCE(b.r_c, 0) AS r_c,
-                       COALESCE(b.c_c, 0) AS c_c
-                FROM grid g LEFT JOIN binned b
-                  ON b.key = g.key AND b.bin = g.bin
-            ),
-            sm AS (
-                SELECT key, r_c, c_c,
-                       sum(r_c) OVER (PARTITION BY key) AS n_ref,
-                       sum(c_c) OVER (PARTITION BY key) AS n_cur
-                FROM dense
-            ),
-            terms AS (
-                SELECT key, n_ref, n_cur,
-                       CAST(round(round(((r_c + 1) * 1.0 / (n_ref + 10)
-                                         - (c_c + 1) * 1.0 / (n_cur + 10))
-                                        * ln(((r_c + 1) * 1.0 / (n_ref + 10))
-                                             / ((c_c + 1) * 1.0 / (n_cur + 10))), 9)
-                                  * 1e9) AS BIGINT) AS u
-                FROM sm
-            ),
-            agg AS (
-                SELECT key,
-                       CAST(max(n_ref) AS BIGINT) AS n_ref,
-                       CAST(max(n_cur) AS BIGINT) AS n_cur,
-                       round(sum(u) / 1e9, 6) AS psi
-                FROM terms GROUP BY 1
-            )
-            SELECT key, n_ref, n_cur, psi,
-                   CASE WHEN psi > 0.2 THEN 1 ELSE 0 END AS drifted
-            FROM agg
-        """,
-        "graph_triangles": """
-            WITH nsrc AS (SELECT count(DISTINCT source) AS n FROM documents),
-            edges0 AS (
-                SELECT DISTINCT source AS src,
-                       'src' || CAST(CAST(('0x' || substr(md5('link:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                                     % (SELECT n FROM nsrc) AS VARCHAR) AS dst
-                FROM documents
-            ),
-            und AS (
-                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-                FROM edges0 WHERE src <> dst
-            ),
-            deg AS (
-                SELECT n, count(*) AS deg FROM (
-                    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
-                ) GROUP BY 1
-            ),
-            tri AS (
-                SELECT a.u AS x, a.v AS y, b.v AS z
-                FROM und a
-                JOIN und b ON a.v = b.u
-                JOIN und c ON c.u = a.u AND c.v = b.v
-            ),
-            pern AS (
-                SELECT n, count(*) AS t FROM (
-                    SELECT x AS n FROM tri
-                    UNION ALL SELECT y AS n FROM tri
-                    UNION ALL SELECT z AS n FROM tri
-                ) GROUP BY 1
-            )
-            SELECT d.n AS node, CAST(d.deg AS BIGINT) AS deg,
-                   CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
-                   round(CASE WHEN d.deg >= 2
-                              THEN 2.0 * COALESCE(p.t, 0) / (d.deg * (d.deg - 1))
-                              ELSE 0 END, 6) AS clustering
-            FROM deg d LEFT JOIN pern p ON d.n = p.n
-        """,
-        "embedding_sq8": """
-            WITH dims AS (
-                SELECT r.i,
-                       min(e.embedding[r.i]::DOUBLE) AS mn,
-                       max(e.embedding[r.i]::DOUBLE) AS mx
-                FROM embeddings e, range(1, 65) r(i)
-                GROUP BY 1
-            ),
-            codes AS (
-                SELECT e.vec_id, d.i,
-                       CASE WHEN d.mx > d.mn
-                            THEN least(255, CAST(floor(round(
-                                 (e.embedding[d.i]::DOUBLE - d.mn) * 255.0
-                                 / (d.mx - d.mn), 9)) AS INTEGER))
-                            ELSE 0 END AS code
-                FROM embeddings e CROSS JOIN dims d
-            )
-            SELECT vec_id,
-                   string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS codes_str
-            FROM codes GROUP BY vec_id
-        """,
-        "winnow_fingerprints": """
-            WITH toks AS (
-                SELECT doc_id,
-                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS l
-                FROM documents
-            ),
-            grams AS (
-                SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
-                       l[r.i] || ' ' || l[r.i + 1] || ' ' || l[r.i + 2] AS gram
-                FROM toks, unnest(generate_series(1, len(l) - 2)) r(i)
-                WHERE len(l) >= 3
-                UNION ALL
-                SELECT doc_id, 0 AS pos, array_to_string(l, ' ') AS gram
-                FROM toks WHERE len(l) < 3
-            ),
-            hashed AS (
-                SELECT doc_id, pos,
-                       CAST(('0x' || substr(md5('win:' || gram), 1, 8)) AS BIGINT) * 1048576
-                       + (1048575 - pos) AS combined
-                FROM grams
-            ),
-            win AS (
-                SELECT doc_id, pos,
-                       min(combined) OVER (PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
-                       count(*) OVER (PARTITION BY doc_id) AS n
-                FROM hashed
-            ),
-            sel AS (
-                SELECT DISTINCT doc_id,
-                       CAST(sel // 1048576 AS BIGINT) AS gram_hash,
-                       CAST(1048575 - (sel % 1048576) AS BIGINT) AS sel_pos
-                FROM win WHERE pos <= n - 4 OR (n < 4 AND pos = 0)
-            )
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
-                   md5(string_agg(sel_pos || ':' || gram_hash, ';'
-                                  ORDER BY sel_pos, gram_hash)) AS fp_digest
-            FROM sel GROUP BY doc_id
-        """,
-        "coreset_k_center": _k_center_oracle(5),
-        "quality_logit": f"""
-            WITH f AS (
-                SELECT doc_id,
-                       round(len(list_intersect(
-                                 list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
-                                 [{_EN_STOPS}]))
-                             / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), 1),
-                             6) AS stopword_ratio,
-                       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                             / greatest(length(text), 1), 6) AS punct_ratio,
-                       round(length(regexp_replace(text, '\\s', '', 'g'))
-                             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS mean_word_length,
-                       round(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                             t -> regexp_matches(t, '[A-Za-z]')))
-                             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS alpha_word_ratio,
-                       round(ln(1.0 + len(string_split_regex(trim(text), '\\s+'))), 6) AS log_tokens
-                FROM documents
-            ),
-            z AS (
-                SELECT *, round(-3.15 + 4.0 * stopword_ratio + (-3.0) * punct_ratio
-                                + 0.2 * mean_word_length + 1.5 * alpha_word_ratio
-                                + 0.15 * log_tokens, 9) AS zz
-                FROM f
-            )
-            SELECT doc_id, stopword_ratio, punct_ratio, mean_word_length,
-                   alpha_word_ratio, log_tokens,
-                   round(1.0 / (1.0 + exp(-zz)), 6) AS score,
-                   CASE WHEN round(1.0 / (1.0 + exp(-zz)), 6) >= 0.5
-                        THEN 1 ELSE 0 END AS keep
-            FROM z
-        """,
-        "winnow_pairs": """
-            WITH toks AS (
-                SELECT doc_id,
-                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS l
-                FROM documents
-            ),
-            grams AS (
-                SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
-                       l[r.i] || ' ' || l[r.i + 1] || ' ' || l[r.i + 2] AS gram
-                FROM toks, unnest(generate_series(1, len(l) - 2)) r(i)
-                WHERE len(l) >= 3
-                UNION ALL
-                SELECT doc_id, 0 AS pos, array_to_string(l, ' ') AS gram
-                FROM toks WHERE len(l) < 3
-            ),
-            hashed AS (
-                SELECT doc_id, pos,
-                       CAST(('0x' || substr(md5('win:' || gram), 1, 8)) AS BIGINT) * 1048576
-                       + (1048575 - pos) AS combined
-                FROM grams
-            ),
-            win AS (
-                SELECT doc_id, pos,
-                       min(combined) OVER (PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
-                       count(*) OVER (PARTITION BY doc_id) AS n
-                FROM hashed
-            ),
-            sel AS (
-                SELECT DISTINCT doc_id, CAST(sel // 1048576 AS BIGINT) AS gram_hash
-                FROM win WHERE pos <= n - 4 OR (n < 4 AND pos = 0)
-            ),
-            rare AS (
-                SELECT gram_hash FROM sel GROUP BY 1 HAVING count(*) <= 50
-            ),
-            kept AS (SELECT s.doc_id, s.gram_hash FROM sel s JOIN rare USING (gram_hash))
-            SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
-            FROM kept a JOIN kept b USING (gram_hash)
-            WHERE a.doc_id < b.doc_id
-            GROUP BY 1, 2 HAVING count(*) >= 2
-        """,
-        "feature_hash_vectors": _FH_CTES + """
-            SELECT d.doc_id, CAST(d.i AS INTEGER) AS i,
-                   CASE WHEN n.nn > 0 THEN round(d.v / n.nn, 6) ELSE d.v END AS v
-            FROM dense d JOIN nrm n USING (doc_id)
-        """,
-        "doc_sim_topk": _FH_CTES + """,
-            unitv AS (
-                SELECT d.doc_id,
-                       list(CASE WHEN n.nn > 0 THEN round(d.v / n.nn, 6) ELSE d.v END
-                            ORDER BY d.i) AS uv
-                FROM dense d JOIN nrm n USING (doc_id) GROUP BY d.doc_id
-            ),
-            q AS (SELECT uv AS qv FROM unitv WHERE doc_id = 0)
-            SELECT u.doc_id,
-                   round(list_cosine_similarity(u.uv, q.qv), 4) AS cosine
-            FROM unitv u, q WHERE u.doc_id <> 0
-            ORDER BY cosine DESC, u.doc_id LIMIT 10
-        """,
-        "interleaved_media_spans": """
-            SELECT doc_id, 0 AS ord, 'heading' AS kind,
-                   '# Document ' || doc_id AS text,
-                   CAST(NULL AS VARCHAR) AS media_ref
-            FROM documents
-            UNION ALL
-            SELECT doc_id, 1 AS ord, 'image' AS kind,
-                   '![hero ' || doc_id || '](https://img.test/' || doc_id || '/hero.png)' AS text,
-                   'https://img.test/' || doc_id || '/hero.png' AS media_ref
-            FROM documents WHERE doc_id % 3 = 0
-            UNION ALL
-            SELECT doc_id,
-                   CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ord,
-                   'text' AS kind, text,
-                   CAST(NULL AS VARCHAR) AS media_ref
-            FROM documents
-            UNION ALL
-            SELECT doc_id, 2 AS ord, 'image' AS kind,
-                   '![tail ' || doc_id || '](https://img.test/' || doc_id || '/tail.png)' AS text,
-                   'https://img.test/' || doc_id || '/tail.png' AS media_ref
-            FROM documents WHERE doc_id % 3 = 1
-        """,
-        "rendezvous_shards": """
-            WITH keys AS (SELECT DISTINCT doc_id AS key FROM documents),
-            w AS (
-                SELECT k.key, s.i AS shard, n.n,
-                       CAST(('0x' || substr(md5('hrw:' || s.i || ':' || CAST(k.key AS VARCHAR)), 1, 8)) AS BIGINT) AS wt
-                FROM keys k,
-                     unnest(generate_series(0, 8)) s(i),
-                     (VALUES (8), (9)) n(n)
-                WHERE s.i < n.n
-            ),
-            best AS (
-                SELECT key, n, shard,
-                       row_number() OVER (PARTITION BY key, n
-                                          ORDER BY wt DESC, shard) AS rn
-                FROM w
-            )
-            SELECT a.key, CAST(a.shard AS INTEGER) AS shard_a,
-                   CAST(b.shard AS INTEGER) AS shard_b,
-                   CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END AS moved
-            FROM (SELECT key, shard FROM best WHERE n = 8 AND rn = 1) a
-            JOIN (SELECT key, shard FROM best WHERE n = 9 AND rn = 1) b USING (key)
-        """,
-        "cms_join_size": """
-            WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
-            va AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events WHERE event_type = 'view'),
-            pb AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events WHERE event_type = 'purchase'),
-            ca AS (
-                SELECT d,
-                       CAST(('0x' || substr(md5(d::VARCHAR || '|' || key), 1, 8)) AS BIGINT) % 64 AS w,
-                       count(*) AS cnt
-                FROM va, dd GROUP BY 1, 2
-            ),
-            cb AS (
-                SELECT d,
-                       CAST(('0x' || substr(md5(d::VARCHAR || '|' || key), 1, 8)) AS BIGINT) % 64 AS w,
-                       count(*) AS cnt
-                FROM pb, dd GROUP BY 1, 2
-            ),
-            ip AS (
-                SELECT ca.d, sum(ca.cnt * cb.cnt) AS ip
-                FROM ca JOIN cb ON ca.d = cb.d AND ca.w = cb.w
-                GROUP BY 1
-            ),
-            est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip),
-            tr AS (
-                SELECT CAST(sum(a.na * b.nb) AS BIGINT) AS true_join_size
-                FROM (SELECT key, count(*) AS na FROM va GROUP BY 1) a
-                JOIN (SELECT key, count(*) AS nb FROM pb GROUP BY 1) b USING (key)
-            )
-            SELECT true_join_size, est_join_size,
-                   est_join_size - true_join_size AS overcount
-            FROM tr, est
-        """,
-        "kmv_distinct": """
-            WITH u AS (
-                SELECT DISTINCT event_type AS grp,
-                       round((CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
-                             / 4294967296.0, 9) AS u
-                FROM events
-            ),
-            rk AS (
-                SELECT grp, u,
-                       row_number() OVER (PARTITION BY grp ORDER BY u) AS pos
-                FROM u
-            ),
-            sk AS (
-                SELECT grp, CAST(max(pos) AS INTEGER) AS n_sketch,
-                       max(CASE WHEN pos = 32 THEN u END) AS uk
-                FROM rk WHERE pos <= 32 GROUP BY grp
-            ),
-            tr AS (
-                SELECT event_type AS grp,
-                       CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
-                FROM events GROUP BY 1
-            )
-            SELECT t.grp AS event_type, t.true_distinct, s.n_sketch,
-                   CASE WHEN s.n_sketch < 32 THEN s.n_sketch::DOUBLE
-                        ELSE round(31 / s.uk, 6) END AS est_distinct,
-                   round(CASE WHEN s.n_sketch < 32 THEN s.n_sketch::DOUBLE
-                              ELSE round(31 / s.uk, 6) END
-                         / t.true_distinct - 1.0, 6) AS rel_err
-            FROM tr t JOIN sk s USING (grp)
-        """,
-        "span_kinds_full": """
-            SELECT doc_id, 0 AS ord, 'heading' AS kind,
-                   '# Document ' || doc_id AS text FROM documents
-            UNION ALL
-            SELECT doc_id, 1 AS ord, 'text' AS kind, text FROM documents
-            UNION ALL
-            SELECT doc_id, 2 AS ord, 'list_item' AS kind,
-                   '- item ' || doc_id || ' a' AS text FROM documents
-            UNION ALL
-            SELECT doc_id, 3 AS ord, 'list_item' AS kind,
-                   '- item ' || doc_id || ' b' AS text FROM documents
-            UNION ALL
-            SELECT doc_id, 4 AS ord, 'code' AS kind,
-                   '```' || chr(10) || 'call(' || doc_id || ')' || chr(10) || '```' AS text
-            FROM documents
-            UNION ALL
-            SELECT doc_id, 5 AS ord, 'table' AS kind,
-                   '| k | v |' || chr(10) || '| --- | --- |' || chr(10)
-                   || '| ' || doc_id || ' | ' || source || ' |' AS text
-            FROM documents
-            UNION ALL
-            SELECT doc_id, 6 AS ord, 'text' AS kind,
-                   'See [spec ' || doc_id || '](https://ref.test/' || doc_id || ') end.' AS text
-            FROM documents
-        """,
-        "mojibake_repair": """
-            WITH forms AS (
-                SELECT chr(226) || chr(8364) || chr(8482) AS m_apos,
-                       chr(226) || chr(8364) || chr(339)  AS m_ldq,
-                       chr(226) || chr(8364) || chr(157)  AS m_rdq,
-                       chr(226) || chr(8364) || chr(8212) AS m_mdash,
-                       chr(195) || chr(169) AS m_eacute,
-                       chr(195) || chr(168) AS m_egrave,
-                       chr(8217) AS g_apos, chr(8220) AS g_ldq,
-                       chr(8221) AS g_rdq, chr(8212) AS g_mdash,
-                       chr(233) AS g_eacute, chr(232) AS g_egrave
-            ),
-            planted AS (
-                SELECT doc_id,
-                       CASE WHEN doc_id % 5 = 0
-                            THEN text || ' it' || f.m_apos || 's ' || f.m_ldq
-                                 || 'quoted' || f.m_rdq || ' caf' || f.m_eacute
-                            ELSE text END AS p,
-                       CASE WHEN doc_id % 5 = 0
-                            THEN text || ' it' || f.g_apos || 's ' || f.g_ldq
-                                 || 'quoted' || f.g_rdq || ' caf' || f.g_eacute
-                            ELSE text END AS clean
-                FROM documents, forms f
-            ),
-            fixed AS (
-                SELECT doc_id, p, clean,
-                       replace(replace(replace(replace(replace(replace(p,
-                           f.m_apos, f.g_apos), f.m_ldq, f.g_ldq),
-                           f.m_rdq, f.g_rdq), f.m_mdash, f.g_mdash),
-                           f.m_eacute, f.g_eacute), f.m_egrave, f.g_egrave) AS fx
-                FROM planted, forms f
-            ),
-            counted AS (
-                SELECT doc_id,
-                       CAST((length(p) - length(replace(p, f.m_apos, ''))) // 3
-                          + (length(p) - length(replace(p, f.m_ldq, ''))) // 3
-                          + (length(p) - length(replace(p, f.m_rdq, ''))) // 3
-                          + (length(p) - length(replace(p, f.m_mdash, ''))) // 3
-                          + (length(p) - length(replace(p, f.m_eacute, ''))) // 2
-                          + (length(p) - length(replace(p, f.m_egrave, ''))) // 2 AS BIGINT) AS n_mojibake,
-                       CAST((length(fx) - length(replace(fx, f.m_apos, ''))) // 3
-                          + (length(fx) - length(replace(fx, f.m_ldq, ''))) // 3
-                          + (length(fx) - length(replace(fx, f.m_rdq, ''))) // 3
-                          + (length(fx) - length(replace(fx, f.m_mdash, ''))) // 3
-                          + (length(fx) - length(replace(fx, f.m_eacute, ''))) // 2
-                          + (length(fx) - length(replace(fx, f.m_egrave, ''))) // 2 AS BIGINT) AS n_residual,
-                       CASE WHEN md5(fx) = md5(clean) THEN 1 ELSE 0 END AS repaired_ok
-                FROM fixed, forms f
-            )
-            SELECT doc_id, n_mojibake, n_residual, repaired_ok FROM counted
-        """,
-        "hard_negatives": """
-            WITH anch AS (
-                SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av,
-                       label AS anchor_label
-                FROM embeddings WHERE vec_id < 20
-            ),
-            scored AS (
-                SELECT a.anchor_id, a.anchor_label,
-                       p.vec_id AS neg_id, p.label AS neg_label,
-                       round(list_cosine_similarity(a.av, p.embedding::DOUBLE[]), 4) AS cosine
-                FROM anch a JOIN embeddings p ON a.anchor_label <> p.label
-            ),
-            ranked AS (
-                SELECT *, CAST(row_number() OVER (
-                           PARTITION BY anchor_id
-                           ORDER BY cosine DESC, neg_id) AS INTEGER) AS rank
-                FROM scored
-            )
-            SELECT anchor_id, anchor_label, neg_id, neg_label, cosine, rank
-            FROM ranked WHERE rank <= 3
-        """,
-        "kmv_jaccard": """
-            WITH us AS (SELECT DISTINCT event_type AS g, user_id FROM events),
-            hd AS (
-                SELECT DISTINCT g,
-                       round((CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
-                             / 4294967296.0, 9) AS u
-                FROM us
-            ),
-            rk AS (SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS pos FROM hd),
-            sk AS (SELECT g, u FROM rk WHERE pos <= 64),
-            prs AS (
-                SELECT a.g AS ga, b.g AS gb
-                FROM (SELECT DISTINCT g FROM sk) a
-                JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g
-            ),
-            un AS (
-                SELECT p.ga, p.gb, s.u FROM prs p JOIN sk s ON s.g = p.ga
-                UNION
-                SELECT p.ga, p.gb, s.u FROM prs p JOIN sk s ON s.g = p.gb
-            ),
-            urk AS (
-                SELECT ga, gb, u,
-                       row_number() OVER (PARTITION BY ga, gb ORDER BY u) AS pos
-                FROM un
-            ),
-            topu AS (SELECT ga, gb, u FROM urk WHERE pos <= 64),
-            mem AS (
-                SELECT t.ga, t.gb,
-                       CASE WHEN sa.u IS NOT NULL THEN 1 ELSE 0 END AS in_a,
-                       CASE WHEN sb.u IS NOT NULL THEN 1 ELSE 0 END AS in_b
-                FROM topu t
-                LEFT JOIN sk sa ON sa.g = t.ga AND sa.u = t.u
-                LEFT JOIN sk sb ON sb.g = t.gb AND sb.u = t.u
-            ),
-            est AS (
-                SELECT ga AS group_a, gb AS group_b,
-                       CAST(count(*) AS BIGINT) AS union_k,
-                       round(sum(in_a * in_b) * 1.0 / count(*), 6) AS jaccard_est
-                FROM mem GROUP BY 1, 2
-            ),
-            sizes AS (SELECT g, count(*) AS c FROM us GROUP BY 1),
-            tr AS (
-                SELECT x.ga AS group_a, x.gb AS group_b,
-                       round(x.inter * 1.0 / (ca.c + cb.c - x.inter), 6) AS true_jaccard
-                FROM (
-                    SELECT a.g AS ga, b.g AS gb, count(*) AS inter
-                    FROM us a JOIN us b ON a.user_id = b.user_id AND a.g < b.g
-                    GROUP BY 1, 2
-                ) x
-                JOIN sizes ca ON ca.g = x.ga
-                JOIN sizes cb ON cb.g = x.gb
-            )
-            SELECT e.group_a, e.group_b, e.union_k, e.jaccard_est,
-                   t.true_jaccard,
-                   round(e.jaccard_est - t.true_jaccard, 6) AS err
-            FROM est e JOIN tr t USING (group_a, group_b)
-        """,
-    }
+# Oracle SQL lives in reader_spark/oracles.py (split out in round 4);
+# re-exported here to keep the driver contract entry(sp)/queries()/oracle_sql().
+from reader_spark.oracles import oracle_sql  # noqa: E402,F401

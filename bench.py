@@ -333,6 +333,54 @@ def main() -> None:
     )
     results["ivfadc_query_prebuilt_index"] = round(time.monotonic() - t0, 3)
 
+    # -- Composed curation pipeline (VERDICT r3 #7): the stages above are
+    #    individually timed; this times the PRODUCTION COMPOSITION — the
+    #    quality->DSIR->SemDeDup spark-submit job, then range-clustered
+    #    compaction of its output — each as its own subprocess owning its
+    #    SparkSession, exactly how a scheduler launches them. Per-stage
+    #    lineage counts from the jobs' JSON summaries land in BENCH.md.
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    curated = os.path.join(BENCH_DIR, "curated_corpus")
+    compacted = os.path.join(BENCH_DIR, "compacted_corpus")
+    pipeline: dict[str, dict] = {}
+
+    def run_job(name: str, argv: list[str]) -> dict:
+        t0 = time.monotonic()
+        proc = subprocess.run(
+            [sys.executable] + argv, capture_output=True, text=True, cwd=repo
+        )
+        wall = round(time.monotonic() - t0, 3)
+        if proc.returncode != 0:
+            raise RuntimeError(f"{name} failed:\n{proc.stderr[-2000:]}")
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        results[f"{name}_e2e"] = wall
+        pipeline[name] = summary
+        return summary
+
+    run_job(
+        "curation_job",
+        [
+            "jobs/curation_job.py",
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", curated,
+            "--target-lang", "en",
+            "--embeddings", f"{SF_DIR}/embeddings.parquet",
+            "--master", f"local[{CPUS}]",
+        ],
+    )
+    run_job(
+        "compact_job",
+        [
+            "jobs/compact_job.py",
+            "--input", curated,
+            "--output", compacted,
+            "--sort-by", "doc_id",
+            "--master", f"local[{CPUS}]",
+        ],
+    )
+
     # Calibration lines IMMEDIATELY around the headline timing — the r1
     # number paired a calibration measured minutes earlier with an
     # extraction measured after the 41-query block, so VM phase drift
@@ -459,6 +507,7 @@ def main() -> None:
         "calibration_adjacent_docs_per_sec": cal_adjacent,
         "normalized_multiple": round(docs_per_sec / cal_adjacent, 2),
         "scaling": scaling,
+        "pipeline": pipeline,
     }
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as fh:
@@ -491,6 +540,16 @@ def main() -> None:
             "on a real cluster each executor adds its own memory channels, "
             "so executor scaling corresponds to this linear region, not to "
             "thread-packing one shared VM past its bandwidth.\n\n"
+            "## Composed curation pipeline (sf documents + embeddings)\n\n"
+            "quality logit -> DSIR cut -> SemDeDup (jobs/curation_job.py), "
+            "then range-clustered compaction with a content-fingerprint "
+            "self-check (jobs/compact_job.py); each stage a subprocess "
+            "owning its SparkSession.\n\n"
+            "| job | wall e2e (s) | lineage |\n|---|---|---|\n"
+            f"| curation_job | {results['curation_job_e2e']} | "
+            f"{json.dumps(pipeline['curation_job'])} |\n"
+            f"| compact_job | {results['compact_job_e2e']} | "
+            f"{json.dumps(pipeline['compact_job'])} |\n\n"
             f"Operator query timings at {SF_DIR}: "
             + ", ".join(f"{k}={v}s" for k, v in results.items())
             + "\n\n"

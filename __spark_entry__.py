@@ -3451,6 +3451,136 @@ def _q_doc_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent tokens via the two-pass Misra-Gries pipeline
+    (ops.heavy): bounded per-partition candidate sketches, then an exact
+    count of candidates only -- the shuffle is bounded by the candidate
+    set, never the vocabulary. Output = EXACTLY the tokens whose corpus
+    share clears the k=200 sketch guarantee (integer rational cut,
+    engine-exact); the oracle is the plain GROUP BY / HAVING twin."""
+    from reader_spark.ops.heavy import heavy_hitters
+
+    docs = _read(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token")
+    ).where(F.col("token") != "")
+    out = heavy_hitters(tokens, "token", k=200)
+    return out.select(F.col("value").alias("token"), F.col("cnt"))
+
+
+def _q_dedup_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (exact
+    Jaccard>=0.8 pairs -> connected components, same plumbing the oracled
+    dedup_components row certifies) keep their HIGHEST-n_chars member
+    instead of the lowest id -- curation keeps the best copy, not the
+    first crawled. Ties break to lowest id; n_members carries cluster
+    size for lineage."""
+    from reader_spark.ops.dedup import (
+        cluster_exemplars,
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comps = connected_components(pairs)
+    scores = docs.select(
+        "doc_id", F.col("n_chars").cast("long").alias("score")
+    )
+    return cluster_exemplars(comps, scores)
+
+
+_MEDIA_MAGICS = [
+    "FFD8FF",
+    "89504E470D0A1A0A",
+    "47494638",
+    "52494646",
+    "25504446",
+    "000000186674797069736F6D",
+    "",
+]
+
+
+def _q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-level media dedup (ops.multimodal.media_dedup) over
+    synthesized blobs: a real magic-byte header by doc_id%7 prepended to
+    the source-name bytes, so the same asset recurs across documents the
+    way logos and CDN-mirrored images do at web scale. Groups by content
+    digest (md5-of-hex, engine-portable), keeper = min id, kind sniffed
+    from the magic bytes. Only digests shuffle, never the blobs."""
+    from reader_spark.ops.multimodal import media_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    header = F.element_at(
+        F.array(*[F.to_binary(F.lit(m), F.lit("hex")) for m in _MEDIA_MAGICS]),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, F.encode(F.col("source"), "UTF-8")).alias("content"),
+    )
+    return media_dedup(media, portable=True)
+
+
+def _q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment hashed on the SOURCE key, not the doc:
+    same-site near-duplicates (templated pages, mirrors) land in the SAME
+    split by construction, so eval can't score memorized training
+    neighbors (the split-leakage failure mode of doc-level hashing).
+    split_column's md5 bucket carve is replicated verbatim in the oracle;
+    output is the per-split rollup."""
+    from reader_spark.ops.sampling import split_column
+
+    docs = _read(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "split",
+        split_column(
+            F.col("source"),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            portable=True,
+        ),
+    )
+    return labeled.groupBy("split").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble a 20k-token training mix at weights en:.5 fr:.2 de:.2
+    zh:.1 (es excluded -- the mix is a whitelist): per language, docs are
+    taken longest-first (n_chars desc, doc_id tiebreak) until the
+    language's integer budget is crossed, straddler included
+    (ops.sampling.token_budget_mix greedy-fill semantics). Integer token
+    counts and integer budgets keep the cut engine-exact."""
+    from reader_spark.ops.sampling import token_budget_mix
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"),
+    )
+    out = token_budget_mix(
+        docs,
+        "lang",
+        "n_tokens",
+        20_000,
+        {"en": 0.5, "fr": 0.2, "de": 0.2, "zh": 0.1},
+        score_col="n_chars",
+        id_col="doc_id",
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        F.col("group_budget").cast("long").alias("group_budget"),
+    )
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3698,6 +3828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": _q_mojibake_repair,
         "hard_negatives": _q_hard_negatives,
         "hard_negatives_bucketed": _q_hard_negatives_bucketed,
+        "vocab_heavy_hitters": _q_vocab_heavy_hitters,
+        "dedup_cluster_exemplars": _q_dedup_cluster_exemplars,
+        "media_dedup": _q_media_dedup,
+        "leakage_safe_splits": _q_leakage_safe_splits,
+        "token_budget_mix": _q_token_budget_mix,
     })
 
 

@@ -995,3 +995,59 @@ def novelty_scores(
             1.0 - F.col("n_seen_before") / F.col("n_shingles"), 6
         ).alias("novelty"),
     )
+
+
+def cluster_exemplars(
+    components: DataFrame,
+    scores: DataFrame,
+    doc_col: str = "doc",
+    component_col: str = "component",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection for duplicate clusters.
+
+    ``connected_components`` (and the min-id keeper in ``exact_dups``)
+    keep the LOWEST-ID member of each duplicate cluster — fine for
+    counting, wrong for curation: a near-dup cluster usually contains one
+    clean page and N mirror/boilerplate copies, and the clean one is
+    rarely the lowest id. This joins each cluster against a per-doc
+    quality score (ops.textstats.quality_logit_score, Gopher rules, or
+    any (id, score) frame) and keeps the HIGHEST-scoring member, ties
+    broken by lowest id for determinism.
+
+    Returns (component, exemplar, score, n_members). Docs in
+    ``components`` with no score row rank below every scored member
+    (null-last ordering) — they can still win singleton clusters, with a
+    null score, rather than being silently dropped.
+
+    Scale shape: one equi-join on doc id + one per-component window; the
+    window partitions by component (cluster sizes are bounded in practice
+    by upstream banding; no global sort, no driver state).
+    """
+    from pyspark.sql import Window
+
+    members = components.select(
+        F.col(doc_col).alias("__doc"), F.col(component_col).alias("component")
+    )
+    sc = scores.select(
+        F.col(id_col).alias("__doc"), F.col(score_col).alias("__score")
+    )
+    joined = members.join(sc, "__doc", "left")
+    w = Window.partitionBy("component").orderBy(
+        F.desc_nulls_last("__score"), F.asc("__doc")
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("__doc").alias("exemplar"),
+            F.col("__score").alias("score"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )

@@ -147,3 +147,50 @@ def sniff_kind_col(content):
     for kind, prefix in MAGIC_PREFIXES:
         expr = expr.when(head.startswith(prefix), F.lit(kind))
     return expr.otherwise(F.lit("unknown"))
+
+
+def media_dedup(
+    media,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    portable: bool = False,
+):
+    """Exact byte-level dedup of media blobs — the multimodal twin of
+    ops.dedup.exact_dedup. The same image/audio payload recurs massively
+    at web scale (logos, tracking pixels, CDN-mirrored assets); hashing
+    the BYTES collapses them regardless of URL or surrounding document.
+
+    One shuffle on the content digest (never the blobs themselves — the
+    projection drops the binary before the exchange, so a 100 TB media
+    column moves 16-byte digests). Returns one row per distinct payload:
+    (content_hash, keeper_id, n_copies, n_bytes) with keeper = min id and
+    kind sniffed from magic bytes (see sniff_kind_col).
+
+    portable=True uses md5 hex (byte-identical in DuckDB over BLOBs) so
+    the whole result is oracle-checkable; production uses xxhash64.
+    """
+    from pyspark.sql import functions as F
+
+    content = F.col(content_col)
+    # portable digest goes md5(hex(bytes)) because ANSI engines' md5 is
+    # VARCHAR-only (DuckDB rejects BLOB); hex() is uppercase in both
+    digest = (
+        F.md5(F.hex(content))
+        if portable
+        else F.xxhash64(content).cast("string")
+    )
+    return (
+        media.select(
+            F.col(id_col).alias("__id"),
+            digest.alias("content_hash"),
+            F.octet_length(content).cast("long").alias("__bytes"),
+            sniff_kind_col(content).alias("__kind"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("__id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.first("__bytes").alias("n_bytes"),
+            F.first("__kind").alias("kind"),
+        )
+    )

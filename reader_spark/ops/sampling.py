@@ -205,3 +205,69 @@ def weighted_sample_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def token_budget_mix(
+    df,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    weights: dict[str, float],
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+):
+    """Greedy per-group selection to a global token budget — the "mix to
+    N tokens" step of training-data assembly (cf. the domain-weighted
+    mixtures of Pile/DoReMi-style recipes): each group g gets a budget
+    floor(budget * w_g / sum(w)); its docs are taken best-first
+    (score desc, id asc — or plain id order when score_col is None)
+    until the budget is crossed, INCLUDING the straddling doc (greedy
+    fill semantics: a group always reaches its budget when it has the
+    tokens; integer token counts make the cut engine-exact).
+
+    Groups not named in ``weights`` get budget 0 and are dropped — the
+    mix is a whitelist, which is what a curated training recipe means.
+
+    Scale shape: per-group window over (score, id) — one shuffle keyed by
+    group; group budgets ride along as a literal map (driver-side dict,
+    never a collect). Returns df's columns plus (cum_tokens,
+    group_budget) provenance.
+    """
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if not weights:
+        raise ValueError("weights must name at least one group")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to > 0")
+    budgets = {g: int(budget * w / total_w) for g, w in weights.items()}
+    mapping = F.create_map(
+        *[F.lit(x) for g, b in sorted(budgets.items()) for x in (g, b)]
+    )
+    order = (
+        [F.desc(score_col), F.asc(id_col)]
+        if score_col is not None
+        else [F.asc(id_col)]
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    taken_before = F.coalesce(
+        F.sum(F.col(token_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("group_budget", mapping[F.col(group_col)])
+        .where(F.col("group_budget").isNotNull())
+        # window exprs can't sit in a WHERE clause — materialize the
+        # running total as a column, filter on the column
+        .withColumn("__before", taken_before.cast("long"))
+        .withColumn(
+            "cum_tokens",
+            (F.col("__before") + F.col(token_col)).cast("long"),
+        )
+        .where(F.col("__before") < F.col("group_budget"))
+        .drop("__before")
+    )

@@ -3904,4 +3904,149 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round(e.jaccard_est - t.true_jaccard, 6) AS err
             FROM est e JOIN tr t USING (group_a, group_b)
         """,
+        "vocab_heavy_hitters": r"""
+            WITH t0 AS (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS token
+                FROM documents
+            ),
+            t AS (SELECT token FROM t0 WHERE token <> ''),
+            n AS (SELECT count(*) AS n FROM t)
+            -- integer rational cut: k=200 -> ceil(1e6/201) = 4976
+            -- millionths, matching ops.heavy.heavy_hitters exactly
+            SELECT token, count(*) AS cnt
+            FROM t, n GROUP BY token, n.n
+            HAVING count(*) * 1000000 > 4976 * n.n
+        """,
+        "dedup_cluster_exemplars": r"""
+            WITH RECURSIVE
+            sh AS (
+                SELECT doc_id AS doc,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')
+                       ))) AS shingle
+                FROM documents WHERE doc_id < 300
+            ),
+            sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+            inter AS (
+                SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc = doc_a
+                JOIN sizes sb ON sb.doc = doc_b
+                WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            reach(v, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
+            ),
+            members AS (SELECT v AS doc, min(r) AS component FROM reach GROUP BY v),
+            scored AS (
+                SELECT m.doc, m.component, d.n_chars AS score
+                FROM members m JOIN documents d ON d.doc_id = m.doc
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY component ORDER BY score DESC, doc
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY component) AS n_members
+                FROM scored
+            )
+            SELECT component, doc AS exemplar, score,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM ranked WHERE rn = 1
+        """,
+        "media_dedup": r"""
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       unhex(list_extract(
+                           ['FFD8FF', '89504E470D0A1A0A', '47494638',
+                            '52494646', '25504446',
+                            '000000186674797069736F6D', ''],
+                           (doc_id % 7 + 1)::BIGINT
+                       )) || encode(source) AS content
+                FROM documents
+            ),
+            h AS (
+                SELECT media_id, md5(hex(content)) AS content_hash,
+                       octet_length(content)::BIGINT AS n_bytes,
+                       hex(content) AS hx
+                FROM m
+            ),
+            k AS (
+                SELECT *,
+                       CASE WHEN substring(hx, 9, 8) = '66747970' THEN 'mp4'
+                            WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
+                            WHEN starts_with(hx, 'FFD8FF') THEN 'jpeg'
+                            WHEN starts_with(hx, '47494638') THEN 'gif'
+                            WHEN starts_with(hx, '52494646') THEN 'riff'
+                            WHEN starts_with(hx, '25504446') THEN 'pdf'
+                            ELSE 'unknown' END AS kind
+                FROM h
+            )
+            SELECT content_hash, min(media_id) AS keeper_id,
+                   count(*) AS n_copies, min(n_bytes) AS n_bytes,
+                   min(kind) AS kind
+            FROM k GROUP BY content_hash
+        """,
+        "leakage_safe_splits": r"""
+            WITH b AS (
+                SELECT *,
+                       ('0x' || substr(md5(source), 1, 8))::BIGINT % 10000
+                       AS bucket
+                FROM documents
+            ),
+            s AS (
+                SELECT *,
+                       CASE WHEN bucket < 8000 THEN 'train'
+                            WHEN bucket < 9000 THEN 'val'
+                            WHEN bucket < 10000 THEN 'test'
+                            ELSE 'rest' END AS split
+                FROM b
+            )
+            SELECT split, count(DISTINCT source) AS n_sources,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM s GROUP BY split
+        """,
+        "token_budget_mix": r"""
+            WITH d AS (
+                SELECT doc_id, lang, n_chars,
+                       len(string_split_regex(trim(text), '\s+'))::BIGINT
+                       AS n_tokens
+                FROM documents
+            ),
+            -- budgets = floor(20000 * w / sum(w)) for en:.5 fr:.2 de:.2
+            -- zh:.1, matching the query's driver-side literals
+            b AS (
+                SELECT * FROM (VALUES
+                    ('en', 10000), ('fr', 4000), ('de', 4000), ('zh', 2000)
+                ) AS t(lang, group_budget)
+            ),
+            j AS (SELECT d.*, b.group_budget FROM d JOIN b USING (lang)),
+            c AS (
+                SELECT *,
+                       coalesce(sum(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS before
+                FROM j
+            )
+            SELECT doc_id, lang, n_tokens,
+                   (before + n_tokens)::BIGINT AS cum_tokens,
+                   group_budget::BIGINT AS group_budget
+            FROM c WHERE before < group_budget
+        """,
     }
+

@@ -44,7 +44,17 @@ def norm_rows(columns, rows):
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    # Accept names positionally, via --only, and/or comma-separated. Any
+    # name that matches NO registry entry is a hard error: a typo'd
+    # selection that silently checks nothing prints a vacuous ALL OK —
+    # exactly the stale-green-claim failure mode this script exists to
+    # prevent (it bit once: "--only a,b" matched nothing and passed).
+    raw = [t for a in sys.argv[1:] if a != "--only" for t in a.split(",") if t]
+    only = set(raw)
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        return 2
     spark = get_spark("oracle_check", master="local[8]")
     con = duckdb.connect()
     for table in TABLES:
@@ -55,9 +65,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, SF_DIR)
             spark_rows = sdf.collect()
@@ -94,7 +106,11 @@ def main() -> int:
             continue
         print(f"OK    {name}: {len(s)} rows match")
     spark.stop()
-    print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
+    if checked == 0:
+        print("\nFAIL: selection matched zero queries")
+        return 2
+    verdict = f"ALL OK ({checked} checked)" if not failures else f"FAILURES: {failures}"
+    print("\n" + verdict)
     return 1 if failures else 0
 
 

@@ -2437,3 +2437,192 @@ class TestHardNegatives:
         # hard negatives: the recall/cost dial works as designed.
         assert recall(5, True) > recall(5, False)
         assert recall(2, True) >= 0.7
+
+
+class TestHeavyHitters:
+    def _df(self, spark, values, parts=8):
+        return spark.createDataFrame(
+            [(v,) for v in values], "value string"
+        ).repartition(parts)
+
+    def test_exact_answer_on_skewed_stream(self, spark):
+        from reader_spark.ops.heavy import heavy_hitters
+
+        # 'a' 40%, 'b' 30%, 100 singletons pad the tail
+        vals = ["a"] * 400 + ["b"] * 300 + [f"t{i}" for i in range(300)]
+        got = {r.value: r.cnt for r in
+               heavy_hitters(self._df(spark, vals), "value", k=9).collect()}
+        # phi = ceil(1e6/10)/1e6 = 0.1: only a and b clear 10%
+        assert got == {"a": 400, "b": 300}
+
+    def test_deterministic_under_partitioning(self, spark):
+        from reader_spark.ops.heavy import heavy_hitters
+
+        vals = ["x"] * 120 + ["y"] * 90 + [f"t{i}" for i in range(9)] * 10
+        expect = None
+        for parts in (1, 3, 16):
+            got = sorted(
+                (r.value, r.cnt)
+                for r in heavy_hitters(
+                    self._df(spark, vals, parts), "value", k=4
+                ).collect()
+            )
+            expect = got if expect is None else expect
+            assert got == expect, parts
+
+    def test_guarantee_boundary_is_strict(self, spark):
+        from reader_spark.ops.heavy import heavy_hitters
+
+        # 4 values x 25%: share == phi exactly (k=3 -> phi=0.25 via
+        # ceil(1e6/4)=250000); strict > excludes all of them
+        vals = [c for c in "abcd" for _ in range(25)]
+        assert heavy_hitters(self._df(spark, vals), "value", k=3).count() == 0
+
+    def test_phi_below_guarantee_raises(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.heavy import heavy_hitters
+
+        df = self._df(spark, ["a", "b"])
+        with _pytest.raises(ValueError, match="guarantee"):
+            heavy_hitters(df, "value", k=10, phi=0.01)
+        with _pytest.raises(ValueError, match="k must"):
+            heavy_hitters(df, "value", k=0)
+
+    def test_empty_and_nulls(self, spark):
+        from reader_spark.ops.heavy import heavy_hitters
+
+        empty = spark.createDataFrame([], "value string")
+        assert heavy_hitters(empty, "value", k=5).count() == 0
+        with_nulls = spark.createDataFrame(
+            [("a",), (None,), ("a",), (None,), (None,)], "value string"
+        )
+        got = {r.value: r.cnt for r in
+               heavy_hitters(with_nulls, "value", k=1).collect()}
+        # nulls ignored: n=2, 'a' has share 1.0
+        assert got == {"a": 2}
+
+
+class TestClusterExemplars:
+    def _run(self, spark, comps, scores):
+        from reader_spark.ops.dedup import cluster_exemplars
+
+        c = spark.createDataFrame(comps, "doc long, component long")
+        s = spark.createDataFrame(scores, "doc_id long, score double")
+        return {r.component: r for r in cluster_exemplars(c, s).collect()}
+
+    def test_highest_score_wins_not_lowest_id(self, spark):
+        got = self._run(
+            spark,
+            [(1, 1), (2, 1), (3, 1)],
+            [(1, 0.2), (2, 0.9), (3, 0.5)],
+        )
+        assert got[1].exemplar == 2 and got[1].n_members == 3
+        assert got[1].score == 0.9
+
+    def test_tie_breaks_to_lowest_id(self, spark):
+        got = self._run(spark, [(5, 5), (7, 5)], [(5, 0.5), (7, 0.5)])
+        assert got[5].exemplar == 5
+
+    def test_unscored_docs_rank_last_but_can_win_alone(self, spark):
+        got = self._run(
+            spark,
+            [(1, 1), (2, 1), (9, 9)],
+            [(2, 0.1)],  # doc 1 and 9 have no score row
+        )
+        assert got[1].exemplar == 2  # scored member beats unscored
+        assert got[9].exemplar == 9 and got[9].score is None
+
+
+class TestMediaDedup:
+    def _media(self, spark):
+        rows = [
+            (1, b"\xff\xd8\xffAAA"),   # jpeg payload A
+            (2, b"\xff\xd8\xffAAA"),   # exact copy of 1
+            (3, b"\xff\xd8\xffBBB"),   # jpeg, different payload
+            (4, b"\x89PNG\r\n\x1a\nAAA"),  # png with same tail as A
+            (5, b"\xff\xd8\xffAAA"),   # third copy of 1
+        ]
+        return spark.createDataFrame(rows, "media_id long, content binary")
+
+    def test_groups_keeper_and_kind(self, spark):
+        from reader_spark.ops.multimodal import media_dedup
+
+        got = {r.keeper_id: r for r in
+               media_dedup(self._media(spark), portable=True).collect()}
+        assert set(got) == {1, 3, 4}
+        assert got[1].n_copies == 3 and got[1].kind == "jpeg"
+        assert got[3].n_copies == 1
+        assert got[4].kind == "png" and got[4].n_bytes == 11
+
+    def test_production_hash_same_grouping(self, spark):
+        from reader_spark.ops.multimodal import media_dedup
+
+        prod = {(r.keeper_id, r.n_copies, r.kind) for r in
+                media_dedup(self._media(spark), portable=False).collect()}
+        port = {(r.keeper_id, r.n_copies, r.kind) for r in
+                media_dedup(self._media(spark), portable=True).collect()}
+        assert prod == port
+
+
+class TestTokenBudgetMix:
+    def _docs(self, spark):
+        # lang en: docs of 60/50/40 tokens; lang fr: 30/30; lang es: 99
+        rows = [
+            (1, "en", 60), (2, "en", 50), (3, "en", 40),
+            (4, "fr", 30), (5, "fr", 30), (6, "es", 99),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, n_tokens long"
+        )
+
+    def test_greedy_fill_includes_straddler(self, spark):
+        from reader_spark.ops.sampling import token_budget_mix
+
+        got = token_budget_mix(
+            self._docs(spark), "lang", "n_tokens", 200,
+            {"en": 0.5, "fr": 0.5}, id_col="doc_id",
+        ).collect()
+        by_lang = {}
+        for r in got:
+            by_lang.setdefault(r.lang, []).append(r)
+        # en budget 100: doc1 (60, before=0) + doc2 (50, before=60<100,
+        # straddles to 110) taken; doc3 (before=110) dropped
+        assert sorted(r.doc_id for r in by_lang["en"]) == [1, 2]
+        assert max(r.cum_tokens for r in by_lang["en"]) == 110
+        # fr budget 100 > 60 total: everything taken
+        assert sorted(r.doc_id for r in by_lang["fr"]) == [4, 5]
+        # es not in weights: whitelist drop
+        assert "es" not in by_lang
+
+    def test_score_order_beats_id_order(self, spark):
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.sampling import token_budget_mix
+
+        docs = self._docs(spark).withColumn(
+            "quality", (F.col("doc_id") % 3).cast("double")
+        )
+        got = token_budget_mix(
+            docs, "lang", "n_tokens", 120, {"en": 1.0},
+            score_col="quality", id_col="doc_id",
+        ).collect()
+        # en quality: doc1->1.0 doc2->2.0 doc3->0.0; budget 120 takes
+        # doc2 (50) then doc1 (60, before=50<120) then doc3 (before=110<120)
+        assert sorted(r.doc_id for r in got) == [1, 2, 3]
+        first = min(got, key=lambda r: r.cum_tokens)
+        assert first.doc_id == 2  # highest quality filled first
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.sampling import token_budget_mix
+
+        with _pytest.raises(ValueError, match="budget"):
+            token_budget_mix(
+                self._docs(spark), "lang", "n_tokens", 0, {"en": 1.0}
+            )
+        with _pytest.raises(ValueError, match="weights"):
+            token_budget_mix(
+                self._docs(spark), "lang", "n_tokens", 10, {}
+            )

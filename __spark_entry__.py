@@ -3581,6 +3581,32 @@ def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unicode-script histogram + dominant script
+    (ops.textstats.script_profile): the tokenizer-routing signal computed
+    BEFORE language id — Latin/CJK/Cyrillic/Arabic/digit counts as exact
+    integers (one regexp_replace per class, scan-bound, zero shuffles)
+    with first-listed-class tie priority. Counts are UTF-16==codepoint
+    safe on this corpus (BMP-only, verified)."""
+    from reader_spark.ops.textstats import script_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    return script_profile(docs, "doc_id", "text")
+
+
+def _q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping passage chunking (ops.chunks.passage_chunks,
+    size=32/stride=24): every doc becomes model-window passages with the
+    tail start always covered, chunk_id in closed integer form
+    ceil((start-1)/stride) — a pure per-row map (explode + O(size)
+    slices), no shuffle, nothing quadratic."""
+    from reader_spark.ops.chunks import passage_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return passage_chunks(docs, "doc_id", "text", size=32, stride=24)
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3833,6 +3859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": _q_media_dedup,
         "leakage_safe_splits": _q_leakage_safe_splits,
         "token_budget_mix": _q_token_budget_mix,
+        "script_profile": _q_script_profile,
+        "passage_chunks": _q_passage_chunks,
     })
 
 

@@ -99,6 +99,13 @@ BENCH_QUERIES = (
     "hard_negatives",
     "hard_negatives_bucketed",
     "rendezvous_shards",
+    "vocab_heavy_hitters",
+    "script_profile",
+    "passage_chunks",
+    "media_dedup",
+    "token_budget_mix",
+    "leakage_safe_splits",
+    "dedup_cluster_exemplars",
     "kmv_distinct",
     "kmv_jaccard",
     "cms_join_size",

@@ -490,3 +490,59 @@ def mojibake_fix_col(text: Column) -> Column:
     for bad, good in sorted(MOJIBAKE_MAP.items(), key=lambda kv: -len(kv[0])):
         fixed = F.replace(fixed, F.lit(bad), F.lit(good))
     return fixed
+
+
+# Unicode script classes for routing/quality in multilingual corpora.
+# Ranges are written once and compiled per engine: Java regex takes the
+# \uXXXX escapes verbatim; the DuckDB (RE2) twin rewrites them as
+# \x{XXXX} (see oracles module). Count = len(text) - len(text with the
+# class deleted) — identical integer semantics in both engines.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    "digit": "0-9",
+}
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unicode-script histogram + dominant script.
+
+    The routing signal a multilingual pipeline needs BEFORE language id:
+    which tokenizer/normalizer family a doc belongs to (Latin vs CJK vs
+    Cyrillic vs Arabic), mixed-script spam detection (e.g. Cyrillic
+    look-alikes inside Latin text), and digit density. Pure native
+    columns — one regexp_replace per class over the scan, no shuffle at
+    all (the profile is a map; callers aggregate as needed).
+
+    Counts are exact integers; ``main_script`` is the class with the
+    strictly greatest count under the fixed priority order of
+    SCRIPT_CLASSES (first listed wins ties), ``none`` when every class
+    counts zero.
+    """
+    text = F.col(text_col)
+    total = F.length(text)
+    counts = {
+        name: (
+            total - F.length(F.regexp_replace(text, f"[{rng}]", ""))
+        ).cast("long")
+        for name, rng in SCRIPT_CLASSES.items()
+    }
+    out = df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_chars_total"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+    names = list(SCRIPT_CLASSES)
+    main = F.lit("none")
+    # build the CASE chain back-to-front so earlier classes win ties
+    for name in reversed(names):
+        others = [F.col(f"n_{o}") for o in names if o != name]
+        cond = (F.col(f"n_{name}") > 0) & (
+            F.col(f"n_{name}") >= F.greatest(*others)
+            if len(others) > 1
+            else F.col(f"n_{name}") >= others[0]
+        )
+        main = F.when(cond, F.lit(name)).otherwise(main)
+    return out.withColumn("main_script", main)

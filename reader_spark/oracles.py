@@ -4048,5 +4048,53 @@ def _oracle_sql_entries() -> dict[str, str]:
                    group_budget::BIGINT AS group_budget
             FROM c WHERE before < group_budget
         """,
+        "script_profile": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       length(text)::BIGINT AS n_chars_total,
+                       (length(text) - length(regexp_replace(text, '[A-Za-zÀ-ɏ]', '', 'g')))::BIGINT AS n_latin,
+                       (length(text) - length(regexp_replace(text, '[一-鿿぀-ヿ가-힯]', '', 'g')))::BIGINT AS n_cjk,
+                       (length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')))::BIGINT AS n_cyrillic,
+                       (length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')))::BIGINT AS n_arabic,
+                       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digit
+                FROM documents
+            )
+            SELECT *,
+                   CASE
+                     WHEN n_latin > 0 AND n_latin >= greatest(n_cjk, n_cyrillic, n_arabic, n_digit) THEN 'latin'
+                     WHEN n_cjk > 0 AND n_cjk >= greatest(n_latin, n_cyrillic, n_arabic, n_digit) THEN 'cjk'
+                     WHEN n_cyrillic > 0 AND n_cyrillic >= greatest(n_latin, n_cjk, n_arabic, n_digit) THEN 'cyrillic'
+                     WHEN n_arabic > 0 AND n_arabic >= greatest(n_latin, n_cjk, n_cyrillic, n_digit) THEN 'arabic'
+                     WHEN n_digit > 0 AND n_digit >= greatest(n_latin, n_cjk, n_cyrillic, n_arabic) THEN 'digit'
+                     ELSE 'none' END AS main_script
+            FROM c
+        """,
+        "passage_chunks": r"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       greatest(len(toks) - 32, 0) + 1 AS last
+                FROM t
+            ),
+            st AS (
+                SELECT doc_id, toks, n,
+                       unnest(CASE WHEN (last - 1) % 24 <> 0
+                              THEN list_append(generate_series(1, last, 24), last)
+                              ELSE generate_series(1, last, 24) END)
+                       AS start_token
+                FROM s
+            )
+            SELECT doc_id,
+                   ((start_token + 22) // 24)::BIGINT AS chunk_id,
+                   start_token::BIGINT AS start_token,
+                   least(32, n - start_token + 1)::BIGINT AS n_tokens,
+                   array_to_string(toks[start_token:start_token+31], ' ')
+                   AS chunk_text
+            FROM st
+        """,
     }
+
 

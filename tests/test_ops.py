@@ -2626,3 +2626,93 @@ class TestTokenBudgetMix:
             token_budget_mix(
                 self._docs(spark), "lang", "n_tokens", 10, {}
             )
+
+
+class TestScriptProfile:
+    def test_counts_and_dominant(self, spark):
+        from reader_spark.ops.textstats import script_profile
+
+        rows = [
+            (1, "hello world 123"),
+            (2, "это русский текст"),
+            (3, "中文文本在这里"),
+            (4, "mixed русский hello"),   # latin 10 vs cyrillic 7
+            (5, "12345"),
+            (6, "!!! ???"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               script_profile(df, "doc_id", "text").collect()}
+        assert got[1].main_script == "latin" and got[1].n_digit == 3
+        assert got[2].main_script == "cyrillic"
+        assert got[3].main_script == "cjk" and got[3].n_cjk == 7
+        assert got[4].main_script == "latin"
+        assert got[5].main_script == "digit"
+        assert got[6].main_script == "none"
+
+    def test_tie_goes_to_first_listed_class(self, spark):
+        from reader_spark.ops.textstats import script_profile
+
+        # 2 latin chars, 2 cyrillic chars: latin listed first wins
+        df = spark.createDataFrame([(1, "ab юя")], "doc_id long, text string")
+        r = script_profile(df, "doc_id", "text").collect()[0]
+        assert r.n_latin == 2 and r.n_cyrillic == 2
+        assert r.main_script == "latin"
+
+
+class TestPassageChunks:
+    def _chunks(self, spark, text, size, stride):
+        from reader_spark.ops.chunks import passage_chunks
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return sorted(
+            passage_chunks(df, "doc_id", "text", size=size, stride=stride)
+            .collect(),
+            key=lambda r: r.chunk_id,
+        )
+
+    def test_every_token_covered_and_tail_full_width(self, spark):
+        toks = [f"t{i}" for i in range(10)]
+        got = self._chunks(spark, " ".join(toks), size=4, stride=3)
+        # starts 1,4,7 then appended tail 7? last = 10-4+1 = 7; grid hits
+        # 1,4,7 exactly -> no append
+        assert [r.start_token for r in got] == [1, 4, 7]
+        assert [r.chunk_id for r in got] == [0, 1, 2]
+        assert all(r.n_tokens == 4 for r in got)
+        covered = set()
+        for r in got:
+            covered.update(range(r.start_token, r.start_token + r.n_tokens))
+        assert covered == set(range(1, 11))
+        assert got[-1].chunk_text == "t6 t7 t8 t9"
+
+    def test_tail_appended_when_grid_misses(self, spark):
+        toks = [f"t{i}" for i in range(11)]
+        got = self._chunks(spark, " ".join(toks), size=4, stride=3)
+        # last = 8; grid 1,4,7 misses 8 -> appended with dense chunk_id 3
+        assert [r.start_token for r in got] == [1, 4, 7, 8]
+        assert [r.chunk_id for r in got] == [0, 1, 2, 3]
+        assert got[-1].n_tokens == 4  # tail chunk is full width
+
+    def test_short_and_empty_docs_yield_one_chunk(self, spark):
+        got = self._chunks(spark, "one two", size=128, stride=96)
+        assert len(got) == 1 and got[0].n_tokens == 2
+        assert got[0].chunk_text == "one two"
+        got = self._chunks(spark, "", size=8, stride=8)
+        assert len(got) == 1 and got[0].chunk_text == ""
+
+    def test_exact_tiling_no_overlap(self, spark):
+        toks = [str(i) for i in range(9)]
+        got = self._chunks(spark, " ".join(toks), size=3, stride=3)
+        texts = [r.chunk_text for r in got]
+        assert texts == ["0 1 2", "3 4 5", "6 7 8"]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.chunks import passage_chunks
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="size"):
+            passage_chunks(df, "doc_id", "text", size=0)
+        with _pytest.raises(ValueError, match="stride"):
+            passage_chunks(df, "doc_id", "text", size=4, stride=5)

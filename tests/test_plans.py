@@ -408,3 +408,67 @@ def test_doc_sim_topk_bucketed_no_all_pairs(spark):
     plan = plan_of(entrymod.queries()["doc_sim_topk_bucketed"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_verify_pass_is_broadcast(spark):
+    """The exact-count pass joins the full stream against the tiny
+    candidate set: that join must be a broadcast semi-join (the stream is
+    never shuffled by key for candidate filtering), and the final count
+    must show partial aggregation."""
+    from reader_spark.ops.heavy import heavy_hitters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "token"
+        )
+    ).where(F.col("token") != "")
+    plan = plan_of(heavy_hitters(tokens, "token", k=50))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "HashAggregate" in tree
+
+
+def test_media_dedup_never_shuffles_blobs(spark):
+    """Only the digest/bytes/kind projection reaches the exchange — the
+    binary content column must be projected away before any shuffle (at
+    100 TB the media column is the dataset; the exchange moves 16-byte
+    digests)."""
+    from reader_spark.ops.multimodal import media_dedup
+
+    media = spark.range(100).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.concat(F.lit("payload-"), (F.col("id") % 7).cast("string")), "UTF-8").alias("content"),
+    )
+    plan = plan_of(media_dedup(media))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" in tree  # the digest groupBy does shuffle...
+    detail = plan.split("\n\n", 1)[1] if "\n\n" in plan else plan
+    # ...but no exchange input carries the content column: every Exchange
+    # block's input attributes must be digest-side only
+    for block in detail.split("\n\n"):
+        if block.strip().startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert "content#" not in block, block
+
+
+def test_passage_chunks_is_shuffle_free(spark):
+    """Chunking is a pure per-row map: the plan must contain no Exchange
+    at all — at 100 TB this op must pipeline inside the scan stage."""
+    from reader_spark.ops.chunks import passage_chunks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(passage_chunks(docs, "doc_id", "text"))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+
+
+def test_script_profile_is_scan_bound(spark):
+    """One projection over the scan: no Exchange, no aggregate."""
+    from reader_spark.ops.textstats import script_profile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(script_profile(docs, "doc_id", "text"))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "HashAggregate" not in tree

@@ -3607,6 +3607,21 @@ def _q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_chunks(docs, "doc_id", "text", size=32, stride=24)
 
 
+def _q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition rules (ops.textstats.repetition_profile):
+    top-2/3-gram char fractions + duplicated-3-gram char fraction (the
+    corpus has no repeated 5-grams, so the registered query uses dup n=3
+    to keep the branch non-vacuous; the op defaults to Gopher's n=5).
+    ONE key-bounded (doc, n, gram) groupBy — no self-join, windows are
+    per-doc partitions."""
+    from reader_spark.ops.textstats import repetition_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_profile(
+        docs, "doc_id", "text", top_ns=(2, 3), dup_ns=(3,)
+    )
+
+
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # iteration order (CORRECTNESS_r01/_r02 are exactly that slice).  This list
 # curates the window: flagship extraction/pipeline queries plus every
@@ -3861,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": _q_token_budget_mix,
         "script_profile": _q_script_profile,
         "passage_chunks": _q_passage_chunks,
+        "repetition_profile": _q_repetition_profile,
     })
 
 

@@ -102,6 +102,7 @@ BENCH_QUERIES = (
     "vocab_heavy_hitters",
     "script_profile",
     "passage_chunks",
+    "repetition_profile",
     "media_dedup",
     "token_budget_mix",
     "leakage_safe_splits",

@@ -546,3 +546,144 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         main = F.when(cond, F.lit(name)).otherwise(main)
     return out.withColumn("main_script", main)
+
+
+# Gopher's published repetition thresholds (Rae et al. 2021, table A1):
+# max char-fraction of the single most frequent n-gram, and max
+# char-fraction covered by duplicated n-grams.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _ngrams_all(words: Column, n: int) -> Column:
+    """All word n-grams WITH multiplicity (the repetition signal needs
+    occurrence counts — dedup's `shingles` is distinct-only). Same linear
+    arrays_zip-of-shifted-slices construction: the transform(sequence,
+    slice) form is O(len^2) and stalls on multi-hundred-KB docs."""
+    size = F.size(words)
+    k = size - (n - 1)
+    shifts = [words] + [
+        F.slice(words, i + 1, F.greatest(size - i, F.lit(0)))
+        for i in range(1, n)
+    ]
+    joined = F.transform(
+        # arrays_zip names struct fields after source COLUMNS when given a
+        # named column — alias each shift to its index explicitly
+        F.arrays_zip(*[s.alias(str(i)) for i, s in enumerate(shifts)]),
+        lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]),
+    )
+    return F.when(k > 0, F.slice(joined, 1, k)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+) -> DataFrame:
+    """Gopher-style n-gram repetition rules (Rae et al. 2021 table A1) —
+    the half of the repetition battery gopher_quality_columns does NOT
+    cover (it stops at duplicate LINES; templated spam repeats at n-gram
+    granularity inside a single line).
+
+    Per document: for each n in ``top_ns`` the most frequent word n-gram
+    and the char fraction it covers (count * len(gram) / normalized
+    chars, the standard overlap-naive form used by public curation
+    pipelines); for each n in ``dup_ns`` the char fraction covered by all
+    n-grams occurring >= 2 times. `rep_pass` applies Gopher's published
+    thresholds for every requested n.
+
+    Shape at 100 TB: explode n-grams once per n -> ONE key-bounded
+    groupBy (doc, n, gram) with map-side combine -> per-doc rollup. No
+    self-join, no window over the corpus (the row_number window is
+    per-(doc, n) partition). Docs shorter than n tokens contribute no
+    grams and report 0.0 fractions (left-joined spine keeps every doc).
+    """
+    from functools import reduce as _reduce
+
+    for n in (*top_ns, *dup_ns):
+        if n < 2:
+            raise ValueError(f"n-gram sizes must be >= 2, got {n}")
+    words = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+        F.length(F.concat_ws(" ", words)).cast("long").alias("__total"),
+    )
+    ns = sorted(set(top_ns) | set(dup_ns))
+    grams = _reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            base.select(
+                id_col,
+                "__total",
+                F.lit(n).alias("n"),
+                F.explode(_ngrams_all(F.col("__w"), n)).alias("gram"),
+            )
+            for n in ns
+        ],
+    )
+    counts = grams.groupBy(id_col, "__total", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col, "n").orderBy(
+        F.col("cnt").desc(), F.col("gram")
+    )
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    per_doc = ranked.groupBy(id_col).agg(
+        *[
+            x
+            for n in top_ns
+            for x in (
+                F.max(
+                    F.when((F.col("n") == n) & (F.col("rn") == 1), F.col("gram"))
+                ).alias(f"top{n}_gram"),
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            (F.col("n") == n) & (F.col("rn") == 1),
+                            F.round(
+                                F.col("cnt") * F.length("gram") / F.col("__total"), 6
+                            ),
+                        )
+                    ),
+                    F.lit(0.0),
+                ).alias(f"top{n}_char_frac"),
+            )
+        ],
+        *[
+            F.coalesce(
+                F.round(
+                    F.sum(
+                        F.when(
+                            (F.col("n") == n) & (F.col("cnt") >= 2),
+                            F.col("cnt") * F.length("gram"),
+                        )
+                    )
+                    / F.max("__total"),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias(f"dup{n}_char_frac")
+            for n in dup_ns
+        ],
+    )
+    out = base.select(id_col).join(per_doc, id_col, "left")
+    fills = {f"top{n}_char_frac": 0.0 for n in top_ns}
+    fills.update({f"dup{n}_char_frac": 0.0 for n in dup_ns})
+    out = out.fillna(fills)
+    gate = F.lit(True)
+    for n in top_ns:
+        gate = gate & (
+            F.col(f"top{n}_char_frac") <= GOPHER_TOP_NGRAM_MAX.get(n, 1.0)
+        )
+    for n in dup_ns:
+        gate = gate & (
+            F.col(f"dup{n}_char_frac") <= GOPHER_DUP_NGRAM_MAX.get(n, 1.0)
+        )
+    return out.withColumn("rep_pass", gate)

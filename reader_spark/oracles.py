@@ -4095,6 +4095,57 @@ def _oracle_sql_entries() -> dict[str, str]:
                    AS chunk_text
             FROM st
         """,
+        "repetition_profile": r"""
+            WITH d AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, toks,
+                       length(array_to_string(toks, ' '))::BIGINT AS total
+                FROM d
+            ),
+            g AS (
+                SELECT doc_id, total, n.n,
+                       array_to_string(toks[s.s:s.s+n.n-1], ' ') AS gram
+                FROM base, (VALUES (2), (3)) n(n),
+                     unnest(generate_series(1, len(toks) - n.n + 1)) s(s)
+            ),
+            c AS (
+                SELECT doc_id, total, n, gram, count(*) AS cnt
+                FROM g GROUP BY ALL
+            ),
+            r AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                             ORDER BY cnt DESC, gram) AS rn
+                FROM c
+            ),
+            p AS (
+                SELECT doc_id,
+                    max(CASE WHEN n=2 AND rn=1 THEN gram END) AS top2_gram,
+                    coalesce(max(CASE WHEN n=2 AND rn=1
+                                 THEN round(cnt*length(gram)/total, 6) END),
+                             0.0) AS top2_char_frac,
+                    max(CASE WHEN n=3 AND rn=1 THEN gram END) AS top3_gram,
+                    coalesce(max(CASE WHEN n=3 AND rn=1
+                                 THEN round(cnt*length(gram)/total, 6) END),
+                             0.0) AS top3_char_frac,
+                    coalesce(round(sum(CASE WHEN n=3 AND cnt>=2
+                                       THEN cnt*length(gram) END)
+                                   / max(total), 6),
+                             0.0) AS dup3_char_frac
+                FROM r GROUP BY doc_id
+            )
+            SELECT b.doc_id, p.top2_gram,
+                   coalesce(p.top2_char_frac, 0.0) AS top2_char_frac,
+                   p.top3_gram,
+                   coalesce(p.top3_char_frac, 0.0) AS top3_char_frac,
+                   coalesce(p.dup3_char_frac, 0.0) AS dup3_char_frac,
+                   (coalesce(p.top2_char_frac, 0.0) <= 0.20
+                    AND coalesce(p.top3_char_frac, 0.0) <= 0.18
+                    AND coalesce(p.dup3_char_frac, 0.0) <= 1.0) AS rep_pass
+            FROM (SELECT doc_id FROM base) b LEFT JOIN p USING (doc_id)
+        """,
     }
 
 

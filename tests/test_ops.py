@@ -2716,3 +2716,55 @@ class TestPassageChunks:
             passage_chunks(df, "doc_id", "text", size=0)
         with _pytest.raises(ValueError, match="stride"):
             passage_chunks(df, "doc_id", "text", size=4, stride=5)
+
+
+class TestRepetitionProfile:
+    def _profile(self, spark, rows, **kw):
+        from reader_spark.ops.textstats import repetition_profile
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: r
+            for r in repetition_profile(df, "doc_id", "text", **kw).collect()
+        }
+
+    def test_top_ngram_fraction(self, spark):
+        got = self._profile(
+            spark,
+            [(1, "spam spam spam spam ham"), (2, "a b c d e f g h")],
+        )
+        # "spam spam" occurs 3x (overlapping), len 9, total chars 23
+        assert got[1].top2_gram == "spam spam"
+        assert got[1].top2_char_frac == round(3 * 9 / 23, 6)
+        assert not got[1].rep_pass
+        # no repeats: top2 is the lexicographically-first gram, cnt 1
+        assert got[2].top2_gram == "a b"
+        assert got[2].top2_char_frac == round(3 / 15, 6)
+
+    def test_dup_ngram_fraction_and_gate(self, spark):
+        text = "one two three four five " * 3 + "tail"
+        got = self._profile(spark, [(1, text.strip())], dup_ns=(5,))
+        r = got[1]
+        # every 5-gram window repeats across the 3 copies
+        assert r.dup5_char_frac > 0.15
+        assert not r.rep_pass
+        clean = self._profile(
+            spark, [(2, "alpha beta gamma delta epsilon zeta")], dup_ns=(5,)
+        )[2]
+        assert clean.dup5_char_frac == 0.0
+
+    def test_short_and_empty_docs_report_zero(self, spark):
+        got = self._profile(spark, [(1, "x"), (2, "")])
+        for r in got.values():
+            assert r.top2_gram is None
+            assert r.top2_char_frac == 0.0 and r.dup5_char_frac == 0.0
+            assert r.rep_pass
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.textstats import repetition_profile
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="n-gram"):
+            repetition_profile(df, "doc_id", "text", top_ns=(1,))

@@ -472,3 +472,17 @@ def test_script_profile_is_scan_bound(spark):
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
     assert "HashAggregate" not in tree
+
+
+def test_repetition_profile_no_self_join_no_global_window(spark):
+    """Repetition rules are ONE key-bounded (doc, n, gram) groupBy: no
+    cartesian/nested-loop join, and no single-partition window (the
+    row_number partitions by (doc, n))."""
+    from reader_spark.ops.textstats import repetition_profile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(repetition_profile(docs, "doc_id", "text"))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "SinglePartition" not in plan

@@ -3157,14 +3157,12 @@ def _q_doc_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_interleaved_media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The interleaved text+media payload axis under a full value oracle:
-    every corpus doc is wrapped with a deterministically-placed image
-    (doc_id%3==0: hero image between heading and body; %3==1: trailing
-    image; %3==2: none) and run through the COMPLETE extraction engine.
-    The span sequence — heading/image/text kinds, media_ref capture,
-    interleave ORDER — is SQL-predictable, so image-span handling gets a
-    corpus-scale oracle row, not only golden fixtures."""
+def _interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared builder for the interleaved-media queries: wrap every corpus
+    doc with a deterministically-placed image (doc_id%3==0: hero image
+    between heading and body; %3==1: trailing image; %3==2: none), run the
+    COMPLETE extraction engine, return the exploded span rows
+    (doc_id, ord, kind, text, media_ref)."""
     from reader_spark.spark.job import extract_dataframe
 
     documents = _read(spark, sf_dir, "documents")
@@ -3206,6 +3204,37 @@ def _q_interleaved_media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.media_ref").alias("media_ref"),
         )
     )
+
+
+def _q_interleaved_media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved text+media payload axis under a full value oracle:
+    deterministically image-wrapped corpus docs through the COMPLETE
+    extraction engine (see _interleaved_spans). The span sequence —
+    heading/image/text kinds, media_ref capture, interleave ORDER — is
+    SQL-predictable, so image-span handling gets a corpus-scale oracle
+    row, not only golden fixtures."""
+    return _interleaved_spans(spark, sf_dir)
+
+
+def _q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP/OBELICS-style image-text pair mining over the interleaved
+    extraction (ops.multimodal.caption_pairs): each image span paired
+    with its nearest preceding/following text spans in document order;
+    caption prefers the following span. Per-doc windows — one key-bounded
+    exchange, no media bytes in flight."""
+    from reader_spark.ops.multimodal import caption_pairs
+
+    return caption_pairs(_interleaved_spans(spark, sf_dir))
+
+
+def _q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interleaving shape over the interleaved extraction
+    (ops.multimodal.interleave_profile): span counts by class, text<->
+    media switch count, first media position, media ratio — the packing
+    and mix signal for multimodal training."""
+    from reader_spark.ops.multimodal import interleave_profile
+
+    return interleave_profile(_interleaved_spans(spark, sf_dir))
 
 
 def _q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3877,6 +3906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _q_script_profile,
         "passage_chunks": _q_passage_chunks,
         "repetition_profile": _q_repetition_profile,
+        "caption_pairs": _q_caption_pairs,
+        "interleave_profile": _q_interleave_profile,
     })
 
 

@@ -194,3 +194,96 @@ def media_dedup(
             F.first("__kind").alias("kind"),
         )
     )
+
+
+def caption_pairs(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    ord_col: str = "ord",
+    kind_col: str = "kind",
+    text_col: str = "text",
+    ref_col: str = "media_ref",
+    media_kind: str = "image",
+    text_kinds: tuple[str, ...] = ("text", "heading"),
+) -> DataFrame:
+    """Image-text pair mining from interleaved span sequences (the
+    CLIP/OBELICS prep step: every media span paired with its nearest
+    textual neighbors in document order; cf. the reference's interleaved
+    text+image span output, src/formatters/markdown span ordering).
+
+    Returns one row per media span: (id, ord, media_ref, text_before,
+    text_after, caption) where caption prefers the FOLLOWING text span
+    (figure captions conventionally follow the figure) and falls back to
+    the preceding one. Windows partition by document — the shuffle is
+    one key-bounded exchange on doc id, nothing global, and only span
+    TEXT moves (no media bytes)."""
+    from pyspark.sql import Window
+
+    txt = F.when(F.col(kind_col).isin(*text_kinds), F.col(text_col))
+    w = Window.partitionBy(id_col).orderBy(ord_col)
+    before = F.last(txt, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    after = F.first(txt, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        spans.select(
+            id_col,
+            ord_col,
+            kind_col,
+            ref_col,
+            before.alias("text_before"),
+            after.alias("text_after"),
+        )
+        .where(F.col(kind_col) == media_kind)
+        .select(
+            id_col,
+            ord_col,
+            ref_col,
+            "text_before",
+            "text_after",
+            F.coalesce(F.col("text_after"), F.col("text_before")).alias(
+                "caption"
+            ),
+        )
+    )
+
+
+def interleave_profile(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    ord_col: str = "ord",
+    kind_col: str = "kind",
+    media_kinds: tuple[str, ...] = ("image", "video", "audio"),
+) -> DataFrame:
+    """Per-document interleaving shape: span counts by class, modality
+    switches (text<->media transitions in span order), and the first
+    media position — the mix/packing signal for multimodal training
+    (how media-dense a doc is, and whether media leads or trails).
+
+    One pass: a per-doc lag window (key-bounded exchange on doc id) and
+    one groupBy. media_ratio is exact (round-6 ratio of integers)."""
+    from pyspark.sql import Window
+
+    is_media = F.col(kind_col).isin(*media_kinds).cast("int")
+    w = Window.partitionBy(id_col).orderBy(ord_col)
+    prev = F.lag(is_media).over(w)
+    tagged = spans.select(
+        F.col(id_col),
+        F.col(ord_col),
+        is_media.alias("__m"),
+        F.when(prev.isNull(), F.lit(0))
+        .otherwise((is_media != prev).cast("int"))
+        .alias("__switch"),
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("__m").cast("long").alias("n_media"),
+        (F.count(F.lit(1)) - F.sum("__m")).cast("long").alias("n_text"),
+        F.sum("__switch").cast("long").alias("n_switches"),
+        F.min(F.when(F.col("__m") == 1, F.col(ord_col)))
+        .cast("long")
+        .alias("first_media_ord"),
+        F.round(F.sum("__m") / F.count(F.lit(1)), 6).alias("media_ratio"),
+    )

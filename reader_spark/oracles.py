@@ -648,6 +648,33 @@ def _doc_sim_topk_bucketed_oracle() -> str:
     """
 
 
+# The SQL-predictable span sequence the interleaved wrapper produces (see
+# __spark_entry__._interleaved_spans): shared by interleaved_media_spans,
+# caption_pairs, interleave_profile.
+_INTERLEAVED_SPANS_SQL = """
+            SELECT doc_id, 0 AS ord, 'heading' AS kind,
+                   '# Document ' || doc_id AS text,
+                   CAST(NULL AS VARCHAR) AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1 AS ord, 'image' AS kind,
+                   '![hero ' || doc_id || '](https://img.test/' || doc_id || '/hero.png)' AS text,
+                   'https://img.test/' || doc_id || '/hero.png' AS media_ref
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ord,
+                   'text' AS kind, text,
+                   CAST(NULL AS VARCHAR) AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2 AS ord, 'image' AS kind,
+                   '![tail ' || doc_id || '](https://img.test/' || doc_id || '/tail.png)' AS text,
+                   'https://img.test/' || doc_id || '/tail.png' AS media_ref
+            FROM documents WHERE doc_id % 3 = 1
+"""
+
+
 def _oracle_sql_entries() -> dict[str, str]:
     return {
         "extract_documents_spans": """
@@ -4145,6 +4172,49 @@ def _oracle_sql_entries() -> dict[str, str]:
                     AND coalesce(p.top3_char_frac, 0.0) <= 0.18
                     AND coalesce(p.dup3_char_frac, 0.0) <= 1.0) AS rep_pass
             FROM (SELECT doc_id FROM base) b LEFT JOIN p USING (doc_id)
+        """,
+        "caption_pairs": f"""
+            WITH spans AS ({_INTERLEAVED_SPANS_SQL}),
+            w AS (
+                SELECT doc_id, ord, kind, media_ref,
+                       last_value(CASE WHEN kind IN ('text', 'heading')
+                                       THEN text END IGNORE NULLS)
+                         OVER (PARTITION BY doc_id ORDER BY ord
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS text_before,
+                       first_value(CASE WHEN kind IN ('text', 'heading')
+                                        THEN text END IGNORE NULLS)
+                         OVER (PARTITION BY doc_id ORDER BY ord
+                               ROWS BETWEEN 1 FOLLOWING
+                               AND UNBOUNDED FOLLOWING) AS text_after
+                FROM spans
+            )
+            SELECT doc_id, ord, media_ref, text_before, text_after,
+                   coalesce(text_after, text_before) AS caption
+            FROM w WHERE kind = 'image'
+        """,
+        "interleave_profile": f"""
+            WITH spans AS ({_INTERLEAVED_SPANS_SQL}),
+            t AS (
+                SELECT doc_id, ord,
+                       CASE WHEN kind IN ('image', 'video', 'audio')
+                            THEN 1 ELSE 0 END AS m,
+                       lag(CASE WHEN kind IN ('image', 'video', 'audio')
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY ord) AS pm
+                FROM spans
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_spans,
+                   CAST(sum(m) AS BIGINT) AS n_media,
+                   CAST(count(*) - sum(m) AS BIGINT) AS n_text,
+                   CAST(sum(CASE WHEN pm IS NULL THEN 0
+                                 WHEN m <> pm THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_switches,
+                   CAST(min(CASE WHEN m = 1 THEN ord END) AS BIGINT)
+                       AS first_media_ord,
+                   round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS media_ratio
+            FROM t GROUP BY doc_id
         """,
     }
 

@@ -2768,3 +2768,75 @@ class TestRepetitionProfile:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="n-gram"):
             repetition_profile(df, "doc_id", "text", top_ns=(1,))
+
+
+class TestCaptionPairs:
+    def _spans(self, spark):
+        rows = [
+            # doc 1: heading, image, text -> caption = following text
+            (1, 0, "heading", "Title", None),
+            (1, 1, "image", "![a](u1)", "u1"),
+            (1, 2, "text", "Body one", None),
+            # doc 2: heading, text, image -> caption falls back to before
+            (2, 0, "heading", "T2", None),
+            (2, 1, "text", "Body two", None),
+            (2, 2, "image", "![b](u2)", "u2"),
+            # doc 3: no media
+            (3, 0, "text", "only text", None),
+            # doc 4: image only -> both sides null
+            (4, 0, "image", "![c](u4)", "u4"),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, ord int, kind string, text string, media_ref string",
+        )
+
+    def test_pairing_policy(self, spark):
+        from reader_spark.ops.multimodal import caption_pairs
+
+        got = {r.doc_id: r for r in caption_pairs(self._spans(spark)).collect()}
+        assert set(got) == {1, 2, 4}
+        assert got[1].text_before == "Title"
+        assert got[1].text_after == "Body one"
+        assert got[1].caption == "Body one"      # following wins
+        assert got[2].text_after is None
+        assert got[2].caption == "Body two"      # falls back to preceding
+        assert got[4].caption is None
+
+    def test_multiple_images_each_get_nearest(self, spark):
+        from reader_spark.ops.multimodal import caption_pairs
+
+        rows = [
+            (1, 0, "text", "first", None),
+            (1, 1, "image", "i1", "u1"),
+            (1, 2, "text", "middle", None),
+            (1, 3, "image", "i2", "u2"),
+            (1, 4, "text", "last", None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, ord int, kind string, text string, media_ref string",
+        )
+        got = {r.media_ref: r for r in caption_pairs(df).collect()}
+        assert got["u1"].text_before == "first"
+        assert got["u1"].caption == "middle"
+        assert got["u2"].text_before == "middle"
+        assert got["u2"].caption == "last"
+
+
+class TestInterleaveProfile:
+    def test_switch_counting(self, spark):
+        from reader_spark.ops.multimodal import interleave_profile
+
+        rows = [
+            (1, 0, "heading"), (1, 1, "image"), (1, 2, "text"),  # 2 switches
+            (2, 0, "text"), (2, 1, "text"), (2, 2, "image"),      # 1 switch
+            (3, 0, "text"), (3, 1, "text"),                        # 0
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, ord int, kind string")
+        got = {r.doc_id: r for r in interleave_profile(df).collect()}
+        assert (got[1].n_switches, got[1].n_media, got[1].first_media_ord) == (2, 1, 1)
+        assert (got[2].n_switches, got[2].first_media_ord) == (1, 2)
+        assert got[3].n_switches == 0 and got[3].first_media_ord is None
+        assert got[1].media_ratio == round(1 / 3, 6)
+        assert got[3].media_ratio == 0.0

@@ -486,3 +486,19 @@ def test_repetition_profile_no_self_join_no_global_window(spark):
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
     assert "SinglePartition" not in plan
+
+
+def test_interleaved_pairing_one_keybounded_exchange(spark):
+    """caption_pairs / interleave_profile over span rows: the window and
+    the rollup both partition by doc id, so the plan needs exactly ONE
+    hash exchange on the id — never a global sort or a second shuffle."""
+    from reader_spark.ops.multimodal import caption_pairs, interleave_profile
+
+    spans = spark.createDataFrame(
+        [(1, 0, "text", "t", None)],
+        "doc_id long, ord int, kind string, text string, media_ref string",
+    )
+    for df in (caption_pairs(spans), interleave_profile(spans)):
+        tree = plan_of(df).split("\n\n")[0]
+        assert tree.count("Exchange") == 1, tree
+        assert "SinglePartition" not in tree

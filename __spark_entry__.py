@@ -3237,6 +3237,17 @@ def _q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_profile(_interleaved_spans(spark, sf_dir))
 
 
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM perplexity (ops.textstats.bigram_lm_scores):
+    the conditional sibling of lm_perplexity — flags shuffled/templated
+    word ORDER the unigram filter passes. Two map-side-combined count
+    groupBys + key-bounded scoring joins; integer nano-unit mean."""
+    from reader_spark.ops.textstats import bigram_lm_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", "text")
+
+
 def _q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous/HRW sharding (Thaler & Ravishankar 1998) with the
     minimal-disruption property ON DISPLAY: every doc assigned under 8
@@ -3908,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": _q_repetition_profile,
         "caption_pairs": _q_caption_pairs,
         "interleave_profile": _q_interleave_profile,
+        "bigram_lm": _q_bigram_lm,
     })
 
 

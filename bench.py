@@ -103,6 +103,7 @@ BENCH_QUERIES = (
     "script_profile",
     "passage_chunks",
     "repetition_profile",
+    "bigram_lm",
     "media_dedup",
     "token_budget_mix",
     "leakage_safe_splits",

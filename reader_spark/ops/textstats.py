@@ -687,3 +687,81 @@ def repetition_profile(
             F.col(f"dup{n}_char_frac") <= GOPHER_DUP_NGRAM_MAX.get(n, 1.0)
         )
     return out.withColumn("rep_pass", gate)
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained BIGRAM LM scoring — the conditional sibling of
+    unigram_lm_scores (CCNet-family perplexity filtering, Wenzek et al.
+    2020; a bigram model separates fluent word ORDER from merely common
+    words, catching shuffled/templated text the unigram score passes).
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)  (add-1 smoothing; c(w1) is
+    w1's count as a bigram LHS, V the corpus token vocabulary), and each
+    doc scores avg_nll_bits = -mean(log2 p) over its bigrams. Docs with
+    fewer than 2 alphabetic tokens stay in the output with n_bigrams=0
+    and a NULL score (a doc that silently vanishes from a quality table
+    is a dropped doc downstream).
+
+    Shape at 100 TB: bigram + LHS counts are two map-side-combined
+    groupBys; scoring joins are key-bounded equi-joins on the n-gram
+    keys; the vocabulary scalar rides a 1-row broadcast dim. Float
+    parity: per-term integer NANO-UNIT sums with the 6-dp reduction done
+    in integers — (s + d/2) div d with d = n*1000 — because round-9
+    terms + round-6 float mean provably diverges across engines at
+    ~500 terms/doc (dsir lesson, commit 66ecc6c).
+
+    Returns (id_col, n_bigrams, avg_nll_bits).
+    """
+    l = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), l.alias("__l"))
+    size = F.size(F.col("__l"))
+    k = F.greatest(size - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(F.col("__l"), 1, k).alias("0"),
+        F.slice(F.col("__l"), 2, k).alias("1"),
+    )
+    bigrams = base.select(
+        id_col, F.explode(pairs).alias("p")
+    ).select(
+        id_col,
+        F.col("p").getField("0").alias("w1"),
+        F.col("p").getField("1").alias("w2"),
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        base.select(F.explode("__l").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    term = -F.log2(
+        (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    )
+    scored = (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("__u", F.round(term * F.lit(1e9), 0).cast("long"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("__u").alias("__s"),
+    )
+    avg = (
+        F.expr("(__s + (n_bigrams * 1000) div 2) div (n_bigrams * 1000)")
+        / F.lit(1e6)
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.when(F.col("n_bigrams") > 0, avg).alias("avg_nll_bits"),
+        )
+    )

@@ -4216,6 +4216,41 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS media_ratio
             FROM t GROUP BY doc_id
         """,
+        "bigram_lm": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+                FROM d
+            ),
+            b AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v
+                  FROM (SELECT unnest(l) AS tok FROM d)),
+            s AS (
+                SELECT b.doc_id,
+                       CAST(round(-log2((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1e9)
+                            AS BIGINT) AS u
+                FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+            ),
+            p AS (
+                SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(u) AS s
+                FROM s GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CASE WHEN p.n_bigrams > 0
+                        THEN ((p.s + (p.n_bigrams * 1000) // 2)
+                              // (p.n_bigrams * 1000)) / 1000000.0
+                   END AS avg_nll_bits
+            FROM d LEFT JOIN p USING (doc_id)
+        """,
     }
 
 

@@ -2840,3 +2840,34 @@ class TestInterleaveProfile:
         assert got[3].n_switches == 0 and got[3].first_media_ord is None
         assert got[1].media_ratio == round(1 / 3, 6)
         assert got[3].media_ratio == 0.0
+
+
+class TestBigramLm:
+    def test_scores_and_spine(self, spark):
+        import math
+
+        from reader_spark.ops.textstats import bigram_lm_scores
+
+        rows = [(1, "the cat sat"), (2, "the cat sat"), (3, "x"), (4, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+        # vocab = {the, cat, sat, x} = 4; c(the cat)=2, c1(the)=2
+        # p(cat|the) = 3/6, p(sat|cat) = 3/6 -> every term = 1 bit
+        assert got[1].n_bigrams == 2
+        assert math.isclose(got[1].avg_nll_bits, 1.0)
+        assert got[1].avg_nll_bits == got[2].avg_nll_bits
+        # docs below 2 alpha tokens stay in the output, score NULL
+        assert got[3].n_bigrams == 0 and got[3].avg_nll_bits is None
+        assert got[4].n_bigrams == 0 and got[4].avg_nll_bits is None
+
+    def test_word_order_signal(self, spark):
+        """A shuffled doc must score worse than the fluent twin even
+        though its unigram distribution is identical."""
+        from reader_spark.ops.textstats import bigram_lm_scores
+
+        fluent = "the cat sat on the mat " * 5
+        shuffled = "cat the on sat mat the " * 5
+        corpus = [(i, fluent.strip()) for i in range(1, 9)] + [(9, shuffled.strip())]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {r.doc_id: r for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+        assert got[9].avg_nll_bits > got[1].avg_nll_bits

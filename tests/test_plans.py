@@ -502,3 +502,16 @@ def test_interleaved_pairing_one_keybounded_exchange(spark):
         tree = plan_of(df).split("\n\n")[0]
         assert tree.count("Exchange") == 1, tree
         assert "SinglePartition" not in tree
+
+
+def test_bigram_lm_no_cartesian_scalar_dim_broadcast(spark):
+    """Bigram LM scoring: count groupBys + key-bounded equi-joins; the
+    only nested-loop is the 1-row vocabulary dim broadcast (same scalar
+    pattern as lm_perplexity) — never a CartesianProduct."""
+    from reader_spark.ops.textstats import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(bigram_lm_scores(docs, "doc_id", "text"))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastExchange" in tree

@@ -3237,6 +3237,29 @@ def _q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_profile(_interleaved_spans(spark, sf_dir))
 
 
+def _q_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing of INTERLEAVED docs (ops.packing.pack_by_cost
+    over the interleaved extraction): each doc's footprint = text-span
+    whitespace tokens + 64 visual tokens per image span (LLaVA-style
+    fixed patch budget), packed concat-then-chunk into 512-token
+    sequences. The multimodal twin of sequence_packing — images charge
+    the budget without being whitespace-countable."""
+    from reader_spark.ops.packing import pack_by_cost
+    from reader_spark.ops.textstats import token_count_col
+
+    spans = _interleaved_spans(spark, sf_dir)
+    cost = spans.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("kind") == "image", F.lit(64)).otherwise(
+                token_count_col(F.col("text"))
+            )
+        )
+        .cast("long")
+        .alias("cost")
+    )
+    return pack_by_cost(cost, "doc_id", "cost", seq_len=512)
+
+
 def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM perplexity (ops.textstats.bigram_lm_scores):
     the conditional sibling of lm_perplexity — flags shuffled/templated
@@ -3920,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": _q_caption_pairs,
         "interleave_profile": _q_interleave_profile,
         "bigram_lm": _q_bigram_lm,
+        "multimodal_packing": _q_multimodal_packing,
     })
 
 

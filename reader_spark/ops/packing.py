@@ -45,6 +45,30 @@ def pack_sequences(
     - n_tokens: segment length; a doc's segments sum to its token count,
       and every sequence except the last is exactly ``seq_len`` full.
     """
+    toks = df.select(
+        *(partition_cols or []),
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("__n"),
+    )
+    return pack_by_cost(toks, id_col, "__n", seq_len, partition_cols)
+
+
+def pack_by_cost(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    seq_len: int,
+    partition_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """pack_sequences over a PRECOMPUTED per-item cost column — the
+    multimodal form: an interleaved doc's context-window footprint is
+    text tokens plus a fixed per-image patch budget (e.g. 64 or 576
+    visual tokens per image in LLaVA-style encoders), and packing must
+    budget that total, not the whitespace count. Same concat-then-chunk
+    semantics and output shape as pack_sequences (items straddling a cut
+    emit one row per sequence touched); items with cost 0 are dropped,
+    negative costs raise at runtime via the ANSI sequence() bound check.
+    """
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     parts = list(partition_cols or [])
@@ -53,7 +77,7 @@ def pack_sequences(
     toks = df.select(
         *parts,
         F.col(id_col),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("__n"),
+        F.col(cost_col).cast("long").alias("__n"),
     )
     cum = toks.select(
         *parts,

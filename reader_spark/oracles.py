@@ -4251,6 +4251,33 @@ def _oracle_sql_entries() -> dict[str, str]:
                    END AS avg_nll_bits
             FROM d LEFT JOIN p USING (doc_id)
         """,
+        "multimodal_packing": f"""
+            WITH spans AS ({_INTERLEAVED_SPANS_SQL}),
+            costs AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN kind = 'image' THEN 64
+                                ELSE len(string_split_regex(trim(text), '\\s+'))
+                                END) AS BIGINT) AS n
+                FROM spans GROUP BY doc_id
+            ),
+            cum AS (
+                SELECT doc_id, n,
+                       CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s,
+                       CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+                FROM costs
+            ),
+            seg AS (
+                SELECT doc_id, s, e,
+                       CAST(unnest(generate_series(s // 512, (e - 1) // 512)) AS BIGINT) AS seq_id
+                FROM cum WHERE n > 0
+            )
+            SELECT doc_id, seq_id,
+                   CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS doc_offset,
+                   CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
+                   CAST(least(e, (seq_id + 1) * 512)
+                        - greatest(s, seq_id * 512) AS BIGINT) AS n_tokens
+            FROM seg
+        """,
     }
 
 

@@ -2871,3 +2871,45 @@ class TestBigramLm:
         df = spark.createDataFrame(corpus, "doc_id long, text string")
         got = {r.doc_id: r for r in bigram_lm_scores(df, "doc_id", "text").collect()}
         assert got[9].avg_nll_bits > got[1].avg_nll_bits
+
+
+class TestPackByCost:
+    def test_matches_pack_sequences_on_token_costs(self, spark):
+        from reader_spark.ops.packing import pack_by_cost, pack_sequences
+
+        rows = [(i, "w " * (i * 3)) for i in range(1, 8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        via_text = sorted(
+            map(str, pack_sequences(df, "doc_id", "text", 10).collect())
+        )
+        costs = df.select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("cost"),
+        )
+        via_cost = sorted(
+            map(str, pack_by_cost(costs, "doc_id", "cost", 10).collect())
+        )
+        assert via_text == via_cost
+
+    def test_image_cost_charges_budget(self, spark):
+        from reader_spark.ops.packing import pack_by_cost
+
+        # doc1: 4 text tokens + 1 image @64 = 68 -> straddles a 64-seq cut
+        rows = [(1, 68), (2, 10)]
+        df = spark.createDataFrame(rows, "doc_id long, cost long")
+        got = sorted(
+            pack_by_cost(df, "doc_id", "cost", 64).collect(),
+            key=lambda r: (r.doc_id, r.seq_id),
+        )
+        assert [(r.doc_id, r.seq_id, r.n_tokens) for r in got] == [
+            (1, 0, 64), (1, 1, 4), (2, 1, 10),
+        ]
+
+    def test_zero_cost_items_drop(self, spark):
+        from reader_spark.ops.packing import pack_by_cost
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, 5)], "doc_id long, cost long"
+        )
+        got = pack_by_cost(df, "doc_id", "cost", 100).collect()
+        assert sorted(r.doc_id for r in got) == [1, 3]

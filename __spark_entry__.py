@@ -3237,6 +3237,18 @@ def _q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_profile(_interleaved_spans(spark, sf_dir))
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet per-language head/middle/tail perplexity bucketing
+    (ops.textstats.ccnet_buckets): corpus-trained unigram LM scores +
+    per-lang ntile(3) — the routing table a pretraining mix samples
+    from. Exact ntile is the oracle contract; the approx-percentile cut
+    is the documented petabyte path."""
+    from reader_spark.ops.textstats import ccnet_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    return ccnet_buckets(docs, "doc_id", "text", "lang")
+
+
 def _q_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing of INTERLEAVED docs (ops.packing.pack_by_cost
     over the interleaved extraction): each doc's footprint = text-span
@@ -3944,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_profile": _q_interleave_profile,
         "bigram_lm": _q_bigram_lm,
         "multimodal_packing": _q_multimodal_packing,
+        "ccnet_buckets": _q_ccnet_buckets,
     })
 
 

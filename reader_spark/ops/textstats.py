@@ -765,3 +765,52 @@ def bigram_lm_scores(
             F.when(F.col("n_bigrams") > 0, avg).alias("avg_nll_bits"),
         )
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's per-language perplexity bucketing (Wenzek et al. 2020 §4.3:
+    each language's corpus is split into head/middle/tail thirds by LM
+    perplexity; training recipes then sample head-heavy). Buckets come
+    from ntile over (lang) ordered by avg_nll_bits — low = fluent = head.
+
+    Docs the LM cannot score (zero alphabetic tokens) sort NULLS LAST,
+    i.e. into the tail — a doc must never vanish from a routing table.
+
+    Shape at 100 TB: scoring is unigram_lm_scores (map-side-combined
+    counts + key-bounded joins); the ntile window partitions by language
+    — a per-lang global sort, the oracle-exact contract. At petabyte
+    scale swap the exact ntile for approx_percentile cut points per lang
+    (the numeric_profile exact/approx twin pattern); bucket EDGES differ
+    by at most the sketch error while this form stays the verifiable
+    reference."""
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    scores = unigram_lm_scores(df, id_col, text_col)
+    joined = df.select(F.col(id_col), F.col(lang_col)).join(
+        scores, id_col, "left"
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_nll_bits").asc_nulls_last(), F.col(id_col)
+    )
+    tile = F.ntile(n_buckets).over(w)
+    name = (
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return joined.select(
+        id_col,
+        lang_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        "avg_nll_bits",
+        tile.cast("int").alias("bucket_id"),
+        name.alias("bucket"),
+    )

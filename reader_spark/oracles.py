@@ -4278,6 +4278,46 @@ def _oracle_sql_entries() -> dict[str, str]:
                         - greatest(s, seq_id * 512) AS BIGINT) AS n_tokens
             FROM seg
         """,
+        "ccnet_buckets": """
+            WITH toks AS (
+                SELECT doc_id, t AS token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+                    FROM documents
+                ) WHERE t <> ''
+            ),
+            counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            stats AS (
+                SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS vocab
+                FROM counts
+            ),
+            scored AS (
+                SELECT t.doc_id,
+                       round(-log2((c + 1.0) / (n_total + vocab)), 9) AS nll
+                FROM toks t JOIN counts USING (token) CROSS JOIN stats
+            ),
+            per_doc AS (
+                SELECT doc_id, count(*) AS n_tok,
+                       round(sum(nll) / count(*), 6) AS avg_nll_bits
+                FROM scored GROUP BY doc_id
+            ),
+            j AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(coalesce(p.n_tok, 0) AS BIGINT) AS n_tokens,
+                       p.avg_nll_bits
+                FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            )
+            SELECT doc_id, lang, n_tokens, avg_nll_bits,
+                   CAST(ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY avg_nll_bits ASC NULLS LAST,
+                                                doc_id) AS INTEGER) AS bucket_id,
+                   CASE ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY avg_nll_bits ASC NULLS LAST,
+                                                doc_id)
+                        WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                        ELSE 'middle' END AS bucket
+            FROM j
+        """,
     }
 
 

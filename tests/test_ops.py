@@ -2913,3 +2913,38 @@ class TestPackByCost:
         )
         got = pack_by_cost(df, "doc_id", "cost", 100).collect()
         assert sorted(r.doc_id for r in got) == [1, 3]
+
+
+class TestCcnetBuckets:
+    def test_bucketing_and_null_routing(self, spark):
+        from reader_spark.ops.textstats import ccnet_buckets
+
+        rows = (
+            # en: 6 scoreable docs + 1 unscoreable (digits only)
+            [(i, "the cat sat on the mat " * i, "en") for i in range(1, 7)]
+            + [(7, "12345 678", "en")]
+            + [(8, "der hund und der ball", "de")]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {r.doc_id: r for r in ccnet_buckets(df).collect()}
+        en = [got[i] for i in range(1, 8)]
+        # 7 en docs -> ntile(3) = 3/2/2 split in score order
+        assert [r.bucket for r in sorted(en, key=lambda r: r.bucket_id)] == [
+            "head", "head", "head", "middle", "middle", "tail", "tail"
+        ]
+        # the unscoreable doc lands in the tail, never vanishes
+        assert got[7].avg_nll_bits is None and got[7].bucket == "tail"
+        assert got[7].n_tokens == 0
+        # a single-doc language is its own head
+        assert got[8].bucket == "head"
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.textstats import ccnet_buckets
+
+        df = spark.createDataFrame(
+            [(1, "x", "en")], "doc_id long, text string, lang string"
+        )
+        with _pytest.raises(ValueError, match="n_buckets"):
+            ccnet_buckets(df, n_buckets=1)

@@ -3237,6 +3237,18 @@ def _q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_profile(_interleaved_spans(spark, sf_dir))
 
 
+def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5 span corruption (ops.chunks.span_corruption,
+    block=20/span=3 = 15% mask rate): every full 20-token window masks a
+    3-token run at an md5(doc_id, window)-derived offset behind an
+    <extra_id_N> sentinel; targets carry the masked spans. Pure per-row
+    map, reproducible across executors and resumes with no RNG state."""
+    from reader_spark.ops.chunks import span_corruption
+
+    docs = _read(spark, sf_dir, "documents")
+    return span_corruption(docs, "doc_id", "text", block=20, span=3)
+
+
 def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet per-language head/middle/tail perplexity bucketing
     (ops.textstats.ccnet_buckets): corpus-trained unigram LM scores +
@@ -3957,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         "multimodal_packing": _q_multimodal_packing,
         "ccnet_buckets": _q_ccnet_buckets,
+        "span_corruption": _q_span_corruption,
     })
 
 

@@ -78,3 +78,107 @@ def passage_chunks(
             ).alias("chunk_text"),
         )
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block: int = 20,
+    span: int = 3,
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4: mask ~15% of
+    tokens in short spans; targets are the masked spans behind sentinel
+    tokens) — made DETERMINISTIC for distributed reproducibility: token
+    stream is cut into fixed ``block``-token windows, each full window
+    masks one ``span``-token run whose offset is md5(doc_id, window) mod
+    (block - span + 1). span/block = the corruption rate (default 3/20 =
+    15%); sentinel ids number windows in order like T5's <extra_id_N>.
+
+    A pure per-row map — per-window slices sum to O(tokens) per doc
+    (never the quadratic transform+slice-over-positions form), no
+    shuffle, no RNG state to coordinate across executors: any worker
+    re-derives the same mask from (doc_id, window) alone, which is what
+    makes checkpoint-resumed preprocessing emit identical examples.
+
+    Returns (id, n_tokens, n_masked, input_text, target_text); docs
+    shorter than one block pass through unmasked with empty target.
+    """
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    if block <= span:
+        raise ValueError(
+            f"block must exceed span, got block={block} span={span}"
+        )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    nblocks = F.expr(f"size(__toks) div {block}")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("__n"),
+    ).withColumn("__nb", nblocks)
+
+    t = F.col("__toks")
+
+    def _h(b):
+        # window's mask offset in [0, block - span]
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("span:"),
+                            F.col(id_col).cast("string"),
+                            F.lit(":"),
+                            b.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(block - span + 1),
+        )
+
+    def _sentinel(b):
+        return F.concat(F.lit("<extra_id_"), b.cast("string"), F.lit(">"))
+
+    blocks = F.sequence(F.lit(0), F.col("__nb") - 1)
+    input_pieces = F.transform(
+        blocks,
+        lambda b: F.concat(
+            F.slice(t, b * block + 1, _h(b)),
+            F.array(_sentinel(b)),
+            F.slice(t, b * block + _h(b) + span + 1, block - span - _h(b)),
+        ),
+    )
+    target_pieces = F.transform(
+        blocks,
+        lambda b: F.concat_ws(
+            " ",
+            _sentinel(b),
+            F.concat_ws(" ", F.slice(t, b * block + _h(b) + 1, span)),
+        ),
+    )
+    tail = F.slice(
+        t, F.col("__nb") * block + 1, F.col("__n") - F.col("__nb") * block
+    )
+    has_blocks = F.col("__nb") > 0
+    return base.select(
+        id_col,
+        F.col("__n").cast("long").alias("n_tokens"),
+        (F.col("__nb") * span).cast("long").alias("n_masked"),
+        F.concat_ws(
+            " ",
+            F.when(has_blocks, F.array_join(F.flatten(input_pieces), " ")),
+            # concat_ws treats '' as a joinable value (trailing space) but
+            # skips NULL — emit the tail only when it has tokens
+            F.when(F.size(tail) > 0, F.concat_ws(" ", tail)),
+        ).alias("input_text"),
+        F.coalesce(
+            F.when(has_blocks, F.array_join(target_pieces, " ")), F.lit("")
+        ).alias("target_text"),
+    )

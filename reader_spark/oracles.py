@@ -4318,6 +4318,43 @@ def _oracle_sql_entries() -> dict[str, str]:
                         ELSE 'middle' END AS bucket
             FROM j
         """,
+        "span_corruption": r"""
+            WITH d AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, l, len(l) AS n, len(l) // 20 AS nb FROM d
+            ),
+            m AS (
+                SELECT doc_id, l, n, nb,
+                    CASE WHEN nb > 0 THEN
+                        list_transform(generate_series(0, nb - 1), b ->
+                            CAST(('0x' || substr(md5('span:' ||
+                                 CAST(doc_id AS VARCHAR) || ':' ||
+                                 CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 18)
+                    ELSE [] END AS hs
+                FROM b
+            )
+            SELECT doc_id,
+                CAST(n AS BIGINT) AS n_tokens,
+                CAST(nb * 3 AS BIGINT) AS n_masked,
+                CASE WHEN nb > 0 THEN
+                    array_to_string(
+                        flatten(list_transform(generate_series(0, nb - 1), b ->
+                            l[b*20+1 : b*20+hs[b+1]]
+                            || ['<extra_id_' || CAST(b AS VARCHAR) || '>']
+                            || l[b*20+hs[b+1]+4 : b*20+20]))
+                        || l[nb*20+1 : n], ' ')
+                ELSE array_to_string(l, ' ') END AS input_text,
+                CASE WHEN nb > 0 THEN
+                    array_to_string(list_transform(generate_series(0, nb - 1), b ->
+                        '<extra_id_' || CAST(b AS VARCHAR) || '> ' ||
+                        array_to_string(l[b*20+hs[b+1]+1 : b*20+hs[b+1]+3], ' ')),
+                        ' ')
+                ELSE '' END AS target_text
+            FROM m
+        """,
     }
 
 

@@ -2948,3 +2948,67 @@ class TestCcnetBuckets:
         )
         with _pytest.raises(ValueError, match="n_buckets"):
             ccnet_buckets(df, n_buckets=1)
+
+
+class TestSpanCorruption:
+    def _run(self, spark, rows, **kw):
+        from reader_spark.ops.chunks import span_corruption
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: r
+            for r in span_corruption(df, "doc_id", "text", **kw).collect()
+        }
+
+    def test_mask_geometry_and_roundtrip(self, spark):
+        toks = [f"t{i}" for i in range(45)]  # 2 full blocks + 5 tail
+        got = self._run(spark, [(1, " ".join(toks))])[1]
+        assert got.n_tokens == 45 and got.n_masked == 6
+        inp = got.input_text.split(" ")
+        assert inp.count("<extra_id_0>") == 1 and inp.count("<extra_id_1>") == 1
+        # masked tokens absent from input, present in target, order kept
+        tgt = got.target_text.split(" ")
+        masked = [t for t in tgt if not t.startswith("<extra_id_")]
+        assert len(masked) == 6
+        assert all(m not in inp for m in masked)
+        # reconstruction: splice targets back at sentinels -> original doc
+        by_sentinel = {}
+        cur = None
+        for t in tgt:
+            if t.startswith("<extra_id_"):
+                cur = t
+                by_sentinel[cur] = []
+            else:
+                by_sentinel[cur].append(t)
+        rebuilt = []
+        for t in inp:
+            rebuilt.extend(by_sentinel.get(t, [t]))
+        assert rebuilt == toks
+        # tail tokens pass through unmasked
+        assert inp[-5:] == toks[-5:]
+
+    def test_determinism_is_positional(self, spark):
+        a = self._run(spark, [(7, "w " * 40)])[7]
+        b = self._run(spark, [(7, "w " * 40)])[7]
+        assert a.input_text == b.input_text and a.target_text == b.target_text
+        # different doc_id -> different mask offsets (with 40 tokens the
+        # chance both windows collide is 1/324; pick ids that differ)
+        c = self._run(spark, [(8, " ".join(f"t{i}" for i in range(40)))])[8]
+        d = self._run(spark, [(9, " ".join(f"t{i}" for i in range(40)))])[9]
+        assert c.target_text != d.target_text
+
+    def test_short_doc_passthrough(self, spark):
+        got = self._run(spark, [(1, "a b c")])
+        assert got[1].n_masked == 0
+        assert got[1].input_text == "a b c" and got[1].target_text == ""
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.chunks import span_corruption
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="span"):
+            span_corruption(df, "doc_id", "text", span=0)
+        with _pytest.raises(ValueError, match="block"):
+            span_corruption(df, "doc_id", "text", block=3, span=3)

@@ -3237,6 +3237,45 @@ def _q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_profile(_interleaved_spans(spark, sf_dir))
 
 
+def _q_centroid_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration sweep (ops.evals.pr_curve): can cosine to the
+    label-0 centroid classify label 0? Scores = round-9 cosine of every
+    vector to that centroid (label_centroids' distributed algebra — one
+    posexplode, per-dim means, dot/norm sums), thresholds at 2 dp, exact
+    tp/fp/fn counts + round-6 precision/recall/f1 per threshold. The
+    readout a pipeline uses to pick a quality-gate cut."""
+    from reader_spark.ops.evals import pr_curve
+
+    emb = _read(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("p", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent0 = (
+        vals.where(F.col("label") == 0)
+        .groupBy("p")
+        .agg(F.round(F.avg("v"), 9).alias("c"))
+    )
+    scored = (
+        vals.join(cent0, "p")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nv"),
+            F.sum(F.col("c") * F.col("c")).alias("nc"),
+        )
+        .select(
+            F.round(
+                F.try_divide(
+                    F.col("dot"), F.sqrt(F.col("nv")) * F.sqrt(F.col("nc"))
+                ),
+                9,
+            ).alias("cos"),
+            (F.col("label") == 0).cast("int").alias("is_pos"),
+        )
+    )
+    return pr_curve(scored, "cos", "is_pos", round_dp=2)
+
+
 def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic T5 span corruption (ops.chunks.span_corruption,
     block=20/span=3 = 15% mask rate): every full 20-token window masks a
@@ -3970,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_packing": _q_multimodal_packing,
         "ccnet_buckets": _q_ccnet_buckets,
         "span_corruption": _q_span_corruption,
+        "centroid_pr_curve": _q_centroid_pr_curve,
     })
 
 

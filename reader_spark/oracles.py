@@ -4355,6 +4355,50 @@ def _oracle_sql_entries() -> dict[str, str]:
                 ELSE '' END AS target_text
             FROM m
         """,
+        "centroid_pr_curve": """
+            WITH vals AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) - 1 AS p,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT p, round(avg(v), 9) AS c
+                FROM vals WHERE label = 0 GROUP BY p
+            ),
+            scored AS (
+                SELECT vals.vec_id,
+                       CASE WHEN vals.label = 0 THEN 1 ELSE 0 END AS y,
+                       round(sum(vals.v * cent.c)
+                             / (sqrt(sum(vals.v * vals.v))
+                                * sqrt(sum(cent.c * cent.c))), 9) AS cos
+                FROM vals JOIN cent USING (p)
+                GROUP BY vals.vec_id, vals.label
+            ),
+            agg AS (
+                SELECT round(cos, 2) AS threshold,
+                       count(*) AS n, CAST(sum(y) AS BIGINT) AS p
+                FROM scored WHERE cos IS NOT NULL GROUP BY 1
+            ),
+            cum AS (
+                SELECT threshold,
+                       CAST(sum(p) OVER (ORDER BY threshold DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS tp,
+                       CAST(sum(n) OVER (ORDER BY threshold DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cn
+                FROM agg
+            ),
+            t AS (SELECT CAST(sum(p) AS BIGINT) AS tp_all FROM agg)
+            SELECT threshold, tp, cn - tp AS fp,
+                   t.tp_all - tp AS fn,
+                   round(tp * 1.0 / cn, 6) AS "precision",
+                   round(tp * 1.0 / t.tp_all, 6) AS recall,
+                   round(2.0 * tp / (2 * tp + (cn - tp) + (t.tp_all - tp)), 6)
+                       AS f1
+            FROM cum CROSS JOIN t
+        """,
     }
 
 

@@ -3012,3 +3012,40 @@ class TestSpanCorruption:
             span_corruption(df, "doc_id", "text", span=0)
         with _pytest.raises(ValueError, match="block"):
             span_corruption(df, "doc_id", "text", block=3, span=3)
+
+
+class TestPrCurve:
+    def test_counts_and_ratios(self, spark):
+        from reader_spark.ops.evals import pr_curve
+
+        # scores 0.9/0.8 positives, 0.8/0.1 negatives
+        rows = [(0.9, 1), (0.8, 1), (0.8, 0), (0.1, 0)]
+        df = spark.createDataFrame(rows, "score double, y int")
+        got = {r.threshold: r for r in pr_curve(df, "score", "y", 1).collect()}
+        assert set(got) == {0.9, 0.8, 0.1}
+        r9 = got[0.9]
+        assert (r9.tp, r9.fp, r9.fn) == (1, 0, 1)
+        assert r9.precision == 1.0 and r9.recall == 0.5
+        r8 = got[0.8]
+        assert (r8.tp, r8.fp, r8.fn) == (2, 1, 0)
+        assert r8.precision == round(2 / 3, 6) and r8.recall == 1.0
+        assert r8.f1 == round(4 / 5, 6)
+        r1 = got[0.1]
+        assert (r1.tp, r1.fp) == (2, 2) and r1.recall == 1.0
+
+    def test_no_positives_gives_null_recall(self, spark):
+        from reader_spark.ops.evals import pr_curve
+
+        df = spark.createDataFrame([(0.5, 0), (0.2, 0)], "score double, y int")
+        got = pr_curve(df, "score", "y", 1).collect()
+        assert all(r.recall is None for r in got)
+        assert all(r.tp == 0 for r in got)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.evals import pr_curve
+
+        df = spark.createDataFrame([(0.5, 0)], "score double, y int")
+        with _pytest.raises(ValueError, match="round_dp"):
+            pr_curve(df, "score", "y", -1)

@@ -3237,6 +3237,20 @@ def _q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_profile(_interleaved_spans(spark, sf_dir))
 
 
+def _q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. substring dedup APPLIED (ops.substring.
+    remove_duplicate_spans): every later occurrence of a >=20-token
+    repeated substring is cut from the text, the corpus-global first
+    copy survives, every doc stays in the output. hashed=False is the
+    raw-text oracle twin (production hashes windows to xxhash64)."""
+    from reader_spark.ops.substring import remove_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_duplicate_spans(
+        docs, "doc_id", "text", min_tokens=20, hashed=False
+    )
+
+
 def _q_centroid_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-calibration sweep (ops.evals.pr_curve): can cosine to the
     label-0 centroid classify label 0? Scores = round-9 cosine of every
@@ -4010,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "span_corruption": _q_span_corruption,
         "centroid_pr_curve": _q_centroid_pr_curve,
+        "remove_duplicate_spans": _q_remove_duplicate_spans,
     })
 
 

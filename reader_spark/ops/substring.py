@@ -90,11 +90,21 @@ def duplicate_spans(
         .select("gram")
     )
     marked = grams.join(dup, "gram", "left_semi")
+    spans = _merge_extents(marked, id_col, min_tokens)
+    return spans.select(
+        id_col,
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        "n_windows",
+    )
 
-    # Gaps-and-islands interval merge: windows [pos, pos+L-1] merge while
-    # the next window starts at or before running_max_end + 1 (overlap or
-    # exact adjacency both extend the duplicated extent).
-    L = min_tokens
+
+def _merge_extents(marked: DataFrame, id_col: str, L: int) -> DataFrame:
+    """Gaps-and-islands interval merge over (id, pos) window rows: windows
+    [pos, pos+L-1] merge while the next window starts at or before
+    running_max_end + 1 (overlap or exact adjacency both extend the
+    duplicated extent). Returns (id, span_start, span_end, n_windows)."""
     w_order = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max(F.col("pos") + (L - 1)).over(
         w_order.rowsBetween(Window.unboundedPreceding, -1)
@@ -108,18 +118,70 @@ def duplicate_spans(
             w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return (
-        spans.groupBy(id_col, "span_id")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + (L - 1)).alias("span_end"),
-            F.count("*").alias("n_windows"),
-        )
-        .select(
-            id_col,
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-            "n_windows",
-        )
+    return spans.groupBy(id_col, "span_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (L - 1)).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    hashed: bool = True,
+) -> DataFrame:
+    """APPLY Lee et al.'s dedup: cut every LATER occurrence of a >= L-token
+    repeated substring out of the text; the corpus-global first occurrence
+    (lowest (id, pos) per window) survives, so exactly one copy of every
+    duplicated passage remains in the corpus — the 'remove all but one'
+    policy of the paper, not a drop-the-whole-doc filter.
+
+    Returns (id, n_tokens, n_removed, clean_text): every doc stays in the
+    output; untouched docs pass through verbatim.
+
+    Shape at 100 TB: one extra key-bounded window over positional_windows
+    output (row_number per gram picks the canonical first occurrence),
+    the same islands merge per doc, then the extents — a FEW intervals
+    per doc, not per-token rows — join back and drop tokens via one
+    indexed array filter (O(tokens x extents) per row, extents are merged
+    maximal spans).
+    """
+    grams = positional_windows(docs, id_col, text_col, min_tokens, hashed=hashed)
+    w_first = Window.partitionBy("gram").orderBy(id_col, "pos")
+    later = (
+        grams.withColumn("__rn", F.row_number().over(w_first))
+        .where(F.col("__rn") > 1)
+        .select(id_col, "pos")
+    )
+    extents = _merge_extents(later, id_col, min_tokens)
+    per_doc = extents.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            )
+        ).alias("__spans")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("__t")).join(
+        per_doc, id_col, "left"
+    )
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    keep = F.filter(
+        F.col("__t"),
+        lambda tok, i: ~F.exists(
+            spans_arr, lambda sp: (sp["s"] <= i + 1) & (i + 1 <= sp["e"])
+        ),
+    )
+    return base.select(
+        id_col,
+        F.size("__t").cast("long").alias("n_tokens"),
+        (F.size("__t") - F.size(keep)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", keep).alias("clean_text"),
     )

@@ -4399,6 +4399,73 @@ def _oracle_sql_entries() -> dict[str, str]:
                        AS f1
             FROM cum CROSS JOIN t
         """,
+        "remove_duplicate_spans": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, greatest(len(w) - 19, 0) + 1),
+                               i -> {'pos': i,
+                                     'gram': array_to_string(w[i:i+19], ' ')}
+                           )) AS s
+                    FROM toks
+                )
+            ),
+            r AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY gram
+                                          ORDER BY doc_id, pos) AS rn
+                FROM g
+            ),
+            m AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+            flag AS (
+                SELECT doc_id, pos,
+                       CASE WHEN max(pos + 19) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                            ) IS NULL
+                            OR pos > max(pos + 19) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                            ) + 1
+                       THEN 1 ELSE 0 END AS new_span
+                FROM m
+            ),
+            sp AS (
+                SELECT doc_id, pos,
+                       sum(new_span) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS span_id
+                FROM flag
+            ),
+            ext AS (
+                SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+                FROM sp GROUP BY doc_id, span_id
+            ),
+            per_doc AS (
+                SELECT doc_id, list({'s': s, 'e': e}) AS spans
+                FROM ext GROUP BY doc_id
+            ),
+            cut AS (
+                SELECT t.doc_id, t.w,
+                       list_filter(t.w, (x, i) ->
+                           len(list_filter(coalesce(p.spans, []),
+                               sp -> sp['s'] <= i AND i <= sp['e'])) = 0
+                       ) AS kept
+                FROM toks t LEFT JOIN per_doc p USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+                   -- array_to_string([]) is NULL in DuckDB, '' in Spark
+                   coalesce(array_to_string(kept, ' '), '') AS clean_text
+            FROM cut
+        """,
     }
 
 

@@ -3049,3 +3049,53 @@ class TestPrCurve:
         df = spark.createDataFrame([(0.5, 0)], "score double, y int")
         with _pytest.raises(ValueError, match="round_dp"):
             pr_curve(df, "score", "y", -1)
+
+
+class TestRemoveDuplicateSpans:
+    def test_keep_first_policy(self, spark):
+        from reader_spark.ops.substring import remove_duplicate_spans
+
+        # distinct words on BOTH flanks: a shared flank word would extend
+        # the duplicated window past the planted 20 tokens
+        boiler = " ".join(f"b{i}" for i in range(20))
+        rows = [
+            (1, "alpha one " + boiler + " omega juliet"),
+            (2, "alpha two " + boiler + " zulu tango"),
+            (3, "clean doc " + " ".join(f"u{i}" for i in range(20))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(
+                df, "doc_id", "text", min_tokens=20
+            ).collect()
+        }
+        # first occurrence (lowest doc_id) survives
+        assert got[1].n_removed == 0 and boiler in got[1].clean_text
+        # later occurrence cut, everything else intact
+        assert got[2].n_removed == 20
+        assert got[2].clean_text == "alpha two zulu tango"
+        assert got[3].n_removed == 0
+        # every doc stays in the output
+        assert set(got) == {1, 2, 3}
+
+    def test_intra_doc_repeat_removed(self, spark):
+        from reader_spark.ops.substring import remove_duplicate_spans
+
+        span = " ".join(f"s{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(1, span + " mid " + span)], "doc_id long, text string"
+        )
+        r = remove_duplicate_spans(df, "doc_id", "text", 20).collect()[0]
+        assert r.n_removed == 20
+        assert r.clean_text == span + " mid"
+
+    def test_hashed_matches_raw(self, spark):
+        from reader_spark.ops.substring import remove_duplicate_spans
+
+        boiler = " ".join(f"b{i}" for i in range(25))
+        rows = [(i, f"head {i} " + boiler) for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        raw = sorted(map(str, remove_duplicate_spans(df, "doc_id", "text", 20, hashed=False).collect()))
+        hsh = sorted(map(str, remove_duplicate_spans(df, "doc_id", "text", 20, hashed=True).collect()))
+        assert raw == hsh

@@ -3237,6 +3237,55 @@ def _q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_profile(_interleaved_spans(spark, sf_dir))
 
 
+def _q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival counts through the stacked quality gates — the funnel
+    readout a curation pipeline publishes (how many docs each rule
+    kills, cumulatively): all docs -> n-gram repetition rules -> Gopher
+    format battery -> target language. The gates are native columns;
+    the funnel is conditional aggregation (no second pass); the n-gram
+    gate reuses repetition_profile's single key-bounded groupBy. (A PII
+    stage would be the natural 4th gate but is vacuous on this corpus —
+    zero PII hits — so the registered funnel gates on lang instead.)"""
+    from reader_spark.ops.textstats import (
+        gopher_quality_columns,
+        repetition_profile,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    g = gopher_quality_columns(docs, "text")
+    r = repetition_profile(docs, "doc_id", "text", top_ns=(2, 3), dup_ns=(3,))
+    j = (
+        g.select("doc_id", "lang", "gopher_pass")
+        .join(r.select("doc_id", "rep_pass"), "doc_id")
+        .select(
+            "gopher_pass",
+            "rep_pass",
+            (F.col("lang") == "en").alias("lang_ok"),
+        )
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("rep_pass").cast("long")).alias("n1"),
+        F.sum((F.col("rep_pass") & F.col("gopher_pass")).cast("long")).alias(
+            "n2"
+        ),
+        F.sum(
+            (F.col("rep_pass") & F.col("gopher_pass") & F.col("lang_ok"))
+            .cast("long")
+        ).alias("n3"),
+    )
+    stages = F.array(
+        F.struct(F.lit(0).alias("stage_id"), F.lit("all_docs").alias("stage"), F.col("n0").alias("n_surviving")),
+        F.struct(F.lit(1).alias("stage_id"), F.lit("ngram_repetition").alias("stage"), F.col("n1").alias("n_surviving")),
+        F.struct(F.lit(2).alias("stage_id"), F.lit("gopher_rules").alias("stage"), F.col("n2").alias("n_surviving")),
+        F.struct(F.lit(3).alias("stage_id"), F.lit("target_lang_en").alias("stage"), F.col("n3").alias("n_surviving")),
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select("s.stage_id", "s.stage", F.col("s.n_surviving").cast("long").alias("n_surviving"))
+    )
+
+
 def _q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. substring dedup APPLIED (ops.substring.
     remove_duplicate_spans): every later occurrence of a >=20-token
@@ -4025,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": _q_span_corruption,
         "centroid_pr_curve": _q_centroid_pr_curve,
         "remove_duplicate_spans": _q_remove_duplicate_spans,
+        "quality_funnel": _q_quality_funnel,
     })
 
 

@@ -4466,6 +4466,86 @@ def _oracle_sql_entries() -> dict[str, str]:
                    coalesce(array_to_string(kept, ' '), '') AS clean_text
             FROM cut
         """,
+        "quality_funnel": """
+            WITH base AS (
+                SELECT doc_id, text, lang,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ),
+            gm AS (
+                SELECT doc_id, lang,
+                       (len(toks) >= 50 AND len(toks) <= 100000
+                        AND round(length(regexp_replace(text, '\\s', '', 'g'))
+                                  / greatest(len(toks), 1), 6) BETWEEN 3 AND 10
+                        AND round(len(list_filter(toks,
+                                  t -> regexp_matches(t, '[A-Za-z]')))
+                                  / greatest(len(toks), 1), 6) >= 0.8
+                        AND round(len(list_filter(lines,
+                                  l -> regexp_matches(trim(l), '^[-*•]')))
+                                  / greatest(len(lines), 1), 6) <= 0.9
+                        AND round(len(list_filter(lines,
+                                  l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                                  / greatest(len(lines), 1), 6) <= 0.3
+                        AND round(1.0 - len(list_distinct(lines))
+                                  / greatest(len(lines), 1), 6) <= 0.3
+                        AND round(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                                  / greatest(len(toks), 1), 6) <= 0.1
+                       ) AS gopher_pass
+                FROM base
+            ),
+            g AS (
+                SELECT doc_id, base.toks AS w,
+                       length(array_to_string(base.toks, ' '))::BIGINT AS total,
+                       n.n,
+                       array_to_string(base.toks[s.s:s.s+n.n-1], ' ') AS gram
+                FROM base, (VALUES (2), (3)) n(n),
+                     unnest(generate_series(1, len(base.toks) - n.n + 1)) s(s)
+            ),
+            c AS (
+                SELECT doc_id, total, n, gram, count(*) AS cnt
+                FROM g GROUP BY ALL
+            ),
+            rr AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                             ORDER BY cnt DESC, gram) AS rn
+                FROM c
+            ),
+            rep AS (
+                SELECT doc_id,
+                    (coalesce(max(CASE WHEN n=2 AND rn=1
+                                  THEN round(cnt*length(gram)/total, 6) END),
+                              0.0) <= 0.20
+                     AND coalesce(max(CASE WHEN n=3 AND rn=1
+                                  THEN round(cnt*length(gram)/total, 6) END),
+                              0.0) <= 0.18
+                     AND coalesce(round(sum(CASE WHEN n=3 AND cnt>=2
+                                        THEN cnt*length(gram) END)
+                                        / max(total), 6), 0.0) <= 1.0
+                    ) AS rep_pass
+                FROM rr GROUP BY doc_id
+            ),
+            j AS (
+                SELECT gm.gopher_pass,
+                       coalesce(rep.rep_pass, TRUE) AS rep_pass,
+                       gm.lang = 'en' AS lang_ok
+                FROM gm LEFT JOIN rep USING (doc_id)
+            ),
+            agg AS (
+                SELECT count(*)::BIGINT AS n0,
+                       CAST(sum(CASE WHEN rep_pass THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN rep_pass AND gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                       CAST(sum(CASE WHEN gopher_pass AND rep_pass AND lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n3
+                FROM j
+            )
+            SELECT 0 AS stage_id, 'all_docs' AS stage, n0 AS n_surviving FROM agg
+            UNION ALL
+            SELECT 1, 'ngram_repetition', n1 FROM agg
+            UNION ALL
+            SELECT 2, 'gopher_rules', n2 FROM agg
+            UNION ALL
+            SELECT 3, 'target_lang_en', n3 FROM agg
+        """,
     }
 
 

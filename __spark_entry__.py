@@ -3237,6 +3237,19 @@ def _q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_profile(_interleaved_spans(spark, sf_dir))
 
 
+def _q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation fidelity of the embedding space (ops.evals.
+    matryoshka_eval, Kusupati et al. 2022): cosine preserved at dims
+    8/16/32 of 64 over deterministic adjacent-id pairs — the readout for
+    shrinking the ANN index width. One equi-join + one groupBy; integer
+    nano-unit means with a +1 shift (Spark div truncates, DuckDB //
+    floors — identical only for non-negative sums)."""
+    from reader_spark.ops.evals import matryoshka_eval
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return matryoshka_eval(emb, "vec_id", "embedding", (8, 16, 32))
+
+
 def _q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survival counts through the stacked quality gates — the funnel
     readout a curation pipeline publishes (how many docs each rule
@@ -4075,6 +4088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_pr_curve": _q_centroid_pr_curve,
         "remove_duplicate_spans": _q_remove_duplicate_spans,
         "quality_funnel": _q_quality_funnel,
+        "matryoshka_eval": _q_matryoshka_eval,
     })
 
 

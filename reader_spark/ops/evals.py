@@ -75,3 +75,84 @@ def pr_curve(
             6,
         ).alias("f1"),
     )
+
+
+def matryoshka_eval(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_dims: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Matryoshka / prefix-truncation fidelity (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): how much cosine similarity
+    survives when vectors are cut to their first k dims — the readout
+    for choosing a cheaper ANN index width. Pairs are deterministic
+    adjacent ids (vec i vs i+1): one equi-join, no sampling RNG, n-1
+    pairs streaming through a groupBy — never an all-pairs product.
+
+    Returns one row per prefix dim: (prefix_dim, n_pairs, mean_cos_full,
+    mean_cos_prefix, mean_abs_diff). Means use integer nano-unit sums;
+    cosines can be negative, so the mean rides a +1 shift (values in
+    [0,2]) because Spark's `div` truncates toward zero while DuckDB's
+    `//` floors — identical only for non-negative sums."""
+    for k in prefix_dims:
+        if k < 1:
+            raise ValueError(f"prefix dims must be >= 1, got {k}")
+
+    def _dbl(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    def _cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+        nb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
+        return F.round(F.try_divide(dot, F.sqrt(na) * F.sqrt(nb)), 9)
+
+    emb = df.select(F.col(id_col).alias("__id"), _dbl(F.col(vec_col)).alias("__v"))
+    nxt = emb.select((F.col("__id") - 1).alias("__id"), F.col("__v").alias("__w"))
+    pairs = emb.join(nxt, "__id")
+    a, b = F.col("__v"), F.col("__w")
+    full = _cos(a, b)
+    per_k = pairs.select(
+        full.alias("__full"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        _cos(F.slice(a, 1, k), F.slice(b, 1, k)).alias("c"),
+                    )
+                    for k in prefix_dims
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.k").alias("prefix_dim"),
+        F.round((F.col("__full") + 1.0) * 1e9, 0).cast("long").alias("__uf"),
+        F.round((F.col("p.c") + 1.0) * 1e9, 0).cast("long").alias("__up"),
+        F.round(F.abs(F.col("p.c") - F.col("__full")) * 1e9, 0)
+        .cast("long")
+        .alias("__ud"),
+    )
+    g = per_k.groupBy("prefix_dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__uf").alias("__sf"),
+        F.sum("__up").alias("__sp"),
+        F.sum("__ud").alias("__sd"),
+    )
+
+    def _mean6(s, shift):
+        m = F.expr(f"({s} + (n_pairs * 1000) div 2) div (n_pairs * 1000)")
+        return m / F.lit(1e6) - F.lit(1.0 if shift else 0.0)
+
+    return g.select(
+        "prefix_dim",
+        "n_pairs",
+        _mean6("__sf", True).alias("mean_cos_full"),
+        _mean6("__sp", True).alias("mean_cos_prefix"),
+        _mean6("__sd", False).alias("mean_abs_diff"),
+    )

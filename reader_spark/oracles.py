@@ -4546,6 +4546,51 @@ def _oracle_sql_entries() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'target_lang_en', n3 FROM agg
         """,
+        "matryoshka_eval": """
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.v AS va, b.v AS vb
+                FROM emb a JOIN emb b ON b.vec_id = a.vec_id + 1
+            ),
+            ks AS (SELECT unnest([8, 16, 32]) AS k),
+            c AS (
+                SELECT ks.k AS prefix_dim,
+                    round(list_dot_product(va, vb)
+                          / (sqrt(list_dot_product(va, va))
+                             * sqrt(list_dot_product(vb, vb))), 9) AS cf,
+                    round(list_dot_product(va[1:ks.k], vb[1:ks.k])
+                          / (sqrt(list_dot_product(va[1:ks.k], va[1:ks.k]))
+                             * sqrt(list_dot_product(vb[1:ks.k], vb[1:ks.k]))),
+                          9) AS cp
+                FROM pairs, ks
+            ),
+            u AS (
+                SELECT prefix_dim,
+                       CAST(round((cf + 1.0) * 1e9) AS BIGINT) AS uf,
+                       CAST(round((cp + 1.0) * 1e9) AS BIGINT) AS up,
+                       CAST(round(abs(cp - cf) * 1e9) AS BIGINT) AS ud
+                FROM c
+            ),
+            g AS (
+                SELECT prefix_dim, count(*)::BIGINT AS n_pairs,
+                       CAST(sum(uf) AS BIGINT) AS sf,
+                       CAST(sum(up) AS BIGINT) AS sp,
+                       CAST(sum(ud) AS BIGINT) AS sd
+                FROM u GROUP BY 1
+            )
+            SELECT prefix_dim, n_pairs,
+                ((sf + (n_pairs*1000)//2) // (n_pairs*1000)) / 1000000.0 - 1.0
+                    AS mean_cos_full,
+                ((sp + (n_pairs*1000)//2) // (n_pairs*1000)) / 1000000.0 - 1.0
+                    AS mean_cos_prefix,
+                ((sd + (n_pairs*1000)//2) // (n_pairs*1000)) / 1000000.0
+                    AS mean_abs_diff
+            FROM g
+        """,
     }
 
 

@@ -3099,3 +3099,44 @@ class TestRemoveDuplicateSpans:
         raw = sorted(map(str, remove_duplicate_spans(df, "doc_id", "text", 20, hashed=False).collect()))
         hsh = sorted(map(str, remove_duplicate_spans(df, "doc_id", "text", 20, hashed=True).collect()))
         assert raw == hsh
+
+
+class TestMatryoshkaEval:
+    def test_identical_prefix_perfect_fidelity(self, spark):
+        from reader_spark.ops.evals import matryoshka_eval
+
+        # vectors whose first 4 dims carry ALL the signal: truncation to
+        # 4 dims must preserve cosine exactly (tail dims are zero)
+        rows = [(i, [float(i + 1), 1.0, 0.5, 2.0, 0.0, 0.0, 0.0, 0.0])
+                for i in range(6)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r.prefix_dim: r
+               for r in matryoshka_eval(df, prefix_dims=(4, 8)).collect()}
+        assert got[4].n_pairs == 5 and got[8].n_pairs == 5
+        assert got[4].mean_abs_diff == 0.0
+        assert got[4].mean_cos_prefix == got[4].mean_cos_full
+        assert got[8].mean_abs_diff == 0.0
+
+    def test_lossy_prefix_detected(self, spark):
+        from reader_spark.ops.evals import matryoshka_eval
+
+        # orthogonal in the first 2 dims, identical in the last 2:
+        # 2-dim prefix cosine is 0, full cosine is positive
+        rows = [
+            (0, [1.0, 0.0, 1.0, 1.0]),
+            (1, [0.0, 1.0, 1.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        r = {x.prefix_dim: x for x in matryoshka_eval(df, prefix_dims=(2,)).collect()}[2]
+        assert r.mean_cos_prefix == 0.0
+        assert r.mean_cos_full > 0.5
+        assert r.mean_abs_diff > 0.5
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.evals import matryoshka_eval
+
+        df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+        with _pytest.raises(ValueError, match="prefix"):
+            matryoshka_eval(df, prefix_dims=(0,))

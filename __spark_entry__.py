@@ -3237,6 +3237,45 @@ def _q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_profile(_interleaved_spans(spark, sf_dir))
 
 
+def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over decoded thumbnails (ops.multimodal.
+    phash_neardup): average-hash halves + lossless 4x16 band equi-join at
+    hamming <= 3. Fixture: the 64-dim embeddings stand in as 8x8 decoder
+    output, with planted re-encode twins (every 20th vector, dim-0
+    scaled 1.5x) — the oracle brute-forces all pairs, proving the banded
+    path lossless."""
+    from reader_spark.ops.multimodal import phash_neardup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    orig = F.transform("embedding", lambda x: x.cast("double"))
+    twin = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == 0, x.cast("double") * 1.5).otherwise(
+            x.cast("double")
+        ),
+    )
+    # conditional explode instead of a union: Spark 4's Union constraint
+    # rewrite trips over lambda-derived columns (key not found: thumb#N)
+    variants = F.when(
+        F.col("vec_id") % 20 == 0,
+        F.array(
+            F.struct(F.col("vec_id").alias("media_id"), orig.alias("thumb")),
+            F.struct(
+                (F.col("vec_id") + 100000).alias("media_id"),
+                twin.alias("thumb"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(F.col("vec_id").alias("media_id"), orig.alias("thumb"))
+        )
+    )
+    thumbs = emb.select(F.explode(variants).alias("v")).select(
+        "v.media_id", "v.thumb"
+    )
+    return phash_neardup(thumbs, "media_id", "thumb", max_hamming=3)
+
+
 def _q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-truncation fidelity of the embedding space (ops.evals.
     matryoshka_eval, Kusupati et al. 2022): cosine preserved at dims
@@ -4089,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans": _q_remove_duplicate_spans,
         "quality_funnel": _q_quality_funnel,
         "matryoshka_eval": _q_matryoshka_eval,
+        "media_phash_neardup": _q_media_phash_neardup,
     })
 
 

@@ -287,3 +287,102 @@ def interleave_profile(
         .alias("first_media_ord"),
         F.round(F.sum("__m") / F.count(F.lit(1)), 6).alias("media_ratio"),
     )
+
+
+def avg_hash_cols(pixels) -> "tuple[F.Column, F.Column]":
+    """64-bit average perceptual hash of a 64-element (8x8 row-major)
+    decoded-thumbnail array, as TWO 32-bit halves in longs — bit i is set
+    when pixel i exceeds the thumbnail mean. Halves avoid the sign games
+    of a packed 64-bit value (1<<63 overflows checked engines and
+    arithmetic shifts sign-extend). Sequential left-fold mean keeps the
+    threshold bit-identical across engines."""
+    n = F.size(pixels)
+    mu = F.aggregate(pixels, F.lit(0.0), lambda a, x: a + x) / n
+
+    def _half(lo_bit: int) -> F.Column:
+        # left fold acc*2 + bit builds the half MSB-first with no shift
+        # (F.shiftleft takes only a literal bit count)
+        return F.aggregate(
+            F.sequence(F.lit(lo_bit), F.lit(lo_bit + 31)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at(pixels, i + 1) > mu, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+
+    return _half(0), _half(32)
+
+
+def phash_neardup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    pixels_col: str = "thumb_8x8",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs over decoded thumbnails — the
+    post-decode half of image dedup (media_dedup catches byte-identical
+    copies; re-encoded/resized variants need a perceptual hash; cf.
+    average-hash/pHash practice in web-scale image pipelines). Input is
+    the 8x8 pixel array a real decoder emits (extract_image_features'
+    thumb_8x8 column).
+
+    Candidates come from a 4x16-bit band equi-join — LOSSLESS for
+    max_hamming <= 3 by pigeonhole (<=3 differing bits cannot touch all
+    4 bands) — then the exact hamming check keeps true pairs. No
+    all-pairs product anywhere; at 100 TB only (id, two longs) shuffle.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, one row per pair.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] (4x16 bands are lossless only "
+            f"there), got {max_hamming}"
+        )
+    hi, lo = avg_hash_cols(F.col(pixels_col))
+    hashes = media.select(
+        F.col(id_col).alias("__id"), hi.alias("__hi"), lo.alias("__lo")
+    )
+    bands = hashes.select(
+        "__id",
+        "__hi",
+        "__lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("bk"),
+                        F.shiftright(c, s).bitwiseAND(F.lit(65535)).alias("bv"),
+                    )
+                    for k, (c, s) in enumerate(
+                        [
+                            (F.col("__hi"), 16),
+                            (F.col("__hi"), 0),
+                            (F.col("__lo"), 16),
+                            (F.col("__lo"), 0),
+                        ]
+                    )
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__hi", "__lo", "b.bk", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            (
+                F.bit_count(F.col("a.__hi").bitwiseXOR(F.col("b.__hi")))
+                + F.bit_count(F.col("a.__lo").bitwiseXOR(F.col("b.__lo")))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand

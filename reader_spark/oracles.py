@@ -4591,6 +4591,38 @@ def _oracle_sql_entries() -> dict[str, str]:
                     AS mean_abs_diff
             FROM g
         """,
+        "media_phash_neardup": """
+            WITH src AS (
+                SELECT vec_id AS media_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS l
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                           (x, i) -> CASE WHEN i = 1 THEN x * 1.5 ELSE x END)
+                FROM embeddings WHERE vec_id % 20 = 0
+            ),
+            m AS (
+                SELECT media_id, l,
+                       list_reduce(l, (a, b) -> a + b) / len(l) AS mu
+                FROM src
+            ),
+            bits AS (
+                SELECT m.media_id,
+                    bit_or(CASE WHEN s.s < 32 AND m.l[s.s+1] > m.mu
+                           THEN (1::BIGINT << (31 - s.s)) ELSE 0 END) AS hi,
+                    bit_or(CASE WHEN s.s >= 32 AND m.l[s.s+1] > m.mu
+                           THEN (1::BIGINT << (63 - s.s)) ELSE 0 END) AS lo
+                FROM m, unnest(generate_series(0, 63)) s(s)
+                GROUP BY m.media_id
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(a.hi, b.hi))
+                        + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+            FROM bits a JOIN bits b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        """,
     }
 
 

@@ -3140,3 +3140,43 @@ class TestMatryoshkaEval:
         df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
         with _pytest.raises(ValueError, match="prefix"):
             matryoshka_eval(df, prefix_dims=(0,))
+
+
+class TestPhashNeardup:
+    def _media(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "media_id long, thumb_8x8 array<double>"
+        )
+
+    def test_finds_perturbed_twin_not_noise(self, spark):
+        from reader_spark.ops.multimodal import phash_neardup
+
+        base = [float((i * 37) % 19) for i in range(64)]
+        twin = list(base)
+        twin[5] += 0.6  # flips at most a couple of threshold bits
+        noise = [float((i * 53 + 7) % 23) for i in range(64)]
+        df = self._media(spark, [(1, base), (2, twin), (3, noise)])
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in phash_neardup(df, max_hamming=3).collect()}
+        assert (1, 2) in pairs
+        assert all(3 not in k for k in pairs)
+
+    def test_identical_thumbs_hamming_zero(self, spark):
+        from reader_spark.ops.multimodal import phash_neardup
+
+        px = [float(i % 9) for i in range(64)]
+        df = self._media(spark, [(1, px), (2, px)])
+        got = phash_neardup(df).collect()
+        assert len(got) == 1 and got[0].hamming == 0
+        # candidate join emits one row per shared band; output must be
+        # one row per pair
+        assert (got[0].id_a, got[0].id_b) == (1, 2)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.multimodal import phash_neardup
+
+        df = self._media(spark, [(1, [0.0] * 64)])
+        with _pytest.raises(ValueError, match="max_hamming"):
+            phash_neardup(df, max_hamming=9)

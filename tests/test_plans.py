@@ -515,3 +515,20 @@ def test_bigram_lm_no_cartesian_scalar_dim_broadcast(spark):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastExchange" in tree
+
+
+def test_phash_neardup_no_all_pairs(spark):
+    """Perceptual near-dup candidates come from the 4x16 band equi-join —
+    never a cartesian/nested-loop over media rows."""
+    from reader_spark.ops.multimodal import phash_neardup
+
+    media = spark.range(50).select(
+        F.col("id").alias("media_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.col("id") % 7 + i).cast("double"),
+        ).alias("thumb_8x8"),
+    )
+    tree = plan_of(phash_neardup(media)).split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree

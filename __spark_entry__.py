@@ -3681,7 +3681,11 @@ def _q_doc_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reader_spark.ops.vectorize import feature_hash_vectors
 
     docs = _read(spark, sf_dir, "documents")
-    vecs = feature_hash_vectors(docs, "doc_id", "text", dim=64)
+    # localCheckpoint: both join sides read the hashed vectors; without
+    # it the full vectorization (the dominant cost) runs once per side
+    vecs = feature_hash_vectors(docs, "doc_id", "text", dim=64).localCheckpoint(
+        eager=False
+    )
     return lsh_bucketed_topk_literal(
         vecs.where(F.col("doc_id") >= 4),
         vecs.where(F.col("doc_id") < 4),

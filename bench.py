@@ -104,6 +104,14 @@ BENCH_QUERIES = (
     "passage_chunks",
     "repetition_profile",
     "bigram_lm",
+    "remove_duplicate_spans",
+    "ccnet_buckets",
+    "span_corruption",
+    "multimodal_packing",
+    "media_phash_neardup",
+    "matryoshka_eval",
+    "quality_funnel",
+    "centroid_pr_curve",
     "media_dedup",
     "token_budget_mix",
     "leakage_safe_splits",

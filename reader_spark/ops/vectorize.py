@@ -32,6 +32,7 @@ def feature_hash_vectors(
     text_col: str = "text",
     dim: int = 64,
     normalize: bool = True,
+    fanout: int | None = None,
 ) -> DataFrame:
     """(id, vector array<double>): signed hashed bag-of-words.
 
@@ -39,7 +40,21 @@ def feature_hash_vectors(
     sign hash keeps the estimator unbiased — collisions cancel in
     expectation instead of accumulating). With normalize=True the vector
     is L2-unit (zero vectors stay zero), ready for cosine machinery.
+
+    fanout: the token explode amplifies per-row work ~2 md5/token, so a
+    small corpus read from one parquet file (scan partitions < cores)
+    starves the cluster at the hash stage. None (auto) repartitions to
+    defaultParallelism ONLY in that case — the pre-explode rows are tiny
+    relative to the hash work, and at real scale the scan already carries
+    more partitions than cores so auto is a no-op (no extra shuffle).
+    0 disables; any positive int forces that width. Values are exact
+    integer counts, so partitioning never changes the result.
     """
+    if fanout is None:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        fanout = cores if df.rdd.getNumPartitions() < cores else 0
+    if fanout:
+        df = df.repartition(fanout)
     toks = df.select(
         F.col(id_col),
         F.explode(

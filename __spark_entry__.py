@@ -3886,6 +3886,9 @@ _DRIVER_WINDOW = [
     # -- extraction / media flagships never in a window
     "span_kinds_full",
     "media_sniff",
+    "media_phash_neardup",
+    "multimodal_packing",
+    "remove_duplicate_spans",
     # -- curation / training-data pipeline
     "dsir_weights",
     "quality_logit",
@@ -3895,6 +3898,9 @@ _DRIVER_WINDOW = [
     "sequence_packing_sharded",
     "packing_stats",
     "quality_token_pyramid",
+    "quality_funnel",
+    "bigram_lm",
+    "span_corruption",
     "source_vocab_kl",
     "corpus_scorecard",
     "readability_scores",
@@ -3923,8 +3929,6 @@ _DRIVER_WINDOW = [
     "value_psi_drift",
     "fk_audit",
     "ab_test_proportions",
-    "value_quantile_norm",
-    "value_outliers",
     # -- sharding / sampling / admission
     "rendezvous_shards",
     "rate_limit_admission",
@@ -3934,13 +3938,9 @@ _DRIVER_WINDOW = [
     "cohort_retention",
     "event_transitions",
     "events_sliding_windows",
-    "twap_user_value",
     "top_event_paths",
     "user_burstiness",
-    "user_entropy",
     "scd2_user_state",
-    "price_histogram",
-    "revenue_gini",
     # -- sources
     "jsonl_ingest",
 ]

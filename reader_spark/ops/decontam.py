@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reader_spark.spark.fanout import fanout_scan
+
 from reader_spark.ops.dedup import shingles
 
 
@@ -57,7 +59,7 @@ def contamination_flags(
             out = out.select(id_, F.xxhash64("gram").alias("gram"))
         return out
 
-    doc_grams = grams(docs, doc_id, F.col(doc_text))
+    doc_grams = grams(fanout_scan(docs), doc_id, F.col(doc_text))
     bench_grams = grams(benchmark, bench_id, F.col(bench_text)).dropDuplicates()
 
     return (

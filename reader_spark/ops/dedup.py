@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reader_spark.spark.fanout import fanout_scan
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups: hash-groupBy on content (J2-style dedup).
@@ -74,7 +76,7 @@ def ngram_jaccard_pairs(
     worst case — use minhash_lsh_candidates at scale; this is the oracle-able
     exact form.
     """
-    sh = df.select(
+    sh = fanout_scan(df).select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
     )
     sizes = sh.select("doc", F.size("sh").alias("n_sh"))
@@ -108,7 +110,7 @@ def minhash_signatures(
     One explode + one groupBy (k aggregates run as a single map-side-combined
     shuffle) — no per-row Python.
     """
-    exploded = df.select(
+    exploded = fanout_scan(df).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -315,7 +317,7 @@ def simhash(
         if portable
         else F.xxhash64("token")
     )
-    tokens = df.select(
+    tokens = fanout_scan(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     ).withColumn("th", token_hash)
@@ -570,7 +572,7 @@ def _minhash_banded_portable(
             f"bands*rows_per_band ({bands}*{rows_per_band}) must equal "
             f"num_hashes ({num_hashes})"
         )
-    exploded = df.select(
+    exploded = fanout_scan(df).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -630,7 +632,7 @@ def build_band_index(
             f"bands*rows_per_band ({bands}*{rows_per_band}) must equal "
             f"num_hashes ({num_hashes})"
         )
-    sets = df.select(
+    sets = fanout_scan(df).select(
         F.col(id_col).alias("doc"),
         shingles(F.col(text_col), n).alias("shingle_set"),
     )
@@ -848,7 +850,7 @@ def similarity_join_prefix(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
 
-    sets = df.select(
+    sets = fanout_scan(df).select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
     )
     toks = sets.select("doc", F.explode("sh").alias("tok"))
@@ -914,7 +916,7 @@ def containment_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sets = df.select(
+    sets = fanout_scan(df).select(
         F.col(id_col).alias("doc"),
         shingles(F.col(text_col), n).alias("sh"),
     )
@@ -969,7 +971,7 @@ def novelty_scores(
     one equi-join back on shingle scores all docs. No pairing of docs at
     any point — cost is linear in corpus shingles, unlike pairwise dedup.
     """
-    sets = df.select(
+    sets = fanout_scan(df).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reader_spark.spark.fanout import fanout_scan
+
 from reader_spark.ops.ann import ivf_assign
 
 __all__ = ["semdedup", "semdedup_summary"]
@@ -47,7 +49,9 @@ def semdedup(
     At scale: write `ivf_assign`'s output partitioned by cell once, and the
     self-join becomes a co-partitioned join with no re-shuffle of the fact.
     """
-    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(
+        fanout_scan(embeddings), centroids, id_col=id_col, vec_col=vec_col
+    )
     # Norms are computed ONCE per vector before the pair join (cosine_col
     # would recompute both norms per PAIR — 3x the flops on the join's
     # quadratic term; measured ~2x wall on the bench corpus).

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from reader_spark.spark.fanout import fanout_scan
+
 
 def positional_windows(
     docs: DataFrame,
@@ -57,7 +59,7 @@ def positional_windows(
         lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(length)]),
     )
     windows = F.slice(joined, 1, F.greatest(k, F.lit(0)))
-    out = docs.select(
+    out = fanout_scan(docs).select(
         F.col(id_col),
         F.posexplode(windows).alias("pos0", "gram"),
     ).select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "gram")

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reader_spark.spark.fanout import fanout_scan
+
 from ..functions.text import LANG_STOPWORDS
 
 
@@ -608,7 +610,7 @@ def repetition_profile(
         if n < 2:
             raise ValueError(f"n-gram sizes must be >= 2, got {n}")
     words = tokens_col(F.col(text_col))
-    base = df.select(
+    base = fanout_scan(df).select(
         F.col(id_col),
         words.alias("__w"),
         F.length(F.concat_ws(" ", words)).cast("long").alias("__total"),

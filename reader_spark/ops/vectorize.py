@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reader_spark.spark.fanout import fanout_scan
+
 __all__ = ["feature_hash_vectors"]
 
 
@@ -50,11 +52,7 @@ def feature_hash_vectors(
     0 disables; any positive int forces that width. Values are exact
     integer counts, so partitioning never changes the result.
     """
-    if fanout is None:
-        cores = df.sparkSession.sparkContext.defaultParallelism
-        fanout = cores if df.rdd.getNumPartitions() < cores else 0
-    if fanout:
-        df = df.repartition(fanout)
+    df = fanout_scan(df, fanout)
     toks = df.select(
         F.col(id_col),
         F.explode(

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from reader_spark.spark.fanout import fanout_scan
+
 __all__ = ["positional_shingles", "winnow_fingerprints"]
 
 _POS_FIELD = 1 << 20
@@ -49,7 +51,9 @@ def positional_shingles(
     grams = F.when(n_grams > 0, F.slice(joined, 1, n_grams)).otherwise(
         F.array(F.concat_ws(" ", words))
     )
-    return df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    return fanout_scan(df).select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
 
 
 def winnow_fingerprints(

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_CONFIG, ExtractorConfig
 from ..extract.pipeline import extract_document
 from ..fixtures import BASE_URL_PREFIX
+from .fanout import fanout_scan
 from .schemas import DOCS_SCHEMA, EXTRACTED_SCHEMA, LINEAGE_SCHEMA
 
 # mapInPandas output: extraction result + per-row partition metrics
@@ -191,6 +192,14 @@ def extract_dataframe(
         )
     if num_partitions:
         payloads = payloads.repartition(num_partitions, "doc_id")
+    else:
+        # Scan-starved guard: the per-doc Python extraction amplifies
+        # per-row cost by orders of magnitude over the scan, so a small
+        # corpus read from one parquet file (scan partitions < cores —
+        # row-group granularity caps file splits) would pin most cores
+        # idle. No-op whenever the scan already carries >= cores
+        # partitions, i.e. always at production scale.
+        payloads = fanout_scan(payloads)
     return payloads.mapInPandas(udf, schema=_UDF_SCHEMA)
 
 

@@ -388,3 +388,52 @@ def test_compact_job_merges_and_range_clusters(tmp_path, spark):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint -> footer stats prune whole files
+
+
+def test_extract_job_via_spark_submit_pyfiles(docs_path, tmp_path):
+    """The north-rule launch shape, proven for real: spark-submit
+    --py-files reader_spark.zip from OUTSIDE the repo checkout. The job
+    script is copied to a bare temp dir (so its repo-root sys.path
+    fallback points at nothing) and PYTHONPATH is scrubbed — every
+    `import reader_spark`, driver and executor side, must resolve from
+    the shipped zip or the job dies with ModuleNotFoundError."""
+    import shutil
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    from scripts.make_pyfiles_zip import build
+
+    zip_path = build(str(tmp_path / "reader_spark.zip"))
+    outside = tmp_path / "outside"
+    outside.mkdir()
+    job_copy = str(outside / "extract_job.py")
+    shutil.copy(os.path.join(REPO, "jobs", "extract_job.py"), job_copy)
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_GRAFT_CPUS")
+    }
+    wh = str(tmp_path / "wh")
+    r = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--py-files", zip_path,
+            job_copy,
+            "--input", docs_path,
+            "--warehouse", wh,
+            "--run-id", "pyfiles1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=str(outside),
+        env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-1500:])
+    metrics = json.loads(r.stdout.strip().splitlines()[-1])
+    assert metrics["failedDocs"] == 0
+    assert metrics["successfulDocs"] == metrics["totalDocs"] > 0

@@ -3125,6 +3125,52 @@ def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup(thumbs, "media_id", "thumb", max_hamming=3)
 
 
+def _q_audio_hk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over decoded band-energy frames (ops.audio.
+    audio_neardup, Haitsma-Kalker ISMIR'02 fingerprint): sign-of-energy-
+    difference bits -> per-frame hashes -> lossless pigeonhole band join
+    at <=1 mismatching frame-hash. Fixture: the 64-dim embeddings stand in
+    as 8 frames x 8 bands of decoder output, with planted re-encode twins
+    (every 25th clip, E(0,0) shifted +7.5 — touches only frame-hash 0, so
+    a twin is always within tolerance). The oracle brute-forces all pairs,
+    proving the banded candidate path lossless."""
+    from reader_spark.ops.audio import audio_neardup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == 0, x.cast("double") + 7.5).otherwise(
+            x.cast("double")
+        ),
+    )
+    variants = F.when(
+        F.col("vec_id") % 25 == 0,
+        F.array(
+            F.struct(F.col("vec_id").alias("media_id"), as_double.alias("e")),
+            F.struct(
+                (F.col("vec_id") + 100000).alias("media_id"),
+                perturbed.alias("e"),
+            ),
+        ),
+    ).otherwise(
+        F.array(F.struct(F.col("vec_id").alias("media_id"), as_double.alias("e")))
+    )
+    clips = emb.select(F.explode(variants).alias("v")).select(
+        "v.media_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda f: F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda b: F.element_at(F.col("v.e"), (f * 8 + b + 1).cast("int")),
+            ),
+        ).alias("frames"),
+    )
+    return audio_neardup(
+        clips, "media_id", "frames", n_frames=8, n_bands=8, max_mismatch=1
+    )
+
+
 def _q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-truncation fidelity of the embedding space (ops.evals.
     matryoshka_eval, Kusupati et al. 2022): cosine preserved at dims
@@ -3984,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": _q_quality_funnel,
         "matryoshka_eval": _q_matryoshka_eval,
         "media_phash_neardup": _q_media_phash_neardup,
+        "audio_hk_neardup": _q_audio_hk_neardup,
     })
 
 

@@ -4623,6 +4623,56 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM bits a JOIN bits b ON a.media_id < b.media_id
             WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         """,
+        # brute-force all-pairs twin of the banded Spark path: Haitsma-
+        # Kalker bits are signs of double add/sub chains, IEEE-identical
+        # across engines; equality of the oracle with the banded join is
+        # the losslessness proof
+        "audio_hk_neardup": """
+            WITH src AS (
+                SELECT vec_id AS media_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                           (x, i) -> CASE WHEN i = 1 THEN x + 7.5 ELSE x END)
+                FROM embeddings WHERE vec_id % 25 = 0
+            ),
+            cells AS (
+                SELECT media_id, f.f, b.b,
+                       CASE WHEN e[f.f*8 + b.b + 1] - e[f.f*8 + b.b]
+                                 - e[(f.f-1)*8 + b.b + 1] + e[(f.f-1)*8 + b.b]
+                                 > 0
+                            THEN 1 ELSE 0 END AS bit
+                FROM src,
+                     unnest(generate_series(1, 7)) f(f),
+                     unnest(generate_series(1, 7)) b(b)
+            ),
+            fh AS (
+                SELECT media_id, f,
+                       CAST(SUM(bit * (1::BIGINT << (7 - b))) AS BIGINT) AS h
+                FROM cells GROUP BY media_id, f
+            ),
+            fp AS (
+                SELECT media_id, list(h ORDER BY f) AS fp
+                FROM fh GROUP BY media_id
+            ),
+            scored AS (
+                SELECT a.media_id AS id_a, b.media_id AS id_b,
+                       (CASE WHEN a.fp[1] <> b.fp[1] THEN 1 ELSE 0 END
+                      + CASE WHEN a.fp[2] <> b.fp[2] THEN 1 ELSE 0 END
+                      + CASE WHEN a.fp[3] <> b.fp[3] THEN 1 ELSE 0 END
+                      + CASE WHEN a.fp[4] <> b.fp[4] THEN 1 ELSE 0 END
+                      + CASE WHEN a.fp[5] <> b.fp[5] THEN 1 ELSE 0 END
+                      + CASE WHEN a.fp[6] <> b.fp[6] THEN 1 ELSE 0 END
+                      + CASE WHEN a.fp[7] <> b.fp[7] THEN 1 ELSE 0 END
+                       ) AS n_mismatch
+                FROM fp a JOIN fp b ON a.media_id < b.media_id
+            )
+            SELECT id_a, id_b, CAST(n_mismatch AS INTEGER) AS n_mismatch
+            FROM scored WHERE n_mismatch <= 1
+        """,
     }
 
 

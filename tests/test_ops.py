@@ -3180,3 +3180,106 @@ class TestPhashNeardup:
         df = self._media(spark, [(1, [0.0] * 64)])
         with _pytest.raises(ValueError, match="max_hamming"):
             phash_neardup(df, max_hamming=9)
+
+
+class TestAudioNeardup:
+    N_FRAMES, N_BANDS = 8, 8
+
+    def _energy(self, seed: int) -> list[list[float]]:
+        # deterministic varied energies; no two adjacent cells equal, so
+        # every HK difference has a definite sign
+        return [
+            [float((seed * 7 + f * 13 + b * 29) % 17) - 8.0
+             for b in range(self.N_BANDS)]
+            for f in range(self.N_FRAMES)
+        ]
+
+    def _clips(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "media_id long, frames array<array<double>>"
+        )
+
+    def _fp(self, frames: list[list[float]]) -> list[int]:
+        # reference Haitsma-Kalker fingerprint, independent implementation
+        out = []
+        for f in range(1, self.N_FRAMES):
+            h = 0
+            for b in range(1, self.N_BANDS):
+                d = (frames[f][b] - frames[f][b - 1]
+                     - frames[f - 1][b] + frames[f - 1][b - 1])
+                h = h * 2 + (1 if d > 0 else 0)
+            out.append(h)
+        return out
+
+    def test_matches_reference_fingerprint(self, spark):
+        from reader_spark.ops.audio import hk_fingerprint
+        from pyspark.sql import functions as F
+
+        frames = self._energy(3)
+        df = self._clips(spark, [(1, frames)])
+        got = df.select(
+            hk_fingerprint(F.col("frames"), 8, 8).alias("fp")
+        ).head().fp
+        assert got == self._fp(frames)
+
+    def test_finds_perturbed_twin_not_noise(self, spark):
+        from reader_spark.ops.audio import audio_neardup
+
+        base = self._energy(1)
+        twin = [row[:] for row in base]
+        twin[0][0] += 50.0  # E(0,0) touches only bit(1,1) -> <=1 frame-hash
+        noise = self._energy(2)
+        df = self._clips(spark, [(1, base), (2, twin), (3, noise)])
+        pairs = {(r.id_a, r.id_b): r.n_mismatch
+                 for r in audio_neardup(df, max_mismatch=1).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] <= 1
+        assert all(3 not in k for k in pairs)
+
+    def test_identical_clips_zero_mismatch(self, spark):
+        from reader_spark.ops.audio import audio_neardup
+
+        frames = self._energy(5)
+        df = self._clips(spark, [(1, frames), (2, frames)])
+        got = audio_neardup(df).collect()
+        # one row per pair even though both pigeonhole bands match
+        assert len(got) == 1
+        assert (got[0].id_a, got[0].id_b, got[0].n_mismatch) == (1, 2, 0)
+
+    def test_banding_lossless_vs_bruteforce(self, spark):
+        from reader_spark.ops.audio import audio_neardup
+
+        rows = []
+        for i in range(12):
+            frames = self._energy(i)
+            rows.append((i, frames))
+            if i % 3 == 0:  # plant a twin differing in <=2 frame-hashes
+                t = [row[:] for row in frames]
+                t[0][0] += 40.0   # frame-hash 0
+                t[7][7] += 40.0   # frame-hash 6
+                rows.append((i + 1000, t))
+        expected = set()
+        fps = {mid: self._fp(fr) for mid, fr in rows}
+        for a in fps:
+            for b in fps:
+                if a < b:
+                    mm = sum(x != y for x, y in zip(fps[a], fps[b]))
+                    if mm <= 2:
+                        expected.add((a, b, mm))
+        got = {(r.id_a, r.id_b, r.n_mismatch)
+               for r in audio_neardup(
+                   self._clips(spark, rows), max_mismatch=2
+               ).collect()}
+        assert got == expected
+        assert expected  # the fixture must actually plant pairs
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.audio import audio_neardup, hk_fingerprint
+        from pyspark.sql import functions as F
+
+        df = self._clips(spark, [(1, self._energy(0))])
+        with _pytest.raises(ValueError, match="max_mismatch"):
+            audio_neardup(df, max_mismatch=7)
+        with _pytest.raises(ValueError, match="n_frames"):
+            hk_fingerprint(F.col("frames"), 1, 8)

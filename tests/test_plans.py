@@ -532,3 +532,25 @@ def test_phash_neardup_no_all_pairs(spark):
     tree = plan_of(phash_neardup(media)).split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_audio_neardup_no_all_pairs(spark):
+    """Audio fingerprint near-dup candidates come from the pigeonhole
+    (band_id, band_value) equi-join — never a cartesian/nested-loop over
+    clips, and fingerprinting itself stays JVM-side (no Python eval)."""
+    from reader_spark.ops.audio import audio_neardup
+
+    clips = spark.range(50).select(
+        F.col("id").alias("media_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda f: F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda b: (F.col("id") % 5 + f * 3 + b).cast("double"),
+            ),
+        ).alias("frames"),
+    )
+    tree = plan_of(audio_neardup(clips)).split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree

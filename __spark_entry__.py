@@ -3125,6 +3125,68 @@ def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup(thumbs, "media_id", "thumb", max_hamming=3)
 
 
+def _q_interleaved_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level PII redaction on interleaved documents (ops.multimodal.
+    redact_spans): prose spans are masked in place (<EMAIL>/<IP>/<PHONE>),
+    image spans and span order pass through byte-identical — the array is
+    never exploded inside the op (pure per-row transform, no shuffle).
+    Fixture: corpus docs assembled into heading/[hero image]/text span
+    arrays with planted email+IP in the text span."""
+    from reader_spark.ops.multimodal import redact_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), d, F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".9 now"),
+    )
+    nul = F.lit(None).cast("string")
+    head = F.struct(
+        F.lit("heading").alias("kind"),
+        F.concat(F.lit("Doc "), d).alias("text"),
+        nul.alias("media_ref"), F.lit(0).alias("offset"),
+    )
+    img = F.struct(
+        F.lit("image").alias("kind"), nul.alias("text"),
+        F.concat(F.lit("https://img.test/"), d, F.lit("/hero.png")).alias(
+            "media_ref"
+        ),
+        F.lit(0).alias("offset"),
+    )
+    body = F.struct(
+        F.lit("text").alias("kind"), planted.alias("text"),
+        nul.alias("media_ref"), F.lit(0).alias("offset"),
+    )
+    # typed empty array via zero-length slice (F.array() is untyped)
+    maybe_img = F.when(F.col("doc_id") % 3 == 0, F.array(img)).otherwise(
+        F.slice(F.array(img), 1, 0)
+    )
+    spans = F.transform(  # dense offsets after assembly
+        F.concat(F.array(head), maybe_img, F.array(body)),
+        lambda s, i: F.struct(
+            s.getField("kind").alias("kind"),
+            s.getField("text").alias("text"),
+            s.getField("media_ref").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    assembled = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), spans.alias("spans")
+    )
+    return (
+        redact_spans(assembled)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("ord"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
 def _q_audio_hk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs over decoded band-energy frames (ops.audio.
     audio_neardup, Haitsma-Kalker ISMIR'02 fingerprint): sign-of-energy-
@@ -3779,11 +3841,16 @@ _DRIVER_WINDOW = [
     # in: kmv_distinct (kmv_jaccard), winnow_fingerprints (winnow_pairs),
     # feature_hash_vectors + doc_sim_topk (doc_sim_topk_bucketed),
     # hard_negatives (hard_negatives_bucketed), hll_distinct (HLL family
-    # driver-green r3), term_pmi (textstats family driver-green r1).
+    # driver-green r3), term_pmi (textstats family driver-green r1);
+    # ab_test_proportions and events_sliding_windows yielded their slots to
+    # audio_hk_neardup + interleaved_pii_redact (new this round) — both
+    # stay green in the local gate sweep.
     # -- extraction / media flagships never in a window
     "span_kinds_full",
     "media_sniff",
     "media_phash_neardup",
+    "audio_hk_neardup",
+    "interleaved_pii_redact",
     "multimodal_packing",
     "remove_duplicate_spans",
     # -- curation / training-data pipeline
@@ -3825,7 +3892,6 @@ _DRIVER_WINDOW = [
     "value_ks_drift",
     "value_psi_drift",
     "fk_audit",
-    "ab_test_proportions",
     # -- sharding / sampling / admission
     "rendezvous_shards",
     "rate_limit_admission",
@@ -3834,7 +3900,6 @@ _DRIVER_WINDOW = [
     "funnel_conversion",
     "cohort_retention",
     "event_transitions",
-    "events_sliding_windows",
     "top_event_paths",
     "user_burstiness",
     "scd2_user_state",
@@ -4031,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_eval": _q_matryoshka_eval,
         "media_phash_neardup": _q_media_phash_neardup,
         "audio_hk_neardup": _q_audio_hk_neardup,
+        "interleaved_pii_redact": _q_interleaved_pii_redact,
     })
 
 

@@ -109,6 +109,8 @@ BENCH_QUERIES = (
     "span_corruption",
     "multimodal_packing",
     "media_phash_neardup",
+    "audio_hk_neardup",
+    "interleaved_pii_redact",
     "matryoshka_eval",
     "quality_funnel",
     "centroid_pr_curve",

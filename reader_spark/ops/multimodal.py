@@ -386,3 +386,49 @@ def phash_neardup(
         .distinct()
     )
     return cand
+
+
+def redact_spans(
+    docs: DataFrame,
+    spans_col: str = "spans",
+    kinds: tuple = ("text", "heading", "list", "blockquote"),
+    kind_field: str = "kind",
+    text_field: str = "text",
+) -> DataFrame:
+    """PII-redact the prose spans of interleaved documents IN PLACE: the
+    span array keeps its exact length, order, and every non-text field
+    (media_ref, offset/order), only the text of spans whose kind is in
+    `kinds` is rewritten through textstats.mask_pii_col (<EMAIL>/<IP>/
+    <PHONE>). Media/code spans pass through byte-identical, so
+    span-sequence equality with the reference is preserved for everything
+    the redaction doesn't own.
+
+    Scale shape: a pure per-row transform over array<struct> — no explode,
+    no shuffle, no Python; at 100 TB this rewrites the payload column
+    during the scan it rides on. Schema-generic: the struct fields are
+    read from the DataFrame schema, so it works on both the input span
+    shape (offset) and the extracted shape (order).
+    """
+    from reader_spark.ops.textstats import mask_pii_col
+
+    span_type = docs.schema[spans_col].dataType.elementType
+    names = [f.name for f in span_type.fields]
+    if kind_field not in names or text_field not in names:
+        raise ValueError(
+            f"span struct {names} lacks {kind_field!r}/{text_field!r}"
+        )
+
+    def rebuild(s):
+        cols = []
+        for name in names:
+            c = s.getField(name)
+            if name == text_field:
+                c = F.when(
+                    s.getField(kind_field).isin(*kinds), mask_pii_col(c)
+                ).otherwise(c)
+            cols.append(c.alias(name))
+        return F.struct(*cols)
+
+    return docs.withColumn(
+        spans_col, F.transform(F.col(spans_col), rebuild)
+    )

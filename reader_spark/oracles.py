@@ -4673,6 +4673,40 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT id_a, id_b, CAST(n_mismatch AS INTEGER) AS n_mismatch
             FROM scored WHERE n_mismatch <= 1
         """,
+        "interleaved_pii_redact": """
+            WITH base AS (
+                SELECT doc_id,
+                       text || ' Contact user' || doc_id
+                            || '@example.com from 10.0.'
+                            || (doc_id % 256) || '.9 now' AS planted
+                FROM documents
+            ),
+            spans AS (
+                SELECT doc_id, 0 AS ord, 'heading' AS kind,
+                       'Doc ' || doc_id AS text,
+                       CAST(NULL AS VARCHAR) AS media_ref
+                FROM base
+                UNION ALL
+                SELECT doc_id, 1, 'image', CAST(NULL AS VARCHAR),
+                       'https://img.test/' || doc_id || '/hero.png'
+                FROM base WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END, 'text',
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(planted,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                   '<EMAIL>', 'g'),
+                               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                               '<IP>', 'g'),
+                           '\\+[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g'),
+                       CAST(NULL AS VARCHAR)
+                FROM base
+            )
+            SELECT doc_id, CAST(ord AS INTEGER) AS ord, kind, text, media_ref
+            FROM spans
+        """,
     }
 
 

@@ -3283,3 +3283,60 @@ class TestAudioNeardup:
             audio_neardup(df, max_mismatch=7)
         with _pytest.raises(ValueError, match="n_frames"):
             hk_fingerprint(F.col("frames"), 1, 8)
+
+
+class TestRedactSpans:
+    def _docs(self, spark):
+        rows = [
+            (
+                "d1",
+                [
+                    ("heading", "Reach me", None, 0),
+                    ("image", None, "https://x.test/a.png", 1),
+                    ("text", "mail bob@corp.example or 10.1.2.3 ok", None, 2),
+                    ("code", "admin@internal.example # untouched", None, 3),
+                ],
+            ),
+            ("d2", []),
+            ("d3", None),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+
+    def test_masks_prose_only_preserves_shape(self, spark):
+        from reader_spark.ops.multimodal import redact_spans
+
+        out = {r.doc_id: r.spans for r in redact_spans(self._docs(spark)).collect()}
+        spans = out["d1"]
+        assert [s.kind for s in spans] == ["heading", "image", "text", "code"]
+        assert [s.offset for s in spans] == [0, 1, 2, 3]
+        assert spans[1].media_ref == "https://x.test/a.png"
+        assert spans[2].text == "mail <EMAIL> or <IP> ok"
+        # code kind is not in the default prose set -> byte-identical
+        assert spans[3].text == "admin@internal.example # untouched"
+        assert out["d2"] == [] and out["d3"] is None
+
+    def test_schema_generic_order_field(self, spark):
+        from reader_spark.ops.multimodal import redact_spans
+
+        df = spark.createDataFrame(
+            [("d1", [("text", "a@b.co", None, 7)])],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,order:int>>",
+        )
+        s = redact_spans(df).head().spans[0]
+        assert (s.text, s.order) == ("<EMAIL>", 7)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.multimodal import redact_spans
+
+        df = spark.createDataFrame(
+            [("d1", [("x",)])], "doc_id string, spans array<struct<k:string>>"
+        )
+        with _pytest.raises(ValueError, match="lacks"):
+            redact_spans(df)

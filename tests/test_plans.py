@@ -554,3 +554,25 @@ def test_audio_neardup_no_all_pairs(spark):
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
+
+
+def test_redact_spans_is_scan_bound(spark):
+    """Span-level PII redaction is a pure per-row rewrite of the payload
+    array: no shuffle, no explode-side Exchange, no Python eval — it rides
+    the scan it's applied to."""
+    from reader_spark.ops.multimodal import redact_spans
+
+    docs = spark.range(20).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.lit("a@b.co").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    plan = plan_of(redact_spans(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -3125,6 +3125,74 @@ def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup(thumbs, "media_id", "thumb", max_hamming=3)
 
 
+def _q_span_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level site-furniture removal on interleaved documents
+    (ops.lines.boilerplate_spans -> strip_boilerplate_spans): a planted
+    per-domain subscription span sits in 100% of each source's docs, the
+    detector flags it at min_frac=0.5, the strip deletes it, keeps every
+    media span, and re-densifies span order. The oracle states the exact
+    expected surviving span sequence — detection, deletion, and
+    renumbering are all value-checked at corpus scale."""
+    from reader_spark.ops.lines import boilerplate_spans, strip_boilerplate_spans
+
+    raw = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    nul = F.lit(None).cast("string")
+    head = F.struct(
+        F.lit("heading").alias("kind"),
+        F.concat(F.lit("Doc "), d).alias("text"),
+        nul.alias("media_ref"), F.lit(0).alias("order"),
+    )
+    boil = F.struct(
+        F.lit("text").alias("kind"),
+        F.concat(
+            F.lit("Subscribe to the "), F.col("source"),
+            F.lit(" weekly digest"),
+        ).alias("text"),
+        nul.alias("media_ref"), F.lit(0).alias("order"),
+    )
+    img = F.struct(
+        F.lit("image").alias("kind"), nul.alias("text"),
+        F.concat(F.lit("https://img.test/"), d, F.lit("/x.png")).alias(
+            "media_ref"
+        ),
+        F.lit(0).alias("order"),
+    )
+    body = F.struct(
+        F.lit("text").alias("kind"), F.col("text").alias("text"),
+        nul.alias("media_ref"), F.lit(0).alias("order"),
+    )
+    maybe_img = F.when(F.col("doc_id") % 3 == 0, F.array(img)).otherwise(
+        F.slice(F.array(img), 1, 0)
+    )
+    spans = F.transform(
+        F.concat(F.array(head, boil), maybe_img, F.array(body)),
+        lambda s, i: F.struct(
+            s.getField("kind").alias("kind"),
+            s.getField("text").alias("text"),
+            s.getField("media_ref").alias("media_ref"),
+            i.cast("int").alias("order"),
+        ),
+    )
+    docs = raw.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        spans.alias("spans"),
+    )
+    boiler = boilerplate_spans(docs, domain_col="source", min_frac=0.5)
+    stripped = strip_boilerplate_spans(docs, boiler, domain_col="source")
+    return (
+        stripped.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.order").alias("ord"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
 def _q_interleaved_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level PII redaction on interleaved documents (ops.multimodal.
     redact_spans): prose spans are masked in place (<EMAIL>/<IP>/<PHONE>),
@@ -3842,15 +3910,17 @@ _DRIVER_WINDOW = [
     # feature_hash_vectors + doc_sim_topk (doc_sim_topk_bucketed),
     # hard_negatives (hard_negatives_bucketed), hll_distinct (HLL family
     # driver-green r3), term_pmi (textstats family driver-green r1);
-    # ab_test_proportions and events_sliding_windows yielded their slots to
-    # audio_hk_neardup + interleaved_pii_redact (new this round) — both
-    # stay green in the local gate sweep.
+    # ab_test_proportions, events_sliding_windows and user_burstiness
+    # yielded their slots to audio_hk_neardup + interleaved_pii_redact +
+    # span_boilerplate_strip (new this round) — all three stay green in
+    # the local gate sweep.
     # -- extraction / media flagships never in a window
     "span_kinds_full",
     "media_sniff",
     "media_phash_neardup",
     "audio_hk_neardup",
     "interleaved_pii_redact",
+    "span_boilerplate_strip",
     "multimodal_packing",
     "remove_duplicate_spans",
     # -- curation / training-data pipeline
@@ -3901,7 +3971,6 @@ _DRIVER_WINDOW = [
     "cohort_retention",
     "event_transitions",
     "top_event_paths",
-    "user_burstiness",
     "scd2_user_state",
     # -- sources
     "jsonl_ingest",
@@ -4097,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_neardup": _q_media_phash_neardup,
         "audio_hk_neardup": _q_audio_hk_neardup,
         "interleaved_pii_redact": _q_interleaved_pii_redact,
+        "span_boilerplate_strip": _q_span_boilerplate_strip,
     })
 
 

@@ -111,6 +111,7 @@ BENCH_QUERIES = (
     "media_phash_neardup",
     "audio_hk_neardup",
     "interleaved_pii_redact",
+    "span_boilerplate_strip",
     "matryoshka_eval",
     "quality_funnel",
     "centroid_pr_curve",

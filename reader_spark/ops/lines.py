@@ -189,3 +189,140 @@ def domain_boilerplate(
         .where(F.col("doc_frac") >= min_frac)
         .select("domain", "line", "n_docs", "doc_frac")
     )
+
+
+PROSE_KINDS = ("text", "heading", "list", "blockquote")
+
+
+def boilerplate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    domain_col: str = "domain",
+    kinds: tuple = PROSE_KINDS,
+    min_frac: float = 0.5,
+    kind_field: str = "kind",
+    text_field: str = "text",
+) -> DataFrame:
+    """Span-level deletion list for interleaved documents: (domain, text,
+    n_docs, doc_frac) for prose spans whose exact text appears in
+    >= min_frac of one domain's documents — domain_boilerplate's rule with
+    the SPAN (the extractor's own unit) as the line, so what gets deleted
+    is exactly what the serializer emitted, never a re-chunking of it.
+
+    Shape at 100 TB: per-doc presence is computed INSIDE the row
+    (filter -> transform -> array_distinct before the explode), so the
+    groupBy(domain, text) is a plain map-side-combined count — a nav
+    string on millions of pages shuffles one row per map task, not one
+    per page. Media spans never enter the pipeline (kind filter precedes
+    the explode).
+    """
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    texts = F.array_distinct(
+        F.transform(
+            F.filter(
+                F.col(spans_col),
+                lambda s: s.getField(kind_field).isin(*kinds)
+                & s.getField(text_field).isNotNull(),
+            ),
+            lambda s: s.getField(text_field),
+        )
+    )
+    present = docs.select(
+        F.col(domain_col).alias("domain"), F.explode(texts).alias("text")
+    )
+    per_span = present.groupBy("domain", "text").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_dom = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.countDistinct(F.col(id_col)).alias("dom_docs")
+    )
+    return (
+        per_span.join(per_dom, "domain")
+        .withColumn("doc_frac", F.round(F.col("n_docs") / F.col("dom_docs"), 6))
+        .where(F.col("doc_frac") >= min_frac)
+        .select("domain", "text", "n_docs", "doc_frac")
+    )
+
+
+def strip_boilerplate_spans(
+    docs: DataFrame,
+    boiler: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    domain_col: str = "domain",
+    kinds: tuple = PROSE_KINDS,
+    kind_field: str = "kind",
+    text_field: str = "text",
+    order_field: str = "order",
+) -> DataFrame:
+    """Remove the deletion-list spans from interleaved documents, keeping
+    every media span and re-densifying span order: returns docs with the
+    same (id, domain) rows and a rebuilt spans array where surviving spans
+    are renumbered 0..n-1 in their original relative order. Only spans
+    whose kind is in `kinds` can be dropped — a media span whose text is
+    NULL (or a code span that happens to equal a deletion line) always
+    survives.
+
+    Shape at 100 TB: one posexplode, one equi-join keyed (domain, text)
+    against the deletion list (bounded: only >= min_frac-of-domain lines;
+    AQE broadcasts it while it fits), one groupBy(id) reassembly keyed by
+    the document — the partitioning a by-site corpus already has. Docs
+    whose spans were empty, NULL, or fully deleted come back with an
+    empty array, never silently dropped.
+    """
+    span_type = docs.schema[spans_col].dataType.elementType
+    names = [f.name for f in span_type.fields]
+    for needed in (kind_field, text_field, order_field):
+        if needed not in names:
+            raise ValueError(f"span struct {names} lacks {needed!r}")
+
+    mark = boiler.select(
+        F.col("domain").alias("__bdom"),
+        F.col("text").alias("__btext"),
+        F.lit(True).alias("__boiler"),
+    )
+    pos = docs.select(
+        F.col(id_col), F.col(domain_col), F.posexplode(spans_col)
+    ).select(id_col, domain_col, "pos", F.col("col").alias("s"))
+    kept = (
+        pos.join(
+            mark,
+            (F.col(domain_col) == F.col("__bdom"))
+            & (F.col("s").getField(text_field) == F.col("__btext")),
+            "left",
+        )
+        .where(
+            F.col("__boiler").isNull()
+            | ~F.col("s").getField(kind_field).isin(*kinds)
+        )
+        .select(id_col, "pos", "s")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda x, i: F.struct(
+                *[
+                    (
+                        i.cast(span_type[order_field].dataType.simpleString())
+                        if name == order_field
+                        else x.getField("s").getField(name)
+                    ).alias(name)
+                    for name in names
+                ]
+            ),
+        ).alias("__spans")
+    )
+    empty = F.array().cast(docs.schema[spans_col].dataType.simpleString())
+    return (
+        docs.drop(spans_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(
+            spans_col,
+            F.when(F.col("__spans").isNotNull(), F.col("__spans")).otherwise(
+                empty
+            ),
+        )
+        .drop("__spans")
+    )

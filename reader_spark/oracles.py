@@ -4707,6 +4707,23 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT doc_id, CAST(ord AS INTEGER) AS ord, kind, text, media_ref
             FROM spans
         """,
+        # the planted per-source subscription span is in 100% of each
+        # source's docs (>= min_frac 0.5) -> deleted; headings and body
+        # texts are unique within a source -> survive; order re-densified
+        "span_boilerplate_strip": """
+            SELECT doc_id, 0 AS ord, 'heading' AS kind,
+                   'Doc ' || doc_id AS text,
+                   CAST(NULL AS VARCHAR) AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'image', CAST(NULL AS VARCHAR),
+                   'https://img.test/' || doc_id || '/x.png'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END,
+                   'text', text, CAST(NULL AS VARCHAR)
+            FROM documents
+        """,
     }
 
 

@@ -29,14 +29,26 @@ def extract_stream(
     cfg: ExtractorConfig = DEFAULT_CONFIG,
     base_url_prefix: str = BASE_URL_PREFIX,
     max_files_per_trigger: Optional[int] = None,
+    redact: bool = False,
 ) -> DataFrame:
-    """Streaming docs(doc_id, spans) -> streaming extracted rows (lazy)."""
+    """Streaming docs(doc_id, spans) -> streaming extracted rows (lazy).
+
+    redact=True scrubs PII from prose spans in-flight (ops.multimodal.
+    redact_spans — a stateless per-row projection, so it adds no state
+    store and composes with any output mode); byte-parity with the batch
+    path's redact_spans is pinned by test_streaming_multimodal.
+    """
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(docs_dir)
     payloads = with_payload(docs, base_url_prefix)
-    return payloads.mapInPandas(make_extract_batch(cfg), schema=_UDF_SCHEMA)
+    out = payloads.mapInPandas(make_extract_batch(cfg), schema=_UDF_SCHEMA)
+    if redact:
+        from ..ops.multimodal import redact_spans
+
+        out = redact_spans(out)
+    return out
 
 
 def start_extraction_stream(
@@ -46,10 +58,11 @@ def start_extraction_stream(
     checkpoint_dir: str,
     cfg: ExtractorConfig = DEFAULT_CONFIG,
     available_now: bool = True,
+    redact: bool = False,
 ):
     """Start the stream to a parquet sink. available_now=True drains what
     exists and stops (batch-over-stream semantics for tests/backfills)."""
-    extracted = extract_stream(spark, docs_dir, cfg)
+    extracted = extract_stream(spark, docs_dir, cfg, redact=redact)
     writer = (
         extracted.writeStream.format("parquet")
         .option("path", output_dir)

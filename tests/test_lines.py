@@ -88,3 +88,85 @@ class TestSummary:
         a = sorted(map(tuple, line_dedup_summary(df).collect()))
         b = sorted(map(tuple, line_dedup_summary(df).collect()))
         assert a == b
+
+
+class TestBoilerplateSpans:
+    SCHEMA = (
+        "doc_id string, domain string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,order:int>>"
+    )
+
+    def _docs(self, spark):
+        nav = "Home About Contact"
+        rows = [
+            ("a1", "a.com", [("text", nav, None, 0), ("text", "alpha", None, 1),
+                             ("image", None, "img://1", 2)]),
+            ("a2", "a.com", [("text", nav, None, 0), ("text", "beta", None, 1)]),
+            ("a3", "a.com", [("code", nav, None, 0), ("text", "gamma", None, 1)]),
+            # same nav text on b.com but only 1 of its 3 docs -> below 0.5
+            ("b1", "b.com", [("text", nav, None, 0), ("text", "delta", None, 1)]),
+            ("b2", "b.com", [("text", "epsilon", None, 0)]),
+            ("b3", "b.com", None),
+        ]
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_detects_per_domain_threshold(self, spark):
+        from reader_spark.ops.lines import boilerplate_spans
+
+        got = {
+            (r.domain, r.text): (r.n_docs, r.doc_frac)
+            for r in boilerplate_spans(
+                self._docs(spark), domain_col="domain", min_frac=0.5
+            ).collect()
+        }
+        # nav is prose in 2/3 a.com docs (the code span doesn't count)
+        assert got == {("a.com", "Home About Contact"): (2, 0.666667)}
+
+    def test_strip_keeps_media_redensifies_and_restores_docs(self, spark):
+        from reader_spark.ops.lines import (
+            boilerplate_spans,
+            strip_boilerplate_spans,
+        )
+
+        docs = self._docs(spark)
+        boiler = boilerplate_spans(docs, domain_col="domain", min_frac=0.5)
+        out = {
+            r.doc_id: r.spans
+            for r in strip_boilerplate_spans(
+                docs, boiler, domain_col="domain"
+            ).collect()
+        }
+        assert len(out) == 6  # no doc silently dropped
+        a1 = out["a1"]
+        assert [(s.kind, s.text, s.media_ref, s.order) for s in a1] == [
+            ("text", "alpha", None, 0),
+            ("image", None, "img://1", 1),
+        ]
+        # code span survives even though its text is on the deletion list
+        assert [(s.kind, s.order) for s in out["a3"]] == [
+            ("code", 0), ("text", 1)
+        ]
+        # b.com nav below threshold -> untouched
+        assert [s.text for s in out["b1"]] == ["Home About Contact", "delta"]
+        assert out["b3"] == []  # NULL spans come back as empty, not lost
+
+    def test_all_spans_deleted_yields_empty_array(self, spark):
+        from reader_spark.ops.lines import strip_boilerplate_spans
+
+        docs = spark.createDataFrame(
+            [("d1", "x.com", [("text", "nav", None, 0)])], self.SCHEMA
+        )
+        boiler = spark.createDataFrame(
+            [("x.com", "nav", 1, 1.0)], "domain string, text string, n_docs long, doc_frac double"
+        )
+        got = strip_boilerplate_spans(docs, boiler, domain_col="domain").collect()
+        assert got[0].spans == []
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.lines import boilerplate_spans
+
+        df = self._docs(spark)
+        with _pytest.raises(ValueError, match="min_frac"):
+            boilerplate_spans(df, domain_col="domain", min_frac=0.0)

@@ -576,3 +576,26 @@ def test_redact_spans_is_scan_bound(spark):
     plan = plan_of(redact_spans(docs))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_strip_boilerplate_spans_equi_join_only(spark):
+    """The deletion join must be an equi-join on (domain, text) — never a
+    cartesian/nested-loop — and reassembly shuffles keyed by the doc."""
+    from reader_spark.ops.lines import boilerplate_spans, strip_boilerplate_spans
+
+    docs = spark.range(30).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("domain"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.lit("nav bar").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("order"),
+            )
+        ).alias("spans"),
+    )
+    boiler = boilerplate_spans(docs, domain_col="domain", min_frac=0.5)
+    plan = plan_of(strip_boilerplate_spans(docs, boiler, domain_col="domain"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -91,3 +91,55 @@ class TestErrorTaxonomy:
         assert [r["doc_id"] for r in ok.collect()] == ["good"]
         assert retryable.count() == 0
         assert [r["doc_id"] for r in dead.collect()] == ["empty"]
+
+
+class TestStreamingRedaction:
+    def test_redacted_stream_matches_batch_redaction(self, spark, tmp_path):
+        """redact=True on the stream == batch extraction + redact_spans,
+        span for span — the stateless projection is cadence-agnostic. The
+        media span (image) must keep its media_ref untouched."""
+        from reader_spark.ops.multimodal import redact_spans
+
+        html = (
+            "<html><body><main><article><h1>Contact</h1>"
+            '<img src="https://img.test/p.png" alt="portrait">'
+            "<p>Write to jane.doe@corp.example or ping 10.20.30.40 "
+            "or call +1 (555) 010-2233 today.</p>"
+            "</article></main></body></html>"
+        )
+        rows = [
+            {
+                "doc_id": "pii-doc",
+                "spans": [
+                    {
+                        "kind": "html",
+                        "text": html,
+                        "media_ref": None,
+                        "offset": 0,
+                    }
+                ],
+            }
+        ]
+        docs_dir = str(tmp_path / "docs")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        docs_from_rows(spark, rows).write.parquet(docs_dir)
+
+        q = start_extraction_stream(spark, docs_dir, out_dir, ckpt, redact=True)
+        q.awaitTermination(120)
+        streamed = spark.read.parquet(out_dir).select("doc_id", "spans")
+
+        batch = redact_spans(
+            extract_dataframe(docs_from_rows(spark, rows))
+        ).select("doc_id", "spans")
+        got = {r.doc_id: r.spans for r in streamed.collect()}
+        want = {r.doc_id: r.spans for r in batch.collect()}
+        assert got == want
+
+        spans = got["pii-doc"]
+        text_all = " ".join(s.text for s in spans if s.text)
+        assert "<EMAIL>" in text_all and "<IP>" in text_all
+        assert "<PHONE>" in text_all
+        assert "jane.doe@corp.example" not in text_all
+        refs = [s.media_ref for s in spans if s.media_ref]
+        assert refs == ["https://img.test/p.png"]

@@ -3125,6 +3125,63 @@ def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup(thumbs, "media_id", "thumb", max_hamming=3)
 
 
+def _q_interleaved_sample_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VLM training-sample serialization with a context budget
+    (ops.multimodal.truncate_spans_to_budget -> render_interleaved_sample):
+    spans are cut at span boundaries to a 600-token budget (media cost
+    576 = CLIP ViT-L/14 @336 patches, so image docs usually shed their
+    body), then rendered to the LLaVA/OBELICS sample shape — text joined
+    by blank lines, media spans as indexed <image_k> placeholders, refs
+    in placeholder order. Budget math, cut point, placeholder text, and
+    ref list are all value-oracled."""
+    from reader_spark.ops.multimodal import (
+        render_interleaved_sample,
+        truncate_spans_to_budget,
+    )
+
+    raw = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    nul = F.lit(None).cast("string")
+    head = F.struct(
+        F.lit("heading").alias("kind"),
+        F.concat(F.lit("Doc "), d).alias("text"),
+        nul.alias("media_ref"), F.lit(0).alias("order"),
+    )
+    img = F.struct(
+        F.lit("image").alias("kind"), nul.alias("text"),
+        F.concat(F.lit("https://img.test/"), d, F.lit("/x.png")).alias(
+            "media_ref"
+        ),
+        F.lit(0).alias("order"),
+    )
+    body = F.struct(
+        F.lit("text").alias("kind"), F.col("text").alias("text"),
+        nul.alias("media_ref"), F.lit(0).alias("order"),
+    )
+    maybe_img = F.when(F.col("doc_id") % 3 == 0, F.array(img)).otherwise(
+        F.slice(F.array(img), 1, 0)
+    )
+    spans = F.transform(
+        F.concat(F.array(head), maybe_img, F.array(body)),
+        lambda s, i: F.struct(
+            s.getField("kind").alias("kind"),
+            s.getField("text").alias("text"),
+            s.getField("media_ref").alias("media_ref"),
+            i.cast("int").alias("order"),
+        ),
+    )
+    docs = raw.select(
+        F.col("doc_id").cast("long").alias("doc_id"), spans.alias("spans")
+    )
+    out = render_interleaved_sample(
+        truncate_spans_to_budget(docs, budget=600, media_cost=576)
+    )
+    return out.select(
+        "doc_id", "n_spans_kept", "n_spans_dropped", "cost_kept", "sample",
+        F.concat_ws("|", "media_refs").alias("refs"), "n_media",
+    )
+
+
 def _q_span_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level site-furniture removal on interleaved documents
     (ops.lines.boilerplate_spans -> strip_boilerplate_spans): a planted
@@ -3910,9 +3967,10 @@ _DRIVER_WINDOW = [
     # feature_hash_vectors + doc_sim_topk (doc_sim_topk_bucketed),
     # hard_negatives (hard_negatives_bucketed), hll_distinct (HLL family
     # driver-green r3), term_pmi (textstats family driver-green r1);
-    # ab_test_proportions, events_sliding_windows and user_burstiness
-    # yielded their slots to audio_hk_neardup + interleaved_pii_redact +
-    # span_boilerplate_strip (new this round) — all three stay green in
+    # ab_test_proportions, events_sliding_windows, user_burstiness and
+    # top_event_paths yielded their slots to audio_hk_neardup +
+    # interleaved_pii_redact + span_boilerplate_strip +
+    # interleaved_sample_render (new this round) — all four stay green in
     # the local gate sweep.
     # -- extraction / media flagships never in a window
     "span_kinds_full",
@@ -3921,6 +3979,7 @@ _DRIVER_WINDOW = [
     "audio_hk_neardup",
     "interleaved_pii_redact",
     "span_boilerplate_strip",
+    "interleaved_sample_render",
     "multimodal_packing",
     "remove_duplicate_spans",
     # -- curation / training-data pipeline
@@ -3970,7 +4029,6 @@ _DRIVER_WINDOW = [
     "funnel_conversion",
     "cohort_retention",
     "event_transitions",
-    "top_event_paths",
     "scd2_user_state",
     # -- sources
     "jsonl_ingest",
@@ -4167,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_hk_neardup": _q_audio_hk_neardup,
         "interleaved_pii_redact": _q_interleaved_pii_redact,
         "span_boilerplate_strip": _q_span_boilerplate_strip,
+        "interleaved_sample_render": _q_interleaved_sample_render,
     })
 
 

@@ -112,6 +112,7 @@ BENCH_QUERIES = (
     "audio_hk_neardup",
     "interleaved_pii_redact",
     "span_boilerplate_strip",
+    "interleaved_sample_render",
     "matryoshka_eval",
     "quality_funnel",
     "centroid_pr_curve",

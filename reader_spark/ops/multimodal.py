@@ -432,3 +432,156 @@ def redact_spans(
     return docs.withColumn(
         spans_col, F.transform(F.col(spans_col), rebuild)
     )
+
+
+MEDIA_KINDS = ("image", "video", "audio")
+
+
+def truncate_spans_to_budget(
+    docs: DataFrame,
+    budget: int,
+    spans_col: str = "spans",
+    media_cost: int = 576,
+    media_kinds: tuple = MEDIA_KINDS,
+    kind_field: str = "kind",
+    text_field: str = "text",
+) -> DataFrame:
+    """Truncate each interleaved document to a context budget, cutting ONLY
+    at span boundaries: a text span costs its whitespace token count, a
+    media span costs `media_cost` (the vision-encoder patch count — 576 is
+    CLIP ViT-L/14 @ 336px, the LLaVA default), and the document keeps the
+    longest span PREFIX whose cumulative cost fits. Truncating mid-span
+    would orphan media from captions and split sentences; span-boundary
+    cuts preserve the (kind, text, media_ref, order) contract for
+    everything kept.
+
+    Adds n_spans_kept / n_spans_dropped / cost_kept and rewrites
+    spans_col to the kept prefix. Pure per-row column math (costs ->
+    prefix sums -> slice), no explode, no shuffle, no Python; the prefix
+    sum is the O(n^2) slice/aggregate form, fine at per-document span
+    counts (tens), never corpus-sized.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    spans = F.col(spans_col)
+
+    def cost(s):
+        tokens = F.when(
+            s.getField(text_field).isNull()
+            | (F.length(F.trim(s.getField(text_field))) == 0),
+            F.lit(0),
+        ).otherwise(
+            F.size(F.split(F.trim(s.getField(text_field)), r"\s+"))
+        )
+        return (
+            F.when(s.getField(kind_field).isin(*media_kinds),
+                   F.lit(media_cost))
+            .otherwise(tokens)
+            .cast("long")
+        )
+
+    costs = F.transform(spans, cost)
+    # sequence(1, 0) DESCENDS in Spark, so an empty spans array must not
+    # reach it (it would fabricate two phantom prefix sums)
+    idx = F.when(
+        F.size(costs) > 0, F.sequence(F.lit(1), F.size(costs))
+    ).otherwise(F.slice(F.sequence(F.lit(1), F.lit(1)), 1, 0))
+    cums = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(costs, 1, i), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+    keep_n = F.size(F.filter(cums, lambda c: c <= F.lit(budget)))
+    total_n = F.size(spans)
+    kept_cost = F.coalesce(
+        F.element_at(cums, F.when(keep_n > 0, keep_n)), F.lit(0).cast("long")
+    )
+    has = spans.isNotNull()
+    return (
+        docs.withColumn(
+            "n_spans_kept", F.when(has, keep_n).otherwise(F.lit(0)).cast("int")
+        )
+        .withColumn(
+            "n_spans_dropped",
+            F.when(has, total_n - keep_n).otherwise(F.lit(0)).cast("int"),
+        )
+        .withColumn(
+            "cost_kept", F.when(has, kept_cost).otherwise(F.lit(0).cast("long"))
+        )
+        .withColumn(
+            spans_col, F.when(has, F.slice(spans, 1, keep_n)).otherwise(spans)
+        )
+    )
+
+
+def render_interleaved_sample(
+    docs: DataFrame,
+    spans_col: str = "spans",
+    media_kinds: tuple = MEDIA_KINDS,
+    separator: str = "\n\n",
+    kind_field: str = "kind",
+    text_field: str = "text",
+    ref_field: str = "media_ref",
+) -> DataFrame:
+    """Serialize an interleaved document to the training-sample shape
+    VLM pipelines consume (LLaVA / OBELICS interleaved format): one
+    `sample` string where each media span becomes an indexed placeholder
+    `<image_k>` (k = 0-based media position) and text spans keep their
+    text, joined by `separator`; plus the parallel `media_refs` array in
+    placeholder order and `n_media`. Spans that are neither media nor
+    carry text (null text) are skipped.
+
+    Pure per-row column math (running media index via prefix count —
+    O(n^2) slice/aggregate over per-document span counts), no explode, no
+    shuffle, no Python.
+    """
+    spans = F.col(spans_col)
+    is_media = lambda s: s.getField(kind_field).isin(*media_kinds)  # noqa: E731
+
+    def media_before(i):  # count of media spans strictly before index i (1-based)
+        return F.aggregate(
+            F.slice(spans, 1, i - 1),
+            F.lit(0),
+            lambda a, s: a + F.when(is_media(s), 1).otherwise(0),
+        )
+
+    idx = F.when(
+        F.size(spans) > 0, F.sequence(F.lit(1), F.size(spans))
+    ).otherwise(F.slice(F.sequence(F.lit(1), F.lit(1)), 1, 0))
+    pieces = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.when(
+                is_media(F.element_at(spans, i)),
+                F.concat(
+                    F.lit("<image_"),
+                    media_before(i).cast("string"),
+                    F.lit(">"),
+                ),
+            ).otherwise(F.element_at(spans, i).getField(text_field)),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    refs = F.transform(
+        F.filter(spans, is_media), lambda s: s.getField(ref_field)
+    )
+    has = spans.isNotNull()
+    return (
+        docs.withColumn(
+            "sample",
+            F.when(has, F.concat_ws(separator, pieces)).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        .withColumn(
+            "media_refs",
+            F.when(has, refs).otherwise(
+                F.lit(None).cast("array<string>")
+            ),
+        )
+        .withColumn(
+            "n_media",
+            F.when(has, F.size(refs)).otherwise(F.lit(0)).cast("int"),
+        )
+    )

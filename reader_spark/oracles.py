@@ -4724,6 +4724,59 @@ def _oracle_sql_entries() -> dict[str, str]:
                    'text', text, CAST(NULL AS VARCHAR)
             FROM documents
         """,
+        # heading (2 tokens) always fits; the image (576) usually evicts
+        # the body; docs without an image keep everything. Fixture has at
+        # most one media span per doc, so the placeholder is <image_0>.
+        "interleaved_sample_render": """
+            WITH spans AS (
+                SELECT doc_id, 1 AS pos, 'heading' AS kind,
+                       'Doc ' || doc_id AS text,
+                       CAST(NULL AS VARCHAR) AS ref
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 2, 'image', CAST(NULL AS VARCHAR),
+                       'https://img.test/' || doc_id || '/x.png'
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, 3, 'text', text, CAST(NULL AS VARCHAR)
+                FROM documents
+            ),
+            costed AS (
+                SELECT doc_id, pos, kind, text, ref,
+                       CAST(CASE WHEN kind = 'image' THEN 576
+                            WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS BIGINT) AS cost
+                FROM spans
+            ),
+            cum AS (
+                SELECT *, SUM(cost) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                ) AS c
+                FROM costed
+            ),
+            tot AS (SELECT doc_id, COUNT(*) AS n FROM costed GROUP BY doc_id),
+            kept AS (SELECT * FROM cum WHERE c <= 600),
+            agg AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS INTEGER) AS n_spans_kept,
+                       CAST(MAX(c) AS BIGINT) AS cost_kept,
+                       string_agg(
+                           CASE WHEN kind = 'image' THEN '<image_0>'
+                                ELSE text END, chr(10) || chr(10)
+                           ORDER BY pos) AS sample,
+                       COALESCE(string_agg(
+                           CASE WHEN kind = 'image' THEN ref END, '|'
+                           ORDER BY pos), '') AS refs,
+                       CAST(COUNT(CASE WHEN kind = 'image' THEN 1 END)
+                            AS INTEGER) AS n_media
+                FROM kept GROUP BY doc_id
+            )
+            SELECT a.doc_id, a.n_spans_kept,
+                   CAST(t.n - a.n_spans_kept AS INTEGER) AS n_spans_dropped,
+                   a.cost_kept, a.sample, a.refs, a.n_media
+            FROM agg a JOIN tot t ON a.doc_id = t.doc_id
+        """,
     }
 
 

@@ -3340,3 +3340,122 @@ class TestRedactSpans:
         )
         with _pytest.raises(ValueError, match="lacks"):
             redact_spans(df)
+
+
+class TestTruncateSpansToBudget:
+    SCHEMA = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,order:int>>"
+    )
+
+    def test_cuts_at_span_boundary(self, spark):
+        from reader_spark.ops.multimodal import truncate_spans_to_budget
+
+        rows = [
+            (
+                "d1",
+                [
+                    ("heading", "one two", None, 0),        # 2 tokens
+                    ("image", None, "img://a", 1),          # 10 (media_cost)
+                    ("text", "a b c d e", None, 2),         # 5
+                    ("text", "tail span here", None, 3),    # 3
+                ],
+            )
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        r = truncate_spans_to_budget(df, budget=17, media_cost=10).head()
+        # cum costs: 2, 12, 17, 20 -> keep 3 spans, cost 17
+        assert (r.n_spans_kept, r.n_spans_dropped, r.cost_kept) == (3, 1, 17)
+        assert [s.order for s in r.spans] == [0, 1, 2]
+        assert r.spans[1].media_ref == "img://a"
+
+    def test_budget_zero_and_oversized_first_span(self, spark):
+        from reader_spark.ops.multimodal import truncate_spans_to_budget
+
+        rows = [("d1", [("text", "a b c", None, 0)])]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        r0 = truncate_spans_to_budget(df, budget=0).head()
+        assert (r0.n_spans_kept, r0.cost_kept, r0.spans) == (0, 0, [])
+        r2 = truncate_spans_to_budget(df, budget=2).head()
+        assert (r2.n_spans_kept, r2.spans) == (0, [])  # first span > budget
+
+    def test_empty_null_and_blank_text(self, spark):
+        from reader_spark.ops.multimodal import truncate_spans_to_budget
+
+        rows = [
+            ("empty", []),
+            ("nul", None),
+            ("blank", [("text", "   ", None, 0), ("text", None, None, 1)]),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        got = {r.doc_id: r for r in truncate_spans_to_budget(df, budget=5).collect()}
+        assert (got["empty"].n_spans_kept, got["empty"].spans) == (0, [])
+        assert got["nul"].spans is None and got["nul"].n_spans_kept == 0
+        # zero-cost spans all fit
+        assert (got["blank"].n_spans_kept, got["blank"].cost_kept) == (2, 0)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.multimodal import truncate_spans_to_budget
+
+        df = spark.createDataFrame([("d", [])], self.SCHEMA)
+        with _pytest.raises(ValueError, match="budget"):
+            truncate_spans_to_budget(df, budget=-1)
+
+
+class TestRenderInterleavedSample:
+    SCHEMA = TestTruncateSpansToBudget.SCHEMA
+
+    def test_placeholders_refs_and_order(self, spark):
+        from reader_spark.ops.multimodal import render_interleaved_sample
+
+        rows = [
+            (
+                "d1",
+                [
+                    ("heading", "Title", None, 0),
+                    ("image", None, "img://a", 1),
+                    ("text", "caption one", None, 2),
+                    ("video", None, "vid://b", 3),
+                    ("text", None, None, 4),  # null text, non-media: skipped
+                    ("text", "tail", None, 5),
+                ],
+            ),
+            ("empty", []),
+            ("nul", None),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        got = {r.doc_id: r for r in render_interleaved_sample(df).collect()}
+        d1 = got["d1"]
+        assert d1.sample == (
+            "Title\n\n<image_0>\n\ncaption one\n\n<image_1>\n\ntail"
+        )
+        assert d1.media_refs == ["img://a", "vid://b"]
+        assert d1.n_media == 2
+        assert (got["empty"].sample, got["empty"].media_refs) == ("", [])
+        assert got["nul"].sample is None and got["nul"].n_media == 0
+
+    def test_composes_with_truncation(self, spark):
+        from reader_spark.ops.multimodal import (
+            render_interleaved_sample,
+            truncate_spans_to_budget,
+        )
+
+        rows = [
+            (
+                "d1",
+                [
+                    ("text", "a b", None, 0),
+                    ("image", None, "img://x", 1),
+                    ("text", "c d e", None, 2),
+                ],
+            )
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = render_interleaved_sample(
+            truncate_spans_to_budget(df, budget=12, media_cost=10)
+        ).head()
+        # cums: 2, 12, 15 -> keep 2 spans; render keeps the placeholder
+        assert out.sample == "a b\n\n<image_0>"
+        assert out.media_refs == ["img://x"] and out.n_spans_kept == 2

@@ -599,3 +599,35 @@ def test_strip_boilerplate_spans_equi_join_only(spark):
     plan = plan_of(strip_boilerplate_spans(docs, boiler, domain_col="domain"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_truncate_and_render_are_scan_bound(spark):
+    """Budget truncation + sample rendering are pure per-row column math:
+    no shuffle, no Python eval — they ride the scan."""
+    from reader_spark.ops.multimodal import (
+        render_interleaved_sample,
+        truncate_spans_to_budget,
+    )
+
+    docs = spark.range(20).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.lit("a b c").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("order"),
+            ),
+            F.struct(
+                F.lit("image").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit("img://x").alias("media_ref"),
+                F.lit(1).alias("order"),
+            ),
+        ).alias("spans"),
+    )
+    plan = plan_of(
+        render_interleaved_sample(truncate_spans_to_budget(docs, budget=100))
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

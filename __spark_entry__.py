@@ -3125,6 +3125,31 @@ def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup(thumbs, "media_id", "thumb", max_hamming=3)
 
 
+def _q_salted_domain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact x dim equi-join (ops.skew.salted_join): the fact side
+    scatters each key across 16 sub-keys, the dim side replicates 16x, and
+    the join runs on (key, salt) so no partition ever holds a hot domain
+    whole. Salting is load-balancing only — the oracle is the PLAIN join,
+    proving result-equality."""
+    from reader_spark.ops.skew import salted_join
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    dim = docs.groupBy("source").agg(
+        F.round(F.avg("n_chars"), 6).alias("src_avg_chars"),
+        F.count(F.lit(1)).alias("src_docs"),
+    )
+    out = salted_join(docs, dim, on=["source"], n_salt=16)
+    return out.select(
+        "doc_id",
+        "source",
+        "src_avg_chars",
+        "src_docs",
+        (F.col("n_chars") > F.col("src_avg_chars")).alias("above_avg"),
+    )
+
+
 def _q_interleaved_sample_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VLM training-sample serialization with a context budget
     (ops.multimodal.truncate_spans_to_budget -> render_interleaved_sample):
@@ -4226,6 +4251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_pii_redact": _q_interleaved_pii_redact,
         "span_boilerplate_strip": _q_span_boilerplate_strip,
         "interleaved_sample_render": _q_interleaved_sample_render,
+        "salted_domain_join": _q_salted_domain_join,
     })
 
 

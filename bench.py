@@ -113,6 +113,7 @@ BENCH_QUERIES = (
     "interleaved_pii_redact",
     "span_boilerplate_strip",
     "interleaved_sample_render",
+    "salted_domain_join",
     "matryoshka_eval",
     "quality_funnel",
     "centroid_pr_curve",

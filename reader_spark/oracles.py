@@ -4724,6 +4724,18 @@ def _oracle_sql_entries() -> dict[str, str]:
                    'text', text, CAST(NULL AS VARCHAR)
             FROM documents
         """,
+        # the oracle is the PLAIN join — salt must never change the result
+        "salted_domain_join": """
+            WITH dim AS (
+                SELECT source,
+                       round(avg(n_chars), 6) AS src_avg_chars,
+                       count(*) AS src_docs
+                FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source, dim.src_avg_chars, dim.src_docs,
+                   d.n_chars > dim.src_avg_chars AS above_avg
+            FROM documents d JOIN dim ON d.source = dim.source
+        """,
         # heading (2 tokens) always fits; the image (576) usually evicts
         # the body; docs without an image keep everything. Fixture has at
         # most one media span per doc, so the placeholder is <image_0>.

@@ -1755,6 +1755,24 @@ def _q_crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al., ICLR'23) over the corpus
+    (ops.allocate.unimax_allocation): a 3.2x-corpus training budget split
+    as uniformly as possible across languages with a 4-epoch cap per
+    language. At sf0.01 the four smaller languages hit the epoch cap and
+    en takes the uniform leftover (budget_limited=1). Closed-form
+    water-filling on demand = 4*size — no iteration, window bounded by
+    the language dim; the 1-row total fetch is the documented scalar."""
+    from reader_spark.ops.allocate import unimax_allocation
+
+    docs = _read(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang").agg(F.sum("n_chars").alias("size_chars"))
+    total = sizes.agg(F.sum("size_chars")).head()[0]
+    return unimax_allocation(
+        sizes, "lang", "size_chars", budget=3.2 * float(total), max_epochs=4.0
+    )
+
+
 def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal rank fusion (Cormack et al.,
     SIGIR'09): the BM25 lexical top-15 and the embedding-cosine top-15
@@ -4171,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_chi2": _q_lang_source_chi2,
         "top_event_paths": _q_top_event_paths,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
+        "unimax_mix": _q_unimax_mix,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "langid_confusion": _q_langid_confusion,
         "term_pmi": _q_term_pmi,

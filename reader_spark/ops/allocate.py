@@ -84,3 +84,48 @@ def max_min_fair_allocation(
             F.col("t").isNotNull() & (F.col("demand") > F.col("t")), 1
         ).otherwise(0).alias("capped"),
     )
+
+
+def unimax_allocation(
+    sizes: DataFrame,
+    key_col: str,
+    size_col: str,
+    budget: float,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """UniMax language sampling (Chung et al., ICLR'23): split a total
+    training-token ``budget`` as uniformly as possible across languages,
+    capping every language at ``max_epochs`` passes over its corpus.
+
+    UniMax's sequential allocator ("give each remaining language
+    budget/remaining, unless its cap binds") is exactly max-min fair
+    water-filling with per-key demand = max_epochs * size: small
+    languages hit their epoch cap, the leftover pours uniformly into the
+    big ones. Reuses the closed-form level from
+    :func:`max_min_fair_allocation` — no iteration, window bounded by
+    the language registry, corpus rows never shuffle.
+
+    Returns (key, size, alloc, epochs, budget_limited): ``alloc`` in the
+    same unit as ``size`` (chars/tokens), ``epochs = alloc / size``
+    rounded 6 dp, ``budget_limited`` = 1 where the water level (not the
+    epoch cap) binds.
+    """
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    demands = sizes.select(
+        F.col(key_col).alias(key_col),
+        F.col(size_col).cast("double").alias("size"),
+        (F.col(size_col).cast("double") * F.lit(float(max_epochs))).alias(
+            "demand"
+        ),
+    )
+    alloc = max_min_fair_allocation(
+        demands.select(key_col, "demand"), key_col, "demand", budget
+    )
+    return alloc.join(demands.select(key_col, "size"), key_col).select(
+        key_col,
+        "size",
+        "alloc",
+        F.round(F.col("alloc") / F.col("size"), 6).alias("epochs"),
+        F.col("capped").alias("budget_limited"),
+    )

@@ -2399,6 +2399,54 @@ def _oracle_sql_entries() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS capped
             FROM f, lvl
         """,
+        "unimax_mix": """
+            WITH sizes AS (
+                SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS size,
+                       4.0 * CAST(sum(n_chars) AS DOUBLE) AS demand
+                FROM documents GROUP BY 1
+            ),
+            tot AS (SELECT 3.2 * sum(size) AS b FROM sizes),
+            ranked AS (
+                SELECT lang, size, demand,
+                       row_number() OVER (ORDER BY demand ASC, lang ASC) AS k,
+                       sum(demand) OVER (
+                           ORDER BY demand ASC, lang ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS s,
+                       count(*) OVER () AS n
+                FROM sizes
+            ),
+            f AS (
+                SELECT *,
+                       CASE WHEN (s - demand) + demand * (n - k + 1)
+                                 <= (SELECT b FROM tot)
+                            THEN 1 ELSE 0 END AS fully
+                FROM ranked
+            ),
+            agg AS (
+                SELECT CAST(sum(fully) AS BIGINT) AS j,
+                       COALESCE(sum(CASE WHEN fully = 1 THEN demand END), 0.0) AS s_j,
+                       count(*) AS n
+                FROM f
+            ),
+            lvl AS (
+                SELECT CASE WHEN j = n THEN NULL
+                            ELSE ((SELECT b FROM tot) - s_j) / (n - j)
+                       END AS t
+                FROM agg
+            ),
+            alloc AS (
+                SELECT f.lang, f.size, f.demand,
+                       round(CASE WHEN lvl.t IS NULL THEN f.demand
+                                  ELSE least(f.demand, lvl.t) END, 6) AS alloc,
+                       CASE WHEN lvl.t IS NOT NULL AND f.demand > lvl.t
+                            THEN 1 ELSE 0 END AS budget_limited
+                FROM f, lvl
+            )
+            SELECT lang, size, alloc,
+                   round(alloc / size, 6) AS epochs, budget_limited
+            FROM alloc
+        """,
         "langid_confusion": f"""
             WITH hits AS (
                 SELECT doc_id,

@@ -40,3 +40,46 @@ class TestWaterFilling:
         dem = _demands(spark, [("a", 1)])
         with pytest.raises(ValueError, match="budget"):
             max_min_fair_allocation(dem, "k", "d", 0.0)
+
+
+class TestUnimax:
+    def _sizes(self, spark, pairs):
+        return spark.createDataFrame(
+            [Row(lang=k, n=float(v)) for k, v in pairs]
+        )
+
+    def test_small_langs_hit_epoch_cap(self, spark):
+        # sizes 10, 100 with budget 140 and cap 4: small lang gets 4
+        # epochs (40), big lang gets the remaining 100 = 1 epoch.
+        sizes = self._sizes(spark, [("lo", 10), ("hi", 100)])
+        from reader_spark.ops.allocate import unimax_allocation
+
+        got = {
+            r.lang: r
+            for r in unimax_allocation(sizes, "lang", "n", 140.0).collect()
+        }
+        assert got["lo"].alloc == 40.0 and got["lo"].epochs == 4.0
+        assert got["lo"].budget_limited == 0
+        assert got["hi"].alloc == 100.0 and got["hi"].epochs == 1.0
+        assert got["hi"].budget_limited == 1
+
+    def test_surplus_budget_gives_cap_everywhere(self, spark):
+        sizes = self._sizes(spark, [("a", 5), ("b", 50)])
+        from reader_spark.ops.allocate import unimax_allocation
+
+        rows = unimax_allocation(sizes, "lang", "n", 1e6, max_epochs=2.0).collect()
+        assert all(r.epochs == 2.0 and r.budget_limited == 0 for r in rows)
+
+    def test_budget_conserved(self, spark):
+        sizes = self._sizes(spark, [("a", 7), ("b", 13), ("c", 29)])
+        from reader_spark.ops.allocate import unimax_allocation
+
+        rows = unimax_allocation(sizes, "lang", "n", 60.0).collect()
+        assert sum(r.alloc for r in rows) == pytest.approx(60.0, abs=1e-5)
+
+    def test_validation(self, spark):
+        sizes = self._sizes(spark, [("a", 1)])
+        from reader_spark.ops.allocate import unimax_allocation
+
+        with pytest.raises(ValueError, match="max_epochs"):
+            unimax_allocation(sizes, "lang", "n", 10.0, max_epochs=0.0)

@@ -3094,6 +3094,21 @@ def _q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_pairs(_interleaved_spans(spark, sf_dir))
 
 
+def _q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-shaped image-text alignment filter over the interleaved
+    extraction (ops.multimodal.caption_alignment_scores): every mined
+    (image, caption) pair scored by cosine between an exact-integer
+    feature-hash text tower and a deterministic md5 surrogate image tower
+    (the documented stand-in for a Pandas-UDF CLIP encoder — identical
+    plumbing, no vision model in the sandbox), keep = score >= 0.3 (77 of
+    333 pairs at sf0.01). One token-hash groupBy keyed by (doc, ord);
+    media bytes never move."""
+    from reader_spark.ops.multimodal import caption_alignment_scores, caption_pairs
+
+    pairs = caption_pairs(_interleaved_spans(spark, sf_dir))
+    return caption_alignment_scores(pairs, dim=8, threshold=0.3)
+
+
 def _q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document interleaving shape over the interleaved extraction
     (ops.multimodal.interleave_profile): span counts by class, text<->
@@ -4256,6 +4271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_chunks": _q_passage_chunks,
         "repetition_profile": _q_repetition_profile,
         "caption_pairs": _q_caption_pairs,
+        "caption_alignment": _q_caption_alignment,
         "interleave_profile": _q_interleave_profile,
         "bigram_lm": _q_bigram_lm,
         "multimodal_packing": _q_multimodal_packing,

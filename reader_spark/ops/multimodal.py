@@ -585,3 +585,80 @@ def render_interleaved_sample(
             F.when(has, F.size(refs)).otherwise(F.lit(0)).cast("int"),
         )
     )
+
+
+def caption_alignment_scores(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    ord_col: str = "ord",
+    ref_col: str = "media_ref",
+    caption_col: str = "caption",
+    dim: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """CLIP-score-style image-text alignment filtering (Radford et al.
+    '21; the LAION curation rule: drop pairs whose image/text embeddings
+    disagree). Takes the output of :func:`caption_pairs` and returns
+    (id, ord, media_ref, score, keep) with score = cosine(text_tower,
+    image_tower) rounded 6 dp and keep = score >= threshold.
+
+    Towers: the text tower is the signed feature-hash bag-of-words
+    (exact integer counts, reuses ops.vectorize.feature_hash_vectors);
+    the image tower is a DETERMINISTIC md5 surrogate over media_ref —
+    the sandbox has no vision model, so this stands in for a
+    Pandas-UDF CLIP image encoder with identical plumbing (per-row
+    vector, no shuffle). Dot and squared norms are exact integers; the
+    single divide-then-round is the only float op, so the score is
+    bit-stable across engines.
+
+    Scale shape: the only exchange is the text tower's token
+    hash-groupBy keyed by (doc, ord); image vectors and the score are
+    per-row. Media bytes never move — only refs and span text."""
+    from reader_spark.ops.vectorize import _md5_head, feature_hash_vectors
+
+    key = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"), F.col(ord_col).cast("string")
+    )
+    base = pairs.select(
+        F.col(id_col),
+        F.col(ord_col),
+        F.col(ref_col),
+        F.col(caption_col),
+        key.alias("pair_key"),
+    )
+    tvec = feature_hash_vectors(
+        base.select("pair_key", F.col(caption_col).alias("text")),
+        id_col="pair_key",
+        text_col="text",
+        dim=dim,
+        normalize=False,
+    ).withColumnRenamed("vector", "tv")
+    iv = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.pmod(
+                _md5_head(
+                    "im:",
+                    F.concat(F.col(ref_col), F.lit(":"), i.cast("string")),
+                ),
+                F.lit(9),
+            )
+            - 4
+        ).cast("double"),
+    )
+    joined = base.join(tvec, "pair_key").withColumn("iv", iv)
+    dot = F.aggregate(
+        F.zip_with(F.col("tv"), F.col("iv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nt = F.aggregate(F.col("tv"), F.lit(0.0), lambda acc, v: acc + v * v)
+    nv = F.aggregate(F.col("iv"), F.lit(0.0), lambda acc, v: acc + v * v)
+    score = F.round(F.try_divide(dot, F.sqrt(nt * nv)), 6)
+    return joined.select(
+        F.col(id_col),
+        F.col(ord_col),
+        F.col(ref_col),
+        score.alias("score"),
+        F.when(score >= F.lit(float(threshold)), 1).otherwise(0).alias("keep"),
+    )

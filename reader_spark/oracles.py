@@ -4241,6 +4241,71 @@ def _oracle_sql_entries() -> dict[str, str]:
                    coalesce(text_after, text_before) AS caption
             FROM w WHERE kind = 'image'
         """,
+        "caption_alignment": f"""
+            WITH spans AS ({_INTERLEAVED_SPANS_SQL}),
+            w AS (
+                SELECT doc_id, ord, kind, media_ref,
+                       last_value(CASE WHEN kind IN ('text', 'heading')
+                                       THEN text END IGNORE NULLS)
+                         OVER (PARTITION BY doc_id ORDER BY ord
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS text_before,
+                       first_value(CASE WHEN kind IN ('text', 'heading')
+                                        THEN text END IGNORE NULLS)
+                         OVER (PARTITION BY doc_id ORDER BY ord
+                               ROWS BETWEEN 1 FOLLOWING
+                               AND UNBOUNDED FOLLOWING) AS text_after
+                FROM spans
+            ),
+            pairs AS (
+                SELECT doc_id, ord, media_ref,
+                       coalesce(text_after, text_before) AS caption
+                FROM w WHERE kind = 'image'
+            ),
+            toks AS (
+                SELECT doc_id, ord,
+                       unnest(list_filter(
+                           string_split(trim(regexp_replace(
+                               lower(caption), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           t -> t <> '')) AS tok
+                FROM pairs
+            ),
+            cells AS (
+                SELECT doc_id, ord,
+                       CAST(('0x' || substr(md5('fh1:' || tok), 1, 8)) AS BIGINT)
+                           % 8 AS i,
+                       sum(CASE WHEN CAST(('0x' || substr(md5('fh2:' || tok), 1, 8))
+                                          AS BIGINT) % 2 = 0
+                                THEN 1 ELSE -1 END) AS c
+                FROM toks GROUP BY 1, 2, 3
+            ),
+            grid AS (
+                SELECT p.doc_id, p.ord, p.media_ref, g.i
+                FROM pairs p, unnest(generate_series(0, 7)) g(i)
+            ),
+            vecs AS (
+                SELECT g.doc_id, g.ord, g.i,
+                       COALESCE(c.c, 0)::DOUBLE AS t,
+                       (CAST(('0x' || substr(md5(
+                            'im:' || g.media_ref || ':' || g.i), 1, 8))
+                         AS BIGINT) % 9 - 4)::DOUBLE AS v
+                FROM grid g
+                LEFT JOIN cells c ON g.doc_id = c.doc_id AND g.ord = c.ord
+                                  AND g.i = c.i
+            ),
+            agg AS (
+                SELECT doc_id, ord,
+                       sum(t * v) AS dot, sum(t * t) AS nt, sum(v * v) AS nv
+                FROM vecs GROUP BY 1, 2
+            )
+            SELECT p.doc_id, p.ord, p.media_ref,
+                   round(CASE WHEN a.nt > 0 AND a.nv > 0
+                              THEN a.dot / sqrt(a.nt * a.nv) END, 6) AS score,
+                   CASE WHEN a.nt > 0 AND a.nv > 0
+                             AND round(a.dot / sqrt(a.nt * a.nv), 6) >= 0.3
+                        THEN 1 ELSE 0 END AS keep
+            FROM pairs p JOIN agg a ON p.doc_id = a.doc_id AND p.ord = a.ord
+        """,
         "interleave_profile": f"""
             WITH spans AS ({_INTERLEAVED_SPANS_SQL}),
             t AS (

@@ -2824,6 +2824,58 @@ class TestCaptionPairs:
         assert got["u2"].caption == "last"
 
 
+class TestCaptionAlignment:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, ord int, media_ref string, caption string"
+        )
+
+    def test_score_is_cosine_of_the_two_towers(self, spark):
+        import hashlib
+        import math
+
+        from reader_spark.ops.multimodal import caption_alignment_scores
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        caption, ref, dim = "alpha beta alpha", "u://img/1", 8
+        tv = [0] * dim
+        for tok in ["alpha", "beta", "alpha"]:
+            sign = 1 if h("fh2:" + tok) % 2 == 0 else -1
+            tv[h("fh1:" + tok) % dim] += sign
+        iv = [h(f"im:{ref}:{i}") % 9 - 4 for i in range(dim)]
+        dot = sum(a * b for a, b in zip(tv, iv))
+        want = round(
+            dot
+            / math.sqrt(sum(a * a for a in tv) * sum(b * b for b in iv)),
+            6,
+        )
+        got = caption_alignment_scores(
+            self._pairs(spark, [(1, 1, ref, caption)])
+        ).collect()[0]
+        assert got.score == pytest.approx(want, abs=1e-9)
+        assert got.keep == (1 if want >= 0.3 else 0)
+
+    def test_null_and_empty_captions_score_null_and_drop(self, spark):
+        from reader_spark.ops.multimodal import caption_alignment_scores
+
+        rows = [(1, 1, "u1", None), (2, 1, "u2", "!!! ??? ...")]
+        got = {
+            r.doc_id: r
+            for r in caption_alignment_scores(self._pairs(spark, rows)).collect()
+        }
+        assert got[1].score is None and got[1].keep == 0
+        assert got[2].score is None and got[2].keep == 0
+
+    def test_every_pair_yields_exactly_one_row(self, spark):
+        from reader_spark.ops.multimodal import caption_alignment_scores
+
+        rows = [(1, 1, "u1", "one two"), (1, 3, "u2", "three"), (2, 1, "u3", None)]
+        out = caption_alignment_scores(self._pairs(spark, rows)).collect()
+        assert sorted((r.doc_id, r.ord) for r in out) == [(1, 1), (1, 3), (2, 1)]
+
+
 class TestInterleaveProfile:
     def test_switch_counting(self, spark):
         from reader_spark.ops.multimodal import interleave_profile

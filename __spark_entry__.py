@@ -3119,6 +3119,18 @@ def _q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_profile(_interleaved_spans(spark, sf_dir))
 
 
+def _q_span_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level language ID rolled into a per-doc code-switching profile
+    over the interleaved extraction (ops.multimodal.span_language_profile):
+    every heading scores en=fr=1 on the trigram battery (tie -> 'fr'), so
+    non-French docs profile as 2-language with one switch — a non-vacuous
+    mix/dominance/switch signal at corpus scale. Detection is scan-bound;
+    both aggs and the adjacency window key on doc_id."""
+    from reader_spark.ops.multimodal import span_language_profile
+
+    return span_language_profile(_interleaved_spans(spark, sf_dir))
+
+
 def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup pairs over decoded thumbnails (ops.multimodal.
     phash_neardup): average-hash halves + lossless 4x16 band equi-join at
@@ -4272,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": _q_repetition_profile,
         "caption_pairs": _q_caption_pairs,
         "caption_alignment": _q_caption_alignment,
+        "span_langid_profile": _q_span_langid_profile,
         "interleave_profile": _q_interleave_profile,
         "bigram_lm": _q_bigram_lm,
         "multimodal_packing": _q_multimodal_packing,

@@ -662,3 +662,55 @@ def caption_alignment_scores(
         score.alias("score"),
         F.when(score >= F.lit(float(threshold)), 1).otherwise(0).alias("keep"),
     )
+
+
+def span_language_profile(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    ord_col: str = "ord",
+    kind_col: str = "kind",
+    text_col: str = "text",
+    text_kinds: tuple[str, ...] = ("text", "heading"),
+) -> DataFrame:
+    """Per-document language-mix profile from SPAN-level language ID over
+    an interleaved extraction: each textual span gets the trigram
+    detector (ops.textstats.detect_language_trigram_col — survives short
+    headings and missing word boundaries), then per doc: how many text
+    spans, how many distinct span languages, the dominant language (most
+    spans; ties break lexicographically last, the detector's own
+    convention), and the code-switch count (adjacent text spans in
+    document order whose languages differ). The multilingual curation
+    signal for interleaved corpora — docs that flip language mid-body are
+    routed differently from clean monolingual ones.
+
+    Scale shape: detection is a per-row regexp battery (scan-bound); the
+    two aggregations and the adjacency window all key on the doc id —
+    key-bounded exchanges, nothing global."""
+    from pyspark.sql import Window
+
+    from reader_spark.ops.textstats import detect_language_trigram_col
+
+    langs = spans.where(F.col(kind_col).isin(*text_kinds)).select(
+        F.col(id_col),
+        F.col(ord_col),
+        detect_language_trigram_col(F.col(text_col)).alias("lang"),
+    )
+    w = Window.partitionBy(id_col).orderBy(ord_col)
+    prev = F.lag("lang").over(w)
+    switches = langs.select(
+        F.col(id_col),
+        F.when(prev.isNull(), 0).when(prev != F.col("lang"), 1).otherwise(0).alias("sw"),
+    ).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_text_spans"),
+        F.sum("sw").cast("long").alias("code_switches"),
+    )
+    counts = langs.groupBy(id_col, "lang").agg(F.count(F.lit(1)).alias("c"))
+    dom = counts.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max(F.struct(F.col("c"), F.col("lang"))).getField("lang").alias(
+            "dominant_lang"
+        ),
+    )
+    return switches.join(dom, id_col).select(
+        id_col, "n_text_spans", "n_langs", "dominant_lang", "code_switches"
+    )

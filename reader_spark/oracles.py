@@ -4306,6 +4306,67 @@ def _oracle_sql_entries() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS keep
             FROM pairs p JOIN agg a ON p.doc_id = a.doc_id AND p.ord = a.ord
         """,
+        "span_langid_profile": f"""
+            WITH spans AS ({_INTERLEAVED_SPANS_SQL}),
+            pats(lang_c, pat) AS (VALUES {_trigram_pats_sql()}),
+            txt AS (
+                SELECT doc_id, ord, text FROM spans
+                WHERE kind IN ('text', 'heading')
+            ),
+            scores AS (
+                SELECT t.doc_id, t.ord, p.lang_c,
+                       len(regexp_extract_all(lower(t.text), p.pat)) AS score
+                FROM txt t CROSS JOIN pats p
+            ),
+            ranked AS (
+                SELECT doc_id, ord, lang_c, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id, ord
+                           ORDER BY score DESC, lang_c DESC
+                       ) AS rn
+                FROM scores
+            ),
+            langs AS (
+                SELECT doc_id, ord,
+                       CASE WHEN score > 0 THEN lang_c ELSE 'und' END AS lang
+                FROM ranked WHERE rn = 1
+            ),
+            sw AS (
+                SELECT doc_id,
+                       CASE WHEN lag(lang) OVER
+                                 (PARTITION BY doc_id ORDER BY ord) IS NULL
+                            THEN 0
+                            WHEN lang <> lag(lang) OVER
+                                 (PARTITION BY doc_id ORDER BY ord)
+                            THEN 1 ELSE 0 END AS s
+                FROM langs
+            ),
+            agg1 AS (
+                SELECT doc_id, count(*)::BIGINT AS n_text_spans,
+                       CAST(sum(s) AS BIGINT) AS code_switches
+                FROM sw GROUP BY 1
+            ),
+            counts AS (
+                SELECT doc_id, lang, count(*) AS c
+                FROM langs GROUP BY 1, 2
+            ),
+            cranked AS (
+                SELECT doc_id, lang, c,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY c DESC, lang DESC
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY doc_id) AS n_langs
+                FROM counts
+            ),
+            dom AS (
+                SELECT doc_id, CAST(n_langs AS BIGINT) AS n_langs,
+                       lang AS dominant_lang
+                FROM cranked WHERE rn = 1
+            )
+            SELECT a.doc_id, a.n_text_spans, d.n_langs, d.dominant_lang,
+                   a.code_switches
+            FROM agg1 a JOIN dom d ON a.doc_id = d.doc_id
+        """,
         "interleave_profile": f"""
             WITH spans AS ({_INTERLEAVED_SPANS_SQL}),
             t AS (

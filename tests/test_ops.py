@@ -2876,6 +2876,47 @@ class TestCaptionAlignment:
         assert sorted((r.doc_id, r.ord) for r in out) == [(1, 1), (1, 3), (2, 1)]
 
 
+class TestSpanLanguageProfile:
+    def _spans(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, ord int, kind string, text string, media_ref string",
+        )
+
+    def test_switches_count_adjacent_text_spans_only(self, spark):
+        from reader_spark.ops.multimodal import span_language_profile
+
+        rows = [
+            (1, 0, "text", "the thing is singing and sing", None),
+            (1, 1, "image", "![x](u)", "u"),  # media ignored
+            (1, 2, "text", "der ich und sich schon", None),
+            (1, 3, "text", "the theory and the thing", None),
+        ]
+        got = span_language_profile(self._spans(spark, rows)).collect()[0]
+        assert got.n_text_spans == 3
+        assert got.n_langs == 2
+        assert got.code_switches == 2  # en->de->en
+        assert got.dominant_lang == "en"  # 2 en spans vs 1 de
+
+    def test_dominance_tie_breaks_lexicographically_last(self, spark):
+        from reader_spark.ops.multimodal import span_language_profile
+
+        rows = [
+            (1, 0, "text", "the thing and the sing", None),
+            (1, 1, "text", "der ich und sich schung", None),
+        ]
+        got = span_language_profile(self._spans(spark, rows)).collect()[0]
+        assert got.dominant_lang == "en"  # tie 1-1: en > de
+
+    def test_no_signal_is_und_with_zero_switches(self, spark):
+        from reader_spark.ops.multimodal import span_language_profile
+
+        rows = [(1, 0, "text", "zzz qqq", None), (1, 1, "text", "xxxy", None)]
+        got = span_language_profile(self._spans(spark, rows)).collect()[0]
+        assert got.n_langs == 1 and got.dominant_lang == "und"
+        assert got.code_switches == 0
+
+
 class TestInterleaveProfile:
     def test_switch_counting(self, spark):
         from reader_spark.ops.multimodal import interleave_profile

@@ -534,6 +534,21 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, [float(v) for v in query_vec], k=10)
 
 
+def _q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (ops.ann.binary_hamming_topk): sign-bit codes
+    packed into 32-bit words, Hamming candidate top-50 via TakeOrdered
+    (scan-bound, no shuffle, deterministic (hamming, id) boundary cut),
+    exact cosine rerank only within candidates. The 16-byte-per-vector
+    compact-code path every vector store ships as its scale tier."""
+    from reader_spark.ops.ann import binary_hamming_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query_vec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return binary_hamming_topk(
+        emb, [float(v) for v in query_vec], k=10, candidates=50
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (approximate: rows-only check)."""
     from reader_spark.ops.ann import lsh_bucketed_topk
@@ -4170,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_groups": _q_fingerprints,
         "fingerprints_md5": _q_fingerprints_md5,
         "ann_topk": _q_ann_topk,
+        "binary_hamming_topk": _q_binary_hamming_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_lsh_md5": _q_ann_lsh_md5,
         "ann_ivf": _q_ann_ivf,

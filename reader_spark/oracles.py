@@ -1312,6 +1312,48 @@ def _oracle_sql_entries() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id
             LIMIT 10
         """,
+        "binary_hamming_topk": """
+            WITH q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+            ),
+            codes AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                       CAST(list_sum(list_transform(generate_series(0, 31),
+                            i -> CASE WHEN (e.embedding::DOUBLE[])[i + 1] > 0
+                                      THEN 1::BIGINT << (31 - i)
+                                      ELSE 0 END)) AS BIGINT) AS w0,
+                       CAST(list_sum(list_transform(generate_series(0, 31),
+                            i -> CASE WHEN (e.embedding::DOUBLE[])[i + 33] > 0
+                                      THEN 1::BIGINT << (31 - i)
+                                      ELSE 0 END)) AS BIGINT) AS w1
+                FROM embeddings e
+            ),
+            qcode AS (
+                SELECT CAST(list_sum(list_transform(generate_series(0, 31),
+                            i -> CASE WHEN qv[i + 1] > 0
+                                      THEN 1::BIGINT << (31 - i)
+                                      ELSE 0 END)) AS BIGINT) AS w0,
+                       CAST(list_sum(list_transform(generate_series(0, 31),
+                            i -> CASE WHEN qv[i + 33] > 0
+                                      THEN 1::BIGINT << (31 - i)
+                                      ELSE 0 END)) AS BIGINT) AS w1
+                FROM q
+            ),
+            cand AS (
+                SELECT c.vec_id, c.v,
+                       CAST(bit_count(xor(c.w0, qc.w0))
+                            + bit_count(xor(c.w1, qc.w1)) AS BIGINT) AS hamming
+                FROM codes c, qcode qc
+                ORDER BY hamming ASC, c.vec_id ASC
+                LIMIT 50
+            )
+            SELECT vec_id, hamming,
+                   round(list_cosine_similarity(v, (SELECT qv FROM q)), 4)
+                       AS cosine
+            FROM cand
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
         "ann_ivf_seeded": """
             WITH cents AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,

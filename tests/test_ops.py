@@ -311,6 +311,51 @@ class TestSimhash:
             simhash_banded_pairs(fp, max_hamming=4, bits=4)
 
 
+class TestBinaryHammingTopk:
+    def test_sign_bit_packing_matches_hand_fold(self, spark):
+        from reader_spark.ops.ann import sign_bit_words
+
+        vec = [1.0 if i % 3 == 0 else -1.0 for i in range(40)]  # dim !% 32
+        want = []
+        for w in range(2):
+            acc = 0
+            for v in vec[w * 32 : w * 32 + 32]:
+                acc = acc * 2 + (1 if v > 0 else 0)
+            want.append(acc)
+        df = spark.createDataFrame([(vec,)], "v array<double>")
+        got = df.select(sign_bit_words(F.col("v"), 40).alias("c")).head()["c"]
+        assert list(got) == want
+        assert want[1] < (1 << 8)  # last word carries only 8 bits
+
+    def test_self_is_top1_with_hamming_zero(self, spark):
+        from reader_spark.ops.ann import binary_hamming_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.where(F.col("vec_id") == 5).head()["embedding"]
+        top = binary_hamming_topk(emb, [float(v) for v in qv], k=3).collect()
+        assert top[0]["vec_id"] == 5
+        assert top[0]["hamming"] == 0
+        assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-3)
+
+    def test_recall_vs_exact_topk(self, spark):
+        from reader_spark.ops.ann import binary_hamming_topk, brute_force_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = [float(v) for v in emb.where(F.col("vec_id") == 7).head()["embedding"]]
+        exact = {r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()}
+        approx = {r["vec_id"] for r in binary_hamming_topk(emb, qv, k=10, candidates=50).collect()}
+        assert len(exact & approx) >= 5  # sign bits keep most of the true top-10
+
+    def test_candidate_stage_is_take_ordered_no_shuffle(self, spark):
+        from reader_spark.ops.ann import binary_hamming_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+        plan = binary_hamming_topk(emb, qv)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "hashpartitioning" not in plan  # scan -> partial top-C, no exchange
+
+
 class TestAnnSelfRecall:
     def test_lsh_returns_self_first(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

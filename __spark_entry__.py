@@ -694,6 +694,18 @@ def _q_detected_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter (ops.textstats.blocklist_filter): exact
+    token matches against a broadcast word dim instead of a giant
+    alternation regex. Fixture list ('dup', plus an absent word proving
+    zero-hit safety) flags 25 of 500 docs at sf0.01; production swaps in
+    the public LDNOOBW file, same broadcast plumbing."""
+    from reader_spark.ops.textstats import blocklist_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return blocklist_filter(docs, ("dup", "zzzqqqblocked"))
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-style archive source end-to-end: documents synthesized into two
     web-archive files, read via binaryFile + record splitter, extracted by
@@ -4148,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_market_share": _q_nation_market_share,
         "returns_rollup": _q_returns_rollup,
         "detected_lang": _q_detected_lang,
+        "blocklist_filter": _q_blocklist_filter,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "embedding_dedup_lsh_md5": _q_embedding_dedup_lsh_md5,
         "embedding_dedup_components": _q_embedding_dedup_components,

@@ -816,3 +816,65 @@ def ccnet_buckets(
         tile.cast("int").alias("bucket_id"),
         name.alias("bucket"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    words: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist filtering (Raffel et al. '20 §2.2 dropped any
+    page containing a word from the public "List of Dirty, Naughty ..."
+    blocklist): token-level exact matching against a word list, NOT a
+    giant alternation regex — at 2k+ blocklist words a single regex is
+    quadratic-ish per page and unreadable in EXPLAIN, while tokens
+    joining a broadcast dim stay a hash lookup per token.
+
+    Returns one row per input doc: (id, n_hits, n_distinct_bad, keep)
+    with keep = 1 iff no blocklist token occurs. The word dim broadcasts
+    (it is tiny by construction); the hit count groupBy and the spine
+    left-join both key on the doc id.
+
+    The production word list is loaded from a file and broadcast the
+    same way; tests and the registry use a corpus-derived stand-in."""
+    spark = df.sparkSession
+    if not words:
+        raise ValueError("blocklist must not be empty")
+    bad = spark.createDataFrame([(w.lower(),) for w in sorted(set(words))], "tok string")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower(F.col(text_col)), "[^a-z0-9]+", " "
+                        )
+                    ),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    hits = (
+        toks.join(F.broadcast(bad), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.countDistinct("tok").cast("long").alias("n_distinct_bad"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.coalesce("n_distinct_bad", F.lit(0).cast("long")).alias(
+                "n_distinct_bad"
+            ),
+            F.when(F.col("n_hits").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )

@@ -2441,6 +2441,29 @@ def _oracle_sql_entries() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS capped
             FROM f, lvl
         """,
+        "blocklist_filter": """
+            WITH bad(tok) AS (VALUES ('dup'), ('zzzqqqblocked')),
+            toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split(trim(regexp_replace(
+                               lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           t -> t <> '')) AS tok
+                FROM documents
+            ),
+            hits AS (
+                SELECT t.doc_id,
+                       count(*)::BIGINT AS n_hits,
+                       count(DISTINCT t.tok)::BIGINT AS n_distinct_bad
+                FROM toks t JOIN bad b ON t.tok = b.tok
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+                   COALESCE(h.n_distinct_bad, 0)::BIGINT AS n_distinct_bad,
+                   CASE WHEN h.n_hits IS NULL THEN 1 ELSE 0 END AS keep
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
         "unimax_mix": """
             WITH sizes AS (
                 SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS size,

@@ -568,6 +568,49 @@ class TestProductQuantization:
         assert pq_adc_topk(pq_encode(empty, books), books, [0.0] * 64).count() == 0
 
 
+class TestBlocklistFilter:
+    def _docs(self, spark):
+        rows = [
+            (1, "The quick brown fox"),
+            (2, "BADWORD in caps and badword again, badword!"),
+            (3, "clean text with otherbad term"),
+            (4, ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hits_and_keep(self, spark):
+        from reader_spark.ops.textstats import blocklist_filter
+
+        got = {
+            r.doc_id: r
+            for r in blocklist_filter(
+                self._docs(spark), ("badword", "otherbad", "absent")
+            ).collect()
+        }
+        assert got[1].n_hits == 0 and got[1].keep == 1
+        assert got[2].n_hits == 3 and got[2].n_distinct_bad == 1
+        assert got[2].keep == 0
+        assert got[3].n_hits == 1 and got[3].keep == 0
+        assert got[4].n_hits == 0 and got[4].keep == 1  # empty doc survives
+
+    def test_empty_list_rejected(self, spark):
+        from reader_spark.ops.textstats import blocklist_filter
+
+        with pytest.raises(ValueError, match="blocklist"):
+            blocklist_filter(self._docs(spark), ())
+
+    def test_word_dim_broadcasts(self, spark):
+        from reader_spark.ops.textstats import blocklist_filter
+
+        plan = (
+            blocklist_filter(self._docs(spark), ("badword",))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
 class TestGopherRules:
     def test_gate_behavior_on_crafted_docs(self, spark):
         from reader_spark.ops.textstats import gopher_quality_columns

@@ -3158,6 +3158,18 @@ def _q_span_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_language_profile(_interleaved_spans(spark, sf_dir))
 
 
+def _q_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-skeleton template detection over the interleaved extraction
+    (ops.multimodal.template_clusters): docs grouped by the md5 of their
+    ordered span-kind sequence — the boilerplate-site-template signal
+    text dedup can't see. The fixture's three deterministic shapes
+    (hero / trailing / no image) come back as exactly three clusters
+    with doc_id%3 populations."""
+    from reader_spark.ops.multimodal import template_clusters
+
+    return template_clusters(_interleaved_spans(spark, sf_dir))
+
+
 def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup pairs over decoded thumbnails (ops.multimodal.
     phash_neardup): average-hash halves + lossless 4x16 band equi-join at
@@ -4314,6 +4326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": _q_caption_pairs,
         "caption_alignment": _q_caption_alignment,
         "span_langid_profile": _q_span_langid_profile,
+        "template_clusters": _q_template_clusters,
         "interleave_profile": _q_interleave_profile,
         "bigram_lm": _q_bigram_lm,
         "multimodal_packing": _q_multimodal_packing,

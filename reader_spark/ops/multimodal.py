@@ -714,3 +714,47 @@ def span_language_profile(
     return switches.join(dom, id_col).select(
         id_col, "n_text_spans", "n_langs", "dominant_lang", "code_switches"
     )
+
+
+def template_clusters(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    ord_col: str = "ord",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Structural template detection over extracted span sequences: a
+    document's layout skeleton is the ordered sequence of its span KINDS
+    (heading>image>text, ...), and pages produced by the same site
+    template share a skeleton even when every word differs — the
+    boilerplate-site signal that text-level dedup cannot see (cf. the
+    reference's DOM-shape heuristics, src/utils/readability).
+
+    Returns one row per distinct skeleton: (template_id md5, skeleton,
+    n_docs, example_doc) with example_doc = the smallest doc id, a
+    deterministic exemplar for eyeballing. Scale shape: the skeleton is
+    assembled inside the row group (sort the (ord, kind) structs, then
+    join kinds) — ONE groupBy keyed by doc, one keyed by the skeleton
+    hash; skeleton strings are tiny regardless of document size."""
+    skel = F.concat_ws(
+        ">",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ord_col), F.col(kind_col)))
+            ),
+            lambda s: s.getField(kind_col),
+        ),
+    )
+    per_doc = spans.groupBy(id_col).agg(skel.alias("skeleton"))
+    return (
+        per_doc.groupBy("skeleton")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).alias("example_doc"),
+        )
+        .select(
+            F.md5(F.col("skeleton")).alias("template_id"),
+            "skeleton",
+            "n_docs",
+            "example_doc",
+        )
+    )

@@ -4371,6 +4371,18 @@ def _oracle_sql_entries() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS keep
             FROM pairs p JOIN agg a ON p.doc_id = a.doc_id AND p.ord = a.ord
         """,
+        "template_clusters": f"""
+            WITH spans AS ({_INTERLEAVED_SPANS_SQL}),
+            per_doc AS (
+                SELECT doc_id,
+                       string_agg(kind, '>' ORDER BY ord) AS skeleton
+                FROM spans GROUP BY 1
+            )
+            SELECT md5(skeleton) AS template_id, skeleton,
+                   count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS example_doc
+            FROM per_doc GROUP BY skeleton
+        """,
         "span_langid_profile": f"""
             WITH spans AS ({_INTERLEAVED_SPANS_SQL}),
             pats(lang_c, pat) AS (VALUES {_trigram_pats_sql()}),

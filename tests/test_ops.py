@@ -3005,6 +3005,33 @@ class TestSpanLanguageProfile:
         assert got.code_switches == 0
 
 
+class TestTemplateClusters:
+    def test_same_kind_sequence_clusters_regardless_of_text(self, spark):
+        from reader_spark.ops.multimodal import template_clusters
+
+        rows = [
+            (1, 0, "heading", "A", None), (1, 1, "text", "body one", None),
+            (2, 0, "heading", "B", None), (2, 1, "text", "totally different", None),
+            (3, 0, "text", "no heading", None),
+            # out-of-order ords must still serialize by ord
+            (4, 1, "text", "x", None), (4, 0, "heading", "y", None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, ord int, kind string, text string, media_ref string",
+        )
+        got = {r.skeleton: r for r in template_clusters(df).collect()}
+        assert got["heading>text"].n_docs == 3  # docs 1, 2, 4
+        assert got["heading>text"].example_doc == 1
+        assert got["text"].n_docs == 1
+        import hashlib
+
+        assert (
+            got["text"].template_id
+            == hashlib.md5(b"text").hexdigest()
+        )
+
+
 class TestInterleaveProfile:
     def test_switch_counting(self, spark):
         from reader_spark.ops.multimodal import interleave_profile

@@ -694,6 +694,17 @@ def _q_detected_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution Shannon entropy (ops.textstats.
+    token_entropy) — the repetitive-text / encoded-blob gibberish signal.
+    Integer nano-unit term sums + integer 6-dp reduction keep hundreds of
+    float terms engine-stable; zero-token docs survive via the spine
+    left-join."""
+    from reader_spark.ops.textstats import token_entropy
+
+    return token_entropy(_read(spark, sf_dir, "documents"))
+
+
 def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist filter (ops.textstats.blocklist_filter): exact
     token matches against a broadcast word dim instead of a giant
@@ -4173,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returns_rollup": _q_returns_rollup,
         "detected_lang": _q_detected_lang,
         "blocklist_filter": _q_blocklist_filter,
+        "token_entropy": _q_token_entropy,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "embedding_dedup_lsh_md5": _q_embedding_dedup_lsh_md5,
         "embedding_dedup_components": _q_embedding_dedup_components,

@@ -878,3 +878,66 @@ def blocklist_filter(
             F.when(F.col("n_hits").isNull(), 1).otherwise(0).alias("keep"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits):
+    -sum(p log2 p) over the doc's token histogram. Low entropy flags
+    repetitive/templated/gibberish-loop text that length and stopword
+    ratios miss; high entropy with near-zero stopword ratio flags
+    encoded blobs — the composite gibberish signal in C4/Gopher-class
+    quality batteries.
+
+    Engine-stable math: per-term round-9 scaled to integer nano-units,
+    the per-doc SUM in exact integers (float sums of hundreds of terms
+    are order-sensitive and cross-engine unstable), and the final 6-dp
+    reduction also in integers ((s+500) div 1000 / 1e6 — entropy terms
+    are non-negative). Two map-side-combined aggregates keyed by
+    (doc, token) then doc; the spine left-join keeps zero-token docs."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower(F.col(text_col)), "[^a-z0-9]+", " "
+                        )
+                    ),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    p = F.col("c") / F.col("n_tokens")
+    units = F.round(-p * F.log2(p) * F.lit(1e9), 0).cast("long")
+    per_doc = (
+        counts.join(tot, id_col)
+        .select(F.col(id_col), F.col("n_tokens"), F.col("n_distinct"), units.alias("u"))
+        .groupBy(id_col, "n_tokens", "n_distinct")
+        .agg(F.sum("u").alias("s"))
+        .withColumn(
+            "entropy_bits",
+            F.expr("((s + 500) div 1000) / 1e6"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0).cast("long")).alias("n_distinct"),
+            F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
+        )
+    )

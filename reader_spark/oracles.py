@@ -2464,6 +2464,38 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CASE WHEN h.n_hits IS NULL THEN 1 ELSE 0 END AS keep
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         """,
+        "token_entropy": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split(trim(regexp_replace(
+                               lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           t -> t <> '')) AS tok
+                FROM documents
+            ),
+            counts AS (
+                SELECT doc_id, tok, count(*) AS c
+                FROM toks GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       count(*)::BIGINT AS n_distinct
+                FROM counts GROUP BY 1
+            ),
+            per_doc AS (
+                SELECT c.doc_id, t.n_tokens, t.n_distinct,
+                       sum(CAST(round(-(c.c * 1.0 / t.n_tokens)
+                                      * log2(c.c * 1.0 / t.n_tokens)
+                                      * 1e9) AS BIGINT)) AS s
+                FROM counts c JOIN tot t USING (doc_id)
+                GROUP BY 1, 2, 3
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+                   COALESCE(p.n_distinct, 0)::BIGINT AS n_distinct,
+                   COALESCE(((p.s + 500) // 1000) / 1e6, 0.0) AS entropy_bits
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
         "unimax_mix": """
             WITH sizes AS (
                 SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS size,

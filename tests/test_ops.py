@@ -611,6 +611,39 @@ class TestBlocklistFilter:
         assert "BroadcastHashJoin" in plan
 
 
+class TestTokenEntropy:
+    def test_hand_computed_entropy(self, spark):
+        import math
+
+        from reader_spark.ops.textstats import token_entropy
+
+        # "a a b b" -> p = 0.5/0.5 -> 1 bit; "a a a a" -> 0 bits
+        df = spark.createDataFrame(
+            [(1, "a a b b"), (2, "a a a a"), (3, "a b c d")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in token_entropy(df).collect()}
+        assert got[1].entropy_bits == pytest.approx(1.0, abs=1e-6)
+        assert got[1].n_tokens == 4 and got[1].n_distinct == 2
+        assert got[2].entropy_bits == 0.0
+        assert got[3].entropy_bits == pytest.approx(2.0, abs=1e-6)
+        # uneven split: 3/4, 1/4
+        df2 = spark.createDataFrame([(1, "x x x y")], "doc_id long, text string")
+        want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+        got2 = token_entropy(df2).collect()[0]
+        assert got2.entropy_bits == pytest.approx(want, abs=1e-5)
+
+    def test_zero_token_doc_survives(self, spark):
+        from reader_spark.ops.textstats import token_entropy
+
+        df = spark.createDataFrame(
+            [(1, "!!! ..."), (2, None)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in token_entropy(df).collect()}
+        assert got[1].n_tokens == 0 and got[1].entropy_bits == 0.0
+        assert got[2].n_tokens == 0 and got[2].entropy_bits == 0.0
+
+
 class TestGopherRules:
     def test_gate_behavior_on_crafted_docs(self, spark):
         from reader_spark.ops.textstats import gopher_quality_columns

@@ -437,3 +437,83 @@ def test_extract_job_via_spark_submit_pyfiles(docs_path, tmp_path):
     metrics = json.loads(r.stdout.strip().splitlines()[-1])
     assert metrics["failedDocs"] == 0
     assert metrics["successfulDocs"] == metrics["totalDocs"] > 0
+
+
+@pytest.fixture(scope="module")
+def vlm_docs(spark, tmp_path_factory):
+    """12 interleaved raw docs on one domain: unique heading + body (with
+    an email in half of them), a hero image in 8, and a shared footer
+    paragraph on every doc (domain boilerplate by construction)."""
+    from reader_spark.spark.job import docs_from_rows
+
+    base = str(tmp_path_factory.mktemp("vlm"))
+    rows = []
+    for i in range(12):
+        img = (
+            f'<img src="https://img.test/{i}/hero.png" alt="hero {i}">'
+            if i % 3 != 2
+            else ""
+        )
+        email = " write to user%d@mail.test today" % i if i % 2 == 0 else ""
+        html = (
+            f"<html><body><main><article><h1>Doc {i}</h1>{img}"
+            f"<p>Unique body text number {i} with plenty of words{email}.</p>"
+            f"<p>All rights reserved by the example site footer.</p>"
+            f"</article></main></body></html>"
+        )
+        rows.append(
+            {
+                "doc_id": f"vlm-{i:02d}",
+                "spans": [
+                    {"kind": "html", "text": html, "media_ref": None, "offset": 0}
+                ],
+            }
+        )
+    docs_from_rows(spark, rows).write.parquet(base + "/docs")
+    spark.createDataFrame(
+        [(f"vlm-{i:02d}", "site.test") for i in range(12)],
+        "doc_id string, domain string",
+    ).write.parquet(base + "/domains")
+    return base
+
+
+def test_vlm_prep_job_full_pipeline(spark, vlm_docs, tmp_path):
+    out = str(tmp_path / "samples_full")
+    summary = run_job(
+        "vlm_prep_job.py",
+        "--input", vlm_docs + "/docs",
+        "--output", out,
+        "--domains", vlm_docs + "/domains",
+        "--redact",
+        "--align-threshold", "1.01",  # cosine <= 1.0: every image must drop
+        "--master", "local[4]",
+    )
+    assert summary["input_docs"] == 12 and summary["samples"] == 12
+    assert summary["quarantined"] == 0
+    assert summary["boilerplate_spans_dropped"] == 12  # the shared footer
+    assert summary["misaligned_media_dropped"] == 8
+    assert summary["media_total"] == 0
+    assert summary["truncated_spans"] == 0
+    got = spark.read.parquet(out)
+    samples = {r.doc_id: r.sample for r in got.collect()}
+    assert "<image_" not in samples["vlm-00"]
+    assert "footer" not in samples["vlm-00"]
+    assert "<EMAIL>" in samples["vlm-00"]  # redacted in place
+    assert "mail.test" not in samples["vlm-00"]
+
+
+def test_vlm_prep_job_keeps_media_without_filters(spark, vlm_docs, tmp_path):
+    out = str(tmp_path / "samples_plain")
+    summary = run_job(
+        "vlm_prep_job.py",
+        "--input", vlm_docs + "/docs",
+        "--output", out,
+        "--master", "local[4]",
+    )
+    assert summary["samples"] == 12
+    assert summary["media_total"] == 8
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert "<image_0>" in got["vlm-00"].sample
+    assert list(got["vlm-00"].media_refs) == ["https://img.test/0/hero.png"]
+    assert "user0@mail.test" in got["vlm-00"].sample  # no --redact
+    assert "footer" in got["vlm-00"].sample  # no --domains

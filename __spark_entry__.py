@@ -4091,7 +4091,13 @@ _DRIVER_WINDOW = [
     # top_event_paths yielded their slots to audio_hk_neardup +
     # interleaved_pii_redact + span_boilerplate_strip +
     # interleaved_sample_render (new this round) — all four stay green in
-    # the local gate sweep.
+    # the local gate sweep.  Session-3 re-rotation: the seven new flagships
+    # (caption_alignment, span_langid_profile, template_clusters,
+    # blocklist_filter, token_entropy, unimax_mix, binary_hamming_topk)
+    # took the slots of readability_scores / langid_confusion /
+    # lang_source_chi2 / zipf_fit / scd2_user_state / cohort_retention —
+    # analytics-family twins whose siblings were driver-certified in
+    # r1-r2; all retired rows stay green in the local gate sweep.
     # -- extraction / media flagships never in a window
     "span_kinds_full",
     "media_sniff",
@@ -4100,6 +4106,9 @@ _DRIVER_WINDOW = [
     "interleaved_pii_redact",
     "span_boilerplate_strip",
     "interleaved_sample_render",
+    "caption_alignment",
+    "span_langid_profile",
+    "template_clusters",
     "multimodal_packing",
     "remove_duplicate_spans",
     # -- curation / training-data pipeline
@@ -4112,14 +4121,13 @@ _DRIVER_WINDOW = [
     "packing_stats",
     "quality_token_pyramid",
     "quality_funnel",
+    "blocklist_filter",
+    "token_entropy",
+    "unimax_mix",
     "bigram_lm",
     "span_corruption",
     "source_vocab_kl",
     "corpus_scorecard",
-    "readability_scores",
-    "langid_confusion",
-    "lang_source_chi2",
-    "zipf_fit",
     # -- dedup / fingerprint / decontamination
     "winnow_pairs",
     "cdc_chunks",
@@ -4130,7 +4138,7 @@ _DRIVER_WINDOW = [
     "opq_encode_md5",
     "embedding_sq8",
     "label_centroids",
-    "hybrid_search_rrf",
+    "binary_hamming_topk",
     # -- sketches
     "kmv_jaccard",
     "cms_join_size",
@@ -4147,9 +4155,7 @@ _DRIVER_WINDOW = [
     "crawl_budget_allocation",
     # -- event analytics battery
     "funnel_conversion",
-    "cohort_retention",
     "event_transitions",
-    "scd2_user_state",
     # -- sources
     "jsonl_ingest",
 ]

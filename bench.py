@@ -126,6 +126,13 @@ BENCH_QUERIES = (
     "cms_join_size",
     "span_kinds_full",
     "coreset_k_center",
+    "unimax_mix",
+    "caption_alignment",
+    "span_langid_profile",
+    "binary_hamming_topk",
+    "blocklist_filter",
+    "template_clusters",
+    "token_entropy",
 )
 
 
@@ -402,6 +409,17 @@ def main() -> None:
             "--master", f"local[{CPUS}]",
         ],
     )
+    run_job(
+        "vlm_prep_job",
+        [
+            "jobs/vlm_prep_job.py",
+            "--input", path,
+            "--output", os.path.join(BENCH_DIR, "vlm_samples"),
+            "--redact",
+            "--align-threshold", "0.3",
+            "--master", f"local[{CPUS}]",
+        ],
+    )
 
     # Calibration lines IMMEDIATELY around the headline timing — the r1
     # number paired a calibration measured minutes earlier with an
@@ -571,7 +589,12 @@ def main() -> None:
             f"| curation_job | {results['curation_job_e2e']} | "
             f"{json.dumps(pipeline['curation_job'])} |\n"
             f"| compact_job | {results['compact_job_e2e']} | "
-            f"{json.dumps(pipeline['compact_job'])} |\n\n"
+            f"{json.dumps(pipeline['compact_job'])} |\n"
+            f"| vlm_prep_job | {results['vlm_prep_job_e2e']} | "
+            f"{json.dumps(pipeline['vlm_prep_job'])} |\n\n"
+            "vlm_prep_job = extract -> caption-alignment filter -> PII "
+            "redaction -> budget truncation -> LLaVA-shape rendering over "
+            "the same raw corpus as the headline extraction.\n\n"
             f"Operator query timings at {SF_DIR}: "
             + ", ".join(f"{k}={v}s" for k, v in results.items())
             + "\n\n"

@@ -694,6 +694,17 @@ def _q_detected_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (ops.sampling.curriculum_order): short-to-long
+    schedule with equi-width length buckets and a deterministic seeded
+    md5 shuffle within each bucket; position = broadcast bucket offset +
+    bucket-keyed rank. No global window — the only windows key on the
+    8-bucket dim."""
+    from reader_spark.ops.sampling import curriculum_order
+
+    return curriculum_order(_read(spark, sf_dir, "documents"))
+
+
 def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token-distribution Shannon entropy (ops.textstats.
     token_entropy) — the repetitive-text / encoded-blob gibberish signal.
@@ -4191,6 +4202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detected_lang": _q_detected_lang,
         "blocklist_filter": _q_blocklist_filter,
         "token_entropy": _q_token_entropy,
+        "curriculum_order": _q_curriculum_order,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "embedding_dedup_lsh_md5": _q_embedding_dedup_lsh_md5,
         "embedding_dedup_components": _q_embedding_dedup_components,

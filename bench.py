@@ -133,6 +133,7 @@ BENCH_QUERIES = (
     "blocklist_filter",
     "template_clusters",
     "token_entropy",
+    "curriculum_order",
 )
 
 

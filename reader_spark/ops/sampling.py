@@ -271,3 +271,53 @@ def token_budget_mix(
         .where(F.col("__before") < F.col("group_budget"))
         .drop("__before")
     )
+
+
+def curriculum_order(
+    df,
+    cost_col: str = "n_chars",
+    id_col: str = "doc_id",
+    buckets: int = 8,
+    width: int = 256,
+    seed: int = 0,
+):
+    """Curriculum ordering (Bengio et al., ICML'09; the short-to-long
+    schedule LLM pretraining uses for warmup): docs are bucketed by a
+    difficulty proxy (equi-width on ``cost_col``, capped at ``buckets``),
+    buckets are consumed easiest-first, and WITHIN a bucket the order is
+    a deterministic seeded shuffle (md5 of seed:id — portable, and
+    reproducible across runs/engines, unlike rand()).
+
+    Returns (id, bucket, position) with position the 1-based global
+    curriculum index. Scale shape: bucketing is per-row math; the
+    within-bucket rank windows key on the bucket (corpus/buckets rows
+    per partition — the documented token_shards-style bound, and the
+    schedule is usually materialized per-bucket anyway); the bucket
+    offsets are a ``buckets``-row dim joined back broadcast-style. No
+    global window anywhere."""
+    from pyspark.sql import Window
+
+    if buckets < 1 or width < 1:
+        raise ValueError(f"buckets and width must be >= 1, got {buckets}, {width}")
+    bucket = F.least(
+        F.lit(buckets - 1), F.expr(f"{cost_col} div {width}")
+    ).cast("long")
+    sk = F.md5(F.concat(F.lit(f"cur{seed}:"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col), bucket.alias("bucket"), sk.alias("sk")
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("sk"), F.col(id_col))
+    ranked = base.withColumn("rn", F.row_number().over(w).cast("long"))
+    sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    woff = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "bucket",
+        F.coalesce(F.sum("c").over(woff), F.lit(0)).cast("long").alias("off"),
+    )
+    return ranked.join(F.broadcast(offsets), "bucket").select(
+        F.col(id_col),
+        F.col("bucket"),
+        (F.col("off") + F.col("rn")).alias("position"),
+    )

@@ -2464,6 +2464,32 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CASE WHEN h.n_hits IS NULL THEN 1 ELSE 0 END AS keep
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         """,
+        "curriculum_order": """
+            WITH b AS (
+                SELECT doc_id,
+                       least(7, n_chars // 256)::BIGINT AS bucket,
+                       md5('cur0:' || doc_id) AS sk
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, bucket,
+                       CAST(row_number() OVER (
+                           PARTITION BY bucket ORDER BY sk, doc_id
+                       ) AS BIGINT) AS rn
+                FROM b
+            ),
+            sizes AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1),
+            off AS (
+                SELECT bucket,
+                       COALESCE(sum(c) OVER (
+                           ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS o
+                FROM sizes
+            )
+            SELECT r.doc_id, r.bucket, CAST(off.o + r.rn AS BIGINT) AS position
+            FROM r JOIN off USING (bucket)
+        """,
         "token_entropy": """
             WITH toks AS (
                 SELECT doc_id,

@@ -611,6 +611,48 @@ class TestBlocklistFilter:
         assert "BroadcastHashJoin" in plan
 
 
+class TestCurriculumOrder:
+    def test_positions_are_a_permutation_and_bucket_monotone(self, spark):
+        from reader_spark.ops.sampling import curriculum_order
+
+        df = spark.createDataFrame(
+            [(i, (i % 5) * 300) for i in range(40)], "doc_id long, n_chars long"
+        )
+        rows = curriculum_order(df, buckets=4, width=300).collect()
+        positions = sorted(r.position for r in rows)
+        assert positions == list(range(1, 41))  # dense 1..n permutation
+        # every doc in a lower bucket precedes every doc in a higher one
+        by_bucket = {}
+        for r in rows:
+            by_bucket.setdefault(r.bucket, []).append(r.position)
+        buckets = sorted(by_bucket)
+        for lo, hi in zip(buckets, buckets[1:]):
+            assert max(by_bucket[lo]) < min(by_bucket[hi])
+        # width=300, buckets=4: cost 1200 (i%5==4) capped into bucket 3
+        assert {r.bucket for r in rows} == {0, 1, 2, 3}
+
+    def test_seed_changes_within_bucket_order_only(self, spark):
+        from reader_spark.ops.sampling import curriculum_order
+
+        df = spark.createDataFrame(
+            [(i, 10) for i in range(30)], "doc_id long, n_chars long"
+        )
+        a = {r.doc_id: r.position for r in curriculum_order(df, seed=0).collect()}
+        b = {r.doc_id: r.position for r in curriculum_order(df, seed=1).collect()}
+        assert a != b  # different shuffle
+        assert sorted(a.values()) == sorted(b.values())  # same slots
+        # deterministic: same seed reproduces exactly
+        a2 = {r.doc_id: r.position for r in curriculum_order(df, seed=0).collect()}
+        assert a == a2
+
+    def test_validation(self, spark):
+        from reader_spark.ops.sampling import curriculum_order
+
+        df = spark.createDataFrame([(1, 10)], "doc_id long, n_chars long")
+        with pytest.raises(ValueError, match="buckets"):
+            curriculum_order(df, buckets=0)
+
+
 class TestTokenEntropy:
     def test_hand_computed_entropy(self, spark):
         import math

@@ -1125,6 +1125,30 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, bench, n=8, hashed=False)
 
 
+def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (ops.decontam.
+    contamination_flags_bloom): the benchmark grams ride as ONE broadcast
+    set-bit row, corpus grams check k array_contains positions scan-side,
+    and only maybe-hit docs enter the exact gram join — the shape for
+    100M+-gram benchmark sets where the exact hash broadcast is
+    undeliverable. SHARES the exact oracle with `decontaminate`: a Bloom
+    filter has no false negatives, so output equality IS the
+    losslessness proof."""
+    from reader_spark.ops.decontam import (
+        contamination_flags_bloom,
+        normalize_for_ngrams,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(F.split(normalize_for_ngrams(F.col("text")), " "), 1, 30), " "
+        ).alias("bench_text"),
+    )
+    return contamination_flags_bloom(docs, bench, n=8, hashed=False)
+
+
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (Lee et al. ACL'22): maximal duplicated
     >=20-token spans via hashed positional windows + interval merge —
@@ -4255,6 +4279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": _q_asof_clicks,
         "attribution_range_join": _q_attribution_range_join,
         "decontaminate": _q_decontaminate,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "duplicate_spans": _q_duplicate_spans,
         "bm25_search": _q_bm25_search,
         "numeric_profile": _q_numeric_profile,

@@ -134,6 +134,7 @@ BENCH_QUERIES = (
     "template_clusters",
     "token_entropy",
     "curriculum_order",
+    "decontaminate_bloom",
 )
 
 

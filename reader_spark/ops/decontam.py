@@ -70,3 +70,72 @@ def contamination_flags(
             F.countDistinct(bench_id).alias("n_bench_items"),
         )
     )
+
+
+def contamination_flags_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_id: str = "doc_id",
+    doc_text: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "bench_text",
+    n: int = 8,
+    hashed: bool = True,
+    k: int = 3,
+    m: int = 4096,
+) -> DataFrame:
+    """Two-phase decontamination with a Bloom prefilter — IDENTICAL output
+    to :func:`contamination_flags` (a Bloom filter has no false
+    negatives, so the prefilter is lossless and the shared oracle is the
+    proof, same discipline as simhash_banded_md5):
+
+    1. The benchmark's distinct n-grams build a Bloom bitset (<= m set
+       bits, reader_spark.ops.bloom positions). The set-bit list rides as
+       ONE broadcast row; each corpus gram checks all k positions with
+       array_contains — scan-bound, no explode, no join per gram.
+    2. Only MAYBE-contaminated docs (any gram passing the filter — the
+       true hits plus the Bloom's ~(fill)^k false-positive sliver) enter
+       the exact gram equi-join.
+
+    Why it exists beside the broadcast-join form: exact benchmark gram
+    sets can be 100M+ hashes (800 MB broadcast — undeliverable), while
+    the same set as Bloom bits is tens of MB; phase 2 then touches only
+    the flagged sliver of the corpus. At fixture scale both forms run in
+    the same time; the op is the SHAPE for the big-benchmark regime.
+    """
+    from reader_spark.ops.bloom import _positions, bloom_build
+
+    def grams(frame: DataFrame, id_: str, text: Column) -> DataFrame:
+        g = F.explode(shingles(normalize_for_ngrams(text), n=n)).alias("gram")
+        out = frame.select(F.col(id_), g).where(F.col("gram") != "")
+        if hashed:
+            out = out.select(id_, F.xxhash64("gram").alias("gram"))
+        return out
+
+    bench_grams = grams(benchmark, bench_id, F.col(bench_text)).dropDuplicates()
+    bits = bloom_build(
+        bench_grams, "gram", k=k, m=m, portable=not hashed
+    ).agg(F.collect_set("bit").alias("__bits"))
+
+    doc_grams = grams(fanout_scan(docs), doc_id, F.col(doc_text))
+    pos = _positions(F.col("gram"), k, m, portable=not hashed)
+    member = F.lit(True)
+    for p in pos:
+        member = member & F.array_contains(F.col("__bits"), p)
+    maybe_ids = (
+        doc_grams.crossJoin(F.broadcast(bits))
+        .where(member)
+        .select(doc_id)
+        .distinct()
+    )
+    flagged_docs = docs.join(maybe_ids, doc_id, "left_semi")
+    return contamination_flags(
+        flagged_docs,
+        benchmark,
+        doc_id=doc_id,
+        doc_text=doc_text,
+        bench_id=bench_id,
+        bench_text=bench_text,
+        n=n,
+        hashed=hashed,
+    )

@@ -282,6 +282,9 @@ def oracle_sql() -> dict[str, str]:
     # The banded SimHash production path must reproduce the all-pairs form
     # exactly (block pigeonhole) — sharing the oracle IS the check.
     out["simhash_banded_md5"] = out["simhash_md5"]
+    # Bloom prefilter is lossless (no false negatives) — sharing the exact
+    # oracle proves phase-1 never drops a contaminated doc.
+    out["decontaminate_bloom"] = out["decontaminate"]
     out["ann_lsh_md5"] = _ann_lsh_md5_oracle()
     out["hard_negatives_bucketed"] = _hard_negatives_bucketed_oracle()
     out["doc_sim_topk_bucketed"] = _doc_sim_topk_bucketed_oracle()

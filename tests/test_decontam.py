@@ -86,3 +86,41 @@ def test_plan_broadcasts_benchmark_side(corpus, bench):
     assert "BroadcastHashJoin" in plan          # tiny side ships to executors
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # only the final agg keys
+
+
+def test_bloom_prefilter_equals_exact(corpus, bench):
+    from reader_spark.ops.decontam import contamination_flags_bloom
+
+    for hashed in (True, False):
+        exact = sorted(
+            map(tuple, contamination_flags(corpus, bench, n=8, hashed=hashed).collect())
+        )
+        bloom = sorted(
+            map(
+                tuple,
+                contamination_flags_bloom(
+                    corpus, bench, n=8, hashed=hashed
+                ).collect(),
+            )
+        )
+        assert bloom == exact  # no false negatives, exact confirm strips FPs
+
+
+def test_bloom_tiny_filter_still_lossless(corpus, bench):
+    """m=16 bits saturates the filter — everything becomes a maybe-hit,
+    phase 2 still returns exactly the exact answer (degenerate but
+    correct)."""
+    from reader_spark.ops.decontam import contamination_flags_bloom
+
+    exact = sorted(
+        map(tuple, contamination_flags(corpus, bench, n=8, hashed=True).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            contamination_flags_bloom(
+                corpus, bench, n=8, hashed=True, k=2, m=16
+            ).collect(),
+        )
+    )
+    assert got == exact

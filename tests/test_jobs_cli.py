@@ -517,3 +517,58 @@ def test_vlm_prep_job_keeps_media_without_filters(spark, vlm_docs, tmp_path):
     assert list(got["vlm-00"].media_refs) == ["https://img.test/0/hero.png"]
     assert "user0@mail.test" in got["vlm-00"].sample  # no --redact
     assert "footer" in got["vlm-00"].sample  # no --domains
+
+
+def test_export_job_round_trip_and_manifest(spark, tmp_path):
+    out = str(tmp_path / "export")
+    summary = run_job(
+        "export_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--shards", "4",
+        "--master", "local[4]",
+    )
+    n_in = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert summary["rows"] == n_in
+    manifest = json.loads(open(out + "/manifest.json").read())
+    assert manifest["rows"] == n_in
+    assert sum(s["rows"] for s in manifest["shards"].values()) == n_in
+    assert set(manifest["shards"]) <= {"0", "1", "2", "3"}
+
+    # round-trip through the JSONL source: every doc comes back clean
+    from pyspark.sql import types as T
+
+    from reader_spark.sources.jsonl import read_jsonl_docs
+
+    back = read_jsonl_docs(
+        spark,
+        out + "/data",
+        extra_fields={"lang": T.StringType(), "n_chars": T.LongType()},
+    )
+    assert back.where("error IS NOT NULL").count() == 0
+    orig = {
+        (str(r.doc_id), r.text, r.lang, r.source, r.n_chars)
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in back.collect()
+    }
+    assert got == orig
+
+
+def test_export_job_is_deterministic(tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    for out in (a, b):
+        run_job(
+            "export_job.py",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out,
+            "--shards", "4",
+            "--master", "local[4]",
+        )
+    ma = json.loads(open(a + "/manifest.json").read())
+    mb = json.loads(open(b + "/manifest.json").read())
+    assert ma == mb  # same shard membership AND content fingerprints

@@ -694,6 +694,16 @@ def _q_detected_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document distinct-n diversity per source (ops.textstats.
+    source_diversity) — the self-BLEU-style template-collapse signal
+    per-doc repetition rules can't see. One scan per n, one
+    map-side-combined (source, gram) groupBy, source-keyed rollup."""
+    from reader_spark.ops.textstats import source_diversity
+
+    return source_diversity(_read(spark, sf_dir, "documents"))
+
+
 def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (ops.sampling.curriculum_order): short-to-long
     schedule with equi-width length buckets and a deterministic seeded
@@ -3173,8 +3183,9 @@ def _q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (image, caption) pair scored by cosine between an exact-integer
     feature-hash text tower and a deterministic md5 surrogate image tower
     (the documented stand-in for a Pandas-UDF CLIP encoder — identical
-    plumbing, no vision model in the sandbox), keep = score >= 0.3 (77 of
-    333 pairs at sf0.01). One token-hash groupBy keyed by (doc, ord);
+    plumbing, no vision model in the sandbox), keep = score >= 0.3 (78 of
+    334 pairs at sf0.01); captions truncate to CLIP's 77-token context
+    before hashing. One token-hash groupBy keyed by (doc, ord);
     media bytes never move."""
     from reader_spark.ops.multimodal import caption_alignment_scores, caption_pairs
 
@@ -4227,6 +4238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": _q_blocklist_filter,
         "token_entropy": _q_token_entropy,
         "curriculum_order": _q_curriculum_order,
+        "source_diversity": _q_source_diversity,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "embedding_dedup_lsh_md5": _q_embedding_dedup_lsh_md5,
         "embedding_dedup_components": _q_embedding_dedup_components,

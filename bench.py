@@ -411,11 +411,12 @@ def main() -> None:
             "--master", f"local[{CPUS}]",
         ],
     )
+    vlm_corpus = ensure_corpus(spark, f"vlm{max(400, n_docs // 10)}", max(400, n_docs // 10))
     run_job(
         "vlm_prep_job",
         [
             "jobs/vlm_prep_job.py",
-            "--input", path,
+            "--input", vlm_corpus,
             "--output", os.path.join(BENCH_DIR, "vlm_samples"),
             "--redact",
             "--align-threshold", "0.3",

@@ -456,10 +456,9 @@ def truncate_spans_to_budget(
     everything kept.
 
     Adds n_spans_kept / n_spans_dropped / cost_kept and rewrites
-    spans_col to the kept prefix. Pure per-row column math (costs ->
-    prefix sums -> slice), no explode, no shuffle, no Python; the prefix
-    sum is the O(n^2) slice/aggregate form, fine at per-document span
-    counts (tens), never corpus-sized.
+    spans_col to the kept prefix. Pure per-row column math — ONE O(n)
+    aggregate fold per document carries the running cost and the prefix
+    cut; no explode, no shuffle, no Python.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
@@ -480,23 +479,31 @@ def truncate_spans_to_budget(
             .cast("long")
         )
 
-    costs = F.transform(spans, cost)
-    # sequence(1, 0) DESCENDS in Spark, so an empty spans array must not
-    # reach it (it would fabricate two phantom prefix sums)
-    idx = F.when(
-        F.size(costs) > 0, F.sequence(F.lit(1), F.size(costs))
-    ).otherwise(F.slice(F.sequence(F.lit(1), F.lit(1)), 1, 0))
-    cums = F.transform(
-        idx,
-        lambda i: F.aggregate(
-            F.slice(costs, 1, i), F.lit(0).cast("long"), lambda a, x: a + x
-        ),
+    # ONE O(n) fold carries (running cost, prefix length, cost at the
+    # prefix cut) — costs are non-negative so the running sum is monotone
+    # and "fits" can never flip back on, preserving the prefix property.
+    # (The first version materialized per-index prefix sums via
+    # slice+aggregate — O(n^2) lambda evaluations, measurably pathological
+    # once real documents brought tens of spans through the VLM-prep job.)
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(0).cast("int").alias("keep"),
+        F.lit(0).cast("long").alias("kept"),
     )
-    keep_n = F.size(F.filter(cums, lambda c: c <= F.lit(budget)))
+
+    def step(acc, s):
+        new_cum = acc.getField("cum") + cost(s)
+        fits = new_cum <= F.lit(budget)
+        return F.struct(
+            new_cum.alias("cum"),
+            (acc.getField("keep") + F.when(fits, 1).otherwise(0)).alias("keep"),
+            F.when(fits, new_cum).otherwise(acc.getField("kept")).alias("kept"),
+        )
+
+    folded = F.aggregate(spans, acc0, step)
+    keep_n = folded.getField("keep")
     total_n = F.size(spans)
-    kept_cost = F.coalesce(
-        F.element_at(cums, F.when(keep_n > 0, keep_n)), F.lit(0).cast("long")
-    )
+    kept_cost = folded.getField("kept")
     has = spans.isNotNull()
     return (
         docs.withColumn(
@@ -532,37 +539,50 @@ def render_interleaved_sample(
     placeholder order and `n_media`. Spans that are neither media nor
     carry text (null text) are skipped.
 
-    Pure per-row column math (running media index via prefix count —
-    O(n^2) slice/aggregate over per-document span counts), no explode, no
-    shuffle, no Python.
+    Pure per-row column math — ONE O(n) aggregate fold per document
+    threads the media ordinal and appends pieces; no explode, no shuffle,
+    no Python.
     """
     spans = F.col(spans_col)
     is_media = lambda s: s.getField(kind_field).isin(*media_kinds)  # noqa: E731
 
-    def media_before(i):  # count of media spans strictly before index i (1-based)
-        return F.aggregate(
-            F.slice(spans, 1, i - 1),
-            F.lit(0),
-            lambda a, s: a + F.when(is_media(s), 1).otherwise(0),
+    # ONE O(n) fold threads the running media ordinal through the span
+    # walk and appends each rendered piece (placeholder, text, or nothing)
+    # as it goes. (The first version recounted media_before(i) with a
+    # slice+aggregate per index — O(n^2) lambda evaluations, pathological
+    # at real per-document span counts.)
+    acc0 = F.struct(
+        F.lit(0).cast("int").alias("k"),
+        F.array().cast("array<string>").alias("parts"),
+    )
+
+    def step(acc, s):
+        placeholder = F.concat(
+            F.lit("<image_"), acc.getField("k").cast("string"), F.lit(">")
+        )
+        return (
+            F.when(
+                is_media(s),
+                F.struct(
+                    (acc.getField("k") + 1).alias("k"),
+                    F.concat(acc.getField("parts"), F.array(placeholder)).alias(
+                        "parts"
+                    ),
+                ),
+            )
+            .when(
+                s.getField(text_field).isNotNull(),
+                F.struct(
+                    acc.getField("k").alias("k"),
+                    F.concat(
+                        acc.getField("parts"), F.array(s.getField(text_field))
+                    ).alias("parts"),
+                ),
+            )
+            .otherwise(acc)
         )
 
-    idx = F.when(
-        F.size(spans) > 0, F.sequence(F.lit(1), F.size(spans))
-    ).otherwise(F.slice(F.sequence(F.lit(1), F.lit(1)), 1, 0))
-    pieces = F.filter(
-        F.transform(
-            idx,
-            lambda i: F.when(
-                is_media(F.element_at(spans, i)),
-                F.concat(
-                    F.lit("<image_"),
-                    media_before(i).cast("string"),
-                    F.lit(">"),
-                ),
-            ).otherwise(F.element_at(spans, i).getField(text_field)),
-        ),
-        lambda p: p.isNotNull(),
-    )
+    pieces = F.aggregate(spans, acc0, step).getField("parts")
     refs = F.transform(
         F.filter(spans, is_media), lambda s: s.getField(ref_field)
     )
@@ -595,6 +615,7 @@ def caption_alignment_scores(
     caption_col: str = "caption",
     dim: int = 8,
     threshold: float = 0.3,
+    max_tokens: int = 77,
 ) -> DataFrame:
     """CLIP-score-style image-text alignment filtering (Radford et al.
     '21; the LAION curation rule: drop pairs whose image/text embeddings
@@ -613,17 +634,29 @@ def caption_alignment_scores(
 
     Scale shape: the only exchange is the text tower's token
     hash-groupBy keyed by (doc, ord); image vectors and the score are
-    per-row. Media bytes never move — only refs and span text."""
+    per-row. Media bytes never move — only refs and span text. Captions
+    truncate to their first `max_tokens` whitespace tokens BEFORE
+    hashing (CLIP's text tower reads 77 tokens; mined "captions" are
+    often whole body spans, and hashing megabytes of body text per pair
+    is wasted work the real encoder would never see)."""
     from reader_spark.ops.vectorize import _md5_head, feature_hash_vectors
 
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
     key = F.concat(
         F.col(id_col).cast("string"), F.lit(":"), F.col(ord_col).cast("string")
+    )
+    truncated = F.when(
+        F.col(caption_col).isNotNull(),
+        F.array_join(
+            F.slice(F.split(F.col(caption_col), r"\s+"), 1, max_tokens), " "
+        ),
     )
     base = pairs.select(
         F.col(id_col),
         F.col(ord_col),
         F.col(ref_col),
-        F.col(caption_col),
+        truncated.alias(caption_col),
         key.alias("pair_key"),
     )
     tvec = feature_hash_vectors(

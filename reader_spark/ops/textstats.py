@@ -941,3 +941,59 @@ def token_entropy(
             F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
         )
     )
+
+
+def source_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Cross-document n-gram diversity per source (the distinct-n /
+    self-BLEU-style mode-collapse signal, Zhu et al. '18 "Texygen"; data
+    curation uses it to catch template-collapsed or machine-spun sources
+    that per-document repetition rules cannot see — every doc looks fine,
+    the SOURCE repeats itself).
+
+    For each (source, n): total = sum over docs of the doc's DISTINCT
+    n-gram count, distinct = distinct n-grams across the whole source,
+    distinct_ratio = distinct/total (1.0 = no two docs share a gram; low
+    = the source recycles its text). Returns (source, n, total_grams,
+    distinct_grams, distinct_ratio).
+
+    Shape at 100 TB: one scan per n (explode of per-doc distinct
+    shingles), ONE map-side-combined groupBy keyed (source, gram), then a
+    source-keyed rollup. No self-join, no window."""
+    from functools import reduce
+
+    from reader_spark.ops.dedup import shingles
+
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"n-gram sizes must be >= 1, got {ns}")
+    outs = []
+    for n in ns:
+        grams = df.select(
+            F.col(group_col),
+            F.explode(shingles(F.col(text_col), n=n)).alias("g"),
+        ).where(F.col("g") != "")
+        agg = (
+            grams.groupBy(group_col, "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(group_col)
+            .agg(
+                F.sum("c").cast("long").alias("total_grams"),
+                F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+            )
+        )
+        outs.append(
+            agg.select(
+                F.col(group_col),
+                F.lit(n).cast("int").alias("n"),
+                "total_grams",
+                "distinct_grams",
+                F.round(
+                    F.col("distinct_grams") / F.col("total_grams"), 6
+                ).alias("distinct_ratio"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -2467,6 +2467,31 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CASE WHEN h.n_hits IS NULL THEN 1 ELSE 0 END AS keep
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         """,
+        "source_diversity": (
+            "            WITH grams AS (\n"
+            + "\n                UNION ALL\n".join(
+                f"""
+                SELECT source, {n} AS n,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - {n - 1}, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{n - 1}], ' ')
+                       ))) AS g
+                FROM documents"""
+                for n in (1, 2, 3)
+            )
+            + """
+            ),
+            cells AS (
+                SELECT source, n, g, count(*) AS c
+                FROM grams WHERE g <> '' GROUP BY 1, 2, 3
+            )
+            SELECT source, CAST(n AS INTEGER) AS n,
+                   CAST(sum(c) AS BIGINT) AS total_grams,
+                   count(*)::BIGINT AS distinct_grams,
+                   round(count(*) * 1.0 / sum(c), 6) AS distinct_ratio
+            FROM cells GROUP BY 1, 2
+        """
+        ),
         "curriculum_order": """
             WITH b AS (
                 SELECT doc_id,
@@ -4385,7 +4410,9 @@ def _oracle_sql_entries() -> dict[str, str]:
             ),
             pairs AS (
                 SELECT doc_id, ord, media_ref,
-                       coalesce(text_after, text_before) AS caption
+                       array_to_string(string_split_regex(
+                           coalesce(text_after, text_before), '\\s+')[1:77],
+                           ' ') AS caption
                 FROM w WHERE kind = 'image'
             ),
             toks AS (

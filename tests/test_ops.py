@@ -611,6 +611,43 @@ class TestBlocklistFilter:
         assert "BroadcastHashJoin" in plan
 
 
+class TestSourceDiversity:
+    def test_template_collapse_vs_unique(self, spark):
+        from reader_spark.ops.textstats import source_diversity
+
+        rows = [
+            # 'tpl': three docs with IDENTICAL text -> distinct == per-doc
+            ("tpl", "the same old line again"),
+            ("tpl", "the same old line again"),
+            ("tpl", "the same old line again"),
+            # 'uni': three docs with disjoint vocab -> ratio 1.0
+            ("uni", "alpha bravo charlie"),
+            ("uni", "delta echo foxtrot"),
+            ("uni", "golf hotel india"),
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {
+            (r.source, r.n): r for r in source_diversity(df, ns=(1, 2)).collect()
+        }
+        assert got[("tpl", 1)].total_grams == 15  # 3 docs x 5 distinct words
+        assert got[("tpl", 1)].distinct_grams == 5
+        assert got[("tpl", 1)].distinct_ratio == pytest.approx(1 / 3)
+        assert got[("uni", 1)].distinct_ratio == 1.0
+        assert got[("uni", 2)].distinct_ratio == 1.0
+
+    def test_short_doc_fallback_and_validation(self, spark):
+        from reader_spark.ops.textstats import source_diversity
+
+        df = spark.createDataFrame(
+            [("s", "one two")], "source string, text string"
+        )
+        got = {r.n: r for r in source_diversity(df, ns=(3,)).collect()}
+        # 2 tokens < n=3: the full sequence is the single gram
+        assert got[3].total_grams == 1 and got[3].distinct_grams == 1
+        with pytest.raises(ValueError, match="n-gram"):
+            source_diversity(df, ns=(0,))
+
+
 class TestCurriculumOrder:
     def test_positions_are_a_permutation_and_bucket_monotone(self, spark):
         from reader_spark.ops.sampling import curriculum_order

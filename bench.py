@@ -135,6 +135,7 @@ BENCH_QUERIES = (
     "token_entropy",
     "curriculum_order",
     "decontaminate_bloom",
+    "source_diversity",
 )
 
 

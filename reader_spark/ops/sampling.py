@@ -309,12 +309,18 @@ def curriculum_order(
     w = Window.partitionBy("bucket").orderBy(F.col("sk"), F.col(id_col))
     ranked = base.withColumn("rn", F.row_number().over(w).cast("long"))
     sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
-    woff = (
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # cumulative offsets over the <= `buckets`-row dim as a bounded
+    # self-join (not a no-partition window, which would put a
+    # SinglePartition node in the corpus plan)
+    lower = sizes.select(
+        F.col("bucket").alias("__lb"), F.col("c").alias("__lc")
     )
-    offsets = sizes.select(
-        "bucket",
-        F.coalesce(F.sum("c").over(woff), F.lit(0)).cast("long").alias("off"),
+    offsets = (
+        sizes.join(lower, F.col("__lb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum("__lc"), F.lit(0)).cast("long").alias("off")
+        )
     )
     return ranked.join(F.broadcast(offsets), "bucket").select(
         F.col(id_col),

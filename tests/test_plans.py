@@ -631,3 +631,71 @@ def test_truncate_and_render_are_scan_bound(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_caption_alignment_no_cartesian_image_tower_rides_scan(spark):
+    """The image tower and the score are per-row; the only exchanges key
+    on the pair: no CartesianProduct, no corpus-side broadcast nested
+    loop."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["caption_alignment"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_binary_hamming_candidate_stage_no_exchange(spark):
+    """Sign-bit Hamming candidate generation is a scan + TakeOrdered:
+    no hash-partition exchange anywhere before the k-row rerank."""
+    from reader_spark.ops.ann import binary_hamming_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    plan = plan_of(binary_hamming_topk(emb, qv))
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_token_entropy_two_keyed_aggregates(spark):
+    """Both aggregates are map-side combined (partial_count/partial_sum
+    before the exchange) and key on (doc, token) then doc — never a
+    single-partition window."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["token_entropy"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_decontaminate_bloom_bits_ride_one_broadcast_row(spark):
+    """Phase 1's Bloom bitset joins as a 1-row broadcast (the documented
+    literal-dim pattern); the exact confirm join broadcasts the benchmark
+    side. The corpus side must never hash-exchange its gram explosion
+    before the membership check."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["decontaminate_bloom"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    # the gram rows reach the bloom check without a hash repartition:
+    # every hashpartitioning in the plan keys on doc_id (the final
+    # distinct + per-doc rollups), never on the gram column
+    for frag in plan.split("hashpartitioning(")[1:]:
+        key = frag.split(",")[0]
+        assert "gram" not in key, f"gram-keyed exchange: {key}"
+
+
+def test_curriculum_order_no_global_window(spark):
+    """Ranking windows key on the bucket; the offsets dim broadcasts.
+    A SinglePartition window here would serialize the corpus."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["curriculum_order"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+
+
+def test_blocklist_filter_word_dim_broadcasts(spark):
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["blocklist_filter"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

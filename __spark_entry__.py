@@ -549,6 +549,17 @@ def _q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_binary_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the binary sign-bit ANN path vs exact cosine ground
+    truth over an 8-query sample (ops.evals.binary_recall_eval) — the
+    index-quality dashboard row, fully value-oracled because both legs
+    order deterministically. The exact leg is the documented eval-sample
+    query x corpus shape, never a production join."""
+    from reader_spark.ops.evals import binary_recall_eval
+
+    return binary_recall_eval(_read(spark, sf_dir, "embeddings"))
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (approximate: rows-only check)."""
     from reader_spark.ops.ann import lsh_bucketed_topk
@@ -4277,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints_md5": _q_fingerprints_md5,
         "ann_topk": _q_ann_topk,
         "binary_hamming_topk": _q_binary_hamming_topk,
+        "binary_recall_eval": _q_binary_recall_eval,
         "ann_lsh": _q_ann_lsh,
         "ann_lsh_md5": _q_ann_lsh_md5,
         "ann_ivf": _q_ann_ivf,

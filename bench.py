@@ -136,6 +136,7 @@ BENCH_QUERIES = (
     "curriculum_order",
     "decontaminate_bloom",
     "source_diversity",
+    "binary_recall_eval",
 )
 
 

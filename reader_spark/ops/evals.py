@@ -156,3 +156,93 @@ def matryoshka_eval(
         _mean6("__sp", True).alias("mean_cos_prefix"),
         _mean6("__sd", False).alias("mean_abs_diff"),
     )
+
+
+def binary_recall_eval(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Recall@k of the binary sign-bit ANN path (ops.ann.
+    binary_hamming_topk) against exact cosine ground truth, per query:
+    (query_id, n_hit, recall). The index-quality dashboard row every
+    vector deployment watches — run on a query SAMPLE (n_queries), never
+    the corpus: the ground-truth leg is deliberately exact (query x
+    corpus), which is the documented eval-sample shape, not a production
+    join.
+
+    Both legs order deterministically (round-4 cosine desc then id;
+    hamming asc then id), so the whole result is value-oracled."""
+    from reader_spark.ops.ann import cosine_col, sign_bit_words
+
+    q = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        sign_bit_words(F.col(vec_col).cast("array<double>"), dim).alias("qc"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        sign_bit_words(F.col(vec_col).cast("array<double>"), dim).alias("cc"),
+    )
+    hamming = None
+    for w in range((dim + 31) // 32):
+        term = F.bit_count(
+            F.element_at(F.col("qc"), w + 1).bitwiseXOR(
+                F.element_at(F.col("cc"), w + 1)
+            )
+        ).cast("long")
+        hamming = term if hamming is None else hamming + term
+    pairs = q.crossJoin(c).select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine_col(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        hamming.alias("hamming"),
+    )
+    wq = Window.partitionBy("query_id")
+    exact_rank = F.row_number().over(
+        wq.orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    )
+    ham_rank = F.row_number().over(
+        wq.orderBy(F.asc("hamming"), F.asc("corpus_id"))
+    )
+    ranked = pairs.select(
+        "query_id",
+        "corpus_id",
+        "cosine",
+        exact_rank.alias("er"),
+        ham_rank.alias("hr"),
+    )
+    exact_topk = ranked.where(F.col("er") <= k).select("query_id", "corpus_id")
+    binary_topk = (
+        ranked.where(F.col("hr") <= candidates)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.row_number()
+            .over(wq.orderBy(F.desc("cosine"), F.asc("corpus_id")))
+            .alias("rr"),
+        )
+        .where(F.col("rr") <= k)
+        .select("query_id", "corpus_id")
+    )
+    hits = exact_topk.join(binary_topk, ["query_id", "corpus_id"])
+    return (
+        q.select("query_id")
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )

@@ -1315,6 +1315,59 @@ def _oracle_sql_entries() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id
             LIMIT 10
         """,
+        "binary_recall_eval": """
+            WITH coded AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       CAST(list_sum(list_transform(generate_series(0, 31),
+                            i -> CASE WHEN (embedding::DOUBLE[])[i + 1] > 0
+                                      THEN 1::BIGINT << (31 - i)
+                                      ELSE 0 END)) AS BIGINT) AS w0,
+                       CAST(list_sum(list_transform(generate_series(0, 31),
+                            i -> CASE WHEN (embedding::DOUBLE[])[i + 33] > 0
+                                      THEN 1::BIGINT << (31 - i)
+                                      ELSE 0 END)) AS BIGINT) AS w1
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                       round(list_cosine_similarity(q.v, c.v), 4) AS cosine,
+                       CAST(bit_count(xor(q.w0, c.w0))
+                            + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+                FROM coded q, coded c
+                WHERE q.vec_id < 8
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, corpus_id ASC) AS er,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY hamming ASC, corpus_id ASC) AS hr
+                FROM pairs
+            ),
+            exact AS (
+                SELECT query_id, corpus_id FROM ranked WHERE er <= 10
+            ),
+            bin AS (
+                SELECT query_id, corpus_id FROM (
+                    SELECT query_id, corpus_id,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id ASC) AS rr
+                    FROM ranked WHERE hr <= 50
+                ) WHERE rr <= 10
+            ),
+            hits AS (
+                SELECT e.query_id, count(*) AS c
+                FROM exact e JOIN bin b
+                  ON e.query_id = b.query_id AND e.corpus_id = b.corpus_id
+                GROUP BY 1
+            )
+            SELECT qq.query_id,
+                   COALESCE(h.c, 0)::BIGINT AS n_hit,
+                   round(COALESCE(h.c, 0) / 10.0, 6) AS recall
+            FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+                  WHERE vec_id < 8) qq
+            LEFT JOIN hits h ON qq.query_id = h.query_id
+        """,
         "binary_hamming_topk": """
             WITH q AS (
                 SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0

@@ -356,6 +356,28 @@ class TestBinaryHammingTopk:
         assert "hashpartitioning" not in plan  # scan -> partial top-C, no exchange
 
 
+class TestBinaryRecallEval:
+    def test_recall_bounds_and_self_hit(self, spark):
+        from reader_spark.ops.evals import binary_recall_eval
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = {r.query_id: r for r in binary_recall_eval(emb, n_queries=4).collect()}
+        assert set(got) == {0, 1, 2, 3}
+        for r in got.values():
+            assert 0 <= r.n_hit <= 10
+            assert r.recall == pytest.approx(r.n_hit / 10.0)
+        # the query itself is exact-top1 AND hamming-0 -> always a hit
+        assert all(r.n_hit >= 1 for r in got.values())
+
+    def test_full_candidate_set_gives_perfect_recall(self, spark):
+        from reader_spark.ops.evals import binary_recall_eval
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        n = emb.count()
+        got = binary_recall_eval(emb, n_queries=3, candidates=n).collect()
+        assert all(r.recall == 1.0 for r in got)  # rerank sees everything
+
+
 class TestAnnSelfRecall:
     def test_lsh_returns_self_first(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

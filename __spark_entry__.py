@@ -705,6 +705,17 @@ def _q_detected_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-budget audit (ops.textstats.
+    tokenizer_fertility): chars/token, bytes/char (zh pays the UTF-8
+    multibyte tax, en ~1.0), tokens/doc — the conversion table between
+    byte-priced storage and token-priced training budgets. One
+    map-side-combined groupBy on the language dim."""
+    from reader_spark.ops.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_read(spark, sf_dir, "documents"))
+
+
 def _q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document distinct-n diversity per source (ops.textstats.
     source_diversity) — the self-BLEU-style template-collapse signal
@@ -4250,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": _q_token_entropy,
         "curriculum_order": _q_curriculum_order,
         "source_diversity": _q_source_diversity,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "embedding_dedup_lsh_md5": _q_embedding_dedup_lsh_md5,
         "embedding_dedup_components": _q_embedding_dedup_components,

@@ -137,6 +137,7 @@ BENCH_QUERIES = (
     "decontaminate_bloom",
     "source_diversity",
     "binary_recall_eval",
+    "tokenizer_fertility",
 )
 
 

@@ -997,3 +997,34 @@ def source_diversity(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language tokenizer-budget statistics (the fertility audit from
+    multilingual tokenizer studies, e.g. Rust et al. ACL'21: how many
+    units a language pays per unit of information): chars per whitespace
+    token, bytes per char (multibyte scripts pay UTF-8 tax — zh runs
+    ~3x en), tokens per doc. Drives per-language budget conversion when
+    a corpus is priced in tokens but stored in bytes.
+
+    One map-side-combined groupBy on the language dim; all sums are
+    exact integers, each ratio is a single divide-then-round."""
+    text = F.col(text_col)
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(text)).cast("long").alias("chars"),
+        F.sum(F.octet_length(text)).cast("long").alias("bytes"),
+        F.sum(token_count_col(text)).cast("long").alias("tokens"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "tokens",
+        F.round(F.col("chars") / F.col("tokens"), 6).alias("chars_per_token"),
+        F.round(F.col("bytes") / F.col("chars"), 6).alias("bytes_per_char"),
+        F.round(F.col("tokens") / F.col("n_docs"), 6).alias("tokens_per_doc"),
+    )

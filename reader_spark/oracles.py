@@ -2545,6 +2545,20 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM cells GROUP BY 1, 2
         """
         ),
+        "tokenizer_fertility": """
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                       AS tokens,
+                   round(sum(length(text)) * 1.0
+                         / sum(len(string_split_regex(trim(text), '\\s+'))), 6)
+                       AS chars_per_token,
+                   round(sum(strlen(text)) * 1.0 / sum(length(text)), 6)
+                       AS bytes_per_char,
+                   round(sum(len(string_split_regex(trim(text), '\\s+'))) * 1.0
+                         / count(*), 6) AS tokens_per_doc
+            FROM documents GROUP BY 1
+        """,
         "curriculum_order": """
             WITH b AS (
                 SELECT doc_id,

@@ -633,6 +633,23 @@ class TestBlocklistFilter:
         assert "BroadcastHashJoin" in plan
 
 
+class TestTokenizerFertility:
+    def test_multibyte_and_ratios(self, spark):
+        from reader_spark.ops.textstats import tokenizer_fertility
+
+        rows = [
+            ("en", "four words right here"),   # 21 chars, 21 bytes, 4 tokens
+            ("zh", "日本 語"),      # 4 chars, 10 bytes, 2 tokens
+        ]
+        df = spark.createDataFrame(rows, "lang string, text string")
+        got = {r.lang: r for r in tokenizer_fertility(df).collect()}
+        assert got["en"].tokens == 4
+        assert got["en"].chars_per_token == pytest.approx(21 / 4)
+        assert got["en"].bytes_per_char == 1.0
+        assert got["zh"].bytes_per_char == pytest.approx(10 / 4)
+        assert got["zh"].tokens_per_doc == 2.0
+
+
 class TestSourceDiversity:
     def test_template_collapse_vs_unique(self, spark):
         from reader_spark.ops.textstats import source_diversity

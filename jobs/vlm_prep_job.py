@@ -9,6 +9,8 @@ interleaved text+media documents:
         [--align-threshold 0.3]               # drop misaligned image spans
         [--redact]                            # PII-mask prose spans
         [--budget 2048 --media-cost 576]      # context-window truncation
+        [--resume]                            # anti-join committed doc_ids,
+                                              # append only the remainder
         [--master local[32]] [--deadline 3600]
 
 Composes the interleaved (axis-B) operator layer into the pipeline a
@@ -58,6 +60,14 @@ def main(argv=None) -> int:
     parser.add_argument("--redact", action="store_true")
     parser.add_argument("--budget", type=int, default=2048)
     parser.add_argument("--media-cost", type=int, default=576)
+    parser.add_argument(
+        "--resume",
+        action="store_true",
+        help="anti-join doc_ids already committed to --output and APPEND "
+        "only the remainder (the extract_job checkpoint discipline: a "
+        "killed run re-launches with --resume and pays only for "
+        "unfinished docs)",
+    )
     parser.add_argument("--master", default=None)
     parser.add_argument("--deadline", type=float, default=None)
     args = parser.parse_args(argv)
@@ -77,6 +87,23 @@ def main(argv=None) -> int:
             raw = spark.read.parquet(args.input)
             total = raw.count()
             stages: dict = {}
+
+            write_mode = "overwrite"
+            if args.resume:
+                try:
+                    committed = spark.read.parquet(args.output)
+                except Exception:
+                    committed = None
+                if committed is not None:
+                    raw = raw.join(
+                        committed.select("doc_id").distinct(),
+                        "doc_id",
+                        "left_anti",
+                    )
+                    remaining = raw.count()
+                    stages["resumed_skipped"] = total - remaining
+                    total = remaining
+                    write_mode = "append"
 
             extracted = extract_dataframe(raw).select(
                 "doc_id", "spans", "error_kind"
@@ -183,7 +210,7 @@ def main(argv=None) -> int:
                 "n_spans_dropped",
                 "cost_kept",
             )
-            rendered.write.mode("overwrite").parquet(args.output)
+            rendered.write.mode(write_mode).parquet(args.output)
 
             out = spark.read.parquet(args.output)
             summary = out.agg(
@@ -203,8 +230,8 @@ def main(argv=None) -> int:
         print(
             json.dumps(
                 {
-                    "input_docs": total,
-                    "samples": int(summary["samples"]),
+                    "input_docs": total,  # docs processed THIS run
+                    "samples": int(summary["samples"]),  # total committed
                     "media_total": int(summary["media_total"]),
                     "cost_total": int(summary["cost_total"]),
                     **stages,

@@ -572,3 +572,31 @@ def test_export_job_is_deterministic(tmp_path):
     ma = json.loads(open(a + "/manifest.json").read())
     mb = json.loads(open(b + "/manifest.json").read())
     assert ma == mb  # same shard membership AND content fingerprints
+
+
+def test_vlm_prep_job_resume_appends_only_remainder(spark, vlm_docs, tmp_path):
+    """The checkpoint discipline: a partial output + --resume processes
+    only the anti-joined remainder and APPENDS, ending with the full
+    sample set exactly once per doc."""
+    out = str(tmp_path / "samples_resume")
+    half = str(tmp_path / "half_docs")
+    docs = spark.read.parquet(vlm_docs + "/docs")
+    docs.where("doc_id < 'vlm-06'").write.parquet(half)
+
+    first = run_job(
+        "vlm_prep_job.py",
+        "--input", half, "--output", out, "--master", "local[4]",
+    )
+    assert first["samples"] == 6
+
+    second = run_job(
+        "vlm_prep_job.py",
+        "--input", vlm_docs + "/docs", "--output", out,
+        "--resume", "--master", "local[4]",
+    )
+    assert second["resumed_skipped"] == 6
+    assert second["input_docs"] == 6      # only the remainder ran
+    assert second["samples"] == 12        # total committed after append
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    assert got.select("doc_id").distinct().count() == 12

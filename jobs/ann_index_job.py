@@ -38,6 +38,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _build_binary(args, spark) -> dict:
+    """--kind binary: sign-bit codes, dim/8 bytes per vector, no
+    partitioning (a Hamming probe scans every code — that IS the design;
+    the compression is the win, 16 bytes/vec at dim=64)."""
+    from reader_spark.ops.ann import binary_index_encode
+
+    emb = spark.read.parquet(args.embeddings)
+    codes = binary_index_encode(
+        emb, dim=args.dim, id_col=args.id_col, vec_col=args.vec_col
+    )
+    codes_path = os.path.join(args.index, "codes")
+    codes.write.mode("overwrite").parquet(codes_path)
+    os.makedirs(args.index, exist_ok=True)
+    with open(os.path.join(args.index, "model.json"), "w") as fh:
+        json.dump({"kind": "binary", "dim": args.dim}, fh)
+    n = spark.read.parquet(codes_path).count()
+    return {"kind": "binary", "indexed_vectors": n, "index": args.index}
+
+
 def _build(args) -> dict:
     from pyspark.sql import functions as F
 
@@ -50,6 +69,8 @@ def _build(args) -> dict:
 
     spark = get_spark("ann_index_build", master=args.master)
     try:
+        if args.kind == "binary":
+            return _build_binary(args, spark)
         emb = spark.read.parquet(args.embeddings)
         centroids = train_ivf_centroids(
             emb, n_cells=args.cells, iters=args.iters,
@@ -96,6 +117,33 @@ def _query(args) -> dict:
             model = json.load(fh)
         encoded = spark.read.parquet(os.path.join(args.index, "codes"))
         queries = spark.read.parquet(args.queries)
+        if model.get("kind") == "binary":
+            from reader_spark.ops.ann import binary_index_search
+
+            if not args.embeddings:
+                raise ValueError(
+                    "--kind binary query needs --embeddings for the "
+                    "candidate-only exact rerank"
+                )
+            hits = binary_index_search(
+                encoded,
+                queries,
+                spark.read.parquet(args.embeddings),
+                dim=model["dim"],
+                k=args.topk,
+                candidates=args.candidates,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+            )
+            hits.write.mode("overwrite").parquet(args.output)
+            out = spark.read.parquet(args.output)
+            n_queries = out.select("query_id").distinct().count()
+            return {
+                "kind": "binary",
+                "queries": n_queries,
+                "result_rows": out.count(),
+                "output": args.output,
+            }
         hits = ivfadc_search(
             encoded,
             queries,
@@ -126,14 +174,24 @@ def main(argv=None) -> int:
     b.add_argument("--k", type=int, default=16)
     b.add_argument("--iters", type=int, default=2)
 
+    b.add_argument("--dim", type=int, default=64, help="--kind binary only")
+
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True)
     q.add_argument("--output", required=True)
     q.add_argument("--topk", type=int, default=10)
     q.add_argument("--nprobe", type=int, default=2)
+    q.add_argument(
+        "--embeddings",
+        default=None,
+        help="--kind binary only: embedding store for the candidate-only "
+        "exact rerank",
+    )
+    q.add_argument("--candidates", type=int, default=50)
 
     for p in (b, q):
+        p.add_argument("--kind", choices=("ivfpq", "binary"), default="ivfpq")
         p.add_argument("--id-col", default="vec_id")
         p.add_argument("--vec-col", default="embedding")
         p.add_argument("--master", default=None)

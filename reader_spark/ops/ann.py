@@ -820,3 +820,87 @@ def binary_hamming_topk(
         .orderBy(F.desc("cosine"), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def binary_index_encode(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(corpus_id, code): the persisted binary index rows — sign-bit words
+    only, dim/8 bytes per vector. The float vectors do NOT ride along:
+    at query time the full-precision rerank fetches candidates from the
+    embedding store by id (k x Q rows), never scanning it."""
+    return embeddings.select(
+        F.col(id_col).alias("corpus_id"),
+        sign_bit_words(F.col(vec_col).cast("array<double>"), dim).alias("code"),
+    )
+
+
+def binary_index_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-query search against a persisted binary index: the compact
+    code table scans ONCE with the query codes broadcast beside it
+    (hamming per row, integers only), the per-query candidate cut is a
+    query-keyed window over (hamming, id) rows — Q bounded, rows are
+    three ints — and ONLY the candidate ids join back to the embedding
+    store for the exact cosine rerank. The full-precision corpus is
+    never scanned at query time.
+
+    Returns (query_id, corpus_id, hamming, cosine, rank) — top-k per
+    query by exact cosine within candidates."""
+    from pyspark.sql import Window
+
+    qcodes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        sign_bit_words(F.col(vec_col).cast("array<double>"), dim).alias("qc"),
+    )
+    hamming = None
+    for w in range((dim + 31) // 32):
+        term = F.bit_count(
+            F.element_at(F.col("qc"), w + 1).bitwiseXOR(
+                F.element_at(F.col("code"), w + 1)
+            )
+        ).cast("long")
+        hamming = term if hamming is None else hamming + term
+    pairs = codes.crossJoin(
+        F.broadcast(qcodes.select("query_id", "qc"))
+    ).select("query_id", "corpus_id", hamming.alias("hamming"))
+    wq = Window.partitionBy("query_id")
+    cand = pairs.withColumn(
+        "hr",
+        F.row_number().over(wq.orderBy(F.asc("hamming"), F.asc("corpus_id"))),
+    ).where(F.col("hr") <= candidates)
+    fetched = cand.join(
+        embeddings.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ),
+        "corpus_id",
+    ).join(qcodes.select("query_id", "qv"), "query_id")
+    scored = fetched.select(
+        "query_id",
+        "corpus_id",
+        "hamming",
+        F.round(cosine_col(F.col("cv"), F.col("qv")), 4).alias("cosine"),
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                wq.orderBy(F.desc("cosine"), F.asc("corpus_id"))
+            ),
+        )
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "hamming", "cosine", "rank")
+    )

@@ -600,3 +600,47 @@ def test_vlm_prep_job_resume_appends_only_remainder(spark, vlm_docs, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 12
     assert got.select("doc_id").distinct().count() == 12
+
+
+def test_ann_index_job_binary_build_query(spark, tmp_path):
+    """--kind binary: compact sign-bit index persisted once, queries get
+    Hamming candidates from the codes + exact rerank fetched by id; the
+    results must equal the inline binary_hamming_topk answer."""
+    idx = str(tmp_path / "bin_index")
+    out = str(tmp_path / "bin_hits")
+    qpath = str(tmp_path / "bin_queries")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.where("vec_id < 3").write.parquet(qpath)
+
+    built = run_job(
+        "ann_index_job.py", "build", "--kind", "binary",
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--index", idx, "--master", "local[4]",
+    )
+    assert built["kind"] == "binary"
+    assert built["indexed_vectors"] == emb.count()
+    schema = spark.read.parquet(idx + "/codes").schema.simpleString()
+    assert schema == "struct<corpus_id:bigint,code:array<bigint>>"
+
+    queried = run_job(
+        "ann_index_job.py", "query",
+        "--index", idx, "--queries", qpath, "--output", out,
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--topk", "5", "--master", "local[4]",
+    )
+    assert queried["kind"] == "binary" and queried["queries"] == 3
+    got = spark.read.parquet(out)
+    assert got.count() == 15  # 3 queries x top-5
+
+    from reader_spark.ops.ann import binary_hamming_topk
+
+    qv = [float(v) for v in emb.where("vec_id = 1").head()["embedding"]]
+    inline = [
+        (r["vec_id"], r["cosine"])
+        for r in binary_hamming_topk(emb, qv, k=5, candidates=50).collect()
+    ]
+    via_index = [
+        (r["corpus_id"], r["cosine"])
+        for r in got.where("query_id = 1").orderBy("rank").collect()
+    ]
+    assert via_index == inline

@@ -367,6 +367,28 @@ def main() -> None:
     )
     results["ivfadc_query_prebuilt_index"] = round(time.monotonic() - t0, 3)
 
+    # - Binary sign-bit search over the prebuilt compact-code index
+    #   (16 bytes/vector; Hamming candidates from the codes scan, exact
+    #   rerank fetches ONLY candidate rows from the embedding store)
+    from reader_spark.ops.ann import binary_index_encode, binary_index_search
+
+    bin_idx_path = os.path.join(BENCH_DIR, "binary_index")
+    binary_index_encode(emb, dim=64).write.mode("overwrite").parquet(
+        bin_idx_path
+    )
+    t0 = time.monotonic()
+    run_noop(
+        binary_index_search(
+            spark.read.parquet(bin_idx_path),
+            emb.limit(32),
+            emb,
+            dim=64,
+            k=10,
+            candidates=50,
+        )
+    )
+    results["binary_query_prebuilt_index"] = round(time.monotonic() - t0, 3)
+
     # -- Composed curation pipeline (VERDICT r3 #7): the stages above are
     #    individually timed; this times the PRODUCTION COMPOSITION — the
     #    quality->DSIR->SemDeDup spark-submit job, then range-clustered

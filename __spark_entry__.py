@@ -705,6 +705,18 @@ def _q_detected_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded text clustering over feature-hashed unit vectors (ops.
+    vectorize.text_clusters): the corpus data-map / cluster-balanced
+    sampling step — spherical k-means assignment with docs 0..7 as
+    deterministic seeds. Seeds ride as k x dim literals; assignment is
+    per-row over one scan of the hashed vectors."""
+    from reader_spark.ops.vectorize import text_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    return text_clusters(docs, seed_ids=list(range(8)))
+
+
 def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer-budget audit (ops.textstats.
     tokenizer_fertility): chars/token, bytes/char (zh pays the UTF-8
@@ -4262,6 +4274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": _q_curriculum_order,
         "source_diversity": _q_source_diversity,
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "text_clusters": _q_text_clusters,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "embedding_dedup_lsh_md5": _q_embedding_dedup_lsh_md5,
         "embedding_dedup_components": _q_embedding_dedup_components,

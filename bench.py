@@ -138,6 +138,7 @@ BENCH_QUERIES = (
     "source_diversity",
     "binary_recall_eval",
     "tokenizer_fertility",
+    "text_clusters",
 )
 
 

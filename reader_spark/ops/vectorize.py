@@ -106,3 +106,67 @@ def feature_hash_vectors(
         F.col(id_col),
         F.when(norm > 0, unit).otherwise(dense).alias("vector"),
     )
+
+
+def text_clusters(
+    df: DataFrame,
+    seed_ids: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Seeded text clustering over feature-hashed unit vectors — the
+    corpus data-map step (cluster-balanced sampling, topic-sliced audits;
+    the assignment pass of spherical k-means with deterministic seeds,
+    cf. SemDeDup's cell step but over TEXT features, no embedding model
+    needed). Each doc goes to the seed with max cosine (ties -> lowest
+    seed id). Returns (id, cluster, cosine).
+
+    The k seed vectors ride as literals (a k x dim driver fetch, the
+    documented IVF/coreset pattern); assignment is then a pure per-row
+    expression over ONE scan of the hashed vectors — no join, no
+    shuffle beyond feature_hash_vectors' own token groupBy. Zero-token
+    docs (zero vectors) get cosine -2.0 and land in the first seed
+    cluster deterministically."""
+    if not seed_ids:
+        raise ValueError("seed_ids must not be empty")
+    vecs = feature_hash_vectors(
+        df, id_col=id_col, text_col=text_col, dim=dim, normalize=True
+    )
+    seed_rows = {
+        r[id_col]: list(r["vector"])
+        for r in vecs.where(F.col(id_col).isin(*seed_ids)).collect()
+    }
+    missing = [s for s in seed_ids if s not in seed_rows]
+    if missing:
+        raise ValueError(f"seed ids not found in corpus: {missing}")
+
+    def cos_lit(sv: list) -> "F.Column":
+        lit = F.array(*[F.lit(float(x)) for x in sv])
+        dot = F.aggregate(
+            F.zip_with(F.col("vector"), lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        na = F.sqrt(
+            F.aggregate(F.col("vector"), F.lit(0.0), lambda a, v: a + v * v)
+        )
+        nb = F.sqrt(F.aggregate(lit, F.lit(0.0), lambda a, v: a + v * v))
+        return F.coalesce(F.round(F.try_divide(dot, na * nb), 4), F.lit(-2.0))
+
+    scored = F.array(
+        *[
+            F.struct(
+                cos_lit(seed_rows[s]).alias("c"),
+                F.lit(-i).alias("negid"),
+                F.lit(s).alias("cluster"),
+            )
+            for i, s in enumerate(sorted(seed_ids))
+        ]
+    )
+    best = F.array_max(scored)
+    return vecs.select(
+        F.col(id_col),
+        best.getField("cluster").alias("cluster"),
+        best.getField("c").alias("cosine"),
+    )

@@ -288,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
     out["ann_lsh_md5"] = _ann_lsh_md5_oracle()
     out["hard_negatives_bucketed"] = _hard_negatives_bucketed_oracle()
     out["doc_sim_topk_bucketed"] = _doc_sim_topk_bucketed_oracle()
+    out["text_clusters"] = _text_clusters_oracle()
     out["embedding_dedup_lsh_md5"] = _embedding_dedup_lsh_md5_oracle()
     out["embedding_dedup_components"] = _embedding_dedup_components_oracle()
     out["pq_encode_md5"] = _pq_encode_md5_oracle()
@@ -616,6 +617,33 @@ def _hard_negatives_bucketed_oracle() -> str:
         )
         SELECT anchor_id, anchor_label, neg_id, neg_label, cosine, rank
         FROM ranked WHERE rank <= 3
+    """
+
+
+def _text_clusters_oracle() -> str:
+    return _FH_CTES + """,
+        unitv AS (
+            SELECT d.doc_id,
+                   list(CASE WHEN n.nn > 0 THEN round(d.v / n.nn, 6) ELSE d.v END
+                        ORDER BY d.i) AS v
+            FROM dense d JOIN nrm n USING (doc_id) GROUP BY d.doc_id
+        ),
+        cents AS (SELECT doc_id AS cid, v AS cv FROM unitv WHERE doc_id < 8),
+        scored AS (
+            SELECT u.doc_id, c.cid,
+                   COALESCE(round(list_cosine_similarity(u.v, c.cv), 4), -2.0)
+                       AS cosine
+            FROM unitv u CROSS JOIN cents c
+        ),
+        ranked AS (
+            SELECT doc_id, cid, cosine,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY cosine DESC, cid ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT doc_id, CAST(cid AS BIGINT) AS cluster, cosine
+        FROM ranked WHERE rn = 1
     """
 
 

@@ -356,6 +356,35 @@ class TestBinaryHammingTopk:
         assert "hashpartitioning" not in plan  # scan -> partial top-C, no exchange
 
 
+class TestTextClusters:
+    def test_seeds_self_assign_and_zero_doc_routes_first(self, spark):
+        from reader_spark.ops.vectorize import text_clusters
+
+        rows = [
+            (0, "alpha alpha bravo"),
+            (1, "zulu yankee xray whiskey"),
+            (2, "alpha bravo charlie"),   # closer to seed 0's vocab
+            (3, "zulu yankee victor"),    # closer to seed 1's vocab
+            (4, "!!! ???"),               # zero tokens -> zero vector
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in text_clusters(df, seed_ids=[0, 1]).collect()}
+        assert got[0].cluster == 0 and got[0].cosine == pytest.approx(1.0)
+        assert got[1].cluster == 1 and got[1].cosine == pytest.approx(1.0)
+        assert got[2].cluster == 0
+        assert got[3].cluster == 1
+        assert got[4].cosine == -2.0 and got[4].cluster == 0  # deterministic
+
+    def test_missing_seed_fails_loudly(self, spark):
+        from reader_spark.ops.vectorize import text_clusters
+
+        df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="seed ids not found"):
+            text_clusters(df, seed_ids=[0, 99])
+        with pytest.raises(ValueError, match="seed_ids"):
+            text_clusters(df, seed_ids=[])
+
+
 class TestBinaryRecallEval:
     def test_recall_bounds_and_self_hit(self, spark):
         from reader_spark.ops.evals import binary_recall_eval

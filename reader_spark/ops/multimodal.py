@@ -744,8 +744,19 @@ def span_language_profile(
             "dominant_lang"
         ),
     )
-    return switches.join(dom, id_col).select(
-        id_col, "n_text_spans", "n_langs", "dominant_lang", "code_switches"
+    profiled = switches.join(dom, id_col)
+    # a media-only document has no textual spans and would vanish from the
+    # profile entirely; every input doc must yield a row (the lost-doc rule
+    # every per-doc op here follows) — spine left-join, zeros + 'und'
+    spine = spans.select(id_col).distinct()
+    return spine.join(profiled, id_col, "left").select(
+        id_col,
+        F.coalesce("n_text_spans", F.lit(0).cast("long")).alias("n_text_spans"),
+        F.coalesce("n_langs", F.lit(0).cast("long")).alias("n_langs"),
+        F.coalesce("dominant_lang", F.lit("und")).alias("dominant_lang"),
+        F.coalesce("code_switches", F.lit(0).cast("long")).alias(
+            "code_switches"
+        ),
     )
 
 

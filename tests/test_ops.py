@@ -3184,6 +3184,21 @@ class TestSpanLanguageProfile:
         assert got.n_langs == 1 and got.dominant_lang == "und"
         assert got.code_switches == 0
 
+    def test_media_only_doc_still_yields_a_row(self, spark):
+        from reader_spark.ops.multimodal import span_language_profile
+
+        rows = [
+            (1, 0, "image", "![a](u)", "u"),  # no textual spans at all
+            (2, 0, "text", "the thing and the sing", None),
+        ]
+        got = {
+            r.doc_id: r
+            for r in span_language_profile(self._spans(spark, rows)).collect()
+        }
+        assert set(got) == {1, 2}  # doc 1 must not vanish
+        assert got[1].n_text_spans == 0 and got[1].n_langs == 0
+        assert got[1].dominant_lang == "und" and got[1].code_switches == 0
+
 
 class TestTemplateClusters:
     def test_same_kind_sequence_clusters_regardless_of_text(self, spark):

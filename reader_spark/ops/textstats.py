@@ -970,6 +970,7 @@ def source_diversity(
 
     if not ns or any(n < 1 for n in ns):
         raise ValueError(f"n-gram sizes must be >= 1, got {ns}")
+    spine = df.select(group_col).distinct()
     outs = []
     for n in ns:
         grams = df.select(
@@ -985,14 +986,23 @@ def source_diversity(
                 F.count(F.lit(1)).cast("long").alias("distinct_grams"),
             )
         )
+        # a source whose docs are all empty produces no grams and would
+        # vanish — spine left-join keeps it visible (zeros, NULL ratio)
         outs.append(
-            agg.select(
+            spine.join(agg, group_col, "left").select(
                 F.col(group_col),
                 F.lit(n).cast("int").alias("n"),
-                "total_grams",
-                "distinct_grams",
+                F.coalesce("total_grams", F.lit(0).cast("long")).alias(
+                    "total_grams"
+                ),
+                F.coalesce("distinct_grams", F.lit(0).cast("long")).alias(
+                    "distinct_grams"
+                ),
                 F.round(
-                    F.col("distinct_grams") / F.col("total_grams"), 6
+                    F.try_divide(
+                        F.col("distinct_grams"), F.col("total_grams")
+                    ),
+                    6,
                 ).alias("distinct_ratio"),
             )
         )

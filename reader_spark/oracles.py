@@ -2565,12 +2565,24 @@ def _oracle_sql_entries() -> dict[str, str]:
             cells AS (
                 SELECT source, n, g, count(*) AS c
                 FROM grams WHERE g <> '' GROUP BY 1, 2, 3
+            ),
+            per AS (
+                SELECT source, n,
+                       CAST(sum(c) AS BIGINT) AS total_grams,
+                       count(*)::BIGINT AS distinct_grams,
+                       round(count(*) * 1.0 / sum(c), 6) AS distinct_ratio
+                FROM cells GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT DISTINCT d.source, t.n
+                FROM documents d, unnest([1, 2, 3]) AS t(n)
             )
-            SELECT source, CAST(n AS INTEGER) AS n,
-                   CAST(sum(c) AS BIGINT) AS total_grams,
-                   count(*)::BIGINT AS distinct_grams,
-                   round(count(*) * 1.0 / sum(c), 6) AS distinct_ratio
-            FROM cells GROUP BY 1, 2
+            SELECT g.source, CAST(g.n AS INTEGER) AS n,
+                   COALESCE(p.total_grams, 0)::BIGINT AS total_grams,
+                   COALESCE(p.distinct_grams, 0)::BIGINT AS distinct_grams,
+                   p.distinct_ratio
+            FROM grid g LEFT JOIN per p
+              ON g.source = p.source AND g.n = p.n
         """
         ),
         "tokenizer_fertility": """

@@ -715,6 +715,20 @@ class TestSourceDiversity:
         with pytest.raises(ValueError, match="n-gram"):
             source_diversity(df, ns=(0,))
 
+    def test_all_empty_source_stays_visible(self, spark):
+        from reader_spark.ops.textstats import source_diversity
+
+        df = spark.createDataFrame(
+            [("live", "alpha bravo"), ("empty", "")],
+            "source string, text string",
+        )
+        got = {
+            (r.source, r.n): r for r in source_diversity(df, ns=(1,)).collect()
+        }
+        assert got[("empty", 1)].total_grams == 0
+        assert got[("empty", 1)].distinct_ratio is None
+        assert got[("live", 1)].distinct_ratio == 1.0
+
 
 class TestCurriculumOrder:
     def test_positions_are_a_permutation_and_bucket_monotone(self, spark):

@@ -2639,11 +2639,13 @@ def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit of the corpus vocabulary: OLS slope of log10(freq) on
     log10(rank) (natural text ~ -1; a synthetic/boilerplate corpus
     deviates — a cheap corpus-health fingerprint). Composes the token
-    explode with grouped_linreg's mergeable sufficient statistics; ranks
-    are a TakeOrdered-sized vocabulary table, not corpus rows."""
-    from pyspark.sql import Window
-
+    explode with grouped_linreg's mergeable sufficient statistics; the
+    full-vocabulary rank comes from ops/rank.scalable_rank (range-bucket
+    + partitioned row_number + broadcast offsets), identical values to a
+    global window with NO single-partition WindowExec — at corpus scale
+    the vocabulary is 1e8-1e9 rows and a global window is a straggler."""
     from reader_spark.ops.profile import grouped_linreg
+    from reader_spark.ops.rank import scalable_rank
 
     docs = _read(spark, sf_dir, "documents")
     toks = docs.select(
@@ -2655,8 +2657,7 @@ def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     ).where(F.col("term") != "")
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.desc("freq"), "term")
-    ranked = freq.withColumn("rank", F.row_number().over(w)).select(
+    ranked = scalable_rank(freq, [F.desc("freq"), F.asc("term")]).select(
         F.lit("corpus").alias("g"),
         F.round(F.log10("rank"), 9).alias("x"),
         F.round(F.log10("freq"), 9).alias("y"),

@@ -107,13 +107,21 @@ def main(argv=None) -> int:
             )
             vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
             n_terms = vocab.count()
-            # Zipf slope via grouped OLS on (ln rank, ln count), top 500 terms
+            # Zipf slope via grouped OLS on (ln rank, ln count), top 500 terms.
+            # Top-K first as orderBy().limit() (TakeOrderedAndProject —
+            # distributed partial top-k), then rank only the <=500
+            # survivors; the previous global window ranked the full
+            # vocabulary on one partition.
             from pyspark.sql import Window
 
-            top = vocab.withColumn(
-                "rank",
-                F.row_number().over(Window.orderBy(F.desc("c"), "term")),
-            ).where(F.col("rank") <= 500)
+            top = (
+                vocab.orderBy(F.desc("c"), "term")
+                .limit(500)
+                .withColumn(
+                    "rank",
+                    F.row_number().over(Window.orderBy(F.desc("c"), "term")),
+                )
+            )
             ols = top.select(
                 F.log("rank").alias("x"), F.log("c").alias("y")
             ).agg(

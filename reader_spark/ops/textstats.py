@@ -346,14 +346,15 @@ def unigram_lm_scores(
     if max_vocab is not None:
         if max_vocab < 1:
             raise ValueError(f"max_vocab must be >= 1, got {max_vocab}")
-        from pyspark.sql import Window
-
-        win = Window.orderBy(F.col("c").desc(), F.col("token").asc())
-        counts = (
-            counts.withColumn("__rk", F.row_number().over(win))
-            .where(F.col("__rk") <= max_vocab)
-            .drop("__rk")
-        )
+        # Top-K cut as orderBy().limit() -> TakeOrderedAndProject: each
+        # partition keeps its local top-K and the driver merges K rows,
+        # vs the previous global Window.orderBy + row_number which moved
+        # the whole vocabulary (1e8-1e9 rows at corpus scale) to a
+        # single partition.  The (c desc, token asc) total order makes
+        # the selected row set identical to the ranked form.
+        counts = counts.orderBy(
+            F.col("c").desc(), F.col("token").asc()
+        ).limit(max_vocab)
         scored = toks.join(F.broadcast(counts), "token", "left").withColumn(
             "c", F.coalesce(F.col("c"), F.lit(0))
         )

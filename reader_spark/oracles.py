@@ -2894,10 +2894,10 @@ def _oracle_sql_entries() -> dict[str, str]:
             ),
             chunked AS (
                 SELECT doc_id, pos, word,
-                       sum(flag) OVER (
+                       CAST(sum(flag) OVER (
                            PARTITION BY doc_id ORDER BY pos
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                       ) AS chunk_id
+                       ) AS BIGINT) AS chunk_id
                 FROM flagged
             )
             SELECT doc_id, chunk_id, count(*) AS n_words,

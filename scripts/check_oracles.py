@@ -24,6 +24,39 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+# Driver-hash HUGEINT trap (bit in r1 and r4): the round driver hashes
+# the *serialized* value, so a DuckDB HUGEINT column (what un-cast
+# sum(<integer>) types as, plain or windowed) hash-fails even when every
+# value is equal — our value-level compare below stays green and masks
+# it.  So the gate type-checks every paired column: HUGEINT (or an
+# integer paired with a non-integer) is fatal.  Same-family width skew
+# (Spark INT vs DuckDB BIGINT) is driver-proven harmless (e.g.
+# curation_shortlist was hash-green in r4 with token_count int/BIGINT),
+# so it only warns.
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+
+
+def type_trap(spark_fields, duck_cols, duck_types):
+    """Return (fatal, warn) lists of (col, spark_type, duck_type)."""
+    spark_by_name = {f.name: f.dataType.simpleString() for f in spark_fields}
+    fatal, warn = [], []
+    for col, dtype in zip(duck_cols, (str(t).upper() for t in duck_types)):
+        stype = spark_by_name.get(col, "")
+        if dtype in ("HUGEINT", "UHUGEINT"):
+            fatal.append((col, stype, dtype))
+        elif (dtype in _DUCK_INT) != (stype in _SPARK_INT):
+            # integer on one side only (e.g. DuckDB DECIMAL vs Spark long)
+            fatal.append((col, stype, dtype))
+        elif dtype in _DUCK_INT and stype in _SPARK_INT and (
+            (dtype == "BIGINT") != (stype == "bigint")
+        ):
+            warn.append((col, stype, dtype))
+    return fatal, warn
+
 
 def norm(value):
     if isinstance(value, float):
@@ -92,6 +125,13 @@ def main() -> int:
         if sorted(spark_cols) != sorted(duck_cols):
             failures.append(name)
             print(f"FAIL  {name}: columns {sorted(spark_cols)} vs {sorted(duck_cols)}")
+            continue
+        fatal, warn = type_trap(sdf.schema.fields, duck_cols, rel.types)
+        if warn:
+            print(f"warn  {name}: int-width skew (harmless to driver) {warn}")
+        if fatal:
+            failures.append(name)
+            print(f"FAIL  {name}: driver-hash HUGEINT trap {fatal}")
             continue
         s = norm_rows(spark_cols, [tuple(r) for r in spark_rows])
         d = norm_rows(duck_cols, duck_rows)

@@ -699,3 +699,43 @@ def test_blocklist_filter_word_dim_broadcasts(spark):
     plan = plan_of(entrymod.queries()["blocklist_filter"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zipf_fit_no_single_partition_window(spark):
+    """VERDICT r4 #2: the full-vocabulary rank must come from
+    scalable_rank (range buckets + partitioned row_number + broadcast
+    offsets) — a global Window.orderBy would serialize a 1e8-1e9-term
+    vocabulary onto one partition at corpus scale."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["zipf_fit"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+
+
+def test_scalable_rank_matches_global_window(spark):
+    """scalable_rank == global row_number, bit for bit, on a frame that
+    spans many range buckets."""
+    from pyspark.sql import Window
+
+    from reader_spark.ops.rank import scalable_rank
+
+    df = spark.range(0, 997).select(
+        (F.col("id") % 13).alias("k"), F.col("id").alias("v")
+    )
+    got = scalable_rank(df, [F.desc("k"), F.asc("v")], buckets=7)
+    w = Window.orderBy(F.desc("k"), F.asc("v"))
+    want = df.withColumn("rank", F.row_number().over(w).cast("long"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_unigram_max_vocab_cut_is_take_ordered(spark):
+    """The max_vocab top-K in the unigram LM compiles to
+    TakeOrderedAndProject (distributed partial top-k), not a global
+    window rank over the whole vocabulary."""
+    from reader_spark.ops.textstats import unigram_lm_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(unigram_lm_scores(docs, max_vocab=100))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan.split("\n\n")[0]

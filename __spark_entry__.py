@@ -4244,6 +4244,14 @@ _DRIVER_WINDOW = [
 
 def _curate(registry: dict) -> dict:
     """Reorder the registry so _DRIVER_WINDOW names come first."""
+    # The driver snapshots exactly registry[:50]; a 51st name (or a
+    # dropped one) silently shifts which queries get driver-verified.
+    if len(_DRIVER_WINDOW) != 50:
+        raise ValueError(
+            f"_DRIVER_WINDOW must have exactly 50 names, got {len(_DRIVER_WINDOW)}"
+        )
+    if len(set(_DRIVER_WINDOW)) != 50:
+        raise ValueError("_DRIVER_WINDOW contains duplicates")
     missing = [n for n in _DRIVER_WINDOW if n not in registry]
     if missing:  # fail loudly: a typo here silently wastes a window slot
         raise KeyError(f"_DRIVER_WINDOW names not in registry: {missing}")

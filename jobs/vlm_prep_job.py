@@ -130,7 +130,27 @@ def main(argv=None) -> int:
 
                 domains = spark.read.parquet(args.domains)
                 with_dom = docs.join(domains, "doc_id")
-                boiler = boilerplate_spans(with_dom)
+                # The deletion list is a CORPUS statistic (>= min_frac of a
+                # domain's docs): computing it over only the --resume
+                # remainder would strip different spans than the first run
+                # did, making the appended output irreproducible against a
+                # fresh full run. So the first run persists its list to a
+                # sidecar and resumed runs reload it; a resume without a
+                # sidecar (output predates this job version) recomputes
+                # over the remainder and says so in the summary.
+                boiler_path = args.output.rstrip("/") + "_boilerplate"
+                boiler = None
+                if args.resume and write_mode == "append":
+                    try:
+                        boiler = spark.read.parquet(boiler_path)
+                        stages["boilerplate_list"] = "reloaded"
+                    except Exception:
+                        stages["boilerplate_list"] = "recomputed_remainder_scope"
+                if boiler is None:
+                    boiler = boilerplate_spans(with_dom)
+                    boiler.write.mode("overwrite").parquet(boiler_path)
+                    stages.setdefault("boilerplate_list", "computed")
+                    boiler = spark.read.parquet(boiler_path)
                 stripped = strip_boilerplate_spans(with_dom, boiler)
                 docs = stripped.select("doc_id", "spans").localCheckpoint(
                     eager=True
@@ -210,18 +230,29 @@ def main(argv=None) -> int:
                 "n_spans_dropped",
                 "cost_kept",
             )
+            rendered = rendered.localCheckpoint(eager=True)
             rendered.write.mode(write_mode).parquet(args.output)
 
-            out = spark.read.parquet(args.output)
-            summary = out.agg(
-                F.count(F.lit(1)).alias("samples"),
-                F.coalesce(F.sum("n_spans_dropped"), F.lit(0)).alias(
-                    "truncated_spans"
-                ),
-                F.coalesce(F.sum("n_media"), F.lit(0)).alias("media_total"),
-                F.coalesce(F.sum("cost_kept"), F.lit(0)).alias("cost_total"),
-            ).head()
+            def _agg(frame):
+                return frame.agg(
+                    F.count(F.lit(1)).alias("samples"),
+                    F.coalesce(F.sum("n_spans_dropped"), F.lit(0)).alias(
+                        "truncated_spans"
+                    ),
+                    F.coalesce(F.sum("n_media"), F.lit(0)).alias("media_total"),
+                    F.coalesce(F.sum("cost_kept"), F.lit(0)).alias("cost_total"),
+                ).head()
+
+            # Two explicit scopes (r4 advice: don't mix them in one flat
+            # dict): the committed totals re-read from --output, and this
+            # run's own rendered frame. On a non-resume run they coincide.
+            summary = _agg(spark.read.parquet(args.output))
+            this_run = _agg(rendered)
             stages["truncated_spans"] = int(summary["truncated_spans"])
+            stages["this_run"] = {
+                k: int(this_run[k])
+                for k in ("samples", "truncated_spans", "media_total", "cost_total")
+            }
         except Exception:
             if ctl.aborted:
                 print(json.dumps({"error": ctl.aborted}))

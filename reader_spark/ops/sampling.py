@@ -242,7 +242,13 @@ def token_budget_mix(
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to > 0")
-    budgets = {g: int(budget * w / total_w) for g, w in weights.items()}
+    # A named group with positive weight must never floor to budget 0 —
+    # the documented straddler-included greedy fill means a whitelisted
+    # group always contributes at least its first doc (r4 advice).
+    budgets = {
+        g: max(1, int(budget * w / total_w)) if w > 0 else 0
+        for g, w in weights.items()
+    }
     mapping = F.create_map(
         *[F.lit(x) for g, b in sorted(budgets.items()) for x in (g, b)]
     )

@@ -644,3 +644,42 @@ def test_ann_index_job_binary_build_query(spark, tmp_path):
         for r in got.where("query_id = 1").orderBy("rank").collect()
     ]
     assert via_index == inline
+
+
+def test_vlm_prep_job_resume_reloads_boilerplate_list(spark, vlm_docs, tmp_path):
+    """The boilerplate deletion list is a corpus statistic: a resumed run
+    must reuse the FIRST run's persisted list (sidecar parquet), not
+    recompute it over only the remainder — so interrupted+resumed output
+    equals an uninterrupted run (r4 advice)."""
+    fresh_out = str(tmp_path / "samples_fresh")
+    run_job(
+        "vlm_prep_job.py",
+        "--input", vlm_docs + "/docs", "--output", fresh_out,
+        "--domains", vlm_docs + "/domains", "--master", "local[4]",
+    )
+    fresh = {
+        r.doc_id: r.sample
+        for r in spark.read.parquet(fresh_out).collect()
+    }
+
+    out = str(tmp_path / "samples_interrupted")
+    half = str(tmp_path / "half_docs_boiler")
+    docs = spark.read.parquet(vlm_docs + "/docs")
+    docs.where("doc_id < 'vlm-06'").write.parquet(half)
+    first = run_job(
+        "vlm_prep_job.py",
+        "--input", half, "--output", out,
+        "--domains", vlm_docs + "/domains", "--master", "local[4]",
+    )
+    assert first["boilerplate_list"] == "computed"
+    second = run_job(
+        "vlm_prep_job.py",
+        "--input", vlm_docs + "/docs", "--output", out,
+        "--domains", vlm_docs + "/domains",
+        "--resume", "--master", "local[4]",
+    )
+    assert second["boilerplate_list"] == "reloaded"
+    assert second["this_run"]["samples"] == 6
+    assert second["samples"] == 12
+    got = {r.doc_id: r.sample for r in spark.read.parquet(out).collect()}
+    assert got == fresh  # interrupted+resumed == uninterrupted, byte-equal

@@ -3876,3 +3876,25 @@ class TestRenderInterleavedSample:
         # cums: 2, 12, 15 -> keep 2 spans; render keeps the placeholder
         assert out.sample == "a b\n\n<image_0>"
         assert out.media_refs == ["img://x"] and out.n_spans_kept == 2
+
+
+def test_token_budget_mix_positive_weight_never_floors_to_zero(spark):
+    """A whitelisted group whose weight rounds below one token must still
+    contribute its first doc (straddler-included greedy fill)."""
+    from reader_spark.ops.sampling import token_budget_mix
+
+    df = spark.createDataFrame(
+        [("a", "g_big", 10), ("b", "g_big", 10), ("c", "g_tiny", 7)],
+        "doc_id string, grp string, n_tokens int",
+    )
+    got = token_budget_mix(
+        df, "grp", "n_tokens", budget=10,
+        weights={"g_big": 1.0, "g_tiny": 1e-9},
+    )
+    rows = {r.doc_id for r in got.collect()}
+    assert "c" in rows  # tiny-but-positive weight keeps its straddler
+    zero = token_budget_mix(
+        df, "grp", "n_tokens", budget=10,
+        weights={"g_big": 1.0, "g_tiny": 0.0},
+    )
+    assert "c" not in {r.doc_id for r in zero.collect()}

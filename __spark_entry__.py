@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reader_spark.queries.tokenize import QUERIES as _TOKENIZE_QUERIES  # noqa: E402
 from reader_spark.queries.analytics import (  # noqa: E402  (registry entries)
     _q_customer_nation_rollup,
     _q_customers_without_orders,
@@ -4455,6 +4456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_boilerplate_strip": _q_span_boilerplate_strip,
         "interleaved_sample_render": _q_interleaved_sample_render,
         "salted_domain_join": _q_salted_domain_join,
+        **_TOKENIZE_QUERIES,
     })
 
 

@@ -39,6 +39,8 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 
 # Operator queries timed at SF_DIR (subset of __spark_entry__.queries()).
 BENCH_QUERIES = (
+    "bpe_token_counts",
+    "bpe_sequence_packing",
     "pricing_summary",
     "top_revenue_orders",
     "events_user_stats",

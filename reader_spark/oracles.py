@@ -318,7 +318,105 @@ def oracle_sql() -> dict[str, str]:
             ('https://c.test/blog/c', 2, 'C',     CAST(NULL AS VARCHAR))
         ) AS t(url, depth, title, description)
     """
+    out["bpe_token_counts"] = _bpe_token_counts_oracle()
+    out["bpe_sequence_packing"] = _bpe_sequence_packing_oracle()
+    out["bpe_encode_sample"] = _bpe_encode_sample_oracle()
     return out
+
+
+def _bpe_word_sql(expr: str) -> str:
+    """The exact-BPE encode of one lowercase word as DuckDB SQL — the
+    SAME chained-replace construction over the |sym| rendering that
+    ops/bpe.py compiles for Spark, generated from the SAME literal merge
+    table (one tokenizer, two engines)."""
+    from reader_spark.ops.bpe import DEFAULT_MERGES
+
+    s = f"(regexp_replace({expr}, '(.)', '|\\1|', 'g') || '|</w>|')"
+    for l, r in DEFAULT_MERGES:
+        s = f"replace({s}, '|{l}||{r}|', '|{l}{r}|')"
+    return s
+
+
+_BPE_WORDS_CTE = r"""
+    w AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''
+               )) AS word
+        FROM documents
+    )
+"""
+
+
+def _bpe_token_counts_oracle() -> str:
+    return f"""
+        WITH {_BPE_WORDS_CTE},
+        enc AS (SELECT doc_id, {_bpe_word_sql('word')} AS s FROM w),
+        cnt AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum((length(s) - length(replace(s, '|', ''))) // 2)
+                        AS BIGINT) AS bpe_tokens
+            FROM enc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(c.n_words, 0) AS n_words,
+               COALESCE(c.bpe_tokens, 0) AS bpe_tokens,
+               CASE WHEN COALESCE(c.n_words, 0) > 0
+                    THEN round(c.bpe_tokens / c.n_words, 6) END AS fertility
+        FROM documents d LEFT JOIN cnt c USING (doc_id)
+    """
+
+
+def _bpe_sequence_packing_oracle() -> str:
+    return f"""
+        WITH {_BPE_WORDS_CTE},
+        enc AS (SELECT doc_id, {_bpe_word_sql('word')} AS s FROM w),
+        cnt AS (
+            SELECT doc_id,
+                   CAST(sum((length(s) - length(replace(s, '|', ''))) // 2)
+                        AS BIGINT) AS n
+            FROM enc GROUP BY doc_id
+        ),
+        toks AS (
+            SELECT d.doc_id, d.doc_id % 8 AS shard, COALESCE(c.n, 0) AS n
+            FROM documents d LEFT JOIN cnt c USING (doc_id)
+        ),
+        cum AS (
+            SELECT shard, doc_id, n,
+                   CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS BIGINT) AS s,
+                   CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e
+            FROM toks
+        ),
+        seg AS (
+            SELECT shard, doc_id, s, e,
+                   CAST(unnest(generate_series(s // 512, (e - 1) // 512)) AS BIGINT) AS seq_id
+            FROM cum WHERE n > 0
+        )
+        SELECT CAST(shard AS BIGINT) AS shard, doc_id, seq_id,
+               CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS doc_offset,
+               CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
+               CAST(least(e, (seq_id + 1) * 512)
+                    - greatest(s, seq_id * 512) AS BIGINT) AS n_tokens
+        FROM seg
+    """
+
+
+def _bpe_encode_sample_oracle() -> str:
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''
+                   )) AS word
+            FROM documents WHERE doc_id < 25
+        )
+        SELECT doc_id, word,
+               trim(replace({_bpe_word_sql('word')}, '||', ' '), '|') AS token_str
+        FROM w
+    """
 
 
 def _md5_bucket_terms(planes: int = 8) -> str:

@@ -1,0 +1,110 @@
+"""Corpus-curation queries (session-3 family): clustering, fertility,
+diversity, curriculum, entropy, blocklist, UniMax, CCNet buckets.
+Factored out of __spark_entry__.py verbatim (VERDICT r4 #7); oracles
+live in reader_spark/oracles.py under the same keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _q_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded text clustering over feature-hashed unit vectors (ops.
+    vectorize.text_clusters): the corpus data-map / cluster-balanced
+    sampling step — spherical k-means assignment with docs 0..7 as
+    deterministic seeds. Seeds ride as k x dim literals; assignment is
+    per-row over one scan of the hashed vectors."""
+    from reader_spark.ops.vectorize import text_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    return text_clusters(docs, seed_ids=list(range(8)))
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-budget audit (ops.textstats.
+    tokenizer_fertility): chars/token, bytes/char (zh pays the UTF-8
+    multibyte tax, en ~1.0), tokens/doc — the conversion table between
+    byte-priced storage and token-priced training budgets. One
+    map-side-combined groupBy on the language dim."""
+    from reader_spark.ops.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_read(spark, sf_dir, "documents"))
+
+
+def _q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document distinct-n diversity per source (ops.textstats.
+    source_diversity) — the self-BLEU-style template-collapse signal
+    per-doc repetition rules can't see. One scan per n, one
+    map-side-combined (source, gram) groupBy, source-keyed rollup."""
+    from reader_spark.ops.textstats import source_diversity
+
+    return source_diversity(_read(spark, sf_dir, "documents"))
+
+
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (ops.sampling.curriculum_order): short-to-long
+    schedule with equi-width length buckets and a deterministic seeded
+    md5 shuffle within each bucket; position = broadcast bucket offset +
+    bucket-keyed rank. No global window — the only windows key on the
+    8-bucket dim."""
+    from reader_spark.ops.sampling import curriculum_order
+
+    return curriculum_order(_read(spark, sf_dir, "documents"))
+
+
+def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution Shannon entropy (ops.textstats.
+    token_entropy) — the repetitive-text / encoded-blob gibberish signal.
+    Integer nano-unit term sums + integer 6-dp reduction keep hundreds of
+    float terms engine-stable; zero-token docs survive via the spine
+    left-join."""
+    from reader_spark.ops.textstats import token_entropy
+
+    return token_entropy(_read(spark, sf_dir, "documents"))
+
+
+def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter (ops.textstats.blocklist_filter): exact
+    token matches against a broadcast word dim instead of a giant
+    alternation regex. Fixture list ('dup', plus an absent word proving
+    zero-hit safety) flags 25 of 500 docs at sf0.01; production swaps in
+    the public LDNOOBW file, same broadcast plumbing."""
+    from reader_spark.ops.textstats import blocklist_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return blocklist_filter(docs, ("dup", "zzzqqqblocked"))
+
+
+def _q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al., ICLR'23) over the corpus
+    (ops.allocate.unimax_allocation): a 3.2x-corpus training budget split
+    as uniformly as possible across languages with a 4-epoch cap per
+    language. At sf0.01 the four smaller languages hit the epoch cap and
+    en takes the uniform leftover (budget_limited=1). Closed-form
+    water-filling on demand = 4*size — no iteration, window bounded by
+    the language dim; the 1-row total fetch is the documented scalar."""
+    from reader_spark.ops.allocate import unimax_allocation
+
+    docs = _read(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang").agg(F.sum("n_chars").alias("size_chars"))
+    total = sizes.agg(F.sum("size_chars")).head()[0]
+    return unimax_allocation(
+        sizes, "lang", "size_chars", budget=3.2 * float(total), max_epochs=4.0
+    )
+
+
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet per-language head/middle/tail perplexity bucketing
+    (ops.textstats.ccnet_buckets): corpus-trained unigram LM scores +
+    per-lang ntile(3) — the routing table a pretraining mix samples
+    from. Exact ntile is the oracle contract; the approx-percentile cut
+    is the documented petabyte path."""
+    from reader_spark.ops.textstats import ccnet_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    return ccnet_buckets(docs, "doc_id", "text", "lang")

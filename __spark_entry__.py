@@ -3604,86 +3604,66 @@ def _q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full value-hash oracle.  Everything not listed follows in original order
 # (most of it already driver-green in r01/r02).
 _DRIVER_WINDOW = [
-    # ROUND-4 ROTATION (VERDICT r3 next-round #4): every r1-r3 driver-green
-    # row is retired from the window (they stay green in the local
-    # scripts/gate.py sweep, recorded in PROGRESS.jsonl); all 50 slots go
-    # to queries that have NEVER had a driver-level correctness row.  The 7
-    # never-verified queries left out are twins whose composing sibling is
-    # in: kmv_distinct (kmv_jaccard), winnow_fingerprints (winnow_pairs),
-    # feature_hash_vectors + doc_sim_topk (doc_sim_topk_bucketed),
-    # hard_negatives (hard_negatives_bucketed), hll_distinct (HLL family
-    # driver-green r3), term_pmi (textstats family driver-green r1);
-    # ab_test_proportions, events_sliding_windows, user_burstiness and
-    # top_event_paths yielded their slots to audio_hk_neardup +
-    # interleaved_pii_redact + span_boilerplate_strip +
-    # interleaved_sample_render (new this round) — all four stay green in
-    # the local gate sweep.  Session-3 re-rotation: the seven new flagships
-    # (caption_alignment, span_langid_profile, template_clusters,
-    # blocklist_filter, token_entropy, unimax_mix, binary_hamming_topk)
-    # took the slots of readability_scores / langid_confusion /
-    # lang_source_chi2 / zipf_fit / scd2_user_state / cohort_retention —
-    # analytics-family twins whose siblings were driver-certified in
-    # r1-r2; all retired rows stay green in the local gate sweep.
-    # -- extraction / media flagships never in a window
-    "span_kinds_full",
-    "media_sniff",
-    "media_phash_neardup",
-    "audio_hk_neardup",
-    "interleaved_pii_redact",
-    "span_boilerplate_strip",
-    "interleaved_sample_render",
-    "caption_alignment",
-    "span_langid_profile",
-    "template_clusters",
-    "multimodal_packing",
-    "remove_duplicate_spans",
-    # -- curation / training-data pipeline
-    "dsir_weights",
-    "quality_logit",
-    "curation_shortlist",
-    "mojibake_repair",
-    "coreset_k_center",
-    "sequence_packing_sharded",
-    "packing_stats",
-    "quality_token_pyramid",
-    "quality_funnel",
-    "blocklist_filter",
-    "token_entropy",
-    "unimax_mix",
-    "bigram_lm",
-    "span_corruption",
-    "source_vocab_kl",
-    "corpus_scorecard",
-    # -- dedup / fingerprint / decontamination
-    "winnow_pairs",
+    # ROUND-5 ROTATION (VERDICT r4 next-round #2): the 48 oracled queries
+    # never driver-certified across r1-r4 — the 45 remaining rotation tail
+    # (incl. the now-fixed cdc_chunks) plus this round's 3 new exact-BPE
+    # queries — with the 2 spare slots re-certifying the extraction
+    # flagships on the current code. After this snapshot every oracled
+    # query in the registry has a driver-level hash-green row in some
+    # CORRECTNESS_r0N.json (cumulative 190/190); the 6 rows-only queries
+    # (extract_fixture_spans, minhash_lsh_candidates, simhash_near_pairs,
+    # fingerprint_groups, ann_lsh, ann_ivf) are hash-sketch/fixture
+    # production twins whose oracled md5 siblings are all certified.
     "cdc_chunks",
-    "lsh_quality_eval",
-    # -- similarity search / embeddings
-    "doc_sim_topk_bucketed",
-    "hard_negatives_bucketed",
-    "opq_encode_md5",
-    "embedding_sq8",
-    "label_centroids",
-    "binary_hamming_topk",
-    # -- sketches
-    "kmv_jaccard",
-    "cms_join_size",
-    # -- graph
-    "graph_triangles",
-    "graph_degree_stats",
-    # -- drift / quality monitoring
-    "value_ks_drift",
-    "value_psi_drift",
-    "fk_audit",
-    # -- sharding / sampling / admission
-    "rendezvous_shards",
-    "rate_limit_admission",
-    "crawl_budget_allocation",
-    # -- event analytics battery
-    "funnel_conversion",
-    "event_transitions",
-    # -- sources
-    "jsonl_ingest",
+    "curriculum_order",
+    "source_diversity",
+    "tokenizer_fertility",
+    "text_clusters",
+    "binary_recall_eval",
+    "decontaminate_bloom",
+    "hll_distinct",
+    "cohort_retention",
+    "price_histogram",
+    "scd2_user_state",
+    "events_sliding_windows",
+    "twap_user_value",
+    "value_outliers",
+    "lang_source_chi2",
+    "top_event_paths",
+    "hybrid_search_rrf",
+    "langid_confusion",
+    "term_pmi",
+    "readability_scores",
+    "value_quantile_norm",
+    "ab_test_proportions",
+    "revenue_gini",
+    "user_entropy",
+    "zipf_fit",
+    "user_burstiness",
+    "winnow_fingerprints",
+    "feature_hash_vectors",
+    "doc_sim_topk",
+    "kmv_distinct",
+    "hard_negatives",
+    "vocab_heavy_hitters",
+    "dedup_cluster_exemplars",
+    "media_dedup",
+    "leakage_safe_splits",
+    "token_budget_mix",
+    "script_profile",
+    "passage_chunks",
+    "repetition_profile",
+    "caption_pairs",
+    "interleave_profile",
+    "ccnet_buckets",
+    "centroid_pr_curve",
+    "matryoshka_eval",
+    "salted_domain_join",
+    "bpe_token_counts",
+    "bpe_sequence_packing",
+    "bpe_encode_sample",
+    "extract_documents_spans",
+    "span_kinds_full",
 ]
 
 

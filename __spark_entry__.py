@@ -3662,8 +3662,8 @@ _DRIVER_WINDOW = [
     "bpe_token_counts",
     "bpe_sequence_packing",
     "bpe_encode_sample",
+    "bpe_learn_merges",
     "extract_documents_spans",
-    "span_kinds_full",
 ]
 
 

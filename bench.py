@@ -41,6 +41,7 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 BENCH_QUERIES = (
     "bpe_token_counts",
     "bpe_sequence_packing",
+    "bpe_learn_merges",
     "pricing_summary",
     "top_revenue_orders",
     "events_user_stats",

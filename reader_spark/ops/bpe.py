@@ -185,3 +185,82 @@ def bpe_encode_words(
             toks, lambda t: F.replace(t, F.lit("|"), F.lit(""))
         ).alias("tokens"),
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016 learn
+    step): iteratively count adjacent symbol pairs over the corpus and
+    merge the most frequent, ``n_merges`` times. Returns the learned
+    table as (merge_rank, lhs, rhs, pair_count) — the artifact
+    :func:`bpe_token_counts` consumes as ``merges``.
+
+    Scale shape (the classic map-reduce BPE learner): training runs on
+    the DISTINCT-WORD frequency dim (one groupBy of the corpus — 1e8ish
+    rows at 100 TB, not 1e12 token rows); each iteration is one
+    map-side-combined pair count over that dim plus a TakeOrdered(1)
+    argmax (a bounded 1-row collect, the PageRank-dangling-mass
+    pattern), and the merge application is a pure map. The symbol state
+    re-uses the |sym| string rendering, so applying a merge is one
+    literal replace. Plans are re-checkpointed every 8 merges to bound
+    lineage depth.
+
+    Ties break (count desc, lhs asc, rhs asc) — deterministic and
+    engine-portable. Pairs are counted at every adjacent index
+    (overlapping runs count each occurrence), matching subword-nmt's
+    get_stats.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = df.sparkSession
+    cur = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), WORD_SPLIT),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            F.concat(
+                F.regexp_replace("word", "(.)", r"|$1|"), F.lit("|</w>|")
+            ).alias("s"),
+            "c",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        syms = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\|\|")
+        n = F.size(syms)
+        pairs = F.arrays_zip(
+            F.slice(syms, 1, F.greatest(n - 1, F.lit(0))).alias("l"),
+            F.slice(syms, 2, F.greatest(n - 1, F.lit(0))).alias("r"),
+        )
+        best = (
+            cur.select(F.explode(pairs).alias("p"), "c")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("c").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or int(best[0]["pair_count"]) < min_count:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["pair_count"])
+        merges.append((rank, l, r, cnt))
+        cur = cur.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|"))
+        )
+        if (rank + 1) % 8 == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, pair_count long"
+    )

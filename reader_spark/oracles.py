@@ -321,7 +321,56 @@ def oracle_sql() -> dict[str, str]:
     out["bpe_token_counts"] = _bpe_token_counts_oracle()
     out["bpe_sequence_packing"] = _bpe_sequence_packing_oracle()
     out["bpe_encode_sample"] = _bpe_encode_sample_oracle()
+    out["bpe_learn_merges"] = _bpe_learn_merges_oracle()
     return out
+
+
+def _bpe_learn_merges_oracle(k: int = 12) -> str:
+    """BPE training as k unrolled MATERIALIZED rounds (plain CTEs
+    re-inline exponentially — the hits_domains lesson): w{i} is the
+    word-frequency dim after i merges, p{i} the adjacent-pair counts,
+    b{i} the argmax with the (count desc, lhs, rhs) tie-break."""
+    parts = [
+        r"""
+        WITH w0 AS MATERIALIZED (
+            SELECT regexp_replace(word, '(.)', '|\1|', 'g') || '|</w>|' AS s,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> ''
+                )) AS word
+                FROM documents
+            ) GROUP BY 1
+        )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(f""",
+        p{i} AS MATERIALIZED (
+            SELECT pr[1] AS lhs, pr[2] AS rhs,
+                   CAST(sum(c) AS BIGINT) AS pair_count
+            FROM (
+                SELECT unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS pr, c
+                FROM (
+                    SELECT string_split(s[2:len(s)-1], '||') AS sy, c
+                    FROM w{i - 1}
+                )
+            ) GROUP BY 1, 2
+        ),
+        b{i} AS MATERIALIZED (
+            SELECT {i - 1} AS merge_rank, lhs, rhs, pair_count FROM p{i}
+            ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+        ),
+        w{i} AS MATERIALIZED (
+            SELECT replace(s, '|' || b.lhs || '||' || b.rhs || '|',
+                           '|' || b.lhs || b.rhs || '|') AS s, c
+            FROM w{i - 1}, b{i} b
+        )""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + union
 
 
 def _bpe_word_sql(expr: str) -> str:

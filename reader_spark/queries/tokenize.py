@@ -58,8 +58,20 @@ def _q_bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: 12 merge rounds over the
+    distinct-word frequency dim (pair count -> TakeOrdered(1) argmax ->
+    literal-replace apply). The oracle is the same 12 rounds as unrolled
+    MATERIALIZED CTEs, so rank order, tie-breaks, and pair counts are
+    all certified — training, not just encoding, runs on the engine."""
+    from reader_spark.ops.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(_read(spark, sf_dir, "documents"), n_merges=12)
+
+
 QUERIES = {
     "bpe_token_counts": _q_bpe_token_counts,
     "bpe_sequence_packing": _q_bpe_sequence_packing,
     "bpe_encode_sample": _q_bpe_encode_sample,
+    "bpe_learn_merges": _q_bpe_learn_merges,
 }

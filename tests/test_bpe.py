@@ -127,3 +127,87 @@ def test_packing_consumes_exact_column(spark):
         F.col("s") != F.col("bpe_tokens")
     )
     assert joined.count() == 0
+
+
+def ref_learn(texts, n_merges):
+    """Independent reference learner: subword-nmt-style get_stats +
+    merge, ties broken (count desc, lhs, rhs)."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in re.split("[^a-z0-9]+", t.lower()):
+            if w:
+                vocab[tuple(list(w) + ["</w>"])] += 1
+    merges = []
+    for rank in range(n_merges):
+        stats = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (l, r), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, cnt))
+        new = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] += c
+        vocab = new
+    return merges
+
+
+def test_learn_matches_reference(spark):
+    from reader_spark.ops.bpe import learn_bpe_merges
+
+    texts = [
+        "the cat and the hat sat on the mat",
+        "the bats and the rats ate the oats",
+        "standing and sitting and knitting",
+        "aaa aaaa aaaaa",
+    ]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string",
+    )
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in learn_bpe_merges(df, n_merges=10).orderBy("merge_rank").collect()
+    ]
+    assert got == ref_learn(texts, 10)
+
+
+def test_learn_roundtrip_into_encoder(spark):
+    """The learned table is directly consumable by bpe_token_counts and
+    strictly compresses vs the unmerged (char) tokenization."""
+    from reader_spark.ops.bpe import learn_bpe_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    learned = [
+        (r.lhs, r.rhs)
+        for r in learn_bpe_merges(docs, n_merges=12).orderBy("merge_rank").collect()
+    ]
+    assert len(learned) == 12
+    with_m = bpe_token_counts(docs, merges=tuple(learned))
+    no_m = bpe_token_counts(docs, merges=())
+    tot_m = with_m.agg(F.sum("bpe_tokens")).head()[0]
+    tot_0 = no_m.agg(F.sum("bpe_tokens")).head()[0]
+    assert tot_m < tot_0
+
+
+def test_learn_stops_when_exhausted(spark):
+    from reader_spark.ops.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([("a", "ab")], "doc_id string, text string")
+    # 'ab' -> a b </w>: only 2 pairs exist, then 1, then 0
+    got = learn_bpe_merges(df, n_merges=10).collect()
+    assert len(got) < 10

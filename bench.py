@@ -42,6 +42,9 @@ BENCH_QUERIES = (
     "bpe_token_counts",
     "bpe_sequence_packing",
     "bpe_learn_merges",
+    "length_batches",
+    "batch_padding_compare",
+    "nextfit_packing",
     "pricing_summary",
     "top_revenue_orders",
     "events_user_stats",

@@ -150,3 +150,168 @@ def packing_stats(
             ).alias("pct_docs_split")
         )
     )
+
+
+def length_grouped_batches(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    batch_size: int,
+    partition_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Length-grouped batch assembly (the "sortish batching" every
+    trainer uses to cut padding): within each shard, items sort by
+    (cost desc, id asc) and chunk into fixed-count batches of
+    ``batch_size``; a batch pads every item to its own max cost.
+
+    Returns per-batch stats — (partition_cols..., batch_id, n_items,
+    max_cost, sum_cost, padding_waste) with ``padding_waste =
+    n_items * max_cost - sum_cost`` (the trailing partial batch pads to
+    its actual size, not to ``batch_size``).
+
+    Scale shape: one per-shard window (rank) + one keyed aggregate; no
+    global ordering anywhere. Compare against id-ordered batching with
+    :func:`batch_padding_compare` to quantify the win.
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    parts = list(partition_cols or [])
+    w = (
+        Window.partitionBy(*parts).orderBy(F.desc("__c"), F.asc(id_col))
+        if parts
+        else Window.orderBy(F.desc("__c"), F.asc(id_col))
+    )
+    ranked = df.select(
+        *parts,
+        F.col(id_col),
+        F.col(cost_col).cast("long").alias("__c"),
+    ).withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    return ranked.groupBy(*parts, "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.max("__c").alias("max_cost"),
+        F.sum("__c").alias("sum_cost"),
+        (F.count(F.lit(1)) * F.max("__c") - F.sum("__c"))
+        .cast("long")
+        .alias("padding_waste"),
+    )
+
+
+def batch_padding_compare(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    batch_size: int,
+    partition_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-row scorecard: total padded cost under length-grouped vs
+    id-ordered batching (same shards, same batch size) — the artifact
+    that justifies length bucketing in a training recipe.
+
+    Returns (strategy, n_batches, sum_cost, padded_cost, waste_frac)."""
+    parts = list(partition_cols or [])
+
+    def stats(ranked_by: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*parts).orderBy(*ranked_by)
+            if parts
+            else Window.orderBy(*ranked_by)
+        )
+        ranked = df.select(
+            *parts, F.col(id_col), F.col(cost_col).cast("long").alias("__c")
+        ).withColumn(
+            "batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("long")
+        )
+        return ranked.groupBy(*parts, "batch_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("__c").alias("m"),
+            F.sum("__c").alias("s"),
+        )
+
+    out = []
+    for name, order in (
+        ("length_grouped", [F.desc("__c"), F.asc(id_col)]),
+        ("id_ordered", [F.asc(id_col)]),
+    ):
+        b = stats(order)
+        out.append(
+            b.agg(
+                F.lit(name).alias("strategy"),
+                F.count(F.lit(1)).cast("long").alias("n_batches"),
+                F.sum("s").cast("long").alias("sum_cost"),
+                F.sum(F.col("n") * F.col("m")).cast("long").alias("padded_cost"),
+                F.round(
+                    (F.sum(F.col("n") * F.col("m")) - F.sum("s"))
+                    / F.sum(F.col("n") * F.col("m")),
+                    6,
+                ).alias("waste_frac"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+def pack_next_fit(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    capacity: int,
+    partition_cols: Sequence[str],
+) -> DataFrame:
+    """Sample-level (NO-split) next-fit packing — the other standard
+    packing mode (T5/LLaMA-style "don't cross document boundaries"):
+    items in id order per shard; the open bin closes when the next item
+    doesn't fit; an item larger than ``capacity`` takes a bin alone
+    (``oversize`` = true).
+
+    The recurrence is inherently sequential, so it runs as an
+    Arrow-batched applyInPandas per shard (state = one running fill).
+    ``partition_cols`` is REQUIRED: shard granularity bounds both the
+    pandas batch and the sequential span — at corpus scale pick shards
+    so one shard's rows fit an executor (the same contract as
+    pack_sequences' sharded mode). The oracle twin is a recursive CTE.
+
+    Returns (partition_cols..., id, cost, bin_id, bin_fill, oversize).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if not partition_cols:
+        raise ValueError("partition_cols is required (bounds the sequential span)")
+    parts = list(partition_cols)
+
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bin_id, fill = 0, 0
+        bins, fills = [], []
+        first = True
+        for c in pdf["__c"]:
+            c = int(c)
+            if first:
+                fill = c
+                first = False
+            elif fill + c <= capacity:
+                fill += c
+            else:
+                bin_id += 1
+                fill = c
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        pdf["oversize"] = pdf["__c"] > capacity
+        return pdf
+
+    src = df.select(
+        *parts, F.col(id_col), F.col(cost_col).cast("long").alias("__c")
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + ", bin_id long, bin_fill long, oversize boolean"
+    return (
+        src.groupBy(*parts)
+        .applyInPandas(pack, schema=schema)
+        .withColumnRenamed("__c", "cost")
+    )

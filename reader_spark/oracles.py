@@ -322,7 +322,108 @@ def oracle_sql() -> dict[str, str]:
     out["bpe_sequence_packing"] = _bpe_sequence_packing_oracle()
     out["bpe_encode_sample"] = _bpe_encode_sample_oracle()
     out["bpe_learn_merges"] = _bpe_learn_merges_oracle()
+    out["length_batches"] = _length_batches_oracle()
+    out["batch_padding_compare"] = _batch_padding_compare_oracle()
+    out["nextfit_packing"] = _nextfit_packing_oracle()
     return out
+
+
+def _bpe_costs_ctes(materialized: bool = False) -> str:
+    """Shared CTE: per-doc exact BPE cost + shard (doc_id % 8) — the
+    cost table the batching/packing oracles consume. ``materialized``
+    pins every stage (REQUIRED under WITH RECURSIVE: an un-materialized
+    cost chain re-evaluates per recursion step — sf0.1 went from >15 min
+    to 2 s)."""
+    m = "MATERIALIZED " if materialized else ""
+    return f"""
+        {_BPE_WORDS_CTE},
+        enc AS {m}(SELECT doc_id, {_bpe_word_sql('word')} AS s FROM w),
+        cnt AS {m}(
+            SELECT doc_id,
+                   CAST(sum((length(s) - length(replace(s, '|', ''))) // 2)
+                        AS BIGINT) AS bpe_tokens
+            FROM enc GROUP BY doc_id
+        ),
+        costs AS {m}(
+            SELECT d.doc_id, CAST(d.doc_id % 8 AS BIGINT) AS shard,
+                   COALESCE(c.bpe_tokens, 0) AS bpe_tokens
+            FROM documents d LEFT JOIN cnt c USING (doc_id)
+        )
+    """
+
+
+def _length_batches_oracle() -> str:
+    return f"""
+        WITH {_bpe_costs_ctes()},
+        ranked AS (
+            SELECT shard, doc_id, bpe_tokens,
+                   CAST((row_number() OVER (
+                       PARTITION BY shard ORDER BY bpe_tokens DESC, doc_id
+                   ) - 1) // 8 AS BIGINT) AS batch_id
+            FROM costs
+        )
+        SELECT shard, batch_id,
+               CAST(count(*) AS BIGINT) AS n_items,
+               max(bpe_tokens) AS max_cost,
+               CAST(sum(bpe_tokens) AS BIGINT) AS sum_cost,
+               CAST(count(*) * max(bpe_tokens) - sum(bpe_tokens) AS BIGINT)
+                   AS padding_waste
+        FROM ranked GROUP BY shard, batch_id
+    """
+
+
+def _batch_padding_compare_oracle() -> str:
+    def leg(name: str, order: str) -> str:
+        return f"""
+        SELECT '{name}' AS strategy,
+               CAST(count(*) AS BIGINT) AS n_batches,
+               CAST(sum(s) AS BIGINT) AS sum_cost,
+               CAST(sum(n * m) AS BIGINT) AS padded_cost,
+               round((sum(n * m) - sum(s)) / sum(n * m), 6) AS waste_frac
+        FROM (
+            SELECT shard, batch_id, count(*) AS n,
+                   max(bpe_tokens) AS m, sum(bpe_tokens) AS s
+            FROM (
+                SELECT shard, doc_id, bpe_tokens,
+                       (row_number() OVER (
+                           PARTITION BY shard ORDER BY {order}
+                       ) - 1) // 8 AS batch_id
+                FROM costs
+            ) GROUP BY shard, batch_id
+        )"""
+
+    return f"""
+        WITH {_bpe_costs_ctes()}
+        {leg('length_grouped', 'bpe_tokens DESC, doc_id')}
+        UNION ALL
+        {leg('id_ordered', 'doc_id')}
+    """
+
+
+def _nextfit_packing_oracle(capacity: int = 512) -> str:
+    return f"""
+        WITH RECURSIVE {_bpe_costs_ctes(materialized=True)},
+        t AS MATERIALIZED (
+            SELECT shard, doc_id, bpe_tokens,
+                   row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM costs
+        ),
+        r AS (
+            SELECT shard, rn, doc_id, bpe_tokens,
+                   CAST(0 AS BIGINT) AS bin_id, bpe_tokens AS fill
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.shard, t.rn, t.doc_id, t.bpe_tokens,
+                   CASE WHEN r.fill + t.bpe_tokens <= {capacity}
+                        THEN r.bin_id ELSE r.bin_id + 1 END,
+                   CASE WHEN r.fill + t.bpe_tokens <= {capacity}
+                        THEN r.fill + t.bpe_tokens ELSE t.bpe_tokens END
+            FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1
+        )
+        SELECT shard, doc_id, bpe_tokens AS cost, bin_id,
+               fill AS bin_fill, bpe_tokens > {capacity} AS oversize
+        FROM r
+    """
 
 
 def _bpe_learn_merges_oracle(k: int = 12) -> str:

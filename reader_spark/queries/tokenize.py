@@ -69,9 +69,69 @@ def _q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(_read(spark, sf_dir, "documents"), n_merges=12)
 
 
+def _bpe_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_token_counts(docs).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+        "bpe_tokens",
+    )
+
+
+def _q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch assembly over exact BPE costs: per-shard
+    (cost desc, id) rank chunked into batches of 8, with per-batch
+    padding accounting — the dynamic-batching step of a trainer's data
+    loader, as one window + one keyed aggregate."""
+    from reader_spark.ops.packing import length_grouped_batches
+
+    return length_grouped_batches(
+        _bpe_costs(spark, sf_dir),
+        "doc_id",
+        "bpe_tokens",
+        batch_size=8,
+        partition_cols=["shard"],
+    )
+
+
+def _q_batch_padding_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The why-length-group scorecard: total padded cost under
+    length-grouped vs id-ordered batching, same shards and batch size —
+    two rows, waste_frac quantifying the padding saved."""
+    from reader_spark.ops.packing import batch_padding_compare
+
+    return batch_padding_compare(
+        _bpe_costs(spark, sf_dir),
+        "doc_id",
+        "bpe_tokens",
+        batch_size=8,
+        partition_cols=["shard"],
+    )
+
+
+def _q_nextfit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-level NO-split packing (documents never cross sequence
+    boundaries): next-fit bins per shard over exact BPE costs,
+    capacity 512; oversized docs take a bin alone. Sequential recurrence
+    as Arrow-batched applyInPandas per shard; the oracle is the same
+    recurrence as a DuckDB recursive CTE."""
+    from reader_spark.ops.packing import pack_next_fit
+
+    return pack_next_fit(
+        _bpe_costs(spark, sf_dir),
+        "doc_id",
+        "bpe_tokens",
+        capacity=512,
+        partition_cols=["shard"],
+    )
+
+
 QUERIES = {
     "bpe_token_counts": _q_bpe_token_counts,
     "bpe_sequence_packing": _q_bpe_sequence_packing,
     "bpe_encode_sample": _q_bpe_encode_sample,
     "bpe_learn_merges": _q_bpe_learn_merges,
+    "length_batches": _q_length_batches,
+    "batch_padding_compare": _q_batch_padding_compare,
+    "nextfit_packing": _q_nextfit_packing,
 }

@@ -683,3 +683,41 @@ def test_vlm_prep_job_resume_reloads_boilerplate_list(spark, vlm_docs, tmp_path)
     assert second["samples"] == 12
     got = {r.doc_id: r.sample for r in spark.read.parquet(out).collect()}
     assert got == fresh  # interrupted+resumed == uninterrupted, byte-equal
+
+
+def test_tokenize_job_learn_concat_then_reuse_nextfit(spark, tmp_path):
+    """tokenize_job: learn merges -> persisted artifact -> exact counts
+    -> packed sequences; a second run RELOADS the learned table and
+    packs no-split next-fit bins."""
+    out1 = str(tmp_path / "tok1")
+    first = run_job(
+        "tokenize_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out1, "--learn", "10",
+        "--seq-len", "512", "--shards", "8", "--master", "local[4]",
+    )
+    assert first["merges_source"] == "learned" and first["n_merges"] == 10
+    assert first["input_docs"] == 500
+    assert first["packed_tokens"] == first["total_tokens"]  # lossless layout
+    assert first["sequences"] > 0
+    import json as _json
+    import os as _os
+
+    merges = _json.load(open(_os.path.join(out1, "merges.json")))
+    assert len(merges) == 10
+    counts = spark.read.parquet(out1 + "/counts")
+    assert counts.count() == 500
+
+    out2 = str(tmp_path / "tok2")
+    second = run_job(
+        "tokenize_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out2, "--merges", out1 + "/merges.parquet",
+        "--seq-len", "512", "--shards", "8",
+        "--mode", "nextfit", "--master", "local[4]",
+    )
+    assert second["merges_source"] == "reloaded" and second["n_merges"] == 10
+    assert second["bins"] > 0
+    assert 0 < second["mean_fill_frac"] <= 1
+    packed = spark.read.parquet(out2 + "/packed")
+    assert packed.count() == 500  # no-split: one row per doc

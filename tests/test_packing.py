@@ -132,3 +132,98 @@ def test_validation(spark):
             4,
             partition_cols=["nope"],
         )
+
+
+def test_length_grouped_batches_hand_case(spark):
+    from reader_spark.ops.packing import length_grouped_batches
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("b", 0, 7), ("c", 0, 7), ("d", 0, 1), ("e", 1, 5)],
+        "doc_id string, shard long, cost int",
+    )
+    got = {
+        (r.shard, r.batch_id): (r.n_items, r.max_cost, r.sum_cost, r.padding_waste)
+        for r in length_grouped_batches(
+            df, "doc_id", "cost", batch_size=2, partition_cols=["shard"]
+        ).collect()
+    }
+    # shard 0 sorted desc: a(10) b(7) | c(7) d(1); shard 1: e(5)
+    assert got[(0, 0)] == (2, 10, 17, 3)
+    assert got[(0, 1)] == (2, 7, 8, 6)
+    assert got[(1, 0)] == (1, 5, 5, 0)
+
+
+def test_batch_padding_compare_sorted_never_worse(spark):
+    from reader_spark.ops.packing import batch_padding_compare
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = docs.selectExpr(
+        "doc_id", "CAST(doc_id % 8 AS LONG) AS shard", "n_chars AS cost"
+    )
+    rows = {
+        r.strategy: r
+        for r in batch_padding_compare(
+            df, "doc_id", "cost", batch_size=8, partition_cols=["shard"]
+        ).collect()
+    }
+    lg, ido = rows["length_grouped"], rows["id_ordered"]
+    assert lg.sum_cost == ido.sum_cost  # same items
+    assert lg.padded_cost <= ido.padded_cost  # sorting only helps
+    assert lg.waste_frac <= ido.waste_frac
+
+
+def ref_next_fit(items, capacity):
+    out, bin_id, fill, first = [], 0, 0, True
+    for ident, c in items:
+        if first:
+            fill, first = c, False
+        elif fill + c <= capacity:
+            fill += c
+        else:
+            bin_id += 1
+            fill = c
+        out.append((ident, bin_id, fill, c > capacity))
+    return out
+
+
+def test_pack_next_fit_matches_reference_and_respects_capacity(spark):
+    from reader_spark.ops.packing import pack_next_fit
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, i % 3, rng.choice([5, 60, 120, 700]))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, cost int")
+    got = pack_next_fit(df, "doc_id", "cost", 128, ["shard"])
+    by_shard = {}
+    for r in got.collect():
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        items = [(r.doc_id, r.cost) for r in rs]
+        want = ref_next_fit(items, 128)
+        assert [(r.doc_id, r.bin_id, r.bin_fill, r.oversize) for r in rs] == want
+    # bins never exceed capacity unless the bin is a single oversize item
+    import collections
+
+    fills = collections.defaultdict(int)
+    members = collections.defaultdict(list)
+    for r in got.collect():
+        fills[(r.shard, r.bin_id)] += r.cost
+        members[(r.shard, r.bin_id)].append(r)
+    for k, f in fills.items():
+        if f > 128:
+            assert len(members[k]) == 1 and members[k][0].oversize
+
+
+def test_pack_next_fit_requires_partition_cols(spark):
+    import pytest as _pytest
+
+    from reader_spark.ops.packing import pack_next_fit
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, cost int")
+    with _pytest.raises(ValueError):
+        pack_next_fit(df, "doc_id", "cost", 10, [])

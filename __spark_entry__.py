@@ -3663,7 +3663,7 @@ _DRIVER_WINDOW = [
     "bpe_sequence_packing",
     "bpe_encode_sample",
     "bpe_learn_merges",
-    "extract_documents_spans",
+    "nextfit_packing",
 ]
 
 

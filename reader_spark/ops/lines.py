@@ -326,3 +326,85 @@ def strip_boilerplate_spans(
         )
         .drop("__spans")
     )
+
+
+SENTENCE_PATTERN = r"[^.!?]+[.!?]*"
+
+
+def sentence_spans_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    pattern: str | None = None,
+) -> DataFrame:
+    """C4-style three-sentence-span duplicate detection (Raffel et al.
+    2020 §2.2: "we discarded all but one of any three-sentence span
+    occurring more than once in the data set"). This is the DETECTION
+    list — (span_md5, n_occ, n_docs, first_doc) for every n-sentence
+    window that occurs more than once corpus-wide; a cleaning pass
+    anti-joins / first-occurrence-filters against it, exactly like
+    ``domain_boilerplate``'s deletion list one granularity up.
+
+    Sentence segmentation is a single ``regexp_extract_all`` with
+    ``[^.!?]+[.!?]*`` — deliberately lookaround-free so the Spark (Java
+    regex) and DuckDB (RE2) oracles segment identically. ``pattern``
+    overrides the unit: the synthetic fixture corpus is punctuation-free
+    bag-of-words (same reason ``line_dedup`` chunks by token count), so
+    its query passes a fixed-width token-chunk pattern and the "span"
+    becomes an n-chunk sliding window — the overlapping-window rule,
+    which is C4's actual novelty over plain line dedup, is exercised
+    either way. Windows are a within-row ``transform(sequence(...),
+    slice(...))`` fold riding the scan: re-sentencing and window
+    construction are a PURE MAP, no shuffle and no explode until the
+    spans exist.
+
+    Shape at 100 TB: the only shuffle is ONE groupBy on the 128-bit
+    span hash (not the span text — shuffle bytes bounded at 32 hex
+    chars/row regardless of sentence length), with map-side combine
+    absorbing mega-duplicated boilerplate spans the same way
+    ``line_dedup`` does: each map task emits one partial row per
+    distinct span, so a million-copy cookie banner reaches the reducer
+    as |map tasks| partials, never |occurrences| rows. ``n_docs`` uses
+    count(DISTINCT id) — fine because the groupBy key is already the
+    span hash (the expand is per-span, bounded by occurrence count;
+    the pathological span is exactly the one you want counted).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(pattern or SENTENCE_PATTERN), F.lit(0)
+            ),
+            # unary lambda on purpose: a bare F.trim would accept
+            # transform's (element, index) pair and become the
+            # two-parameter TRIM(str, trimStr) — wrong and deprecated.
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != F.lit(""),
+    )
+    with_spans = (
+        docs.select(F.col(id_col), sents.alias("__sents"))
+        .where(F.size("__sents") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__sents") - (n - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws("\n", F.slice("__sents", i, n))
+                    ),
+                )
+            ).alias("span_md5"),
+        )
+    )
+    return (
+        with_spans.groupBy("span_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("first_doc"),
+        )
+        .where(F.col("n_occ") > 1)
+    )

@@ -2140,6 +2140,36 @@ def _oracle_sql_entries() -> dict[str, str]:
                    COALESCE(ka.dedup_md5, md5('')) AS dedup_md5
             FROM totals t LEFT JOIN ka USING (doc_id)
         """,
+        # C4 §2.2 three-span rule: 4-token chunks (fixture corpus is
+        # punctuation-free), overlapping 3-chunk windows, corpus-wide
+        # count on the span hash. range() is end-exclusive and DuckDB
+        # list slices are 1-based inclusive, so i in [1, len-2] and
+        # sents[i:i+2] is the 3-chunk window starting at i — identical
+        # to Spark's sequence(1, size-2) + slice(sents, i, 3).
+        "sentence_spans_dedup": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               regexp_extract_all(text, '\\S+( \\S+){0,3}'),
+                               x -> trim(x)),
+                           x -> x <> '') AS sents
+                FROM documents
+            ),
+            sp AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(sents) - 1),
+                           i -> md5(array_to_string(sents[i:i+2], chr(10)))
+                       )) AS span_md5
+                FROM s WHERE len(sents) >= 3
+            )
+            SELECT span_md5,
+                   CAST(count(*) AS BIGINT) AS n_occ,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM sp GROUP BY span_md5 HAVING count(*) > 1
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -108,3 +108,19 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return ccnet_buckets(docs, "doc_id", "text", "lang")
+
+
+def _q_sentence_spans_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-span duplicate detection (ops.lines.sentence_spans_dedup,
+    Raffel et al. 2020 §2.2): overlapping 3-unit sliding windows per doc
+    (4-token chunks here — the fixture corpus is punctuation-free, same
+    rationale as line_dedup), grouped corpus-wide on the 128-bit span
+    hash; spans occurring more than once are the deletion list. Window
+    construction is a within-row fold riding the scan; the only shuffle
+    carries 32-hex-char hashes."""
+    from reader_spark.ops.lines import sentence_spans_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return sentence_spans_dedup(
+        docs, "doc_id", "text", n=3, pattern=r"\S+( \S+){0,3}"
+    )

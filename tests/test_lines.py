@@ -170,3 +170,57 @@ class TestBoilerplateSpans:
         df = self._docs(spark)
         with _pytest.raises(ValueError, match="min_frac"):
             boilerplate_spans(df, domain_col="domain", min_frac=0.0)
+
+
+class TestSentenceSpansDedup:
+    def test_punctuation_sentences_and_window_overlap(self, spark):
+        from reader_spark.ops.lines import sentence_spans_dedup
+
+        # docs 1 and 2 share the sentence run (A. B! C?); doc 3 shares
+        # only two of the three sentences -> no common 3-window with it.
+        df = _docs(
+            spark,
+            [
+                (1, "Alpha one. Beta two! Gamma three? Tail four."),
+                (2, "Intro zero. Alpha one. Beta two! Gamma three?"),
+                (3, "Alpha one. Beta two! Different end."),
+            ],
+        )
+        rows = sentence_spans_dedup(df, n=3).collect()
+        assert len(rows) == 1
+        (r,) = rows
+        assert (r.n_occ, r.n_docs, r.first_doc) == (2, 2, 1)
+
+    def test_within_doc_repetition_counts_occurrences(self, spark):
+        from reader_spark.ops.lines import sentence_spans_dedup
+
+        # the same 3-sentence span twice INSIDE one doc: n_occ counts
+        # occurrences (2), n_docs distinct docs (1).
+        df = _docs(spark, [(7, "A one. B two. C three. A one. B two. C three.")])
+        rows = sentence_spans_dedup(df, n=3).collect()
+        by_occ = {(r.n_occ, r.n_docs) for r in rows}
+        assert (2, 1) in by_occ
+
+    def test_token_chunk_pattern_mode(self, spark):
+        from reader_spark.ops.lines import sentence_spans_dedup
+
+        # punctuation-free corpus: 2-token chunks, 2-chunk windows.
+        # "a b c d" -> chunks [a b, c d] -> one window "a b\nc d",
+        # shared by both docs.
+        df = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
+        rows = sentence_spans_dedup(
+            df, n=2, pattern=r"\S+( \S+){0,1}"
+        ).collect()
+        assert len(rows) == 1 and rows[0].n_occ == 2
+
+    def test_unique_spans_not_reported(self, spark):
+        from reader_spark.ops.lines import sentence_spans_dedup
+
+        df = _docs(spark, [(1, "A one. B two. C three."), (2, "X. Y. Z.")])
+        assert sentence_spans_dedup(df, n=3).count() == 0
+
+    def test_invalid_n_raises(self, spark):
+        from reader_spark.ops.lines import sentence_spans_dedup
+
+        with pytest.raises(ValueError):
+            sentence_spans_dedup(_docs(spark, [(1, "a.")]), n=0)

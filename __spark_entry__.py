@@ -37,6 +37,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_blocklist_filter,
     _q_ccnet_buckets,
     _q_curriculum_order,
+    _q_sentence_spans_apply,
     _q_sentence_spans_dedup,
     _q_source_diversity,
     _q_text_clusters,
@@ -3881,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_boilerplate_strip": _q_span_boilerplate_strip,
         "interleaved_sample_render": _q_interleaved_sample_render,
         "salted_domain_join": _q_salted_domain_join,
+        "sentence_spans_apply": _q_sentence_spans_apply,
         "sentence_spans_dedup": _q_sentence_spans_dedup,
         **_TOKENIZE_QUERIES,
     })

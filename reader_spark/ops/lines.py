@@ -372,18 +372,7 @@ def sentence_spans_dedup(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    sents = F.filter(
-        F.transform(
-            F.regexp_extract_all(
-                F.col(text_col), F.lit(pattern or SENTENCE_PATTERN), F.lit(0)
-            ),
-            # unary lambda on purpose: a bare F.trim would accept
-            # transform's (element, index) pair and become the
-            # two-parameter TRIM(str, trimStr) — wrong and deprecated.
-            lambda s: F.trim(s),
-        ),
-        lambda s: s != F.lit(""),
-    )
+    sents = _sentence_array(text_col, pattern)
     with_spans = (
         docs.select(F.col(id_col), sents.alias("__sents"))
         .where(F.size("__sents") >= n)
@@ -407,4 +396,120 @@ def sentence_spans_dedup(
             F.min(F.col(id_col)).alias("first_doc"),
         )
         .where(F.col("n_occ") > 1)
+    )
+
+
+def _sentence_array(text_col: str, pattern: str | None):
+    """Shared segmentation for the C4 span family: regexp_extract_all,
+    trim, drop empties — a pure within-row expression."""
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(pattern or SENTENCE_PATTERN), F.lit(0)
+            ),
+            # unary lambda on purpose: a bare F.trim would accept
+            # transform's (element, index) pair and become the
+            # two-parameter TRIM(str, trimStr) — wrong and deprecated.
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != F.lit(""),
+    )
+
+
+def sentence_spans_apply(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    pattern: str | None = None,
+) -> DataFrame:
+    """The C4 §2.2 CLEANING pass that ``sentence_spans_dedup`` detects
+    for: every n-sentence span occurring more than once corpus-wide
+    keeps exactly its globally-first occurrence (ordered by
+    (doc_id, start index)); the sentences covered by every OTHER
+    occurrence are deleted and each document is reassembled from its
+    surviving sentences. Overlap semantics are the natural ones: a
+    sentence is dropped iff ANY removed window covers it, so
+    overlapping duplicate windows union their coverage rather than
+    double-deleting. Returns one row per input document —
+    (id, n_sents, n_kept, n_dropped, out_md5) where out_md5 hashes the
+    surviving sentences space-joined in original order (a doc that
+    loses everything hashes '' rather than vanishing; a doc with
+    < n sentences is untouched by construction).
+
+    Shape at 100 TB, mirroring ``line_dedup`` one granularity up:
+    window enumeration is a within-row fold riding the scan; the
+    election is ONE groupBy on the 128-bit span hash with a map-side
+    combined min(struct(doc, start)) — a million-copy boilerplate span
+    reaches the reducer as |map tasks| partial rows; survivor marking
+    re-joins on the same hash key (same partitioning — AQE reuses the
+    exchange) and the filter to duplicated spans bounds the join's
+    build side to actual duplicates; coverage expansion is a bounded
+    explode (exactly n indices per removed occurrence); reassembly is
+    one groupBy(doc) of integer indices, never of sentence text —
+    the only strings shuffled anywhere are 32-hex-char hashes.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = docs.select(
+        F.col(id_col), _sentence_array(text_col, pattern).alias("__sents")
+    )
+    wins = (
+        base.where(F.size("__sents") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__sents") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.md5(
+                            F.concat_ws("\n", F.slice("__sents", i, n))
+                        ).alias("span_md5"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select(id_col, F.col("w.start").alias("start"), "w.span_md5")
+    )
+    elect = wins.groupBy("span_md5").agg(
+        F.count(F.lit(1)).alias("__n_occ"),
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("start").alias("i"))
+        ).alias("__first"),
+    ).where(F.col("__n_occ") > 1)
+    dropped_idx = (
+        wins.join(elect, "span_md5")
+        .where(
+            ~(
+                (F.col("__first.d") == F.col(id_col))
+                & (F.col("__first.i") == F.col("start"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("__di"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__di").alias("__drops"))
+    )
+    kept = F.filter(
+        F.col("__sents"),
+        # Spark's indexed lambda is 0-based; window starts are 1-based.
+        lambda s, i: ~F.array_contains(
+            F.coalesce(F.col("__drops"), F.array().cast("array<int>")),
+            (i + F.lit(1)).cast("int"),
+        ),
+    )
+    return (
+        base.join(dropped_idx, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("__sents").cast("long").alias("n_sents"),
+            F.size(kept).cast("long").alias("n_kept"),
+            (F.size("__sents") - F.size(kept)).cast("long").alias("n_dropped"),
+            F.md5(F.concat_ws(" ", kept)).alias("out_md5"),
+        )
     )

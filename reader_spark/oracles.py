@@ -2170,6 +2170,66 @@ def _oracle_sql_entries() -> dict[str, str]:
                    min(doc_id) AS first_doc
             FROM sp GROUP BY span_md5 HAVING count(*) > 1
         """,
+        # C4 §2.2 apply: same windows as sentence_spans_dedup; first
+        # occurrence = min STRUCT(d, i) (DuckDB structs compare
+        # lexicographically, matching Spark's min(struct(doc, start)));
+        # a sentence is dropped iff any non-first duplicated window
+        # covers its 1-based index (DuckDB list lambdas index 1-based,
+        # matching the 1-based window starts directly).
+        "sentence_spans_apply": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               regexp_extract_all(text, '\\S+( \\S+){0,3}'),
+                               x -> trim(x)),
+                           x -> x <> '') AS sents
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, u.i AS start, u.h AS span_md5
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, len(sents) - 1),
+                               i -> {'i': i,
+                                     'h': md5(array_to_string(
+                                              sents[i:i+2], chr(10)))}
+                           )) AS u
+                    FROM s WHERE len(sents) >= 3
+                )
+            ),
+            e AS (
+                SELECT span_md5,
+                       min({'d': doc_id, 'i': start}) AS first
+                FROM w GROUP BY span_md5 HAVING count(*) > 1
+            ),
+            r AS (
+                SELECT w.doc_id,
+                       unnest(range(w.start, w.start + 3)) AS di
+                FROM w JOIN e USING (span_md5)
+                WHERE NOT (e.first.d = w.doc_id AND e.first.i = w.start)
+            ),
+            d AS (
+                SELECT doc_id, array_agg(DISTINCT di) AS drops
+                FROM r GROUP BY doc_id
+            ),
+            k AS (
+                SELECT s.doc_id, s.sents,
+                       list_filter(
+                           s.sents,
+                           (x, i) -> NOT list_contains(
+                               COALESCE(d.drops, []), i)) AS kept
+                FROM s LEFT JOIN d USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(len(sents) AS BIGINT) AS n_sents,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   CAST(len(sents) - len(kept) AS BIGINT) AS n_dropped,
+                   -- DuckDB array_to_string([]) is NULL, not ''
+                   md5(COALESCE(array_to_string(kept, ' '), '')) AS out_md5
+            FROM k
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

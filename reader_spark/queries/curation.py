@@ -124,3 +124,19 @@ def _q_sentence_spans_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence_spans_dedup(
         docs, "doc_id", "text", n=3, pattern=r"\S+( \S+){0,3}"
     )
+
+
+def _q_sentence_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-span CLEANING pass (ops.lines.sentence_spans_apply):
+    duplicated 3-window spans keep only the globally-first occurrence
+    (min over (doc_id, start)); covered sentences elsewhere are deleted
+    and each doc is reassembled — per-doc (n_sents, n_kept, n_dropped,
+    out_md5) over every input document. Election and survivor marking
+    share one hash-keyed exchange; only 32-hex hashes and int indices
+    shuffle."""
+    from reader_spark.ops.lines import sentence_spans_apply
+
+    docs = _read(spark, sf_dir, "documents")
+    return sentence_spans_apply(
+        docs, "doc_id", "text", n=3, pattern=r"\S+( \S+){0,3}"
+    )

@@ -224,3 +224,76 @@ class TestSentenceSpansDedup:
 
         with pytest.raises(ValueError):
             sentence_spans_dedup(_docs(spark, [(1, "a.")]), n=0)
+
+
+class TestSentenceSpansApply:
+    def _run(self, spark, rows, **kw):
+        from reader_spark.ops.lines import sentence_spans_apply
+
+        out = sentence_spans_apply(_docs(spark, rows), **kw).collect()
+        return {r.doc_id: (r.n_sents, r.n_kept, r.n_dropped) for r in out}
+
+    def test_first_occurrence_kept_later_removed(self, spark):
+        # docs 1 and 2 share the 3-sentence run; doc 1 is the global
+        # first (same start index, lower doc_id) so it keeps everything
+        # and doc 2 loses exactly the 3 covered sentences.
+        got = self._run(
+            spark,
+            [
+                (1, "Alpha one. Beta two! Gamma three? Tail four."),
+                (2, "Alpha one. Beta two! Gamma three? Other end."),
+            ],
+        )
+        assert got == {1: (4, 4, 0), 2: (4, 1, 3)}
+
+    def test_overlapping_windows_union_coverage(self, spark):
+        # doc 1 = A B C D; doc 2 = A B C D E. Windows ABC and BCD are
+        # duplicated; doc 2's removals must union to {A,B,C,D}, not
+        # double-delete, and E survives.
+        got = self._run(
+            spark,
+            [
+                (1, "A one. B two. C three. D four."),
+                (2, "A one. B two. C three. D four. E five."),
+            ],
+        )
+        assert got == {1: (4, 4, 0), 2: (5, 1, 4)}
+
+    def test_within_doc_repeat_keeps_earliest_start(self, spark):
+        # the duplicated span's two occurrences are inside ONE doc:
+        # min(struct(doc, start)) elects the first start; the second
+        # occurrence's 3 sentences drop.
+        got = self._run(
+            spark, [(7, "A one. B two. C three. A one. B two. C three.")]
+        )
+        assert got == {7: (6, 3, 3)}
+
+    def test_docs_without_duplicates_untouched(self, spark):
+        got = self._run(
+            spark,
+            [(1, "A one. B two. C three."), (2, "X. Y. Z."), (3, "Short.")],
+        )
+        assert got == {1: (3, 3, 0), 2: (3, 3, 0), 3: (1, 1, 0)}
+
+    def test_out_md5_matches_reassembled_text(self, spark):
+        import hashlib
+
+        from reader_spark.ops.lines import sentence_spans_apply
+
+        df = _docs(
+            spark,
+            [
+                (1, "Alpha one. Beta two! Gamma three? Tail four."),
+                (2, "Alpha one. Beta two! Gamma three? Other end."),
+            ],
+        )
+        rows = {r.doc_id: r.out_md5 for r in sentence_spans_apply(df).collect()}
+        full = "Alpha one. Beta two! Gamma three? Tail four."
+        assert rows[1] == hashlib.md5(full.encode()).hexdigest()
+        assert rows[2] == hashlib.md5(b"Other end.").hexdigest()
+
+    def test_invalid_n_raises(self, spark):
+        from reader_spark.ops.lines import sentence_spans_apply
+
+        with pytest.raises(ValueError):
+            sentence_spans_apply(_docs(spark, [(1, "a.")]), n=0)

@@ -739,3 +739,21 @@ def test_unigram_max_vocab_cut_is_take_ordered(spark):
     plan = plan_of(unigram_lm_scores(docs, max_vocab=100))
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan.split("\n\n")[0]
+
+
+def test_sentence_spans_apply_hash_keyed_no_window(spark):
+    """C4 apply: election is a partial-aggregated groupBy on the span
+    hash, survivor marking an equi-join back on it — no cartesian, no
+    window function, and no sentence text in any shuffle key (the only
+    join/group keys are the 32-hex hash, the doc id, and int indices)."""
+    from reader_spark.ops.lines import sentence_spans_apply
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(
+        sentence_spans_apply(docs, pattern=r"\S+( \S+){0,3}")
+    )
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "Window" not in tree
+    assert "partial_min" in plan or "partial_count" in plan

@@ -858,6 +858,24 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pdf_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text reflow: end-of-line hyphenation repair during column merge
+    (pdf/layout.py dehyphenate_lines — word breaks inside and ACROSS the
+    column boundary, soft-hyphen discard, compound-keep). Golden-literal
+    VALUES oracle, same contract style as pdf_extract."""
+    from reader_spark import fixtures
+    from reader_spark.spark.job import docs_from_rows, extract_dataframe
+
+    rows = [fixtures.pdf_fixture_doc("pdf-hyphenated", fixtures.PDF_HYPHENATED_BOXES)]
+    extracted = extract_dataframe(docs_from_rows(spark, rows))
+    return extracted.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id",
+        F.col("span.order").alias("ord"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+    )
+
+
 def _q_crawl_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS crawl dataflow over a deterministic 4-page corpus, value-checked
     against a golden-literal VALUES oracle."""
@@ -3723,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": _q_warc_extract,
         "error_taxonomy": _q_error_taxonomy,
         "pdf_extract": _q_pdf_extract,
+        "pdf_dehyphenate": _q_pdf_dehyphenate,
         "crawl_fixture": _q_crawl_fixture,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

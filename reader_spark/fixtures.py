@@ -316,11 +316,33 @@ PDF_TWO_COLUMN_BOXES = [
 ]
 
 
+PDF_HYPHENATED_BOXES = [
+    # Dehyphenation fixture (NOT in fixture_docs() — the HTML-span goldens
+    # filter by doc_id and must stay stable): word breaks inside a column,
+    # across the column boundary, a soft hyphen (U+00AD), and a compound
+    # split that must KEEP its hyphen ('state-' + 'Machine').
+    (1, 50, 40, 550, 60, "Hyphenation Test Title"),
+    (1, 50, 100, 280, 115, "The quick deter-"),
+    (1, 50, 120, 280, 135, "ministic corpus uses a state-"),
+    (1, 50, 140, 280, 155, "Machine to reflow frag-"),
+    (1, 320, 100, 550, 115, "mented lines with a soft­hyphen inside."),
+    (1, 320, 120, 550, 135, "Trailing dash stays - intact."),
+]
+
+
 def pdf_boxes_payload(boxes: list[tuple]) -> str:
     """Serialize positioned text boxes one per line: page,x0,y0,x1,y1,text."""
     return "\n".join(
         f"{p}\t{x0}\t{y0}\t{x1}\t{y1}\t{t}" for (p, x0, y0, x1, y1, t) in boxes
     )
+
+
+def pdf_fixture_doc(doc_id: str, boxes: list[tuple]) -> dict:
+    """A single pdf_text document row for docs_from_rows."""
+    return {
+        "doc_id": doc_id,
+        "spans": [_span("pdf_text", pdf_boxes_payload(boxes), None, 0)],
+    }
 
 
 def fixture_docs() -> list[dict]:

@@ -310,6 +310,15 @@ def oracle_sql() -> dict[str, str]:
             ('pdf-two-column', 3, 'text', 'Full width body line on page two.')
         ) AS t(doc_id, ord, kind, text)
     """
+    out["pdf_dehyphenate"] = """
+        SELECT * FROM (VALUES
+            ('pdf-hyphenated', 0, 'heading', '# Hyphenation Test Title'),
+            ('pdf-hyphenated', 1, 'text',
+             'The quick deterministic corpus uses a state-Machine to reflow '
+             || 'fragmented lines with a softhyphen inside. '
+             || 'Trailing dash stays - intact.')
+        ) AS t(doc_id, ord, kind, text)
+    """
     out["crawl_fixture"] = """
         SELECT * FROM (VALUES
             ('https://c.test/start',  0, 'Start', CAST(NULL AS VARCHAR)),

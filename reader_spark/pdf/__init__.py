@@ -1,3 +1,3 @@
-from .layout import extract_pdf_spans, parse_boxes, reading_order
+from .layout import dehyphenate_lines, extract_pdf_spans, parse_boxes, reading_order
 
-__all__ = ["extract_pdf_spans", "parse_boxes", "reading_order"]
+__all__ = ["dehyphenate_lines", "extract_pdf_spans", "parse_boxes", "reading_order"]

@@ -130,6 +130,46 @@ def strip_repeated_furniture(
     ]
 
 
+_SOFT_HYPHEN = "­"
+
+
+def dehyphenate_lines(lines: list[str]) -> str:
+    """Join line fragments into flowing text, repairing end-of-line
+    hyphenation (the standard PDF text-reflow heuristic — cf. pdfminer /
+    GROBID line-merge rules; the reference never reflows PDFs because it
+    skips them, url-helpers.ts:281):
+
+    * soft hyphens (U+00AD) are discarded unconditionally — they only mark
+      break opportunities, never content;
+    * a line ending ``<letter>-`` followed by a line starting with a
+      lowercase letter is a hyphenated word break: join WITHOUT the hyphen
+      (``exam-`` + ``ple`` -> ``example``);
+    * the same shape followed by an uppercase letter or digit is a true
+      compound split (``state-`` + ``Machine``): keep the hyphen, join
+      without a space;
+    * everything else joins with a single space.
+    """
+    out = ""
+    for raw in lines:
+        line = raw.replace(_SOFT_HYPHEN, "").strip()
+        if not line:
+            continue
+        if not out:
+            out = line
+            continue
+        if out.endswith("-") and len(out) >= 2 and out[-2].isalpha():
+            first = line[0]
+            if first.islower():
+                out = out[:-1] + line
+            elif first.isupper() or first.isdigit():
+                out = out + line
+            else:
+                out = out + " " + line
+        else:
+            out = out + " " + line
+    return out
+
+
 def reading_order(boxes: list[Box], min_gap: float = 10.0) -> list[Box]:
     """Natural reading order across pages: per page, recursive XY-cut."""
     out: list[Box] = []
@@ -143,12 +183,14 @@ def extract_pdf_spans(
     min_gap: float = 10.0,
     heading_height: float = 18.0,
     strip_furniture: bool = True,
+    dehyphenate: bool = True,
 ) -> list[Span]:
     """pdf_text payload -> ordered spans. Boxes taller than heading_height
     (a font-size proxy) become headings; consecutive body lines in the same
-    column merge into one text span. Running headers/footers/page numbers
-    (same digit-normalized text at the same y on 2+ pages) are stripped
-    before ordering unless strip_furniture=False."""
+    column merge into one text span, with end-of-line hyphenation repaired
+    (dehyphenate_lines) unless dehyphenate=False. Running headers/footers/
+    page numbers (same digit-normalized text at the same y on 2+ pages) are
+    stripped before ordering unless strip_furniture=False."""
     boxes = parse_boxes(payload)
     if strip_furniture:
         boxes = strip_repeated_furniture(boxes)
@@ -158,7 +200,10 @@ def extract_pdf_spans(
 
     def flush() -> None:
         if buffer:
-            spans.append(Span("text", " ".join(buffer)))
+            joined = (
+                dehyphenate_lines(buffer) if dehyphenate else " ".join(buffer)
+            )
+            spans.append(Span("text", joined))
             buffer.clear()
 
     for box in boxes:

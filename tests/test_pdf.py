@@ -183,3 +183,71 @@ class TestFurnitureRemoval:
         joined = " ".join(s.text for s in spans)
         assert "Amount due" in joined
         assert "Running Header" not in joined
+
+
+class TestDehyphenation:
+    """End-of-line hyphenation repair (layout.py dehyphenate_lines)."""
+
+    def test_lowercase_continuation_merges(self):
+        from reader_spark.pdf.layout import dehyphenate_lines
+
+        assert dehyphenate_lines(["exam-", "ple text"]) == "example text"
+
+    def test_uppercase_keeps_compound_hyphen(self):
+        from reader_spark.pdf.layout import dehyphenate_lines
+
+        assert dehyphenate_lines(["state-", "Machine"]) == "state-Machine"
+
+    def test_digit_keeps_hyphen(self):
+        from reader_spark.pdf.layout import dehyphenate_lines
+
+        assert dehyphenate_lines(["top-", "10 list"]) == "top-10 list"
+
+    def test_soft_hyphen_discarded(self):
+        from reader_spark.pdf.layout import dehyphenate_lines
+
+        assert dehyphenate_lines(["soft­hyphen here"]) == "softhyphen here"
+
+    def test_non_letter_before_dash_joins_with_space(self):
+        from reader_spark.pdf.layout import dehyphenate_lines
+
+        # "stays -" ends with '-' but the char before it is a space, not a
+        # letter: that's punctuation, not a word break.
+        assert dehyphenate_lines(["stays -", "intact"]) == "stays - intact"
+
+    def test_empty_and_blank_lines_skipped(self):
+        from reader_spark.pdf.layout import dehyphenate_lines
+
+        assert dehyphenate_lines(["", "  ", "only line"]) == "only line"
+
+    def test_golden_hyphenated_fixture(self):
+        from reader_spark.pdf.layout import extract_pdf_spans
+
+        p = fixtures.pdf_boxes_payload(fixtures.PDF_HYPHENATED_BOXES)
+        spans = extract_pdf_spans(p)
+        assert [(s.kind, s.text) for s in spans] == [
+            ("heading", "# Hyphenation Test Title"),
+            (
+                "text",
+                "The quick deterministic corpus uses a state-Machine to "
+                "reflow fragmented lines with a softhyphen inside. "
+                "Trailing dash stays - intact.",
+            ),
+        ]
+
+    def test_opt_out_preserves_raw_join(self):
+        from reader_spark.pdf.layout import extract_pdf_spans
+
+        p = fixtures.pdf_boxes_payload(fixtures.PDF_HYPHENATED_BOXES)
+        spans = extract_pdf_spans(p, dehyphenate=False)
+        body = spans[1].text
+        assert "deter- ministic" in body
+
+    def test_two_column_fixture_unchanged(self):
+        """No hyphens in the original fixture: dehyphenation is a no-op
+        there, so the pdf_extract golden oracle stays stable."""
+        from reader_spark.pdf.layout import extract_pdf_spans
+
+        assert extract_pdf_spans(payload()) == extract_pdf_spans(
+            payload(), dehyphenate=False
+        )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reader_spark.queries.tokenize import QUERIES as _TOKENIZE_QUERIES  # noqa: E402
+from reader_spark.queries.evals import QUERIES as _EVAL_QUERIES  # noqa: E402
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3904,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_spans_apply": _q_sentence_spans_apply,
         "sentence_spans_dedup": _q_sentence_spans_dedup,
         **_TOKENIZE_QUERIES,
+        **_EVAL_QUERIES,
     })
 
 

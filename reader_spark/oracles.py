@@ -319,6 +319,25 @@ def oracle_sql() -> dict[str, str]:
              || 'Trailing dash stays - intact.')
         ) AS t(doc_id, ord, kind, text)
     """
+    out["extraction_eval"] = """
+        SELECT doc_id,
+               CAST(n_naive  AS BIGINT) AS n_naive,
+               CAST(n_gold   AS BIGINT) AS n_gold,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(p  AS DOUBLE) AS precision,
+               CAST(r  AS DOUBLE) AS recall,
+               CAST(f1 AS DOUBLE) AS f1
+        FROM (VALUES
+            ('dialog-class-body', 24, 24, 24, 1.0,    1.0,    1.0),
+            ('example-domain',    21, 24, 20, 0.9524, 0.8333, 0.8889),
+            ('generic-sample',    37, 33, 29, 0.7838, 0.8788, 0.8286),
+            ('kitchen-sink',      45, 53, 43, 0.9556, 0.8113, 0.8776),
+            ('protected-content',  8,  8,  8, 1.0,    1.0,    1.0),
+            ('saas-landing',      29, 22, 22, 0.7586, 1.0,    0.8627),
+            ('simple-static',     55, 50, 46, 0.8364, 0.92,   0.8762),
+            ('wikipedia-like',    44, 39, 39, 0.8864, 1.0,    0.9398)
+        ) AS t(doc_id, n_naive, n_gold, n_common, p, r, f1)
+    """
     out["crawl_fixture"] = """
         SELECT * FROM (VALUES
             ('https://c.test/start',  0, 'Start', CAST(NULL AS VARCHAR)),

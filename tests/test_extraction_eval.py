@@ -1,0 +1,43 @@
+"""CleanEval-style extraction-quality eval (queries/evals.py) — the naive
+C12 tag-strip scored against the full pipeline as token P/R/F1."""
+
+import pytest
+
+from reader_spark.queries.evals import EVAL_DOC_IDS, _q_extraction_eval
+
+
+@pytest.fixture(scope="module")
+def eval_rows(spark):
+    df = _q_extraction_eval(spark, "")
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_one_row_per_eval_doc(eval_rows):
+    assert set(eval_rows) == set(EVAL_DOC_IDS)
+
+
+def test_counts_are_consistent(eval_rows):
+    for r in eval_rows.values():
+        assert 0 < r["n_common"] <= min(r["n_naive"], r["n_gold"])
+        assert 0.0 <= r["precision"] <= 1.0
+        assert 0.0 <= r["recall"] <= 1.0
+        # multiset F1 identity: 2c/(a+b)
+        expect = 2 * r["n_common"] / (r["n_naive"] + r["n_gold"])
+        assert abs(r["f1"] - round(expect, 4)) < 1e-9
+
+
+def test_boilerplate_pages_lose_naive_precision(eval_rows):
+    """The nav/footer-heavy fixtures are exactly where the pipeline must
+    beat the naive strip: the naive arm keeps junk tokens the pipeline
+    refused, so its precision drops below the clean-page fixtures."""
+    assert eval_rows["saas-landing"]["precision"] < 0.80
+    assert eval_rows["generic-sample"]["precision"] < 0.80
+    assert eval_rows["dialog-class-body"]["precision"] == 1.0
+
+
+def test_pipeline_never_hallucinates_much(eval_rows):
+    """Recall floor: almost all pipeline tokens exist in the raw text —
+    the sub-1.0 remainder is serializer-added structure (link targets,
+    markdown syntax), bounded across every fixture class."""
+    for r in eval_rows.values():
+        assert r["recall"] >= 0.80

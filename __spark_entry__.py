@@ -36,6 +36,7 @@ from reader_spark.queries.interleaved import (  # noqa: E402
 )
 from reader_spark.queries.curation import (  # noqa: E402
     _q_blocklist_filter,
+    _q_c4_page_clean,
     _q_ccnet_buckets,
     _q_curriculum_order,
     _q_sentence_spans_apply,
@@ -3904,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_domain_join": _q_salted_domain_join,
         "sentence_spans_apply": _q_sentence_spans_apply,
         "sentence_spans_dedup": _q_sentence_spans_dedup,
+        "c4_page_clean": _q_c4_page_clean,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

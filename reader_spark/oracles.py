@@ -2258,6 +2258,83 @@ def _oracle_sql_entries() -> dict[str, str]:
                    md5(COALESCE(array_to_string(kept, ' '), '')) AS out_md5
             FROM k
         """,
+        # C4 §2.2 page/line quality battery: identical fixture
+        # decoration as the Spark query (punct by (doc_id+line_no)%4,
+        # javascript every 23rd slot, page-gate triggers on line 0 of
+        # docs % 41/43/47), then the pure rule evaluation. string_agg
+        # skips the non-kept NULL lines; empty pages hash md5('').
+        "c4_page_clean": """
+            WITH l0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           regexp_extract_all(text, '\\S+( \\S+){0,4}'),
+                           (x, i) -> {'ln': CAST(i - 1 AS BIGINT),
+                                      'line': x})) AS u
+                FROM documents
+            ),
+            l1 AS (
+                SELECT doc_id, u.ln AS line_no,
+                       CASE WHEN (doc_id * 7 + u.ln) % 23 = 0
+                            THEN u.line || ' enable javascript.'
+                            ELSE u.line || CASE (doc_id + u.ln) % 4
+                                 WHEN 0 THEN '.' WHEN 1 THEN '!'
+                                 WHEN 2 THEN '?' ELSE '' END
+                       END AS line1
+                FROM l0
+            ),
+            dec AS (
+                SELECT doc_id, line_no,
+                       CASE WHEN line_no = 0 AND doc_id % 41 = 0
+                                THEN line1 || ' {'
+                            WHEN line_no = 0 AND doc_id % 43 = 0
+                                THEN line1 || ' lorem ipsum'
+                            WHEN line_no = 0 AND doc_id % 47 = 0
+                                THEN line1 || ' zzzqqqblocked.'
+                            ELSE line1
+                       END AS line
+                FROM l1
+            ),
+            flags AS (
+                SELECT doc_id, line_no, line,
+                       (regexp_matches(line, '[.!?"]$')
+                        AND len(string_split(line, ' ')) >= 5
+                        AND NOT regexp_matches(lower(line),
+                                               '\\bjavascript\\b'))
+                           AS line_keep,
+                       len(regexp_extract_all(line, '[.!?]')) AS n_marks
+                FROM dec
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_lines,
+                       CAST(sum(CASE WHEN line_keep THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_kept_lines,
+                       CAST(sum(CASE WHEN line_keep THEN n_marks ELSE 0 END)
+                            AS BIGINT) AS n_sentences,
+                       max(CASE WHEN regexp_matches(
+                                    lower(line), '\\b(zzzqqqblocked)\\b')
+                                THEN 1 ELSE 0 END) AS bad,
+                       max(CASE WHEN contains(lower(line), 'lorem ipsum')
+                                THEN 1 ELSE 0 END) AS lorem,
+                       max(CASE WHEN contains(line, '{')
+                                THEN 1 ELSE 0 END) AS curly,
+                       md5(COALESCE(string_agg(
+                               CASE WHEN line_keep THEN line END, ' '
+                               ORDER BY line_no), '')) AS clean_md5
+                FROM flags GROUP BY doc_id
+            )
+            SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+                   CASE WHEN bad = 1 THEN 'badword'
+                        WHEN lorem = 1 THEN 'lorem_ipsum'
+                        WHEN curly = 1 THEN 'curly_brace'
+                        WHEN n_sentences < 3 THEN 'too_few_sentences'
+                   END AS drop_reason,
+                   CASE WHEN bad = 0 AND lorem = 0 AND curly = 0
+                             AND n_sentences >= 3
+                        THEN 1 ELSE 0 END AS page_kept,
+                   clean_md5
+            FROM agg
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -140,3 +140,44 @@ def _q_sentence_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence_spans_apply(
         docs, "doc_id", "text", n=3, pattern=r"\S+( \S+){0,3}"
     )
+
+def _q_c4_page_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 page/line quality battery (ops.c4.c4_page_clean, Raffel
+    et al. 2020) — the FIRST quality pass C4 runs on extracted pages:
+    terminal-punctuation / >=5-word / javascript line rules, then
+    badword / lorem-ipsum / curly-brace / <3-sentence page gates, with
+    the cleaned page reassembled and md5'd inside one map-side-combined
+    groupBy(doc_id). The punctuation-free fixture corpus is decorated
+    deterministically (punct by (doc_id+line_no)%4, javascript every
+    23rd line-slot, one page-gate trigger on line 0 of docs divisible
+    by 41/43/47) — decoration is identical SQL in the oracle, so the op
+    itself stays pure. Line flags are a pure map; ONE shuffle total."""
+    from reader_spark.ops.c4 import c4_page_clean
+    from reader_spark.ops.lines import chunk_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    lines = chunk_lines(docs, words_per_line=5)
+    m4 = (F.col("doc_id") + F.col("line_no")) % 4
+    punct = (
+        F.when(m4 == 0, ".").when(m4 == 1, "!").when(m4 == 2, "?").otherwise("")
+    )
+    js = (F.col("doc_id") * 7 + F.col("line_no")) % 23 == 0
+    base = F.when(
+        js, F.concat(F.col("line"), F.lit(" enable javascript."))
+    ).otherwise(F.concat(F.col("line"), punct))
+    first = F.col("line_no") == 0
+    decorated = (
+        F.when(first & (F.col("doc_id") % 41 == 0), F.concat(base, F.lit(" {")))
+        .when(
+            first & (F.col("doc_id") % 43 == 0),
+            F.concat(base, F.lit(" lorem ipsum")),
+        )
+        .when(
+            first & (F.col("doc_id") % 47 == 0),
+            F.concat(base, F.lit(" zzzqqqblocked.")),
+        )
+        .otherwise(base)
+    )
+    return c4_page_clean(
+        lines.withColumn("line", decorated), badwords=("zzzqqqblocked",)
+    )

@@ -1,0 +1,215 @@
+"""jusText boilerplate classification (Pomikálek 2011, "Removing
+boilerplate and duplicate content from web corpora", §3.3).
+
+The second canonical main-content arm next to Readability-style scoring
+(reader_spark/readability.py): classify each paragraph of a page as
+good / bad / short / neargood from link density, stopword density and
+length (the CONTEXT-FREE pass), then let short and neargood paragraphs
+inherit from their nearest decisively-classified neighbours (the
+CONTEXT-SENSITIVE pass). vakra-dev/reader's content-cleaner
+(src/utils/content-cleaner.ts) reaches the same goal with tag
+heuristics; jusText is the language-statistics route its consumers use
+when tag structure is unreliable (text dumps, templated spam).
+
+Context-free rules (verbatim from the published algorithm):
+
+    if link_density > max_link_density:            bad
+    elif '©' in text (copyright symbol):           bad
+    elif length < length_low:
+        bad if link_density > 0 else               short
+    elif stopword_density >= stopwords_high:
+        good if length > length_high else          neargood
+    elif stopword_density >= stopwords_low:        neargood
+    else:                                          bad
+
+Context-sensitive revision (two passes, exactly jusText's sequencing):
+pass 1 relabels every ``short`` from the nearest non-short/neargood
+neighbour on each side (both good → good; both bad → bad, UNLESS the
+bad side's nearest any-class neighbour is neargood, which rescues it to
+good; missing neighbours count as bad); pass 2 then relabels every
+``neargood`` — bad only when both nearest decisive neighbours (in the
+pass-1-revised labels, so rescued shorts count) are bad. Heading
+promotion is intentionally omitted: it needs DOM heading flags the
+paragraph frame does not carry; callers with span kinds can pre-promote.
+
+Shape at 100 TB: the context-free pass is a PURE MAP (length / split /
+array_contains against a literal stopword array — whole-stage codegen,
+no UDF). The context passes are window functions PARTITIONED BY
+document — partitions are bounded by paragraphs-per-page (hundreds),
+never corpus-wide, so there is no single-partition window and the only
+shuffle keys on doc_id; both passes share that one exchange. Stopwords
+ride the plan as a literal array (the real lists are <1k words/lang —
+expression-sized, no broadcast join needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+GOOD, BAD, SHORT, NEARGOOD = "good", "bad", "short", "neargood"
+
+
+def justext_classify(
+    paragraphs: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "par_no",
+    text_col: str = "text",
+    link_chars_col: str = "link_chars",
+    stopwords: tuple[str, ...] = (),
+    length_low: int = 70,
+    length_high: int = 200,
+    stopwords_low: float = 0.30,
+    stopwords_high: float = 0.32,
+    max_link_density: float = 0.2,
+) -> DataFrame:
+    """Classify (id, par_no, text, link_chars) paragraph rows.
+
+    Returns (id, par_no, length, n_words, link_density,
+    stopword_density, cf_class, final_class) — ``cf_class`` is the
+    context-free verdict, ``final_class`` the context-revised one
+    (in {good, bad}: short/neargood never survive revision).
+    """
+    length = F.length(F.col(text_col))
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    stop_density = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    link_density = F.col(link_chars_col) / F.greatest(length, F.lit(1))
+
+    cf = (
+        F.when(link_density > max_link_density, BAD)
+        .when(F.col(text_col).contains("©"), BAD)
+        .when(
+            length < length_low,
+            F.when(link_density > 0, BAD).otherwise(SHORT),
+        )
+        .when(
+            stop_density >= stopwords_high,
+            F.when(length > length_high, GOOD).otherwise(NEARGOOD),
+        )
+        .when(stop_density >= stopwords_low, NEARGOOD)
+        .otherwise(BAD)
+    )
+
+    base = paragraphs.select(
+        F.col(id_col),
+        F.col(order_col),
+        length.alias("length"),
+        n_words.alias("n_words"),
+        F.round(link_density, 6).alias("link_density"),
+        F.round(stop_density, 6).alias("stopword_density"),
+        cf.alias("cf_class"),
+    )
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(id_col)
+        .orderBy(order_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+
+    def _decisive(col):  # nearest good/bad, skipping short AND neargood
+        return F.when(col.isin(GOOD, BAD), col)
+
+    def _nonshort(col):  # nearest anything-but-short (neargood counts)
+        return F.when(col != SHORT, col)
+
+    cfc = F.col("cf_class")
+    p1 = (
+        base.withColumn(
+            "_prev_gb",
+            F.coalesce(
+                F.last(_decisive(cfc), ignorenulls=True).over(w_prev), F.lit(BAD)
+            ),
+        )
+        .withColumn(
+            "_next_gb",
+            F.coalesce(
+                F.first(_decisive(cfc), ignorenulls=True).over(w_next), F.lit(BAD)
+            ),
+        )
+        .withColumn(
+            "_prev_any",
+            F.coalesce(
+                F.last(_nonshort(cfc), ignorenulls=True).over(w_prev), F.lit(BAD)
+            ),
+        )
+        .withColumn(
+            "_next_any",
+            F.coalesce(
+                F.first(_nonshort(cfc), ignorenulls=True).over(w_next), F.lit(BAD)
+            ),
+        )
+    )
+    short_rev = (
+        F.when((F.col("_prev_gb") == GOOD) & (F.col("_next_gb") == GOOD), GOOD)
+        .when((F.col("_prev_gb") == BAD) & (F.col("_next_gb") == BAD), BAD)
+        .when(
+            ((F.col("_prev_gb") == BAD) & (F.col("_prev_any") == NEARGOOD))
+            | ((F.col("_next_gb") == BAD) & (F.col("_next_any") == NEARGOOD)),
+            GOOD,
+        )
+        .otherwise(BAD)
+    )
+    p1 = p1.withColumn(
+        "_c1", F.when(cfc == SHORT, short_rev).otherwise(cfc)
+    ).drop("_prev_gb", "_next_gb", "_prev_any", "_next_any")
+
+    c1 = F.col("_c1")
+    p2 = p1.withColumn(
+        "_prev_gb2",
+        F.coalesce(F.last(_decisive(c1), ignorenulls=True).over(w_prev), F.lit(BAD)),
+    ).withColumn(
+        "_next_gb2",
+        F.coalesce(F.first(_decisive(c1), ignorenulls=True).over(w_next), F.lit(BAD)),
+    )
+    neargood_rev = F.when(
+        (F.col("_prev_gb2") == BAD) & (F.col("_next_gb2") == BAD), BAD
+    ).otherwise(GOOD)
+    return p2.withColumn(
+        "final_class", F.when(c1 == NEARGOOD, neargood_rev).otherwise(c1)
+    ).drop("_c1", "_prev_gb2", "_next_gb2")
+
+
+def justext_extract(
+    paragraphs: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "par_no",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """The applied pass: reassemble each page from its ``good``
+    paragraphs — (id, n_pars, n_good, content_md5), md5 over the
+    surviving paragraph texts in page order (md5('') when boilerplate
+    ate the whole page, so every input page stays visible). One further
+    groupBy on the same doc_id key the windows already shuffled on."""
+    cls = justext_classify(paragraphs, id_col, order_col, text_col, **kwargs)
+    joined = cls.join(
+        paragraphs.select(id_col, order_col, text_col), [id_col, order_col]
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pars"),
+        F.sum((F.col("final_class") == GOOD).cast("long")).alias("n_good"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("final_class") == GOOD,
+                                F.struct(F.col(order_col), F.col(text_col)),
+                            )
+                        )
+                    ),
+                    lambda x: x[text_col],
+                ),
+            )
+        ).alias("content_md5"),
+    )

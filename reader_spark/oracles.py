@@ -2335,6 +2335,125 @@ def _oracle_sql_entries() -> dict[str, str]:
                    clean_md5
             FROM agg
         """,
+        # jusText twin: identical fixture decoration (25-word chunks,
+        # link_chars by (doc_id+3*par_no)%7, copyright inject every
+        # 31st slot), context-free CASE ladder, then the two revision
+        # passes as IGNORE-NULLS window scans — neargood revision reads
+        # the pass-1 labels so rescued shorts count as decisive, exactly
+        # jusText's sequencing. Missing neighbours coalesce to 'bad'.
+        "justext_classify": """
+            WITH l0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           regexp_extract_all(text, '\\S+( \\S+){0,24}'),
+                           (x, i) -> {'pn': CAST(i - 1 AS BIGINT),
+                                      'txt': x})) AS u
+                FROM documents
+            ),
+            pars AS (
+                SELECT doc_id, u.pn AS par_no,
+                       CASE WHEN (doc_id * 5 + u.pn) % 31 = 0
+                            THEN u.txt || ' ©' ELSE u.txt END AS text
+                FROM l0
+            ),
+            feat AS (
+                SELECT doc_id, par_no,
+                       CAST(length(text) AS BIGINT) AS length,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_words,
+                       CAST(CASE (doc_id + 3 * par_no) % 7
+                            WHEN 0 THEN length(text) // 2
+                            WHEN 1 THEN length(text) // 10
+                            ELSE 0 END AS BIGINT) AS link_chars,
+                       len(list_filter(string_split(text, ' '),
+                           w -> list_contains(
+                               ['a', 'the', 'table', 'value'],
+                               lower(w)))) AS n_stop,
+                       contains(text, '©') AS has_cc
+                FROM pars
+            ),
+            flags AS (
+                SELECT doc_id, par_no, length, n_words,
+                       link_chars / greatest(length, 1) AS ld,
+                       CASE WHEN n_words > 0
+                            THEN n_stop / n_words ELSE 0.0 END AS sd,
+                       has_cc
+                FROM feat
+            ),
+            cf AS (
+                SELECT doc_id, par_no, length, n_words, ld, sd,
+                       CASE WHEN ld > 0.2 THEN 'bad'
+                            WHEN has_cc THEN 'bad'
+                            WHEN length < 70 THEN
+                                 CASE WHEN ld > 0 THEN 'bad' ELSE 'short' END
+                            WHEN sd >= 0.18 THEN
+                                 CASE WHEN length > 120
+                                      THEN 'good' ELSE 'neargood' END
+                            WHEN sd >= 0.12 THEN 'neargood'
+                            ELSE 'bad' END AS cf_class
+                FROM flags
+            ),
+            p1 AS (
+                SELECT *,
+                       COALESCE(last_value(CASE WHEN cf_class IN
+                               ('good', 'bad') THEN cf_class END
+                               IGNORE NULLS) OVER wp, 'bad') AS prev_gb,
+                       COALESCE(first_value(CASE WHEN cf_class IN
+                               ('good', 'bad') THEN cf_class END
+                               IGNORE NULLS) OVER wn, 'bad') AS next_gb,
+                       COALESCE(last_value(CASE WHEN cf_class <> 'short'
+                               THEN cf_class END
+                               IGNORE NULLS) OVER wp, 'bad') AS prev_any,
+                       COALESCE(first_value(CASE WHEN cf_class <> 'short'
+                               THEN cf_class END
+                               IGNORE NULLS) OVER wn, 'bad') AS next_any
+                FROM cf
+                WINDOW wp AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                       wn AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+            ),
+            r1 AS (
+                SELECT doc_id, par_no, length, n_words, ld, sd, cf_class,
+                       CASE WHEN cf_class <> 'short' THEN cf_class
+                            WHEN prev_gb = 'good' AND next_gb = 'good'
+                                 THEN 'good'
+                            WHEN prev_gb = 'bad' AND next_gb = 'bad'
+                                 THEN 'bad'
+                            WHEN (prev_gb = 'bad' AND prev_any = 'neargood')
+                              OR (next_gb = 'bad' AND next_any = 'neargood')
+                                 THEN 'good'
+                            ELSE 'bad' END AS c1
+                FROM p1
+            ),
+            p2 AS (
+                SELECT *,
+                       COALESCE(last_value(CASE WHEN c1 IN ('good', 'bad')
+                               THEN c1 END
+                               IGNORE NULLS) OVER wp, 'bad') AS prev_gb2,
+                       COALESCE(first_value(CASE WHEN c1 IN ('good', 'bad')
+                               THEN c1 END
+                               IGNORE NULLS) OVER wn, 'bad') AS next_gb2
+                FROM r1
+                WINDOW wp AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                       wn AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+            )
+            SELECT doc_id, par_no, length, n_words,
+                   round(ld, 6) AS link_density,
+                   round(sd, 6) AS stopword_density,
+                   cf_class,
+                   CASE WHEN c1 <> 'neargood' THEN c1
+                        WHEN prev_gb2 = 'bad' AND next_gb2 = 'bad'
+                             THEN 'bad'
+                        ELSE 'good' END AS final_class
+            FROM p2
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -181,3 +181,54 @@ def _q_c4_page_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_page_clean(
         lines.withColumn("line", decorated), badwords=("zzzqqqblocked",)
     )
+
+def _q_justext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText paragraph classification (ops.justext, Pomikálek 2011):
+    link-density / stopword-density / length context-free rules, then
+    the two context-sensitive revision passes where short and neargood
+    paragraphs inherit from their nearest decisive neighbours. Fixture
+    paragraphs are 25-word chunks with deterministic link_chars (half /
+    tenth / none by (doc_id+3*par_no)%7) and a copyright-symbol inject
+    every 31st slot; thresholds tuned so all four context-free classes
+    occur (151 good / 390 neargood / 188 short / 589 bad at sf0.01).
+    The windows partition on doc_id (bounded by paragraphs-per-page);
+    the context-free pass is a pure map riding the scan."""
+    from reader_spark.ops.justext import justext_classify
+    from reader_spark.ops.lines import chunk_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    lines = (
+        chunk_lines(docs, words_per_line=25)
+        .withColumnRenamed("line_no", "par_no")
+        .withColumnRenamed("line", "text")
+    )
+    m7 = (F.col("doc_id") + 3 * F.col("par_no")) % 7
+    link = (
+        F.when(m7 == 0, F.floor(F.length("text") / 2))
+        .when(m7 == 1, F.floor(F.length("text") / 10))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    cc = (F.col("doc_id") * 5 + F.col("par_no")) % 31 == 0
+    pars = lines.withColumn(
+        "text",
+        F.when(cc, F.concat(F.col("text"), F.lit(" ©"))).otherwise(F.col("text")),
+    ).withColumn("link_chars", link)
+    out = justext_classify(
+        pars,
+        stopwords=("a", "the", "table", "value"),
+        length_low=70,
+        length_high=120,
+        stopwords_low=0.12,
+        stopwords_high=0.18,
+        max_link_density=0.2,
+    )
+    return out.select(
+        "doc_id",
+        "par_no",
+        F.col("length").cast("long").alias("length"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "link_density",
+        "stopword_density",
+        "cf_class",
+        "final_class",
+    )

@@ -1,0 +1,133 @@
+"""jusText paragraph classification (reader_spark.ops.justext)."""
+
+import hashlib
+
+from pyspark.sql import Row
+
+from reader_spark.ops.justext import justext_classify, justext_extract
+
+STOPS = ("the", "and", "of", "to")
+
+# ~80 chars, 50% stopwords — context-free 'neargood' (length_high 200)
+NEARGOOD = "the cat and dog of the house went to the yard and the tree of the big park now"
+# ~265 chars (> length_high 200), high stopword density -> 'good'
+GOOD = " ".join(["the quick fox and the lazy dog of the old farm went to the river"] * 4)
+# long, zero stopwords -> 'bad'
+BAD = " ".join(["zebra quagga okapi tapir bongo eland kudu nyala"] * 3)
+SHORT = "tiny fragment here"  # < 70 chars, no links
+
+
+def _pars(spark, rows):
+    """rows: (doc_id, par_no, text, link_chars)."""
+    return spark.createDataFrame(
+        [Row(doc_id=d, par_no=n, text=t, link_chars=lc) for d, n, t, lc in rows]
+    )
+
+
+def _classify(df, **kw):
+    kw.setdefault("stopwords", STOPS)
+    return justext_classify(df, **kw)
+
+
+def _cf(spark, text, link_chars=0, **kw):
+    df = _pars(spark, [(1, 0, text, link_chars)])
+    return _classify(df, **kw).collect()[0].cf_class
+
+
+class TestContextFree:
+    def test_link_density_bad(self, spark):
+        assert _cf(spark, GOOD, link_chars=len(GOOD) // 2) == "bad"
+
+    def test_copyright_bad(self, spark):
+        assert _cf(spark, GOOD + " ©") == "bad"
+
+    def test_short_no_links(self, spark):
+        assert _cf(spark, SHORT) == "short"
+
+    def test_short_with_links_is_bad(self, spark):
+        assert _cf(spark, SHORT, link_chars=2) == "bad"
+
+    def test_good_neargood_bad_ladder(self, spark):
+        assert _cf(spark, GOOD) == "good"
+        assert _cf(spark, NEARGOOD) == "neargood"
+        assert _cf(spark, BAD) == "bad"
+
+    def test_densities_reported(self, spark):
+        df = _pars(spark, [(1, 0, "the zebra", 3)])
+        row = _classify(df).collect()[0]
+        assert row.n_words == 2
+        assert abs(row.stopword_density - 0.5) < 1e-9
+        assert abs(row.link_density - 3 / 9) < 1e-6
+
+
+class TestContextSensitive:
+    def _final(self, spark, texts_links):
+        df = _pars(
+            spark, [(1, i, t, lc) for i, (t, lc) in enumerate(texts_links)]
+        )
+        rows = _classify(df).orderBy("par_no").collect()
+        return [r.final_class for r in rows]
+
+    def test_short_between_goods_becomes_good(self, spark):
+        got = self._final(spark, [(GOOD, 0), (SHORT, 0), (GOOD, 0)])
+        assert got == ["good", "good", "good"]
+
+    def test_short_between_bads_becomes_bad(self, spark):
+        got = self._final(spark, [(BAD, 0), (SHORT, 0), (BAD, 0)])
+        assert got == ["bad", "bad", "bad"]
+
+    def test_short_rescued_by_adjacent_neargood(self, spark):
+        # decisive neighbours are good/bad (the mixed case), and the
+        # bad side's nearest any-class neighbour is neargood -> rescued
+        # to good; the neargood itself then turns good in pass 2 (its
+        # prev neighbour is the rescued short). Both-bad neighbours do
+        # NOT rescue — jusText assigns bad before the neargood check.
+        got = self._final(spark, [(GOOD, 0), (SHORT, 0), (NEARGOOD, 0), (BAD, 0)])
+        assert got[1] == "good"
+        assert got[2] == "good"
+        no_rescue = self._final(
+            spark, [(BAD, 0), (NEARGOOD, 0), (SHORT, 0), (BAD, 0)]
+        )
+        assert no_rescue[2] == "bad"
+
+    def test_neargood_between_bads_becomes_bad(self, spark):
+        got = self._final(spark, [(BAD, 0), (NEARGOOD, 0), (BAD, 0)])
+        assert got == ["bad", "bad", "bad"]
+
+    def test_neargood_next_to_good_becomes_good(self, spark):
+        got = self._final(spark, [(GOOD, 0), (NEARGOOD, 0), (BAD, 0)])
+        assert got == ["good", "good", "bad"]
+
+    def test_edge_paragraphs_missing_neighbour_counts_bad(self, spark):
+        # lone short page: both neighbours missing -> bad/bad -> bad
+        got = self._final(spark, [(SHORT, 0)])
+        assert got == ["bad"]
+
+    def test_docs_do_not_leak_into_each_other(self, spark):
+        # doc 1 ends GOOD, doc 2 starts SHORT: doc 2's short must NOT
+        # see doc 1's good as its prev neighbour
+        df = _pars(spark, [(1, 0, GOOD, 0), (2, 0, SHORT, 0), (2, 1, GOOD, 0)])
+        rows = {
+            (r.doc_id, r.par_no): r.final_class
+            for r in _classify(df).collect()
+        }
+        assert rows[(2, 0)] == "bad"  # prev=missing(bad), next=good -> bad
+
+
+class TestExtract:
+    def test_reassembles_good_paragraphs_in_order(self, spark):
+        df = _pars(
+            spark,
+            [(1, 0, GOOD, 0), (1, 1, BAD, 0), (1, 2, GOOD, 0)],
+        )
+        row = justext_extract(df, stopwords=STOPS).collect()[0]
+        assert row.n_pars == 3
+        assert row.n_good == 2
+        expect = hashlib.md5(" ".join([GOOD, GOOD]).encode()).hexdigest()
+        assert row.content_md5 == expect
+
+    def test_all_boilerplate_page_stays_visible(self, spark):
+        df = _pars(spark, [(1, 0, BAD, 0)])
+        row = justext_extract(df, stopwords=STOPS).collect()[0]
+        assert row.n_good == 0
+        assert row.content_md5 == hashlib.md5(b"").hexdigest()

@@ -2454,6 +2454,33 @@ def _oracle_sql_entries() -> dict[str, str]:
                         ELSE 'good' END AS final_class
             FROM p2
         """,
+        # table_cells: the oracle side does NOT parse markdown — it
+        # constructs the expected cells directly from the documents
+        # row, so the Spark side's HTML→markdown→cells round trip is
+        # checked against an independent derivation (incl. the ragged
+        # third row padded to '' and the unescaped pipe in 'p|q<id>').
+        "table_cells": """
+            SELECT doc_id,
+                   u.r AS row_idx, u.c AS col_idx, u.cell AS cell
+            FROM (
+                SELECT doc_id,
+                       unnest([
+                           {'r': 0, 'c': 0, 'cell': 'k'},
+                           {'r': 0, 'c': 1, 'cell': 'v'},
+                           {'r': 0, 'c': 2, 'cell': 'n'},
+                           {'r': 1, 'c': 0,
+                            'cell': CAST(doc_id AS VARCHAR)},
+                           {'r': 1, 'c': 1, 'cell': source},
+                           {'r': 1, 'c': 2, 'cell': lang},
+                           {'r': 2, 'c': 0,
+                            'cell': 'p|q' || CAST(doc_id AS VARCHAR)},
+                           {'r': 2, 'c': 1,
+                            'cell': CAST(n_chars AS VARCHAR)},
+                           {'r': 2, 'c': 2, 'cell': ''}
+                       ]) AS u
+                FROM documents
+            )
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -498,3 +498,53 @@ def _q_span_kinds_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.text").alias("text"),
         )
     )
+
+def _q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table → GFM markdown → structured cells, end to end through
+    the real engine (extract_dataframe → table span → ops.tables.
+    table_cells): every doc wrapped with one 3-column table whose last
+    row is RAGGED (2 cells, padded at serialization) and whose first
+    data cell contains a PIPE (escaped to \\| in markdown, unescaped by
+    the cell parser) — cell-level certification of the table contract
+    span_kinds_full pins only as one markdown blob. The oracle
+    constructs the expected cells directly from the documents table.
+    Both explodes are pure maps; no shuffle anywhere."""
+    from reader_spark.ops.tables import table_cells
+    from reader_spark.spark.job import extract_dataframe
+
+    documents = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit("<html><body><article><table>"),
+        F.lit("<tr><th>k</th><th>v</th><th>n</th></tr>"),
+        F.lit("<tr><td>"), d,
+        F.lit("</td><td>"), F.col("source"),
+        F.lit("</td><td>"), F.col("lang"), F.lit("</td></tr>"),
+        F.lit("<tr><td>p|q"), d,
+        F.lit("</td><td>"), F.col("n_chars").cast("string"),
+        F.lit("</td></tr>"),
+        F.lit("</table></article></body></html>"),
+    )
+    docs = documents.select(
+        d.alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                payload.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    tables = (
+        extract_dataframe(docs)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "table")
+        .select(F.col("doc_id"), F.col("s.text").alias("text"))
+    )
+    return table_cells(tables).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "row_idx",
+        "col_idx",
+        "cell",
+    )

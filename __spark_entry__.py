@@ -37,6 +37,7 @@ from reader_spark.queries.interleaved import (  # noqa: E402
 )
 from reader_spark.queries.curation import (  # noqa: E402
     _q_blocklist_filter,
+    _q_boilerpipe_classify,
     _q_c4_page_clean,
     _q_justext_classify,
     _q_ccnet_buckets,
@@ -3910,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_spans_dedup": _q_sentence_spans_dedup,
         "c4_page_clean": _q_c4_page_clean,
         "justext_classify": _q_justext_classify,
+        "boilerpipe_classify": _q_boilerpipe_classify,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

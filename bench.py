@@ -145,6 +145,10 @@ BENCH_QUERIES = (
     "binary_recall_eval",
     "tokenizer_fertility",
     "text_clusters",
+    "c4_page_clean",
+    "justext_classify",
+    "boilerpipe_classify",
+    "table_cells",
 )
 
 

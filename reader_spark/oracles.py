@@ -2481,6 +2481,49 @@ def _oracle_sql_entries() -> dict[str, str]:
                 FROM documents
             )
         """,
+        # Boilerpipe NumWordsRules twin: same synthetic block features,
+        # lag/lead with edge sentinels coalesced to 0 (boilerpipe's
+        # EMPTY_START/EMPTY_END), the published tree as nested CASE.
+        "boilerpipe_classify": """
+            WITH b AS (
+                SELECT doc_id,
+                       unnest(range(0, doc_id % 12 + 1)) AS blk_no
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, blk_no,
+                       CAST(1 + (doc_id + 5 * blk_no) % 50 AS BIGINT)
+                           AS num_words,
+                       CAST(CASE (doc_id + 3 * blk_no) % 5
+                            WHEN 0 THEN 0.5 WHEN 1 THEN 1.0
+                            ELSE 0.0 END AS DOUBLE) AS link_density
+                FROM b
+            ),
+            n AS (
+                SELECT *,
+                       COALESCE(lag(num_words) OVER w, 0) AS prev_nw,
+                       COALESCE(lead(num_words) OVER w, 0) AS next_nw,
+                       COALESCE(lag(link_density) OVER w, 0.0) AS prev_ld
+                FROM f
+                WINDOW w AS (PARTITION BY doc_id ORDER BY blk_no)
+            )
+            SELECT doc_id, blk_no, num_words, link_density,
+                   CASE WHEN link_density > 0.333333 THEN 0
+                        WHEN prev_ld <= 0.555556 THEN
+                            CASE WHEN num_words <= 16 THEN
+                                CASE WHEN next_nw <= 15 THEN
+                                    CASE WHEN prev_nw <= 4
+                                         THEN 0 ELSE 1 END
+                                ELSE 1 END
+                            ELSE 1 END
+                        ELSE
+                            CASE WHEN num_words <= 40 THEN
+                                CASE WHEN next_nw <= 17
+                                     THEN 0 ELSE 1 END
+                            ELSE 1 END
+                   END AS is_content
+            FROM n
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -232,3 +232,32 @@ def _q_justext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cf_class",
         "final_class",
     )
+
+def _q_boilerpipe_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe NumWordsRules block classification (ops.boilerpipe,
+    Kohlschütter et al. WSDM 2010): the published decision tree over
+    words-per-block + link density of each block and its neighbours.
+    Fixture blocks are synthesized per doc (1 + doc_id % 12 blocks;
+    num_words cycles 1..50 crossing every tree threshold; link density
+    cycles 0 / 0.5 / 1.0 so both link-density branches fire) — all
+    eight leaves reachable. One lag/lead window partitioned by doc_id;
+    everything else rides the scan."""
+    from reader_spark.ops.boilerpipe import boilerpipe_classify
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    blocks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 12).cast("long"))
+        ).alias("blk_no"),
+    )
+    m5 = (F.col("doc_id") + 3 * F.col("blk_no")) % 5
+    feats = blocks.withColumn(
+        "num_words", 1 + (F.col("doc_id") + 5 * F.col("blk_no")) % 50
+    ).withColumn(
+        "link_density",
+        F.when(m5 == 0, 0.5).when(m5 == 1, 1.0).otherwise(0.0),
+    )
+    return boilerpipe_classify(feats).select(
+        "doc_id", "blk_no", "num_words", "link_density", "is_content"
+    )

@@ -757,3 +757,46 @@ def test_sentence_spans_apply_hash_keyed_no_window(spark):
     assert "BroadcastNestedLoopJoin" not in tree
     assert "Window" not in tree
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_justext_windows_partition_by_doc(spark):
+    """jusText's revision windows must key on doc_id (bounded by
+    paragraphs-per-page) — never a single-partition global window."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["justext_classify"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_boilerpipe_window_partition_by_doc(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["boilerpipe_classify"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_c4_page_clean_one_shuffle_partial_agg(spark):
+    """C4 page gates fold in ONE map-side-combined groupBy(doc_id): a
+    single hash exchange, partial aggregation before it, no window."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["c4_page_clean"](spark, SF_DIR))
+    # formatted explain lists each node in the tree AND a details
+    # section; count tree occurrences only
+    assert plan.count("+- Exchange") == 1
+    assert "partial" in plan.lower()
+    assert "Window" not in plan
+
+
+def test_table_cells_scan_local(spark):
+    """Markdown table -> cells is a pure map: no shuffle at all."""
+    from pyspark.sql import Row
+
+    from reader_spark.ops.tables import table_cells
+
+    spans = spark.createDataFrame(
+        [Row(doc_id=1, text="| k |\n| --- |\n| v |")]
+    )
+    assert "Exchange" not in plan_of(table_cells(spans))

@@ -149,6 +149,7 @@ BENCH_QUERIES = (
     "justext_classify",
     "boilerpipe_classify",
     "table_cells",
+    "arm_agreement",
 )
 
 

@@ -2524,6 +2524,169 @@ def _oracle_sql_entries() -> dict[str, str]:
                    END AS is_content
             FROM n
         """,
+        # Cross-arm agreement: jusText and Boilerpipe re-derived over
+        # the SAME 25-word block frame (linked fraction 0/0.5/1.0 by
+        # (doc_id+3*blk_no)%5), then Cohen's kappa with the identical
+        # expression order as the Spark query (all ratios
+        # BIGINT/BIGINT, pe = pa*pb + (1-pa)*(1-pb)).
+        "arm_agreement": """
+            WITH l0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           regexp_extract_all(text, '\\S+( \\S+){0,24}'),
+                           (x, i) -> {'bn': CAST(i - 1 AS BIGINT),
+                                      'txt': x})) AS u
+                FROM documents
+            ),
+            blocks AS (
+                SELECT doc_id, u.bn AS blk_no, u.txt AS text,
+                       CAST(CASE (doc_id + 3 * u.bn) % 5
+                            WHEN 0 THEN 0.5 WHEN 1 THEN 1.0
+                            ELSE 0.0 END AS DOUBLE) AS ldf
+                FROM l0
+            ),
+            feat AS (
+                SELECT doc_id, blk_no, text, ldf,
+                       CAST(length(text) AS BIGINT) AS length,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_words,
+                       CAST(floor(length(text) * ldf) AS BIGINT)
+                           AS link_chars,
+                       len(list_filter(string_split(text, ' '),
+                           w -> list_contains(
+                               ['a', 'the', 'table', 'value'],
+                               lower(w)))) AS n_stop
+                FROM blocks
+            ),
+            cf AS (
+                SELECT doc_id, blk_no, ldf, n_words,
+                       CASE WHEN link_chars / greatest(length, 1) > 0.2
+                                THEN 'bad'
+                            WHEN contains(text, '©') THEN 'bad'
+                            WHEN length < 70 THEN
+                                CASE WHEN link_chars / greatest(length, 1)
+                                          > 0 THEN 'bad' ELSE 'short' END
+                            WHEN (CASE WHEN n_words > 0
+                                       THEN n_stop / n_words
+                                       ELSE 0.0 END) >= 0.18 THEN
+                                CASE WHEN length > 120
+                                     THEN 'good' ELSE 'neargood' END
+                            WHEN (CASE WHEN n_words > 0
+                                       THEN n_stop / n_words
+                                       ELSE 0.0 END) >= 0.12
+                                THEN 'neargood'
+                            ELSE 'bad' END AS cf_class
+                FROM feat
+            ),
+            p1 AS (
+                SELECT *,
+                       COALESCE(last_value(CASE WHEN cf_class IN
+                               ('good', 'bad') THEN cf_class END
+                               IGNORE NULLS) OVER wp, 'bad') AS prev_gb,
+                       COALESCE(first_value(CASE WHEN cf_class IN
+                               ('good', 'bad') THEN cf_class END
+                               IGNORE NULLS) OVER wn, 'bad') AS next_gb,
+                       COALESCE(last_value(CASE WHEN cf_class <> 'short'
+                               THEN cf_class END
+                               IGNORE NULLS) OVER wp, 'bad') AS prev_any,
+                       COALESCE(first_value(CASE WHEN cf_class <> 'short'
+                               THEN cf_class END
+                               IGNORE NULLS) OVER wn, 'bad') AS next_any
+                FROM cf
+                WINDOW wp AS (PARTITION BY doc_id ORDER BY blk_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                       wn AS (PARTITION BY doc_id ORDER BY blk_no
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+            ),
+            r1 AS (
+                SELECT doc_id, blk_no,
+                       CASE WHEN cf_class <> 'short' THEN cf_class
+                            WHEN prev_gb = 'good' AND next_gb = 'good'
+                                 THEN 'good'
+                            WHEN prev_gb = 'bad' AND next_gb = 'bad'
+                                 THEN 'bad'
+                            WHEN (prev_gb = 'bad' AND prev_any = 'neargood')
+                              OR (next_gb = 'bad' AND next_any = 'neargood')
+                                 THEN 'good'
+                            ELSE 'bad' END AS c1
+                FROM p1
+            ),
+            p2 AS (
+                SELECT *,
+                       COALESCE(last_value(CASE WHEN c1 IN ('good', 'bad')
+                               THEN c1 END
+                               IGNORE NULLS) OVER wp, 'bad') AS prev_gb2,
+                       COALESCE(first_value(CASE WHEN c1 IN ('good', 'bad')
+                               THEN c1 END
+                               IGNORE NULLS) OVER wn, 'bad') AS next_gb2
+                FROM r1
+                WINDOW wp AS (PARTITION BY doc_id ORDER BY blk_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                       wn AS (PARTITION BY doc_id ORDER BY blk_no
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+            ),
+            jx AS (
+                SELECT doc_id, blk_no,
+                       CASE WHEN (CASE WHEN c1 <> 'neargood' THEN c1
+                                       WHEN prev_gb2 = 'bad'
+                                            AND next_gb2 = 'bad'
+                                            THEN 'bad'
+                                       ELSE 'good' END) = 'good'
+                            THEN 1 ELSE 0 END AS j_good
+                FROM p2
+            ),
+            bp AS (
+                SELECT doc_id, blk_no, n_words, ldf,
+                       COALESCE(lag(n_words) OVER w, 0) AS prev_nw,
+                       COALESCE(lead(n_words) OVER w, 0) AS next_nw,
+                       COALESCE(lag(ldf) OVER w, 0.0) AS prev_ld
+                FROM cf
+                WINDOW w AS (PARTITION BY doc_id ORDER BY blk_no)
+            ),
+            bx AS (
+                SELECT doc_id, blk_no,
+                       CASE WHEN ldf > 0.333333 THEN 0
+                            WHEN prev_ld <= 0.555556 THEN
+                                CASE WHEN n_words <= 16 THEN
+                                    CASE WHEN next_nw <= 15 THEN
+                                        CASE WHEN prev_nw <= 4
+                                             THEN 0 ELSE 1 END
+                                    ELSE 1 END
+                                ELSE 1 END
+                            ELSE
+                                CASE WHEN n_words <= 40 THEN
+                                    CASE WHEN next_nw <= 17
+                                         THEN 0 ELSE 1 END
+                                ELSE 1 END
+                       END AS b_good
+                FROM bp
+            ),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                       CAST(sum(CASE WHEN j.j_good = b.b_good
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+                       CAST(sum(j.j_good) AS BIGINT) AS n_good_justext,
+                       CAST(sum(b.b_good) AS BIGINT) AS n_good_boilerpipe
+                FROM jx j JOIN bx b USING (doc_id, blk_no)
+            )
+            SELECT n_blocks, n_agree, n_good_justext, n_good_boilerpipe,
+                   round(n_agree / n_blocks, 6) AS agree_rate,
+                   round(((n_agree / n_blocks) -
+                          ((n_good_justext / n_blocks) *
+                               (n_good_boilerpipe / n_blocks) +
+                           (1 - n_good_justext / n_blocks) *
+                               (1 - n_good_boilerpipe / n_blocks))) /
+                         (1 - ((n_good_justext / n_blocks) *
+                                   (n_good_boilerpipe / n_blocks) +
+                               (1 - n_good_justext / n_blocks) *
+                                   (1 - n_good_boilerpipe / n_blocks))),
+                         6) AS kappa
+            FROM agg
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

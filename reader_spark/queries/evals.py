@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
 # Content-ful HTML fixture classes (FIXTURES.md §3). Excludes: block pages
 # (empty extraction by design), json-payload / pdf-* (not HTML), oversized
 # (size-guard path, identical tokens at 1000x the eval cost), empty-page /
@@ -109,6 +113,78 @@ def _q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_arm_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-arm extraction QA: run jusText (ops/justext.py) and
+    Boilerpipe NumWordsRules (ops/boilerpipe.py) over the SAME block
+    frame and report corpus-level agreement + Cohen's kappa — the
+    monitoring metric a production extraction fleet tracks to catch one
+    arm drifting (template change, threshold regression). Blocks are
+    25-word chunks with a deterministic linked-fraction (0 / 0.5 / 1.0
+    by (doc_id+3*blk_no)%5) feeding BOTH arms consistently (jusText
+    takes it as chars, Boilerpipe as word density). The two window
+    passes key on doc_id; the final fold is one partial-aggregated
+    global row. Kappa stays engine-stable: every ratio is BIGINT/BIGINT
+    and the expression order is identical in the oracle."""
+    from reader_spark.ops.boilerpipe import boilerpipe_classify
+    from reader_spark.ops.justext import justext_classify
+    from reader_spark.ops.lines import chunk_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    blocks = (
+        chunk_lines(docs, words_per_line=25)
+        .withColumnRenamed("line_no", "blk_no")
+        .withColumnRenamed("line", "text")
+    )
+    m5 = (F.col("doc_id") + 3 * F.col("blk_no")) % 5
+    ldf = F.when(m5 == 0, 0.5).when(m5 == 1, 1.0).otherwise(0.0)
+    frame = (
+        blocks.withColumn(
+            "link_chars", F.floor(F.length("text") * ldf).cast("long")
+        )
+        .withColumn("num_words", F.size(F.split(F.col("text"), " ")))
+        .withColumn("link_density", ldf)
+    )
+    j = justext_classify(
+        frame,
+        order_col="blk_no",
+        stopwords=("a", "the", "table", "value"),
+        length_low=70,
+        length_high=120,
+        stopwords_low=0.12,
+        stopwords_high=0.18,
+        max_link_density=0.2,
+    ).select(
+        "doc_id",
+        "blk_no",
+        (F.col("final_class") == "good").cast("long").alias("j_good"),
+    )
+    b = boilerpipe_classify(frame).select(
+        "doc_id", "blk_no", F.col("is_content").cast("long").alias("b_good")
+    )
+    both = j.join(b, ["doc_id", "blk_no"])
+    agg = both.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum((F.col("j_good") == F.col("b_good")).cast("long")).alias(
+            "n_agree"
+        ),
+        F.sum("j_good").alias("n_good_justext"),
+        F.sum("b_good").alias("n_good_boilerpipe"),
+    )
+    po = F.col("n_agree") / F.col("n_blocks")
+    pa = F.col("n_good_justext") / F.col("n_blocks")
+    pb = F.col("n_good_boilerpipe") / F.col("n_blocks")
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return agg.select(
+        "n_blocks",
+        "n_agree",
+        "n_good_justext",
+        "n_good_boilerpipe",
+        F.round(po, 6).alias("agree_rate"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
 QUERIES = {
     "extraction_eval": _q_extraction_eval,
+    "arm_agreement": _q_arm_agreement,
 }

@@ -41,3 +41,19 @@ def test_pipeline_never_hallucinates_much(eval_rows):
     markdown syntax), bounded across every fixture class."""
     for r in eval_rows.values():
         assert r["recall"] >= 0.80
+
+
+def test_arm_agreement_bounds(spark):
+    """Cross-arm agreement (queries/evals.py _q_arm_agreement): one
+    corpus row; rate in [0,1], Cohen's kappa in [-1,1], counts
+    consistent. Exactness is pinned by the DuckDB oracle."""
+    import __spark_entry__ as e
+
+    row = e.queries()["arm_agreement"](spark, "/root/testdata/sf0.001").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert 0 < r.n_blocks
+    assert 0 <= r.n_agree <= r.n_blocks
+    assert 0.0 <= r.agree_rate <= 1.0
+    assert -1.0 <= r.kappa <= 1.0
+    assert abs(r.agree_rate - r.n_agree / r.n_blocks) < 1e-6

@@ -39,6 +39,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_blocklist_filter,
     _q_boilerpipe_classify,
     _q_c4_page_clean,
+    _q_crawl_delta,
     _q_justext_classify,
     _q_ccnet_buckets,
     _q_curriculum_order,
@@ -3912,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_page_clean": _q_c4_page_clean,
         "justext_classify": _q_justext_classify,
         "boilerpipe_classify": _q_boilerpipe_classify,
+        "crawl_delta": _q_crawl_delta,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

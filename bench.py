@@ -150,6 +150,7 @@ BENCH_QUERIES = (
     "boilerpipe_classify",
     "table_cells",
     "arm_agreement",
+    "crawl_delta",
 )
 
 

@@ -1,0 +1,84 @@
+"""Crawl-refresh delta: added / changed / removed / unchanged between
+two crawl snapshots.
+
+The operation a refresh pipeline runs before re-extraction: diff the
+new crawl against the previous one so only added+changed documents
+enter the (expensive) extract→clean→dedup path, removed ones get
+tombstoned downstream, and unchanged ones keep their committed spans —
+the batch analogue of vakra-dev/reader's re-scrape decision, and the
+input to the resume anti-join the extract job already has
+(reader_spark/spark/job.py run_extraction).
+
+Shape at 100 TB: each side is pre-projected to (id, md5(text)) BEFORE
+the join, so the full-outer equi-join shuffles 32-hex digests + ids,
+never payloads — same hash-only-shuffle contract as ops/dedup.py. One
+shuffle per side, both keyed on the id; AQE plans the merge. The
+summary is a map-side-combined groupBy over the 4-value status dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ADDED, REMOVED, CHANGED, UNCHANGED = "added", "removed", "changed", "unchanged"
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, status) for every id present in either snapshot.
+
+    status: 'added' (new only), 'removed' (old only), 'changed' (both,
+    content hash differs), 'unchanged' (both, hash equal). Content
+    equality is md5-of-text — collision-safe at the same 128-bit level
+    the dedup stack already relies on.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_old_md5")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_new_md5")
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_old_md5").isNull(), ADDED)
+        .when(F.col("_new_md5").isNull(), REMOVED)
+        .when(F.col("_old_md5") != F.col("_new_md5"), CHANGED)
+        .otherwise(UNCHANGED)
+    )
+    return joined.select(F.col(id_col), status.alias("status"))
+
+
+def crawl_delta_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per status with its count — the refresh-run lineage
+    record (alongside the per-partition metrics sidecar)."""
+    return (
+        crawl_delta(old, new, id_col, text_col)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def refresh_frontier(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The applied pass: the NEW-snapshot rows that need (re)extraction
+    — status in (added, changed). Join keys and partitioning are shared
+    with crawl_delta, so the planner reuses the exchange; the payload
+    columns of `new` ride through untouched."""
+    work = crawl_delta(old, new, id_col, text_col).where(
+        F.col("status").isin(ADDED, CHANGED)
+    )
+    return new.join(work, id_col).drop("status")

@@ -2687,6 +2687,29 @@ def _oracle_sql_entries() -> dict[str, str]:
                          6) AS kappa
             FROM agg
         """,
+        # Crawl-refresh delta: same deterministic snapshot mutation,
+        # full-outer join on md5 digests; side-nullness decides status
+        # exactly as the Spark op's _old_md5/_new_md5 tests.
+        "crawl_delta": """
+            WITH newsnap AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0
+                            THEN text || ' v2' ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       'new ' || text AS text
+                FROM documents WHERE doc_id % 19 = 0
+            ),
+            o AS (SELECT doc_id, md5(text) AS oh FROM documents),
+            n AS (SELECT doc_id, md5(text) AS nh FROM newsnap)
+            SELECT doc_id,
+                   CASE WHEN oh IS NULL THEN 'added'
+                        WHEN nh IS NULL THEN 'removed'
+                        WHEN oh <> nh THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM o FULL OUTER JOIN n USING (doc_id)
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -261,3 +261,27 @@ def _q_boilerpipe_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerpipe_classify(feats).select(
         "doc_id", "blk_no", "num_words", "link_density", "is_content"
     )
+
+def _q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-refresh delta (ops.delta.crawl_delta): added / changed /
+    removed / unchanged between two snapshots, hash-only shuffle (each
+    side pre-projects to (id, md5) before the full-outer equi-join).
+    The new snapshot is a deterministic mutation of the old: docs % 17
+    vanish (removed), % 13 get ' v2' appended (changed), % 19 spawn a
+    shifted-id copy (added). The frontier variant feeding re-extraction
+    is ops.delta.refresh_frontier, same join shape."""
+    from reader_spark.ops.delta import crawl_delta
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    new = base.unionByName(added)
+    return crawl_delta(docs, new)

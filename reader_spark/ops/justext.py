@@ -62,6 +62,8 @@ def justext_classify(
     stopwords_low: float = 0.30,
     stopwords_high: float = 0.32,
     max_link_density: float = 0.2,
+    heading_col: str | None = None,
+    max_heading_distance: int = 200,
 ) -> DataFrame:
     """Classify (id, par_no, text, link_chars) paragraph rows.
 
@@ -69,6 +71,18 @@ def justext_classify(
     stopword_density, cf_class, final_class) — ``cf_class`` is the
     context-free verdict, ``final_class`` the context-revised one
     (in {good, bad}: short/neargood never survive revision).
+
+    With ``heading_col`` (boolean) set, jusText's two heading passes
+    run as published: BEFORE the short revision, a short heading
+    becomes neargood when a context-free good paragraph follows within
+    ``max_heading_distance`` chars (summed over the paragraphs in
+    between); AFTER the neargood revision, a heading that stayed bad
+    from a short context-free verdict becomes good when a final-good
+    paragraph follows within the same budget. Distances are cumulative
+    char offsets over the same doc-partitioned windows — the
+    sequential in-place loop of the reference implementation only ever
+    reads positions it has not yet mutated, so the snapshot form here
+    is exactly equivalent.
     """
     length = F.length(F.col(text_col))
     words = F.split(F.col(text_col), " ")
@@ -93,6 +107,7 @@ def justext_classify(
         .otherwise(BAD)
     )
 
+    heading = F.col(heading_col) if heading_col else F.lit(False)
     base = paragraphs.select(
         F.col(id_col),
         F.col(order_col),
@@ -101,6 +116,7 @@ def justext_classify(
         F.round(link_density, 6).alias("link_density"),
         F.round(stop_density, 6).alias("stopword_density"),
         cf.alias("cf_class"),
+        heading.alias("_heading"),
     )
 
     w_prev = (
@@ -120,7 +136,40 @@ def justext_classify(
     def _nonshort(col):  # nearest anything-but-short (neargood counts)
         return F.when(col != SHORT, col)
 
-    cfc = F.col("cf_class")
+    # char offset of each paragraph's start within its page; the gap
+    # between paragraph i and a following j is start(j) - end(i)
+    base = base.withColumn(
+        "_off", F.coalesce(F.sum("length").over(w_prev), F.lit(0))
+    )
+
+    def _heading_promote(df, class_col, candidate, target, out_col):
+        """One jusText heading pass: heading candidates whose nearest
+        FOLLOWING ``class_col``-good paragraph starts within
+        max_heading_distance chars of their end take ``target``. The
+        reference loop checks the budget before each forward step, so
+        nearest-good-within-budget is exactly its break condition."""
+        c = F.col(class_col)
+        next_good_off = F.first(
+            F.when(c == GOOD, F.col("_off")), ignorenulls=True
+        ).over(w_next)
+        promoted = F.when(
+            F.col("_heading")
+            & candidate
+            & next_good_off.isNotNull()
+            & (
+                next_good_off - (F.col("_off") + F.col("length"))
+                <= max_heading_distance
+            ),
+            F.lit(target),
+        ).otherwise(c)
+        return df.withColumn(out_col, promoted)
+
+    # heading pass 1: short headings near a context-free good paragraph
+    # start the revision as neargood (cf_class itself stays reported)
+    base = _heading_promote(
+        base, "cf_class", F.col("cf_class") == SHORT, NEARGOOD, "_c0"
+    )
+    cfc = F.col("_c0")
     p1 = (
         base.withColumn(
             "_prev_gb",
@@ -172,9 +221,22 @@ def justext_classify(
     neargood_rev = F.when(
         (F.col("_prev_gb2") == BAD) & (F.col("_next_gb2") == BAD), BAD
     ).otherwise(GOOD)
-    return p2.withColumn(
-        "final_class", F.when(c1 == NEARGOOD, neargood_rev).otherwise(c1)
+    p2 = p2.withColumn(
+        "_c2", F.when(c1 == NEARGOOD, neargood_rev).otherwise(c1)
     ).drop("_c1", "_prev_gb2", "_next_gb2")
+
+    # final heading pass: a heading that stayed bad from a SHORT
+    # context-free verdict becomes good when a final-good paragraph
+    # follows within the distance budget (reference: the second
+    # "more good headings" loop)
+    out = _heading_promote(
+        p2,
+        "_c2",
+        (F.col("_c2") == BAD) & (F.col("cf_class") == SHORT),
+        GOOD,
+        "final_class",
+    )
+    return out.drop("_c0", "_c2", "_heading", "_off")
 
 
 def justext_extract(

@@ -2,6 +2,8 @@
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 from pyspark.sql import Row
 
 from reader_spark.ops.justext import justext_classify, justext_extract
@@ -131,3 +133,77 @@ class TestExtract:
         row = justext_extract(df, stopwords=STOPS).collect()[0]
         assert row.n_good == 0
         assert row.content_md5 == hashlib.md5(b"").hexdigest()
+
+
+class TestHeadingPromotion:
+    """jusText's two heading passes (heading_col set)."""
+
+    def _pars(self, spark, rows):
+        return spark.createDataFrame(
+            [
+                Row(doc_id=1, par_no=i, text=t, link_chars=0, is_heading=h)
+                for i, (t, h) in enumerate(rows)
+            ]
+        )
+
+    def _final(self, spark, rows, dist=200):
+        df = self._pars(spark, rows)
+        out = justext_classify(
+            df,
+            stopwords=STOPS,
+            heading_col="is_heading",
+            max_heading_distance=dist,
+        ).orderBy("par_no")
+        return [r.final_class for r in out.collect()]
+
+    def test_short_heading_before_good_is_promoted(self, spark):
+        # short heading directly before a good paragraph: pass 1 makes
+        # it neargood, the neargood revision then lifts it to good
+        got = self._final(spark, [(SHORT, True), (GOOD, False)])
+        assert got == ["good", "good"]
+        # same page WITHOUT the heading flag: the short stays bad
+        # (prev missing=bad, next good -> mixed -> bad)
+        plain = self._final(spark, [(SHORT, False), (GOOD, False)])
+        assert plain == ["bad", "good"]
+
+    def test_distance_budget_respected(self, spark):
+        # a long bad paragraph (> budget chars) sits between heading
+        # and the good paragraph: no promotion
+        far = self._final(
+            spark, [(SHORT, True), (BAD, False), (GOOD, False)], dist=50
+        )
+        assert far[0] == "bad"
+        # with a generous budget the same page promotes
+        near = self._final(
+            spark, [(SHORT, True), (BAD, False), (GOOD, False)], dist=10000
+        )
+        assert near[0] == "good"
+
+    def test_heading_with_no_following_good_stays_bad(self, spark):
+        got = self._final(spark, [(SHORT, True), (BAD, False)])
+        assert got[0] == "bad"
+
+    def test_cf_class_reporting_unchanged(self, spark):
+        df = self._pars(spark, [(SHORT, True), (GOOD, False)])
+        rows = (
+            justext_classify(
+                df, stopwords=STOPS, heading_col="is_heading"
+            )
+            .orderBy("par_no")
+            .collect()
+        )
+        # the reported context-free class stays 'short' even though
+        # the heading pass promoted the working copy
+        assert rows[0].cf_class == "short"
+
+    def test_no_heading_col_is_identity(self, spark):
+        base = self._pars(spark, [(SHORT, True), (GOOD, False)])
+        with_flag_off = justext_classify(
+            base.withColumn("is_heading", F.lit(False)),
+            stopwords=STOPS,
+            heading_col="is_heading",
+        )
+        without = justext_classify(base, stopwords=STOPS)
+        a = [(r.par_no, r.final_class) for r in with_flag_off.orderBy("par_no").collect()]
+        b = [(r.par_no, r.final_class) for r in without.orderBy("par_no").collect()]
+        assert a == b

@@ -41,6 +41,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_c4_page_clean,
     _q_crawl_delta,
     _q_justext_classify,
+    _q_justext_headings,
     _q_ccnet_buckets,
     _q_curriculum_order,
     _q_sentence_spans_apply,
@@ -3912,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_spans_dedup": _q_sentence_spans_dedup,
         "c4_page_clean": _q_c4_page_clean,
         "justext_classify": _q_justext_classify,
+        "justext_headings": _q_justext_headings,
         "boilerpipe_classify": _q_boilerpipe_classify,
         "crawl_delta": _q_crawl_delta,
         **_TOKENIZE_QUERIES,

@@ -2710,6 +2710,164 @@ def _oracle_sql_entries() -> dict[str, str]:
                         ELSE 'unchanged' END AS status
             FROM o FULL OUTER JOIN n USING (doc_id)
         """,
+        # jusText WITH heading passes: cumulative char offsets; a
+        # heading promotes when the nearest FOLLOWING good paragraph
+        # starts within max_heading_distance (150) chars of its end —
+        # pass 1 over context-free goods (short heading -> neargood),
+        # final pass over revised goods (bad-from-short heading ->
+        # good). Heading flag: (doc_id + par_no) % 4 = 0.
+        "justext_headings": """
+            WITH l0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           regexp_extract_all(text, '\\S+( \\S+){0,24}'),
+                           (x, i) -> {'pn': CAST(i - 1 AS BIGINT),
+                                      'txt': x})) AS u
+                FROM documents
+            ),
+            tx AS (
+                SELECT doc_id, u.pn AS par_no,
+                       (doc_id + u.pn) % 4 = 0 AS heading,
+                       CASE WHEN (doc_id + u.pn) % 4 = 0
+                            THEN array_to_string(
+                                string_split(u.txt, ' ')[1:5], ' ')
+                            ELSE u.txt END AS text
+                FROM l0
+            ),
+            feat AS (
+                SELECT doc_id, par_no, text, heading,
+                       CAST(length(text) AS BIGINT) AS length,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_words,
+                       CAST(CASE WHEN heading THEN 0
+                            WHEN (doc_id + 3 * par_no) % 7 = 0
+                                THEN length(text) // 2
+                            WHEN (doc_id + 3 * par_no) % 7 = 1
+                                THEN length(text) // 10
+                            ELSE 0 END AS BIGINT) AS link_chars,
+                       len(list_filter(string_split(text, ' '),
+                           w -> list_contains(
+                               ['a', 'the', 'table', 'value'],
+                               lower(w)))) AS n_stop
+                FROM tx
+            ),
+            cf AS (
+                SELECT doc_id, par_no, length, heading,
+                       CASE WHEN link_chars / greatest(length, 1) > 0.2
+                                THEN 'bad'
+                            WHEN contains(text, '©') THEN 'bad'
+                            WHEN length < 70 THEN
+                                CASE WHEN link_chars / greatest(length, 1)
+                                          > 0 THEN 'bad' ELSE 'short' END
+                            WHEN (CASE WHEN n_words > 0
+                                       THEN n_stop / n_words
+                                       ELSE 0.0 END) >= 0.18 THEN
+                                CASE WHEN length > 120
+                                     THEN 'good' ELSE 'neargood' END
+                            WHEN (CASE WHEN n_words > 0
+                                       THEN n_stop / n_words
+                                       ELSE 0.0 END) >= 0.12
+                                THEN 'neargood'
+                            ELSE 'bad' END AS cf_class
+                FROM feat
+            ),
+            offs AS (
+                SELECT *,
+                       COALESCE(sum(length) OVER wp_sum, 0) AS off
+                FROM cf
+                WINDOW wp_sum AS (PARTITION BY doc_id ORDER BY par_no
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+            ),
+            h1 AS (
+                SELECT *,
+                       CASE WHEN heading AND cf_class = 'short'
+                                 AND first_value(CASE WHEN cf_class = 'good'
+                                     THEN off END IGNORE NULLS) OVER wn
+                                     IS NOT NULL
+                                 AND first_value(CASE WHEN cf_class = 'good'
+                                     THEN off END IGNORE NULLS) OVER wn
+                                     - (off + length) <= 150
+                            THEN 'neargood' ELSE cf_class END AS c0
+                FROM offs
+                WINDOW wn AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+            ),
+            p1 AS (
+                SELECT *,
+                       COALESCE(last_value(CASE WHEN c0 IN ('good', 'bad')
+                               THEN c0 END IGNORE NULLS) OVER wp, 'bad')
+                           AS prev_gb,
+                       COALESCE(first_value(CASE WHEN c0 IN ('good', 'bad')
+                               THEN c0 END IGNORE NULLS) OVER wn, 'bad')
+                           AS next_gb,
+                       COALESCE(last_value(CASE WHEN c0 <> 'short'
+                               THEN c0 END IGNORE NULLS) OVER wp, 'bad')
+                           AS prev_any,
+                       COALESCE(first_value(CASE WHEN c0 <> 'short'
+                               THEN c0 END IGNORE NULLS) OVER wn, 'bad')
+                           AS next_any
+                FROM h1
+                WINDOW wp AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                       wn AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+            ),
+            r1 AS (
+                SELECT doc_id, par_no, length, heading, cf_class, off,
+                       CASE WHEN c0 <> 'short' THEN c0
+                            WHEN prev_gb = 'good' AND next_gb = 'good'
+                                 THEN 'good'
+                            WHEN prev_gb = 'bad' AND next_gb = 'bad'
+                                 THEN 'bad'
+                            WHEN (prev_gb = 'bad' AND prev_any = 'neargood')
+                              OR (next_gb = 'bad' AND next_any = 'neargood')
+                                 THEN 'good'
+                            ELSE 'bad' END AS c1
+                FROM p1
+            ),
+            p2 AS (
+                SELECT *,
+                       COALESCE(last_value(CASE WHEN c1 IN ('good', 'bad')
+                               THEN c1 END IGNORE NULLS) OVER wp, 'bad')
+                           AS prev_gb2,
+                       COALESCE(first_value(CASE WHEN c1 IN ('good', 'bad')
+                               THEN c1 END IGNORE NULLS) OVER wn, 'bad')
+                           AS next_gb2
+                FROM r1
+                WINDOW wp AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                       wn AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+            ),
+            c2t AS (
+                SELECT doc_id, par_no, length, heading, cf_class, off,
+                       CASE WHEN c1 <> 'neargood' THEN c1
+                            WHEN prev_gb2 = 'bad' AND next_gb2 = 'bad'
+                                 THEN 'bad'
+                            ELSE 'good' END AS c2
+                FROM p2
+            )
+            SELECT doc_id, par_no, length, cf_class,
+                   CASE WHEN heading AND c2 = 'bad'
+                             AND cf_class = 'short'
+                             AND first_value(CASE WHEN c2 = 'good'
+                                 THEN off END IGNORE NULLS) OVER wn
+                                 IS NOT NULL
+                             AND first_value(CASE WHEN c2 = 'good'
+                                 THEN off END IGNORE NULLS) OVER wn
+                                 - (off + length) <= 150
+                        THEN 'good' ELSE c2 END AS final_class
+            FROM c2t
+            WINDOW wn AS (PARTITION BY doc_id ORDER BY par_no
+                          ROWS BETWEEN 1 FOLLOWING
+                                   AND UNBOUNDED FOLLOWING)
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -285,3 +285,59 @@ def _q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = base.unionByName(added)
     return crawl_delta(docs, new)
+
+def _q_justext_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText WITH the two heading passes at corpus scale (ops.justext
+    heading_col): same 25-word paragraph fixture as justext_classify
+    plus a deterministic heading flag every 4th slot and a tight
+    max_heading_distance so both promoted and budget-blocked headings
+    occur. The oracle re-derives the promotions with cumulative char
+    offsets — nearest-following-good within budget — proving the
+    window form equals the reference's sequential scan."""
+    from reader_spark.ops.justext import justext_classify
+    from reader_spark.ops.lines import chunk_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    lines = (
+        chunk_lines(docs, words_per_line=25)
+        .withColumnRenamed("line_no", "par_no")
+        .withColumnRenamed("line", "text")
+    )
+    heading = (F.col("doc_id") + F.col("par_no")) % 4 == 0
+    # heading slots truncate to their first 5 words (mid-document
+    # SHORT paragraphs — a tail-only short has nothing following to
+    # promote it from) and carry no links
+    short_text = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, 5), " "
+    )
+    lines = lines.withColumn(
+        "text", F.when(heading, short_text).otherwise(F.col("text"))
+    )
+    m7 = (F.col("doc_id") + 3 * F.col("par_no")) % 7
+    link = (
+        F.when(heading, F.lit(0))
+        .when(m7 == 0, F.floor(F.length("text") / 2))
+        .when(m7 == 1, F.floor(F.length("text") / 10))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    pars = lines.withColumn("link_chars", link).withColumn(
+        "is_heading", heading
+    )
+    out = justext_classify(
+        pars,
+        stopwords=("a", "the", "table", "value"),
+        length_low=70,
+        length_high=120,
+        stopwords_low=0.12,
+        stopwords_high=0.18,
+        max_link_density=0.2,
+        heading_col="is_heading",
+        max_heading_distance=150,
+    )
+    return out.select(
+        "doc_id",
+        "par_no",
+        F.col("length").cast("long").alias("length"),
+        "cf_class",
+        "final_class",
+    )

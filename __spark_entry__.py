@@ -39,6 +39,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_blocklist_filter,
     _q_boilerpipe_classify,
     _q_c4_page_clean,
+    _q_change_rate,
     _q_crawl_delta,
     _q_justext_classify,
     _q_justext_headings,
@@ -3916,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "justext_headings": _q_justext_headings,
         "boilerpipe_classify": _q_boilerpipe_classify,
         "crawl_delta": _q_crawl_delta,
+        "change_rate": _q_change_rate,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

@@ -151,6 +151,7 @@ BENCH_QUERIES = (
     "table_cells",
     "arm_agreement",
     "crawl_delta",
+    "change_rate",
 )
 
 

@@ -82,3 +82,43 @@ def refresh_frontier(
         F.col("status").isin(ADDED, CHANGED)
     )
     return new.join(work, id_col).drop("status")
+
+
+def change_rate(
+    history: DataFrame,
+    id_col: str = "doc_id",
+    status_col: str = "status",
+) -> DataFrame:
+    """Per-document change-frequency estimation from repeated crawl
+    deltas (Cho & Garcia-Molina 2003, "Estimating frequency of change"
+    — the recrawl-scheduler input): over the rounds where the document
+    was visited (status changed/unchanged; added/removed rounds carry
+    no before/after pair), estimate the Poisson change rate λ per
+    visit interval.
+
+    Two estimators, both from the paper:
+    - ``rate_naive`` = -ln(1 - X/n) — the intuitive estimator; NULL
+      when X = n (every visit changed ⇒ unbounded).
+    - ``rate_cho``   = -ln((n - X + 0.5) / (n + 0.5)) — the paper's
+      bias-reduced estimator, defined for all X (its §4.2 form).
+
+    A scheduler recrawls in rate order (or at interval ∝ 1/λ). One
+    map-side-combined groupBy on the id; the estimate is closed-form —
+    no iteration, nothing leaves the reducers but one row per doc.
+    """
+    visited = history.where(F.col(status_col).isin(CHANGED, UNCHANGED))
+    agg = visited.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.sum((F.col(status_col) == CHANGED).cast("long")).alias("n_changes"),
+    )
+    n = F.col("n_visits")
+    x = F.col("n_changes")
+    naive = F.when(x < n, -F.log(1 - x / n))
+    cho = -F.log((n - x + 0.5) / (n + 0.5))
+    return agg.select(
+        F.col(id_col),
+        "n_visits",
+        "n_changes",
+        F.round(naive, 6).alias("rate_naive"),
+        F.round(cho, 6).alias("rate_cho"),
+    )

@@ -2868,6 +2868,37 @@ def _oracle_sql_entries() -> dict[str, str]:
                           ROWS BETWEEN 1 FOLLOWING
                                    AND UNBOUNDED FOLLOWING)
         """,
+        # Cho & Garcia-Molina change-rate twin: same 8 synthetic delta
+        # rounds; only changed/unchanged rounds count as visits.
+        "change_rate": """
+            WITH h AS (
+                SELECT doc_id, unnest(range(0, 8)) AS r FROM documents
+            ),
+            s AS (
+                SELECT doc_id, r,
+                       CASE WHEN doc_id % 3 = 0 AND r = doc_id % 8
+                                THEN 'added'
+                            WHEN (doc_id * (r + 1) + r * r) % 5 = 0
+                                THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM h
+            ),
+            a AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_visits,
+                       CAST(sum(CASE WHEN status = 'changed'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+                FROM s WHERE status IN ('changed', 'unchanged')
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_visits, n_changes,
+                   round(CASE WHEN n_changes < n_visits
+                              THEN -ln(1 - n_changes / n_visits)
+                         END, 6) AS rate_naive,
+                   round(-ln((n_visits - n_changes + 0.5) /
+                             (n_visits + 0.5)), 6) AS rate_cho
+            FROM a
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -341,3 +341,30 @@ def _q_justext_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cf_class",
         "final_class",
     )
+
+def _q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-scheduler change-frequency estimation (ops.delta.
+    change_rate, Cho & Garcia-Molina 2003): per-doc Poisson rate from 8
+    synthesized delta rounds (changed iff (doc_id*(r+1)+r^2)%5==0; docs
+    % 3 lose one round to an 'added' status, proving the visited-only
+    filter). Naive -ln(1-X/n) and the bias-reduced (n-X+.5)/(n+.5)
+    estimator side by side. One map-side-combined groupBy."""
+    from reader_spark.ops.delta import change_rate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    hist = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("r")
+    )
+    status = (
+        F.when(
+            (F.col("doc_id") % 3 == 0) & (F.col("r") == F.col("doc_id") % 8),
+            "added",
+        )
+        .when(
+            (F.col("doc_id") * (F.col("r") + 1) + F.col("r") * F.col("r")) % 5
+            == 0,
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return change_rate(hist.withColumn("status", status))

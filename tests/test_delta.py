@@ -57,3 +57,43 @@ class TestCrawlDelta:
         for line in plan.splitlines():
             if "Exchange" in line:
                 assert "text#" not in line
+
+
+class TestChangeRate:
+    def _hist(self, spark, rows):
+        return spark.createDataFrame(
+            [Row(doc_id=d, status=s) for d, s in rows]
+        )
+
+    def test_estimators(self, spark):
+        import math
+
+        # doc 1: 2 changes in 4 visits; doc 2's 'added' round not a visit
+        rows = (
+            [(1, "changed")] * 2
+            + [(1, "unchanged")] * 2
+            + [(2, "added"), (2, "changed"), (2, "unchanged")]
+        )
+        from reader_spark.ops.delta import change_rate
+
+        got = {r.doc_id: r for r in change_rate(self._hist(spark, rows)).collect()}
+        assert (got[1].n_visits, got[1].n_changes) == (4, 2)
+        assert abs(got[1].rate_naive - round(-math.log(1 - 2 / 4), 6)) < 1e-9
+        assert abs(got[1].rate_cho - round(-math.log(2.5 / 4.5), 6)) < 1e-9
+        assert (got[2].n_visits, got[2].n_changes) == (2, 1)
+
+    def test_always_changed_doc_naive_undefined(self, spark):
+        from reader_spark.ops.delta import change_rate
+
+        rows = [(1, "changed")] * 3
+        got = change_rate(self._hist(spark, rows)).collect()[0]
+        assert got.rate_naive is None  # X = n -> unbounded
+        assert got.rate_cho is not None  # bias-reduced stays finite
+
+    def test_never_changed_doc_rate_zero_naive(self, spark):
+        from reader_spark.ops.delta import change_rate
+
+        rows = [(1, "unchanged")] * 5
+        got = change_rate(self._hist(spark, rows)).collect()[0]
+        assert got.rate_naive == 0.0
+        assert got.rate_cho == 0.0  # (n - 0 + .5)/(n + .5) = 1 -> ln 1

@@ -152,6 +152,7 @@ BENCH_QUERIES = (
     "arm_agreement",
     "crawl_delta",
     "change_rate",
+    "calibration_bins",
 )
 
 

@@ -246,3 +246,57 @@ def binary_recall_eval(
             ).alias("recall"),
         )
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier
+    (Guo et al. 2017 "On Calibration of Modern Neural Networks" §2):
+    equal-width score bins, each reporting its size, mean confidence
+    and empirical positive rate — a calibrated model has them equal per
+    bin. One map-side-combined groupBy over the ≤n_bins dim; the gap is
+    computed from the ROUNDED means so both engines agree bit-for-bit.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    agg = (
+        scored.select(
+            b.alias("bin"),
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("double").alias("_l"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_s"), 6).alias("mean_score"),
+            F.round(F.avg("_l"), 6).alias("frac_pos"),
+        )
+    )
+    return agg.withColumn(
+        "gap", F.round(F.abs(F.col("mean_score") - F.col("frac_pos")), 6)
+    )
+
+
+def expected_calibration_error(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """ECE (weighted mean per-bin |confidence − accuracy|) + MCE (max
+    gap) as one row — the quality-classifier health number a curation
+    pipeline alerts on. Folds the calibration_bins frame; the global
+    aggregate sees ≤n_bins rows."""
+    bins = calibration_bins(scored, score_col, label_col, n_bins)
+    return bins.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.round(
+            F.sum(F.col("n_docs") * F.col("gap")) / F.sum("n_docs"), 6
+        ).alias("ece"),
+        F.max("gap").alias("mce"),
+    )

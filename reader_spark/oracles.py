@@ -285,6 +285,34 @@ def oracle_sql() -> dict[str, str]:
     # Bloom prefilter is lossless (no false negatives) — sharing the exact
     # oracle proves phase-1 never drops a contaminated doc.
     out["decontaminate_bloom"] = out["decontaminate"]
+    # Calibration bins compose the two existing oracles they grade —
+    # the score and the label are the SAME expressions the
+    # quality_logit / gopher_rules rows already certify.
+    out["calibration_bins"] = f"""
+        WITH q AS ({out["quality_logit"]}),
+        g AS ({out["gopher_rules"]}),
+        j AS (
+            SELECT q.doc_id, q.score,
+                   CAST(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END
+                        AS DOUBLE) AS label
+            FROM q JOIN g ON q.doc_id = g.doc_id
+        ),
+        b AS (
+            SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+                   score, label
+            FROM j
+        ),
+        a AS (
+            SELECT bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(score), 6) AS mean_score,
+                   round(avg(label), 6) AS frac_pos
+            FROM b GROUP BY bin
+        )
+        SELECT bin, n_docs, mean_score, frac_pos,
+               round(abs(mean_score - frac_pos), 6) AS gap
+        FROM a
+    """
     out["ann_lsh_md5"] = _ann_lsh_md5_oracle()
     out["hard_negatives_bucketed"] = _hard_negatives_bucketed_oracle()
     out["doc_sim_topk_bucketed"] = _doc_sim_topk_bucketed_oracle()

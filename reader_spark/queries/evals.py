@@ -184,7 +184,31 @@ def _q_arm_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier calibration (ops.evals.calibration_bins, Guo
+    et al. 2017): the logit score (ops.textstats.quality_logit_score)
+    binned against the Gopher rule battery's pass/fail as the label —
+    how well the cheap continuous score predicts the expensive rule
+    gate. Both score and label derive from one documents scan (co-keyed
+    join); the reliability fold is a groupBy over the 10-bin dim. The
+    companion one-row health number is ops.evals.
+    expected_calibration_error (unit-tested; same fold)."""
+    from reader_spark.ops.evals import calibration_bins
+    from reader_spark.ops.textstats import (
+        gopher_quality_columns,
+        quality_logit_score,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = quality_logit_score(docs).select("doc_id", "score")
+    label = gopher_quality_columns(docs).select(
+        "doc_id", F.when(F.col("gopher_pass"), 1).otherwise(0).alias("label")
+    )
+    return calibration_bins(scored.join(label, "doc_id"))
+
+
 QUERIES = {
     "extraction_eval": _q_extraction_eval,
     "arm_agreement": _q_arm_agreement,
+    "calibration_bins": _q_calibration_bins,
 }

@@ -57,3 +57,36 @@ def test_arm_agreement_bounds(spark):
     assert 0.0 <= r.agree_rate <= 1.0
     assert -1.0 <= r.kappa <= 1.0
     assert abs(r.agree_rate - r.n_agree / r.n_blocks) < 1e-6
+
+
+def test_calibration_ops(spark):
+    """calibration_bins + ECE/MCE on a hand-built scored frame."""
+    from pyspark.sql import Row
+
+    from reader_spark.ops.evals import (
+        calibration_bins,
+        expected_calibration_error,
+    )
+
+    rows = (
+        # bin 0 (scores ~0.05): 4 docs, 1 positive -> conf .05, acc .25
+        [Row(score=0.05, label=1)] + [Row(score=0.05, label=0)] * 3
+        # bin 9 (score 1.0 clamps into bin 9): 2 docs, both positive
+        + [Row(score=1.0, label=1), Row(score=0.95, label=1)]
+    )
+    df = spark.createDataFrame(rows)
+    bins = {r.bin: r for r in calibration_bins(df).collect()}
+    assert set(bins) == {0, 9}
+    assert bins[0].n_docs == 4
+    assert abs(bins[0].mean_score - 0.05) < 1e-9
+    assert abs(bins[0].frac_pos - 0.25) < 1e-9
+    assert abs(bins[0].gap - 0.2) < 1e-9
+    assert bins[9].n_docs == 2  # score 1.0 clamped into the last bin
+    assert abs(bins[9].frac_pos - 1.0) < 1e-9
+
+    ece = expected_calibration_error(df).collect()[0]
+    assert ece.n_docs == 6
+    # weighted: (4*0.2 + 2*gap9)/6
+    gap9 = bins[9].gap
+    assert abs(ece.ece - round((4 * 0.2 + 2 * gap9) / 6, 6)) < 1e-9
+    assert ece.mce == max(0.2, gap9)

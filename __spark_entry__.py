@@ -36,6 +36,7 @@ from reader_spark.queries.interleaved import (  # noqa: E402
     _q_template_clusters,
 )
 from reader_spark.queries.curation import (  # noqa: E402
+    _q_anchor_corpus,
     _q_blocklist_filter,
     _q_boilerpipe_classify,
     _q_c4_page_clean,
@@ -3918,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerpipe_classify": _q_boilerpipe_classify,
         "crawl_delta": _q_crawl_delta,
         "change_rate": _q_change_rate,
+        "anchor_corpus": _q_anchor_corpus,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

@@ -153,6 +153,7 @@ BENCH_QUERIES = (
     "crawl_delta",
     "change_rate",
     "calibration_bins",
+    "anchor_corpus",
 )
 
 

@@ -2927,6 +2927,56 @@ def _oracle_sql_entries() -> dict[str, str]:
                              (n_visits + 0.5)), 6) AS rate_cho
             FROM a
         """,
+        # Anchor-corpus twin: same synthetic link rows; dominant anchor
+        # = struct max on (n_refs, anchor), field order matching the
+        # Spark struct so tie-breaks agree byte-for-byte.
+        "anchor_corpus": """
+            WITH l AS (
+                SELECT doc_id, unnest(range(0, 3)) AS k FROM documents
+            ),
+            raw AS (
+                SELECT 'https://t.test/p' ||
+                           CAST((doc_id * (k + 1)) % 97 AS VARCHAR) AS url,
+                       CASE (doc_id + 7 * k) % 6
+                            WHEN 0 THEN 'click here'
+                            WHEN 1 THEN 'spark guide'
+                            WHEN 2 THEN 'data docs page'
+                            WHEN 3 THEN 'spark guide'
+                            WHEN 4 THEN ''
+                            ELSE 'guide ' || CAST(doc_id % 5 AS VARCHAR)
+                       END AS anchor,
+                       'd' || CAST(doc_id % 11 AS VARCHAR) AS src
+                FROM l
+            ),
+            kept AS (
+                SELECT url, trim(anchor) AS anchor, src FROM raw
+                WHERE length(trim(anchor)) > 0
+                  AND length(trim(anchor)) <= 128
+                  AND lower(trim(anchor)) NOT IN
+                      ('click here', 'here', 'read more', 'more',
+                       'link', 'this', 'home')
+            ),
+            pairs AS (
+                SELECT url, anchor,
+                       CAST(count(*) AS BIGINT) AS n_refs
+                FROM kept GROUP BY 1, 2
+            ),
+            roll AS (
+                SELECT url,
+                       CAST(sum(n_refs) AS BIGINT) AS n_refs,
+                       CAST(count(*) AS BIGINT) AS n_anchors,
+                       max({'n': n_refs, 'a': anchor}) AS top
+                FROM pairs GROUP BY url
+            ),
+            doms AS (
+                SELECT url,
+                       CAST(count(DISTINCT src) AS BIGINT) AS n_domains
+                FROM kept GROUP BY url
+            )
+            SELECT r.url, r.n_refs, r.n_anchors, d.n_domains,
+                   r.top.a AS top_anchor, r.top.n AS top_anchor_refs
+            FROM roll r JOIN doms d USING (url)
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

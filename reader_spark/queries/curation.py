@@ -368,3 +368,38 @@ def _q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
     )
     return change_rate(hist.withColumn("status", status))
+
+def _q_anchor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus table (ops.anchors.anchor_corpus): per target
+    URL, inbound reference counts, distinct anchors/domains, and the
+    dominant anchor (max by (n_refs, anchor) — one deterministic struct
+    max). Fixture links: 3 per doc over a 97-URL target space with
+    anchors cycling through two filtered forms ('click here', '') and
+    three real ones. Two-level aggregation with map-side combine; the
+    distinct-domain fold joins back on the same url key."""
+    from reader_spark.ops.anchors import anchor_corpus
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    links = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k")
+    )
+    m6 = (F.col("doc_id") + 7 * F.col("k")) % 6
+    anchor = (
+        F.when(m6 == 0, "click here")
+        .when(m6 == 1, "spark guide")
+        .when(m6 == 2, "data docs page")
+        .when(m6 == 3, "spark guide")
+        .when(m6 == 4, "")
+        .otherwise(F.concat(F.lit("guide "), (F.col("doc_id") % 5).cast("string")))
+    )
+    frame = links.select(
+        F.concat(
+            F.lit("https://t.test/p"),
+            ((F.col("doc_id") * (F.col("k") + 1)) % 97).cast("string"),
+        ).alias("target_url"),
+        anchor.alias("anchor"),
+        F.concat(F.lit("d"), (F.col("doc_id") % 11).cast("string")).alias(
+            "src_domain"
+        ),
+    )
+    return anchor_corpus(frame)

@@ -46,6 +46,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_justext_headings,
     _q_ccnet_buckets,
     _q_curriculum_order,
+    _q_section_rollup,
     _q_sentence_spans_apply,
     _q_sentence_spans_dedup,
     _q_source_diversity,
@@ -3920,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q_crawl_delta,
         "change_rate": _q_change_rate,
         "anchor_corpus": _q_anchor_corpus,
+        "section_rollup": _q_section_rollup,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

@@ -154,6 +154,7 @@ BENCH_QUERIES = (
     "change_rate",
     "calibration_bins",
     "anchor_corpus",
+    "section_rollup",
 )
 
 

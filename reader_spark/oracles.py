@@ -2977,6 +2977,46 @@ def _oracle_sql_entries() -> dict[str, str]:
                    r.top.a AS top_anchor, r.top.n AS top_anchor_refs
             FROM roll r JOIN doms d USING (url)
         """,
+        # Section-rollup twin: identical synthetic URLs; DuckDB list
+        # slices are 1-based inclusive, matching Spark slice(arr, 1, i).
+        "section_rollup": """
+            WITH u AS (
+                SELECT doc_id,
+                       'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+                       CASE WHEN doc_id % 23 = 0 THEN '/'
+                            ELSE '/' || array_to_string(
+                                list_transform(
+                                    range(0, CAST(1 + doc_id % 4 AS BIGINT)),
+                                    i -> 's' || CAST((doc_id + i * 3) % 6
+                                                     AS VARCHAR)),
+                                '/')
+                       END AS path,
+                       (doc_id % 100) / 100.0 AS quality
+                FROM documents
+            ),
+            segs AS (
+                SELECT domain, quality,
+                       list_filter(string_split(path, '/')[2:6],
+                                   s -> s <> '') AS sg
+                FROM u
+            ),
+            pref AS (
+                SELECT domain, quality,
+                       unnest(CASE WHEN len(sg) = 0 THEN ['/']
+                              ELSE list_transform(
+                                  range(1, len(sg) + 1),
+                                  i -> '/' || array_to_string(sg[1:i], '/'))
+                              END) AS section
+                FROM segs
+            )
+            SELECT domain, section,
+                   CAST(CASE WHEN section = '/' THEN 0
+                        ELSE len(string_split(section, '/')) - 1
+                        END AS INTEGER) AS depth,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(quality), 6) AS mean_quality
+            FROM pref GROUP BY domain, section
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -403,3 +403,32 @@ def _q_anchor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return anchor_corpus(frame)
+
+def _q_section_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-section rollup (ops.sections.section_rollup): docs and mean
+    quality per URL path prefix — the data-driven replacement for
+    hand-written crawler include/exclude regexes. Fixture URLs:
+    1 + doc_id % 4 path segments from a 6-name alphabet over 7 domains
+    (root-only every 23rd doc); quality = (doc_id % 100)/100. Prefix
+    explode is bounded by path depth; ONE map-side-combined groupBy."""
+    from reader_spark.ops.sections import section_rollup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    depth = 1 + F.col("doc_id") % 4
+    segs = F.transform(
+        F.sequence(F.lit(0), (depth - 1).cast("int")),
+        lambda i: F.concat(
+            F.lit("s"), ((F.col("doc_id") + i * 3) % 6).cast("string")
+        ),
+    )
+    path = F.when(F.col("doc_id") % 23 == 0, F.lit("/")).otherwise(
+        F.concat(F.lit("/"), F.array_join(segs, "/"))
+    )
+    frame = docs.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string")).alias(
+            "domain"
+        ),
+        path.alias("path"),
+        ((F.col("doc_id") % 100) / 100.0).alias("quality"),
+    )
+    return section_rollup(frame)

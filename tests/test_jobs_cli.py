@@ -721,3 +721,53 @@ def test_tokenize_job_learn_concat_then_reuse_nextfit(spark, tmp_path):
     assert 0 < second["mean_fill_frac"] <= 1
     packed = spark.read.parquet(out2 + "/packed")
     assert packed.count() == 500  # no-split: one row per doc
+
+
+def test_refresh_job_extracts_only_added_and_changed(tmp_path, spark):
+    """refresh_job: delta sidecar written; only added+changed docs
+    reach the extracted table; unchanged/removed never re-extract."""
+    import copy
+
+    from reader_spark import fixtures
+    from reader_spark.spark.job import docs_from_rows
+
+    rows = [d for d in fixtures.fixture_docs() if d["doc_id"] != "pdf-two-column"]
+    assert len(rows) >= 4
+    removed_id = rows[1]["doc_id"]
+    added_id = rows[-1]["doc_id"]
+    changed_id = rows[0]["doc_id"]
+
+    old_rows = [r for r in rows[:-1]]  # 'added_id' missing from old
+    new_rows = [copy.deepcopy(r) for r in rows if r["doc_id"] != removed_id]
+    for r in new_rows:
+        if r["doc_id"] == changed_id:
+            r["spans"][0]["text"] += "<p>updated content here</p>"
+
+    old_p = str(tmp_path / "old")
+    new_p = str(tmp_path / "new")
+    docs_from_rows(spark, old_rows).write.parquet(old_p)
+    docs_from_rows(spark, new_rows).write.parquet(new_p)
+
+    wh = str(tmp_path / "wh")
+    summary = run_job(
+        "refresh_job.py",
+        "--old", old_p,
+        "--new", new_p,
+        "--warehouse", wh,
+        "--run-id", "refresh1",
+        "--master", "local[4]",
+    )
+    assert summary["delta"]["added"] == 1
+    assert summary["delta"]["changed"] == 1
+    assert summary["delta"]["removed"] == 1
+    assert summary["delta"]["unchanged"] == len(rows) - 3
+
+    extracted = spark.read.parquet(wh + "/extracted")
+    got_ids = {r.doc_id for r in extracted.select("doc_id").distinct().collect()}
+    assert got_ids == {added_id, changed_id}
+
+    delta = spark.read.parquet(wh + "/refresh_delta")
+    statuses = {r.doc_id: r.status for r in delta.collect()}
+    assert statuses[removed_id] == "removed"
+    assert statuses[added_id] == "added"
+    assert statuses[changed_id] == "changed"

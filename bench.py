@@ -466,6 +466,52 @@ def main() -> None:
         ],
     )
 
+    # 4) refresh lifecycle: mutate the vlm corpus deterministically
+    #    (~6% removed, ~8% changed, ~5% added by doc_id hash) and time
+    #    the diff-then-extract-only-churn path — the nightly-run shape.
+    refresh_new = os.path.join(BENCH_DIR, "refresh_new.parquet")
+    if not os.path.isdir(refresh_new):
+        docs = spark.read.parquet(vlm_corpus)
+        key = F.abs(F.xxhash64("doc_id"))
+        mutated_spans = F.transform(
+            "spans",
+            lambda s, i: F.when(
+                i == 0,
+                F.struct(
+                    s["kind"].alias("kind"),
+                    F.concat(s["text"], F.lit("<p>refresh delta</p>")).alias(
+                        "text"
+                    ),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).otherwise(s),
+        )
+        base = docs.where(key % 17 != 0)
+        changed = F.when(key % 13 == 0, mutated_spans).otherwise(F.col("spans"))
+        added = docs.where(key % 19 == 0).withColumn(
+            "doc_id", F.concat("doc_id", F.lit("-new"))
+        )
+        base.withColumn("spans", changed).unionByName(added).write.mode(
+            "overwrite"
+        ).parquet(refresh_new)
+    refresh_wh = os.path.join(BENCH_DIR, "refresh_wh")
+    if os.path.isdir(refresh_wh):
+        import shutil
+
+        shutil.rmtree(refresh_wh)
+    run_job(
+        "refresh_job",
+        [
+            "jobs/refresh_job.py",
+            "--old", vlm_corpus,
+            "--new", refresh_new,
+            "--warehouse", refresh_wh,
+            "--run-id", "bench_refresh",
+            "--master", f"local[{CPUS}]",
+        ],
+    )
+
     # Calibration lines IMMEDIATELY around the headline timing — the r1
     # number paired a calibration measured minutes earlier with an
     # extraction measured after the 41-query block, so VM phase drift

@@ -155,6 +155,7 @@ BENCH_QUERIES = (
     "calibration_bins",
     "anchor_corpus",
     "section_rollup",
+    "ranking_metrics",
 )
 
 

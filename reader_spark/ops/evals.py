@@ -300,3 +300,82 @@ def expected_calibration_error(
         ).alias("ece"),
         F.max("gap").alias("mce"),
     )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query IR metrics for a retrieval run (the BM25/ANN stack's
+    report card): MRR, NDCG@k (exponential gain (2^rel - 1) /
+    log2(rank+1), Järvelin & Kekäläinen 2002), Recall@k.
+
+    Inputs: ``results`` (query, doc, rank 1..) and graded judgments
+    ``qrels`` (query, doc, rel >= 0). Queries with no relevant
+    judgments report 0s rather than vanishing (qrels is the spine).
+
+    Float lockstep: every DCG/IDCG term is rounded to integer nanos
+    then summed (groupBy float sums are order-nondeterministic;
+    integer sums are not — the repo-wide discipline). IDCG folds the
+    rel list sorted descending inside the aggregate, so both folds see
+    a fixed order. One shuffle per side, both keyed on the query."""
+    topk = results.where(F.col(rank_col) <= k)
+    j = topk.join(qrels, [query_col, doc_col], "left").withColumn(
+        "_rel", F.coalesce(F.col(rel_col), F.lit(0))
+    )
+    term = F.round(
+        (F.pow(F.lit(2.0), F.col("_rel")) - 1)
+        / F.log2(F.col(rank_col) + 1)
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    ret = j.groupBy(query_col).agg(
+        F.sum(term).alias("_dcg_nanos"),
+        F.min(F.when(F.col("_rel") > 0, F.col(rank_col))).alias("_first"),
+        F.sum((F.col("_rel") > 0).cast("long")).alias("n_ret_rel"),
+    )
+    ideal_terms = F.transform(
+        F.slice(
+            F.reverse(F.array_sort(F.collect_list(F.col(rel_col)))), 1, k
+        ),
+        lambda x, i: F.round(
+            (F.pow(F.lit(2.0), x) - 1)
+            / F.log2(i + F.lit(2.0))
+            * F.lit(1e9),
+            0,
+        ).cast("long"),
+    )
+    spine = qrels.groupBy(query_col).agg(
+        F.sum((F.col(rel_col) > 0).cast("long")).alias("n_rel"),
+        F.aggregate(
+            ideal_terms, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("_idcg_nanos"),
+    )
+    out = spine.join(ret, query_col, "left")
+    return out.select(
+        F.col(query_col),
+        "n_rel",
+        F.coalesce("n_ret_rel", F.lit(0)).alias("n_ret_rel"),
+        F.when(F.col("_first").isNotNull(), F.round(1 / F.col("_first"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(F.coalesce("n_ret_rel", F.lit(0)) / F.col("n_rel"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_k"),
+        F.when(
+            F.col("_idcg_nanos") > 0,
+            F.round(
+                F.coalesce("_dcg_nanos", F.lit(0)) / F.col("_idcg_nanos"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg_k"),
+    )

@@ -3017,6 +3017,73 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round(avg(quality), 6) AS mean_quality
             FROM pref GROUP BY domain, section
         """,
+        # Ranking-metrics twin: DuckDB list lambdas are 1-based, so the
+        # IDCG discount is log2(i + 1.0) vs Spark's 0-based log2(i+2);
+        # nano terms round-then-cast (both engines round first, so the
+        # trunc-vs-round cast divergence never appears).
+        "ranking_metrics": """
+            WITH q AS (
+                SELECT doc_id AS query_id FROM documents WHERE doc_id < 20
+            ),
+            res AS (
+                SELECT query_id, unnest(range(1, 11)) AS rank FROM q
+            ),
+            res2 AS (
+                SELECT query_id, rank,
+                       (query_id * 31 + rank * 7) % 200 AS doc_id
+                FROM res
+            ),
+            qr AS (
+                SELECT query_id, unnest(range(0, 15)) AS j FROM q
+            ),
+            qr2 AS (
+                SELECT query_id,
+                       (query_id * 31 + j * 11) % 200 AS doc_id,
+                       j % 4 AS rel
+                FROM qr
+            ),
+            joined AS (
+                SELECT r.query_id, r.rank, COALESCE(g.rel, 0) AS rel
+                FROM res2 r LEFT JOIN qr2 g
+                  ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+            ),
+            ret AS (
+                SELECT query_id,
+                       CAST(sum(CAST(round((pow(2.0, rel) - 1)
+                                / log2(rank + 1) * 1e9) AS BIGINT))
+                            AS BIGINT) AS dcg_nanos,
+                       min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+                       CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_ret_rel
+                FROM joined WHERE rank <= 10 GROUP BY query_id
+            ),
+            spine AS (
+                SELECT query_id,
+                       CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_rel,
+                       CAST(list_aggregate(
+                           list_transform(
+                               (list_sort(list(rel), 'DESC'))[1:10],
+                               (x, i) -> CAST(round((pow(2.0, x) - 1)
+                                         / log2(i + 1.0) * 1e9)
+                                         AS BIGINT)),
+                           'sum') AS BIGINT) AS idcg_nanos
+                FROM qr2 GROUP BY query_id
+            )
+            SELECT s.query_id, s.n_rel,
+                   COALESCE(r.n_ret_rel, 0) AS n_ret_rel,
+                   CASE WHEN r.first_rel IS NOT NULL
+                        THEN round(1 / r.first_rel, 6)
+                        ELSE 0.0 END AS mrr,
+                   CASE WHEN s.n_rel > 0
+                        THEN round(COALESCE(r.n_ret_rel, 0) / s.n_rel, 6)
+                        ELSE 0.0 END AS recall_k,
+                   CASE WHEN s.idcg_nanos > 0
+                        THEN round(COALESCE(r.dcg_nanos, 0)
+                                   / s.idcg_nanos, 6)
+                        ELSE 0.0 END AS ndcg_k
+            FROM spine s LEFT JOIN ret r USING (query_id)
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

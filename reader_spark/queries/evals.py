@@ -207,8 +207,39 @@ def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(scored.join(label, "doc_id"))
 
 
+def _q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR report card for a retrieval run (ops.evals.ranking_metrics):
+    per-query MRR / NDCG@10 / Recall@10 over a deterministic 20-query
+    run (ranks 1..10, doc = (q*31+7r)%200) against graded judgments
+    (15 per query, rel = j%4, doc = (q*31+11j)%200) — overlap where
+    7r ≡ 11j (mod 200). DCG/IDCG terms round to integer nanos before
+    the order-free sum; qrels is the spine so zero-hit queries stay
+    visible. Both folds key on the query id."""
+    from reader_spark.ops.evals import ranking_metrics
+
+    qs = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select(F.col("doc_id").alias("query_id"))
+    )
+    results = qs.select(
+        "query_id", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("rank")
+    ).withColumn(
+        "doc_id", (F.col("query_id") * 31 + F.col("rank") * 7) % 200
+    )
+    qrels = qs.select(
+        "query_id", F.explode(F.sequence(F.lit(0), F.lit(14))).alias("j")
+    ).select(
+        "query_id",
+        ((F.col("query_id") * 31 + F.col("j") * 11) % 200).alias("doc_id"),
+        (F.col("j") % 4).alias("rel"),
+    )
+    return ranking_metrics(results, qrels)
+
+
 QUERIES = {
     "extraction_eval": _q_extraction_eval,
     "arm_agreement": _q_arm_agreement,
     "calibration_bins": _q_calibration_bins,
+    "ranking_metrics": _q_ranking_metrics,
 }

@@ -90,3 +90,53 @@ def test_calibration_ops(spark):
     gap9 = bins[9].gap
     assert abs(ece.ece - round((4 * 0.2 + 2 * gap9) / 6, 6)) < 1e-9
     assert ece.mce == max(0.2, gap9)
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """MRR/NDCG@k/Recall@k on a tiny hand-checked run."""
+    import math
+
+    from pyspark.sql import Row
+
+    from reader_spark.ops.evals import ranking_metrics
+
+    results = spark.createDataFrame(
+        [
+            Row(query_id=1, doc_id=10, rank=1),
+            Row(query_id=1, doc_id=11, rank=2),
+            Row(query_id=1, doc_id=12, rank=3),
+            Row(query_id=2, doc_id=20, rank=1),  # nothing relevant
+        ]
+    )
+    qrels = spark.createDataFrame(
+        [
+            Row(query_id=1, doc_id=11, rel=2),  # found at rank 2
+            Row(query_id=1, doc_id=12, rel=1),  # found at rank 3
+            Row(query_id=1, doc_id=99, rel=3),  # never retrieved
+            Row(query_id=2, doc_id=77, rel=1),  # never retrieved
+            Row(query_id=3, doc_id=55, rel=0),  # judged irrelevant only
+        ]
+    )
+    got = {r.query_id: r for r in ranking_metrics(results, qrels, k=10).collect()}
+
+    q1 = got[1]
+    assert q1.n_rel == 3  # doc 99 (rel 3) is judged relevant, unretrieved
+    assert q1.n_ret_rel == 2
+    assert abs(q1.mrr - 0.5) < 1e-9  # first relevant at rank 2
+    assert abs(q1.recall_k - 2 / 3) < 1e-6
+    dcg = (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    idcg = (
+        (2**3 - 1) / math.log2(2)
+        + (2**2 - 1) / math.log2(3)
+        + (2**1 - 1) / math.log2(4)
+    )
+    assert abs(q1.ndcg_k - dcg / idcg) < 2e-6
+
+    q2 = got[2]
+    assert q2.mrr == 0.0
+    assert q2.recall_k == 0.0
+    assert q2.ndcg_k == 0.0
+    assert q2.n_rel == 1
+
+    q3 = got[3]  # zero relevant: all metrics 0, query still visible
+    assert (q3.n_rel, q3.mrr, q3.recall_k, q3.ndcg_k) == (0, 0.0, 0.0, 0.0)

@@ -32,6 +32,7 @@ from reader_spark.queries.interleaved import (  # noqa: E402
     _q_span_corruption,
     _q_span_kinds_full,
     _q_span_langid_profile,
+    _q_outline_edges,
     _q_table_cells,
     _q_template_clusters,
 )
@@ -3897,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_langid_profile": _q_span_langid_profile,
         "template_clusters": _q_template_clusters,
         "table_cells": _q_table_cells,
+        "outline_edges": _q_outline_edges,
         "interleave_profile": _q_interleave_profile,
         "bigram_lm": _q_bigram_lm,
         "multimodal_packing": _q_multimodal_packing,

@@ -156,6 +156,7 @@ BENCH_QUERIES = (
     "anchor_corpus",
     "section_rollup",
     "ranking_metrics",
+    "outline_edges",
 )
 
 

@@ -3084,6 +3084,32 @@ def _oracle_sql_entries() -> dict[str, str]:
                         ELSE 0.0 END AS ndcg_k
             FROM spine s LEFT JOIN ret r USING (query_id)
         """,
+        # Outline twin: expected heading edges constructed directly
+        # from the fixture page shape (h1 > h2 > h3 / h2), so the
+        # HTML→heading-span→edge path through the real engine is
+        # checked against an independent derivation.
+        "outline_edges": """
+            SELECT doc_id, u.o AS ord, u.l AS level,
+                   u.t AS title, u.p AS parent_ord
+            FROM (
+                SELECT doc_id,
+                       unnest([
+                           {'o': 0, 'l': 1,
+                            't': 'Doc ' || CAST(doc_id AS VARCHAR),
+                            'p': CAST(NULL AS INTEGER)},
+                           {'o': 2, 'l': 2,
+                            't': 'Part A ' || CAST(doc_id AS VARCHAR),
+                            'p': 0},
+                           {'o': 4, 'l': 3,
+                            't': 'Sub ' || CAST(doc_id AS VARCHAR),
+                            'p': 2},
+                           {'o': 6, 'l': 2,
+                            't': 'Part B ' || CAST(doc_id AS VARCHAR),
+                            'p': 0}
+                       ]) AS u
+                FROM documents
+            )
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -548,3 +548,46 @@ def _q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_idx",
         "cell",
     )
+
+def _q_outline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document outline (ops.outline.outline_edges): heading-hierarchy
+    edges from real extraction output — every doc wrapped with a nested
+    h1 > h2 > h3 / h2 page, run through extract_dataframe, heading
+    spans turned into (ord, level, title, parent_ord) edges. Parent
+    search uses the bounded ATX level domain: six fixed last()-window
+    columns per doc partition, greatest of the shallower ones — no
+    recursion. The oracle constructs the expected edges directly."""
+    from reader_spark.ops.outline import outline_edges
+    from reader_spark.spark.job import extract_dataframe
+
+    documents = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit("<html><body><article><h1>Doc "), d, F.lit("</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("<h2>Part A "), d, F.lit("</h2><p>alpha body</p>"),
+        F.lit("<h3>Sub "), d, F.lit("</h3><p>beta body</p>"),
+        F.lit("<h2>Part B "), d, F.lit("</h2><p>gamma body</p>"),
+        F.lit("</article></body></html>"),
+    )
+    docs = documents.select(
+        d.alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                payload.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    spans = (
+        extract_dataframe(docs)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("s.order").alias("ord"),
+            F.col("s.text").alias("text"),
+        )
+    )
+    return outline_edges(spans)

@@ -157,6 +157,7 @@ BENCH_QUERIES = (
     "section_rollup",
     "ranking_metrics",
     "outline_edges",
+    "section_chunks",
 )
 
 

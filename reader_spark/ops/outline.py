@@ -71,3 +71,48 @@ def outline_edges(
         "title",
         parent.alias("parent_ord"),
     )
+
+
+def section_of_spans(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    ord_col: str = "ord",
+    text_col: str = "text",
+) -> DataFrame:
+    """Label every NON-heading span with its governing heading — the
+    nearest preceding heading span of any level (NULL in front matter
+    before the first heading). The RAG-chunk product: each text/table/
+    code span leaves with (section_ord, section_level, section_title)
+    so retrieval chunks carry their section context; full ancestor
+    paths come from joining ``outline_edges`` on section_ord.
+
+    Same single doc-partitioned window as outline_edges; pure map
+    otherwise."""
+    level = F.length(F.regexp_extract(F.col(text_col), r"^(#{1,6}) ", 1))
+    base = spans.withColumn("_lvl", level)
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy(ord_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    head_info = F.when(
+        F.col("_lvl") > 0,
+        F.struct(
+            F.col(ord_col).alias("o"),
+            F.col("_lvl").alias("l"),
+            F.regexp_replace(F.col(text_col), r"^#{1,6} ", "").alias("t"),
+        ),
+    )
+    # the window must run BEFORE the non-heading filter — it is the
+    # heading rows themselves that carry the section labels forward
+    labelled = base.withColumn(
+        "_sec", F.last(head_info, ignorenulls=True).over(w_prev)
+    )
+    return labelled.where(F.col("_lvl") == 0).select(
+        F.col(id_col),
+        F.col(ord_col),
+        F.col(text_col),
+        F.col("_sec").getField("o").alias("section_ord"),
+        F.col("_sec").getField("l").alias("section_level"),
+        F.col("_sec").getField("t").alias("section_title"),
+    )

@@ -3110,6 +3110,32 @@ def _oracle_sql_entries() -> dict[str, str]:
                 FROM documents
             )
         """,
+        # Section-chunk twin: expected labels constructed directly from
+        # the nested-heading fixture shape; ord-1 text is the document
+        # text itself, the rest are the fixed paragraph literals.
+        "section_chunks": """
+            SELECT doc_id, u.o AS ord,
+                   u.so AS section_ord, u.sl AS section_level,
+                   u.st AS section_title, u.m AS text_md5
+            FROM (
+                SELECT doc_id,
+                       unnest([
+                           {'o': 1, 'so': 0, 'sl': 1,
+                            'st': 'Doc ' || CAST(doc_id AS VARCHAR),
+                            'm': md5(text)},
+                           {'o': 3, 'so': 2, 'sl': 2,
+                            'st': 'Part A ' || CAST(doc_id AS VARCHAR),
+                            'm': md5('alpha body')},
+                           {'o': 5, 'so': 4, 'sl': 3,
+                            'st': 'Sub ' || CAST(doc_id AS VARCHAR),
+                            'm': md5('beta body')},
+                           {'o': 7, 'so': 6, 'sl': 2,
+                            'st': 'Part B ' || CAST(doc_id AS VARCHAR),
+                            'm': md5('gamma body')}
+                       ]) AS u
+                FROM documents
+            )
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -549,15 +549,10 @@ def _q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     )
 
-def _q_outline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document outline (ops.outline.outline_edges): heading-hierarchy
-    edges from real extraction output — every doc wrapped with a nested
-    h1 > h2 > h3 / h2 page, run through extract_dataframe, heading
-    spans turned into (ord, level, title, parent_ord) edges. Parent
-    search uses the bounded ATX level domain: six fixed last()-window
-    columns per doc partition, greatest of the shallower ones — no
-    recursion. The oracle constructs the expected edges directly."""
-    from reader_spark.ops.outline import outline_edges
+def _nested_heading_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the outline family: every doc wrapped with a
+    nested h1 > h2 > h3 / h2 page, run through the REAL engine
+    (extract_dataframe), returned as (doc_id, ord, text) span rows."""
     from reader_spark.spark.job import extract_dataframe
 
     documents = _read(spark, sf_dir, "documents")
@@ -581,7 +576,7 @@ def _q_outline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spans"),
     )
-    spans = (
+    return (
         extract_dataframe(docs)
         .select("doc_id", F.explode("spans").alias("s"))
         .select(
@@ -590,4 +585,34 @@ def _q_outline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.text").alias("text"),
         )
     )
-    return outline_edges(spans)
+
+
+def _q_outline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document outline (ops.outline.outline_edges): heading-hierarchy
+    edges from real extraction output over the nested-heading fixture.
+    Parent search uses the bounded ATX level domain: six fixed
+    last()-window columns per doc partition, greatest of the shallower
+    ones — no recursion. The oracle constructs the expected edges
+    directly."""
+    from reader_spark.ops.outline import outline_edges
+
+    return outline_edges(_nested_heading_spans(spark, sf_dir))
+
+
+def _q_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section-labelled chunks (ops.outline.section_of_spans): every
+    non-heading span leaves with its governing heading's (ord, level,
+    title) — the RAG-chunk product over the same nested-heading
+    fixture; text is md5'd to keep rows bounded. One doc-partitioned
+    window; the labels ride the heading rows the filter then drops."""
+    from reader_spark.ops.outline import section_of_spans
+
+    out = section_of_spans(_nested_heading_spans(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "ord",
+        "section_ord",
+        "section_level",
+        "section_title",
+        F.md5(F.col("text")).alias("text_md5"),
+    )

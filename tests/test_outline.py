@@ -69,3 +69,34 @@ class TestOutlineEdges:
             for r in outline_edges(_spans(spark, rows)).collect()
         }
         assert got[(2, 0)] is None  # doc 1's h1 is not doc 2's parent
+
+
+class TestSectionOfSpans:
+    def test_labels_and_front_matter(self, spark):
+        from reader_spark.ops.outline import section_of_spans
+
+        rows = [
+            (1, 0, "front matter before any heading"),
+            (1, 1, "# Intro"),
+            (1, 2, "intro body"),
+            (1, 3, "## Details"),
+            (1, 4, "details body"),
+            (1, 5, "more details"),
+        ]
+        got = {
+            r.ord: (r.section_ord, r.section_title)
+            for r in section_of_spans(_spans(spark, rows)).collect()
+        }
+        assert got == {
+            0: (None, None),
+            2: (1, "Intro"),
+            4: (3, "Details"),
+            5: (3, "Details"),
+        }
+
+    def test_heading_rows_excluded_from_output(self, spark):
+        from reader_spark.ops.outline import section_of_spans
+
+        rows = [(1, 0, "# H"), (1, 1, "body")]
+        got = section_of_spans(_spans(spark, rows)).collect()
+        assert [r.ord for r in got] == [1]

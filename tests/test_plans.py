@@ -800,3 +800,40 @@ def test_table_cells_scan_local(spark):
         [Row(doc_id=1, text="| k |\n| --- |\n| v |")]
     )
     assert "Exchange" not in plan_of(table_cells(spans))
+
+
+def test_anchor_corpus_partial_agg_no_window(spark):
+    """Two-level aggregation: pair counts partial-agg before the
+    exchange; no window anywhere (mega-linked pages absorb map-side)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["anchor_corpus"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_ranking_metrics_keyed_on_query(spark):
+    """Both folds key on the query id; no single-partition stage."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["ranking_metrics"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(query_id" in plan
+
+
+def test_outline_windows_partition_by_doc(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["outline_edges"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_crawl_delta_no_payload_in_exchange(spark):
+    """The full-outer join shuffles digests + ids only."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["crawl_delta"](spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Exchange" in line and "text#" in line:
+            raise AssertionError(f"payload column in exchange: {line}")

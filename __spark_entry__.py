@@ -46,6 +46,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_crawl_delta,
     _q_justext_classify,
     _q_justext_headings,
+    _q_justext_multilang,
     _q_ccnet_buckets,
     _q_curriculum_order,
     _q_section_rollup,
@@ -3921,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_page_clean": _q_c4_page_clean,
         "justext_classify": _q_justext_classify,
         "justext_headings": _q_justext_headings,
+        "justext_multilang": _q_justext_multilang,
         "boilerpipe_classify": _q_boilerpipe_classify,
         "crawl_delta": _q_crawl_delta,
         "change_rate": _q_change_rate,

@@ -158,6 +158,7 @@ BENCH_QUERIES = (
     "ranking_metrics",
     "outline_edges",
     "section_chunks",
+    "justext_multilang",
 )
 
 

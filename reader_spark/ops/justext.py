@@ -64,6 +64,8 @@ def justext_classify(
     max_link_density: float = 0.2,
     heading_col: str | None = None,
     max_heading_distance: int = 200,
+    stopwords_by_lang: dict[str, tuple[str, ...]] | None = None,
+    lang_col: str = "lang",
 ) -> DataFrame:
     """Classify (id, par_no, text, link_chars) paragraph rows.
 
@@ -87,7 +89,22 @@ def justext_classify(
     length = F.length(F.col(text_col))
     words = F.split(F.col(text_col), " ")
     n_words = F.size(words)
-    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    if stopwords_by_lang:
+        # per-language stopword routing: jusText ships one list per
+        # language; a multilingual corpus picks by the row's lang.
+        # Each list rides the plan as a literal array behind a lang
+        # CASE — still pure expressions, no join, no Python.
+        stop_arr = None
+        for lg, ws in stopwords_by_lang.items():
+            arm = F.array(*[F.lit(w) for w in ws])
+            stop_arr = (
+                F.when(F.col(lang_col) == lg, arm)
+                if stop_arr is None
+                else stop_arr.when(F.col(lang_col) == lg, arm)
+            )
+        stop_arr = stop_arr.otherwise(F.array(*[F.lit(w) for w in stopwords]))
+    else:
+        stop_arr = F.array(*[F.lit(w) for w in stopwords])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
     stop_density = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
     link_density = F.col(link_chars_col) / F.greatest(length, F.lit(1))

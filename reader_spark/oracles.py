@@ -3136,6 +3136,126 @@ def _oracle_sql_entries() -> dict[str, str]:
                 FROM documents
             )
         """,
+        # Multilingual jusText twin: per-language stopword list picked
+        # inside the list_filter lambda by the row's lang (lambdas
+        # capture outer columns in both engines). No © inject.
+        "justext_multilang": """
+            WITH l0 AS (
+                SELECT doc_id, lang,
+                       unnest(list_transform(
+                           regexp_extract_all(text, '\\S+( \\S+){0,24}'),
+                           (x, i) -> {'pn': CAST(i - 1 AS BIGINT),
+                                      'txt': x})) AS u
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, u.pn AS par_no, u.txt AS text,
+                       CAST(length(u.txt) AS BIGINT) AS length,
+                       CAST(len(string_split(u.txt, ' ')) AS BIGINT)
+                           AS n_words,
+                       CAST(CASE (doc_id + 3 * u.pn) % 7
+                            WHEN 0 THEN length(u.txt) // 2
+                            WHEN 1 THEN length(u.txt) // 10
+                            ELSE 0 END AS BIGINT) AS link_chars,
+                       len(list_filter(string_split(u.txt, ' '),
+                           w -> CASE lang
+                                WHEN 'en' THEN list_contains(
+                                    ['a', 'the', 'table', 'value'],
+                                    lower(w))
+                                WHEN 'es' THEN list_contains(
+                                    ['data', 'value', 'a'], lower(w))
+                                WHEN 'fr' THEN list_contains(
+                                    ['table', 'key', 'the'], lower(w))
+                                WHEN 'de' THEN list_contains(
+                                    ['row', 'scan', 'a'], lower(w))
+                                WHEN 'zh' THEN list_contains(
+                                    ['fast', 'slow'], lower(w))
+                                ELSE list_contains(['a', 'the'], lower(w))
+                           END)) AS n_stop
+                FROM l0
+            ),
+            cf AS (
+                SELECT doc_id, par_no, length,
+                       CASE WHEN n_words > 0
+                            THEN n_stop / n_words ELSE 0.0 END AS sd,
+                       CASE WHEN link_chars / greatest(length, 1) > 0.2
+                                THEN 'bad'
+                            WHEN contains(text, '©') THEN 'bad'
+                            WHEN length < 70 THEN
+                                CASE WHEN link_chars / greatest(length, 1)
+                                          > 0 THEN 'bad' ELSE 'short' END
+                            WHEN (CASE WHEN n_words > 0
+                                       THEN n_stop / n_words
+                                       ELSE 0.0 END) >= 0.18 THEN
+                                CASE WHEN length > 120
+                                     THEN 'good' ELSE 'neargood' END
+                            WHEN (CASE WHEN n_words > 0
+                                       THEN n_stop / n_words
+                                       ELSE 0.0 END) >= 0.12
+                                THEN 'neargood'
+                            ELSE 'bad' END AS cf_class
+                FROM feat
+            ),
+            p1 AS (
+                SELECT *,
+                       COALESCE(last_value(CASE WHEN cf_class IN
+                               ('good', 'bad') THEN cf_class END
+                               IGNORE NULLS) OVER wp, 'bad') AS prev_gb,
+                       COALESCE(first_value(CASE WHEN cf_class IN
+                               ('good', 'bad') THEN cf_class END
+                               IGNORE NULLS) OVER wn, 'bad') AS next_gb,
+                       COALESCE(last_value(CASE WHEN cf_class <> 'short'
+                               THEN cf_class END
+                               IGNORE NULLS) OVER wp, 'bad') AS prev_any,
+                       COALESCE(first_value(CASE WHEN cf_class <> 'short'
+                               THEN cf_class END
+                               IGNORE NULLS) OVER wn, 'bad') AS next_any
+                FROM cf
+                WINDOW wp AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                       wn AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+            ),
+            r1 AS (
+                SELECT doc_id, par_no, length, sd, cf_class,
+                       CASE WHEN cf_class <> 'short' THEN cf_class
+                            WHEN prev_gb = 'good' AND next_gb = 'good'
+                                 THEN 'good'
+                            WHEN prev_gb = 'bad' AND next_gb = 'bad'
+                                 THEN 'bad'
+                            WHEN (prev_gb = 'bad' AND prev_any = 'neargood')
+                              OR (next_gb = 'bad' AND next_any = 'neargood')
+                                 THEN 'good'
+                            ELSE 'bad' END AS c1
+                FROM p1
+            ),
+            p2 AS (
+                SELECT *,
+                       COALESCE(last_value(CASE WHEN c1 IN ('good', 'bad')
+                               THEN c1 END
+                               IGNORE NULLS) OVER wp, 'bad') AS prev_gb2,
+                       COALESCE(first_value(CASE WHEN c1 IN ('good', 'bad')
+                               THEN c1 END
+                               IGNORE NULLS) OVER wn, 'bad') AS next_gb2
+                FROM r1
+                WINDOW wp AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                       wn AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+            )
+            SELECT doc_id, par_no, length,
+                   round(sd, 6) AS stopword_density,
+                   cf_class,
+                   CASE WHEN c1 <> 'neargood' THEN c1
+                        WHEN prev_gb2 = 'bad' AND next_gb2 = 'bad'
+                             THEN 'bad'
+                        ELSE 'good' END AS final_class
+            FROM p2
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

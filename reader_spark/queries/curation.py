@@ -432,3 +432,55 @@ def _q_section_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") % 100) / 100.0).alias("quality"),
     )
     return section_rollup(frame)
+
+def _q_justext_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText with PER-LANGUAGE stopword routing (ops.justext
+    stopwords_by_lang): the published algorithm ships one stopword list
+    per language; a multilingual corpus picks each row's list by its
+    lang column — literal arrays behind a lang CASE, still pure
+    expressions (no join, no Python). The five corpus languages each
+    get a distinct fixture list, so densities and classes genuinely
+    diverge per language. Same paragraph fixture as justext_classify,
+    minus the copyright inject."""
+    from reader_spark.ops.justext import justext_classify
+    from reader_spark.ops.lines import chunk_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    lines = (
+        chunk_lines(docs, words_per_line=25)
+        .withColumnRenamed("line_no", "par_no")
+        .withColumnRenamed("line", "text")
+    )
+    # re-attach lang (chunk_lines keeps only id + line)
+    lines = lines.join(docs.select("doc_id", "lang"), "doc_id")
+    m7 = (F.col("doc_id") + 3 * F.col("par_no")) % 7
+    link = (
+        F.when(m7 == 0, F.floor(F.length("text") / 2))
+        .when(m7 == 1, F.floor(F.length("text") / 10))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    pars = lines.withColumn("link_chars", link)
+    out = justext_classify(
+        pars,
+        stopwords=("a", "the"),
+        length_low=70,
+        length_high=120,
+        stopwords_low=0.12,
+        stopwords_high=0.18,
+        max_link_density=0.2,
+        stopwords_by_lang={
+            "en": ("a", "the", "table", "value"),
+            "es": ("data", "value", "a"),
+            "fr": ("table", "key", "the"),
+            "de": ("row", "scan", "a"),
+            "zh": ("fast", "slow"),
+        },
+    )
+    return out.select(
+        "doc_id",
+        "par_no",
+        F.col("length").cast("long").alias("length"),
+        "stopword_density",
+        "cf_class",
+        "final_class",
+    )

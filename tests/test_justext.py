@@ -207,3 +207,32 @@ class TestHeadingPromotion:
         a = [(r.par_no, r.final_class) for r in with_flag_off.orderBy("par_no").collect()]
         b = [(r.par_no, r.final_class) for r in without.orderBy("par_no").collect()]
         assert a == b
+
+
+class TestMultilangStopwords:
+    def test_per_language_routing(self, spark):
+        # the same text scores differently depending on the row's lang:
+        # its words ARE stopwords under 'xx' but not under 'yy'
+        txt = " ".join(["foo bar baz qux quux"] * 11)  # > 200 chars
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, par_no=0, text=txt, link_chars=0, lang="xx"),
+                Row(doc_id=2, par_no=0, text=txt, link_chars=0, lang="yy"),
+                Row(doc_id=3, par_no=0, text=txt, link_chars=0, lang="zz"),
+            ]
+        )
+        out = justext_classify(
+            df,
+            stopwords=("fallback",),
+            stopwords_by_lang={
+                "xx": ("foo", "bar", "baz", "qux", "quux"),
+                "yy": ("nothing",),
+            },
+        ).collect()
+        got = {r.doc_id: (r.cf_class, r.stopword_density) for r in out}
+        assert got[1][0] == "good"  # density 1.0 under xx's list
+        assert abs(got[1][1] - 1.0) < 1e-9
+        assert got[2][0] == "bad"  # zero hits under yy's list
+        # unknown lang falls back to the flat stopwords tuple
+        assert got[3][0] == "bad"
+        assert got[3][1] == 0.0

@@ -32,6 +32,7 @@ from reader_spark.queries.interleaved import (  # noqa: E402
     _q_span_corruption,
     _q_span_kinds_full,
     _q_span_langid_profile,
+    _q_ligature_fold,
     _q_outline_edges,
     _q_section_chunks,
     _q_table_cells,
@@ -3902,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cells": _q_table_cells,
         "outline_edges": _q_outline_edges,
         "section_chunks": _q_section_chunks,
+        "ligature_fold": _q_ligature_fold,
         "interleave_profile": _q_interleave_profile,
         "bigram_lm": _q_bigram_lm,
         "multimodal_packing": _q_multimodal_packing,

@@ -159,6 +159,7 @@ BENCH_QUERIES = (
     "outline_edges",
     "section_chunks",
     "justext_multilang",
+    "ligature_fold",
 )
 
 

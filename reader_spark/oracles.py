@@ -3256,6 +3256,31 @@ def _oracle_sql_entries() -> dict[str, str]:
                         ELSE 'good' END AS final_class
             FROM p2
         """,
+        # Ligature-fold twin: same decoration, same replace chain (the
+        # seven sources are single code points and the replacements are
+        # pure ASCII, so chain order cannot interact — mirrored anyway).
+        "ligature_fold": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'ﬁrst ' || text || ' ﬂow ﬃx'
+                            ELSE text END AS t
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, t,
+                       replace(replace(replace(replace(replace(replace(
+                           replace(t, 'ﬀ', 'ff'), 'ﬁ', 'fi'), 'ﬂ', 'fl'),
+                           'ﬃ', 'ffi'), 'ﬄ', 'ffl'), 'ﬅ', 'st'),
+                           'ﬆ', 'st') AS folded
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(length(t) AS BIGINT) AS len_raw,
+                   CAST(length(folded) AS BIGINT) AS len_folded,
+                   md5(folded) AS folded_md5
+            FROM f
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

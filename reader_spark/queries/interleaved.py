@@ -616,3 +616,25 @@ def _q_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "section_title",
         F.md5(F.col("text")).alias("text_md5"),
     )
+
+def _q_ligature_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF ligature folding (spark/columns.fold_ligatures_col): the
+    seven Latin presentation-form ligatures (U+FB00..FB06) replaced by
+    their letter sequences — the targeted slice of NFKC a PDF text
+    pipeline wants without NFKC's other transforms. Every third doc is
+    decorated with three ligature forms; the fold is a literal-replace
+    chain riding the scan (no regex, no Python, no shuffle)."""
+    from reader_spark.spark.columns import fold_ligatures_col
+
+    docs = _read(spark, sf_dir, "documents")
+    decorated = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("ﬁrst "), F.col("text"), F.lit(" ﬂow ﬃx")),
+    ).otherwise(F.col("text"))
+    folded = fold_ligatures_col(decorated)
+    return docs.select(
+        "doc_id",
+        F.length(decorated).cast("long").alias("len_raw"),
+        F.length(folded).cast("long").alias("len_folded"),
+        F.md5(folded).alias("folded_md5"),
+    )

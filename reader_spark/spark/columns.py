@@ -84,3 +84,30 @@ def postprocess_markdown_col(md: Column) -> Column:
 
 def whitespace_token_count_col(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
+
+
+# PDF text extractors emit Unicode presentation-form ligatures the font
+# embedded (U+FB00..FB06); training corpora and search indexes want the
+# ASCII letter sequences (the NFKC compatibility decomposition of
+# exactly these seven code points, applied without NFKC's other
+# transforms — superscripts, fractions and width folds stay intact).
+PDF_LIGATURES = (
+    ("ﬀ", "ff"),
+    ("ﬁ", "fi"),
+    ("ﬂ", "fl"),
+    ("ﬃ", "ffi"),
+    ("ﬄ", "ffl"),
+    ("ﬅ", "st"),  # ﬅ long s + t
+    ("ﬆ", "st"),
+)
+
+
+def fold_ligatures_col(text: Column) -> Column:
+    """Replace the seven Latin presentation-form ligatures with their
+    letter sequences — a chain of literal replaces riding the scan
+    (whole-stage codegen, no regex, no Python). Composes after the PDF
+    layout parse (pdf/layout.py) the same way dehyphenation does."""
+    out = text
+    for lig, repl in PDF_LIGATURES:
+        out = F.replace(out, F.lit(lig), F.lit(repl))
+    return out

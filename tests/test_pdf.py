@@ -251,3 +251,25 @@ class TestDehyphenation:
         assert extract_pdf_spans(payload()) == extract_pdf_spans(
             payload(), dehyphenate=False
         )
+
+
+class TestLigatureFold:
+    def test_all_seven_ligatures(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.spark.columns import fold_ligatures_col
+
+        df = spark.createDataFrame(
+            [Row(t="ﬁne ﬂow oﬀer eﬃcient waﬄe ﬅop ﬆar plain")]
+        )
+        got = df.select(fold_ligatures_col(df.t).alias("o")).collect()[0].o
+        assert got == "fine flow offer efficient waffle stop star plain"
+
+    def test_no_op_on_clean_text(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.spark.columns import fold_ligatures_col
+
+        df = spark.createDataFrame([Row(t="already clean fi fl text")])
+        got = df.select(fold_ligatures_col(df.t).alias("o")).collect()[0].o
+        assert got == "already clean fi fl text"

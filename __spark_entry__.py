@@ -36,6 +36,7 @@ from reader_spark.queries.interleaved import (  # noqa: E402
     _q_outline_edges,
     _q_section_chunks,
     _q_table_cells,
+    _q_typography_fold,
     _q_template_clusters,
 )
 from reader_spark.queries.curation import (  # noqa: E402
@@ -3904,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outline_edges": _q_outline_edges,
         "section_chunks": _q_section_chunks,
         "ligature_fold": _q_ligature_fold,
+        "typography_fold": _q_typography_fold,
         "interleave_profile": _q_interleave_profile,
         "bigram_lm": _q_bigram_lm,
         "multimodal_packing": _q_multimodal_packing,

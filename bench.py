@@ -160,6 +160,7 @@ BENCH_QUERIES = (
     "section_chunks",
     "justext_multilang",
     "ligature_fold",
+    "typography_fold",
 )
 
 

@@ -3281,6 +3281,37 @@ def _oracle_sql_entries() -> dict[str, str]:
                    md5(folded) AS folded_md5
             FROM f
         """,
+        # Typography-fold twin: decoration and replace chain written
+        # with chr() code points so no invisible character can drift
+        # between the two engines' source files.
+        "typography_fold": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN chr(8220) || 'start' || chr(8221) || ' ' ||
+                                 chr(8216) || 'q' || chr(8217) || ' a' ||
+                                 chr(8211) || 'b c' || chr(8212) || 'd e' ||
+                                 chr(8230) || ' f' || chr(160) || 'g ' ||
+                                 text
+                            ELSE text END AS t
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, t,
+                       replace(replace(replace(replace(replace(replace(
+                           replace(replace(t,
+                           chr(8216), ''''), chr(8217), ''''),
+                           chr(8220), '"'), chr(8221), '"'),
+                           chr(8211), '-'), chr(8212), '-'),
+                           chr(8230), '...'), chr(160), ' ') AS folded
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(length(t) AS BIGINT) AS len_raw,
+                   CAST(length(folded) AS BIGINT) AS len_folded,
+                   md5(folded) AS folded_md5
+            FROM f
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -638,3 +638,27 @@ def _q_ligature_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(folded).cast("long").alias("len_folded"),
         F.md5(folded).alias("folded_md5"),
     )
+
+def _q_typography_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typographic normalization (spark/columns.fold_typography_col):
+    curly quotes, en/em dashes, ellipsis and nbsp folded to ASCII —
+    standard pre-dedup normalization so byte-different typography
+    hashes together. Every second doc decorated with all eight forms;
+    literal-replace chain, scan-bound."""
+    from reader_spark.spark.columns import fold_typography_col
+
+    docs = _read(spark, sf_dir, "documents")
+    decorated = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("\u201cstart\u201d \u2018q\u2019 a\u2013b c\u2014d e\u2026 f\u00a0g "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    folded = fold_typography_col(decorated)
+    return docs.select(
+        "doc_id",
+        F.length(decorated).cast("long").alias("len_raw"),
+        F.length(folded).cast("long").alias("len_folded"),
+        F.md5(folded).alias("folded_md5"),
+    )

@@ -111,3 +111,29 @@ def fold_ligatures_col(text: Column) -> Column:
     for lig, repl in PDF_LIGATURES:
         out = F.replace(out, F.lit(lig), F.lit(repl))
     return out
+
+
+# Typographic variants that make byte-identical content hash apart
+# across sites (curly quotes, en/em dashes, ellipsis, nbsp). Folding
+# them is standard pre-dedup normalization: near-dup recall improves
+# without touching real content. Single code points -> ASCII, so the
+# chain cannot interact with itself or with the ligature fold.
+TYPOGRAPHY_FOLDS = (
+    ("‘", "'"),
+    ("’", "'"),
+    ("“", '"'),
+    ("”", '"'),
+    ("–", "-"),
+    ("—", "-"),
+    ("…", "..."),
+    ("\u00a0", " "),  # nbsp
+)
+
+
+def fold_typography_col(text: Column) -> Column:
+    """Smart quotes / dashes / ellipsis / nbsp -> ASCII, a literal
+    replace chain riding the scan (same shape as fold_ligatures_col)."""
+    out = text
+    for src, repl in TYPOGRAPHY_FOLDS:
+        out = F.replace(out, F.lit(src), F.lit(repl))
+    return out

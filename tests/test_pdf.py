@@ -273,3 +273,34 @@ class TestLigatureFold:
         df = spark.createDataFrame([Row(t="already clean fi fl text")])
         got = df.select(fold_ligatures_col(df.t).alias("o")).collect()[0].o
         assert got == "already clean fi fl text"
+
+
+class TestTypographyFold:
+    def test_all_eight_folds(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.spark.columns import fold_typography_col
+
+        raw = "“q” ‘s’ a–b c—d e… f g"
+        df = spark.createDataFrame([Row(t=raw)])
+        got = df.select(fold_typography_col(df.t).alias("o")).collect()[0].o
+        assert got == '"q" \'s\' a-b c-d e... f g'
+
+    def test_improves_dedup_consistency(self, spark):
+        # typographically-different twins hash together after folding
+        from pyspark.sql import Row, functions as F
+
+        from reader_spark.spark.columns import fold_typography_col
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, t="he said “hello” — loudly"),
+                Row(doc_id=2, t='he said "hello" - loudly'),
+            ]
+        )
+        hashes = (
+            df.select(F.md5(fold_typography_col(df.t)).alias("h"))
+            .distinct()
+            .count()
+        )
+        assert hashes == 1

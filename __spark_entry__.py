@@ -59,6 +59,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_token_entropy,
     _q_tokenizer_fertility,
     _q_unimax_mix,
+    _q_url_variant_clusters,
 )
 from reader_spark.queries.analytics import (  # noqa: E402  (registry entries)
     _q_customer_nation_rollup,
@@ -3932,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rate": _q_change_rate,
         "anchor_corpus": _q_anchor_corpus,
         "section_rollup": _q_section_rollup,
+        "url_variant_clusters": _q_url_variant_clusters,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

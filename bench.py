@@ -161,6 +161,7 @@ BENCH_QUERIES = (
     "justext_multilang",
     "ligature_fold",
     "typography_fold",
+    "url_variant_clusters",
 )
 
 

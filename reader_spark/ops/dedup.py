@@ -1053,3 +1053,37 @@ def cluster_exemplars(
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+def url_variant_clusters(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-variant dedup: cluster raw crawl URLs by their canonical key
+    (spark/columns.url_key_col — the U3 dedup key: fragment/query/www/
+    default-port/index-file/case/trailing-slash folds, mirroring the
+    reference's getUrlKey, url-helpers.ts:95-137) and elect a canonical
+    representative per cluster: min by (length, url) — shortest, ties
+    lexicographic, ONE struct min, no window.
+
+    Output: (url_key, n_hits, n_variants, canonical_url). The crawl-
+    hygiene report feeding frontier dedup and the URL rewrite map.
+    Shape at 100 TB: keying is a pure map; ONE map-side-combined
+    groupBy on the key — a mega-cluster (tracking-parameter explosion
+    on one page) collapses to one candidate row per map task.
+    """
+    from reader_spark.spark.columns import url_key_col
+
+    keyed = urls.select(
+        url_key_col(F.col(url_col)).alias("url_key"),
+        F.col(url_col).alias("_raw"),
+    )
+    return keyed.groupBy("url_key").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.countDistinct("_raw").alias("n_variants"),
+        F.min(F.struct(F.length("_raw").alias("l"), F.col("_raw").alias("u"))).alias(
+            "_c"
+        ),
+    ).select(
+        "url_key",
+        "n_hits",
+        "n_variants",
+        F.col("_c").getField("u").alias("canonical_url"),
+    )

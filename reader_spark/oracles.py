@@ -3312,6 +3312,26 @@ def _oracle_sql_entries() -> dict[str, str]:
                    md5(folded) AS folded_md5
             FROM f
         """,
+        # URL-cluster twin: the canonical key and the election outcome
+        # are both closed-form over the deterministic variant set —
+        # B present iff doc%5 != 0 or doc%7 = 0; canonical is B when
+        # present (shortest), else the short+slash form C.
+        "url_variant_clusters": """
+            SELECT 'https://' || source || '.example.com/docs/' ||
+                       CAST(doc_id AS VARCHAR) AS url_key,
+                   CAST(2 + CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END
+                          + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN doc_id % 5 <> 0 OR doc_id % 7 = 0
+                             THEN 3 ELSE 2 END AS BIGINT) AS n_variants,
+                   CASE WHEN doc_id % 5 <> 0 OR doc_id % 7 = 0
+                        THEN 'https://' || source || '.example.com/docs/'
+                             || CAST(doc_id AS VARCHAR)
+                        ELSE 'https://' || source || '.example.com/docs/'
+                             || CAST(doc_id AS VARCHAR) || '/'
+                   END AS canonical_url
+            FROM documents
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -484,3 +484,32 @@ def _q_justext_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cf_class",
         "final_class",
     )
+
+def _q_url_variant_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-variant clustering (ops.dedup.url_variant_clusters): raw
+    crawl URLs folded to their canonical key (U3 native twin) with a
+    shortest-then-lexicographic canonical election. Fixture: every doc
+    yields a www/port/query/index-file long form (A) and a short+slash
+    form (C); the bare short form (B) is absent on docs % 5 and
+    DUPLICATED on docs % 7, so n_hits vs n_variants genuinely diverge
+    and the election flips between B and C."""
+    from reader_spark.ops.dedup import url_variant_clusters
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    base = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    a = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com:443/Docs/"),
+        F.col("doc_id").cast("string"), F.lit("/index.html?utm=1#frag"),
+    )
+    c = F.concat(base, F.lit("/"))
+    rows = docs.select(a.alias("url")).unionByName(
+        docs.select(c.alias("url"))
+    ).unionByName(
+        docs.where(F.col("doc_id") % 5 != 0).select(base.alias("url"))
+    ).unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(base.alias("url"))
+    )
+    return url_variant_clusters(rows)

@@ -180,3 +180,39 @@ class TestRewriteUrl:
         )
         out = rewrite_url("https://docs.google.com/document/d/abc123/edit", rules)
         assert out == "https://docs.google.com/document/d/abc123/export?format=txt"
+
+
+class TestUrlVariantClusters:
+    def test_cluster_and_election(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.dedup import url_variant_clusters
+
+        df = spark.createDataFrame(
+            [
+                Row(url="https://www.a.com:443/Docs/1/index.html?x=1#f"),
+                Row(url="https://a.com/docs/1"),
+                Row(url="https://a.com/docs/1/"),
+                Row(url="https://a.com/docs/1"),  # duplicate hit
+                Row(url="https://b.com/other"),
+            ]
+        )
+        got = {r.url_key: r for r in url_variant_clusters(df).collect()}
+        c1 = got["https://a.com/docs/1"]
+        assert c1.n_hits == 4
+        assert c1.n_variants == 3
+        assert c1.canonical_url == "https://a.com/docs/1"  # shortest raw
+        assert got["https://b.com/other"].n_variants == 1
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.dedup import url_variant_clusters
+
+        # same length, same key (case folds): lexicographically smaller
+        # raw wins
+        df = spark.createDataFrame(
+            [Row(url="https://a.com/X"), Row(url="https://a.com/x")]
+        )
+        got = url_variant_clusters(df).collect()[0]
+        assert got.canonical_url == "https://a.com/X"

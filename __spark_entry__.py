@@ -45,6 +45,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_boilerpipe_classify,
     _q_c4_page_clean,
     _q_change_rate,
+    _q_content_aliases,
     _q_crawl_delta,
     _q_justext_classify,
     _q_justext_headings,
@@ -3934,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_corpus": _q_anchor_corpus,
         "section_rollup": _q_section_rollup,
         "url_variant_clusters": _q_url_variant_clusters,
+        "content_aliases": _q_content_aliases,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

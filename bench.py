@@ -162,6 +162,7 @@ BENCH_QUERIES = (
     "ligature_fold",
     "typography_fold",
     "url_variant_clusters",
+    "content_aliases",
 )
 
 

@@ -1087,3 +1087,35 @@ def url_variant_clusters(urls: DataFrame, url_col: str = "url") -> DataFrame:
         "n_variants",
         F.col("_c").getField("u").alias("canonical_url"),
     )
+
+
+def content_aliases(
+    docs: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mirror / alias detection: byte-identical content served from
+    more than one URL. Groups on the 128-bit content digest and reports
+    (content_md5, n_copies, n_urls, n_hosts, first_url) for every
+    digest with >1 distinct URL — the signal that feeds mirror-domain
+    collapsing (keep one host, tombstone the rest) and explains why
+    URL-level dedup alone under-counts duplication.
+
+    Shape at 100 TB: the digest is computed map-side, so the ONE
+    groupBy shuffles 32-hex digests + URLs, never payloads; a
+    million-copy mirror set is absorbed by the partial aggregate.
+    first_url = struct min (deterministic representative, no window).
+    """
+    hashed = docs.select(
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.col(url_col).alias("_url"),
+        F.col(host_col).alias("_host"),
+    )
+    agg = hashed.groupBy("content_md5").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("_url").alias("n_urls"),
+        F.countDistinct("_host").alias("n_hosts"),
+        F.min("_url").alias("first_url"),
+    )
+    return agg.where(F.col("n_urls") > 1)

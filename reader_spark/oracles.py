@@ -3332,6 +3332,25 @@ def _oracle_sql_entries() -> dict[str, str]:
                    END AS canonical_url
             FROM documents
         """,
+        # Mirror-alias twin: closed-form over the synthetic (d, d+250)
+        # content pairs; HAVING keeps only multi-URL digests.
+        "content_aliases": """
+            WITH d AS (
+                SELECT 'content-' || CAST(doc_id % 250 AS VARCHAR) AS body,
+                       'https://m' || CAST(doc_id % 3 AS VARCHAR) ||
+                           '.mirror.test/p' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       'm' || CAST(doc_id % 3 AS VARCHAR) AS host
+                FROM documents
+            )
+            SELECT md5(body) AS content_md5,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   min(url) AS first_url
+            FROM d GROUP BY md5(body)
+            HAVING count(DISTINCT url) > 1
+        """,
         "domain_mix_sample": """
             WITH counts AS (
                 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -513,3 +513,24 @@ def _q_url_variant_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 7 == 0).select(base.alias("url"))
     )
     return url_variant_clusters(rows)
+
+def _q_content_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror/alias detection (ops.dedup.content_aliases): identical
+    content behind different URLs/hosts, grouped on the map-side
+    content digest (hash-only shuffle). Fixture: each synthetic body is
+    shared by the doc pair (d, d+250) served from different mirror
+    hosts, so every group has 2 URLs across 2 hosts and the first_url
+    election is non-trivial."""
+    from reader_spark.ops.dedup import content_aliases
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    frame = docs.select(
+        F.concat(F.lit("content-"), (d % 250).cast("string")).alias("text"),
+        F.concat(
+            F.lit("https://m"), (d % 3).cast("string"),
+            F.lit(".mirror.test/p"), d.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("m"), (d % 3).cast("string")).alias("host"),
+    )
+    return content_aliases(frame)

@@ -75,3 +75,40 @@ class TestFuzzyStringPairs:
             fuzzy_string_pairs(df, df, "a", "a", max_dist=-1)
         with pytest.raises(ValueError, match="q"):
             fuzzy_string_pairs(df, df, "a", "a", q=0)
+
+
+class TestContentAliases:
+    def test_mirror_detection(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.dedup import content_aliases
+
+        df = spark.createDataFrame(
+            [
+                Row(url="https://a.com/x", host="a.com", text="same body"),
+                Row(url="https://b.com/y", host="b.com", text="same body"),
+                Row(url="https://a.com/x2", host="a.com", text="same body"),
+                Row(url="https://c.com/z", host="c.com", text="unique body"),
+            ]
+        )
+        got = content_aliases(df).collect()
+        assert len(got) == 1  # the unique body never surfaces
+        g = got[0]
+        assert g.n_copies == 3
+        assert g.n_urls == 3
+        assert g.n_hosts == 2
+        assert g.first_url == "https://a.com/x"
+
+    def test_same_url_twice_not_an_alias(self, spark):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.dedup import content_aliases
+
+        # recrawl of the SAME url is not a mirror (n_urls stays 1)
+        df = spark.createDataFrame(
+            [
+                Row(url="https://a.com/x", host="a.com", text="body"),
+                Row(url="https://a.com/x", host="a.com", text="body"),
+            ]
+        )
+        assert content_aliases(df).count() == 0

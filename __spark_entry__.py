@@ -44,6 +44,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_blocklist_filter,
     _q_boilerpipe_classify,
     _q_c4_page_clean,
+    _q_cetr_classify,
     _q_change_rate,
     _q_content_aliases,
     _q_crawl_delta,
@@ -3930,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "justext_headings": _q_justext_headings,
         "justext_multilang": _q_justext_multilang,
         "boilerpipe_classify": _q_boilerpipe_classify,
+        "cetr_classify": _q_cetr_classify,
         "crawl_delta": _q_crawl_delta,
         "change_rate": _q_change_rate,
         "anchor_corpus": _q_anchor_corpus,

@@ -6694,6 +6694,79 @@ def _oracle_sql_entries() -> dict[str, str]:
                    a.cost_kept, a.sample, a.refs, a.n_media
             FROM agg a JOIN tot t ON a.doc_id = t.doc_id
         """,
+        "cetr_classify": """
+            WITH l0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           regexp_extract_all(text, '\\S+( \\S+){0,7}'),
+                           (x, i) -> {'ln': CAST(i - 1 AS BIGINT),
+                                      'txt': x})) AS u
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, u.ln AS line_no,
+                       CASE (doc_id + 5 * u.ln) % 4
+                       WHEN 0 THEN '<div class="nav"><a href="/x">'
+                                   || u.txt
+                                   || '</a> <a href="/y">more</a></div>'
+                       WHEN 1 THEN '<p>' || u.txt || '</p>'
+                       WHEN 3 THEN '<li><a href="#">' || u.txt
+                                   || '</a></li>'
+                       ELSE u.txt END AS html
+                FROM l0
+            ),
+            feat AS (
+                SELECT doc_id, line_no,
+                       CAST(length(html) - length(replace(html, '<', ''))
+                            AS BIGINT) AS tag_count,
+                       CAST(length(regexp_replace(html, '<[^>]*>', '', 'g'))
+                            AS BIGINT) AS text_chars
+                FROM lines
+            ),
+            tr AS (
+                SELECT *, text_chars * 1000000 // greatest(tag_count, 1)
+                          AS tr_micro
+                FROM feat
+            ),
+            taps AS (
+                SELECT doc_id, line_no, tag_count, text_chars, tr_micro,
+                       lag(tr_micro, 2) OVER w AS p2,
+                       lag(tr_micro, 1) OVER w AS p1,
+                       lead(tr_micro, 1) OVER w AS n1,
+                       lead(tr_micro, 2) OVER w AS n2
+                FROM tr
+                WINDOW w AS (PARTITION BY doc_id ORDER BY line_no)
+            ),
+            sm AS (
+                SELECT doc_id, line_no, tag_count, text_chars, tr_micro,
+                       (coalesce(p2, 0) * 1 + coalesce(p1, 0) * 4
+                        + tr_micro * 6
+                        + coalesce(n1, 0) * 4 + coalesce(n2, 0) * 1)
+                       // (CASE WHEN p2 IS NULL THEN 0 ELSE 1 END
+                           + CASE WHEN p1 IS NULL THEN 0 ELSE 4 END
+                           + 6
+                           + CASE WHEN n1 IS NULL THEN 0 ELSE 4 END
+                           + CASE WHEN n2 IS NULL THEN 0 ELSE 1 END)
+                       AS smoothed_micro
+                FROM taps
+            ),
+            dv AS (
+                SELECT *,
+                       CAST(abs(coalesce(lead(smoothed_micro, 1) OVER w,
+                                         smoothed_micro)
+                                - smoothed_micro) AS BIGINT) AS deriv_micro,
+                       CAST(sum(smoothed_micro) OVER
+                            (PARTITION BY doc_id) AS BIGINT) AS s,
+                       count(*) OVER (PARTITION BY doc_id) AS c
+                FROM sm
+                WINDOW w AS (PARTITION BY doc_id ORDER BY line_no)
+            )
+            SELECT doc_id, line_no, tag_count, text_chars,
+                   CAST(tr_micro AS BIGINT) AS tr_micro,
+                   CAST(smoothed_micro AS BIGINT) AS smoothed_micro,
+                   deriv_micro,
+                   CAST(CASE WHEN smoothed_micro * c > s THEN 1 ELSE 0 END
+                        AS INTEGER) AS is_content
+            FROM dv
+        """,
     }
-
-

@@ -534,3 +534,50 @@ def _q_content_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("m"), (d % 3).cast("string")).alias("host"),
     )
     return content_aliases(frame)
+
+
+def _q_cetr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CETR line classification (ops.cetr, Weninger et al. WWW 2010):
+    tag-ratio per raw HTML line, binomial-kernel smoothing, per-document
+    mean cut — all integer micro-unit math so Spark and the DuckDB twin
+    are bit-identical. Fixture lines are 8-word chunks wrapped in
+    deterministic markup by (doc_id + 5*line_no) % 4: tag-heavy nav
+    (6 tags), a plain <p>, bare text (TR spike), and a list-item link —
+    so smoothing and the mean threshold both genuinely move labels.
+    ONE doc_id exchange: kernel taps and the mean-cut aggregate share
+    the same partitioning (plan-pinned)."""
+    from reader_spark.ops.cetr import cetr_classify
+    from reader_spark.ops.lines import chunk_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    lines = chunk_lines(docs, words_per_line=8)
+    m4 = (F.col("doc_id") + 5 * F.col("line_no")) % 4
+    html = (
+        F.when(
+            m4 == 0,
+            F.concat(
+                F.lit('<div class="nav"><a href="/x">'),
+                F.col("line"),
+                F.lit('</a> <a href="/y">more</a></div>'),
+            ),
+        )
+        .when(m4 == 1, F.concat(F.lit("<p>"), F.col("line"), F.lit("</p>")))
+        .when(
+            m4 == 3,
+            F.concat(
+                F.lit('<li><a href="#">'), F.col("line"), F.lit("</a></li>")
+            ),
+        )
+        .otherwise(F.col("line"))
+    )
+    out = cetr_classify(lines.withColumn("html", html).drop("line"))
+    return out.select(
+        "doc_id",
+        "line_no",
+        "tag_count",
+        "text_chars",
+        "tr_micro",
+        "smoothed_micro",
+        "deriv_micro",
+        "is_content",
+    )

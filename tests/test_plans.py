@@ -837,3 +837,15 @@ def test_crawl_delta_no_payload_in_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "text#" in line:
             raise AssertionError(f"payload column in exchange: {line}")
+
+
+def test_cetr_one_doc_exchange(spark):
+    """CETR's kernel taps (ordered window) and mean cut (agg window)
+    share ONE hashpartitioning(doc_id) exchange; features ride the scan."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["cetr_classify"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1

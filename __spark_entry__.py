@@ -53,8 +53,10 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_justext_multilang,
     _q_ccnet_buckets,
     _q_curriculum_order,
+    _q_recrawl_schedule,
     _q_section_rollup,
     _q_sentence_spans_apply,
+    _q_sitemap_ingest,
     _q_sentence_spans_dedup,
     _q_source_diversity,
     _q_text_clusters,
@@ -3938,6 +3940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_rollup": _q_section_rollup,
         "url_variant_clusters": _q_url_variant_clusters,
         "content_aliases": _q_content_aliases,
+        "sitemap_ingest": _q_sitemap_ingest,
+        "recrawl_schedule": _q_recrawl_schedule,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

@@ -6769,4 +6769,168 @@ def _oracle_sql_entries() -> dict[str, str]:
                         AS INTEGER) AS is_content
             FROM dv
         """,
+        "sitemap_ingest": """
+            WITH e AS (
+                SELECT doc_id, doc_id % 7 AS dom,
+                       chr(10) || '  <url>' || chr(10)
+                       || '    <loc> https://d' || (doc_id % 7)
+                       || '.test/p' || doc_id || ' </loc>'
+                       || CASE WHEN doc_id % 5 <> 0
+                          THEN chr(10) || '    <lastmod>2026-0'
+                               || (1 + doc_id % 9) || '-15</lastmod>'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 11 <> 0
+                          THEN chr(10) || '    <changefreq>'
+                               || (CASE WHEN doc_id % 13 = 0 THEN 'never'
+                                   ELSE (CASE doc_id % 6
+                                         WHEN 0 THEN 'always'
+                                         WHEN 1 THEN 'hourly'
+                                         WHEN 2 THEN 'daily'
+                                         WHEN 3 THEN 'weekly'
+                                         WHEN 4 THEN 'monthly'
+                                         ELSE 'yearly' END) END)
+                               || '</changefreq>'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 10 <> 3
+                          THEN chr(10) || '    <priority>0.'
+                               || (doc_id % 10) || '</priority>'
+                          ELSE '' END
+                       || chr(10) || '  </url>' AS entry
+                FROM documents
+            ),
+            leaf AS (
+                SELECT 'https://d' || dom || '.test/sitemap.xml'
+                           AS sitemap_url,
+                       '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+                       || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                       || string_agg(entry, '' ORDER BY doc_id)
+                       || chr(10) || '</urlset>' AS xml
+                FROM e GROUP BY dom
+            ),
+            idx AS (
+                SELECT 'https://hub.test/sitemap_index.xml' AS sitemap_url,
+                       '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+                       || '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                       || string_agg(
+                              chr(10) || '  <sitemap>' || chr(10)
+                              || '    <loc>https://d' || k
+                              || '.test/sitemap.xml</loc>' || chr(10)
+                              || '    <lastmod>2026-01-0' || (k + 1)
+                              || '</lastmod>' || chr(10) || '  </sitemap>',
+                              '' ORDER BY k)
+                       || chr(10) || '</sitemapindex>' AS xml
+                FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents)
+            ),
+            files AS (
+                SELECT * FROM leaf UNION ALL SELECT * FROM idx
+            ),
+            parsed AS (
+                SELECT sitemap_url, 'url' AS kind,
+                       unnest(regexp_extract_all(
+                           xml, '(?s)<url\\b[^>]*>(.*?)</url>', 1)) AS body
+                FROM files
+                UNION ALL
+                SELECT sitemap_url, 'sitemap',
+                       unnest(regexp_extract_all(
+                           xml, '(?s)<sitemap\\b[^>]*>(.*?)</sitemap>', 1))
+                FROM files
+            ),
+            fields AS (
+                SELECT sitemap_url, kind,
+                       nullif(trim(regexp_extract(
+                           body, '(?s)<loc>(.*?)</loc>', 1)), '') AS loc,
+                       nullif(trim(regexp_extract(
+                           body, '(?s)<lastmod>(.*?)</lastmod>', 1)), '')
+                           AS lastmod,
+                       nullif(trim(regexp_extract(
+                           body, '(?s)<changefreq>(.*?)</changefreq>', 1)),
+                           '') AS changefreq,
+                       nullif(trim(regexp_extract(
+                           body, '(?s)<priority>(.*?)</priority>', 1)), '')
+                           AS pr
+                FROM parsed
+            )
+            SELECT sitemap_url, kind, loc, lastmod, changefreq,
+                   CAST(CASE changefreq
+                        WHEN 'always' THEN 0
+                        WHEN 'hourly' THEN 1
+                        WHEN 'daily' THEN 24
+                        WHEN 'weekly' THEN 168
+                        WHEN 'monthly' THEN 730
+                        WHEN 'yearly' THEN 8766 END AS BIGINT)
+                       AS freq_hours,
+                   CAST(coalesce(round(CAST(pr AS DOUBLE) * 1000), 500)
+                        AS BIGINT) AS priority_milli
+            FROM fields
+        """,
+        "recrawl_schedule": """
+            WITH entries AS (
+                SELECT 'https://d' || (doc_id % 7) || '.test/p' || doc_id
+                           AS loc,
+                       CASE WHEN doc_id % 5 <> 0
+                            THEN '2026-0' || (1 + doc_id % 9) || '-15'
+                            END AS lastmod,
+                       CASE WHEN doc_id % 11 <> 0 THEN
+                            CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+                                 ELSE (CASE doc_id % 6
+                                       WHEN 0 THEN 0 WHEN 1 THEN 1
+                                       WHEN 2 THEN 24 WHEN 3 THEN 168
+                                       WHEN 4 THEN 730 ELSE 8766 END)
+                                 END AS BIGINT)
+                            END AS freq_hours,
+                       CAST(CASE WHEN doc_id % 10 <> 3
+                            THEN doc_id % 10 * 100 ELSE 500 END AS BIGINT)
+                           AS priority_milli,
+                       doc_id
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, unnest(range(0, 8)) AS r FROM documents
+            ),
+            s AS (
+                SELECT doc_id, r,
+                       CASE WHEN doc_id % 3 = 0 AND r = doc_id % 8
+                                THEN 'added'
+                            WHEN (doc_id * (r + 1) + r * r) % 5 = 0
+                                THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM h
+            ),
+            a AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_visits,
+                       CAST(sum(CASE WHEN status = 'changed'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+                FROM s WHERE status IN ('changed', 'unchanged')
+                GROUP BY doc_id
+            ),
+            rates AS (
+                SELECT 'https://d' || (doc_id % 7) || '.test/p' || doc_id
+                           AS loc,
+                       round(-ln((n_visits - n_changes + 0.5) /
+                                 (n_visits + 0.5)), 6) AS rate_cho
+                FROM a
+            ),
+            j AS (
+                SELECT e.loc, e.lastmod,
+                       CAST(date_diff('day', CAST(e.lastmod AS DATE),
+                                      DATE '2026-06-15') AS BIGINT)
+                           AS days_since,
+                       e.freq_hours,
+                       CASE WHEN r.rate_cho > 0
+                            THEN CAST(floor(24.0 / r.rate_cho) AS BIGINT)
+                            END AS hours_obs,
+                       e.priority_milli
+                FROM entries e LEFT JOIN rates r ON e.loc = r.loc
+            )
+            SELECT loc, lastmod, days_since, freq_hours, hours_obs,
+                   CAST(coalesce(hours_obs, freq_hours, 168) AS BIGINT)
+                       AS interval_hours,
+                   priority_milli,
+                   CAST(CASE WHEN lastmod IS NULL THEN 1
+                        WHEN days_since * 24 >=
+                             coalesce(hours_obs, freq_hours, 168)
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_due
+            FROM j
+        """,
     }

@@ -581,3 +581,184 @@ def _q_cetr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deriv_micro",
         "is_content",
     )
+
+
+def _q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (ops.sitemaps.parse_sitemaps): per-domain
+    <urlset> leaf files plus one <sitemapindex> hub, synthesized
+    deterministically (7 domains; lastmod absent for docs % 5 == 0,
+    changefreq absent % 11 == 0 / 'never' % 13 == 0, priority absent
+    % 10 == 3) and parsed back with the two RE2 block regexes. The
+    \\b word boundaries must keep <urlset>/<sitemapindex> wrappers out
+    of the entry stream; field absence exercises every NULL path and
+    the spec's 0.5 priority default. XML assembly is ONE ordered
+    string_agg per domain; parsing is a bounded explode riding the
+    scan."""
+    from reader_spark.ops.sitemaps import parse_sitemaps
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    dom = (d % 7).cast("string")
+    nl = "\n"
+    cf = F.when(d % 13 == 0, F.lit("never")).otherwise(
+        F.element_at(
+            F.array(
+                F.lit("always"), F.lit("hourly"), F.lit("daily"),
+                F.lit("weekly"), F.lit("monthly"), F.lit("yearly"),
+            ),
+            (d % 6).cast("int") + 1,
+        )
+    )
+    entry = F.concat(
+        F.lit(nl + "  <url>" + nl + "    <loc> https://d"), dom,
+        F.lit(".test/p"), d.cast("string"), F.lit(" </loc>"),
+        F.when(
+            d % 5 != 0,
+            F.concat(
+                F.lit(nl + "    <lastmod>2026-0"),
+                (1 + d % 9).cast("string"), F.lit("-15</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 != 0,
+            F.concat(F.lit(nl + "    <changefreq>"), cf, F.lit("</changefreq>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 10 != 3,
+            F.concat(
+                F.lit(nl + "    <priority>0."), (d % 10).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(nl + "  </url>"),
+    )
+    leaf = (
+        docs.select(dom.alias("dom"), d.alias("d"), entry.alias("e"))
+        .groupBy("dom")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?>' + nl),
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("d"), F.col("e")))
+                        ),
+                        lambda x: x["e"],
+                    ),
+                ),
+                F.lit(nl + "</urlset>"),
+            ).alias("xml")
+        )
+        .select(
+            F.concat(
+                F.lit("https://d"), F.col("dom"), F.lit(".test/sitemap.xml")
+            ).alias("sitemap_url"),
+            "xml",
+        )
+    )
+    k = F.col("k").cast("string")
+    idx = (
+        docs.select((d % 7).alias("k"))
+        .distinct()
+        .select(
+            F.col("k"),
+            F.concat(
+                F.lit(nl + "  <sitemap>" + nl + "    <loc>https://d"), k,
+                F.lit(".test/sitemap.xml</loc>" + nl + "    <lastmod>2026-01-0"),
+                (F.col("k") + 1).cast("string"),
+                F.lit("</lastmod>" + nl + "  </sitemap>"),
+            ).alias("e"),
+        )
+        .groupBy()
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?>' + nl),
+                F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("k"), F.col("e")))
+                        ),
+                        lambda x: x["e"],
+                    ),
+                ),
+                F.lit(nl + "</sitemapindex>"),
+            ).alias("xml")
+        )
+        .select(
+            F.lit("https://hub.test/sitemap_index.xml").alias("sitemap_url"),
+            "xml",
+        )
+    )
+    return parse_sitemaps(leaf.unionByName(idx)).select(
+        "sitemap_url", "kind", "loc", "lastmod", "changefreq",
+        "freq_hours", "priority_milli",
+    )
+
+
+def _q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-due schedule (ops.sitemaps.recrawl_schedule): publisher
+    changefreq hints combined with OBSERVED Cho & Garcia-Molina change
+    rates from the same 8-round delta history change_rate certifies —
+    precedence observation > hint > 168h default, revisit interval
+    floor(24/λ) hours, no-lastmod rows always due. The rates dim joins
+    on the URL string key (same cardinality as entries — a plain
+    equi-join, deliberately NOT broadcast). as_of is pinned so the
+    schedule replays."""
+    from reader_spark.ops.delta import change_rate
+    from reader_spark.ops.sitemaps import recrawl_schedule
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    loc = F.concat(
+        F.lit("https://d"), (d % 7).cast("string"), F.lit(".test/p"),
+        d.cast("string"),
+    )
+    freq = F.when(d % 13 == 0, F.lit(None).cast("long")).otherwise(
+        F.element_at(
+            F.array(
+                F.lit(0), F.lit(1), F.lit(24), F.lit(168), F.lit(730),
+                F.lit(8766),
+            ),
+            (d % 6).cast("int") + 1,
+        ).cast("long")
+    )
+    entries = docs.select(
+        loc.alias("loc"),
+        F.when(
+            d % 5 != 0,
+            F.concat(
+                F.lit("2026-0"), (1 + d % 9).cast("string"), F.lit("-15")
+            ),
+        ).alias("lastmod"),
+        F.when(d % 11 != 0, freq).alias("freq_hours"),
+        F.when(d % 10 != 3, d % 10 * 100).otherwise(F.lit(500))
+        .cast("long")
+        .alias("priority_milli"),
+    )
+    hist = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("r")
+    )
+    status = (
+        F.when(
+            (F.col("doc_id") % 3 == 0) & (F.col("r") == F.col("doc_id") % 8),
+            "added",
+        )
+        .when(
+            (F.col("doc_id") * (F.col("r") + 1) + F.col("r") * F.col("r")) % 5
+            == 0,
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    rates = change_rate(hist.withColumn("status", status)).select(
+        F.concat(
+            F.lit("https://d"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/p"), F.col("doc_id").cast("string"),
+        ).alias("loc"),
+        "rate_cho",
+    )
+    return recrawl_schedule(entries, as_of="2026-06-15", rates=rates)

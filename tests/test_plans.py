@@ -849,3 +849,26 @@ def test_cetr_one_doc_exchange(spark):
     assert "hashpartitioning(doc_id" in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
+
+
+def test_sitemap_parse_pure_map(spark):
+    """Sitemap entry extraction rides the scan: no Exchange at all."""
+    from pyspark.sql import Row
+
+    from reader_spark.ops.sitemaps import parse_sitemaps
+
+    df = spark.createDataFrame(
+        [Row(sitemap_url="s", xml="<urlset><url><loc>u</loc></url></urlset>")]
+    )
+    plan = plan_of(parse_sitemaps(df))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+
+
+def test_recrawl_schedule_no_single_partition(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["recrawl_schedule"](spark, SF_DIR))
+    assert "SinglePartition" not in plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -44,6 +44,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_blocklist_filter,
     _q_boilerpipe_classify,
     _q_c4_page_clean,
+    _q_cdx_index,
     _q_cetr_classify,
     _q_change_rate,
     _q_content_aliases,
@@ -3942,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_aliases": _q_content_aliases,
         "sitemap_ingest": _q_sitemap_ingest,
         "recrawl_schedule": _q_recrawl_schedule,
+        "cdx_index": _q_cdx_index,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

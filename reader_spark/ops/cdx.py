@@ -1,0 +1,99 @@
+"""SURT canonical URL keys and CDX-style capture indexing.
+
+The web-archive index layer over the WARC source (sources/warc.py): a
+capture index maps every fetched URL to (urlkey, timestamp, digest,
+length) rows — the structure CDX servers and Wayback-style dedup use
+to answer "have we seen this URL (at this time / with this content)".
+
+``surt_key_col`` is the Sort-friendly URI Reordering Transform
+(SURT, as canonicalized by the IA wayback/pywb toolchain): lowercase,
+scheme and fragment dropped, ``www\\d*.`` prefix dropped, host labels
+reversed and comma-joined, default ports dropped, query parameters
+sorted — so all captures of one logical page sort adjacently and
+host-prefix range scans become index-friendly:
+
+    https://www.Example.COM:443/A/B?b=2&a=1#f  ->  com,example)/a/b?a=1&b=2
+
+Everything is native Catalyst expressions (regexp + array ops, no
+Python), so the key computation rides the scan at any corpus size; a
+CDX build is scan → pure-map key/digest → ONE sort for the index
+layout. The digest is SHA-256 of the payload (classic CDX uses
+SHA-1-base32; SHA-1 has no engine-portable twin here and is
+cryptographically retired — documented deviation).
+
+vakra-dev/reader context: its dedup key (src/utils/url-helpers.ts
+getUrlKey) lowercases/strips in the same spirit for crawl-visited
+checks (reader_spark/spark/columns.py url_key_col is that contract);
+SURT is the ARCHIVE-side ordering key, kept separate because its
+host-reversed layout is an index format, not a crawl-dedup identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def surt_key_col(url: Column) -> Column:
+    """SURT key as a pure Catalyst expression. Unparseable rows (no
+    ``scheme://host``) yield NULL."""
+    u = F.lower(F.trim(url))
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.\-]*)://", 1)
+    hostport = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#]+)", 1)
+    host = F.regexp_replace(
+        F.regexp_extract(hostport, r"^([^:]+)", 1), r"^www[0-9]*\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    host_rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    query_part = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    )
+    return F.when(
+        host == "", F.lit(None).cast("string")
+    ).otherwise(F.concat(host_rev, port_part, F.lit(")"), path_part, query_part))
+
+
+def cdx_index(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    mime_col: str = "mime",
+    status_col: str = "status",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Build CDX-style index rows from capture records: (urlkey,
+    timestamp, original, mime, status, digest, length). Key and digest
+    are pure maps; writers should ``sortWithinPartitions('urlkey',
+    'timestamp')`` after range-partitioning on urlkey for the on-disk
+    CDX layout (one total sort — same shape as ops/zorder.py)."""
+    return captures.select(
+        surt_key_col(F.col(url_col)).alias("urlkey"),
+        F.col(ts_col).cast("string").alias("timestamp"),
+        F.col(url_col).alias("original"),
+        F.col(mime_col).alias("mime"),
+        F.col(status_col).cast("int").alias("status"),
+        F.sha2(F.col(payload_col).cast("string"), 256).alias("digest"),
+        F.length(F.col(payload_col)).cast("long").alias("length"),
+    )
+
+
+def cdx_dedup_captures(index: DataFrame) -> DataFrame:
+    """Wayback-style capture dedup: per (urlkey, digest) keep the
+    earliest capture and count revisits — the 'revisit record' stat
+    that keeps archive storage sublinear in crawl count. ONE
+    map-side-combined groupBy on the key pair; only keys, digests and
+    timestamps shuffle."""
+    return index.groupBy("urlkey", "digest").agg(
+        F.min("timestamp").alias("first_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        F.max("length").alias("length"),
+    )

@@ -6933,4 +6933,80 @@ def _oracle_sql_entries() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS INTEGER) AS is_due
             FROM j
         """,
+        "cdx_index": """
+            WITH caps AS (
+                SELECT CASE doc_id % 6
+                       WHEN 0 THEN 'https://WWW.' || source
+                            || '.Example.COM:443/Docs/' || doc_id
+                            || '?b=2&a=1#frag'
+                       WHEN 1 THEN 'http://' || source
+                            || '.example.com:8080/Page/' || doc_id
+                       WHEN 2 THEN 'https://www2.' || source
+                            || '.example.com/x/y'
+                       WHEN 3 THEN 'http://' || source
+                            || '.example.com:80/p?z=1'
+                       WHEN 4 THEN 'ftp://files.' || source
+                            || '.example.com'
+                       ELSE 'not a url ' || doc_id END AS url,
+                       '20260615' || lpad(CAST(doc_id % 86400 AS VARCHAR),
+                                          6, '0') AS ts,
+                       CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+                            ELSE 'application/pdf' END AS mime,
+                       CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404
+                            ELSE 301 END AS status,
+                       text AS payload
+                FROM documents
+            ),
+            parts AS (
+                SELECT *, lower(trim(url)) AS u FROM caps
+            ),
+            ext AS (
+                SELECT *,
+                       regexp_extract(u, '^([a-z][a-z0-9+.\\-]*)://', 1)
+                           AS scheme,
+                       regexp_extract(u,
+                           '^[a-z][a-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#]+)',
+                           1) AS hostport,
+                       regexp_extract(u,
+                           '^[a-z][a-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)
+                           AS rawpath,
+                       regexp_extract(u, '\\?([^#]*)', 1) AS rawq
+                FROM parts
+            ),
+            hp AS (
+                SELECT *,
+                       regexp_replace(regexp_extract(hostport, '^([^:]+)', 1),
+                                      '^www[0-9]*\\.', '') AS host,
+                       regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+                FROM ext
+            ),
+            k AS (
+                SELECT *,
+                       CASE WHEN host = '' THEN NULL
+                            ELSE array_to_string(
+                                     list_reverse(string_split(host, '.')),
+                                     ',')
+                                 || (CASE WHEN port = ''
+                                          OR (scheme = 'http'
+                                              AND port = '80')
+                                          OR (scheme = 'https'
+                                              AND port = '443')
+                                     THEN '' ELSE ':' || port END)
+                                 || ')'
+                                 || (CASE WHEN rawpath = '' THEN '/'
+                                     ELSE rawpath END)
+                                 || (CASE WHEN rawq = '' THEN ''
+                                     ELSE '?' || array_to_string(
+                                              list_sort(
+                                                  string_split(rawq, '&')),
+                                              '&') END)
+                            END AS urlkey
+                FROM hp
+            )
+            SELECT urlkey, ts AS timestamp, url AS original, mime,
+                   CAST(status AS INTEGER) AS status,
+                   sha256(payload) AS digest,
+                   CAST(length(payload) AS BIGINT) AS length
+            FROM k
+        """,
     }

@@ -762,3 +762,60 @@ def _q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate_cho",
     )
     return recrawl_schedule(entries, as_of="2026-06-15", rates=rates)
+
+
+def _q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index (ops.cdx): SURT urlkey + SHA-256 digest per
+    capture. Fixture URLs exercise every canonicalization rule — case
+    folding, www/www2 prefix strip, default-port drop (both :443 and
+    :80), non-default port kept, query-parameter sorting, fragment
+    drop, a non-http scheme, and an unparseable row (NULL urlkey).
+    Key and digest are pure maps riding the scan."""
+    from reader_spark.ops.cdx import cdx_index
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = F.col("source")
+    m6 = d % 6
+    url = (
+        F.when(
+            m6 == 0,
+            F.concat(
+                F.lit("https://WWW."), s, F.lit(".Example.COM:443/Docs/"),
+                d.cast("string"), F.lit("?b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            m6 == 1,
+            F.concat(
+                F.lit("http://"), s, F.lit(".example.com:8080/Page/"),
+                d.cast("string"),
+            ),
+        )
+        .when(
+            m6 == 2,
+            F.concat(F.lit("https://www2."), s, F.lit(".example.com/x/y")),
+        )
+        .when(
+            m6 == 3,
+            F.concat(F.lit("http://"), s, F.lit(".example.com:80/p?z=1")),
+        )
+        .when(
+            m6 == 4,
+            F.concat(F.lit("ftp://files."), s, F.lit(".example.com")),
+        )
+        .otherwise(F.concat(F.lit("not a url "), d.cast("string")))
+    )
+    caps = docs.select(
+        url.alias("url"),
+        F.concat(
+            F.lit("20260615"), F.lpad((d % 86400).cast("string"), 6, "0")
+        ).alias("ts"),
+        F.when(d % 2 == 0, "text/html")
+        .otherwise("application/pdf")
+        .alias("mime"),
+        F.when(d % 3 == 0, 200).when(d % 3 == 1, 404).otherwise(301)
+        .alias("status"),
+        F.col("text").alias("payload"),
+    )
+    return cdx_index(caps)

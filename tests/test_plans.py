@@ -872,3 +872,12 @@ def test_recrawl_schedule_no_single_partition(spark):
     assert "SinglePartition" not in plan.split("\n\n")[0]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdx_index_pure_map(spark):
+    """SURT key + digest ride the scan — no Exchange."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["cdx_index"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree

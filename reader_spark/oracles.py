@@ -7009,4 +7009,106 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST(length(payload) AS BIGINT) AS length
             FROM k
         """,
+        "unigram_encode": _unigram_encode_oracle(),
+        "unigram_em_counts": _unigram_em_oracle(),
     }
+
+
+def _unigram_dp_ctes() -> str:
+    """Shared recursive-CTE Viterbi DP over the distinct-word dim,
+    mirroring ops/unigram.py bit-for-bit (integer milli-log scores,
+    struct (s, l) max with longer-piece tie-break)."""
+    from reader_spark.ops.unigram import DEFAULT_PIECES, MAX_PIECE
+
+    keys = ", ".join("'%s'" % p for p in DEFAULT_PIECES)
+    vals = ", ".join(str(s) for s in DEFAULT_PIECES.values())
+    dead = "{'s': CAST(-1000000000000000 AS BIGINT), 'l': 0}"
+    cands = []
+    for l in range(1, MAX_PIECE + 1):
+        sub = f"substr(w, i - {l} + 1, {l})"
+        sc = f"map_extract(mm, {sub})[1]"
+        prev = f"b[i - {l} + 1]"
+        cands.append(
+            f"CASE WHEN i >= {l} AND len(map_extract(mm, {sub})) > 0 "
+            f"AND {prev}.s > -500000000000000 "
+            f"THEN {{'s': {prev}.s + {sc}, 'l': {l}}} ELSE {dead} END"
+        )
+    return f"""
+            words AS (
+                SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            wf AS (SELECT w FROM words WHERE w <> ''),
+            m AS (SELECT map([{keys}], [{vals}]) AS mm),
+            dp AS (
+                SELECT w, mm, 1 AS i,
+                       [{{'s': CAST(0 AS BIGINT), 'l': 0}}] AS b
+                FROM wf, m
+                UNION ALL
+                SELECT w, mm, i + 1,
+                       list_append(b,
+                           list_sort([{", ".join(cands)}])[{MAX_PIECE}])
+                FROM dp WHERE i <= length(w)
+            ),
+            fin AS (
+                SELECT w, b, b[length(w) + 1].s AS score, length(w) AS n
+                FROM dp WHERE i = length(w) + 1
+            ),
+            bt AS (
+                SELECT w, b, score, n AS pos,
+                       CAST([] AS VARCHAR[]) AS toks
+                FROM fin WHERE score > -500000000000000
+                UNION ALL
+                SELECT w, b, score, pos - b[pos + 1].l,
+                       list_prepend(substr(w, pos - b[pos + 1].l + 1,
+                                           b[pos + 1].l), toks)
+                FROM bt WHERE pos > 0
+            ),
+            seg_ok AS (
+                SELECT w AS word, CAST(len(toks) AS INTEGER) AS n_tokens,
+                       CAST(score AS BIGINT) AS score_milli, toks
+                FROM bt WHERE pos = 0
+            ),
+            seg_bad AS (
+                SELECT w AS word, CAST(NULL AS INTEGER) AS n_tokens,
+                       CAST(NULL AS BIGINT) AS score_milli,
+                       CAST(NULL AS VARCHAR[]) AS toks
+                FROM fin WHERE score <= -500000000000000
+            )"""
+
+
+def _unigram_encode_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_unigram_dp_ctes()}
+        SELECT word, n_tokens, score_milli,
+               array_to_string(toks, ' ') AS pieces
+        FROM seg_ok
+        UNION ALL
+        SELECT word, n_tokens, score_milli, CAST(NULL AS VARCHAR) AS pieces
+        FROM seg_bad
+    """
+
+
+def _unigram_em_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_unigram_dp_ctes()},
+        freq AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS n_word
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY w
+        ),
+        seg AS (
+            SELECT f.n_word, unnest(o.toks) AS piece
+            FROM seg_ok o JOIN freq f ON o.word = f.w
+        ),
+        counts AS (
+            SELECT piece, CAST(sum(n_word) AS BIGINT) AS n_count
+            FROM seg GROUP BY piece
+        )
+        SELECT piece, n_count,
+               CAST(n_count * 1000000 // t AS BIGINT) AS p_micro
+        FROM counts,
+             (SELECT CAST(sum(n_count) AS BIGINT) AS t FROM counts) tt
+    """
+

@@ -135,3 +135,36 @@ QUERIES = {
     "batch_padding_compare": _q_batch_padding_compare,
     "nextfit_packing": _q_nextfit_packing,
 }
+
+
+def _q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi encode (ops.unigram, Kudo 2018) over the
+    distinct-word dim: per word, the max-score segmentation under the
+    literal integer milli-log model — score, token count and the piece
+    sequence. The DP is a within-row fold (bounded by word length);
+    the oracle twin runs the same DP as a recursive CTE. Fold runs
+    once per DISTINCT word."""
+    from reader_spark.ops.unigram import unigram_encode_words
+
+    docs = _read(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    return unigram_encode_words(words)
+
+
+def _q_unigram_em_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram hard-EM E-step + integer M-step (ops.unigram): Viterbi
+    piece counts weighted by corpus word frequency, re-normalized to
+    exact micro-unit probabilities (p_micro = count * 1e6 DIV total).
+    Two bounded shuffles (word freq, piece counts); the normalizer is
+    the documented 1-row broadcast dim."""
+    from reader_spark.ops.unigram import unigram_em_counts
+
+    return unigram_em_counts(_read(spark, sf_dir, "documents"))
+
+
+QUERIES["unigram_encode"] = _q_unigram_encode
+QUERIES["unigram_em_counts"] = _q_unigram_em_counts

@@ -881,3 +881,23 @@ def test_cdx_index_pure_map(spark):
     plan = plan_of(e.queries()["cdx_index"](spark, SF_DIR))
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
+
+
+def test_unigram_encode_single_word_exchange(spark):
+    """Viterbi DP is a within-row fold over the DISTINCT-word dim: the
+    only exchange is the distinct's hashpartitioning on word."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["unigram_encode"](spark, SF_DIR))
+    assert "SinglePartition" not in plan.split("\n\n")[0]
+    assert "hashpartitioning(word" in plan
+
+
+def test_unigram_em_partial_aggs(spark):
+    """EM counts fold map-side before both shuffles; the normalizer is
+    the documented 1-row broadcast dim."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["unigram_em_counts"](spark, SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "hashpartitioning(piece" in plan

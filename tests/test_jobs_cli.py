@@ -771,3 +771,71 @@ def test_refresh_job_extracts_only_added_and_changed(tmp_path, spark):
     assert statuses[removed_id] == "removed"
     assert statuses[added_id] == "added"
     assert statuses[changed_id] == "changed"
+
+
+def test_schedule_job_frontier_and_lineage(tmp_path, spark):
+    """schedule_job: sitemap parse -> change-rate join -> due ranking;
+    observation overrides the publisher hint; --top caps the frontier;
+    index children land in sitemap_frontier; lineage adds up."""
+    from pyspark.sql import Row
+
+    urlset = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://s.test/u1</loc><lastmod>2026-06-01</lastmod>
+       <changefreq>daily</changefreq><priority>0.9</priority></url>
+  <url><loc>https://s.test/u2</loc><lastmod>2026-06-14</lastmod>
+       <changefreq>weekly</changefreq><priority>0.8</priority></url>
+  <url><loc>https://s.test/u3</loc></url>
+</urlset>"""
+    index = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://s.test/sitemap-2.xml</loc></sitemap>
+</sitemapindex>"""
+    sm_p = str(tmp_path / "sitemaps")
+    spark.createDataFrame(
+        [
+            Row(sitemap_url="https://s.test/sitemap.xml", xml=urlset),
+            Row(sitemap_url="https://s.test/sitemap_index.xml", xml=index),
+        ]
+    ).write.parquet(sm_p)
+
+    # u2 changed on every visit -> observed ~8h interval, overriding the
+    # weekly hint (1 day since lastmod would NOT be due under 168h)
+    hist_rows = [
+        Row(url="https://s.test/u2", r=i, status="changed") for i in range(8)
+    ] + [
+        Row(url="https://s.test/u1", r=i,
+            status="changed" if i < 2 else "unchanged")
+        for i in range(8)
+    ]
+    hist_p = str(tmp_path / "history")
+    spark.createDataFrame(hist_rows).write.parquet(hist_p)
+
+    wh = str(tmp_path / "wh")
+    summary = run_job(
+        "schedule_job.py",
+        "--sitemaps", sm_p,
+        "--history", hist_p,
+        "--as-of", "2026-06-15",
+        "--warehouse", wh,
+        "--run-id", "sched1",
+        "--top", "2",
+        "--master", "local[4]",
+    )
+    assert summary["n_url_entries"] == 3
+    assert summary["n_index_entries"] == 1
+    assert summary["n_with_observation"] == 2
+    assert summary["n_due"] == 3  # u1 stale+daily, u2 via observation, u3 never fetched
+    assert summary["n_frontier"] == 2  # capped by --top
+
+    frontier = spark.read.parquet(wh + "/crawl_frontier")
+    rows = {r["loc"]: r for r in frontier.collect()}
+    # top-2 by priority desc: u1 (900) and u2 (800); u3 (500) cut
+    assert set(rows) == {"https://s.test/u1", "https://s.test/u2"}
+    assert rows["https://s.test/u2"]["hours_obs"] == 8
+    assert rows["https://s.test/u2"]["interval_hours"] == 8
+
+    children = spark.read.parquet(wh + "/sitemap_frontier")
+    assert [r["loc"] for r in children.collect()] == [
+        "https://s.test/sitemap-2.xml"
+    ]

@@ -184,16 +184,28 @@ def extract_pdf_spans(
     heading_height: float = 18.0,
     strip_furniture: bool = True,
     dehyphenate: bool = True,
+    tables: bool = True,
 ) -> list[Span]:
     """pdf_text payload -> ordered spans. Boxes taller than heading_height
     (a font-size proxy) become headings; consecutive body lines in the same
     column merge into one text span, with end-of-line hyphenation repaired
     (dehyphenate_lines) unless dehyphenate=False. Running headers/footers/
     page numbers (same digit-normalized text at the same y on 2+ pages) are
-    stripped before ordering unless strip_furniture=False."""
+    stripped before ordering unless strip_furniture=False. Grid-aligned
+    regions (detect_tables) become kind='table' GFM spans at their
+    reading-order position unless tables=False."""
     boxes = parse_boxes(payload)
     if strip_furniture:
         boxes = strip_repeated_furniture(boxes)
+    table_md: dict[str, str] = {}
+    if tables:
+        regions, boxes = detect_tables(boxes)
+        for i, (page, bbox, rows) in enumerate(regions):
+            # the region re-enters layout as ONE placeholder box at its
+            # bbox, so XY-cut orders it like any other block
+            marker = f"\x00TABLE{i}\x00"
+            table_md[marker] = render_gfm_table(rows)
+            boxes.append(Box(page, bbox[0], bbox[1], bbox[2], bbox[3], marker))
     boxes = reading_order(boxes, min_gap)
     spans: list[Span] = []
     buffer: list[str] = []
@@ -210,10 +222,110 @@ def extract_pdf_spans(
         text = box.text.strip()
         if not text:
             continue
-        if (box.y1 - box.y0) >= heading_height:
+        if text in table_md:
+            flush()
+            spans.append(Span("table", table_md[text]))
+        elif (box.y1 - box.y0) >= heading_height:
             flush()
             spans.append(Span("heading", "# " + text))
         else:
             buffer.append(text)
     flush()
     return spans
+
+
+# --- table detection -------------------------------------------------------
+
+def _y_bands(boxes: list[Box], y_tol: float) -> list[list[Box]]:
+    """Group one page's boxes into horizontal bands: sorted by y0, a box
+    joins the current band while its y0 is within y_tol of the band's
+    first member."""
+    bands: list[list[Box]] = []
+    for box in sorted(boxes, key=lambda b: (b.y0, b.x0)):
+        if bands and abs(box.y0 - bands[-1][0].y0) <= y_tol:
+            bands[-1].append(box)
+        else:
+            bands.append([box])
+    return bands
+
+
+def _aligned(a: list[Box], b: list[Box], x_tol: float) -> bool:
+    if len(a) != len(b):
+        return False
+    xa = sorted(box.x0 for box in a)
+    xb = sorted(box.x0 for box in b)
+    return all(abs(p - q) <= x_tol for p, q in zip(xa, xb))
+
+
+def detect_tables(
+    boxes: list[Box],
+    x_tol: float = 4.0,
+    y_tol: float = 3.0,
+    min_rows: int = 3,
+    min_cols: int = 3,
+) -> tuple[list[tuple[int, tuple[float, float, float, float], list[list[str]]]], list[Box]]:
+    """Grid-alignment table detection over positioned text boxes (the
+    ruling-line-free heuristic: a run of >= min_rows consecutive y-bands
+    whose >= min_cols x-starts repeat within x_tol IS a table — prose
+    never column-aligns that consistently). min_cols=3 by default so a
+    two-column BODY layout (two aligned x-starts per band) is never
+    misread as a table; lower it only when layout is known.
+
+    Returns (tables, rest): each table is (page, bbox, rows-of-cell-text
+    in x order); rest = all boxes not swallowed by a table."""
+    tables = []
+    rest: list[Box] = []
+    for page in sorted({b.page for b in boxes}):
+        bands = _y_bands([b for b in boxes if b.page == page], y_tol)
+        run: list[list[Box]] = []
+
+        def close() -> None:
+            nonlocal run
+            if len(run) >= min_rows:
+                cells = [
+                    [c.text for c in sorted(band, key=lambda b: b.x0)]
+                    for band in run
+                ]
+                allb = [b for band in run for b in band]
+                bbox = (
+                    min(b.x0 for b in allb),
+                    min(b.y0 for b in allb),
+                    max(b.x1 for b in allb),
+                    max(b.y1 for b in allb),
+                )
+                tables.append((page, bbox, cells))
+            else:
+                rest.extend(b for band in run for b in band)
+            run = []
+
+        for band in bands:
+            if len(band) >= min_cols and (
+                not run or _aligned(run[0], band, x_tol)
+            ):
+                run.append(band)
+            else:
+                close()
+                if len(band) >= min_cols:
+                    run.append(band)
+                else:
+                    rest.extend(band)
+        close()
+    return tables, rest
+
+
+def render_gfm_table(rows: list[list[str]]) -> str:
+    """Cell rows -> GFM pipe table, same contract as the HTML
+    serializer's _table (pipe-escape, ragged rows padded, first row is
+    the header)."""
+    rows = [
+        [c.strip().replace("|", "\\|").replace("\n", " ") for c in r]
+        for r in rows
+    ]
+    width = max(len(r) for r in rows)
+    for r in rows:
+        r.extend([""] * (width - len(r)))
+    lines = ["| " + " | ".join(rows[0]) + " |"]
+    lines.append("| " + " | ".join(["---"] * width) + " |")
+    for r in rows[1:]:
+        lines.append("| " + " | ".join(r) + " |")
+    return "\n".join(lines)

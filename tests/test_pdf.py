@@ -304,3 +304,93 @@ class TestTypographyFold:
             .count()
         )
         assert hashes == 1
+
+
+class TestTableDetection:
+    def _payload(self, boxes):
+        from reader_spark.fixtures import pdf_boxes_payload
+
+        return pdf_boxes_payload(boxes)
+
+    TABLE = [
+        # page, x0, y0, x1, y1, text — a 3x3 grid under a body line
+        (0, 50, 40, 500, 52, "Results are summarized below."),
+        (0, 50, 100, 140, 112, "name"), (0, 200, 100, 290, 112, "count"),
+        (0, 350, 100, 440, 112, "share"),
+        (0, 50, 120, 140, 132, "alpha"), (0, 200, 120, 290, 132, "10"),
+        (0, 350, 120, 440, 132, "0.5"),
+        (0, 50, 140, 140, 152, "beta"), (0, 200, 140, 290, 152, "7 | 8"),
+        (0, 350, 140, 440, 152, "0.3"),
+        (0, 50, 200, 500, 212, "Discussion follows the table."),
+    ]
+
+    def test_grid_becomes_table_span_in_order(self):
+        from reader_spark.pdf.layout import extract_pdf_spans
+
+        spans = extract_pdf_spans(self._payload(self.TABLE))
+        kinds = [s.kind for s in spans]
+        assert kinds == ["text", "table", "text"]
+        gfm = spans[1].text
+        assert gfm.splitlines()[0] == "| name | count | share |"
+        assert gfm.splitlines()[1] == "| --- | --- | --- |"
+        assert "| beta | 7 \\| 8 | 0.3 |" in gfm  # pipe-escape contract
+        assert spans[0].text == "Results are summarized below."
+
+    def test_two_column_body_not_misdetected(self):
+        from reader_spark.pdf.layout import detect_tables, parse_boxes
+
+        two_col = [
+            (0, 50, 100 + 20 * i, 280, 112 + 20 * i, f"left {i}")
+            for i in range(5)
+        ] + [
+            (0, 320, 100 + 20 * i, 550, 112 + 20 * i, f"right {i}")
+            for i in range(5)
+        ]
+        tables, rest = detect_tables(parse_boxes(self._payload(two_col)))
+        assert tables == []
+        assert len(rest) == 10
+
+    def test_ragged_rows_break_the_run(self):
+        from reader_spark.pdf.layout import detect_tables, parse_boxes
+
+        ragged = [
+            (0, 50, 100, 140, 112, "a"), (0, 200, 100, 290, 112, "b"),
+            (0, 350, 100, 440, 112, "c"),
+            # second band: only 2 cells -> run breaks at length 1
+            (0, 50, 120, 140, 132, "d"), (0, 200, 120, 290, 132, "e"),
+            (0, 50, 140, 140, 152, "f"), (0, 200, 140, 290, 152, "g"),
+            (0, 350, 140, 440, 152, "h"),
+        ]
+        tables, rest = detect_tables(parse_boxes(self._payload(ragged)))
+        assert tables == []
+        assert len(rest) == 8
+
+    def test_alignment_jitter_within_tolerance(self):
+        from reader_spark.pdf.layout import detect_tables, parse_boxes
+
+        jitter = []
+        for r in range(3):
+            for c, x in enumerate((50, 200, 350)):
+                jitter.append(
+                    (0, x + r, 100 + 20 * r, x + 90, 112 + 20 * r,
+                     f"c{r}{c}")
+                )
+        tables, rest = detect_tables(parse_boxes(self._payload(jitter)))
+        assert len(tables) == 1 and rest == []
+        assert tables[0][2][0] == ["c00", "c01", "c02"]
+
+    def test_opt_out_keeps_flow(self):
+        from reader_spark.pdf.layout import extract_pdf_spans
+
+        spans = extract_pdf_spans(self._payload(self.TABLE), tables=False)
+        assert all(s.kind != "table" for s in spans)
+
+    def test_pipeline_roundtrip_table_span(self, spark):
+        from reader_spark.extract.pipeline import extract_document
+
+        res = extract_document(
+            "pdf-table", self._payload(self.TABLE), "", payload_kind="pdf_text"
+        )
+        assert res.error_kind is None
+        assert [s.kind for s in res.spans] == ["text", "table", "text"]
+        assert "| name | count | share |" in res.markdown

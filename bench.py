@@ -163,6 +163,12 @@ BENCH_QUERIES = (
     "typography_fold",
     "url_variant_clusters",
     "content_aliases",
+    "cetr_classify",
+    "sitemap_ingest",
+    "recrawl_schedule",
+    "cdx_index",
+    "unigram_encode",
+    "unigram_em_counts",
 )
 
 
@@ -520,6 +526,90 @@ def main() -> None:
         ],
     )
 
+    # 5) crawl scheduling: one sitemap file per domain + a 4-round delta
+    #    history over the sf documents -> ranked due frontier
+    #    (jobs/schedule_job.py), the planning run BEFORE a crawl.
+    sched_sm = os.path.join(BENCH_DIR, "sched_sitemaps.parquet")
+    sched_hist = os.path.join(BENCH_DIR, "sched_history.parquet")
+    if not (os.path.isdir(sched_sm) and os.path.isdir(sched_hist)):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id"
+        )
+        d = F.col("doc_id")
+        dom = (d % 97).cast("string")
+        loc = F.concat(
+            F.lit("https://d"), dom, F.lit(".test/p"), d.cast("string")
+        )
+        cf = F.element_at(
+            F.array(
+                F.lit("always"), F.lit("hourly"), F.lit("daily"),
+                F.lit("weekly"), F.lit("monthly"), F.lit("yearly"),
+            ),
+            (d % 6).cast("int") + 1,
+        )
+        entry = F.concat(
+            F.lit("<url><loc>"), loc, F.lit("</loc>"),
+            F.when(
+                d % 5 != 0,
+                F.concat(
+                    F.lit("<lastmod>2026-0"), (1 + d % 9).cast("string"),
+                    F.lit("-15</lastmod>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 != 0,
+                F.concat(F.lit("<changefreq>"), cf, F.lit("</changefreq>")),
+            ).otherwise(F.lit("")),
+            F.lit("</url>"),
+        )
+        docs.select(dom.alias("dom"), d.alias("d"), entry.alias("e")).groupBy(
+            "dom"
+        ).agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("d", "e"))),
+                        lambda x: x["e"],
+                    ),
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        ).select(
+            F.concat(
+                F.lit("https://d"), F.col("dom"), F.lit(".test/sitemap.xml")
+            ).alias("sitemap_url"),
+            "xml",
+        ).write.mode("overwrite").parquet(sched_sm)
+        docs.select(
+            loc.alias("url"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"),
+        ).withColumn(
+            "status",
+            F.when(
+                (F.abs(F.xxhash64("url")) + F.col("r")) % 4 == 0, "changed"
+            ).otherwise("unchanged"),
+        ).write.mode("overwrite").parquet(sched_hist)
+    sched_wh = os.path.join(BENCH_DIR, "sched_wh")
+    if os.path.isdir(sched_wh):
+        import shutil
+
+        shutil.rmtree(sched_wh)
+    run_job(
+        "schedule_job",
+        [
+            "jobs/schedule_job.py",
+            "--sitemaps", sched_sm,
+            "--history", sched_hist,
+            "--as-of", "2026-06-15",
+            "--warehouse", sched_wh,
+            "--run-id", "bench_sched",
+            "--top", "20000",
+            "--master", f"local[{CPUS}]",
+        ],
+    )
+
     # Calibration lines IMMEDIATELY around the headline timing — the r1
     # number paired a calibration measured minutes earlier with an
     # extraction measured after the 41-query block, so VM phase drift
@@ -723,7 +813,11 @@ def main() -> None:
             f"| compact_job | {results['compact_job_e2e']} | "
             f"{json.dumps(pipeline['compact_job'])} |\n"
             f"| vlm_prep_job | {results['vlm_prep_job_e2e']} | "
-            f"{json.dumps(pipeline['vlm_prep_job'])} |\n\n"
+            f"{json.dumps(pipeline['vlm_prep_job'])} |\n"
+            f"| refresh_job | {results['refresh_job_e2e']} | "
+            f"{json.dumps(pipeline['refresh_job'])} |\n"
+            f"| schedule_job | {results['schedule_job_e2e']} | "
+            f"{json.dumps(pipeline['schedule_job'])} |\n\n"
             "vlm_prep_job = extract -> caption-alignment filter -> PII "
             "redaction -> budget truncation -> LLaVA-shape rendering over "
             "the same raw corpus as the headline extraction.\n\n"

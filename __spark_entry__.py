@@ -68,6 +68,7 @@ from reader_spark.queries.curation import (  # noqa: E402
 )
 from reader_spark.queries.analytics import (  # noqa: E402  (registry entries)
     _q_customer_nation_rollup,
+    _q_hilbert_events,
     _q_customers_without_orders,
     _q_nation_market_share,
     _q_part_brand_revenue,
@@ -3819,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "funnel_conversion": _q_funnel_conversion,
         "zorder_events": _q_zorder_events,
+        "hilbert_events": _q_hilbert_events,
         "cohort_retention": _q_cohort_retention,
         "hll_merged": _q_hll_merged,
         "event_transitions": _q_event_transitions,

@@ -7011,6 +7011,7 @@ def _oracle_sql_entries() -> dict[str, str]:
         """,
         "unigram_encode": _unigram_encode_oracle(),
         "unigram_em_counts": _unigram_em_oracle(),
+        "hilbert_events": _hilbert_oracle(),
     }
 
 
@@ -7112,3 +7113,45 @@ def _unigram_em_oracle() -> str:
              (SELECT CAST(sum(n_count) AS BIGINT) AS t FROM counts) tt
     """
 
+
+def _hilbert_oracle(bits: int = 8) -> str:
+    """Hilbert xy->d walk as a recursive CTE, mirroring
+    ops/hilbert.py's fold level-for-level in exact integer math."""
+    scale = 1 << bits
+    return f"""
+        WITH RECURSIVE mm AS (
+            SELECT min(user_id) AS minx, max(user_id) AS maxx,
+                   min(epoch_us(ts)) AS miny, max(epoch_us(ts)) AS maxy
+            FROM events
+        ),
+        b AS (
+            SELECT event_id,
+                   ((user_id - minx) * {scale}) // (maxx - minx + 1)
+                       AS xb,
+                   ((epoch_us(ts) - miny) * {scale}) // (maxy - miny + 1)
+                       AS yb
+            FROM events, mm
+        ),
+        walk AS (
+            SELECT event_id, xb, yb, xb AS x, yb AS y,
+                   CAST(0 AS BIGINT) AS d, {bits - 1} AS lvl
+            FROM b
+            UNION ALL
+            SELECT event_id, xb, yb,
+                   CASE WHEN ((y >> lvl) & 1) = 0
+                        THEN CASE WHEN ((x >> lvl) & 1) = 1
+                             THEN (1 << lvl) - 1 - y ELSE y END
+                        ELSE x END,
+                   CASE WHEN ((y >> lvl) & 1) = 0
+                        THEN CASE WHEN ((x >> lvl) & 1) = 1
+                             THEN (1 << lvl) - 1 - x ELSE x END
+                        ELSE y END,
+                   d + CAST((1 << lvl) AS BIGINT) * (1 << lvl)
+                       * xor(3 * ((x >> lvl) & 1), (y >> lvl) & 1),
+                   lvl - 1
+            FROM walk WHERE lvl >= 0
+        )
+        SELECT event_id, xb AS user_id_bucket, yb AS ts_us_bucket,
+               CAST(d AS BIGINT) AS h
+        FROM walk WHERE lvl = -1
+    """

@@ -174,3 +174,20 @@ def _q_returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
     )
+
+
+def _q_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (user_id, event time) — the
+    better-locality sibling of zorder_events (every consecutive pair of
+    curve cells is Manhattan-adjacent, so file min/max boxes are
+    tighter). Same integer bucket normalization, the curve walk as a
+    within-row fold; oracle twin walks the identical recursion as a
+    recursive CTE. Scan-local after the 1-row min/max dim."""
+    from reader_spark.ops.hilbert import hilbert_key
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    return hilbert_key(events, "user_id", "ts_us", bits=8).select(
+        "event_id", "user_id_bucket", "ts_us_bucket", "h"
+    )

@@ -901,3 +901,14 @@ def test_unigram_em_partial_aggs(spark):
     plan = plan_of(e.queries()["unigram_em_counts"](spark, SF_DIR))
     assert "partial_count" in plan or "partial_sum" in plan
     assert "hashpartitioning(piece" in plan
+
+
+def test_hilbert_scan_local_after_minmax_dim(spark):
+    """Hilbert key is scan-local: the only exchange feeds the 1-row
+    min/max dim (broadcast); no window, no sort in the key compute."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["hilbert_events"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "BroadcastExchange" in tree or "broadcast" in tree.lower()

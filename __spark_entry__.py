@@ -49,6 +49,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_change_rate,
     _q_content_aliases,
     _q_crawl_delta,
+    _q_ensemble_extract,
     _q_justext_classify,
     _q_justext_headings,
     _q_justext_multilang,
@@ -3946,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": _q_sitemap_ingest,
         "recrawl_schedule": _q_recrawl_schedule,
         "cdx_index": _q_cdx_index,
+        "ensemble_extract": _q_ensemble_extract,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

@@ -7012,6 +7012,206 @@ def _oracle_sql_entries() -> dict[str, str]:
         "unigram_encode": _unigram_encode_oracle(),
         "unigram_em_counts": _unigram_em_oracle(),
         "hilbert_events": _hilbert_oracle(),
+        "ensemble_extract": """
+            WITH l0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           regexp_extract_all(text, '\\S+( \\S+){0,24}'),
+                           (x, i) -> {'pn': CAST(i - 1 AS BIGINT),
+                                      'txt': x})) AS u
+                FROM documents
+            ),
+            pars AS (
+                SELECT doc_id, u.pn AS par_no, u.txt AS text FROM l0
+            ),
+            feat AS (
+                SELECT doc_id, par_no, text,
+                       CAST(length(text) AS BIGINT) AS length,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_words,
+                       CAST(CASE (doc_id + 3 * par_no) % 7
+                            WHEN 0 THEN length(text) // 2
+                            WHEN 1 THEN length(text) // 10
+                            ELSE 0 END AS BIGINT) AS link_chars,
+                       len(list_filter(string_split(text, ' '),
+                           w -> list_contains(
+                               ['a', 'the', 'table', 'value'],
+                               lower(w)))) AS n_stop
+                FROM pars
+            ),
+            flags AS (
+                SELECT doc_id, par_no, text, length, n_words, link_chars,
+                       link_chars / greatest(length, 1) AS ld,
+                       CASE WHEN n_words > 0
+                            THEN n_stop / n_words ELSE 0.0 END AS sd
+                FROM feat
+            ),
+            cf AS (
+                SELECT doc_id, par_no, length, n_words, ld, sd,
+                       CASE WHEN ld > 0.2 THEN 'bad'
+                            WHEN length < 70 THEN
+                                 CASE WHEN ld > 0 THEN 'bad' ELSE 'short' END
+                            WHEN sd >= 0.18 THEN
+                                 CASE WHEN length > 120
+                                      THEN 'good' ELSE 'neargood' END
+                            WHEN sd >= 0.12 THEN 'neargood'
+                            ELSE 'bad' END AS cf_class
+                FROM flags
+            ),
+            p1 AS (
+                SELECT *,
+                       COALESCE(last_value(CASE WHEN cf_class IN
+                               ('good', 'bad') THEN cf_class END
+                               IGNORE NULLS) OVER wp, 'bad') AS prev_gb,
+                       COALESCE(first_value(CASE WHEN cf_class IN
+                               ('good', 'bad') THEN cf_class END
+                               IGNORE NULLS) OVER wn, 'bad') AS next_gb,
+                       COALESCE(last_value(CASE WHEN cf_class <> 'short'
+                               THEN cf_class END
+                               IGNORE NULLS) OVER wp, 'bad') AS prev_any,
+                       COALESCE(first_value(CASE WHEN cf_class <> 'short'
+                               THEN cf_class END
+                               IGNORE NULLS) OVER wn, 'bad') AS next_any
+                FROM cf
+                WINDOW wp AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                       wn AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+            ),
+            r1 AS (
+                SELECT doc_id, par_no, cf_class,
+                       CASE WHEN cf_class <> 'short' THEN cf_class
+                            WHEN prev_gb = 'good' AND next_gb = 'good'
+                                 THEN 'good'
+                            WHEN prev_gb = 'bad' AND next_gb = 'bad'
+                                 THEN 'bad'
+                            WHEN (prev_gb = 'bad' AND prev_any = 'neargood')
+                              OR (next_gb = 'bad' AND next_any = 'neargood')
+                                 THEN 'good'
+                            ELSE 'bad' END AS c1
+                FROM p1
+            ),
+            p2 AS (
+                SELECT *,
+                       COALESCE(last_value(CASE WHEN c1 IN ('good', 'bad')
+                               THEN c1 END
+                               IGNORE NULLS) OVER wp, 'bad') AS prev_gb2,
+                       COALESCE(first_value(CASE WHEN c1 IN ('good', 'bad')
+                               THEN c1 END
+                               IGNORE NULLS) OVER wn, 'bad') AS next_gb2
+                FROM r1
+                WINDOW wp AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                       wn AS (PARTITION BY doc_id ORDER BY par_no
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+            ),
+            jt AS (
+                SELECT doc_id, par_no,
+                       CAST(CASE WHEN (CASE WHEN c1 <> 'neargood' THEN c1
+                                       WHEN prev_gb2 = 'bad'
+                                            AND next_gb2 = 'bad' THEN 'bad'
+                                       ELSE 'good' END)
+                                 IN ('good', 'neargood')
+                            THEN 1 ELSE 0 END AS INTEGER) AS v_justext
+                FROM p2
+            ),
+            bp AS (
+                SELECT doc_id, par_no,
+                       CAST(CASE WHEN ld > 0.333333 THEN 0 ELSE
+                            CASE WHEN coalesce(lag(ld) OVER w, 0.0)
+                                      <= 0.555556 THEN
+                                 CASE WHEN n_words <= 16 THEN
+                                      CASE WHEN coalesce(
+                                               lead(n_words) OVER w, 0)
+                                               <= 15 THEN
+                                           CASE WHEN coalesce(
+                                                    lag(n_words) OVER w, 0)
+                                                    <= 4
+                                                THEN 0 ELSE 1 END
+                                      ELSE 1 END
+                                 ELSE 1 END
+                            ELSE CASE WHEN n_words <= 40 THEN
+                                      CASE WHEN coalesce(
+                                               lead(n_words) OVER w, 0)
+                                               <= 17
+                                           THEN 0 ELSE 1 END
+                                 ELSE 1 END END
+                       END AS INTEGER) AS v_boilerpipe
+                FROM flags
+                WINDOW w AS (PARTITION BY doc_id ORDER BY par_no)
+            ),
+            ch AS (
+                SELECT doc_id, par_no,
+                       CASE (doc_id + 3 * par_no) % 7
+                       WHEN 0 THEN '<div class="nav"><a href="/x">'
+                                   || text || '</a></div>'
+                       WHEN 1 THEN '<p><a href="/y">ln</a> ' || text
+                                   || '</p>'
+                       WHEN 2 THEN text
+                       WHEN 3 THEN text
+                       ELSE '<p>' || text || '</p>' END AS html
+                FROM pars
+            ),
+            cfeat AS (
+                SELECT doc_id, par_no,
+                       CAST(length(html) - length(replace(html, '<', ''))
+                            AS BIGINT) AS tag_count,
+                       CAST(length(regexp_replace(html, '<[^>]*>', '', 'g'))
+                            AS BIGINT) AS text_chars
+                FROM ch
+            ),
+            ctr AS (
+                SELECT *, text_chars * 1000000 // greatest(tag_count, 1)
+                          AS tr_micro
+                FROM cfeat
+            ),
+            ctaps AS (
+                SELECT doc_id, par_no, tr_micro,
+                       lag(tr_micro, 2) OVER w AS p2,
+                       lag(tr_micro, 1) OVER w AS p1,
+                       lead(tr_micro, 1) OVER w AS n1,
+                       lead(tr_micro, 2) OVER w AS n2
+                FROM ctr
+                WINDOW w AS (PARTITION BY doc_id ORDER BY par_no)
+            ),
+            csm AS (
+                SELECT doc_id, par_no,
+                       (coalesce(p2, 0) * 1 + coalesce(p1, 0) * 4
+                        + tr_micro * 6
+                        + coalesce(n1, 0) * 4 + coalesce(n2, 0) * 1)
+                       // (CASE WHEN p2 IS NULL THEN 0 ELSE 1 END
+                           + CASE WHEN p1 IS NULL THEN 0 ELSE 4 END
+                           + 6
+                           + CASE WHEN n1 IS NULL THEN 0 ELSE 4 END
+                           + CASE WHEN n2 IS NULL THEN 0 ELSE 1 END)
+                       AS smoothed_micro
+                FROM ctaps
+            ),
+            ce AS (
+                SELECT doc_id, par_no,
+                       CAST(CASE WHEN smoothed_micro
+                                      * (count(*) OVER
+                                         (PARTITION BY doc_id))
+                                 > (sum(smoothed_micro) OVER
+                                    (PARTITION BY doc_id))
+                            THEN 1 ELSE 0 END AS INTEGER) AS v_cetr
+                FROM csm
+            )
+            SELECT j.doc_id, j.par_no, j.v_justext, b.v_boilerpipe,
+                   c.v_cetr,
+                   CAST(j.v_justext + b.v_boilerpipe + c.v_cetr
+                        AS INTEGER) AS votes,
+                   CAST(CASE WHEN j.v_justext + b.v_boilerpipe + c.v_cetr
+                                  >= 2 THEN 1 ELSE 0 END AS INTEGER)
+                       AS is_content
+            FROM jt j
+            JOIN bp b ON j.doc_id = b.doc_id AND j.par_no = b.par_no
+            JOIN ce c ON j.doc_id = c.doc_id AND j.par_no = c.par_no
+        """,
     }
 
 

@@ -819,3 +819,95 @@ def _q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("payload"),
     )
     return cdx_index(caps)
+
+
+def _q_ensemble_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble extraction (ops.ensemble): jusText, Boilerpipe and CETR
+    run over ONE shared 25-word paragraph frame (same link_chars ladder
+    as justext_classify, char-based link density for the Boilerpipe
+    tree, m7-keyed markup decoration for CETR's tag ratios) and vote
+    2-of-3 per block — the Dragnet insight as a deterministic majority.
+    Every arm windows on doc_id and the verdict joins key on
+    (doc_id, par_no), so the composed plan never leaves the document
+    key. All-integer verdicts; the oracle composes the three certified
+    oracle bodies over the same frame."""
+    from reader_spark.ops.boilerpipe import boilerpipe_classify
+    from reader_spark.ops.cetr import cetr_classify
+    from reader_spark.ops.ensemble import ensemble_vote
+    from reader_spark.ops.justext import justext_classify
+    from reader_spark.ops.lines import chunk_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    pars = (
+        chunk_lines(docs, words_per_line=25)
+        .withColumnRenamed("line_no", "par_no")
+        .withColumnRenamed("line", "text")
+    )
+    m7 = (F.col("doc_id") + 3 * F.col("par_no")) % 7
+    link = (
+        F.when(m7 == 0, F.floor(F.length("text") / 2))
+        .when(m7 == 1, F.floor(F.length("text") / 10))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    pars = pars.withColumn("link_chars", link)
+
+    jt = justext_classify(
+        pars,
+        stopwords=("a", "the", "table", "value"),
+        length_low=70,
+        length_high=120,
+        stopwords_low=0.12,
+        stopwords_high=0.18,
+        max_link_density=0.2,
+    ).select(
+        "doc_id",
+        "par_no",
+        F.col("final_class").isin("good", "neargood").cast("int").alias(
+            "v_justext"
+        ),
+    )
+
+    bp_feats = pars.select(
+        "doc_id",
+        "par_no",
+        F.size(F.split("text", " ")).alias("num_words"),
+        (F.col("link_chars") / F.greatest(F.length("text"), F.lit(1))).alias(
+            "link_density"
+        ),
+    )
+    bp = boilerpipe_classify(bp_feats, order_col="par_no").select(
+        "doc_id", "par_no", F.col("is_content").cast("int").alias("v_boilerpipe")
+    )
+
+    html = (
+        F.when(
+            m7 == 0,
+            F.concat(
+                F.lit('<div class="nav"><a href="/x">'),
+                F.col("text"),
+                F.lit("</a></div>"),
+            ),
+        )
+        .when(
+            m7 == 1,
+            F.concat(
+                F.lit('<p><a href="/y">ln</a> '), F.col("text"), F.lit("</p>")
+            ),
+        )
+        .when(m7.isin(2, 3), F.col("text"))
+        .otherwise(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")))
+    )
+    ct = cetr_classify(
+        pars.select("doc_id", "par_no", html.alias("html")),
+        order_col="par_no",
+    ).select(
+        "doc_id", "par_no", F.col("is_content").cast("int").alias("v_cetr")
+    )
+
+    joined = jt.join(bp, ["doc_id", "par_no"]).join(ct, ["doc_id", "par_no"])
+    return ensemble_vote(
+        joined, ("v_justext", "v_boilerpipe", "v_cetr")
+    ).select(
+        "doc_id", "par_no", "v_justext", "v_boilerpipe", "v_cetr",
+        "votes", "is_content",
+    )

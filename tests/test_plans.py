@@ -912,3 +912,15 @@ def test_hilbert_scan_local_after_minmax_dim(spark):
     tree = plan.split("\n\n")[0]
     assert "Window" not in tree
     assert "BroadcastExchange" in tree or "broadcast" in tree.lower()
+
+
+def test_ensemble_stays_on_doc_key(spark):
+    """All three arms window on doc_id and the verdict joins key on
+    (doc_id, par_no): no single-partition stage, no nested-loop join."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["ensemble_extract"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "SinglePartition" not in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree

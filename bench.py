@@ -169,6 +169,8 @@ BENCH_QUERIES = (
     "cdx_index",
     "unigram_encode",
     "unigram_em_counts",
+    "hilbert_events",
+    "ensemble_extract",
 )
 
 

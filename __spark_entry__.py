@@ -55,6 +55,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_justext_multilang,
     _q_ccnet_buckets,
     _q_curriculum_order,
+    _q_politeness_slots,
     _q_recrawl_schedule,
     _q_section_rollup,
     _q_sentence_spans_apply,
@@ -3948,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": _q_recrawl_schedule,
         "cdx_index": _q_cdx_index,
         "ensemble_extract": _q_ensemble_extract,
+        "politeness_slots": _q_politeness_slots,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

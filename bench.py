@@ -171,6 +171,7 @@ BENCH_QUERIES = (
     "unigram_em_counts",
     "hilbert_events",
     "ensemble_extract",
+    "politeness_slots",
 )
 
 

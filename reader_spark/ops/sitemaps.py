@@ -165,3 +165,56 @@ def recrawl_schedule(
         "priority_milli",
         due.cast("int").alias("is_due"),
     )
+
+
+def politeness_slots(
+    frontier: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    loc_col: str = "loc",
+    priority_col: str = "priority_milli",
+    delay_col: str = "crawl_delay_ms",
+    default_delay_ms: int = 1000,
+) -> DataFrame:
+    """Per-host fetch-slot assignment: the politeness schedule a fetcher
+    fleet executes after recrawl_schedule decides WHAT to fetch.
+
+    Each host is a serial queue (one in-flight request per host — the
+    robots.txt crawl-delay contract): URLs rank within their host by
+    (priority desc, loc asc — deterministic), and slot k fetches at
+    offset (k-1)·crawl_delay. ``host_makespan_ms`` (n_urls·delay) is the
+    per-host critical path — the fleet's wall clock is its max, which
+    is why frontier builders cap per-host batch size rather than total
+    size.
+
+    The window partitions on host (bounded by the per-host frontier
+    cap); the delay dim joins on the same key. All integer
+    milliseconds."""
+    from pyspark.sql import Window
+
+    d = delays.select(
+        F.col(host_col).alias("_dhost"),
+        F.col(delay_col).cast("long").alias(delay_col),
+    )
+    e = frontier.join(
+        d, frontier[host_col] == d["_dhost"], "left"
+    ).drop("_dhost")
+    e = e.withColumn(
+        delay_col, F.coalesce(F.col(delay_col), F.lit(default_delay_ms))
+    )
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(priority_col), F.asc(loc_col)
+    )
+    h = Window.partitionBy(host_col)
+    return e.select(
+        loc_col,
+        host_col,
+        F.row_number().over(w).cast("long").alias("slot"),
+        delay_col,
+        ((F.row_number().over(w) - 1) * F.col(delay_col))
+        .cast("long")
+        .alias("fetch_offset_ms"),
+        (F.count(F.lit(1)).over(h) * F.col(delay_col))
+        .cast("long")
+        .alias("host_makespan_ms"),
+    )

@@ -7212,6 +7212,43 @@ def _oracle_sql_entries() -> dict[str, str]:
             JOIN bp b ON j.doc_id = b.doc_id AND j.par_no = b.par_no
             JOIN ce c ON j.doc_id = c.doc_id AND j.par_no = c.par_no
         """,
+        "politeness_slots": """
+            WITH frontier AS (
+                SELECT 'https://d' || (doc_id % 13) || '.test/p' || doc_id
+                           AS loc,
+                       'd' || (doc_id % 13) AS host,
+                       CAST((doc_id % 10) * 100 AS BIGINT)
+                           AS priority_milli
+                FROM documents
+            ),
+            hosts AS (
+                SELECT 'd' || k AS host,
+                       CAST(500 * (1 + k % 4) AS BIGINT) AS crawl_delay_ms
+                FROM (SELECT DISTINCT doc_id % 13 AS k FROM documents)
+                WHERE k <> 0
+            ),
+            j AS (
+                SELECT f.loc, f.host, f.priority_milli,
+                       coalesce(h.crawl_delay_ms, 1000) AS crawl_delay_ms
+                FROM frontier f LEFT JOIN hosts h ON f.host = h.host
+            ),
+            r AS (
+                SELECT *,
+                       CAST(row_number() OVER
+                            (PARTITION BY host
+                             ORDER BY priority_milli DESC, loc ASC)
+                            AS BIGINT) AS slot,
+                       CAST(count(*) OVER (PARTITION BY host) AS BIGINT)
+                           AS n_host
+                FROM j
+            )
+            SELECT loc, host, slot, crawl_delay_ms,
+                   CAST((slot - 1) * crawl_delay_ms AS BIGINT)
+                       AS fetch_offset_ms,
+                   CAST(n_host * crawl_delay_ms AS BIGINT)
+                       AS host_makespan_ms
+            FROM r
+        """,
     }
 
 

@@ -911,3 +911,34 @@ def _q_ensemble_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "par_no", "v_justext", "v_boilerpipe", "v_cetr",
         "votes", "is_content",
     )
+
+
+def _q_politeness_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness fetch slots (ops.sitemaps.politeness_slots): per-host
+    serial queues ordered (priority desc, loc asc), slot k at offset
+    (k-1)·crawl_delay, host makespan = n·delay. Fixture: 13 hosts,
+    priorities cycling mod 10, delays 500·(1+host%4) ms with host d0
+    missing from the dim (default 1000 ms path). Host-keyed window +
+    same-key delay join; all integer milliseconds."""
+    from reader_spark.ops.sitemaps import politeness_slots
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://d"), (d % 13).cast("string"), F.lit(".test/p"),
+            d.cast("string"),
+        ).alias("loc"),
+        F.concat(F.lit("d"), (d % 13).cast("string")).alias("host"),
+        ((d % 10) * 100).cast("long").alias("priority_milli"),
+    )
+    hosts = (
+        docs.select((d % 13).alias("k"))
+        .distinct()
+        .where(F.col("k") != 0)  # d0 absent -> default-delay path
+        .select(
+            F.concat(F.lit("d"), F.col("k").cast("string")).alias("host"),
+            (500 * (1 + F.col("k") % 4)).cast("long").alias("crawl_delay_ms"),
+        )
+    )
+    return politeness_slots(frontier, hosts)

@@ -924,3 +924,12 @@ def test_ensemble_stays_on_doc_key(spark):
     assert "SinglePartition" not in tree
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_politeness_slots_host_keyed(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["politeness_slots"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "SinglePartition" not in tree
+    assert "hashpartitioning(host" in plan

@@ -126,3 +126,26 @@ def test_registry_queries(spark):
     assert kinds == {"url", "sitemap"}
     rs = q["recrawl_schedule"](spark, "/root/testdata/sf0.001")
     assert rs.count() > 0
+
+
+def test_politeness_slots_serial_queues(spark):
+    from reader_spark.ops.sitemaps import politeness_slots
+
+    frontier = spark.createDataFrame(
+        [
+            Row(loc="h1/a", host="h1", priority_milli=900),
+            Row(loc="h1/b", host="h1", priority_milli=100),
+            Row(loc="h1/c", host="h1", priority_milli=900),  # tie -> loc asc
+            Row(loc="h2/x", host="h2", priority_milli=500),
+        ]
+    )
+    delays = spark.createDataFrame([Row(host="h1", crawl_delay_ms=2000)])
+    got = {r["loc"]: r for r in politeness_slots(frontier, delays).collect()}
+    # h1 order: a (900), c (900, tie by loc), b (100)
+    assert got["h1/a"]["slot"] == 1 and got["h1/a"]["fetch_offset_ms"] == 0
+    assert got["h1/c"]["slot"] == 2 and got["h1/c"]["fetch_offset_ms"] == 2000
+    assert got["h1/b"]["slot"] == 3 and got["h1/b"]["fetch_offset_ms"] == 4000
+    assert got["h1/a"]["host_makespan_ms"] == 3 * 2000
+    # h2 missing from the delay dim -> default 1000 ms
+    assert got["h2/x"]["crawl_delay_ms"] == 1000
+    assert got["h2/x"]["host_makespan_ms"] == 1000

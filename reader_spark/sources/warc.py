@@ -208,3 +208,72 @@ def warc_to_docs(warc_df: DataFrame, dedup_captures: bool = True) -> DataFrame:
             )
         ).alias("spans"),
     )
+
+
+def warc_record_col(
+    uri: "Column",
+    payload: "Column",
+    status: "Column",
+    date: "Column | None" = None,
+) -> "Column":
+    """One capture -> its WARC/1.0 response record as a string column,
+    JVM-side (CRLF framing, Content-Length in UTF-8 OCTETS via
+    octet_length — char length corrupts framing on multibyte text)."""
+    from pyspark.sql import functions as F
+
+    p = F.coalesce(payload, F.lit(""))
+    parts = [
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\n"),
+    ]
+    if date is not None:
+        parts += [F.lit("WARC-Date: "), date, F.lit("\r\n")]
+    parts += [
+        F.lit("WARC-Status: "),
+        status.cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(p).cast("string"),
+        F.lit("\r\n\r\n"),
+        p,
+        F.lit("\r\n\r\n"),
+    ]
+    return F.concat(*parts)
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    shards: int = 8,
+    uri_col: str = "doc_id",
+    payload_col: str = "payload",
+    status_col: str = "status",
+    date_col: str | None = "capture_ts",
+) -> None:
+    """The archive SINK closing the WARC round-trip (read_warc is the
+    source): rows -> WARC/1.0 response records -> shard=NN/ text files.
+
+    Deterministic end to end: shard = xxhash64(uri) mod shards (re-runs
+    reproduce shard membership), one task per shard via
+    repartition(shard) + sortWithinPartitions(uri) (re-runs reproduce
+    BYTES, pinned by test). The text writer's row separator adds one
+    LF between records; parse_warc_records' magic-resync framing
+    ignores it, so read_warc(write_warc(df)) == df record-for-record.
+    No Python in the write path."""
+    from pyspark.sql import functions as F
+
+    date = F.col(date_col) if date_col else None
+    rec = warc_record_col(
+        F.col(uri_col), F.col(payload_col), F.col(status_col), date
+    )
+    shard = F.pmod(F.xxhash64(F.col(uri_col)), F.lit(shards)).cast("int")
+    (
+        df.select(shard.alias("shard"), F.col(uri_col).alias("__uri"),
+                  rec.alias("value"))
+        .repartition(shards, "shard")
+        .sortWithinPartitions("shard", "__uri")
+        .drop("__uri")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(path)
+    )

@@ -57,6 +57,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_curriculum_order,
     _q_politeness_slots,
     _q_recrawl_schedule,
+    _q_robots_parse,
     _q_section_rollup,
     _q_sentence_spans_apply,
     _q_sitemap_ingest,
@@ -3950,6 +3951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": _q_cdx_index,
         "ensemble_extract": _q_ensemble_extract,
         "politeness_slots": _q_politeness_slots,
+        "robots_parse": _q_robots_parse,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

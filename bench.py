@@ -172,6 +172,7 @@ BENCH_QUERIES = (
     "hilbert_events",
     "ensemble_extract",
     "politeness_slots",
+    "robots_parse",
 )
 
 

@@ -7249,6 +7249,90 @@ def _oracle_sql_entries() -> dict[str, str]:
                        AS host_makespan_ms
             FROM r
         """,
+        "robots_parse": """
+            WITH hosts AS (
+                SELECT DISTINCT doc_id % 13 AS k FROM documents
+            ),
+            files AS (
+                SELECT 'd' || k AS host,
+                       '# robots for d' || k || chr(10)
+                       || 'Disallow: /ignored-before-group' || chr(10)
+                       || 'User-agent: *' || chr(10)
+                       || 'Disallow: /private' || chr(10)
+                       || CASE WHEN k % 3 <> 0
+                          THEN 'Crawl-delay: ' || (1 + k % 5) || chr(10)
+                          ELSE '' END
+                       || 'Allow: /public' || chr(10) || chr(10)
+                       || CASE WHEN k % 2 = 0
+                          THEN 'User-agent: badbot' || chr(10)
+                               || 'User-agent: otherbot' || chr(10)
+                               || 'Disallow: /' || chr(10)
+                          ELSE '' END
+                       || 'Sitemap: https://d' || k
+                       || '.test/sitemap.xml' || chr(10)
+                       || CASE WHEN k % 4 = 0
+                          THEN 'Sitemap: https://d' || k
+                               || '.test/sitemap2.xml'
+                          ELSE '' END AS content
+                FROM hosts
+            ),
+            l0 AS (
+                SELECT host,
+                       unnest(list_transform(
+                           string_split(content, chr(10)),
+                           (x, i) -> {'ln': CAST(i - 1 AS BIGINT),
+                                      'raw': x})) AS u
+                FROM files
+            ),
+            kv AS (
+                SELECT host, u.ln AS line_no,
+                       lower(regexp_extract(
+                           trim(regexp_replace(u.raw, '#.*$', '')),
+                           '^([A-Za-z\\-]+)\\s*:', 1)) AS key,
+                       trim(regexp_extract(
+                           trim(regexp_replace(u.raw, '#.*$', '')),
+                           '^[A-Za-z\\-]+\\s*:(.*)$', 1)) AS value
+                FROM l0
+            ),
+            p AS (
+                SELECT * FROM kv WHERE key <> ''
+            ),
+            g AS (
+                SELECT *,
+                       CASE WHEN key = 'user-agent'
+                                 AND coalesce(lag(CASE WHEN key =
+                                     'user-agent' THEN 1 ELSE 0 END)
+                                     OVER w, 0) = 0
+                            THEN 1 ELSE 0 END AS opens
+                FROM p
+                WINDOW w AS (PARTITION BY host ORDER BY line_no)
+            ),
+            gi AS (
+                SELECT *,
+                       CAST(sum(opens) OVER
+                            (PARTITION BY host ORDER BY line_no
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+                           AS group_id
+                FROM g
+            ),
+            agents AS (
+                SELECT host, group_id, lower(value) AS agent
+                FROM gi WHERE key = 'user-agent'
+            ),
+            scoped AS (
+                SELECT d.host, a.agent, d.key AS directive, d.value,
+                       d.line_no
+                FROM gi d JOIN agents a
+                  ON d.host = a.host AND d.group_id = a.group_id
+                WHERE d.key IN ('allow', 'disallow', 'crawl-delay')
+            )
+            SELECT host, agent, directive, value, line_no FROM scoped
+            UNION ALL
+            SELECT host, CAST(NULL AS VARCHAR) AS agent,
+                   'sitemap' AS directive, value, line_no
+            FROM gi WHERE key = 'sitemap'
+        """,
     }
 
 

@@ -942,3 +942,49 @@ def _q_politeness_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return politeness_slots(frontier, hosts)
+
+
+def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale robots.txt parse (ops.robotstxt, RFC 9309): one
+    fetched file per host (13 hosts; crawl-delay absent for k % 3 == 0,
+    a multi-agent second group for even k, a second sitemap for
+    k % 4 == 0, and a directive BEFORE any group that must be dropped).
+    Group assignment is lag + running sum per host; group directives
+    fan out to every agent of their group; Sitemap rows are
+    group-independent (NULL agent)."""
+    from reader_spark.ops.robotstxt import robots_parse
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("k")
+    ks = k.cast("string")
+    hosts = docs.select((F.col("doc_id") % 13).alias("k")).distinct()
+    content = F.concat(
+        F.lit("# robots for d"), ks, F.lit("\n"),
+        F.lit("Disallow: /ignored-before-group\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /private\n"),
+        F.when(
+            k % 3 != 0,
+            F.concat(
+                F.lit("Crawl-delay: "), (1 + k % 5).cast("string"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("Allow: /public\n\n"),
+        F.when(
+            k % 2 == 0,
+            F.lit("User-agent: badbot\nUser-agent: otherbot\nDisallow: /\n"),
+        ).otherwise(F.lit("")),
+        F.lit("Sitemap: https://d"), ks, F.lit(".test/sitemap.xml\n"),
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("Sitemap: https://d"), ks,
+                F.lit(".test/sitemap2.xml"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    files = hosts.select(
+        F.concat(F.lit("d"), ks).alias("host"), content.alias("content")
+    )
+    return robots_parse(files)

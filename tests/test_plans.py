@@ -933,3 +933,14 @@ def test_politeness_slots_host_keyed(spark):
     tree = plan.split("\n\n")[0]
     assert "SinglePartition" not in tree
     assert "hashpartitioning(host" in plan
+
+
+def test_robots_parse_host_keyed(spark):
+    """Group assignment windows on host; the agent attach self-join
+    keys on (host, group_id) — never a single-partition stage."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["robots_parse"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "SinglePartition" not in tree
+    assert "CartesianProduct" not in tree

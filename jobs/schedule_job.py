@@ -37,6 +37,8 @@ def main(argv=None) -> int:
                         help="parquet of (sitemap_url, xml) fetched files")
     parser.add_argument("--history", default=None,
                         help="parquet of (url, round, status) crawl deltas")
+    parser.add_argument("--robots", default=None,
+                        help="parquet of (host, content) robots.txt files")
     parser.add_argument("--as-of", required=True, dest="as_of")
     parser.add_argument("--warehouse", required=True)
     parser.add_argument("--run-id", required=True)
@@ -103,6 +105,30 @@ def main(argv=None) -> int:
                 "sitemap_frontier",
             )
 
+            max_makespan_ms = None
+            if args.robots:
+                from reader_spark.ops.robotstxt import (
+                    robots_host_dim,
+                    robots_parse,
+                )
+                from reader_spark.ops.sitemaps import politeness_slots
+
+                dims = robots_host_dim(
+                    robots_parse(spark.read.parquet(args.robots))
+                ).select("host", "crawl_delay_ms")
+                hosted = warehouse.read("crawl_frontier").where(
+                    F.col("run_id") == args.run_id
+                ).withColumn(
+                    "host", F.regexp_extract(F.col("loc"), "://([^/]+)", 1)
+                )
+                slots = politeness_slots(hosted, dims)
+                warehouse.write(
+                    slots.withColumn("run_id", rid), "fetch_slots"
+                )
+                max_makespan_ms = (
+                    slots.agg(F.max("host_makespan_ms")).head()[0]
+                )
+
             n_entries = entries.count()
             n_due = due.count()
             n_frontier = warehouse.read("crawl_frontier").where(
@@ -122,6 +148,8 @@ def main(argv=None) -> int:
                 "n_frontier": n_frontier,
                 "top": args.top,
             }
+            if max_makespan_ms is not None:
+                lineage["max_host_makespan_ms"] = max_makespan_ms
             warehouse.write(
                 spark.createDataFrame([lineage]), "schedule_lineage"
             )

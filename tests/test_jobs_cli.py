@@ -811,11 +811,18 @@ def test_schedule_job_frontier_and_lineage(tmp_path, spark):
     hist_p = str(tmp_path / "history")
     spark.createDataFrame(hist_rows).write.parquet(hist_p)
 
+    robots_p = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [Row(host="s.test",
+             content="User-agent: *\nCrawl-delay: 3\nDisallow: /tmp\n")]
+    ).write.parquet(robots_p)
+
     wh = str(tmp_path / "wh")
     summary = run_job(
         "schedule_job.py",
         "--sitemaps", sm_p,
         "--history", hist_p,
+        "--robots", robots_p,
         "--as-of", "2026-06-15",
         "--warehouse", wh,
         "--run-id", "sched1",
@@ -839,3 +846,12 @@ def test_schedule_job_frontier_and_lineage(tmp_path, spark):
     assert [r["loc"] for r in children.collect()] == [
         "https://s.test/sitemap-2.xml"
     ]
+
+    # robots-driven politeness slots over the committed frontier:
+    # both frontier URLs share host s.test (delay 3 s) -> serial queue
+    slots = {r["loc"]: r for r in
+             spark.read.parquet(wh + "/fetch_slots").collect()}
+    assert len(slots) == 2
+    assert sorted(r["fetch_offset_ms"] for r in slots.values()) == [0, 3000]
+    assert all(r["host_makespan_ms"] == 6000 for r in slots.values())
+    assert summary["max_host_makespan_ms"] == 6000

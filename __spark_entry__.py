@@ -45,6 +45,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_boilerpipe_classify,
     _q_c4_page_clean,
     _q_cdx_index,
+    _q_cdx_merge,
     _q_cetr_classify,
     _q_change_rate,
     _q_content_aliases,
@@ -3952,6 +3953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_extract": _q_ensemble_extract,
         "politeness_slots": _q_politeness_slots,
         "robots_parse": _q_robots_parse,
+        "cdx_merge": _q_cdx_merge,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

@@ -173,6 +173,7 @@ BENCH_QUERIES = (
     "ensemble_extract",
     "politeness_slots",
     "robots_parse",
+    "cdx_merge",
 )
 
 

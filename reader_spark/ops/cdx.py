@@ -97,3 +97,23 @@ def cdx_dedup_captures(index: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_captures"),
         F.max("length").alias("length"),
     )
+
+
+def cdx_merge(
+    index: DataFrame,
+    new_captures: DataFrame,
+) -> DataFrame:
+    """Roll a new crawl's captures into an existing revisit index
+    WITHOUT re-reading old payloads (the incremental-dedup discipline,
+    ops/dedup.py persisted-band-index shape): both sides are already
+    (urlkey, digest, first_ts, n_captures, length) summaries — old from
+    the stored index, new from cdx_dedup_captures over the fresh crawl
+    — and the merge is ONE groupBy on the key pair: first_ts = min,
+    n_captures = sum, length = max. Only keys/digests/counters shuffle;
+    payload bytes never move after their first indexing."""
+    both = index.unionByName(new_captures)
+    return both.groupBy("urlkey", "digest").agg(
+        F.min("first_ts").alias("first_ts"),
+        F.sum("n_captures").cast("long").alias("n_captures"),
+        F.max("length").alias("length"),
+    )

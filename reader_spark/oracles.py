@@ -7333,6 +7333,36 @@ def _oracle_sql_entries() -> dict[str, str]:
                    'sitemap' AS directive, value, line_no
             FROM gi WHERE key = 'sitemap'
         """,
+        "cdx_merge": """
+            WITH base AS (
+                SELECT 'test,a' || (doc_id % 11) || ')/p' || doc_id
+                           AS urlkey,
+                       sha256(text) AS digest,
+                       '20260101000000' AS first_ts,
+                       CAST(1 AS BIGINT) AS n_captures,
+                       CAST(length(text) AS BIGINT) AS length
+                FROM documents
+            ),
+            today AS (
+                SELECT 'test,a' || (doc_id % 11) || ')/p' || doc_id
+                           AS urlkey,
+                       sha256(CASE WHEN doc_id % 7 = 0
+                              THEN text || ' v2' ELSE text END) AS digest,
+                       '20260615000000' AS first_ts,
+                       CAST(1 AS BIGINT) AS n_captures,
+                       CAST(length(CASE WHEN doc_id % 7 = 0
+                            THEN text || ' v2' ELSE text END) AS BIGINT)
+                           AS length
+                FROM documents WHERE doc_id % 3 = 0 OR doc_id % 7 = 0
+            ),
+            u AS (
+                SELECT * FROM base UNION ALL SELECT * FROM today
+            )
+            SELECT urlkey, digest, min(first_ts) AS first_ts,
+                   CAST(sum(n_captures) AS BIGINT) AS n_captures,
+                   CAST(max(length) AS BIGINT) AS length
+            FROM u GROUP BY urlkey, digest
+        """,
     }
 
 

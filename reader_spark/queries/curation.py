@@ -988,3 +988,41 @@ def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("d"), ks).alias("host"), content.alias("content")
     )
     return robots_parse(files)
+
+
+def _q_cdx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDX merge (ops.cdx.cdx_merge): yesterday's revisit
+    index + today's captures in one key-pair groupBy, payloads never
+    re-read. Fixture: the base index comes from the cdx_index fixture's
+    parseable arms; today's crawl re-captures docs % 3 == 0 with the
+    SAME content (revisit: n_captures grows, first_ts stays) and docs
+    % 7 == 0 with CHANGED content (new digest row). Counters and keys
+    shuffle; nothing else."""
+    from reader_spark.ops.cdx import cdx_dedup_captures, cdx_index
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://a"), (d % 11).cast("string"), F.lit(".test/p"),
+        d.cast("string"),
+    )
+    base_caps = docs.select(
+        url.alias("url"),
+        F.lit("20260101000000").alias("ts"),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        F.col("text").alias("payload"),
+    )
+    base = cdx_dedup_captures(cdx_index(base_caps))
+    today = docs.where((d % 3 == 0) | (d % 7 == 0)).select(
+        url.alias("url"),
+        F.lit("20260615000000").alias("ts"),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        F.when(
+            d % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("payload"),
+    )
+    from reader_spark.ops.cdx import cdx_merge
+
+    return cdx_merge(base, cdx_dedup_captures(cdx_index(today)))

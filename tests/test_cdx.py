@@ -75,3 +75,34 @@ def test_registry_query(spark):
     # digest is 64-hex sha256
     r = next(r for r in rows if r["urlkey"] is not None)
     assert len(r["digest"]) == 64
+
+
+def test_cdx_merge_revisit_and_change(spark):
+    from reader_spark.ops.cdx import cdx_merge
+
+    base = spark.createDataFrame(
+        [Row(urlkey="com,e)/p", digest="d1", first_ts="20260101",
+             n_captures=2, length=10)]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(urlkey="com,e)/p", digest="d1", first_ts="20260615",
+                n_captures=1, length=10),  # revisit, same content
+            Row(urlkey="com,e)/p", digest="d2", first_ts="20260615",
+                n_captures=1, length=13),  # changed content
+        ]
+    )
+    got = {r["digest"]: r for r in cdx_merge(base, new).collect()}
+    assert got["d1"]["n_captures"] == 3
+    assert got["d1"]["first_ts"] == "20260101"  # earliest survives
+    assert got["d2"]["n_captures"] == 1
+    assert got["d2"]["first_ts"] == "20260615"
+
+
+def test_cdx_merge_registry_query(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["cdx_merge"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert any(r["n_captures"] == 2 for r in rows)  # revisits counted
+    assert any(r["n_captures"] == 1 for r in rows)

@@ -944,3 +944,13 @@ def test_robots_parse_host_keyed(spark):
     tree = plan.split("\n\n")[0]
     assert "SinglePartition" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_cdx_merge_partial_agg_key_only(spark):
+    """Merge folds map-side before ONE (urlkey, digest) exchange —
+    payload bytes never shuffle."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["cdx_merge"](spark, SF_DIR))
+    assert "partial" in plan.lower()
+    assert "hashpartitioning(urlkey" in plan

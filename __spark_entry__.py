@@ -59,6 +59,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_politeness_slots,
     _q_recrawl_schedule,
     _q_robots_parse,
+    _q_semantic_delta,
     _q_section_rollup,
     _q_sentence_spans_apply,
     _q_sitemap_ingest,
@@ -3954,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_slots": _q_politeness_slots,
         "robots_parse": _q_robots_parse,
         "cdx_merge": _q_cdx_merge,
+        "semantic_delta": _q_semantic_delta,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
     })

@@ -174,6 +174,7 @@ BENCH_QUERIES = (
     "politeness_slots",
     "robots_parse",
     "cdx_merge",
+    "semantic_delta",
 )
 
 

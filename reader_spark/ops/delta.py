@@ -122,3 +122,53 @@ def change_rate(
         F.round(naive, 6).alias("rate_naive"),
         F.round(cho, 6).alias("rate_cho"),
     )
+
+
+COSMETIC = "cosmetic"
+
+
+def semantic_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """crawl_delta with 'changed' split into MATERIAL vs COSMETIC.
+
+    A page whose template flips smart quotes, re-wraps whitespace or
+    re-cases a header on every render is byte-different but
+    content-identical; counting that as change drives the Cho
+    change-rate estimator (change_rate) to its floor interval for
+    pages that never really move. Rows are 'cosmetic' when the texts
+    are equal after typographic folding (spark/columns.
+    fold_typography_col) + whitespace collapse + case fold; only
+    'changed' rows should feed change_rate and the re-extraction
+    frontier.
+
+    Same shuffle discipline as crawl_delta: each side pre-projects to
+    TWO 128-bit digests (raw, normalized) before the full-outer join —
+    payloads never shuffle."""
+    from ..spark.columns import fold_typography_col
+
+    def digests(df: DataFrame, prefix: str) -> DataFrame:
+        t = F.col(text_col)
+        norm = F.lower(
+            F.trim(F.regexp_replace(fold_typography_col(t), r"\s+", " "))
+        )
+        return df.select(
+            F.col(id_col),
+            F.md5(t).alias(f"_{prefix}_raw"),
+            F.md5(norm).alias(f"_{prefix}_norm"),
+        )
+
+    joined = digests(old, "old").join(
+        digests(new, "new"), id_col, "full_outer"
+    )
+    status = (
+        F.when(F.col("_old_raw").isNull(), ADDED)
+        .when(F.col("_new_raw").isNull(), REMOVED)
+        .when(F.col("_old_raw") == F.col("_new_raw"), UNCHANGED)
+        .when(F.col("_old_norm") == F.col("_new_norm"), COSMETIC)
+        .otherwise(CHANGED)
+    )
+    return joined.select(F.col(id_col), status.alias("status"))

@@ -7363,6 +7363,60 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST(max(length) AS BIGINT) AS length
             FROM u GROUP BY urlkey, digest
         """,
+        "semantic_delta": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+            ),
+            newt AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                            WHEN doc_id % 11 = 0 THEN '  '
+                                 || upper(replace(text, ' ',
+                                                  chr(160) || ' '))
+                                 || ' '
+                            ELSE text END AS text
+                FROM base
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 19 = 0
+            ),
+            od AS (
+                SELECT doc_id, md5(text) AS o_raw,
+                       md5(lower(trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                           replace(replace(text,
+                           chr(8216), chr(39)), chr(8217), chr(39)),
+                           chr(8220), '"'), chr(8221), '"'),
+                           chr(8211), '-'), chr(8212), '-'),
+                           chr(8230), '...'), chr(160), ' '),
+                           '\\s+', ' ', 'g')))) AS o_norm
+                FROM documents
+            ),
+            nd AS (
+                SELECT doc_id, md5(text) AS n_raw,
+                       md5(lower(trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                           replace(replace(text,
+                           chr(8216), chr(39)), chr(8217), chr(39)),
+                           chr(8220), '"'), chr(8221), '"'),
+                           chr(8211), '-'), chr(8212), '-'),
+                           chr(8230), '...'), chr(160), ' '),
+                           '\\s+', ' ', 'g')))) AS n_norm
+                FROM newt
+            ),
+            j AS (
+                SELECT coalesce(od.doc_id, nd.doc_id) AS doc_id,
+                       o_raw, o_norm, n_raw, n_norm
+                FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN o_raw IS NULL THEN 'added'
+                        WHEN n_raw IS NULL THEN 'removed'
+                        WHEN o_raw = n_raw THEN 'unchanged'
+                        WHEN o_norm = n_norm THEN 'cosmetic'
+                        ELSE 'changed' END AS status
+            FROM j
+        """,
     }
 
 

@@ -1026,3 +1026,33 @@ def _q_cdx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reader_spark.ops.cdx import cdx_merge
 
     return cdx_merge(base, cdx_dedup_captures(cdx_index(today)))
+
+
+def _q_semantic_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Material-vs-cosmetic refresh delta (ops.delta.semantic_delta):
+    byte-changed docs whose text is equal after typographic fold +
+    whitespace collapse + case fold are 'cosmetic' and must NOT feed
+    the change-rate estimator. Mutations: docs % 17 removed, % 19 add
+    a shifted copy, % 13 get ' v2' (material), % 11 get smart-quote +
+    double-space + case noise (cosmetic; the % 13 arm wins when both
+    divide). Digest-only shuffle, two md5s per side."""
+    from reader_spark.ops.delta import semantic_delta
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    base = docs.where(d % 17 != 0)
+    cosmetic = F.concat(
+        F.lit("  "),
+        F.upper(F.replace(F.col("text"), F.lit(" "), F.lit("  "))),
+        F.lit(" "),
+    )
+    mutated = (
+        F.when(d % 13 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .when(d % 11 == 0, cosmetic)
+        .otherwise(F.col("text"))
+    )
+    added = docs.where(d % 19 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    new = base.withColumn("text", mutated).unionByName(added)
+    return semantic_delta(docs, new)

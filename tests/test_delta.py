@@ -97,3 +97,41 @@ class TestChangeRate:
         got = change_rate(self._hist(spark, rows)).collect()[0]
         assert got.rate_naive == 0.0
         assert got.rate_cho == 0.0  # (n - 0 + .5)/(n + .5) = 1 -> ln 1
+
+
+class TestSemanticDelta:
+    def _run(self, spark, old_rows, new_rows):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.delta import semantic_delta
+
+        old = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in old_rows])
+        new = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in new_rows])
+        return {r["doc_id"]: r["status"] for r in semantic_delta(old, new).collect()}
+
+    def test_cosmetic_vs_material(self, spark):
+        got = self._run(
+            spark,
+            [(1, "hello world"), (2, "keep me"), (3, "real change"),
+             (4, "smart quote ‘x’"), (5, "bye")],
+            [
+                (1, "  HELLO  world "),  # case+nbsp+pad -> cosmetic
+                (2, "keep me"),                      # unchanged
+                (3, "real change v2"),               # material
+                (4, "smart quote 'x'"),              # quotes folded -> cosmetic
+                (6, "brand new"),                    # added
+            ],
+        )
+        assert got[1] == "cosmetic"
+        assert got[2] == "unchanged"
+        assert got[3] == "changed"
+        assert got[4] == "cosmetic"
+        assert got[5] == "removed"
+        assert got[6] == "added"
+
+    def test_registry_query_all_statuses(self, spark):
+        import __spark_entry__ as e
+
+        df = e.queries()["semantic_delta"](spark, "/root/testdata/sf0.001")
+        statuses = {r["status"] for r in df.select("status").distinct().collect()}
+        assert statuses == {"added", "removed", "changed", "cosmetic", "unchanged"}

@@ -228,7 +228,13 @@ def warc_record_col(
         F.lit("\r\n"),
     ]
     if date is not None:
-        parts += [F.lit("WARC-Date: "), date, F.lit("\r\n")]
+        # null-safe: a NULL date drops the header line, not the record
+        parts += [
+            F.when(
+                date.isNotNull(),
+                F.concat(F.lit("WARC-Date: "), date, F.lit("\r\n")),
+            ).otherwise(F.lit(""))
+        ]
     parts += [
         F.lit("WARC-Status: "),
         status.cast("string"),

@@ -855,3 +855,48 @@ def test_schedule_job_frontier_and_lineage(tmp_path, spark):
     assert sorted(r["fetch_offset_ms"] for r in slots.values()) == [0, 3000]
     assert all(r["host_makespan_ms"] == 6000 for r in slots.values())
     assert summary["max_host_makespan_ms"] == 6000
+
+
+def test_archive_job_index_extract_and_clean_warc(tmp_path, spark, warc_path):
+    """archive_job: CDX sidecar, extraction through the real pipeline,
+    cleaned markdown re-archived as WARC; --merge-index rolls a second
+    crawl into the same index with revisit counts."""
+    wh = str(tmp_path / "wh")
+    summary = run_job(
+        "archive_job.py",
+        "--input", warc_path,
+        "--warehouse", wh,
+        "--run-id", "arch1",
+        "--clean-archive",
+        "--master", "local[4]",
+    )
+    assert summary["n_captures"] == 4
+    assert summary["n_index_rows"] == 4
+    assert summary["extracted"]["totalDocs"] == 4
+    assert summary["extracted"]["failedDocs"] == 0
+
+    cdx = spark.read.parquet(wh + "/cdx")
+    rows = cdx.collect()
+    assert all(r["n_captures"] == 1 for r in rows)
+    assert all(r["urlkey"].startswith("test,jobs)/") for r in rows)
+
+    # cleaned markdown came back as a readable WARC
+    from reader_spark.sources.warc import read_warc
+
+    back = read_warc(spark, summary["clean_warc"] + "/shard=*/part-*")
+    got = {r["doc_id"]: r["payload"] for r in back.collect()}
+    assert len(got) == 4
+    assert any("J0" in p or "job test page 0" in p for p in got.values())
+
+    # second pass over the SAME warcs with --merge-index: revisits
+    summary2 = run_job(
+        "archive_job.py",
+        "--input", warc_path,
+        "--warehouse", wh,
+        "--run-id", "arch2",
+        "--merge-index",
+        "--master", "local[4]",
+    )
+    assert summary2["n_index_rows"] == 4
+    merged = {r["urlkey"]: r for r in spark.read.parquet(wh + "/cdx").collect()}
+    assert all(r["n_captures"] == 2 for r in merged.values())

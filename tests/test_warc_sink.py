@@ -55,3 +55,16 @@ def test_rewrite_reproduces_bytes(spark, tmp_path):
     write_warc(docs, a, shards=3)
     write_warc(docs.orderBy("status"), b, shards=3)  # input order differs
     assert _md5s(a) == _md5s(b)
+
+
+def test_null_date_drops_header_not_record(spark, tmp_path):
+    out = str(tmp_path / "nd")
+    docs = spark.createDataFrame(
+        [Row(doc_id="https://w.test/x", payload="body", status=200,
+             capture_ts=None)]
+    )
+    write_warc(docs, out, shards=1)
+    back = read_warc(spark, out + "/shard=*/part-*").collect()
+    assert len(back) == 1
+    assert back[0]["payload"] == "body"
+    assert back[0]["capture_ts"] is None

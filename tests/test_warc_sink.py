@@ -61,7 +61,8 @@ def test_null_date_drops_header_not_record(spark, tmp_path):
     out = str(tmp_path / "nd")
     docs = spark.createDataFrame(
         [Row(doc_id="https://w.test/x", payload="body", status=200,
-             capture_ts=None)]
+             capture_ts=None)],
+        schema="doc_id string, payload string, status int, capture_ts string",
     )
     write_warc(docs, out, shards=1)
     back = read_warc(spark, out + "/shard=*/part-*").collect()

@@ -175,6 +175,7 @@ BENCH_QUERIES = (
     "robots_parse",
     "cdx_merge",
     "semantic_delta",
+    "unigram_doc_tokens",
 )
 
 

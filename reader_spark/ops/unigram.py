@@ -287,3 +287,36 @@ def learn_unigram(
     return spark.createDataFrame(
         sorted(model.items()), schema="piece string, score_milli long"
     )
+
+
+def unigram_doc_tokens(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pieces: dict[str, int] = DEFAULT_PIECES,
+    max_piece: int = MAX_PIECE,
+) -> DataFrame:
+    """Per-document EXACT unigram token counts — the unigram sibling of
+    ops.bpe.bpe_token_counts for the packing/budget operators: Viterbi
+    runs once per DISTINCT word, the per-word counts join back to
+    occurrences on the word key, and the doc rollup is one
+    map-side-combined groupBy. Out-of-vocabulary words (unsegmentable
+    under the model) are counted in ``n_oov`` and excluded from the
+    token sum rather than nulling the document."""
+    words = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    v = unigram_viterbi_expr(F.col("word"), pieces, max_piece)
+    dim = (
+        words.select("word")
+        .distinct()
+        .select("word", v["n_tokens"].alias("_nt"))
+    )
+    joined = words.join(dim, "word")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.coalesce(F.col("_nt"), F.lit(0)).cast("long")).alias(
+            "unigram_tokens"
+        ),
+        F.sum(F.col("_nt").isNull().cast("long")).alias("n_oov"),
+    )

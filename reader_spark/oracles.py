@@ -7011,6 +7011,7 @@ def _oracle_sql_entries() -> dict[str, str]:
         """,
         "unigram_encode": _unigram_encode_oracle(),
         "unigram_em_counts": _unigram_em_oracle(),
+        "unigram_doc_tokens": _unigram_doc_tokens_oracle(),
         "hilbert_events": _hilbert_oracle(),
         "ensemble_extract": """
             WITH l0 AS (
@@ -7559,4 +7560,28 @@ def _hilbert_oracle(bits: int = 8) -> str:
         SELECT event_id, xb AS user_id_bucket, yb AS ts_us_bucket,
                CAST(d AS BIGINT) AS h
         FROM walk WHERE lvl = -1
+    """
+
+
+def _unigram_doc_tokens_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_unigram_dp_ctes()},
+        occ AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        occf AS (SELECT doc_id, w FROM occ WHERE w <> ''),
+        seg AS (
+            SELECT word, n_tokens FROM seg_ok
+            UNION ALL
+            SELECT word, n_tokens FROM seg_bad
+        )
+        SELECT o.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(coalesce(s.n_tokens, 0)) AS BIGINT)
+                   AS unigram_tokens,
+               CAST(sum(CASE WHEN s.n_tokens IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM occf o JOIN seg s ON o.w = s.word
+        GROUP BY o.doc_id
     """

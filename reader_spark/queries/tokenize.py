@@ -168,3 +168,16 @@ def _q_unigram_em_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["unigram_encode"] = _q_unigram_encode
 QUERIES["unigram_em_counts"] = _q_unigram_em_counts
+
+
+def _q_unigram_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact unigram token counts (ops.unigram.
+    unigram_doc_tokens): Viterbi once per DISTINCT word, word-keyed
+    join back, ONE doc rollup — the unigram twin of bpe_token_counts
+    for packing/budget accounting."""
+    from reader_spark.ops.unigram import unigram_doc_tokens
+
+    return unigram_doc_tokens(_read(spark, sf_dir, "documents"))
+
+
+QUERIES["unigram_doc_tokens"] = _q_unigram_doc_tokens

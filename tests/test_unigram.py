@@ -146,3 +146,20 @@ def test_learn_unigram_matches_reference(spark):
     # every corpus char survives pruning (coverage invariant)
     chars = {c for t in texts for c in t if c != " "}
     assert chars <= set(got)
+
+
+def test_doc_tokens_rollup_and_oov(spark):
+    from reader_spark.ops.unigram import unigram_doc_tokens
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the window x$z"),
+            Row(doc_id=2, text="join join"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in unigram_doc_tokens(docs).collect()}
+    # 'the'=1 tok, 'window'=1 tok, 'x$z' OOV (excluded, counted)
+    assert got[1]["n_words"] == 3
+    assert got[1]["unigram_tokens"] == 2
+    assert got[1]["n_oov"] == 1
+    assert got[2]["unigram_tokens"] == 2 and got[2]["n_oov"] == 0

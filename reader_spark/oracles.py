@@ -7012,6 +7012,8 @@ def _oracle_sql_entries() -> dict[str, str]:
         "unigram_encode": _unigram_encode_oracle(),
         "unigram_em_counts": _unigram_em_oracle(),
         "unigram_doc_tokens": _unigram_doc_tokens_oracle(),
+        "wordpiece_encode": _wordpiece_encode_oracle(),
+        "wordpiece_doc_tokens": _wordpiece_doc_tokens_oracle(),
         "hilbert_events": _hilbert_oracle(),
         "ensemble_extract": """
             WITH l0 AS (
@@ -7583,5 +7585,87 @@ def _unigram_doc_tokens_oracle() -> str:
                CAST(sum(CASE WHEN s.n_tokens IS NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_oov
         FROM occf o JOIN seg s ON o.w = s.word
+        GROUP BY o.doc_id
+    """
+
+
+def _wordpiece_ctes() -> str:
+    """Shared recursive-CTE greedy WordPiece walk over the distinct-
+    word dim, mirroring ops/wordpiece.py bit-for-bit (longest-match
+    first, ## continuation prefix, [UNK] on dead walk / oversize)."""
+    from reader_spark.ops.wordpiece import DEFAULT_VOCAB, MAX_PIECE
+
+    keys = ", ".join("'%s'" % p for p in DEFAULT_VOCAB)
+    ones = ", ".join("1" for _ in DEFAULT_VOCAB)
+    arms = []
+    for l in range(MAX_PIECE, 0, -1):
+        key = (
+            f"CASE WHEN pos = 0 THEN substr(w, pos + 1, {l}) "
+            f"ELSE '##' || substr(w, pos + 1, {l}) END"
+        )
+        arms.append(
+            f"WHEN pos + {l} <= length(w) "
+            f"AND len(map_extract(mm, {key})) > 0 THEN {l}"
+        )
+    adv = "CASE " + " ".join(arms) + " ELSE 0 END"
+    return f"""
+            wp_words AS (
+                SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            wp_wf AS (SELECT w FROM wp_words WHERE w <> ''),
+            wp_m AS (SELECT map([{keys}], [{ones}]) AS mm),
+            wp_walk AS (
+                SELECT w, mm, 0 AS pos,
+                       CAST([] AS VARCHAR[]) AS toks, FALSE AS dead
+                FROM wp_wf, wp_m WHERE length(w) <= 24
+                UNION ALL
+                SELECT w, mm, pos + adv,
+                       CASE WHEN adv > 0 THEN list_append(toks,
+                            CASE WHEN pos = 0
+                                 THEN substr(w, pos + 1, adv)
+                                 ELSE '##' || substr(w, pos + 1, adv)
+                            END) ELSE toks END,
+                       adv = 0
+                FROM (SELECT w, mm, pos, toks, {adv} AS adv
+                      FROM wp_walk
+                      WHERE NOT dead AND pos < length(w)) t
+            ),
+            wp_fin AS (
+                SELECT w, toks FROM wp_walk
+                WHERE NOT dead AND pos = length(w)
+            ),
+            wp_seg AS (
+                SELECT w AS word, CAST(len(toks) AS INTEGER) AS n_tokens,
+                       array_to_string(toks, ' ') AS pieces,
+                       CAST(0 AS INTEGER) AS is_unk
+                FROM wp_fin
+                UNION ALL
+                SELECT w, CAST(1 AS INTEGER), '[UNK]',
+                       CAST(1 AS INTEGER)
+                FROM wp_wf WHERE w NOT IN (SELECT w FROM wp_fin)
+            )"""
+
+
+def _wordpiece_encode_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_wordpiece_ctes()}
+        SELECT word, n_tokens, pieces, is_unk FROM wp_seg
+    """
+
+
+def _wordpiece_doc_tokens_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_wordpiece_ctes()},
+        occ AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        occf AS (SELECT doc_id, w FROM occ WHERE w <> '')
+        SELECT o.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(s.n_tokens) AS BIGINT) AS wp_tokens,
+               CAST(sum(s.is_unk) AS BIGINT) AS n_unk
+        FROM occf o JOIN wp_seg s ON o.w = s.word
         GROUP BY o.doc_id
     """

@@ -181,3 +181,36 @@ def _q_unigram_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["unigram_doc_tokens"] = _q_unigram_doc_tokens
+
+
+def _q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match encode (ops.wordpiece, Schuster
+    2012 / BERT) over the distinct-word dim: per word, the piece
+    sequence with ## continuation prefixes, or [UNK] when the walk
+    dies (non-alpha char) or the word exceeds max_word. The fold is
+    within-row (<= max_word steps); the oracle twin runs the same
+    greedy walk as a recursive CTE."""
+    from reader_spark.ops.wordpiece import wordpiece_encode_words
+
+    docs = _read(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    return wordpiece_encode_words(words)
+
+
+def _q_wordpiece_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact WordPiece token counts (ops.wordpiece.
+    wordpiece_doc_tokens): greedy fold once per DISTINCT word,
+    word-keyed join back, ONE doc rollup — completes the per-doc
+    exact-token-accounting trio (bpe_token_counts,
+    unigram_doc_tokens) the packing/budget operators consume."""
+    from reader_spark.ops.wordpiece import wordpiece_doc_tokens
+
+    return wordpiece_doc_tokens(_read(spark, sf_dir, "documents"))
+
+
+QUERIES["wordpiece_encode"] = _q_wordpiece_encode
+QUERIES["wordpiece_doc_tokens"] = _q_wordpiece_doc_tokens

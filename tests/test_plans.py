@@ -954,3 +954,27 @@ def test_cdx_merge_partial_agg_key_only(spark):
     plan = plan_of(e.queries()["cdx_merge"](spark, SF_DIR))
     assert "partial" in plan.lower()
     assert "hashpartitioning(urlkey" in plan
+
+
+def test_wordpiece_encode_single_word_exchange(spark):
+    """The greedy WordPiece fold is within-row over the DISTINCT-word
+    dim: the only exchange is the distinct's hashpartitioning on word;
+    no Python UDF anywhere."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["wordpiece_encode"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "SinglePartition" not in tree
+    assert "hashpartitioning(word" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wordpiece_doc_tokens_partial_aggs(spark):
+    """Doc rollup folds map-side; the encode runs once per DISTINCT
+    word and joins back on the word key."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["wordpiece_doc_tokens"](spark, SF_DIR))
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "hashpartitioning(word" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

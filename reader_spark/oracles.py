@@ -7014,6 +7014,7 @@ def _oracle_sql_entries() -> dict[str, str]:
         "unigram_doc_tokens": _unigram_doc_tokens_oracle(),
         "wordpiece_encode": _wordpiece_encode_oracle(),
         "wordpiece_doc_tokens": _wordpiece_doc_tokens_oracle(),
+        "tokenizer_fertility_trio": _tokenizer_trio_oracle(),
         "hilbert_events": _hilbert_oracle(),
         "ensemble_extract": """
             WITH l0 AS (
@@ -7668,4 +7669,73 @@ def _wordpiece_doc_tokens_oracle() -> str:
                CAST(sum(s.is_unk) AS BIGINT) AS n_unk
         FROM occf o JOIN wp_seg s ON o.w = s.word
         GROUP BY o.doc_id
+    """
+
+
+def _tokenizer_trio_oracle() -> str:
+    """Corpus-wide fertility scorecard across the three tokenizer
+    families — one aggregate per family over its own certified twin
+    (BPE chained-replace encode; unigram Viterbi DP; WordPiece greedy
+    walk). BPE stages are MATERIALIZED: under WITH RECURSIVE an
+    un-materialized chain re-evaluates per recursion step."""
+    return f"""
+        WITH RECURSIVE {_unigram_dp_ctes()},
+        {_wordpiece_ctes()},
+        bw AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''
+                   )) AS word
+            FROM documents
+        ),
+        benc AS MATERIALIZED (
+            SELECT doc_id, {_bpe_word_sql('word')} AS s FROM bw
+        ),
+        bpe_tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum((length(s) - length(replace(s, '|', '')))
+                            // 2) AS BIGINT) AS n_tokens
+            FROM benc
+        ),
+        tocc AS (
+            SELECT unnest(string_split(text, ' ')) AS ww FROM documents
+        ),
+        toccf AS (SELECT ww FROM tocc WHERE ww <> ''),
+        uni_tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(coalesce(s.n_tokens, 0)) AS BIGINT)
+                       AS n_tokens,
+                   CAST(sum(CASE WHEN s.n_tokens IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+            FROM toccf o
+            JOIN (SELECT word, n_tokens FROM seg_ok
+                  UNION ALL
+                  SELECT word, n_tokens FROM seg_bad) s
+              ON o.ww = s.word
+        ),
+        wp_tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(s.is_unk) AS BIGINT) AS n_oov
+            FROM toccf o JOIN wp_seg s ON o.ww = s.word
+        )
+        SELECT 'bpe' AS tokenizer, n_words, n_tokens,
+               CAST(0 AS BIGINT) AS n_oov,
+               CASE WHEN n_words > 0
+                    THEN CAST(n_tokens * 1000 // n_words AS BIGINT)
+               END AS fertility_milli
+        FROM bpe_tot
+        UNION ALL
+        SELECT 'unigram', n_words, n_tokens, n_oov,
+               CASE WHEN n_words > 0
+                    THEN CAST(n_tokens * 1000 // n_words AS BIGINT)
+               END
+        FROM uni_tot
+        UNION ALL
+        SELECT 'wordpiece', n_words, n_tokens, n_oov,
+               CASE WHEN n_words > 0
+                    THEN CAST(n_tokens * 1000 // n_words AS BIGINT)
+               END
+        FROM wp_tot
     """

@@ -214,3 +214,49 @@ def _q_wordpiece_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["wordpiece_encode"] = _q_wordpiece_encode
 QUERIES["wordpiece_doc_tokens"] = _q_wordpiece_doc_tokens
+
+
+def _q_tokenizer_fertility_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide fertility scorecard across all three trained-
+    tokenizer families (BPE / unigram-LM / WordPiece) on the same
+    documents table: per family, total words under ITS OWN
+    pre-tokenizer, total tokens, OOV count, and fertility in exact
+    milli-units (tokens*1000 div words) — the side-by-side read a
+    tokenizer selection needs. Three scan-bound doc rollups, each the
+    already-certified per-doc op; no new shuffle shapes."""
+    from pyspark.sql import Column
+    from reader_spark.ops.unigram import unigram_doc_tokens
+    from reader_spark.ops.wordpiece import wordpiece_doc_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def roll(per_doc: DataFrame, tok_col: str, oov: Column | None,
+             name: str) -> DataFrame:
+        agg = per_doc.agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum(tok_col).alias("n_tokens"),
+            (F.sum(oov) if oov is not None
+             else F.lit(0)).cast("long").alias("n_oov"),
+        )
+        return agg.select(
+            F.lit(name).alias("tokenizer"),
+            "n_words", "n_tokens", "n_oov",
+            F.when(
+                F.col("n_words") > 0,
+                F.expr("n_tokens * 1000 div n_words"),
+            ).cast("long").alias("fertility_milli"),
+        )
+
+    bpe = roll(bpe_token_counts(docs), "bpe_tokens", None, "bpe")
+    uni = roll(
+        unigram_doc_tokens(docs), "unigram_tokens", F.col("n_oov"),
+        "unigram",
+    )
+    wp = roll(
+        wordpiece_doc_tokens(docs), "wp_tokens", F.col("n_unk"),
+        "wordpiece",
+    )
+    return bpe.unionByName(uni).unionByName(wp)
+
+
+QUERIES["tokenizer_fertility_trio"] = _q_tokenizer_fertility_trio

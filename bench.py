@@ -176,6 +176,9 @@ BENCH_QUERIES = (
     "cdx_merge",
     "semantic_delta",
     "unigram_doc_tokens",
+    "wordpiece_encode",
+    "wordpiece_doc_tokens",
+    "tokenizer_fertility_trio",
 )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from reader_spark.queries.tokenize import QUERIES as _TOKENIZE_QUERIES  # noqa: E402
 from reader_spark.queries.evals import QUERIES as _EVAL_QUERIES  # noqa: E402
+from reader_spark.queries.chat import QUERIES as _CHAT_QUERIES  # noqa: E402
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3958,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_delta": _q_semantic_delta,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
+        **_CHAT_QUERIES,
     })
 
 

@@ -381,7 +381,115 @@ def oracle_sql() -> dict[str, str]:
     out["length_batches"] = _length_batches_oracle()
     out["batch_padding_compare"] = _batch_padding_compare_oracle()
     out["nextfit_packing"] = _nextfit_packing_oracle()
+    out.update(_chat_oracles())
     return out
+
+
+_CHAT_TURNS_CTE = """
+        segs AS (
+            SELECT doc_id AS conv_id, string_split(text, ' ') AS l
+            FROM documents
+        ),
+        turns AS (
+            SELECT conv_id,
+                   CAST(i - 1 AS BIGINT) AS turn_idx,
+                   CASE WHEN (i - 1) % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   array_to_string(l[(i-1)*8+1:(i-1)*8+8], ' ') AS content
+            FROM segs,
+                 unnest(generate_series(
+                     1, least(6, (len(l) + 7) // 8))) s(i)
+        )
+"""
+
+
+def _chat_oracles() -> dict[str, str]:
+    """DuckDB twins for the SFT/chat layer (ops/chat.py): the turns CTE
+    rebuilds queries/chat.synth_turns exactly (string_split on '. ',
+    first 6 segments, alternating roles), then each oracle mirrors the
+    operator's integer/char math. regexp_replace needs the 'g' flag
+    (DuckDB replaces first match only by default; Spark replaces all)."""
+    rendered = "'<|' || role || '|>' || content || '<|end|>'"
+    return {
+        "chat_render": f"""
+            WITH {_CHAT_TURNS_CTE},
+            r AS (
+                SELECT conv_id, turn_idx, {rendered} AS rt FROM turns
+            )
+            SELECT conv_id,
+                   string_agg(rt, '' ORDER BY turn_idx) AS chat_text,
+                   CAST(length(string_agg(rt, '' ORDER BY turn_idx))
+                        AS BIGINT) AS n_chars,
+                   CAST(count(*) AS BIGINT) AS n_turns
+            FROM r GROUP BY conv_id
+        """,
+        "chat_loss_masks": f"""
+            WITH {_CHAT_TURNS_CTE}
+            SELECT conv_id, turn_idx, role,
+                   CAST(coalesce(sum(length({rendered})) OVER (
+                            PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        + length('<|' || role || '|>')
+                        AS BIGINT) AS start_char,
+                   CAST(coalesce(sum(length({rendered})) OVER (
+                            PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        + length('<|' || role || '|>')
+                        + length(content)
+                        AS BIGINT) AS end_char,
+                   role = 'assistant' AS trainable
+            FROM turns
+        """,
+        "chat_turn_dedup": f"""
+            WITH {_CHAT_TURNS_CTE},
+            a AS (
+                SELECT conv_id, turn_idx,
+                       md5(trim(regexp_replace(lower(content),
+                                               '\\s+', ' ', 'g'))) AS h,
+                       conv_id * 1000000 + turn_idx AS packed
+                FROM turns WHERE role = 'assistant'
+            ),
+            g AS (
+                SELECT h, min(packed) AS canon_packed,
+                       CAST(count(*) AS BIGINT) AS n_copies
+                FROM a GROUP BY h
+            )
+            SELECT conv_id, turn_idx,
+                   CAST(canon_packed // 1000000 AS BIGINT) AS canon_conv,
+                   CAST(canon_packed % 1000000 AS BIGINT) AS canon_turn,
+                   n_copies,
+                   packed = canon_packed AS is_canonical
+            FROM a JOIN g USING (h)
+        """,
+        "chat_stats": f"""
+            WITH {_CHAT_TURNS_CTE},
+            t AS (
+                SELECT conv_id, turn_idx, role,
+                       CAST(length(content) AS BIGINT) AS clen,
+                       CASE WHEN role = lag(role) OVER (
+                                PARTITION BY conv_id ORDER BY turn_idx)
+                            THEN 1 ELSE 0 END AS same_as_prev
+                FROM turns
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_assistant,
+                   arg_min(role, turn_idx) = 'user' AS starts_with_user,
+                   arg_max(role, turn_idx) = 'assistant'
+                       AS ends_with_assistant,
+                   sum(same_as_prev) = 0 AS alternates,
+                   CAST((1000 * sum(CASE WHEN role = 'assistant'
+                                    THEN clen ELSE 0 END))
+                        // greatest(sum(clen), 1)
+                        AS BIGINT) AS assistant_char_milli
+            FROM t GROUP BY conv_id
+        """,
+    }
 
 
 def _bpe_costs_ctes(materialized: bool = False) -> str:

@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 from reader_spark.queries.tokenize import QUERIES as _TOKENIZE_QUERIES  # noqa: E402
 from reader_spark.queries.evals import QUERIES as _EVAL_QUERIES  # noqa: E402
 from reader_spark.queries.chat import QUERIES as _CHAT_QUERIES  # noqa: E402
+from reader_spark.queries.preference import (  # noqa: E402
+    QUERIES as _PREFERENCE_QUERIES,
+)
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3960,6 +3963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,
         **_CHAT_QUERIES,
+        **_PREFERENCE_QUERIES,
     })
 
 

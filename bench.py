@@ -179,6 +179,14 @@ BENCH_QUERIES = (
     "wordpiece_encode",
     "wordpiece_doc_tokens",
     "tokenizer_fertility_trio",
+    "chat_render",
+    "chat_loss_masks",
+    "chat_turn_dedup",
+    "chat_stats",
+    "preference_pairs",
+    "dpo_render",
+    "best_of_n",
+    "pair_length_bias",
 )
 
 

@@ -382,6 +382,7 @@ def oracle_sql() -> dict[str, str]:
     out["batch_padding_compare"] = _batch_padding_compare_oracle()
     out["nextfit_packing"] = _nextfit_packing_oracle()
     out.update(_chat_oracles())
+    out.update(_preference_oracles())
     return out
 
 
@@ -488,6 +489,125 @@ def _chat_oracles() -> dict[str, str]:
                         // greatest(sum(clen), 1)
                         AS BIGINT) AS assistant_char_milli
             FROM t GROUP BY conv_id
+        """,
+    }
+
+
+_RESPONSES_CTE = """
+        segs AS (
+            SELECT doc_id AS prompt_id, string_split(text, ' ') AS l
+            FROM documents
+        ),
+        resp AS (
+            SELECT prompt_id,
+                   CAST(k - 1 AS BIGINT) AS response_id,
+                   array_to_string(l[1:8], ' ') AS prompt,
+                   array_to_string(l[(k-1)*12+9:(k-1)*12+20], ' ')
+                       AS response
+            FROM segs,
+                 unnest(generate_series(
+                     1, least(4, (len(l) - 8) // 12))) s(k)
+        ),
+        scored AS (
+            SELECT *,
+                   CAST(length(response) * 1000
+                        + ascii(substr(response, 1, 1)) AS BIGINT)
+                       AS score_milli
+            FROM resp
+        )
+"""
+
+_PAIRS_CTE = """
+        packed AS (
+            SELECT prompt_id,
+                   score_milli * 1000000 + (999999 - response_id) AS hi,
+                   score_milli * 1000000 + response_id AS lo
+            FROM scored
+        ),
+        pairs AS (
+            SELECT prompt_id,
+                   CAST(999999 - mh % 1000000 AS BIGINT) AS chosen_id,
+                   CAST(ml % 1000000 AS BIGINT) AS rejected_id,
+                   CAST(mh // 1000000 AS BIGINT) AS chosen_score,
+                   CAST(ml // 1000000 AS BIGINT) AS rejected_score,
+                   CAST(mh // 1000000 - ml // 1000000 AS BIGINT)
+                       AS margin_milli
+            FROM (SELECT prompt_id, max(hi) AS mh, min(lo) AS ml
+                  FROM packed GROUP BY prompt_id)
+            WHERE mh // 1000000 - ml // 1000000 > 0
+        )
+"""
+
+_DPO_CTE = """
+        j AS (
+            SELECT s.prompt_id, s.response_id, s.prompt, s.response,
+                   p.chosen_id, p.rejected_id, p.margin_milli
+            FROM scored s JOIN pairs p USING (prompt_id)
+            WHERE s.response_id = p.chosen_id
+               OR s.response_id = p.rejected_id
+        ),
+        dpo AS (
+            SELECT prompt_id,
+                   max(CASE WHEN response_id = chosen_id THEN
+                       '<|user|>' || prompt || '<|end|><|assistant|>'
+                       || response || '<|end|>' END) AS chosen_text,
+                   max(CASE WHEN response_id = rejected_id THEN
+                       '<|user|>' || prompt || '<|end|><|assistant|>'
+                       || response || '<|end|>' END) AS rejected_text,
+                   CAST(max(CASE WHEN response_id = chosen_id
+                            THEN length(response) END) AS BIGINT)
+                       AS chosen_len,
+                   CAST(max(CASE WHEN response_id = rejected_id
+                            THEN length(response) END) AS BIGINT)
+                       AS rejected_len,
+                   margin_milli
+            FROM j GROUP BY prompt_id, margin_milli
+        )
+"""
+
+
+def _preference_oracles() -> dict[str, str]:
+    """DuckDB twins for the preference/RLHF layer (ops/preference.py).
+    The scored CTE rebuilds queries/preference.synth_responses exactly
+    (first-8-token prompt, full 12-token response windows, max 4,
+    length*1000+ascii score); the pairs CTE mirrors the packed-long
+    (score, id) election bit-for-bit, so tie-breaks are certified, not
+    just scores."""
+    return {
+        "preference_pairs": f"""
+            WITH {_RESPONSES_CTE}, {_PAIRS_CTE}
+            SELECT * FROM pairs
+        """,
+        "dpo_render": f"""
+            WITH {_RESPONSES_CTE}, {_PAIRS_CTE}, {_DPO_CTE}
+            SELECT prompt_id, chosen_text, rejected_text,
+                   chosen_len, rejected_len, margin_milli
+            FROM dpo
+        """,
+        "best_of_n": f"""
+            WITH {_RESPONSES_CTE}
+            SELECT * FROM (
+                SELECT prompt_id, response_id, score_milli,
+                       CAST(row_number() OVER (
+                           PARTITION BY prompt_id
+                           ORDER BY score_milli DESC, response_id
+                       ) AS BIGINT) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+        """,
+        "pair_length_bias": f"""
+            WITH {_RESPONSES_CTE}, {_PAIRS_CTE}, {_DPO_CTE}
+            SELECT CAST(margin_milli // 5000 AS BIGINT) AS margin_bucket,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN chosen_len > rejected_len
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_chosen_longer,
+                   CAST((1000 * sum(CASE WHEN chosen_len > rejected_len
+                                    THEN 1 ELSE 0 END)) // count(*)
+                        AS BIGINT) AS chosen_longer_milli,
+                   CAST(sum(margin_milli) // count(*) AS BIGINT)
+                       AS mean_margin_milli
+            FROM dpo GROUP BY 1
         """,
     }
 

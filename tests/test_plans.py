@@ -978,3 +978,41 @@ def test_wordpiece_doc_tokens_partial_aggs(spark):
     assert "partial_sum" in plan or "partial_count" in plan
     assert "hashpartitioning(word" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_preference_pairs_partial_aggs_key_only(spark):
+    """Pair election folds map-side (partial max/min of packed longs);
+    response text never enters the exchange; no Python anywhere."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["preference_pairs"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "partial_max" in plan or "partial" in plan.lower()
+    assert "hashpartitioning(prompt_id" in plan
+    assert "SinglePartition" not in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_best_of_n_prompt_partitioned_window(spark):
+    """The per-prompt rank window partitions on prompt_id (bounded
+    partitions) — NOT the global-window top-K antipattern."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["best_of_n"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "hashpartitioning(prompt_id" in plan
+    assert "SinglePartition" not in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dpo_render_single_prompt_keyed_shuffle_family(spark):
+    """Join + groupBy both key on prompt_id; no Python, no
+    single-partition stage, no broadcast-nested-loop blowup."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["dpo_render"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "hashpartitioning(prompt_id" in plan
+    assert "SinglePartition" not in tree
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

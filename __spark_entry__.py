@@ -21,6 +21,9 @@ from reader_spark.queries.chat import QUERIES as _CHAT_QUERIES  # noqa: E402
 from reader_spark.queries.preference import (  # noqa: E402
     QUERIES as _PREFERENCE_QUERIES,
 )
+from reader_spark.queries.accounting import (  # noqa: E402
+    QUERIES as _ACCOUNTING_QUERIES,
+)
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3964,6 +3967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_EVAL_QUERIES,
         **_CHAT_QUERIES,
         **_PREFERENCE_QUERIES,
+        **_ACCOUNTING_QUERIES,
     })
 
 

@@ -187,6 +187,8 @@ BENCH_QUERIES = (
     "dpo_render",
     "best_of_n",
     "pair_length_bias",
+    "epoch_schedule",
+    "vocab_coverage",
 )
 
 

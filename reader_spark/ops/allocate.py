@@ -129,3 +129,77 @@ def unimax_allocation(
         F.round(F.col("alloc") / F.col("size"), 6).alias("epochs"),
         F.col("capped").alias("budget_limited"),
     )
+
+
+def epoch_schedule(
+    domains: DataFrame,
+    budget_tokens: int,
+    max_epochs_milli: int = 4000,
+) -> DataFrame:
+    """Audit a TARGET mix: epochs each domain must repeat to meet it.
+
+    :func:`unimax_allocation` derives a mix from a budget; this is the
+    inverse audit — given a desired mix (``weight`` per domain, any
+    positive scale, normalized internally) and a total training budget,
+    report what the mix costs each domain in repetition:
+
+    ``(domain, available_tokens, weight, target_tokens, epochs_milli,
+    unique_tokens, repeated_tokens, excess_tokens, over_cap)`` where
+    ``target_tokens = weight * budget div sum(weight)`` (integer,
+    floor), ``epochs_milli = 1000 * target div available``,
+    ``repeated_tokens = max(0, target - available)`` and
+    ``excess_tokens = max(0, target - cap*available)`` — the tokens
+    past the ``max_epochs_milli`` repetition cap, where repeating stops
+    helping (Muennighoff et al. 2023, "Scaling Data-Constrained
+    Language Models": ~4 epochs is as good as new data, beyond decays
+    fast). ``over_cap`` flags those domains; the planner's fix is to
+    shift their excess into under-repeated domains.
+
+    Input ``domains``: ``(domain, available_tokens, weight)``. All
+    integer milli-unit math; the weight normalizer rides as a 1-row
+    broadcast dim (bounded domain registry, corpus rows never enter).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    if max_epochs_milli <= 0:
+        raise ValueError(
+            f"max_epochs_milli must be > 0, got {max_epochs_milli}"
+        )
+    total_w = domains.agg(
+        F.sum(F.col("weight").cast("long")).alias("__tw")
+    )
+    target = F.expr(f"(weight * CAST({int(budget_tokens)} AS BIGINT)) div __tw")
+    d = (
+        domains.join(F.broadcast(total_w))
+        .select(
+            "domain",
+            F.col("available_tokens").cast("long").alias("available_tokens"),
+            F.col("weight").cast("long").alias("weight"),
+            target.cast("long").alias("target_tokens"),
+        )
+    )
+    cap_tokens = F.expr(
+        f"(available_tokens * CAST({int(max_epochs_milli)} AS BIGINT)) "
+        "div 1000"
+    )
+    return d.select(
+        "domain",
+        "available_tokens",
+        "weight",
+        "target_tokens",
+        F.expr("(1000 * target_tokens) div greatest(available_tokens, 1)")
+        .cast("long")
+        .alias("epochs_milli"),
+        F.least("target_tokens", "available_tokens")
+        .cast("long")
+        .alias("unique_tokens"),
+        F.greatest(
+            F.lit(0), F.col("target_tokens") - F.col("available_tokens")
+        )
+        .cast("long")
+        .alias("repeated_tokens"),
+        F.greatest(F.lit(0), F.col("target_tokens") - cap_tokens)
+        .cast("long")
+        .alias("excess_tokens"),
+        (F.col("target_tokens") > cap_tokens).alias("over_cap"),
+    )

@@ -383,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
     out["nextfit_packing"] = _nextfit_packing_oracle()
     out.update(_chat_oracles())
     out.update(_preference_oracles())
+    out.update(_accounting_oracles())
     return out
 
 
@@ -608,6 +609,89 @@ def _preference_oracles() -> dict[str, str]:
                    CAST(sum(margin_milli) // count(*) AS BIGINT)
                        AS mean_margin_milli
             FROM dpo GROUP BY 1
+        """,
+    }
+
+
+def _accounting_oracles() -> dict[str, str]:
+    """DuckDB twins for the training-budget accounting queries
+    (queries/accounting.py): the domain dim rebuilds _synth_domains
+    exactly (source groups, whitespace token sums, 100*(1+idx%4)
+    weights, 150k budget), and vocab_coverage mirrors the log2-bucket
+    construction — ceil(log2(rank)) buckets identically in both engines
+    because IEEE log2 is exact at powers of two (the only integer
+    crossings)."""
+    return {
+        "epoch_schedule": """
+            WITH d AS (
+                SELECT source AS domain,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           AS available_tokens,
+                       CAST(100 * (1 + CAST(substr(source, 4) AS BIGINT)
+                                   % 4) AS BIGINT) AS weight
+                FROM documents GROUP BY source
+            ),
+            tw AS (SELECT CAST(sum(weight) AS BIGINT) AS total_w FROM d),
+            t AS (
+                SELECT domain, available_tokens, weight,
+                       CAST((weight * 150000) // total_w AS BIGINT)
+                           AS target_tokens
+                FROM d, tw
+            )
+            SELECT domain, available_tokens, weight, target_tokens,
+                   CAST((1000 * target_tokens)
+                        // greatest(available_tokens, 1) AS BIGINT)
+                       AS epochs_milli,
+                   CAST(least(target_tokens, available_tokens) AS BIGINT)
+                       AS unique_tokens,
+                   CAST(greatest(0, target_tokens - available_tokens)
+                        AS BIGINT) AS repeated_tokens,
+                   CAST(greatest(0, target_tokens
+                                 - (available_tokens * 4000) // 1000)
+                        AS BIGINT) AS excess_tokens,
+                   target_tokens > (available_tokens * 4000) // 1000
+                       AS over_cap
+            FROM t
+        """,
+        "vocab_coverage": """
+            WITH tok AS (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            freqs AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS freq
+                FROM tok WHERE token <> '' GROUP BY token
+            ),
+            ranked AS (
+                SELECT freq,
+                       row_number() OVER (ORDER BY freq DESC, token)
+                           AS rank
+                FROM freqs
+            ),
+            b AS (
+                SELECT CASE WHEN rank = 1 THEN 0
+                            ELSE CAST(ceil(log2(rank)) AS BIGINT)
+                       END AS j, freq
+                FROM ranked
+            ),
+            pb AS (
+                SELECT j, CAST(count(*) AS BIGINT) AS bucket_types,
+                       CAST(sum(freq) AS BIGINT) AS bucket_occ
+                FROM b GROUP BY j
+            ),
+            cum AS (
+                SELECT a.j,
+                       CAST(sum(b.bucket_types) AS BIGINT) AS n_types,
+                       CAST(sum(b.bucket_occ) AS BIGINT)
+                           AS covered_occurrences
+                FROM pb a JOIN pb b ON b.j <= a.j GROUP BY a.j
+            ),
+            tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM freqs)
+            SELECT CAST(1::BIGINT << j AS BIGINT) AS k_cut,
+                   n_types, covered_occurrences,
+                   CAST((1000 * covered_occurrences) // total AS BIGINT)
+                       AS coverage_milli
+            FROM cum, tot
         """,
     }
 

@@ -1,0 +1,55 @@
+"""Registry queries for training-budget accounting: epoch-schedule
+mix audit (ops/allocate.epoch_schedule) and vocabulary coverage curves
+(ops/vocab.vocab_coverage).
+
+The domain dim is synthesized deterministically from the ``documents``
+table: domain = source, available_tokens = whitespace token sum, target
+weight = ``100 * (1 + source_index % 4)`` — a skewed mix so some
+domains land over the 4-epoch repetition cap at the fixed 150k-token
+budget (sf0.01's corpus is ~50k tokens, so the audit exercises all
+three regimes: under 1 epoch, repeated, over-cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reader_spark.ops.allocate import epoch_schedule
+from reader_spark.ops.vocab import vocab_coverage
+
+BUDGET_TOKENS = 150_000
+
+
+def _synth_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.col("source").alias("domain"))
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("available_tokens")
+        )
+        .withColumn(
+            "weight",
+            (
+                100
+                * (1 + F.substring("domain", 4, 10).cast("long") % 4)
+            ).cast("long"),
+        )
+    )
+
+
+def _q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_schedule(_synth_domains(spark, sf_dir), BUDGET_TOKENS)
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage(docs)
+
+
+QUERIES = {
+    "epoch_schedule": _q_epoch_schedule,
+    "vocab_coverage": _q_vocab_coverage,
+}

@@ -1016,3 +1016,27 @@ def test_dpo_render_single_prompt_keyed_shuffle_family(spark):
     assert "SinglePartition" not in tree
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_coverage_no_single_partition_rank(spark):
+    """The type ranking uses scalable_rank (range buckets), the cumsum a
+    triangular self-join over the log2 dim — NO single-partition window
+    anywhere in the tree, no Python."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["vocab_coverage"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "SinglePartition" not in tree
+    assert "partial" in plan.lower()  # freq fold is map-side combined
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_schedule_broadcast_normalizer(spark):
+    """The weight normalizer rides as a 1-row broadcast dim; the domain
+    dim aggregation folds map-side."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["epoch_schedule"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -900,3 +900,103 @@ def test_archive_job_index_extract_and_clean_warc(tmp_path, spark, warc_path):
     assert summary2["n_index_rows"] == 4
     merged = {r["urlkey"]: r for r in spark.read.parquet(wh + "/cdx").collect()}
     assert all(r["n_captures"] == 2 for r in merged.values())
+
+
+@pytest.fixture(scope="module")
+def sft_turns(spark, tmp_path_factory):
+    """12 conversations: 9 well-formed unique, 1 malformed (starts with
+    assistant), 2 sharing a duplicate assistant response (conv 10 is the
+    (conv,turn)-minimal canonical copy, conv 11 the duplicate)."""
+    from pyspark.sql import Row
+
+    rows = []
+    for c in range(9):
+        rows += [
+            Row(conv_id=c, turn_idx=0, role="user", content=f"question {c}"),
+            Row(conv_id=c, turn_idx=1, role="assistant",
+                content=f"unique answer {c}"),
+        ]
+    rows += [
+        Row(conv_id=9, turn_idx=0, role="assistant", content="hi first"),
+        Row(conv_id=9, turn_idx=1, role="user", content="malformed"),
+    ]
+    for c in (10, 11):
+        rows += [
+            Row(conv_id=c, turn_idx=0, role="user", content=f"dup ask {c}"),
+            Row(conv_id=c, turn_idx=1, role="assistant",
+                content="The Shared  Answer"),
+        ]
+    path = str(tmp_path_factory.mktemp("sft") / "turns")
+    spark.createDataFrame(rows).write.parquet(path)
+    return path
+
+
+def test_sft_prep_job_full_pipeline(spark, sft_turns, tmp_path):
+    out = str(tmp_path / "sft_full")
+    summary = run_job(
+        "sft_prep_job.py",
+        "--input", sft_turns,
+        "--output", out,
+        "--pack", "64",
+        "--master", "local[4]",
+    )
+    assert summary["input_convs"] == 12
+    assert summary["hygiene_dropped_convs"] == 1  # conv 9
+    assert summary["dup_dropped_convs"] == 1      # conv 11 (10 canonical)
+    assert summary["convs"] == 10
+    got = {r.conv_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == set(range(9)) | {10}
+    r0 = got[0]
+    assert r0.chat_text == (
+        "<|user|>question 0<|end|><|assistant|>unique answer 0<|end|>"
+    )
+    [(s, e)] = [(x["start"], x["end"]) for x in r0.trainable_spans]
+    assert r0.chat_text[s:e] == "unique answer 0"
+    packs = spark.read.parquet(out + "_packs")
+    assert summary["packed_sequences"] >= 1
+    # packed segments cover every kept conversation's chars exactly
+    import pyspark.sql.functions as F
+    per_conv = {r["conv_id"]: r["t"] for r in packs.groupBy("conv_id")
+                .agg(F.sum("n_tokens").alias("t")).collect()}
+    assert per_conv == {c: got[c].n_chars for c in got}
+
+
+def test_sft_prep_job_resume_matches_uninterrupted(spark, sft_turns, tmp_path):
+    """First run on half the conversations, resume with the full input:
+    committed output equals a fresh full run — including a new conv that
+    duplicates an ALREADY-COMMITTED response (caught via the persisted
+    digest index, not re-election)."""
+    from pyspark.sql import Row
+
+    full = spark.read.parquet(sft_turns)
+    half_path = str(tmp_path / "turns_half")
+    full.where("conv_id < 6").write.parquet(half_path)
+    # extended input: everything + conv 20 duplicating conv 3's answer
+    ext_path = str(tmp_path / "turns_ext")
+    extra = spark.createDataFrame([
+        Row(conv_id=20, turn_idx=0, role="user", content="late ask"),
+        Row(conv_id=20, turn_idx=1, role="assistant",
+            content="UNIQUE  answer 3"),  # normalizes == conv 3's
+    ])
+    full.unionByName(extra).write.parquet(ext_path)
+
+    out_r = str(tmp_path / "sft_resume")
+    s1 = run_job("sft_prep_job.py", "--input", half_path,
+                 "--output", out_r, "--master", "local[4]")
+    assert s1["convs"] == 6
+    s2 = run_job("sft_prep_job.py", "--input", ext_path,
+                 "--output", out_r, "--resume", "--master", "local[4]")
+    assert s2["resumed_skipped"] == 6
+    assert s2["convs"] == 10  # 12 - malformed - dup11 - dup20 + committed
+
+    out_f = str(tmp_path / "sft_fresh")
+    run_job("sft_prep_job.py", "--input", ext_path,
+            "--output", out_f, "--master", "local[4]")
+    def canon(path):
+        return {
+            (r.conv_id, r.chat_text, r.n_chars, r.n_turns,
+             tuple((x["start"], x["end"]) for x in r.trainable_spans))
+            for r in spark.read.parquet(path).collect()
+        }
+
+    assert canon(out_r) == canon(out_f)

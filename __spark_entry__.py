@@ -24,6 +24,7 @@ from reader_spark.queries.preference import (  # noqa: E402
 from reader_spark.queries.accounting import (  # noqa: E402
     QUERIES as _ACCOUNTING_QUERIES,
 )
+from reader_spark.queries.code import QUERIES as _CODE_QUERIES  # noqa: E402
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3968,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_CHAT_QUERIES,
         **_PREFERENCE_QUERIES,
         **_ACCOUNTING_QUERIES,
+        **_CODE_QUERIES,
     })
 
 

@@ -384,7 +384,148 @@ def oracle_sql() -> dict[str, str]:
     out.update(_chat_oracles())
     out.update(_preference_oracles())
     out.update(_accounting_oracles())
+    out.update(_code_oracles())
     return out
+
+
+# Shared CTE rebuilding queries/code.synth_code_files exactly: words
+# re-lined 5 per line (pos // 5 == the greedy regex chunker on the
+# single-spaced corpus), the SAME first-match-wins decoration CASE, and
+# newline reassembly. Stats mirror ops/code.code_file_stats in integer
+# milli-units (Spark's double-div-then-cast == DuckDB // for these
+# magnitudes; proven safe: rounding-up-to-integer needs den > 5e10).
+_CODE_FILES_CTE = """
+        w0 AS (
+            SELECT doc_id,
+                   generate_subscripts(
+                       string_split_regex(trim(text), '\\s+'), 1) - 1 AS pos,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS word
+            FROM documents
+        ),
+        l0 AS (
+            SELECT doc_id, pos // 5 AS line_no,
+                   string_agg(word, ' ' ORDER BY pos) AS line
+            FROM w0 GROUP BY doc_id, pos // 5
+        ),
+        dec AS (
+            SELECT doc_id, line_no,
+                   CASE
+                     WHEN doc_id % 17 = 0 AND line_no = 0
+                       THEN '// auto-generated do not edit'
+                     WHEN doc_id % 29 = 0 AND line_no = 0
+                       THEN line || repeat(chr(10) || '~!@#$%+=[]{}', 100)
+                     WHEN doc_id % 37 = 0 AND line_no = 1
+                       THEN line || repeat('x', 1200)
+                     WHEN doc_id % 13 = 0 AND line_no = 2
+                       THEN line || ' ' || trim(repeat(
+                            'deadbeefcafebabe0123456789abcdef ', 12))
+                     WHEN doc_id % 31 = 0 THEN line || repeat('y', 150)
+                     WHEN line_no % 4 = 1
+                       THEN (CASE WHEN doc_id % 5 = 0 THEN '# '
+                                  ELSE '// ' END) || line
+                     ELSE line
+                   END AS line
+            FROM l0
+        ),
+        files AS (
+            SELECT doc_id,
+                   'src/m' || doc_id || '.' ||
+                   CASE doc_id % 5 WHEN 0 THEN 'py' WHEN 1 THEN 'js'
+                        WHEN 2 THEN 'ts' WHEN 3 THEN 'c'
+                        ELSE 'json' END AS path,
+                   string_agg(line, chr(10) ORDER BY line_no) AS content
+            FROM dec GROUP BY doc_id
+        ),
+        st0 AS (
+            SELECT doc_id, path, content,
+                   lower(regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1))
+                       AS ext,
+                   string_split(content, chr(10)) AS lines,
+                   CAST(length(content) AS BIGINT) AS n_chars,
+                   CASE WHEN length(trim(content)) = 0 THEN []
+                        ELSE string_split_regex(trim(content), '\\s+')
+                   END AS words,
+                   lower(substr(content, 1, 200)) AS head
+            FROM files
+        ),
+        stats AS (
+            SELECT doc_id, path, ext,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   n_chars,
+                   CAST(coalesce(list_max(
+                       list_transform(lines, x -> length(x))), 0)
+                       AS BIGINT) AS max_line_len,
+                   CAST((n_chars - len(lines) + 1) * 1000
+                        // greatest(len(lines), 1) AS BIGINT)
+                       AS avg_line_milli,
+                   CAST((n_chars - length(regexp_replace(
+                            content, '[A-Za-z0-9]', '', 'g'))) * 1000
+                        // greatest(n_chars, 1) AS BIGINT) AS alnum_milli,
+                   CAST(len(list_filter(words, ww ->
+                            regexp_full_match(ww, '[0-9a-f]{16,}')))
+                        * 1000 // greatest(len(words), 1) AS BIGINT)
+                       AS hex_milli,
+                   CAST(len(list_filter(lines, l ->
+                            starts_with(ltrim(l), '#')
+                            OR starts_with(ltrim(l), '//')
+                            OR starts_with(ltrim(l), '--')
+                            OR starts_with(ltrim(l), '/*'))) * 1000
+                        // greatest(len(lines), 1) AS BIGINT)
+                       AS comment_milli,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   (contains(head, 'auto-generated')
+                    OR contains(head, 'do not edit')
+                    OR contains(head, 'generated by')) AS autogen
+            FROM st0
+        ),
+        gated AS (
+            SELECT *,
+                   CASE WHEN autogen THEN 'autogenerated'
+                        WHEN max_line_len > 1000 THEN 'long_line'
+                        WHEN alnum_milli < 250 THEN 'low_alnum'
+                        WHEN hex_milli > 150 THEN 'hex_blob'
+                        WHEN avg_line_milli > 100000 THEN 'avg_line'
+                        ELSE 'ok' END AS reason
+            FROM stats
+        )
+"""
+
+
+def _code_oracles() -> dict[str, str]:
+    """DuckDB twins for the code-curation layer (ops/code.py): The-Stack
+    / StarCoder file filters over the synthesized code corpus."""
+    return {
+        "code_file_stats": f"""
+            WITH {_CODE_FILES_CTE}
+            SELECT doc_id, path, ext, n_lines, n_chars, max_line_len,
+                   avg_line_milli, alnum_milli, hex_milli, comment_milli,
+                   n_words, autogen
+            FROM stats
+        """,
+        "code_quality_gate": f"""
+            WITH {_CODE_FILES_CTE}
+            SELECT doc_id, ext, reason, reason = 'ok' AS keep
+            FROM gated
+        """,
+        "code_language_profile": f"""
+            WITH {_CODE_FILES_CTE}
+            SELECT CASE ext WHEN 'py' THEN 'python'
+                        WHEN 'js' THEN 'javascript'
+                        WHEN 'ts' THEN 'typescript'
+                        WHEN 'c' THEN 'c' WHEN 'h' THEN 'c'
+                        WHEN 'json' THEN 'json'
+                        WHEN 'md' THEN 'markdown'
+                        ELSE 'other' END AS language,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN reason = 'ok' THEN n_chars
+                                 ELSE 0 END) AS BIGINT) AS kept_chars,
+                   CAST(max(max_line_len) AS BIGINT) AS max_line_len
+            FROM gated GROUP BY 1
+        """,
+    }
 
 
 _CHAT_TURNS_CTE = """

@@ -25,6 +25,9 @@ from reader_spark.queries.accounting import (  # noqa: E402
     QUERIES as _ACCOUNTING_QUERIES,
 )
 from reader_spark.queries.code import QUERIES as _CODE_QUERIES  # noqa: E402
+from reader_spark.queries.clustering import (  # noqa: E402
+    QUERIES as _CLUSTERING_QUERIES,
+)
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3970,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_PREFERENCE_QUERIES,
         **_ACCOUNTING_QUERIES,
         **_CODE_QUERIES,
+        **_CLUSTERING_QUERIES,
     })
 
 

@@ -385,7 +385,87 @@ def oracle_sql() -> dict[str, str]:
     out.update(_preference_oracles())
     out.update(_accounting_oracles())
     out.update(_code_oracles())
+    out["kmeans_clusters"] = _kmeans_oracle()
     return out
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 3) -> str:
+    """Unrolled Lloyd iterations twinning ops/kmeans.kmeans_fit: same
+    micro-unit quantization, same packed ``dist*64+cluster`` argmin
+    (ties -> smallest cluster id), same ``floor(sum/n)`` centroid
+    update with empty clusters keeping their previous centroid, same
+    kilo-unit inertia. All distances are exact integer sums, so the
+    only float op — floor of an exact-integer double division — is
+    IEEE-identical in both engines."""
+
+    def assign(prev: str, name: str, with_dist: bool = False) -> str:
+        dist_col = (
+            f",\n                   CAST(min(dist * 64 + cluster) // 64"
+            f" AS BIGINT) AS dist" if with_dist else ""
+        )
+        return f"""
+        {name} AS (
+            SELECT vec_id,
+                   CAST(min(dist * 64 + cluster) % 64 AS BIGINT)
+                       AS cluster{dist_col}
+            FROM (
+                SELECT q.vec_id, c.cluster,
+                       CAST(list_sum(list_transform(
+                           range(1, len(q.v) + 1),
+                           i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])))
+                           AS BIGINT) AS dist
+                FROM qv q CROSS JOIN {prev} c
+            ) GROUP BY vec_id
+        )"""
+
+    def update(a: str, prev: str, name: str) -> str:
+        return f"""
+        {name}_m AS (
+            SELECT cluster, pos,
+                   CAST(floor(CAST(sum(comp) AS BIGINT) / count(*))
+                        AS BIGINT) AS m
+            FROM (
+                SELECT a.cluster, generate_subscripts(q.v, 1) AS pos,
+                       unnest(q.v) AS comp
+                FROM {a} a JOIN qv q USING (vec_id)
+            ) GROUP BY cluster, pos
+        ),
+        {name} AS (
+            SELECT p.cluster, coalesce(mm.c, p.c) AS c
+            FROM {prev} p LEFT JOIN (
+                SELECT cluster, list(m ORDER BY pos) AS c
+                FROM {name}_m GROUP BY cluster
+            ) mm USING (cluster)
+        )"""
+
+    parts = [
+        f"""
+        qv AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                       AS cluster, v AS c
+            FROM (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT {k})
+        )"""
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(assign(f"c{it - 1}", f"a{it}"))
+        parts.append(update(f"a{it}", f"c{it - 1}", f"c{it}"))
+    parts.append(assign(f"c{n_iter}", "af", with_dist=True))
+    ctes = ",".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT a.cluster,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(a.dist // 1024) AS BIGINT) AS inertia_kilo,
+               any_value(c.c) AS centroid
+        FROM af a JOIN c{n_iter} c USING (cluster)
+        GROUP BY a.cluster
+    """
 
 
 # Shared CTE rebuilding queries/code.synth_code_files exactly: words

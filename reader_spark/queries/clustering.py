@@ -1,0 +1,28 @@
+"""Registry queries for exact-integer Lloyd k-means (ops/kmeans.py).
+
+``kmeans_clusters`` runs 3 Lloyd iterations (k=8, micro-unit integer
+math throughout) over the embeddings table and returns the final
+per-cluster rollup; the DuckDB twin unrolls the SAME iterations as
+CTEs from the same seed rule (k smallest vec_ids), so centroids,
+memberships and inertia match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from reader_spark.ops.kmeans import kmeans_fit
+
+KMEANS_K = 8
+KMEANS_ITER = 3
+
+
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeds = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, clusters = kmeans_fit(embeds, k=KMEANS_K, n_iter=KMEANS_ITER)
+    return clusters
+
+
+QUERIES = {
+    "kmeans_clusters": _q_kmeans_clusters,
+}

@@ -28,6 +28,7 @@ from reader_spark.queries.code import QUERIES as _CODE_QUERIES  # noqa: E402
 from reader_spark.queries.clustering import (  # noqa: E402
     QUERIES as _CLUSTERING_QUERIES,
 )
+from reader_spark.queries.bitext import QUERIES as _BITEXT_QUERIES  # noqa: E402
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3974,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_ACCOUNTING_QUERIES,
         **_CODE_QUERIES,
         **_CLUSTERING_QUERIES,
+        **_BITEXT_QUERIES,
     })
 
 

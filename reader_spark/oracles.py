@@ -386,7 +386,60 @@ def oracle_sql() -> dict[str, str]:
     out.update(_accounting_oracles())
     out.update(_code_oracles())
     out["kmeans_clusters"] = _kmeans_oracle()
+    out["bitext_mutual_pairs"] = _bitext_oracle(bucketed=False)
+    out["bitext_mutual_bucketed"] = _bitext_oracle(bucketed=True)
     return out
+
+
+def _bitext_oracle(bucketed: bool, planes: int = 4) -> str:
+    """Mutual-NN bitext mining twin (ops/bitext.py): same micro-unit
+    integer dots, same two-phase argmax with min-id tie-breaks, same
+    vec_id-parity language split; the bucketed form restricts candidates
+    to shared md5-hyperplane buckets (identical plane literals on both
+    engines — the _md5_bucket_terms discipline)."""
+    if bucketed:
+        bucket = f"{_md5_bucket_terms(planes=planes)}"
+        join_on = "s.bucket = t.bucket"
+    else:
+        bucket = "0"
+        join_on = "1 = 1"
+    return f"""
+        WITH qv AS (
+            SELECT vec_id, vec_id % 2 AS par,
+                   embedding::DOUBLE[] AS v
+            FROM embeddings
+        ),
+        iq AS (
+            SELECT vec_id, par,
+                   {bucket} AS bucket,
+                   list_transform(v,
+                       x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+            FROM qv
+        ),
+        cand AS (
+            SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+                   CAST(list_sum(list_transform(
+                       range(1, len(s.q) + 1),
+                       i -> s.q[i] * t.q[i])) AS BIGINT) AS dot
+            FROM iq s JOIN iq t
+              ON s.par = 0 AND t.par = 1 AND {join_on}
+        ),
+        fb AS (SELECT src_id, max(dot) AS b FROM cand GROUP BY src_id),
+        fwd AS (
+            SELECT c.src_id, min(c.tgt_id) AS tgt_id, max(c.dot) AS dot
+            FROM cand c JOIN fb ON c.src_id = fb.src_id AND c.dot = fb.b
+            GROUP BY c.src_id
+        ),
+        bb AS (SELECT tgt_id, max(dot) AS b FROM cand GROUP BY tgt_id),
+        bwd AS (
+            SELECT c.tgt_id, min(c.src_id) AS src_id
+            FROM cand c JOIN bb ON c.tgt_id = bb.tgt_id AND c.dot = bb.b
+            GROUP BY c.tgt_id
+        )
+        SELECT f.src_id, f.tgt_id, f.dot AS dot_micro2
+        FROM fwd f JOIN bwd b
+          ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
+    """
 
 
 def _kmeans_oracle(k: int = 8, n_iter: int = 3) -> str:

@@ -1,0 +1,44 @@
+"""Registry queries for bitext mining (ops/bitext.py).
+
+Languages are synthesized deterministically from the embeddings table:
+vec_id parity splits the corpus into an 'en' side and a 'fr' side (the
+queries/preference.py fixture-synthesis discipline). The bucketed twin
+uses 4 literal md5 planes so buckets genuinely collide at fixture
+scale; its oracle replicates the identical plane literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reader_spark.ops.ann import md5_plane_weights
+from reader_spark.ops.bitext import bitext_mine_brute, bitext_mine_bucketed
+
+BITEXT_PLANES = 4
+
+
+def synth_bilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeds = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embeds.select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("vec_id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+
+
+def _q_bitext_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bitext_mine_brute(synth_bilingual(spark, sf_dir), "en", "fr")
+
+
+def _q_bitext_mutual_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = md5_plane_weights(dim=64, planes=BITEXT_PLANES)
+    return bitext_mine_bucketed(
+        synth_bilingual(spark, sf_dir), "en", "fr", weights=w
+    )
+
+
+QUERIES = {
+    "bitext_mutual_pairs": _q_bitext_mutual_pairs,
+    "bitext_mutual_bucketed": _q_bitext_mutual_bucketed,
+}

@@ -203,3 +203,73 @@ def epoch_schedule(
         .alias("excess_tokens"),
         (F.col("target_tokens") > cap_tokens).alias("over_cap"),
     )
+
+
+def doremi_reweight(
+    domains: DataFrame,
+    eta_milli: int = 1000,
+    z_cap_milli: int = 5000,
+    taylor_terms: int = 12,
+) -> DataFrame:
+    """One-step DoReMi domain reweighting on excess proxy loss.
+
+    DoReMi (Xie et al. 2023, "Doremi: Optimizing Data Mixtures Speeds
+    Up Language Model Pretraining") multiplicatively upweights domains
+    where the proxy model's loss exceeds the reference model's:
+    ``w(domain) ∝ exp(eta * max(0, proxy_loss - ref_loss))``. This is
+    the one-update-step form over a bounded domain dim (the full
+    algorithm re-trains the proxy between steps — out of scope for a
+    data engine; the reweight math is the reusable part).
+
+    Float-free exp: ``exp(z)`` evaluates as a fixed-point Taylor series
+    in EXACT integer arithmetic — ``t_0 = 10^6`` micro-units,
+    ``t_n = t_{n-1} * z_milli div (1000 * n)``, summed over
+    ``taylor_terms`` terms, with ``z_milli`` clamped to ``z_cap_milli``
+    so every intermediate stays far from long overflow. Truncation is
+    part of the spec: both engines run the identical integer recurrence
+    (non-negative throughout, so Spark's trunc-div == DuckDB's
+    floor-div), so weights match bit-for-bit — no libm exp ever runs.
+
+    Input ``domains``: ``(domain, proxy_loss_milli, ref_loss_milli)``
+    integer milli-nats. Output ``(domain, excess_milli, z_milli,
+    exp_micro, weight_milli)``; the normalizer rides as a 1-row
+    broadcast dim (bounded domain registry).
+    """
+    if eta_milli <= 0:
+        raise ValueError(f"eta_milli must be > 0, got {eta_milli}")
+    if not 0 < z_cap_milli <= 10_000:
+        raise ValueError(f"z_cap_milli must be in (0, 10000], got {z_cap_milli}")
+    excess = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("proxy_loss_milli") - F.col("ref_loss_milli")).cast("long"),
+    )
+    z = F.least(
+        F.expr(f"(CAST({int(eta_milli)} AS BIGINT) * excess_milli) div 1000"),
+        F.lit(int(z_cap_milli)).cast("long"),
+    )
+    base = domains.select(
+        "domain",
+        excess.alias("excess_milli"),
+    ).select("domain", "excess_milli", z.alias("z_milli"))
+    # Unrolled integer Taylor: exp_micro = sum_n t_n, pure long `div`.
+    scored = base.withColumn(
+        "__t", F.lit(1_000_000).cast("long")
+    ).withColumn("__acc", F.col("__t"))
+    for n in range(1, taylor_terms):
+        scored = scored.withColumn(
+            "__t", F.expr(f"(__t * z_milli) div {1000 * n}")
+        ).withColumn("__acc", F.col("__acc") + F.col("__t"))
+    scored = scored.select(
+        "domain",
+        "excess_milli",
+        "z_milli",
+        F.col("__acc").cast("long").alias("exp_micro"),
+    )
+    norm = scored.agg(F.sum("exp_micro").cast("long").alias("__z"))
+    return scored.join(F.broadcast(norm)).select(
+        "domain",
+        "excess_milli",
+        "z_milli",
+        "exp_micro",
+        F.expr("(exp_micro * 1000) div __z").cast("long").alias("weight_milli"),
+    )

@@ -388,7 +388,49 @@ def oracle_sql() -> dict[str, str]:
     out["kmeans_clusters"] = _kmeans_oracle()
     out["bitext_mutual_pairs"] = _bitext_oracle(bucketed=False)
     out["bitext_mutual_bucketed"] = _bitext_oracle(bucketed=True)
+    out["doremi_weights"] = _doremi_oracle()
     return out
+
+
+def _doremi_oracle(taylor_terms: int = 12) -> str:
+    """Twin of ops/allocate.doremi_reweight at the registry parameters
+    (eta=1000 so z == clamped excess): the SAME integer Taylor
+    recurrence unrolled as one nested expression — non-negative
+    throughout, so DuckDB's floor-div == Spark's trunc-div."""
+    t = "1000000"
+    terms = [t]
+    for n in range(1, taylor_terms):
+        t = f"(({t}) * z_milli) // {1000 * n}"
+        terms.append(t)
+    expsum = " + ".join(f"({x})" for x in terms)
+    return f"""
+        WITH d AS (
+            SELECT source AS domain,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS available_tokens
+            FROM documents GROUP BY source
+        ),
+        base AS (
+            SELECT domain,
+                   CAST(greatest(0, 2000 + (available_tokens % 7) * 400
+                                    - 2600) AS BIGINT) AS excess_milli
+            FROM d
+        ),
+        zc AS (
+            SELECT domain, excess_milli,
+                   CAST(least(excess_milli, 5000) AS BIGINT) AS z_milli
+            FROM base
+        ),
+        ex AS (
+            SELECT domain, excess_milli, z_milli,
+                   CAST({expsum} AS BIGINT) AS exp_micro
+            FROM zc
+        ),
+        tot AS (SELECT CAST(sum(exp_micro) AS BIGINT) AS z FROM ex)
+        SELECT domain, excess_milli, z_milli, exp_micro,
+               CAST((exp_micro * 1000) // z AS BIGINT) AS weight_milli
+        FROM ex, tot
+    """
 
 
 def _bitext_oracle(bucketed: bool, planes: int = 4) -> str:

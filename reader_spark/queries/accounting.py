@@ -44,6 +44,24 @@ def _q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_schedule(_synth_domains(spark, sf_dir), BUDGET_TOKENS)
 
 
+def _q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step DoReMi reweight (ops/allocate.doremi_reweight, Xie et
+    al. 2023) over the source-domain dim: proxy loss synthesized as
+    ``2000 + (available_tokens % 7) * 400`` milli-nats against a flat
+    2600 reference, so some domains clamp to zero excess and others
+    spread across the fixed-point exp range."""
+    from reader_spark.ops.allocate import doremi_reweight
+
+    d = _synth_domains(spark, sf_dir).select(
+        "domain",
+        (2000 + (F.col("available_tokens") % 7) * 400)
+        .cast("long")
+        .alias("proxy_loss_milli"),
+        F.lit(2600).cast("long").alias("ref_loss_milli"),
+    )
+    return doremi_reweight(d)
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return vocab_coverage(docs)
@@ -52,4 +70,5 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "epoch_schedule": _q_epoch_schedule,
     "vocab_coverage": _q_vocab_coverage,
+    "doremi_weights": _q_doremi_weights,
 }

@@ -83,3 +83,48 @@ class TestUnimax:
 
         with pytest.raises(ValueError, match="max_epochs"):
             unimax_allocation(sizes, "lang", "n", 10.0, max_epochs=0.0)
+
+
+class TestDoremiReweight:
+    """One-step DoReMi (ops/allocate.doremi_reweight): fixed-point exp
+    accuracy, zero-excess clamp, z cap, and weight ordering."""
+
+    def _run(self, spark, rows):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.allocate import doremi_reweight
+
+        df = spark.createDataFrame(
+            [Row(domain=d, proxy_loss_milli=p, ref_loss_milli=r)
+             for d, p, r in rows]
+        )
+        return {x["domain"]: x for x in doremi_reweight(df).collect()}
+
+    def test_taylor_tracks_real_exp(self, spark):
+        import math
+
+        got = self._run(
+            spark,
+            [("a", 2600, 2600), ("b", 3100, 2600), ("c", 4600, 2600)],
+        )
+        for dom, z in (("a", 0.0), ("b", 0.5), ("c", 2.0)):
+            approx = got[dom]["exp_micro"] / 1e6
+            assert abs(approx - math.exp(z)) / math.exp(z) < 1e-3
+
+    def test_zero_excess_clamps_and_cap(self, spark):
+        got = self._run(
+            spark,
+            [("low", 1000, 2600), ("huge", 99000, 2600)],
+        )
+        assert got["low"]["excess_milli"] == 0
+        assert got["low"]["exp_micro"] == 1_000_000
+        assert got["huge"]["z_milli"] == 5000  # clamped
+        assert got["huge"]["weight_milli"] > got["low"]["weight_milli"]
+
+    def test_weights_sum_to_milli(self, spark):
+        got = self._run(
+            spark,
+            [("a", 2600, 2600), ("b", 2900, 2600), ("c", 3600, 2600)],
+        )
+        s = sum(x["weight_milli"] for x in got.values())
+        assert 997 <= s <= 1000  # floor rounding loses < 1 milli/domain

@@ -389,7 +389,60 @@ def oracle_sql() -> dict[str, str]:
     out["bitext_mutual_pairs"] = _bitext_oracle(bucketed=False)
     out["bitext_mutual_bucketed"] = _bitext_oracle(bucketed=True)
     out["doremi_weights"] = _doremi_oracle()
+    out["bootstrap_len_ci"] = _bootstrap_oracle()
     return out
+
+
+def _bootstrap_oracle(replicates: int = 32, alpha_milli: int = 50) -> str:
+    """Twin of ops/bootstrap.bootstrap_mean_ci on (documents, n_chars,
+    source, doc_id): the same md5-seeded Poisson(1) inverse-CDF against
+    the same micro-unit thresholds, exact integer replicate means, and
+    the same sorted-rank CI cut."""
+    from reader_spark.ops.bootstrap import POISSON1_CDF_MICRO
+
+    case = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(POISSON1_CDF_MICRO)
+    )
+    lo_idx = (alpha_milli * replicates) // 1000
+    hi_idx = replicates - 1 - lo_idx
+    return f"""
+        WITH reps AS (
+            SELECT unnest(generate_series(0, {replicates - 1})) AS replicate
+        ),
+        f AS (
+            SELECT d.source, d.n_chars, r.replicate,
+                   CAST(('0x' || substr(md5(d.doc_id || ':' || r.replicate),
+                        1, 8)) AS BIGINT) % 1000000 AS u
+            FROM documents d CROSS JOIN reps r
+        ),
+        wt AS (
+            SELECT source, replicate, n_chars,
+                   CASE {case} ELSE {len(POISSON1_CDF_MICRO)} END AS w
+            FROM f
+        ),
+        rm AS (
+            SELECT source, replicate,
+                   CAST((CAST(sum(w * n_chars) AS BIGINT) * 1000)
+                        // greatest(CAST(sum(w) AS BIGINT), 1) AS BIGINT)
+                       AS rep_mean
+            FROM wt GROUP BY source, replicate
+        ),
+        ci AS (
+            SELECT source, list_sort(list(rep_mean)) AS ms
+            FROM rm GROUP BY source
+        ),
+        pt AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST((CAST(sum(n_chars) AS BIGINT) * 1000) // count(*)
+                        AS BIGINT) AS mean_milli
+            FROM documents GROUP BY source
+        )
+        SELECT pt.source, n_rows, mean_milli,
+               CAST(ms[{lo_idx + 1}] AS BIGINT) AS lo_milli,
+               CAST(ms[{hi_idx + 1}] AS BIGINT) AS hi_milli,
+               CAST({replicates} AS BIGINT) AS n_replicates
+        FROM pt JOIN ci ON pt.source = ci.source
+    """
 
 
 def _doremi_oracle(taylor_terms: int = 12) -> str:

@@ -67,8 +67,21 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs)
 
 
+def _q_bootstrap_len_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI of mean doc length per source
+    (ops/bootstrap.bootstrap_mean_ci, Chamandy et al. 2012): 32
+    deterministic md5-seeded Poisson(1) replicates in one scan."""
+    from reader_spark.ops.bootstrap import bootstrap_mean_ci
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bootstrap_mean_ci(
+        docs, value_col="n_chars", group_col="source", key_col="doc_id"
+    )
+
+
 QUERIES = {
     "epoch_schedule": _q_epoch_schedule,
     "vocab_coverage": _q_vocab_coverage,
     "doremi_weights": _q_doremi_weights,
+    "bootstrap_len_ci": _q_bootstrap_len_ci,
 }

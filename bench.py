@@ -189,6 +189,15 @@ BENCH_QUERIES = (
     "pair_length_bias",
     "epoch_schedule",
     "vocab_coverage",
+    "code_file_stats",
+    "code_quality_gate",
+    "code_language_profile",
+    "kmeans_clusters",
+    "bitext_mutual_bucketed",
+    "doremi_weights",
+    "bootstrap_len_ci",
+    "mix_schedule",
+    "k_anonymity_audit",
 )
 
 

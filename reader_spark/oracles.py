@@ -390,7 +390,79 @@ def oracle_sql() -> dict[str, str]:
     out["bitext_mutual_bucketed"] = _bitext_oracle(bucketed=True)
     out["doremi_weights"] = _doremi_oracle()
     out["bootstrap_len_ci"] = _bootstrap_oracle()
+    out["mix_schedule"] = _mix_schedule_oracle()
+    out.update(_privacy_oracles())
     return out
+
+
+def _mix_schedule_oracle(n_steps: int = 500) -> str:
+    """Twin of ops/interleave.mix_schedule over the _synth_domains
+    weights: same integer virtual times, same (vt, domain) order; a
+    plain window row_number stands in for scalable_rank at fixture
+    scale (bit-identity of the two rank forms is pinned separately in
+    tests/test_plans.py)."""
+    return f"""
+        WITH d AS (
+            SELECT source AS domain,
+                   CAST(100 * (1 + CAST(substr(source, 4) AS BIGINT) % 4)
+                        AS BIGINT) AS weight
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM d),
+        cand AS (
+            SELECT domain, s.k AS k,
+                   ((s.k + 1) * tw * 1000) // weight AS vt
+            FROM d, tot,
+                 unnest(generate_series(
+                     0, ({n_steps} * weight) // tw + 2)) s(k)
+        ),
+        r AS (
+            SELECT domain, k,
+                   row_number() OVER (ORDER BY vt, domain) AS step
+            FROM cand
+        )
+        SELECT CAST(step AS BIGINT) AS step, domain,
+               CAST(k AS BIGINT) AS k
+        FROM r WHERE step <= {n_steps}
+    """
+
+
+_QUASI_CTE = """
+        q AS (
+            SELECT lang, source,
+                   CAST(n_chars // 100 AS BIGINT) AS len_bucket
+            FROM documents
+        ),
+        g AS (
+            SELECT lang, source, len_bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM q GROUP BY lang, source, len_bucket
+        )
+"""
+
+
+def _privacy_oracles() -> dict[str, str]:
+    """k-anonymity twins (ops/privacy.py) over the (lang, source,
+    length-bucket) quasi-identifier at k=5."""
+    return {
+        "k_anonymity_audit": f"""
+            WITH {_QUASI_CTE}
+            SELECT lang, source, len_bucket, n_rows,
+                   n_rows < 5 AS violates
+            FROM g
+        """,
+        "k_anonymity_summary": f"""
+            WITH {_QUASI_CTE}
+            SELECT CAST(5 AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(CASE WHEN n_rows < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating_groups,
+                   CAST(sum(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END)
+                        AS BIGINT) AS n_rows_at_risk,
+                   CAST(min(n_rows) AS BIGINT) AS min_group_size
+            FROM g
+        """,
+    }
 
 
 def _bootstrap_oracle(replicates: int = 32, alpha_milli: int = 50) -> str:

@@ -79,9 +79,49 @@ def _q_bootstrap_len_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled batch order for the synthesized domain mix
+    (ops/interleave.mix_schedule, Waldspurger & Weihl 1995): the first
+    500 steps of the deterministic data-loader schedule."""
+    from reader_spark.ops.interleave import mix_schedule
+
+    d = _synth_domains(spark, sf_dir).select(
+        "domain", F.col("weight").alias("weight_milli")
+    )
+    return mix_schedule(d, n_steps=500)
+
+
+def _quasi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "lang", "source", F.expr("n_chars div 100").alias("len_bucket")
+    )
+
+
+def _q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity of the (lang, source, length-bucket) quasi-identifier
+    combination (ops/privacy.k_anonymity_audit, Sweeney 2002)."""
+    from reader_spark.ops.privacy import k_anonymity_audit
+
+    return k_anonymity_audit(
+        _quasi_docs(spark, sf_dir), ["lang", "source", "len_bucket"], k=5
+    )
+
+
+def _q_k_anonymity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reader_spark.ops.privacy import k_anonymity_summary
+
+    return k_anonymity_summary(
+        _quasi_docs(spark, sf_dir), ["lang", "source", "len_bucket"], k=5
+    )
+
+
 QUERIES = {
     "epoch_schedule": _q_epoch_schedule,
     "vocab_coverage": _q_vocab_coverage,
     "doremi_weights": _q_doremi_weights,
     "bootstrap_len_ci": _q_bootstrap_len_ci,
+    "mix_schedule": _q_mix_schedule,
+    "k_anonymity_audit": _q_k_anonymity_audit,
+    "k_anonymity_summary": _q_k_anonymity_summary,
 }

@@ -639,6 +639,19 @@ def main() -> None:
         ],
     )
 
+    # -- mixture planning (jobs/mixture_job.py): domain stats -> DoReMi
+    #    bigram-surprisal reweight -> epoch audit -> stride batch order.
+    run_job(
+        "mixture_job",
+        [
+            "jobs/mixture_job.py",
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", os.path.join(BENCH_DIR, "mix_plan"),
+            "--steps", "20000",
+            "--master", f"local[{CPUS}]",
+        ],
+    )
+
     # Calibration lines IMMEDIATELY around the headline timing — the r1
     # number paired a calibration measured minutes earlier with an
     # extraction measured after the 41-query block, so VM phase drift
@@ -846,7 +859,9 @@ def main() -> None:
             f"| refresh_job | {results['refresh_job_e2e']} | "
             f"{json.dumps(pipeline['refresh_job'])} |\n"
             f"| schedule_job | {results['schedule_job_e2e']} | "
-            f"{json.dumps(pipeline['schedule_job'])} |\n\n"
+            f"{json.dumps(pipeline['schedule_job'])} |\n"
+            f"| mixture_job | {results['mixture_job_e2e']} | "
+            f"{json.dumps(pipeline['mixture_job'])} |\n\n"
             "vlm_prep_job = extract -> caption-alignment filter -> PII "
             "redaction -> budget truncation -> LLaVA-shape rendering over "
             "the same raw corpus as the headline extraction.\n\n"

@@ -1000,3 +1000,43 @@ def test_sft_prep_job_resume_matches_uninterrupted(spark, sft_turns, tmp_path):
         }
 
     assert canon(out_r) == canon(out_f)
+
+
+def test_mixture_job_doremi_plan(tmp_path, spark):
+    out = str(tmp_path / "mix")
+    summary = run_job(
+        "mixture_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--steps", "200",
+        "--master", "local[4]",
+    )
+    assert summary["method"] == "doremi"
+    assert summary["n_domains"] == 20
+    assert summary["schedule_steps"] == 200
+    weights = {r["domain"]: r for r in spark.read.parquet(out + "/weights").collect()}
+    assert len(weights) == 20
+    assert all(r["weight_milli"] >= 0 for r in weights.values())
+    # zero-excess domains get the floor exp weight, surprised domains more.
+    assert max(r["exp_micro"] for r in weights.values()) > 1_000_000
+    sched = spark.read.parquet(out + "/schedule").collect()
+    assert sorted(r["step"] for r in sched) == list(range(1, 201))
+    epochs = spark.read.parquet(out + "/epochs")
+    assert epochs.count() == 20
+
+
+def test_mixture_job_unimax_plan(tmp_path, spark):
+    out = str(tmp_path / "mixu")
+    summary = run_job(
+        "mixture_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--method", "unimax",
+        "--budget-tokens", "8000",
+        "--steps", "100",
+        "--master", "local[4]",
+    )
+    assert summary["method"] == "unimax"
+    assert summary["schedule_steps"] == 100
+    # an 8k budget over a ~11k-token corpus: nobody needs > 4 epochs.
+    assert summary["domains_over_cap"] == 0

@@ -29,6 +29,9 @@ from reader_spark.queries.clustering import (  # noqa: E402
     QUERIES as _CLUSTERING_QUERIES,
 )
 from reader_spark.queries.bitext import QUERIES as _BITEXT_QUERIES  # noqa: E402
+from reader_spark.queries.governance import (  # noqa: E402
+    QUERIES as _GOVERNANCE_QUERIES,
+)
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3976,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_CODE_QUERIES,
         **_CLUSTERING_QUERIES,
         **_BITEXT_QUERIES,
+        **_GOVERNANCE_QUERIES,
     })
 
 

@@ -198,6 +198,8 @@ BENCH_QUERIES = (
     "bootstrap_len_ci",
     "mix_schedule",
     "k_anonymity_audit",
+    "contamination_profile",
+    "cluster_policy_purge",
 )
 
 

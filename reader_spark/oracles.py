@@ -392,7 +392,104 @@ def oracle_sql() -> dict[str, str]:
     out["bootstrap_len_ci"] = _bootstrap_oracle()
     out["mix_schedule"] = _mix_schedule_oracle()
     out.update(_privacy_oracles())
+    out.update(_governance_oracles())
     return out
+
+
+def _contains_any(expr: str, markers: tuple[str, ...]) -> str:
+    terms = " OR ".join(
+        f"contains({expr}, '" + m.replace("'", "''") + "')" for m in markers
+    )
+    return f"({terms})"
+
+
+def _governance_oracles() -> dict[str, str]:
+    """Twins for the contamination scan / profile (ops/contamination.py
+    — marker dims imported from the op, one source of truth) and
+    dedup-cluster policy propagation (ops/governance.py)."""
+    from reader_spark.ops.contamination import (
+        AI_SELFREF_MARKERS,
+        CHAT_TEMPLATE_MARKERS,
+        REFUSAL_MARKERS,
+    )
+
+    dec = """
+        dec AS (
+            SELECT doc_id, source,
+                   lower(text
+                     || CASE WHEN doc_id % 23 = 0
+                             THEN ' <|im_start|>assistant reply'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 31 = 0
+                             THEN ' As an AI language model, I think'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 37 = 0
+                             THEN ' I''m sorry, but I can''t help'
+                             ELSE '' END) AS low
+            FROM documents
+        )
+    """
+    t = _contains_any("low", CHAT_TEMPLATE_MARKERS)
+    s = _contains_any("low", AI_SELFREF_MARKERS)
+    r = _contains_any("low", REFUSAL_MARKERS)
+    return {
+        "contamination_scan": f"""
+            WITH {dec}
+            SELECT doc_id,
+                   {t} AS has_chat_template,
+                   {s} AS has_ai_selfref,
+                   {r} AS has_refusal,
+                   ({t} OR {s} OR {r}) AS contaminated
+            FROM dec
+        """,
+        "contamination_profile": f"""
+            WITH {dec},
+            fl AS (
+                SELECT source,
+                       CASE WHEN {t} THEN 1 ELSE 0 END AS ft,
+                       CASE WHEN {s} THEN 1 ELSE 0 END AS fs,
+                       CASE WHEN {r} THEN 1 ELSE 0 END AS fr
+                FROM dec
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ft) AS BIGINT) AS n_chat_template,
+                   CAST(sum(fs) AS BIGINT) AS n_ai_selfref,
+                   CAST(sum(fr) AS BIGINT) AS n_refusal,
+                   CAST((sum(greatest(ft, fs, fr)) * 1000) // count(*)
+                        AS BIGINT) AS contaminated_milli
+            FROM fl GROUP BY source
+        """,
+        "cluster_policy_purge": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            h AS (SELECT doc_id, md5(text) AS hh FROM corpus),
+            members AS (
+                SELECT c.cluster_id, h.doc_id
+                FROM h JOIN (
+                    SELECT hh, CAST(min(doc_id) AS BIGINT) AS cluster_id
+                    FROM h GROUP BY hh
+                ) c ON h.hh = c.hh
+            ),
+            fl AS (
+                SELECT m.cluster_id, m.doc_id,
+                       m.doc_id % 41 = 0 AS flagged_self
+                FROM members m
+            ),
+            cf AS (
+                SELECT cluster_id,
+                       max(CASE WHEN flagged_self THEN 1 ELSE 0 END) AS c
+                FROM fl GROUP BY cluster_id
+            )
+            SELECT fl.doc_id, fl.cluster_id, fl.flagged_self,
+                   cf.c = 1 AS flagged_cluster, cf.c = 1 AS purge
+            FROM fl JOIN cf ON fl.cluster_id = cf.cluster_id
+        """,
+    }
 
 
 def _mix_schedule_oracle(n_steps: int = 500) -> str:

@@ -1040,3 +1040,67 @@ def test_mixture_job_unimax_plan(tmp_path, spark):
     assert summary["schedule_steps"] == 100
     # an 8k budget over a ~11k-token corpus: nobody needs > 4 epochs.
     assert summary["domains_over_cap"] == 0
+
+
+@pytest.fixture(scope="module")
+def gov_corpus(spark, tmp_path_factory):
+    """60 docs: 20 unique-text trios (two copies share text with the
+    original via doc_id+1000/+2000 clones of id%3==0), ids ending in 0
+    are opted out, doc 7 carries a chat-template marker."""
+    from pyspark.sql import Row
+
+    rows = []
+    for i in range(30):
+        text = f"organic words for document {i} " * 3
+        if i == 7:
+            text += " <|im_start|>assistant pasted"
+        rows.append(Row(doc_id=i, lang="en" if i % 2 else "fr",
+                        source=f"s{i % 3}", text=text))
+    for i in range(0, 30, 3):
+        rows.append(Row(doc_id=1000 + i, lang="en", source="mirror",
+                        text=f"organic words for document {i} " * 3))
+    path = str(tmp_path_factory.mktemp("gov") / "docs")
+    spark.createDataFrame(rows).write.parquet(path)
+    return path
+
+
+def test_governance_job_gate(tmp_path, spark, gov_corpus):
+    out = str(tmp_path / "gov")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "governance_job.py"),
+         "--input", gov_corpus, "--output", out,
+         "--optout-regex", r"^\d*0$", "--k", "30",
+         "--quasi", "lang,source", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    # k=30 over (lang, source): every combo is smaller, the gate fails.
+    assert r.returncode == 4
+    assert summary["n_contaminated"] == 1
+    # opted-out: ids 0,10,20,30(no),1000..: regex ^\d*0$ -> 0,10,20,
+    # 1020(copy of 20? no: copies are 1000+i for i%3==0 -> 1000,1020...)
+    # cluster propagation: copy 1000 shares text with doc 0 (opted out)
+    # -> both purge; doc 20's clean copy 1020 purges via 1020's own flag.
+    purge = {r2["doc_id"] for r2 in
+             spark.read.parquet(out + "/purge_manifest").collect()}
+    assert 0 in purge and 1000 in purge          # flag on 0 purges copy
+    assert summary["n_clean"] + summary["n_purged"] == 40
+    # doc 7 purged for contamination only, not opt-out.
+    reasons = {r2["doc_id"]: list(r2["reasons"]) for r2 in
+               spark.read.parquet(out + "/purge_manifest").collect()}
+    assert reasons[7] == ["contamination"]
+
+
+def test_governance_job_clean_pass(tmp_path, gov_corpus):
+    out = str(tmp_path / "gov2")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "governance_job.py"),
+         "--input", gov_corpus, "--output", out,
+         "--k", "2", "--quasi", "lang", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert summary["k_anonymity"]["n_rows_at_risk"] == 0
+    assert summary["n_optout_purged"] == 0
+    assert summary["n_purged"] == summary["n_contaminated"] == 1

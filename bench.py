@@ -654,6 +654,23 @@ def main() -> None:
         ],
     )
 
+    # -- governance gate (jobs/governance_job.py): contamination scan ->
+    #    opt-out cluster purge -> k-anonymity release gate. k=2 over lang
+    #    passes on this corpus (the gate's failing arm exits 4 and is
+    #    pinned by the e2e test, not timed here).
+    run_job(
+        "governance_job",
+        [
+            "jobs/governance_job.py",
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", os.path.join(BENCH_DIR, "gov_gate"),
+            "--optout-regex", r".*7$",
+            "--k", "2",
+            "--quasi", "lang",
+            "--master", f"local[{CPUS}]",
+        ],
+    )
+
     # Calibration lines IMMEDIATELY around the headline timing — the r1
     # number paired a calibration measured minutes earlier with an
     # extraction measured after the 41-query block, so VM phase drift
@@ -863,7 +880,9 @@ def main() -> None:
             f"| schedule_job | {results['schedule_job_e2e']} | "
             f"{json.dumps(pipeline['schedule_job'])} |\n"
             f"| mixture_job | {results['mixture_job_e2e']} | "
-            f"{json.dumps(pipeline['mixture_job'])} |\n\n"
+            f"{json.dumps(pipeline['mixture_job'])} |\n"
+            f"| governance_job | {results['governance_job_e2e']} | "
+            f"{json.dumps(pipeline['governance_job'])} |\n\n"
             "vlm_prep_job = extract -> caption-alignment filter -> PII "
             "redaction -> budget truncation -> LLaVA-shape rendering over "
             "the same raw corpus as the headline extraction.\n\n"

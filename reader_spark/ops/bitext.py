@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from reader_spark.ops.ann import hyperplane_sketch_literal
 
-__all__ = ["bitext_mine_brute", "bitext_mine_bucketed"]
+__all__ = ["bitext_mine_brute", "bitext_mine_bucketed", "bitext_mine_csls"]
 
 
 def _int_dot(a: Column, b: Column) -> Column:
@@ -157,3 +157,110 @@ def bitext_mine_bucketed(
         _int_dot(F.col("sv"), F.col("tv")).alias("dot"),
     )
     return _mutual(cands)
+
+
+def _csls_mutual(cands: DataFrame, knn: int) -> DataFrame:
+    """CSLS mutual election over a (src_id, tgt_id, dot) candidate
+    frame (Lample et al. 2018 §2.3): each pair's similarity is
+    penalized by both endpoints' local hubness — ``margin = 2*k*dot -
+    rx - ry`` with ``rx/ry`` the sum of each endpoint's top-min(k, n)
+    candidate dots (the integer-scaled form of CSLS's mean-of-top-k;
+    exact longs, so elections are portable). Hubs whose neighborhoods
+    are uniformly hot get penalized and stop absorbing pairs."""
+    topsum = lambda col: F.aggregate(  # noqa: E731
+        F.slice(F.sort_array(F.collect_list(col), asc=False), 1, knn),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rx = cands.groupBy("src_id").agg(topsum("dot").alias("rx"))
+    ry = cands.groupBy("tgt_id").agg(topsum("dot").alias("ry"))
+    scored = (
+        cands.join(rx, "src_id")
+        .join(ry, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "dot",
+            (2 * knn * F.col("dot") - F.col("rx") - F.col("ry"))
+            .cast("long")
+            .alias("margin"),
+        )
+    )
+    fwd_best = (
+        scored.groupBy("src_id")
+        .agg(F.max("margin").alias("fb"))
+        .withColumnRenamed("src_id", "fb_src")
+    )
+    fwd = (
+        scored.join(
+            fwd_best,
+            (F.col("src_id") == F.col("fb_src"))
+            & (F.col("margin") == F.col("fb")),
+        )
+        .groupBy("src_id")
+        .agg(
+            F.min("tgt_id").alias("tgt_id"),
+            F.max("margin").alias("margin"),
+        )
+    )
+    bwd_best = (
+        scored.groupBy("tgt_id")
+        .agg(F.max("margin").alias("bb"))
+        .withColumnRenamed("tgt_id", "bb_tgt")
+    )
+    bwd = (
+        scored.join(
+            bwd_best,
+            (F.col("tgt_id") == F.col("bb_tgt"))
+            & (F.col("margin") == F.col("bb")),
+        )
+        .groupBy("tgt_id")
+        .agg(F.min("src_id").alias("src_id"))
+    )
+    pairs = fwd.join(bwd, ["src_id", "tgt_id"])
+    # fetch the elected pair's own dot (a margin-tied sibling row can
+    # carry a different dot — max(dot) in the election would be wrong).
+    dots = scored.select("src_id", "tgt_id", F.col("dot").alias("__d"))
+    return pairs.join(dots, ["src_id", "tgt_id"]).select(
+        "src_id",
+        "tgt_id",
+        F.col("__d").cast("long").alias("dot_micro2"),
+        F.col("margin").cast("long").alias("margin_micro2"),
+    )
+
+
+def bitext_mine_csls(
+    embeds: DataFrame,
+    src_lang: str,
+    tgt_lang: str,
+    knn: int = 3,
+    weights: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Mutual-NN under the CSLS margin instead of the raw dot.
+
+    With ``weights`` the candidates come from the hyperplane bucket
+    equi-join (100 TB path — the hubness sums then run over in-bucket
+    candidates, a documented approximation); without, from the full
+    cross product (fixture-scale twin). ``dot`` ties in the raw
+    mutual-NN become real elections here: a hub with uniformly hot
+    neighborhoods is penalized by its own rx/ry and releases its pairs.
+    Output ``(src_id, tgt_id, dot_micro2, margin_micro2)``.
+    """
+    src, tgt = _sides(embeds, id_col, vec_col, lang_col, src_lang, tgt_lang)
+    if weights is not None:
+        sb = src.withColumn(
+            "bucket", hyperplane_sketch_literal(F.col("sf"), weights)
+        )
+        tb = tgt.withColumn(
+            "bucket", hyperplane_sketch_literal(F.col("tf"), weights)
+        )
+        cands = sb.join(tb, "bucket")
+    else:
+        cands = src.crossJoin(tgt)
+    cands = cands.select(
+        "src_id", "tgt_id", _int_dot(F.col("sv"), F.col("tv")).alias("dot")
+    )
+    return _csls_mutual(cands, knn)

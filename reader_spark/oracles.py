@@ -388,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
     out["kmeans_clusters"] = _kmeans_oracle()
     out["bitext_mutual_pairs"] = _bitext_oracle(bucketed=False)
     out["bitext_mutual_bucketed"] = _bitext_oracle(bucketed=True)
+    out["bitext_csls_pairs"] = _bitext_csls_oracle()
     out["doremi_weights"] = _doremi_oracle()
     out["bootstrap_len_ci"] = _bootstrap_oracle()
     out["mix_schedule"] = _mix_schedule_oracle()
@@ -652,6 +653,69 @@ def _doremi_oracle(taylor_terms: int = 12) -> str:
         SELECT domain, excess_milli, z_milli, exp_micro,
                CAST((exp_micro * 1000) // z AS BIGINT) AS weight_milli
         FROM ex, tot
+    """
+
+
+def _bitext_csls_oracle(knn: int = 3) -> str:
+    """Twin of ops/bitext.bitext_mine_csls (brute candidates, knn=3):
+    the same integer-scaled CSLS margin 2*k*dot - rx - ry with rx/ry
+    the top-k candidate-dot sums per endpoint, same two-phase
+    elections, and the elected pair's own dot fetched by join-back."""
+    return f"""
+        WITH qv AS (
+            SELECT vec_id, vec_id % 2 AS par,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        cand AS (
+            SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+                   CAST(list_sum(list_transform(
+                       range(1, len(s.q) + 1),
+                       i -> s.q[i] * t.q[i])) AS BIGINT) AS dot
+            FROM qv s JOIN qv t ON s.par = 0 AND t.par = 1
+        ),
+        rx AS (
+            SELECT src_id,
+                   CAST(list_sum(list_reverse_sort(list(dot))[1:{knn}])
+                        AS BIGINT) AS rx
+            FROM cand GROUP BY src_id
+        ),
+        ry AS (
+            SELECT tgt_id,
+                   CAST(list_sum(list_reverse_sort(list(dot))[1:{knn}])
+                        AS BIGINT) AS ry
+            FROM cand GROUP BY tgt_id
+        ),
+        sc AS (
+            SELECT c.src_id, c.tgt_id, c.dot,
+                   CAST(2 * {knn} * c.dot - rx.rx - ry.ry AS BIGINT)
+                       AS margin
+            FROM cand c
+            JOIN rx ON c.src_id = rx.src_id
+            JOIN ry ON c.tgt_id = ry.tgt_id
+        ),
+        fb AS (SELECT src_id, max(margin) AS b FROM sc GROUP BY src_id),
+        fwd AS (
+            SELECT s.src_id, min(s.tgt_id) AS tgt_id,
+                   max(s.margin) AS margin
+            FROM sc s JOIN fb ON s.src_id = fb.src_id
+                      AND s.margin = fb.b
+            GROUP BY s.src_id
+        ),
+        bb AS (SELECT tgt_id, max(margin) AS b FROM sc GROUP BY tgt_id),
+        bwd AS (
+            SELECT s.tgt_id, min(s.src_id) AS src_id
+            FROM sc s JOIN bb ON s.tgt_id = bb.tgt_id
+                      AND s.margin = bb.b
+            GROUP BY s.tgt_id
+        )
+        SELECT f.src_id, f.tgt_id,
+               sc.dot AS dot_micro2,
+               f.margin AS margin_micro2
+        FROM fwd f
+        JOIN bwd b ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
+        JOIN sc ON sc.src_id = f.src_id AND sc.tgt_id = f.tgt_id
     """
 
 

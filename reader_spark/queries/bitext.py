@@ -38,7 +38,17 @@ def _q_bitext_mutual_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bitext_csls_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSLS mutual mining (ops/bitext.bitext_mine_csls, Lample et al.
+    2018 §2.3): hubness-penalized margins over the full candidate
+    frame, knn=3."""
+    from reader_spark.ops.bitext import bitext_mine_csls
+
+    return bitext_mine_csls(synth_bilingual(spark, sf_dir), "en", "fr", knn=3)
+
+
 QUERIES = {
     "bitext_mutual_pairs": _q_bitext_mutual_pairs,
     "bitext_mutual_bucketed": _q_bitext_mutual_bucketed,
+    "bitext_csls_pairs": _q_bitext_csls_pairs,
 }

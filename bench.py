@@ -200,6 +200,8 @@ BENCH_QUERIES = (
     "k_anonymity_audit",
     "contamination_profile",
     "cluster_policy_purge",
+    "bitext_csls_pairs",
+    "eval_attribution",
 )
 
 

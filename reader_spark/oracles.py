@@ -394,7 +394,63 @@ def oracle_sql() -> dict[str, str]:
     out["mix_schedule"] = _mix_schedule_oracle()
     out.update(_privacy_oracles())
     out.update(_governance_oracles())
+    out["eval_attribution"] = _eval_attribution_oracle()
     return out
+
+
+def _eval_attribution_oracle(n: int = 3, k: int = 5, max_df: int = 50) -> str:
+    """Twin of ops/attribution.eval_attribution at the registry
+    parameters: same post-filter word positions, same DISTINCT-type
+    credit, same max_df stop-n-gram guard, same (shared desc, doc_id
+    asc) top-k."""
+    return f"""
+        WITH t0 AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9]+'), w -> w <> '') AS ws
+            FROM documents
+        ),
+        tg AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(ws[i:i+{n - 1}], ' ') AS g
+            FROM t0, unnest(generate_series(
+                1, greatest(len(ws) - {n - 1}, 0))) s(i)
+        ),
+        guard AS (
+            SELECT g FROM tg GROUP BY g HAVING count(*) <= {max_df}
+        ),
+        tgg AS (SELECT tg.doc_id, tg.g FROM tg JOIN guard USING (g)),
+        e0 AS (
+            SELECT doc_id AS eval_id,
+                   list_filter(string_split_regex(lower(
+                       array_to_string((string_split(text, ' '))[1:12],
+                                       ' ')), '[^a-z0-9]+'),
+                       w -> w <> '') AS ws
+            FROM documents WHERE doc_id % 17 = 0
+        ),
+        eg AS (
+            SELECT DISTINCT eval_id,
+                   array_to_string(ws[i:i+{n - 1}], ' ') AS g
+            FROM e0, unnest(generate_series(
+                1, greatest(len(ws) - {n - 1}, 0))) s(i)
+        ),
+        shared AS (
+            SELECT eg.eval_id, tgg.doc_id,
+                   CAST(count(*) AS BIGINT) AS shared_ngrams
+            FROM eg JOIN tgg USING (g)
+            GROUP BY eg.eval_id, tgg.doc_id
+        ),
+        ranked AS (
+            SELECT eval_id, doc_id, shared_ngrams,
+                   CAST(row_number() OVER (
+                       PARTITION BY eval_id
+                       ORDER BY shared_ngrams DESC, doc_id) AS BIGINT)
+                       AS rank
+            FROM shared
+        )
+        SELECT eval_id, doc_id, shared_ngrams, rank
+        FROM ranked WHERE rank <= {k}
+    """
 
 
 def _contains_any(expr: str, markers: tuple[str, ...]) -> str:

@@ -62,8 +62,24 @@ def _q_cluster_policy_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return propagate_cluster_policy(members, flags)
 
 
+def _q_eval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical training-data attribution (ops/attribution.py): eval
+    items are the first 12 words of every 17th document, so each item's
+    own source doc should dominate rank 1 — shared-trigram credit with
+    a max_df=50 boilerplate guard, top-5 per item."""
+    from reader_spark.ops.attribution import eval_attribution
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    evals = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 12)).alias("text"),
+    )
+    return eval_attribution(docs, evals, n=3, k=5, max_df=50)
+
+
 QUERIES = {
     "contamination_scan": _q_contamination_scan,
     "contamination_profile": _q_contamination_profile,
     "cluster_policy_purge": _q_cluster_policy_purge,
+    "eval_attribution": _q_eval_attribution,
 }

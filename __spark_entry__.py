@@ -32,6 +32,7 @@ from reader_spark.queries.bitext import QUERIES as _BITEXT_QUERIES  # noqa: E402
 from reader_spark.queries.governance import (  # noqa: E402
     QUERIES as _GOVERNANCE_QUERIES,
 )
+from reader_spark.queries.audits import QUERIES as _AUDIT_QUERIES  # noqa: E402
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3980,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_CLUSTERING_QUERIES,
         **_BITEXT_QUERIES,
         **_GOVERNANCE_QUERIES,
+        **_AUDIT_QUERIES,
     })
 
 

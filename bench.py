@@ -202,6 +202,8 @@ BENCH_QUERIES = (
     "cluster_policy_purge",
     "bitext_csls_pairs",
     "eval_attribution",
+    "embedding_audit",
+    "lang_mismatch_audit",
 )
 
 

@@ -395,7 +395,94 @@ def oracle_sql() -> dict[str, str]:
     out.update(_privacy_oracles())
     out.update(_governance_oracles())
     out["eval_attribution"] = _eval_attribution_oracle()
+    out.update(_audit_oracles())
     return out
+
+
+def _audit_oracles() -> dict[str, str]:
+    """Twins for the input-hygiene audits (ops/audits.py): the same
+    corruption chain on the embeddings side, the certified
+    detected_lang CASE (tie-break = max lang string) on the text side."""
+    lang_case = f"""
+        CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+             WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+             WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+             ELSE 'de' END"""
+    return {
+        "embedding_audit": """
+            WITH base AS (
+                SELECT vec_id,
+                       CASE
+                         WHEN vec_id % 97 = 0 THEN NULL
+                         WHEN vec_id % 89 = 0 THEN list_transform(
+                              embedding::DOUBLE[], x -> x * 0.0)
+                         WHEN vec_id % 83 = 0 THEN list_concat(
+                              ['NaN'::DOUBLE],
+                              (embedding::DOUBLE[])[2:64])
+                         WHEN vec_id % 79 = 0
+                              THEN (embedding::DOUBLE[])[1:32]
+                         ELSE embedding::DOUBLE[]
+                       END AS v
+                FROM embeddings
+            ),
+            fl AS (
+                SELECT
+                    CASE WHEN v IS NULL THEN 1 ELSE 0 END AS f_null,
+                    CASE WHEN v IS NOT NULL AND len(v) <> 64
+                         THEN 1 ELSE 0 END AS f_dim,
+                    CASE WHEN v IS NOT NULL
+                              AND len(list_filter(v, x -> isnan(x))) > 0
+                         THEN 1 ELSE 0 END AS f_nan,
+                    CASE WHEN v IS NOT NULL AND len(v) = 64
+                              AND len(list_filter(v, x -> isnan(x))) = 0
+                         THEN CAST(list_sum(list_transform(v,
+                              x -> CAST(round(x * 1000000) AS BIGINT)
+                                   * CAST(round(x * 1000000) AS BIGINT)))
+                              AS BIGINT) // 1024
+                    END AS nk
+                FROM base
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(sum(f_null) AS BIGINT) AS n_null_vec,
+                   CAST(sum(f_nan) AS BIGINT) AS n_nan_vec,
+                   CAST(sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero_vec,
+                   CAST(sum(f_dim) AS BIGINT) AS n_dim_bad,
+                   CAST(min(nk) AS BIGINT) AS min_norm2_kilo,
+                   CAST(max(nk) AS BIGINT) AS max_norm2_kilo,
+                   CAST(CAST(sum(nk) AS BIGINT)
+                        // greatest(count(nk), 1) AS BIGINT)
+                       AS mean_norm2_kilo
+            FROM fl
+        """,
+        "lang_mismatch_audit": f"""
+            WITH hits AS (
+                SELECT source, lang,
+                       {_lang_hits_sql('de')} AS h_de,
+                       {_lang_hits_sql('en')} AS h_en,
+                       {_lang_hits_sql('es')} AS h_es,
+                       {_lang_hits_sql('fr')} AS h_fr
+                FROM documents
+            ),
+            det AS (
+                SELECT source, lang, {lang_case} AS detected
+                FROM hits
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN detected <> lang
+                                 AND detected <> 'und'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+                   CAST(sum(CASE WHEN detected = 'und' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_undetected,
+                   CAST((sum(CASE WHEN detected <> lang
+                                  AND detected <> 'und'
+                             THEN 1 ELSE 0 END) * 1000) // count(*)
+                        AS BIGINT) AS mismatch_milli
+            FROM det GROUP BY source
+        """,
+    }
 
 
 def _eval_attribution_oracle(n: int = 3, k: int = 5, max_df: int = 50) -> str:

@@ -1,0 +1,52 @@
+"""Registry queries for input-hygiene audits (ops/audits.py).
+
+The embedding corpus is corrupted deterministically (first-match-wins
+mod chain: NULL vector, zero vector, NaN component, truncated dim) so
+every failure class the audit reports actually occurs at fixture
+scale; the language audit runs on the raw documents table, where the
+word-soup text of zh-labeled docs genuinely detects as 'en' — a real
+declared-vs-detected mismatch, not an injected one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reader_spark.ops.audits import embedding_quality_audit, lang_mismatch_audit
+
+
+def synth_corrupted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeds = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fv = F.col("embedding").cast("array<double>")
+    d = F.col("vec_id")
+    corrupted = (
+        F.when(d % 97 == 0, F.lit(None).cast("array<double>"))
+        .when(d % 89 == 0, F.transform(fv, lambda x: x * 0.0))
+        .when(
+            d % 83 == 0,
+            F.concat(
+                F.array(F.lit(float("nan"))), F.slice(fv, 2, 63)
+            ),
+        )
+        .when(d % 79 == 0, F.slice(fv, 1, 32))
+        .otherwise(fv)
+    )
+    return embeds.select("vec_id", corrupted.alias("embedding"))
+
+
+def _q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_quality_audit(
+        synth_corrupted_embeddings(spark, sf_dir), expected_dim=64
+    )
+
+
+def _q_lang_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_mismatch_audit(docs)
+
+
+QUERIES = {
+    "embedding_audit": _q_embedding_audit,
+    "lang_mismatch_audit": _q_lang_mismatch_audit,
+}

@@ -315,3 +315,72 @@ def pack_next_fit(
         .applyInPandas(pack, schema=schema)
         .withColumnRenamed("__c", "cost")
     )
+
+
+def pack_leakage_audit(
+    segments: DataFrame,
+    flags: DataFrame,
+    id_col: str = "doc_id",
+    partition_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Audit packed sequences for flagged/clean co-residence.
+
+    Packing concatenates documents into fixed windows, so a document
+    flagged AFTER packing (decontamination hit, opt-out, PII verdict)
+    contaminates every sequence it shares — causal attention does not
+    stop at document boundaries unless the loader masks them, and most
+    don't (the cross-document attention leak; Zhao et al. 2024
+    "Analysing The Impact of Sequence Composition on Language Model
+    Pre-training" measures the effect). This audit finds the mixed
+    sequences a naive "drop the flagged docs" cleanup would miss.
+
+    ``segments``: a pack_sequences/pack_by_cost result; ``flags``:
+    ``(<id_col>, flagged)`` — absent docs count unflagged. Returns one
+    row per sequence: ``(partition_cols..., seq_id, n_segments,
+    n_docs, n_flagged_docs, flagged_tokens, total_tokens, mixed)`` —
+    ``mixed`` marks sequences that must be re-packed (some but not all
+    of their content is flagged).
+
+    Scale shape: one equi-join on the doc id, one map-side-combined
+    groupBy(sequence) carrying counters only.
+    """
+    parts = list(partition_cols or [])
+    f = flags.select(
+        F.col(id_col).alias("__fid"), F.col("flagged").alias("__fl")
+    )
+    j = segments.join(f, segments[id_col] == f["__fid"], "left").select(
+        *parts,
+        "seq_id",
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("__fl"), F.lit(False)).cast("long").alias("__fl"),
+    )
+    return (
+        j.groupBy(*parts, "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.countDistinct(
+                F.when(F.col("__fl") == 1, F.col(id_col))
+            )
+            .cast("long")
+            .alias("n_flagged_docs"),
+            F.sum(F.col("__fl") * F.col("n_tokens"))
+            .cast("long")
+            .alias("flagged_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            *parts,
+            "seq_id",
+            "n_segments",
+            "n_docs",
+            "n_flagged_docs",
+            "flagged_tokens",
+            "total_tokens",
+            (
+                (F.col("n_flagged_docs") > 0)
+                & (F.col("n_flagged_docs") < F.col("n_docs"))
+            ).alias("mixed"),
+        )
+    )

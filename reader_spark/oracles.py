@@ -396,7 +396,54 @@ def oracle_sql() -> dict[str, str]:
     out.update(_governance_oracles())
     out["eval_attribution"] = _eval_attribution_oracle()
     out.update(_audit_oracles())
+    out["pack_leakage"] = _pack_leakage_oracle()
     return out
+
+
+def _pack_leakage_oracle(seq_len: int = 512) -> str:
+    """Twin of ops/packing.pack_leakage_audit over the certified
+    sequence_packing construction (same cum/segment CTEs) with flags
+    on every 41st doc."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n,
+                   CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s,
+                   CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+            FROM toks
+        ),
+        seg AS (
+            SELECT doc_id, s, e,
+                   CAST(unnest(generate_series(
+                       s // {seq_len}, (e - 1) // {seq_len}))
+                       AS BIGINT) AS seq_id
+            FROM cum WHERE n > 0
+        ),
+        segs AS (
+            SELECT doc_id, seq_id,
+                   CAST(least(e, (seq_id + 1) * {seq_len})
+                        - greatest(s, seq_id * {seq_len}) AS BIGINT)
+                       AS n_tokens,
+                   doc_id % 41 = 0 AS fl
+            FROM seg
+        )
+        SELECT seq_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT CASE WHEN fl THEN doc_id END)
+                    AS BIGINT) AS n_flagged_docs,
+               CAST(sum(CASE WHEN fl THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS flagged_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               (count(DISTINCT CASE WHEN fl THEN doc_id END) > 0
+                AND count(DISTINCT CASE WHEN fl THEN doc_id END)
+                    < count(DISTINCT doc_id)) AS mixed
+        FROM segs GROUP BY seq_id
+    """
 
 
 def _audit_oracles() -> dict[str, str]:

@@ -46,7 +46,23 @@ def _q_lang_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_mismatch_audit(docs)
 
 
+def _q_pack_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention-leak audit (ops/packing.
+    pack_leakage_audit): flags on every 41st doc, packed at seq_len=512
+    over the certified sequence_packing construction — sequences
+    mixing flagged and clean content must be re-packed."""
+    from reader_spark.ops.packing import pack_leakage_audit, pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    segs = pack_sequences(docs, "doc_id", "text", seq_len=512)
+    flags = docs.select(
+        "doc_id", (F.col("doc_id") % 41 == 0).alias("flagged")
+    )
+    return pack_leakage_audit(segs, flags)
+
+
 QUERIES = {
     "embedding_audit": _q_embedding_audit,
     "lang_mismatch_audit": _q_lang_mismatch_audit,
+    "pack_leakage": _q_pack_leakage,
 }

@@ -59,3 +59,27 @@ def test_lang_mismatch_audit(spark):
     assert got["s0"]["mismatch_milli"] == 500
     assert got["s1"]["n_mismatch"] == 0
     assert got["s1"]["n_undetected"] == 1
+
+
+def test_pack_leakage_audit_hand_case(spark):
+    from reader_spark.ops.packing import pack_leakage_audit
+
+    # seq 0: docs a(flagged)+b -> mixed; seq 1: doc c alone flagged ->
+    # fully flagged, NOT mixed; seq 2: clean.
+    segs = spark.createDataFrame(
+        [
+            Row(doc_id="a", seq_id=0, doc_offset=0, seq_offset=0, n_tokens=300),
+            Row(doc_id="b", seq_id=0, doc_offset=0, seq_offset=300, n_tokens=212),
+            Row(doc_id="c", seq_id=1, doc_offset=0, seq_offset=0, n_tokens=512),
+            Row(doc_id="d", seq_id=2, doc_offset=0, seq_offset=0, n_tokens=100),
+        ]
+    )
+    flags = spark.createDataFrame(
+        [Row(doc_id="a", flagged=True), Row(doc_id="c", flagged=True),
+         Row(doc_id="b", flagged=False)]  # d absent -> unflagged
+    )
+    got = {r["seq_id"]: r for r in pack_leakage_audit(segs, flags).collect()}
+    assert got[0]["mixed"] and got[0]["flagged_tokens"] == 300
+    assert got[0]["n_flagged_docs"] == 1 and got[0]["n_docs"] == 2
+    assert not got[1]["mixed"] and got[1]["n_flagged_docs"] == 1
+    assert not got[2]["mixed"] and got[2]["flagged_tokens"] == 0

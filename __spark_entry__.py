@@ -564,6 +564,7 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc counts and mean length over the documents table"""
     docs = _read(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),

@@ -41,6 +41,7 @@ def _synth_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain epoch/unique/repeated token audit for a target mix under the 4-epoch repetition cap (ops.allocate.epoch_schedule)."""
     return epoch_schedule(_synth_domains(spark, sf_dir), BUDGET_TOKENS)
 
 
@@ -63,6 +64,7 @@ def _q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative top-2^j vocabulary type-coverage curve without a global window (ops.vocab.vocab_coverage)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return vocab_coverage(docs)
 
@@ -109,6 +111,7 @@ def _q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_k_anonymity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row k-anonymity release-gate summary over the quasi-identifier audit (ops.privacy.k_anonymity_summary)."""
     from reader_spark.ops.privacy import k_anonymity_summary
 
     return k_anonymity_summary(

@@ -36,12 +36,14 @@ def synth_corrupted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health audit: NULL/NaN/zero/dim-mismatch/norm stats in one scalar aggregate (ops.audits.embedding_audit)."""
     return embedding_quality_audit(
         synth_corrupted_embeddings(spark, sf_dir), expected_dim=64
     )
 
 
 def _q_lang_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language agreement per source (ops.audits.lang_mismatch_audit)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return lang_mismatch_audit(docs)
 

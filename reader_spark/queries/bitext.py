@@ -28,10 +28,12 @@ def synth_bilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bitext_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-NN bitext mining, brute exact-integer dots (ops.bitext.bitext_mine)."""
     return bitext_mine_brute(synth_bilingual(spark, sf_dir), "en", "fr")
 
 
 def _q_bitext_mutual_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed mutual-NN bitext mining, the scale path (ops.bitext.bitext_mine_bucketed)."""
     w = md5_plane_weights(dim=64, planes=BITEXT_PLANES)
     return bitext_mine_bucketed(
         synth_bilingual(spark, sf_dir), "en", "fr", weights=w

@@ -51,18 +51,22 @@ def synth_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering of synthesized conversations (ops.chat.render_chat)."""
     return render_chat(synth_turns(spark, sf_dir))
 
 
 def _q_chat_loss_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant-only loss-mask spans over rendered conversations (ops.chat.loss_mask_spans)."""
     return loss_mask_spans(synth_turns(spark, sf_dir))
 
 
 def _q_chat_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation exact dedup of assistant turns (ops.chat.assistant_turn_dedup)."""
     return assistant_turn_dedup(synth_turns(spark, sf_dir))
 
 
 def _q_chat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation turn/role/length statistics (ops.chat.chat_stats)."""
     return chat_stats(synth_turns(spark, sf_dir))
 
 

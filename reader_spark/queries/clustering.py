@@ -18,6 +18,7 @@ KMEANS_ITER = 3
 
 
 def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Lloyd k-means (3 iterations, k=8, micro-unit quantization) over embeddings (ops.kmeans)."""
     embeds = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     _, clusters = kmeans_fit(embeds, k=KMEANS_K, n_iter=KMEANS_ITER)
     return clusters

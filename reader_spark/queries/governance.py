@@ -36,14 +36,17 @@ def synth_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc LLM-output marker flags from broadcast marker dims, zero shuffle (ops.contamination.contamination_scan)."""
     return synthetic_text_scan(synth_contaminated(spark, sf_dir))
 
 
 def _q_contamination_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LLM-output contamination profile (ops.contamination.contamination_profile)."""
     return synthetic_contamination_profile(synth_contaminated(spark, sf_dir))
 
 
 def _q_cluster_policy_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-out propagation across exact-dup clusters: one flagged copy purges the cluster (ops.governance.cluster_policy_purge)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )

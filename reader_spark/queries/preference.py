@@ -65,18 +65,22 @@ def synth_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chosen/rejected preference-pair election per prompt via one packed-long groupBy (ops.preference.preference_pairs)."""
     return preference_pairs(synth_responses(spark, sf_dir))
 
 
 def _q_dpo_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO training rows: preference pairs joined back and chat-template rendered (ops.preference.dpo_render)."""
     return dpo_render(synth_responses(spark, sf_dir))
 
 
 def _q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-N candidate selection per prompt via a prompt-partitioned window (ops.preference.best_of_n)."""
     return best_of_n(synth_responses(spark, sf_dir), n=3)
 
 
 def _q_pair_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward-model verbosity-bias probe: chosen-vs-rejected length gap per margin bucket (ops.preference.pair_length_bias)."""
     return pair_length_bias(dpo_render(synth_responses(spark, sf_dir)))
 
 

@@ -33,6 +33,7 @@ from reader_spark.queries.governance import (  # noqa: E402
     QUERIES as _GOVERNANCE_QUERIES,
 )
 from reader_spark.queries.audits import QUERIES as _AUDIT_QUERIES  # noqa: E402
+from reader_spark.queries.arena import QUERIES as _ARENA_QUERIES  # noqa: E402
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3983,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_BITEXT_QUERIES,
         **_GOVERNANCE_QUERIES,
         **_AUDIT_QUERIES,
+        **_ARENA_QUERIES,
     })
 
 

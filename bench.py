@@ -204,6 +204,8 @@ BENCH_QUERIES = (
     "eval_attribution",
     "embedding_audit",
     "lang_mismatch_audit",
+    "arena_bt_ratings",
+    "bte_window",
 )
 
 

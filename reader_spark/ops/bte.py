@@ -1,0 +1,178 @@
+"""Body Text Extraction (Finn, Kushmerick, Smyth: "Fact or fiction:
+Content classification for digital libraries", DELOS 2001).
+
+The fourth classic main-content arm next to Readability
+(reader_spark/readability.py), jusText (ops/justext.py), Boilerpipe
+(ops/boilerpipe.py) and CETR (ops/cetr.py): tokenize the page into a
+single stream where every token is either a *tag* or a *word*, then
+pick the contiguous window [i, j] maximizing
+
+    T(i, j) = tags_before(i) + words_inside(i, j) + tags_after(j)
+
+— boilerplate is tag-dense, body text is word-dense, so the optimal
+window brackets the article. The paper evaluates all O(n^2) windows;
+the objective is equivalent (up to the constant ``total_tags``) to
+maximizing ``sum_{k in [i,j]} score_k`` with ``score_k = +1`` for a
+word and ``-1`` for a tag, i.e. a maximum-subarray problem, solved
+here in O(n) per document with the prefix-sum form of Kadane's
+algorithm:
+
+    best(j) = pre(j) - min_{i-1 < j} pre(i-1),   pre(-1) = 0
+
+Tie-breaks are fixed so both engines elect the identical window: the
+earliest minimizing prefix (longest window) and the smallest maximizing
+end index.
+
+Shape at 100 TB: ONE exchange on doc_id — prefix sums, the running
+minimum and the lag all share a window PARTITIONED BY document (bounded
+by tokens-per-page; the 2 MiB pipeline size guard bounds it further),
+the per-document election is a packed-long max (no float, no UDF), and
+the start/end lookups are doc_id-keyed self-joins that reuse the same
+partitioning. Packing uses 2^24 offsets, so documents up to 16M tokens
+stay far from BIGINT overflow.
+
+vakra-dev/reader context: its readability fallback scores DOM blocks
+(src/utils/readability.ts); BTE is the markup-free last resort for
+pages whose DOM is too mangled to build blocks at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Packing base: supports documents up to 2^24 = 16.7M tokens and
+# prefix sums in (-2^24, 2^24). (offset + value) * M + idx < 2^49.
+_M = 1 << 24
+_OFF = 1 << 24
+
+
+def bte_window(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "tok_no",
+    is_tag_col: str = "is_tag",
+) -> DataFrame:
+    """Per-document optimal BTE window over a token stream.
+
+    Input: one row per token — ``(id, tok_no, is_tag)`` with ``tok_no``
+    dense from 0 and ``is_tag`` in {0, 1}. Output: one row per document
+    ``(id, start_tok, end_tok, words_inside, tags_inside, bte_score)``
+    where ``bte_score`` is the paper's T(i, j) objective
+    (tags outside the window + words inside it).
+    """
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    acc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    score = 1 - 2 * F.col(is_tag_col)
+
+    # Window functions cannot nest in one projection, so the prefix
+    # sums, their lags, and the running minimum are three consecutive
+    # projections — all over the SAME (doc_id, tok_no) window, so
+    # Catalyst plans one Exchange with stacked WindowExecs.
+    s1 = tokens.select(
+        F.col(id_col),
+        F.col(order_col),
+        F.sum(score).over(acc).cast("long").alias("pre"),
+        F.sum(1 - F.col(is_tag_col)).over(acc).cast("long").alias("pw"),
+        F.sum(F.col(is_tag_col)).over(acc).cast("long").alias("pt"),
+    )
+    # lag(pre) with default 0 == pre(-1): the empty-prefix candidate.
+    s2 = s1.select(
+        "*",
+        F.lag("pre", 1, 0).over(w).cast("long").alias("lag_pre"),
+        F.lag("pw", 1, 0).over(w).cast("long").alias("lag_pw"),
+        F.lag("pt", 1, 0).over(w).cast("long").alias("lag_pt"),
+    )
+    # Packed (prefix, start_idx): running min elects the minimum prefix
+    # first, then the SMALLEST start index (earliest argmin -> longest
+    # window).
+    s3 = s2.withColumn(
+        "packed_lag", (F.col("lag_pre") + _OFF) * _M + F.col(order_col)
+    )
+    frame = (
+        s3.withColumn("run_min", F.min("packed_lag").over(acc))
+        .withColumn("min_pre", F.expr(f"run_min div {_M}") - _OFF)
+        .withColumn("start_cand", (F.col("run_min") % _M).cast("long"))
+        .withColumn("best", F.col("pre") - F.col("min_pre"))
+    )
+
+    # Election: max best, tie -> smallest end index.
+    elect = frame.groupBy(id_col).agg(
+        F.max((F.col("best") + _OFF) * _M + (_M - 1 - F.col(order_col))).alias(
+            "__packed"
+        ),
+        F.max("pt").alias("total_tags"),
+    )
+    elect = elect.select(
+        id_col,
+        "total_tags",
+        (F.lit(_M - 1) - F.col("__packed") % _M).cast("long").alias("end_tok"),
+        (F.expr(f"__packed div {_M}") - _OFF).cast("long").alias("best"),
+    )
+
+    at_end = elect.join(
+        frame.select(
+            id_col,
+            F.col(order_col).alias("end_tok"),
+            "start_cand",
+            F.col("pw").alias("pw_end"),
+            F.col("pt").alias("pt_end"),
+        ),
+        [id_col, "end_tok"],
+    )
+    at_start = at_end.join(
+        frame.select(
+            id_col,
+            F.col(order_col).alias("start_cand"),
+            F.col("lag_pw").alias("pw_before"),
+            F.col("lag_pt").alias("pt_before"),
+        ),
+        [id_col, "start_cand"],
+    )
+    return at_start.select(
+        F.col(id_col),
+        F.col("start_cand").alias("start_tok"),
+        "end_tok",
+        (F.col("pw_end") - F.col("pw_before")).cast("long").alias("words_inside"),
+        (F.col("pt_end") - F.col("pt_before")).cast("long").alias("tags_inside"),
+        (
+            F.col("total_tags")
+            - (F.col("pt_end") - F.col("pt_before"))
+            + (F.col("pw_end") - F.col("pw_before"))
+        ).cast("long").alias("bte_score"),
+    )
+
+
+def bte_extract(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "tok_no",
+    is_tag_col: str = "is_tag",
+    token_col: str = "token",
+) -> DataFrame:
+    """Extracted body text per document: the word tokens inside the
+    elected BTE window, space-joined in stream order. The join keys on
+    the document id, so it reuses the window stage's partitioning."""
+    win = bte_window(tokens, id_col=id_col, order_col=order_col,
+                     is_tag_col=is_tag_col)
+    inside = (
+        tokens.join(win, [id_col])
+        .where(
+            (F.col(order_col) >= F.col("start_tok"))
+            & (F.col(order_col) <= F.col("end_tok"))
+            & (F.col(is_tag_col) == 0)
+        )
+    )
+    agg = inside.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col), F.col(token_col)))
+                ),
+                lambda s: s[token_col],
+            ),
+            " ",
+        ).alias("content"),
+        F.count("*").cast("long").alias("n_words"),
+    )
+    return agg

@@ -397,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
     out["eval_attribution"] = _eval_attribution_oracle()
     out.update(_audit_oracles())
     out["pack_leakage"] = _pack_leakage_oracle()
+    out.update(_arena_oracles())
     return out
 
 
@@ -8843,3 +8844,274 @@ def _tokenizer_trio_oracle() -> str:
                END
         FROM wp_tot
     """
+
+
+# ---------------------------------------------------------------------------
+# arena / rating layer + BTE extraction arm (queries/arena.py)
+# ---------------------------------------------------------------------------
+
+_BATTLES_CTE = """
+        idx AS (
+            SELECT doc_id,
+                   doc_id % 6 AS ai,
+                   CASE WHEN (doc_id // 6) % 6 = doc_id % 6
+                        THEN ((doc_id // 6) % 6 + 1) % 6
+                        ELSE (doc_id // 6) % 6 END AS bi
+            FROM documents
+        ),
+        battles AS (
+            SELECT doc_id,
+                   'm' || CAST(ai AS VARCHAR) AS model_a,
+                   'm' || CAST(bi AS VARCHAR) AS model_b,
+                   'j' || CAST(doc_id % 4 AS VARCHAR) AS judge,
+                   CASE WHEN (doc_id * 37 + 11 * ai)
+                             % (200 + 120 * ai + 120 * bi)
+                             < 100 + 120 * ai
+                        THEN 1 ELSE 0 END AS win_a
+            FROM idx
+        ),
+        stats AS (
+            SELECT least(model_a, model_b) AS lo,
+                   greatest(model_a, model_b) AS hi,
+                   CAST(count(*) AS BIGINT) AS n_games,
+                   CAST(sum(CASE WHEN model_a < model_b
+                                 THEN win_a ELSE 1 - win_a END)
+                        AS BIGINT) AS wins_lo
+            FROM battles GROUP BY 1, 2
+        ),
+        directed AS (
+            SELECT lo AS model, hi AS opponent, n_games, wins_lo AS wins
+            FROM stats
+            UNION ALL
+            SELECT hi, lo, n_games, n_games - wins_lo FROM stats
+        )"""
+
+# One unrolled integer MM update: r{k} -> r{k+1}.
+_BT_STEP = """
+        d{k} AS (
+            SELECT d.model,
+                   CAST(sum(d.n_games * 1000000000
+                            // (pi.p + pj.p)) AS BIGINT) AS denom
+            FROM directed d
+            JOIN r{k} pi ON d.model = pi.model
+            JOIN r{k} pj ON d.opponent = pj.model
+            GROUP BY d.model
+        ),
+        r{k1} AS (
+            SELECT t.model,
+                   greatest(CAST(1 AS BIGINT),
+                            CAST(t.wins * 1000000000 // d{k}.denom
+                                 AS BIGINT)) AS p
+            FROM totals t JOIN d{k} ON t.model = d{k}.model
+        )"""
+
+
+def _arena_oracles() -> dict[str, str]:
+    """Twins for the arena layer (ops/arena.py) and the BTE arm
+    (ops/bte.py). The BT MM fixed point unrolls as CTE rounds over the
+    bounded model dim — every division a trunc-div of non-negative
+    BIGINTs, so ratings match Spark bit-for-bit. The BTE twin runs the
+    identical packed-long Kadane over the same decorated token stream
+    (2^24 base; both engines elect end = smallest argmax index and
+    start = earliest minimizing prefix)."""
+    bt_rounds = "".join(
+        "," + _BT_STEP.format(k=k, k1=k + 1) for k in range(3)
+    )
+    bt = f"""
+        WITH {_BATTLES_CTE},
+        totals AS (
+            SELECT model,
+                   CAST(sum(n_games) AS BIGINT) AS n_games,
+                   CAST(sum(wins) AS BIGINT) AS wins
+            FROM directed GROUP BY model
+        ),
+        r0 AS (
+            SELECT model, CAST(1000000 AS BIGINT) AS p FROM totals
+        ){bt_rounds},
+        anchor AS (
+            SELECT p AS p_anchor FROM r3 ORDER BY model LIMIT 1
+        )
+        SELECT t.model, t.n_games, t.wins,
+               r3.p AS p_micro,
+               CAST(r3.p * 1000 // a.p_anchor AS BIGINT) AS rating_milli
+        FROM totals t
+        JOIN r3 ON t.model = r3.model
+        CROSS JOIN anchor a
+    """
+    wm = f"""
+        WITH {_BATTLES_CTE}
+        SELECT model, opponent, n_games, wins,
+               CAST(wins * 1000 // n_games AS BIGINT) AS win_rate_milli
+        FROM directed
+    """
+    pb = f"""
+        WITH {_BATTLES_CTE}
+        SELECT judge,
+               CAST(count(*) AS BIGINT) AS n_games,
+               CAST(sum(win_a) AS BIGINT) AS first_wins,
+               CAST(CAST(sum(win_a) AS BIGINT) * 1000 // count(*)
+                    AS BIGINT) AS first_win_milli
+        FROM battles GROUP BY judge
+    """
+    fleiss = """
+        WITH lab AS (
+            SELECT doc_id AS item_id, r,
+                   'c' || CAST((doc_id % 4 + CASE WHEN (doc_id + r) % 5 = 0
+                                                  THEN 1 ELSE 0 END) % 4
+                               AS VARCHAR) AS category
+            FROM documents,
+                 unnest(generate_series(0, CASE WHEN doc_id % 41 = 0
+                                                THEN 3 ELSE 2 END)) AS t(r)
+        ),
+        per_item AS (
+            SELECT item_id, CAST(count(*) AS BIGINT) AS n_i
+            FROM lab GROUP BY item_id
+        ),
+        dropped AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_items_dropped
+            FROM per_item WHERE n_i <> 3
+        ),
+        cell AS (
+            SELECT l.item_id, l.category, CAST(count(*) AS BIGINT) AS n_ik
+            FROM lab l JOIN per_item p ON l.item_id = p.item_id
+            WHERE p.n_i = 3
+            GROUP BY l.item_id, l.category
+        ),
+        moments AS (
+            SELECT CAST(count(DISTINCT item_id) AS BIGINT) AS n_items,
+                   CAST(count(DISTINCT category) AS BIGINT) AS n_categories,
+                   CAST(sum(n_ik * n_ik) AS BIGINT) AS sum_sq
+            FROM cell
+        ),
+        cat_tot AS (
+            SELECT category, CAST(sum(n_ik) AS BIGINT) AS c_k
+            FROM cell GROUP BY category
+        ),
+        cat_moment AS (
+            SELECT CAST(sum(c_k * c_k) AS BIGINT) AS pe_num FROM cat_tot
+        ),
+        base AS (
+            SELECT m.n_items, CAST(3 AS BIGINT) AS n_raters,
+                   m.n_categories, d.n_items_dropped,
+                   m.sum_sq - m.n_items * 3 AS po_num,
+                   m.n_items * 3 * 2 AS po_den,
+                   c.pe_num,
+                   m.n_items * 3 * m.n_items * 3 AS pe_den
+            FROM moments m CROSS JOIN cat_moment c CROSS JOIN dropped d
+        )
+        SELECT n_items, n_raters, n_categories, n_items_dropped,
+               CAST(po_num AS BIGINT) AS po_num,
+               CAST(po_den AS BIGINT) AS po_den,
+               pe_num,
+               CAST(pe_den AS BIGINT) AS pe_den,
+               CAST(po_num * 1000000 // po_den AS BIGINT) AS po_micro,
+               CAST(pe_num * 1000000 // pe_den AS BIGINT) AS pe_micro,
+               CASE WHEN pe_den > pe_num
+                    THEN CAST(po_num * pe_den - pe_num * po_den AS DOUBLE)
+                         / CAST(po_den * (pe_den - pe_num) AS DOUBLE)
+               END AS kappa
+        FROM base
+    """
+    bte_ctes = """
+        toks AS (
+            SELECT doc_id,
+                   CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+                        AS BIGINT) AS tok_no,
+                   unnest(string_split(text, ' ')) AS token,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+            FROM documents
+        ),
+        tok2 AS (
+            SELECT doc_id, tok_no, token,
+                   CASE WHEN tok_no < doc_id % 6
+                             OR tok_no >= n_toks - doc_id % 4
+                             OR (doc_id + tok_no) % 7 = 0
+                        THEN 1 ELSE 0 END AS is_tag
+            FROM toks
+        ),
+        s1 AS (
+            SELECT doc_id, tok_no, token, is_tag,
+                   CAST(sum(1 - 2 * is_tag) OVER w AS BIGINT) AS pre,
+                   CAST(sum(1 - is_tag) OVER w AS BIGINT) AS pw,
+                   CAST(sum(is_tag) OVER w AS BIGINT) AS pt
+            FROM tok2
+            WINDOW w AS (PARTITION BY doc_id ORDER BY tok_no
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        s2 AS (
+            SELECT *,
+                   lag(pre, 1, CAST(0 AS BIGINT)) OVER w2 AS lag_pre,
+                   lag(pw, 1, CAST(0 AS BIGINT)) OVER w2 AS lag_pw,
+                   lag(pt, 1, CAST(0 AS BIGINT)) OVER w2 AS lag_pt
+            FROM s1
+            WINDOW w2 AS (PARTITION BY doc_id ORDER BY tok_no)
+        ),
+        s3 AS (
+            SELECT *,
+                   (lag_pre + 16777216) * 16777216 + tok_no AS packed_lag
+            FROM s2
+        ),
+        s4 AS (
+            SELECT *, min(packed_lag) OVER w3 AS run_min
+            FROM s3
+            WINDOW w3 AS (PARTITION BY doc_id ORDER BY tok_no
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        s5 AS (
+            SELECT *,
+                   run_min % 16777216 AS start_cand,
+                   pre - (run_min // 16777216 - 16777216) AS best
+            FROM s4
+        ),
+        elect AS (
+            SELECT doc_id,
+                   max((best + 16777216) * 16777216
+                       + (16777215 - tok_no)) AS packed,
+                   CAST(max(pt) AS BIGINT) AS total_tags
+            FROM s5 GROUP BY doc_id
+        ),
+        e2 AS (
+            SELECT doc_id, total_tags,
+                   16777215 - packed % 16777216 AS end_tok
+            FROM elect
+        ),
+        at_end AS (
+            SELECT e2.doc_id, e2.total_tags, e2.end_tok,
+                   s5.start_cand, s5.pw AS pw_end, s5.pt AS pt_end
+            FROM e2 JOIN s5
+              ON e2.doc_id = s5.doc_id AND e2.end_tok = s5.tok_no
+        ),
+        fin AS (
+            SELECT a.doc_id,
+                   CAST(a.start_cand AS BIGINT) AS start_tok,
+                   CAST(a.end_tok AS BIGINT) AS end_tok,
+                   CAST(a.pw_end - s5.lag_pw AS BIGINT) AS words_inside,
+                   CAST(a.pt_end - s5.lag_pt AS BIGINT) AS tags_inside,
+                   CAST(a.total_tags - (a.pt_end - s5.lag_pt)
+                        + (a.pw_end - s5.lag_pw) AS BIGINT) AS bte_score
+            FROM at_end a JOIN s5
+              ON a.doc_id = s5.doc_id AND a.start_cand = s5.tok_no
+        )"""
+    bte_window = f"""
+        WITH {bte_ctes}
+        SELECT doc_id, start_tok, end_tok, words_inside, tags_inside,
+               bte_score
+        FROM fin
+    """
+    bte_extract = f"""
+        WITH {bte_ctes}
+        SELECT t.doc_id,
+               string_agg(t.token, ' ' ORDER BY t.tok_no) AS content,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM tok2 t JOIN fin f ON t.doc_id = f.doc_id
+        WHERE t.tok_no BETWEEN f.start_tok AND f.end_tok AND t.is_tag = 0
+        GROUP BY t.doc_id
+    """
+    return {
+        "arena_bt_ratings": bt,
+        "arena_win_matrix": wm,
+        "arena_position_bias": pb,
+        "fleiss_kappa": fleiss,
+        "bte_window": bte_window,
+        "bte_extract": bte_extract,
+    }

@@ -267,3 +267,105 @@ def fleiss_kappa(
         )
     )
     return out
+
+
+def krippendorff_alpha(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater_id",
+    category_col: str = "category",
+    max_raters: int = 12,
+) -> DataFrame:
+    """Krippendorff's alpha for nominal data (Krippendorff 2004,
+    "Content Analysis", §11) — the variable-rater complement to
+    :func:`fleiss_kappa`: items may have DIFFERENT rater counts; only
+    single-rated items are unusable (no pairable values).
+
+    Exactness: the per-item observed-disagreement terms
+    ``u_i / (m_i - 1)`` are made integral by scaling with
+    ``L = lcm(1..max_raters-1)`` (every ``m_i - 1`` divides ``L``), so
+    ``alpha = 1 - D_o/D_e`` reduces to ONE exactly-rounded IEEE
+    division of two exact BIGINTs:
+
+        alpha = (L*De_num - Do_num*(n-1)) / (L*De_num)
+        Do_num = sum_i [sum_c n_ic*(m_i - n_ic)] * (L div (m_i - 1))
+        De_num = n^2 - sum_c n_c^2,  n = sum_i m_i  (pairable values)
+
+    Items with more than ``max_raters`` raters would break the LCM
+    trick; they are dropped and counted (``n_items_over_cap``) — a
+    documented deviation from the unbounded textbook form. NULL alpha
+    when every pairable label is one category (De = 0).
+
+    Shape at 100 TB: two bounded groupBys (item dim, category dim) and
+    scalar aggregates; nothing wider than the label stream ever
+    shuffles.
+    """
+    import math
+
+    if not 2 <= max_raters <= 40:
+        raise ValueError(f"max_raters must be in [2, 40], got {max_raters}")
+    lcm = math.lcm(*range(1, max_raters))
+
+    per_item = labels.groupBy(item_col).agg(
+        F.count("*").cast("long").alias("m_i")
+    )
+    usable = per_item.where(
+        (F.col("m_i") >= 2) & (F.col("m_i") <= max_raters)
+    )
+    dropped = per_item.groupBy().agg(
+        F.sum((F.col("m_i") < 2).cast("long")).cast("long").alias(
+            "n_items_single"
+        ),
+        F.sum((F.col("m_i") > max_raters).cast("long")).cast("long").alias(
+            "n_items_over_cap"
+        ),
+    )
+    kept = labels.join(usable, item_col)
+
+    cell = kept.groupBy(item_col, category_col, "m_i").agg(
+        F.count("*").cast("long").alias("n_ic")
+    )
+    per_item_u = cell.groupBy(item_col, "m_i").agg(
+        F.sum(F.col("n_ic") * (F.col("m_i") - F.col("n_ic")))
+        .cast("long")
+        .alias("u_i")
+    )
+    do_dim = per_item_u.groupBy().agg(
+        F.sum(
+            F.col("u_i") * F.expr(f"{lcm}L div (m_i - 1)")
+        ).cast("long").alias("do_num"),
+        F.sum("m_i").cast("long").alias("n_pairable"),
+        F.count("*").cast("long").alias("n_items_used"),
+    )
+    cat_dim = (
+        cell.groupBy(category_col)
+        .agg(F.sum("n_ic").cast("long").alias("n_c"))
+        .groupBy()
+        .agg(F.sum(F.col("n_c") * F.col("n_c")).cast("long").alias("sum_nc_sq"))
+    )
+    return (
+        do_dim.crossJoin(F.broadcast(cat_dim))
+        .crossJoin(F.broadcast(dropped))
+        .select(
+            "n_items_used",
+            "n_items_single",
+            "n_items_over_cap",
+            "n_pairable",
+            "do_num",
+            (
+                F.col("n_pairable") * F.col("n_pairable") - F.col("sum_nc_sq")
+            ).cast("long").alias("de_num"),
+            F.lit(int(lcm)).cast("long").alias("scale_l"),
+        )
+        .select(
+            "*",
+            F.when(
+                F.col("de_num") > 0,
+                (
+                    F.lit(int(lcm)) * F.col("de_num")
+                    - F.col("do_num") * (F.col("n_pairable") - 1)
+                ).cast("double")
+                / (F.lit(int(lcm)) * F.col("de_num")).cast("double"),
+            ).alias("alpha"),
+        )
+    )

@@ -9107,11 +9107,78 @@ def _arena_oracles() -> dict[str, str]:
         WHERE t.tok_no BETWEEN f.start_tok AND f.end_tok AND t.is_tag = 0
         GROUP BY t.doc_id
     """
+    alpha = """
+        WITH lab0 AS (
+            SELECT doc_id AS item_id,
+                   'r' || CAST(r AS VARCHAR) AS rater_id,
+                   'c' || CAST((doc_id % 4 + CASE WHEN (doc_id + r) % 5 = 0
+                                                  THEN 1 ELSE 0 END) % 4
+                               AS VARCHAR) AS category
+            FROM documents,
+                 unnest(generate_series(0, CASE WHEN doc_id % 41 = 0
+                                                THEN 3 ELSE 2 END)) AS t(r)
+        ),
+        lab AS (
+            SELECT * FROM lab0
+            WHERE NOT (item_id % 53 = 0 AND rater_id <> 'r0')
+              AND NOT (item_id % 37 = 0 AND rater_id = 'r2')
+        ),
+        per_item AS (
+            SELECT item_id, CAST(count(*) AS BIGINT) AS m_i
+            FROM lab GROUP BY item_id
+        ),
+        dropped AS (
+            SELECT CAST(sum(CASE WHEN m_i < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_items_single,
+                   CAST(sum(CASE WHEN m_i > 12 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_items_over_cap
+            FROM per_item
+        ),
+        cell AS (
+            SELECT l.item_id, p.m_i, l.category,
+                   CAST(count(*) AS BIGINT) AS n_ic
+            FROM lab l JOIN per_item p ON l.item_id = p.item_id
+            WHERE p.m_i BETWEEN 2 AND 12
+            GROUP BY l.item_id, p.m_i, l.category
+        ),
+        per_item_u AS (
+            SELECT item_id, m_i,
+                   CAST(sum(n_ic * (m_i - n_ic)) AS BIGINT) AS u_i
+            FROM cell GROUP BY item_id, m_i
+        ),
+        do_dim AS (
+            SELECT CAST(sum(u_i * (27720 // (m_i - 1))) AS BIGINT) AS do_num,
+                   CAST(sum(m_i) AS BIGINT) AS n_pairable,
+                   CAST(count(*) AS BIGINT) AS n_items_used
+            FROM per_item_u
+        ),
+        cat_dim AS (
+            SELECT CAST(sum(n_c * n_c) AS BIGINT) AS sum_nc_sq
+            FROM (SELECT CAST(sum(n_ic) AS BIGINT) AS n_c
+                  FROM cell GROUP BY category)
+        ),
+        base AS (
+            SELECT d.n_items_used, x.n_items_single, x.n_items_over_cap,
+                   d.n_pairable, d.do_num,
+                   d.n_pairable * d.n_pairable - c.sum_nc_sq AS de_num,
+                   CAST(27720 AS BIGINT) AS scale_l
+            FROM do_dim d CROSS JOIN cat_dim c CROSS JOIN dropped x
+        )
+        SELECT n_items_used, n_items_single, n_items_over_cap, n_pairable,
+               do_num, CAST(de_num AS BIGINT) AS de_num, scale_l,
+               CASE WHEN de_num > 0
+                    THEN CAST(27720 * de_num - do_num * (n_pairable - 1)
+                              AS DOUBLE)
+                         / CAST(27720 * de_num AS DOUBLE)
+               END AS alpha
+        FROM base
+    """
     return {
         "arena_bt_ratings": bt,
         "arena_win_matrix": wm,
         "arena_position_bias": pb,
         "fleiss_kappa": fleiss,
+        "krippendorff_alpha": alpha,
         "bte_window": bte_window,
         "bte_extract": bte_extract,
     }

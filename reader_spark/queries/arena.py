@@ -146,11 +146,29 @@ def _q_bte_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bte_extract(synth_tokens(spark, sf_dir))
 
 
+def _q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over the rater labels with
+    deterministic rater dropout (ops.arena.krippendorff_alpha,
+    Krippendorff 2004): variable-rater items are KEPT (the
+    fleiss_kappa contrast); single-rated items dropped and counted;
+    LCM-scaled exact integer disagreement sums."""
+    from reader_spark.ops.arena import krippendorff_alpha
+
+    lab = synth_labels(spark, sf_dir)
+    item, rater = F.col("item_id"), F.col("rater_id")
+    lab = lab.where(
+        ~((item % 53 == 0) & (rater != "r0"))
+        & ~((item % 37 == 0) & (rater == "r2"))
+    )
+    return krippendorff_alpha(lab)
+
+
 QUERIES = {
     "arena_bt_ratings": _q_arena_bt_ratings,
     "arena_win_matrix": _q_arena_win_matrix,
     "arena_position_bias": _q_arena_position_bias,
     "fleiss_kappa": _q_fleiss_kappa,
+    "krippendorff_alpha": _q_krippendorff_alpha,
     "bte_window": _q_bte_window,
     "bte_extract": _q_bte_extract,
 }

@@ -176,3 +176,59 @@ def test_bt_ratings_plan_broadcasts_ratings_dim(spark):
     assert "CartesianProduct" not in plan
     # battle reduction is map-side combined
     assert plan.count("HashAggregate") >= 2
+
+
+def test_krippendorff_alpha_matches_fractions_reference(spark):
+    from fractions import Fraction
+
+    from reader_spark.ops.arena import krippendorff_alpha
+
+    rows = []
+    for it in range(40):
+        m = 2 + it % 3  # variable raters: 2, 3, 4 — all usable
+        for r in range(m):
+            cat = (it % 3 + (1 if (it + r) % 4 == 0 else 0)) % 3
+            rows.append((it, f"r{r}", f"c{cat}"))
+    rows.append((900, "r0", "c0"))  # single-rated -> dropped
+    df = spark.createDataFrame(
+        rows, "item_id long, rater_id string, category string"
+    )
+    out = krippendorff_alpha(df).collect()[0]
+
+    cnt = defaultdict(lambda: defaultdict(int))
+    for it, _, c in rows:
+        cnt[it][c] += 1
+    kept = {it: v for it, v in cnt.items() if sum(v.values()) >= 2}
+    n = sum(sum(v.values()) for v in kept.values())
+    d_o = sum(
+        Fraction(
+            sum(x * (sum(v.values()) - x) for x in v.values()),
+            sum(v.values()) - 1,
+        )
+        for v in kept.values()
+    ) / n
+    pooled = defaultdict(int)
+    for v in kept.values():
+        for c, x in v.items():
+            pooled[c] += x
+    d_e = Fraction(n * n - sum(x * x for x in pooled.values()), n * (n - 1))
+    alpha = 1 - d_o / d_e
+    assert out["n_items_used"] == len(kept)
+    assert out["n_items_single"] == 1
+    assert out["n_pairable"] == n
+    assert abs(out["alpha"] - float(alpha)) < 1e-12
+
+
+def test_krippendorff_alpha_perfect_and_degenerate(spark):
+    from reader_spark.ops.arena import krippendorff_alpha
+
+    perfect = spark.createDataFrame(
+        [(it, f"r{r}", f"c{it % 2}") for it in range(10) for r in range(3)],
+        "item_id long, rater_id string, category string",
+    )
+    assert krippendorff_alpha(perfect).collect()[0]["alpha"] == 1.0
+    one_cat = spark.createDataFrame(
+        [(it, f"r{r}", "c0") for it in range(5) for r in range(2)],
+        "item_id long, rater_id string, category string",
+    )
+    assert krippendorff_alpha(one_cat).collect()[0]["alpha"] is None

@@ -23,13 +23,14 @@ Tie-breaks are fixed so both engines elect the identical window: the
 earliest minimizing prefix (longest window) and the smallest maximizing
 end index.
 
-Shape at 100 TB: ONE exchange on doc_id — prefix sums, the running
-minimum and the lag all share a window PARTITIONED BY document (bounded
-by tokens-per-page; the 2 MiB pipeline size guard bounds it further),
-the per-document election is a packed-long max (no float, no UDF), and
-the start/end lookups are doc_id-keyed self-joins that reuse the same
-partitioning. Packing uses 2^24 offsets, so documents up to 16M tokens
-stay far from BIGINT overflow.
+Shape at 100 TB: ONE exchange on doc_id and ZERO joins — prefix sums,
+the running minimum and the lag all share a window PARTITIONED BY
+document (bounded by tokens-per-page; the 2 MiB pipeline size guard
+bounds it further), and the per-document election is a single
+``max_by`` whose running-min key carries (prefix, start index, word
+prefix) packed into one long, so the elected row already knows its
+window composition. Plan-pinned: 1 Exchange, 3 stacked WindowExecs,
+0 joins.
 
 vakra-dev/reader context: its readability fallback scores DOM blocks
 (src/utils/readability.ts); BTE is the markup-free last resort for
@@ -41,10 +42,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Packing base: supports documents up to 2^24 = 16.7M tokens and
-# prefix sums in (-2^24, 2^24). (offset + value) * M + idx < 2^49.
-_M = 1 << 24
-_OFF = 1 << 24
+# Packing base: the running minimum carries THREE fields in one long —
+# (lag prefix + offset, start index, word-prefix at start) — so the
+# election needs no join back into the token frame. 3 x 20 bits + the
+# sign headroom = 61 bits; documents are capped at 2^20 = 1,048,576
+# tokens (far beyond the pipeline's 2 MiB raw-payload guard).
+_M = 1 << 20
+_OFF = 1 << 20
+_M2 = _M * _M
 
 
 def bte_window(
@@ -68,78 +73,65 @@ def bte_window(
     # Window functions cannot nest in one projection, so the prefix
     # sums, their lags, and the running minimum are three consecutive
     # projections — all over the SAME (doc_id, tok_no) window, so
-    # Catalyst plans one Exchange with stacked WindowExecs.
+    # Catalyst plans one Exchange with stacked WindowExecs. The tag
+    # prefix needs no column of its own: pt = tok_no + 1 - pw.
     s1 = tokens.select(
         F.col(id_col),
         F.col(order_col),
         F.sum(score).over(acc).cast("long").alias("pre"),
         F.sum(1 - F.col(is_tag_col)).over(acc).cast("long").alias("pw"),
-        F.sum(F.col(is_tag_col)).over(acc).cast("long").alias("pt"),
     )
     # lag(pre) with default 0 == pre(-1): the empty-prefix candidate.
     s2 = s1.select(
         "*",
         F.lag("pre", 1, 0).over(w).cast("long").alias("lag_pre"),
         F.lag("pw", 1, 0).over(w).cast("long").alias("lag_pw"),
-        F.lag("pt", 1, 0).over(w).cast("long").alias("lag_pt"),
     )
-    # Packed (prefix, start_idx): running min elects the minimum prefix
-    # first, then the SMALLEST start index (earliest argmin -> longest
-    # window).
+    # Packed (prefix, start_idx, word-prefix-at-start): the running min
+    # orders on (prefix, start_idx) — minimum prefix first, then the
+    # SMALLEST start index (earliest argmin -> longest window); the
+    # word-prefix tail never decides (start_idx is unique) but rides
+    # along so the election is join-free.
     s3 = s2.withColumn(
-        "packed_lag", (F.col("lag_pre") + _OFF) * _M + F.col(order_col)
+        "packed_lag",
+        ((F.col("lag_pre") + _OFF) * _M + F.col(order_col)) * _M
+        + F.col("lag_pw"),
     )
     frame = (
         s3.withColumn("run_min", F.min("packed_lag").over(acc))
-        .withColumn("min_pre", F.expr(f"run_min div {_M}") - _OFF)
-        .withColumn("start_cand", (F.col("run_min") % _M).cast("long"))
-        .withColumn("best", F.col("pre") - F.col("min_pre"))
+        .withColumn(
+            "best", F.col("pre") - (F.expr(f"run_min div {_M2}") - _OFF)
+        )
     )
 
-    # Election: max best, tie -> smallest end index.
-    elect = frame.groupBy(id_col).agg(
-        F.max((F.col("best") + _OFF) * _M + (_M - 1 - F.col(order_col))).alias(
-            "__packed"
+    # Election: max best, tie -> smallest end index; max_by carries the
+    # elected row's run_min (start + its word prefix) and pw (word
+    # prefix at end). total_tags = the max tag prefix (nondecreasing).
+    elected = frame.groupBy(id_col).agg(
+        F.max_by(
+            F.struct("run_min", "pw", F.col(order_col).alias("end_tok")),
+            (F.col("best") + _OFF) * _M + (_M - 1 - F.col(order_col)),
+        ).alias("e"),
+        F.max(F.col(order_col) + 1 - F.col("pw")).cast("long").alias(
+            "total_tags"
         ),
-        F.max("pt").alias("total_tags"),
     )
-    elect = elect.select(
-        id_col,
-        "total_tags",
-        (F.lit(_M - 1) - F.col("__packed") % _M).cast("long").alias("end_tok"),
-        (F.expr(f"__packed div {_M}") - _OFF).cast("long").alias("best"),
-    )
-
-    at_end = elect.join(
-        frame.select(
-            id_col,
-            F.col(order_col).alias("end_tok"),
-            "start_cand",
-            F.col("pw").alias("pw_end"),
-            F.col("pt").alias("pt_end"),
-        ),
-        [id_col, "end_tok"],
-    )
-    at_start = at_end.join(
-        frame.select(
-            id_col,
-            F.col(order_col).alias("start_cand"),
-            F.col("lag_pw").alias("pw_before"),
-            F.col("lag_pt").alias("pt_before"),
-        ),
-        [id_col, "start_cand"],
-    )
-    return at_start.select(
+    start = (F.expr(f"e.run_min div {_M}") % _M).cast("long")
+    pw_before = (F.col("e.run_min") % _M).cast("long")
+    pt_before = start - pw_before
+    pw_end = F.col("e.pw")
+    pt_end = F.col("e.end_tok") + 1 - pw_end
+    words_inside = pw_end - pw_before
+    tags_inside = pt_end - pt_before
+    return elected.select(
         F.col(id_col),
-        F.col("start_cand").alias("start_tok"),
-        "end_tok",
-        (F.col("pw_end") - F.col("pw_before")).cast("long").alias("words_inside"),
-        (F.col("pt_end") - F.col("pt_before")).cast("long").alias("tags_inside"),
-        (
-            F.col("total_tags")
-            - (F.col("pt_end") - F.col("pt_before"))
-            + (F.col("pw_end") - F.col("pw_before"))
-        ).cast("long").alias("bte_score"),
+        start.alias("start_tok"),
+        F.col("e.end_tok").cast("long").alias("end_tok"),
+        words_inside.cast("long").alias("words_inside"),
+        tags_inside.cast("long").alias("tags_inside"),
+        (F.col("total_tags") - tags_inside + words_inside)
+        .cast("long")
+        .alias("bte_score"),
     )
 
 

@@ -75,7 +75,11 @@ def test_bte_window_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the prefix machinery is doc_id-partitioned windows, never global
+    # single-pass contract: one doc_id exchange, stacked windows, NO joins
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
     assert "Window" in plan
 
 

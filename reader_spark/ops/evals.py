@@ -379,3 +379,58 @@ def ranking_metrics(
         .otherwise(F.lit(0.0))
         .alias("ndcg_k"),
     )
+
+
+def lsh_s_curve(
+    spark,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    grid_milli: int = 25,
+) -> "DataFrame":
+    """Analytic MinHash-LSH banding S-curve (Leskovec/Rajaraman/Ullman,
+    "Mining of Massive Datasets" §3.4): for a pair at Jaccard
+    similarity s, the candidate probability under (b bands, r rows) is
+
+        P(s) = 1 - (1 - s^r)^b
+
+    evaluated on a milli-unit similarity grid in EXACT fixed-point
+    integer arithmetic — powers unroll as repeated
+    ``x*y div 1000`` (milli) steps, so both engines compute identical
+    values and the curve is oracle-able bit-for-bit. The design
+    complement to the empirical ``lsh_quality_eval``: pick (b, r) by
+    reading where the curve crosses 0.5 against the dedup threshold
+    (the ``is_above_half`` flank; the analytic threshold is
+    ~ (1/b)^(1/r)).
+
+    Returns one row per grid point: ``(s_milli, p_and_milli,
+    p_candidate_milli, is_above_half)`` where ``p_and`` = s^r (one
+    band matches) and ``p_candidate`` = 1 - (1 - s^r)^b. Bounded-dim
+    computation (<= 1000/grid_milli rows); rides a 1-row broadcast.
+    """
+    if not 1 <= rows_per_band <= 16 or not 1 <= bands <= 64:
+        raise ValueError(
+            f"need 1<=rows_per_band<=16 and 1<=bands<=64, got "
+            f"({bands}, {rows_per_band})"
+        )
+    if not 1 <= grid_milli <= 500 or 1000 % grid_milli:
+        raise ValueError(f"grid_milli must divide 1000, got {grid_milli}")
+    grid = spark.range(0, 1000 // grid_milli + 1).select(
+        (F.col("id") * grid_milli).cast("long").alias("s_milli")
+    )
+    # s^r in milli fixed point: fold r-1 multiply-rescale steps.
+    p_and = "s_milli"
+    for _ in range(rows_per_band - 1):
+        p_and = f"(({p_and}) * s_milli) div 1000"
+    grid = grid.withColumn("p_and_milli", F.expr(p_and).cast("long"))
+    acc = "(1000 - p_and_milli)"
+    for _ in range(bands - 1):
+        acc = f"(({acc}) * (1000 - p_and_milli)) div 1000"
+    grid = grid.withColumn(
+        "p_candidate_milli", (1000 - F.expr(acc)).cast("long")
+    )
+    return grid.select(
+        "s_milli",
+        "p_and_milli",
+        "p_candidate_milli",
+        (F.col("p_candidate_milli") >= 500).alias("is_above_half"),
+    )

@@ -398,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_audit_oracles())
     out["pack_leakage"] = _pack_leakage_oracle()
     out.update(_arena_oracles())
+    out["lsh_s_curve"] = _lsh_s_curve_oracle()
     return out
 
 
@@ -9182,3 +9183,29 @@ def _arena_oracles() -> dict[str, str]:
         "bte_window": bte_window,
         "bte_extract": bte_extract,
     }
+
+
+def _lsh_s_curve_oracle(bands: int = 16, rows_per_band: int = 4,
+                        grid_milli: int = 25) -> str:
+    """Same unrolled fixed-point folds as ops/evals.lsh_s_curve —
+    non-negative milli integers, so DuckDB // == Spark div."""
+    p_and = "s_milli"
+    for _ in range(rows_per_band - 1):
+        p_and = f"(({p_and}) * s_milli) // 1000"
+    acc = "(1000 - p_and_milli)"
+    for _ in range(bands - 1):
+        acc = f"(({acc}) * (1000 - p_and_milli)) // 1000"
+    return f"""
+        WITH grid AS (
+            SELECT CAST(id * {grid_milli} AS BIGINT) AS s_milli
+            FROM range(0, {1000 // grid_milli + 1}) t(id)
+        ),
+        a AS (
+            SELECT s_milli, CAST({p_and} AS BIGINT) AS p_and_milli
+            FROM grid
+        )
+        SELECT s_milli, p_and_milli,
+               CAST(1000 - ({acc}) AS BIGINT) AS p_candidate_milli,
+               CAST(1000 - ({acc}) AS BIGINT) >= 500 AS is_above_half
+        FROM a
+    """

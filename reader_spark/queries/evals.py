@@ -237,9 +237,21 @@ def _q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(results, qrels)
 
 
+def _q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic MinHash-LSH banding S-curve for the registry's default
+    (b=16, r=4) banding (ops.evals.lsh_s_curve, MMDS §3.4): candidate
+    probability per milli-unit Jaccard grid point in exact fixed-point
+    integers — the design chart behind minhash_lsh_candidates; the
+    empirical twin is lsh_quality_eval."""
+    from reader_spark.ops.evals import lsh_s_curve
+
+    return lsh_s_curve(spark, bands=16, rows_per_band=4, grid_milli=25)
+
+
 QUERIES = {
     "extraction_eval": _q_extraction_eval,
     "arm_agreement": _q_arm_agreement,
     "calibration_bins": _q_calibration_bins,
     "ranking_metrics": _q_ranking_metrics,
+    "lsh_s_curve": _q_lsh_s_curve,
 }

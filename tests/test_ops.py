@@ -3898,3 +3898,24 @@ def test_token_budget_mix_positive_weight_never_floors_to_zero(spark):
         weights={"g_big": 1.0, "g_tiny": 0.0},
     )
     assert "c" not in {r.doc_id for r in zero.collect()}
+
+
+def test_lsh_s_curve_matches_float_formula(spark):
+    """Fixed-point curve tracks 1-(1-s^r)^b within grid resolution and
+    is monotone with the analytic 0.5-crossing near (1/b)^(1/r)."""
+    from reader_spark.ops.evals import lsh_s_curve
+
+    rows = {r["s_milli"]: r for r in lsh_s_curve(spark, 16, 4, 25).collect()}
+    assert len(rows) == 41
+    assert rows[0]["p_candidate_milli"] == 0
+    assert rows[1000]["p_candidate_milli"] == 1000
+    prev = -1
+    for s in sorted(rows):
+        p = rows[s]["p_candidate_milli"]
+        assert p >= prev  # monotone
+        prev = p
+        exact = 1 - (1 - (s / 1000) ** 4) ** 16
+        assert abs(p / 1000 - exact) < 0.02, (s, p, exact)
+    # analytic 0.5-crossing: (1-s^4)^16 = 0.5 -> s ~ 0.4536
+    assert not rows[425]["is_above_half"]
+    assert rows[475]["is_above_half"]

@@ -57,6 +57,9 @@ def main() -> int:
         status_d, tail_d = run_checker("check_determinism.py")
         record["gate"]["determinism"] = status_d
         record["gate"]["determinism_detail"] = tail_d
+        status_p, tail_p = run_checker("check_plans.py")
+        record["gate"]["plans"] = status_p
+        record["gate"]["plans_detail"] = tail_p
     with open(f"{REPO}/PROGRESS.jsonl", "a") as fh:
         fh.write(json.dumps(record) + "\n")
     failed = [k for k, v in record["gate"].items() if v == "FAIL"]

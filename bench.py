@@ -206,6 +206,7 @@ BENCH_QUERIES = (
     "lang_mismatch_audit",
     "arena_bt_ratings",
     "bte_window",
+    "thread_chains",
 )
 
 

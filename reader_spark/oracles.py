@@ -1206,7 +1206,49 @@ def _chat_oracles() -> dict[str, str]:
     operator's integer/char math. regexp_replace needs the 'g' flag
     (DuckDB replaces first match only by default; Spark replaces all)."""
     rendered = "'<|' || role || '|>' || content || '<|end|>'"
+    thread_chains = """
+        WITH RECURSIVE msgs AS (
+            SELECT doc_id AS msg_id,
+                   CASE WHEN doc_id % 101 = 7 THEN doc_id + 500000
+                        WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE doc_id - (doc_id % 13)
+                             + ((doc_id % 13 - 1) // 3) END AS parent_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   substr(text, 1, 40) AS text
+            FROM documents
+        ),
+        leaves AS (
+            SELECT msg_id FROM msgs
+            WHERE msg_id NOT IN (SELECT parent_id FROM msgs
+                                 WHERE parent_id IS NOT NULL)
+        ),
+        walk(chain_id, node, anc, pos_up) AS (
+            SELECT m.msg_id, m.msg_id, m.parent_id, 0
+            FROM msgs m JOIN leaves l ON m.msg_id = l.msg_id
+            UNION ALL
+            SELECT w.chain_id, m.msg_id, m.parent_id, w.pos_up + 1
+            FROM walk w JOIN msgs m ON w.anc = m.msg_id
+            WHERE w.pos_up + 1 < 16
+        ),
+        agg AS (
+            SELECT chain_id,
+                   CAST(count(*) AS BIGINT) AS depth,
+                   arg_max(node, pos_up) AS root_id,
+                   arg_max(coalesce(anc, -999999), pos_up) <> -999999
+                       AS truncated
+            FROM walk GROUP BY chain_id
+        )
+        SELECT w.chain_id,
+               CAST(a.depth - 1 - w.pos_up AS BIGINT) AS pos,
+               w.node AS msg_id, a.root_id, a.depth, a.truncated,
+               m.role, m.text
+        FROM walk w
+        JOIN agg a ON w.chain_id = a.chain_id
+        JOIN msgs m ON w.node = m.msg_id
+    """
     return {
+        "thread_chains": thread_chains,
         "chat_render": f"""
             WITH {_CHAT_TURNS_CTE},
             r AS (

@@ -70,9 +70,45 @@ def _q_chat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chat_stats(synth_turns(spark, sf_dir))
 
 
+
+
+def synth_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reply forest from documents: ternary trees in
+    13-wide doc_id blocks (local 0 is the root; parent of local L is
+    local (L-1) div 3; depth <= 3), plus dangling-parent orphans at
+    doc_id % 101 == 7 — doc 209 (local 1) has children, so one orphan
+    truncates a whole subtree, not just itself."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    local = F.col("doc_id") % 13
+    parent = (
+        F.when(F.col("doc_id") % 101 == 7, F.col("doc_id") + 500000)
+        .when(local == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("doc_id") - local + F.expr("((doc_id % 13) - 1) div 3"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("msg_id"),
+        parent.cast("long").alias("parent_id"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.substring("text", 1, 40).alias("text"),
+    )
+
+
+def _q_thread_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reply-forest flattening to root-to-leaf chains via pointer
+    doubling (ops.threads.thread_chains, Wyllie 1979 list ranking):
+    each leaf closes one conversation; orphan subtrees surface as
+    truncated chains instead of vanishing."""
+    from reader_spark.ops.threads import thread_chains
+
+    return thread_chains(synth_forest(spark, sf_dir), max_depth=16)
+
+
 QUERIES = {
     "chat_render": _q_chat_render,
     "chat_loss_masks": _q_chat_loss_masks,
     "chat_turn_dedup": _q_chat_turn_dedup,
     "chat_stats": _q_chat_stats,
+    "thread_chains": _q_thread_chains,
 }

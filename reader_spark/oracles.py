@@ -397,6 +397,36 @@ def oracle_sql() -> dict[str, str]:
     out["eval_attribution"] = _eval_attribution_oracle()
     out.update(_audit_oracles())
     out["pack_leakage"] = _pack_leakage_oracle()
+    # m-estimate shrinkage composes the certified gopher gate: the flag
+    # is the SAME expression gopher_rules already value-certifies.
+    out["source_quality_shrunk"] = f"""
+        WITH g AS ({out["gopher_rules"]}),
+        flags AS (
+            SELECT d.source,
+                   CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS f
+            FROM g JOIN documents d ON g.doc_id = d.doc_id
+        ),
+        per_group AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(f) AS BIGINT) AS n_good
+            FROM flags GROUP BY source
+        ),
+        pool AS (
+            SELECT CAST(CAST(sum(n_good) AS BIGINT) * 1000000
+                        // CAST(sum(n_items) AS BIGINT) AS BIGINT)
+                       AS pool_micro
+            FROM per_group
+        )
+        SELECT source, n_items, n_good,
+               CAST(n_good * 1000 // n_items AS BIGINT) AS raw_milli,
+               CAST((n_good * 1000000 + 100 * p.pool_micro)
+                    // ((n_items + 100) * 1000) AS BIGINT) AS shrunk_milli,
+               CAST((n_good * 1000000 + 100 * p.pool_micro)
+                    // ((n_items + 100) * 1000)
+                    - n_good * 1000 // n_items AS BIGINT) AS delta_milli
+        FROM per_group CROSS JOIN pool p
+    """
     out.update(_arena_oracles())
     out["lsh_s_curve"] = _lsh_s_curve_oracle()
     return out

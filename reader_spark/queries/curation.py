@@ -1056,3 +1056,20 @@ def _q_semantic_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = base.withColumn("text", mutated).unionByName(added)
     return semantic_delta(docs, new)
+
+
+def _q_source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes per-source quality rates (ops.shrinkage
+    .shrunk_rates, Cestnik 1990 m-estimate): the Gopher gate's pass
+    rate per source shrunk toward the pooled corpus rate with K=100
+    pseudo-observations — the crawl-prioritization score a raw rate
+    can't be. Pooled rate = 1-row broadcast; exact trunc-div milli
+    units."""
+    from reader_spark.ops.shrinkage import shrunk_rates
+    from reader_spark.ops.textstats import gopher_quality_columns
+
+    docs = _read(spark, sf_dir, "documents")
+    flags = gopher_quality_columns(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("gopher_pass").cast("int").alias("is_good")
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return shrunk_rates(flags, group_col="source", prior_strength=100)

@@ -3919,3 +3919,28 @@ def test_lsh_s_curve_matches_float_formula(spark):
     # analytic 0.5-crossing: (1-s^4)^16 = 0.5 -> s ~ 0.4536
     assert not rows[425]["is_above_half"]
     assert rows[475]["is_above_half"]
+
+
+def test_shrunk_rates_pulls_small_groups_to_pool(spark):
+    """m-estimate: a tiny perfect group lands between pool and raw; a
+    large group barely moves; exact integer milli values."""
+    from reader_spark.ops.shrinkage import shrunk_rates
+
+    rows = (
+        [("big", 1)] * 900 + [("big", 0)] * 100      # raw 0.900, n=1000
+        + [("tiny", 1)] * 2                           # raw 1.000, n=2
+        + [("bad", 0)] * 48 + [("bad", 1)] * 2        # raw 0.040, n=50
+    )
+    df = spark.createDataFrame(rows, "source string, is_good int")
+    out = {r["source"]: r for r in shrunk_rates(df, prior_strength=100).collect()}
+    pool_micro = (900 + 2 + 2) * 10**6 // 1052
+    for g, n, x in (("big", 1000, 900), ("tiny", 2, 2), ("bad", 50, 2)):
+        assert out[g]["raw_milli"] == x * 1000 // n
+        assert out[g]["shrunk_milli"] == (
+            (x * 10**6 + 100 * pool_micro) // ((n + 100) * 1000)
+        )
+    # tiny's perfect rate collapses toward the pool; big barely moves
+    assert out["tiny"]["shrunk_milli"] < 900
+    assert abs(out["big"]["shrunk_milli"] - out["big"]["raw_milli"]) < 10
+    # shrunk preserves enough signal to still rank big > tiny-pool > bad
+    assert out["big"]["shrunk_milli"] > out["tiny"]["shrunk_milli"] > out["bad"]["shrunk_milli"]

@@ -201,14 +201,21 @@ def fleiss_kappa(
 
     Classic Fleiss assumes a CONSTANT number of raters per item; items
     with a different rater count are excluded and reported in
-    ``n_items_dropped``. Returns ONE row with the exact integer moment
-    sums (``po_num/po_den``, ``pe_num/pe_den``), both proportions in
-    floor micro-units, and ``kappa`` as one exactly-rounded IEEE
-    division (NULL when every label is a single category, where
-    kappa is undefined: Pe = 1).
+    ``n_items_dropped``. Accidentally duplicated label rows (same
+    item, rater AND category) are collapsed before counting; a rater
+    voting two DIFFERENT categories on one item remains the caller's
+    contract violation and counts as two raters. Returns ONE row with
+    the exact integer moment sums (``po_num/po_den``,
+    ``pe_num/pe_den``), the two proportions as exactly-rounded IEEE
+    divisions (``po``, ``pe``), and ``kappa = (po - pe) / (1 - pe)``
+    — a fixed three-op double tree over exact inputs, identical in
+    both engines, NULL when every label is a single category (Pe = 1,
+    kappa undefined). Integer headroom: ``pe_num <= (N*n)^2``, so up
+    to ~3e9 kept labels before the BIGINT ceiling (documented bound).
     """
     if n_raters < 2:
         raise ValueError(f"n_raters must be >= 2, got {n_raters}")
+    labels = labels.dropDuplicates([item_col, rater_col, category_col])
     per_item = labels.groupBy(item_col).agg(
         F.count("*").cast("long").alias("n_i")
     )
@@ -248,21 +255,18 @@ def fleiss_kappa(
         )
         .select(
             "*",
-            F.expr("po_num * 1000000 div po_den").cast("long").alias(
-                "po_micro"
-            ),
-            F.expr("pe_num * 1000000 div pe_den").cast("long").alias(
-                "pe_micro"
-            ),
+            (F.col("po_num").cast("double") / F.col("po_den").cast("double"))
+            .alias("po"),
+            (F.col("pe_num").cast("double") / F.col("pe_den").cast("double"))
+            .alias("pe"),
+        )
+        .select(
+            "*",
+            # (po - pe) / (1 - pe): no BIGINT cross-products, so no
+            # overflow at any corpus scale the moment sums support.
             F.when(
                 F.col("pe_den") > F.col("pe_num"),
-                (
-                    F.col("po_num") * F.col("pe_den")
-                    - F.col("pe_num") * F.col("po_den")
-                ).cast("double")
-                / (
-                    F.col("po_den") * (F.col("pe_den") - F.col("pe_num"))
-                ).cast("double"),
+                (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")),
             ).alias("kappa"),
         )
     )
@@ -283,13 +287,20 @@ def krippendorff_alpha(
 
     Exactness: the per-item observed-disagreement terms
     ``u_i / (m_i - 1)`` are made integral by scaling with
-    ``L = lcm(1..max_raters-1)`` (every ``m_i - 1`` divides ``L``), so
-    ``alpha = 1 - D_o/D_e`` reduces to ONE exactly-rounded IEEE
-    division of two exact BIGINTs:
+    ``L = lcm(1..max_raters-1)`` (every ``m_i - 1`` divides ``L``):
 
-        alpha = (L*De_num - Do_num*(n-1)) / (L*De_num)
         Do_num = sum_i [sum_c n_ic*(m_i - n_ic)] * (L div (m_i - 1))
         De_num = n^2 - sum_c n_c^2,  n = sum_i m_i  (pairable values)
+        D_o = Do_num / (L*n);  D_e = De_num / (n*(n-1))
+        alpha = 1 - D_o / D_e
+
+    ``d_o`` and ``d_e`` are each ONE exactly-rounded IEEE division of
+    exact BIGINTs and ``alpha`` a fixed two-op double tree — identical
+    in both engines, with no BIGINT cross-products (the moment sums
+    themselves bound the scale: ``n*(n-1)`` caps pairable labels at
+    ~3e9; documented). ``max_raters`` caps at 12 so L = 27720 keeps
+    ``Do_num`` far from the long ceiling. Accidentally duplicated
+    (item, rater, category) rows are collapsed before counting.
 
     Items with more than ``max_raters`` raters would break the LCM
     trick; they are dropped and counted (``n_items_over_cap``) — a
@@ -302,10 +313,11 @@ def krippendorff_alpha(
     """
     import math
 
-    if not 2 <= max_raters <= 40:
-        raise ValueError(f"max_raters must be in [2, 40], got {max_raters}")
+    if not 2 <= max_raters <= 12:
+        raise ValueError(f"max_raters must be in [2, 12], got {max_raters}")
     lcm = math.lcm(*range(1, max_raters))
 
+    labels = labels.dropDuplicates([item_col, rater_col, category_col])
     per_item = labels.groupBy(item_col).agg(
         F.count("*").cast("long").alias("m_i")
     )
@@ -359,13 +371,22 @@ def krippendorff_alpha(
         )
         .select(
             "*",
+            (
+                F.col("do_num").cast("double")
+                / (F.lit(int(lcm)) * F.col("n_pairable")).cast("double")
+            ).alias("d_o"),
+            (
+                F.col("de_num").cast("double")
+                / (F.col("n_pairable") * (F.col("n_pairable") - 1)).cast(
+                    "double"
+                )
+            ).alias("d_e"),
+        )
+        .select(
+            "*",
             F.when(
                 F.col("de_num") > 0,
-                (
-                    F.lit(int(lcm)) * F.col("de_num")
-                    - F.col("do_num") * (F.col("n_pairable") - 1)
-                ).cast("double")
-                / (F.lit(int(lcm)) * F.col("de_num")).cast("double"),
+                F.lit(1.0) - F.col("d_o") / F.col("d_e"),
             ).alias("alpha"),
         )
     )

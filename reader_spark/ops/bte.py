@@ -92,9 +92,16 @@ def bte_window(
     # SMALLEST start index (earliest argmin -> longest window); the
     # word-prefix tail never decides (start_idx is unique) but rides
     # along so the election is join-free.
+    # Enforce the packing cap: a token index at or beyond 2^20 would
+    # silently corrupt the run_min ordering, so it errors instead.
+    guarded_tok = F.expr(
+        f"CASE WHEN {order_col} < {_M} THEN {order_col} "
+        f"ELSE raise_error('bte_window: document exceeds the 2^20 "
+        f"tokens-per-document packing cap') END"
+    )
     s3 = s2.withColumn(
         "packed_lag",
-        ((F.col("lag_pre") + _OFF) * _M + F.col(order_col)) * _M
+        ((F.col("lag_pre") + _OFF) * _M + guarded_tok) * _M
         + F.col("lag_pw"),
     )
     frame = (
@@ -144,7 +151,10 @@ def bte_extract(
 ) -> DataFrame:
     """Extracted body text per document: the word tokens inside the
     elected BTE window, space-joined in stream order. The join keys on
-    the document id, so it reuses the window stage's partitioning."""
+    the document id, so it reuses the window stage's partitioning.
+    Documents whose elected window holds zero words (all-tag pages)
+    emit ``content = '', n_words = 0`` rather than vanishing — every
+    input document gets exactly one output row."""
     win = bte_window(tokens, id_col=id_col, order_col=order_col,
                      is_tag_col=is_tag_col)
     inside = (
@@ -167,4 +177,8 @@ def bte_extract(
         ).alias("content"),
         F.count("*").cast("long").alias("n_words"),
     )
-    return agg
+    return win.select(id_col).join(agg, [id_col], "left").select(
+        id_col,
+        F.coalesce(F.col("content"), F.lit("")).alias("content"),
+        F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
+    )

@@ -61,19 +61,16 @@ def thread_chains(
             F.col("anc").alias("anc2"),
             F.col("path").alias("path2"),
         )
-        # A missing parent (orphan walk) can never resolve in a later
-        # round; pin anc to the -1 sentinel so the chain stays flagged.
-        orphan = F.col("anc").isNotNull() & F.col("path2").isNull()
+        # A missing parent (orphan walk) simply never matches a join —
+        # this round or any later one — so the row keeps its dangling
+        # anc unchanged and surfaces as truncated. No sentinel value is
+        # injected, so ids of any type (long, string) are safe.
+        unresolved = F.col("anc").isNull() | F.col("path2").isNull()
         frame = frame.join(up, "anc", "left").select(
             "node",
-            F.when(F.col("anc").isNull(), F.lit(None).cast("long"))
-            .when(orphan, F.lit(-1).cast("long"))
-            .otherwise(F.col("anc2"))
+            F.when(unresolved, F.col("anc")).otherwise(F.col("anc2"))
             .alias("anc"),
-            F.when(
-                F.col("anc").isNull() | F.col("path2").isNull(),
-                F.col("path"),
-            )
+            F.when(unresolved, F.col("path"))
             .otherwise(F.concat(F.col("path"), F.col("path2")))
             .alias("path"),
         )

@@ -9077,11 +9077,13 @@ def _arena_oracles() -> dict[str, str]:
                CAST(po_den AS BIGINT) AS po_den,
                pe_num,
                CAST(pe_den AS BIGINT) AS pe_den,
-               CAST(po_num * 1000000 // po_den AS BIGINT) AS po_micro,
-               CAST(pe_num * 1000000 // pe_den AS BIGINT) AS pe_micro,
+               CAST(po_num AS DOUBLE) / CAST(po_den AS DOUBLE) AS po,
+               CAST(pe_num AS DOUBLE) / CAST(pe_den AS DOUBLE) AS pe,
                CASE WHEN pe_den > pe_num
-                    THEN CAST(po_num * pe_den - pe_num * po_den AS DOUBLE)
-                         / CAST(po_den * (pe_den - pe_num) AS DOUBLE)
+                    THEN (CAST(po_num AS DOUBLE) / CAST(po_den AS DOUBLE)
+                          - CAST(pe_num AS DOUBLE) / CAST(pe_den AS DOUBLE))
+                         / (1.0 - CAST(pe_num AS DOUBLE)
+                                  / CAST(pe_den AS DOUBLE))
                END AS kappa
         FROM base
     """
@@ -9173,12 +9175,15 @@ def _arena_oracles() -> dict[str, str]:
     """
     bte_extract = f"""
         WITH {bte_ctes}
-        SELECT t.doc_id,
-               string_agg(t.token, ' ' ORDER BY t.tok_no) AS content,
-               CAST(count(*) AS BIGINT) AS n_words
-        FROM tok2 t JOIN fin f ON t.doc_id = f.doc_id
-        WHERE t.tok_no BETWEEN f.start_tok AND f.end_tok AND t.is_tag = 0
-        GROUP BY t.doc_id
+        SELECT f.doc_id,
+               coalesce(string_agg(t.token, ' ' ORDER BY t.tok_no), '')
+                   AS content,
+               CAST(count(t.token) AS BIGINT) AS n_words
+        FROM fin f LEFT JOIN tok2 t
+          ON t.doc_id = f.doc_id
+         AND t.tok_no BETWEEN f.start_tok AND f.end_tok
+         AND t.is_tag = 0
+        GROUP BY f.doc_id
     """
     alpha = """
         WITH lab0 AS (
@@ -9239,10 +9244,16 @@ def _arena_oracles() -> dict[str, str]:
         )
         SELECT n_items_used, n_items_single, n_items_over_cap, n_pairable,
                do_num, CAST(de_num AS BIGINT) AS de_num, scale_l,
+               CAST(do_num AS DOUBLE)
+                   / CAST(27720 * n_pairable AS DOUBLE) AS d_o,
+               CAST(de_num AS DOUBLE)
+                   / CAST(n_pairable * (n_pairable - 1) AS DOUBLE) AS d_e,
                CASE WHEN de_num > 0
-                    THEN CAST(27720 * de_num - do_num * (n_pairable - 1)
-                              AS DOUBLE)
-                         / CAST(27720 * de_num AS DOUBLE)
+                    THEN 1.0 - (CAST(do_num AS DOUBLE)
+                                / CAST(27720 * n_pairable AS DOUBLE))
+                               / (CAST(de_num AS DOUBLE)
+                                  / CAST(n_pairable * (n_pairable - 1)
+                                         AS DOUBLE))
                END AS alpha
         FROM base
     """

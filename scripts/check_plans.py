@@ -20,7 +20,6 @@ exact-oracle twins whose production siblings are partitioned
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -53,18 +52,20 @@ ALLOWLIST = {
     "pack_leakage": 1,            # bounded sequence dim
 }
 
-_WINDOW_RE = re.compile(r"Window \[[^\[\]]*\](, \[[^\[\]]*\])*")
+def unpartitioned_windows(plan_json: str) -> int:
+    """Count logical Window nodes with an empty ``partitionSpec`` in
+    the optimized plan's JSON form — robust against argString quirks
+    (a partitioned window with no ORDER BY prints only two bracket
+    groups in toString, which a bracket-counting detector would
+    misread as unpartitioned)."""
+    import json
 
-
-def unpartitioned_windows(plan: str) -> int:
-    """Count logical Window nodes with an empty partition spec: the
-    node prints ``Window [funcs], [partition], [order]`` — two bracket
-    groups means no partition columns."""
-    n = 0
-    for m in _WINDOW_RE.finditer(plan):
-        if len(re.findall(r"\[[^\[\]]*\]", m.group(0))) == 2:
-            n += 1
-    return n
+    return sum(
+        1
+        for node in json.loads(plan_json)
+        if node.get("class", "").endswith(".Window")
+        and not node.get("partitionSpec")
+    )
 
 
 def main() -> int:
@@ -74,6 +75,10 @@ def main() -> int:
 
     raw = [t for a in sys.argv[1:] for t in a.split(",") if t]
     only = set(raw)
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        return 1
     spark = get_spark(app_name="check_plans", master="local[2]")
     failures: list[str] = []
     checked = 0
@@ -81,7 +86,7 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toJSON()
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{name}: plan build failed: {str(ex)[:120]}")
             continue

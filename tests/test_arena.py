@@ -119,8 +119,9 @@ def test_fleiss_kappa_exact_and_drops_variable_raters(spark):
             cat = (it % 4 + (1 if (it + r) % 5 == 0 else 0)) % 4
             rows.append((it, f"r{r}", f"c{cat}"))
     rows += [(100, "r0", "c0"), (101, "r0", "c1"), (101, "r1", "c2")]
+    # an exact duplicate label row must collapse, not inflate a rater count
     df = spark.createDataFrame(
-        rows, "item_id long, rater_id string, category string"
+        rows + [rows[0]], "item_id long, rater_id string, category string"
     )
     out = fleiss_kappa(df, n_raters=3).collect()[0]
 
@@ -143,7 +144,7 @@ def test_fleiss_kappa_exact_and_drops_variable_raters(spark):
     assert out["n_items_dropped"] == 2
     assert (out["po_num"], out["po_den"]) == (po_num, po_den)
     assert (out["pe_num"], out["pe_den"]) == (pe_num, pe_den)
-    assert abs(out["kappa"] - kappa) < 1e-15
+    assert abs(out["kappa"] - kappa) < 1e-12
 
 
 def test_fleiss_kappa_perfect_agreement_is_one(spark):

@@ -94,3 +94,22 @@ def test_bte_score_column_types(spark):
         "tags_inside": "bigint",
         "bte_score": "bigint",
     }
+
+
+def test_bte_window_rejects_over_cap_token_index(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 0, "a", 0), (1, 1 << 20, "b", 0)],
+        "doc_id long, tok_no long, token string, is_tag int",
+    )
+    with pytest.raises(Exception, match="packing cap"):
+        bte_window(df).collect()
+
+
+def test_bte_extract_emits_empty_row_for_all_tag_docs(spark):
+    out = {r["doc_id"]: r for r in bte_extract(
+        _token_df(spark, [[1, 1, 1], [0, 1]])
+    ).collect()}
+    assert out[0]["content"] == "" and out[0]["n_words"] == 0
+    assert out[1]["content"] == "w1_0" and out[1]["n_words"] == 1

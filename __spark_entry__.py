@@ -21,19 +21,14 @@ from reader_spark.queries.chat import QUERIES as _CHAT_QUERIES  # noqa: E402
 from reader_spark.queries.preference import (  # noqa: E402
     QUERIES as _PREFERENCE_QUERIES,
 )
-from reader_spark.queries.accounting import (  # noqa: E402
-    QUERIES as _ACCOUNTING_QUERIES,
-)
+from reader_spark.queries.accounting import QUERIES as _ACCOUNTING_QUERIES  # noqa: E402
 from reader_spark.queries.code import QUERIES as _CODE_QUERIES  # noqa: E402
-from reader_spark.queries.clustering import (  # noqa: E402
-    QUERIES as _CLUSTERING_QUERIES,
-)
+from reader_spark.queries.clustering import QUERIES as _CLUSTERING_QUERIES  # noqa: E402
 from reader_spark.queries.bitext import QUERIES as _BITEXT_QUERIES  # noqa: E402
-from reader_spark.queries.governance import (  # noqa: E402
-    QUERIES as _GOVERNANCE_QUERIES,
-)
+from reader_spark.queries.governance import QUERIES as _GOVERNANCE_QUERIES  # noqa: E402
 from reader_spark.queries.audits import QUERIES as _AUDIT_QUERIES  # noqa: E402
 from reader_spark.queries.arena import QUERIES as _ARENA_QUERIES  # noqa: E402
+from reader_spark.queries.discovery import QUERIES as _DISCOVERY_QUERIES  # noqa: E402
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3987,6 +3982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_GOVERNANCE_QUERIES,
         **_AUDIT_QUERIES,
         **_ARENA_QUERIES,
+        **_DISCOVERY_QUERIES,
     })
 
 

@@ -429,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out.update(_arena_oracles())
     out["lsh_s_curve"] = _lsh_s_curve_oracle()
+    out.update(_feed_oracles())
     return out
 
 
@@ -9292,3 +9293,146 @@ def _lsh_s_curve_oracle(bands: int = 16, rows_per_band: int = 4,
                CAST(1000 - ({acc}) AS BIGINT) >= 500 AS is_above_half
         FROM a
     """
+
+
+def _feed_field_sql(body: str, tag: str) -> str:
+    """DuckDB twin of ops/feeds._text_field: element text, one optional
+    CDATA unwrap, empty -> NULL. Same RE2 patterns as the Spark side."""
+    raw = (
+        f"regexp_extract({body}, '(?s)<{tag}[^>]*>(.*?)</{tag}>', 1)"
+    )
+    unwrapped = (
+        f"regexp_replace({raw}, "
+        r"'(?s)^\s*<!\[CDATA\[(.*?)\]\]>\s*$', '\1')"
+    )
+    return f"nullif(trim({unwrapped}), '')"
+
+
+def _feed_ingest_oracle() -> str:
+    """Re-synthesize the deterministic RSS/Atom corpus of
+    queries/discovery._synth_feed_files in SQL and re-parse it with the
+    same block/field regexes as ops/feeds.parse_feeds — one spec, two
+    engines, exactly like the sitemap_ingest oracle."""
+    title = _feed_field_sql("body", "title")
+    rss_link = _feed_field_sql("body", "link")
+    guid = _feed_field_sql("body", "guid")
+    pubdate = _feed_field_sql("body", "pubDate")
+    descr = _feed_field_sql("body", "description")
+    atom_id = _feed_field_sql("body", "id")
+    updated = _feed_field_sql("body", "updated")
+    summary = _feed_field_sql("body", "summary")
+    atom_link = (
+        "nullif(trim(regexp_extract(body, "
+        r"'(?s)<link\b[^>]*href=\"([^\"]*)\"', 1)), '')"
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id AS d, source, lang,
+                   regexp_replace(substr(text, 1, 40), '[<>&]', ' ', 'g')
+                       AS btxt
+            FROM documents
+        ),
+        rss_e AS (
+            SELECT d, source,
+                   chr(10) || '  <item>' || chr(10) || '    <title>'
+                   || CASE WHEN d % 7 = 0
+                      THEN '<![CDATA[Post ' || d || ']]>'
+                      ELSE 'Post ' || d END
+                   || '</title>' || chr(10) || '    <link>https://'
+                   || source || '.test/p' || d || '</link>'
+                   || CASE WHEN d % 5 <> 0
+                      THEN chr(10) || '    <guid>urn:g:' || d || '</guid>'
+                      ELSE '' END
+                   || CASE WHEN d % 9 <> 0
+                      THEN chr(10) || '    <pubDate>2026-0' || (1 + d % 8)
+                           || '-15</pubDate>'
+                      ELSE '' END
+                   || CASE WHEN d % 11 <> 0
+                      THEN chr(10) || '    <description>' || btxt
+                           || '</description>'
+                      ELSE '' END
+                   || chr(10) || '  </item>' AS e
+            FROM docs WHERE d % 2 = 0
+        ),
+        atom_e AS (
+            SELECT d, lang,
+                   chr(10) || '  <entry>' || chr(10) || '    <title>Doc '
+                   || d || '</title>'
+                   || chr(10) || '    <id>urn:doc:' || d || '</id>'
+                   || chr(10) || '    '
+                   || CASE WHEN d % 3 = 0
+                      THEN '<link href="https://a.test/' || lang || '/p'
+                           || d || '" rel="alternate"/>'
+                      ELSE '<link rel="alternate" href="https://a.test/'
+                           || lang || '/p' || d || '"/>' END
+                   || chr(10) || '    <updated>2026-0' || (1 + d % 8)
+                   || '-15T00:00:00Z</updated>'
+                   || CASE WHEN d % 13 <> 0
+                      THEN chr(10) || '    <summary>' || btxt
+                           || '</summary>'
+                      ELSE '' END
+                   || chr(10) || '  </entry>' AS e
+            FROM docs WHERE d % 2 = 1
+        ),
+        files AS (
+            SELECT 'https://' || source || '.test/feed.rss' AS feed_url,
+                   '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+                   || '<rss version="2.0">' || chr(10) || '<channel>'
+                   || chr(10) || '  <title>feed</title>' || chr(10)
+                   || '  <link>https://x.test/</link>'
+                   || string_agg(e, '' ORDER BY d)
+                   || chr(10) || '</channel>' || chr(10) || '</rss>' AS xml
+            FROM rss_e GROUP BY source
+            UNION ALL
+            SELECT 'https://a.test/' || lang || '/feed.atom',
+                   '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+                   || '<feed xmlns="http://www.w3.org/2005/Atom">'
+                   || chr(10) || '  <title>feed</title>' || chr(10)
+                   || '  <link rel="self" href="https://a.test/feed"/>'
+                   || string_agg(e, '' ORDER BY d)
+                   || chr(10) || '</feed>'
+            FROM atom_e GROUP BY lang
+        ),
+        parsed AS (
+            SELECT feed_url, 'rss' AS fmt,
+                   unnest(regexp_extract_all(
+                       xml, '(?s)<item\\b[^>]*>(.*?)</item>', 1)) AS body
+            FROM files
+            UNION ALL
+            SELECT feed_url, 'atom',
+                   unnest(regexp_extract_all(
+                       xml, '(?s)<entry\\b[^>]*>(.*?)</entry>', 1))
+            FROM files
+        )
+        SELECT feed_url, fmt,
+               CASE WHEN fmt = 'rss' THEN coalesce({guid}, {rss_link})
+                    ELSE {atom_id} END AS entry_id,
+               CASE WHEN fmt = 'rss' THEN {rss_link}
+                    ELSE {atom_link} END AS link,
+               {title} AS title,
+               CASE WHEN fmt = 'rss' THEN {pubdate}
+                    ELSE {updated} END AS published,
+               CASE WHEN fmt = 'rss' THEN {descr}
+                    ELSE {summary} END AS summary
+        FROM parsed
+    """
+
+
+def _feed_oracles() -> dict[str, str]:
+    ingest = _feed_ingest_oracle()
+    frontier = f"""
+        WITH ingest AS ({ingest}),
+        seen AS (
+            SELECT CASE WHEN doc_id % 2 = 0 THEN
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'https://' || source || '.test/p' || doc_id
+                            ELSE 'urn:g:' || doc_id END
+                   ELSE 'urn:doc:' || doc_id END AS entry_id
+            FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT i.* FROM ingest i
+        WHERE i.entry_id IS NOT NULL
+          AND NOT EXISTS (
+              SELECT 1 FROM seen s WHERE s.entry_id = i.entry_id)
+    """
+    return {"feed_ingest": ingest, "feed_frontier": frontier}

@@ -1040,3 +1040,30 @@ def test_epoch_schedule_broadcast_normalizer(spark):
     assert "BroadcastExchange" in plan
     assert "partial" in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_parse_feeds_pure_map(spark):
+    """Feed entry parsing rides the scan: block regexes + bounded explode
+    + field projection — no Exchange anywhere in the parse."""
+    from pyspark.sql import Row
+
+    from reader_spark.ops.feeds import parse_feeds
+
+    df = spark.createDataFrame([Row(feed_url="f", xml="<rss></rss>")])
+    plan = plan_of(parse_feeds(df))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+
+
+def test_feed_frontier_single_anti_join_no_bodies(spark):
+    """The frontier is ONE left-anti equi-join on entry_id; the synth's
+    groupBys aside, no exchange carries the xml column (feed bodies never
+    shuffle after assembly)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["feed_frontier"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "LeftAnti" in tree
+    for line in tree.splitlines():
+        if "Exchange hashpartitioning(entry_id" in line:
+            assert "xml" not in line

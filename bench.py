@@ -207,6 +207,9 @@ BENCH_QUERIES = (
     "arena_bt_ratings",
     "bte_window",
     "thread_chains",
+    "feed_ingest",
+    "texttiling_gaps",
+    "texttiling_segments",
 )
 
 

@@ -430,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_arena_oracles())
     out["lsh_s_curve"] = _lsh_s_curve_oracle()
     out.update(_feed_oracles())
+    out.update(_tiling_oracles())
     return out
 
 
@@ -9436,3 +9437,141 @@ def _feed_oracles() -> dict[str, str]:
               SELECT 1 FROM seen s WHERE s.entry_id = i.entry_id)
     """
     return {"feed_ingest": ingest, "feed_frontier": frontier}
+
+
+def _texttiling_oracle(w: int = 8, k: int = 2, min_sep: int = 3) -> str:
+    """DuckDB twin of ops/tiling.texttiling_gaps: same tokenizer, same
+    squared-cosine micro-units, same run-group climb-to-peak depth, same
+    integer LC-cutoff inequality, same packed-long minimum-separation
+    election. Every integer sum is BIGINT-cast (the HUGEINT driver-hash
+    trap)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text),
+                             '[^a-z0-9]+'), x -> x <> '') AS l
+                  FROM documents)
+        ),
+        counts AS (
+            SELECT doc_id, pos // {w} AS bid, tok,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2, 3
+        ),
+        nb AS (
+            SELECT doc_id, max(bid) + 1 AS n_blocks FROM counts GROUP BY 1
+        ),
+        sides AS (
+            SELECT doc_id, tok, c, bid + o AS gap, 'L' AS side
+            FROM counts, (SELECT unnest(range(1, {k + 1})) AS o) od
+            UNION ALL
+            SELECT doc_id, tok, c, bid - o AS gap, 'R' AS side
+            FROM counts, (SELECT unnest(range(0, {k})) AS o) od
+        ),
+        sv AS (
+            SELECT s.doc_id, s.gap, s.side, s.tok,
+                   CAST(sum(s.c) AS BIGINT) AS c
+            FROM sides s JOIN nb ON s.doc_id = nb.doc_id
+            WHERE s.gap >= 1 AND s.gap <= nb.n_blocks - 1
+            GROUP BY 1, 2, 3, 4
+        ),
+        norms AS (
+            SELECT doc_id, gap,
+                   CAST(sum(CASE WHEN side = 'L' THEN c * c ELSE 0 END)
+                        AS BIGINT) AS nl,
+                   CAST(sum(CASE WHEN side = 'R' THEN c * c ELSE 0 END)
+                        AS BIGINT) AS nr
+            FROM sv GROUP BY 1, 2
+        ),
+        dots AS (
+            SELECT l.doc_id, l.gap, CAST(sum(l.c * r.c) AS BIGINT) AS dot
+            FROM sv l JOIN sv r
+              ON l.doc_id = r.doc_id AND l.gap = r.gap AND l.tok = r.tok
+            WHERE l.side = 'L' AND r.side = 'R'
+            GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT n.doc_id, n.gap,
+                   CAST(CASE WHEN n.nl > 0 AND n.nr > 0
+                        THEN (coalesce(d.dot, 0) * coalesce(d.dot, 0)
+                              * 1000000) // (n.nl * n.nr)
+                        ELSE 0 END AS BIGINT) AS s
+            FROM norms n LEFT JOIN dots d
+              ON n.doc_id = d.doc_id AND n.gap = d.gap
+        ),
+        l1 AS (
+            SELECT doc_id, gap, s,
+                   CASE WHEN s > lag(s) OVER wf THEN 1 ELSE 0 END AS linc,
+                   CASE WHEN s > lag(s) OVER wb THEN 1 ELSE 0 END AS rinc
+            FROM sims
+            WINDOW wf AS (PARTITION BY doc_id ORDER BY gap),
+                   wb AS (PARTITION BY doc_id ORDER BY gap DESC)
+        ),
+        l2 AS (
+            SELECT doc_id, gap, s,
+                   CAST(sum(linc) OVER (PARTITION BY doc_id ORDER BY gap)
+                        AS BIGINT) AS lgrp,
+                   CAST(sum(rinc) OVER (PARTITION BY doc_id
+                                        ORDER BY gap DESC)
+                        AS BIGINT) AS rgrp
+            FROM l1
+        ),
+        dep AS (
+            SELECT doc_id, gap, s AS sim2_micro,
+                   max(s) OVER (PARTITION BY doc_id, lgrp ORDER BY gap) - s
+                   + max(s) OVER (PARTITION BY doc_id, rgrp
+                                  ORDER BY gap DESC) - s AS depth_micro
+            FROM l2
+        ),
+        st AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(depth_micro // 1000) AS BIGINT) AS sm,
+                   CAST(sum((depth_micro // 1000) * (depth_micro // 1000))
+                        AS BIGINT) AS qm
+            FROM dep GROUP BY 1
+        ),
+        flagged AS (
+            SELECT dep.doc_id, gap, sim2_micro,
+                   CAST(depth_micro AS BIGINT) AS depth_micro,
+                   (st.n * (depth_micro // 1000) > st.sm
+                    OR st.n * st.qm - st.sm * st.sm
+                       > 4 * (st.sm - st.n * (depth_micro // 1000))
+                         * (st.sm - st.n * (depth_micro // 1000)))
+                       AS is_candidate
+            FROM dep JOIN st ON dep.doc_id = st.doc_id
+        ),
+        packed AS (
+            SELECT *,
+                   CASE WHEN is_candidate
+                        THEN depth_micro * 2000000000
+                             + (2000000000 - gap) END AS pk
+            FROM flagged
+        )
+        SELECT doc_id, gap, sim2_micro, depth_micro, is_candidate,
+               (is_candidate AND pk = max(pk) OVER (
+                    PARTITION BY doc_id ORDER BY gap
+                    RANGE BETWEEN {min_sep - 1} PRECEDING
+                          AND {min_sep - 1} FOLLOWING)) AS is_boundary
+        FROM packed
+    """
+
+
+def _tiling_oracles() -> dict[str, str]:
+    gaps = _texttiling_oracle()
+    segments = f"""
+        WITH g AS ({gaps}),
+        s1 AS (
+            SELECT doc_id, gap, depth_micro,
+                   CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0
+                            END) OVER (PARTITION BY doc_id
+                            ORDER BY gap ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS seg_id
+            FROM g
+        )
+        SELECT doc_id, seg_id, min(gap) AS start_gap, max(gap) AS end_gap,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               max(depth_micro) AS max_depth_micro
+        FROM s1 GROUP BY 1, 2
+    """
+    return {"texttiling_gaps": gaps, "texttiling_segments": segments}

@@ -431,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
     out["lsh_s_curve"] = _lsh_s_curve_oracle()
     out.update(_feed_oracles())
     out.update(_tiling_oracles())
+    out.update(_keyword_ocr_oracles())
     return out
 
 
@@ -9575,3 +9576,134 @@ def _tiling_oracles() -> dict[str, str]:
         FROM s1 GROUP BY 1, 2
     """
     return {"texttiling_gaps": gaps, "texttiling_segments": segments}
+
+
+def _keyword_ocr_oracles() -> dict[str, str]:
+    """DuckDB twins of ops/keywords.rake_keywords and
+    ops/ocr.ocr_garbage_profile — the oracle embeds the SAME stopword
+    lexicon, run-regex alternation, and planted-damage literal the
+    Spark ops use (one definition, two engines). Integer milli-unit
+    scores; every integer sum BIGINT-cast (the HUGEINT driver-hash
+    trap)."""
+    from reader_spark.ops.keywords import RAKE_STOPWORDS
+    from reader_spark.ops.ocr import PLANT_SUFFIX, RUN_PATTERN, VOWELS
+
+    stops = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    rake = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text),
+                             '[^a-z0-9]+'), x -> x <> '') AS l
+                  FROM documents)
+        ),
+        b AS (
+            SELECT doc_id, pos, tok, tok IN ({stops}) AS is_stop,
+                   CAST(sum(CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS bucket
+            FROM toks
+        ),
+        member AS (
+            SELECT doc_id, pos, tok, bucket,
+                   CAST(count(*) OVER (PARTITION BY doc_id, bucket)
+                        AS BIGINT) AS plen
+            FROM b WHERE NOT is_stop
+        ),
+        words AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(plen) AS BIGINT) AS deg
+            FROM member GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT doc_id, tok,
+                   CAST(deg * 1000 // freq AS BIGINT) AS word_milli
+            FROM words
+        ),
+        inst AS (
+            SELECT m.doc_id, m.bucket,
+                   string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+                   CAST(sum(s.word_milli) AS BIGINT) AS score_milli,
+                   CAST(count(*) AS BIGINT) AS n_words
+            FROM member m
+            JOIN scored s ON m.doc_id = s.doc_id AND m.tok = s.tok
+            GROUP BY 1, 2
+        ),
+        ph AS (
+            SELECT doc_id, phrase, max(score_milli) AS score_milli,
+                   max(n_words) AS n_words
+            FROM inst GROUP BY 1, 2
+        )
+        SELECT doc_id, rank, phrase, score_milli, n_words
+        FROM (SELECT doc_id, phrase, score_milli, n_words,
+                     CAST(row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY score_milli DESC, phrase ASC)
+                       AS INTEGER) AS rank
+              FROM ph)
+        WHERE rank <= 10
+    """
+    ocr = f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN text || '{PLANT_SUFFIX}' ELSE text END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(l) AS tok
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '') AS l
+                  FROM planted)
+        ),
+        feat AS (
+            SELECT doc_id, tok, len(tok) AS n,
+                   len(tok) - len(regexp_replace(tok, '[a-zA-Z0-9]',
+                                                 '', 'g')) AS alnum,
+                   regexp_matches(tok, '^[a-zA-Z]+$') AS is_alpha,
+                   len(tok) - len(regexp_replace(tok, '[{VOWELS}]',
+                                                 '', 'g')) AS vowels,
+                   regexp_replace(substr(tok, 2,
+                                         greatest(len(tok) - 2, 0)),
+                                  '[a-zA-Z0-9]', '', 'g') AS ip,
+                   regexp_matches(tok, '{RUN_PATTERN}') AS rule_r,
+                   regexp_matches(tok, '[a-z][A-Z]') AS rule_c
+            FROM toks
+        ),
+        flags AS (
+            SELECT doc_id,
+                   n > 40 AS rule_l,
+                   n >= 2 AND alnum * 2 < n AS rule_a,
+                   rule_r,
+                   is_alpha AND n >= 3
+                       AND (vowels = 0 OR vowels = n) AS rule_v,
+                   len(ip) >= 2
+                       AND ip <> repeat(substr(ip, 1, 1), len(ip))
+                       AS rule_p,
+                   rule_c
+            FROM feat
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN rule_l THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rule_l,
+               CAST(sum(CASE WHEN rule_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rule_a,
+               CAST(sum(CASE WHEN rule_r THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rule_r,
+               CAST(sum(CASE WHEN rule_v THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rule_v,
+               CAST(sum(CASE WHEN rule_p THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rule_p,
+               CAST(sum(CASE WHEN rule_c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rule_c,
+               CAST(sum(CASE WHEN rule_l OR rule_a OR rule_r OR rule_v
+                             OR rule_p OR rule_c THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_garbage,
+               CAST(sum(CASE WHEN rule_l OR rule_a OR rule_r OR rule_v
+                             OR rule_p OR rule_c THEN 1 ELSE 0 END)
+                    * 1000 // count(*) AS BIGINT) AS garbage_milli
+        FROM flags GROUP BY 1
+    """
+    return {"rake_keywords": rake, "ocr_garbage_profile": ocr}

@@ -37,7 +37,45 @@ def _q_texttiling_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return texttiling_segments(texttiling_gaps(docs, w=TILE_W, k=TILE_K))
 
 
+def _q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 RAKE keyphrases per document (ops.keywords.rake_keywords,
+    Rose et al. 2010): stopword-delimited candidate phrases, integer
+    milli-unit word scores deg*1000 div freq, phrase score = member-word
+    sum, deterministic (score desc, phrase asc) election. Every shuffle
+    doc-keyed; word stats group on (doc_id, word) — no corpus-global
+    state."""
+    from reader_spark.ops.keywords import rake_keywords
+
+    docs = _read(spark, sf_dir, "documents")
+    return rake_keywords(docs, k=10)
+
+
+def _q_ocr_garbage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OCR-garbage profile (ops.ocr.ocr_garbage_profile,
+    Taghva garbage rules / Kulp-Kontostathis Rmgarbage): six per-token
+    rules (overlong, symbol-heavy, repeated-glyph run, vowel-less,
+    punctuation shrapnel, case alternation) aggregated in ONE doc-keyed
+    map-side-combined groupBy. Docs with doc_id%4==0 get a deterministic
+    planted damage suffix (one token per rule family); clean docs must
+    profile zero."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.ops.ocr import PLANT_SUFFIX, ocr_garbage_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(PLANT_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    return ocr_garbage_profile(planted)
+
+
 QUERIES = {
     "texttiling_gaps": _q_texttiling_gaps,
     "texttiling_segments": _q_texttiling_segments,
+    "rake_keywords": _q_rake_keywords,
+    "ocr_garbage_profile": _q_ocr_garbage_profile,
 }

@@ -321,3 +321,176 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+    tol: float | None = None,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
+    PageRank with the teleport vector biased to a trusted seed set —
+    trust flows out of seeds along links and decays with distance, so
+    pages reachable only through spam neighborhoods score ~0. The
+    crawl-quality prior a web-scale pipeline combines with PageRank to
+    estimate spam mass (see :func:`spam_mass`).
+
+    ``seeds``' first column names the trusted nodes (clipped to the
+    graph's node set). Teleport d(n) = 1/|S| on seeds, 0 elsewhere;
+    dangling mass is redistributed along d (the paper's variant), so
+    total trust is conserved at 1 every iteration. Iteration structure,
+    9 dp in-iteration rounding, localCheckpoint lineage truncation, and
+    the optional ``tol`` early stop all mirror :func:`pagerank` — ONE
+    edge join + ONE map-side-combined aggregate per round; the seed dim
+    joins in once up front.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if tol is not None and tol <= 0.0:
+        raise ValueError(f"tol must be positive, got {tol}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_nodes = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .join(nodes, "node")
+        .localCheckpoint(eager=True)
+    )
+    s_count = seed_nodes.count()
+    if s_count == 0:
+        raise ValueError("no seed appears in the graph — trustrank needs >= 1")
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    frac = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
+        .localCheckpoint(eager=True)
+    )
+    has_out = out_w.select("src").withColumnRenamed("src", "node")
+
+    d0 = round(1.0 / s_count, 9)
+    nodes_d = (
+        nodes.join(seed_nodes.withColumn("__d", F.lit(d0)), "node", "left")
+        .select("node", F.coalesce(F.col("__d"), F.lit(0.0)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes_d.select("node", "d", F.col("d").alias("tr"))
+
+    for _ in range(iterations):
+        dangling = F.broadcast(
+            ranks.join(has_out, "node", "left_anti").agg(
+                F.coalesce(F.sum("tr"), F.lit(0.0)).alias("__mass")
+            )
+        )
+        contribs = (
+            frac.join(
+                ranks.select(F.col("node").alias("src"), "tr"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("tr") * F.col("frac"), 9).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            ranks.select("node", "d", F.col("tr").alias("__prev"))
+            .join(contribs, "node", "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                "d",
+                F.round(
+                    F.lit(1.0 - damping) * F.col("d")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.col("__mass") * F.col("d")
+                    ),
+                    9,
+                ).alias("tr"),
+                "__prev",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tol is not None:
+            delta = ranks.agg(
+                F.sum(F.abs(F.col("tr") - F.col("__prev"))).alias("d2")
+            ).first()["d2"]
+            if delta <= tol:
+                break
+    return ranks.select("node", "tr")
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Relative spam mass (Gyongyi, Berkhin, Garcia-Molina & Pedersen
+    2006, "Link spam detection based on mass estimation"): the fraction
+    of a node's PageRank NOT explained by trusted-seed flow,
+    ``rel_mass = (pr - tr) / pr`` over the same graph, iterations, and
+    damping. Both rank vectors sum to 1, so rel_mass ~ 1 flags nodes
+    whose authority comes entirely from untrusted (spam-suspect)
+    neighborhoods; ``spam_candidate`` applies ``threshold``.
+
+    Output: (node, pr, tr, rel_mass, spam_candidate), ranks at display
+    precision (6 dp) and the division evaluated ON the displayed values
+    so two engines agree bit-for-bit.
+    """
+    pr = pagerank(
+        edges,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=weight_col,
+        iterations=iterations,
+        damping=damping,
+    )
+    tr = trustrank(
+        edges,
+        seeds,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=weight_col,
+        iterations=iterations,
+        damping=damping,
+    )
+    pr6 = F.round(F.col("pr"), 6)
+    tr6 = F.round(F.col("tr"), 6)
+    rel = F.round((pr6 - tr6) / pr6, 6)
+    return (
+        pr.join(tr, "node")
+        .select(
+            "node",
+            pr6.alias("pr"),
+            tr6.alias("tr"),
+            rel.alias("rel_mass"),
+            (rel > F.lit(threshold)).alias("spam_candidate"),
+        )
+    )

@@ -432,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_feed_oracles())
     out.update(_tiling_oracles())
     out.update(_keyword_ocr_oracles())
+    out.update(_trustrank_oracles())
     return out
 
 
@@ -9707,3 +9708,118 @@ def _keyword_ocr_oracles() -> dict[str, str]:
         FROM flags GROUP BY 1
     """
     return {"rake_keywords": rake, "ocr_garbage_profile": ocr}
+
+
+def _trustrank_oracles(
+    iterations: int = 5, damping: float = 0.85
+) -> dict[str, str]:
+    """Unrolled TrustRank + spam-mass twins (ops/graph.trustrank,
+    spam_mass — Gyongyi et al. 2004/2006), mirroring the Spark ops'
+    9 dp in-iteration rounding term for term over the SAME deterministic
+    domain link graph the certified pagerank_domains row uses. Seeds =
+    the 4 lexicographically-smallest domains; dangling mass
+    redistributes along the seed teleport vector."""
+    prefix = """
+        WITH nsrc AS (SELECT count(DISTINCT source) AS n FROM documents),
+        edges0 AS (
+            SELECT source AS src,
+                   'src' || CAST(CAST(('0x' || substr(md5('link:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                 % (SELECT n FROM nsrc) AS VARCHAR) AS dst
+            FROM documents
+        ),
+        edges AS (
+            SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+            FROM edges0 GROUP BY src, dst
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION SELECT dst FROM edges
+            )
+        ),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+        frac AS (
+            SELECT e.src, e.dst, e.w / o.out_w AS frac
+            FROM edges e JOIN outw o USING (src)
+        ),
+        seeds AS (
+            SELECT DISTINCT source AS node FROM documents
+            ORDER BY node LIMIT 4
+        ),
+        sc AS (SELECT count(*) AS s FROM seeds JOIN nodes USING (node)),
+        nd AS (
+            SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN round(1.0 / (SELECT s FROM sc), 9)
+                        ELSE 0.0 END AS d
+            FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+        ),
+        t0 AS (SELECT node, d, d AS tr FROM nd)
+        """
+    t_iters = []
+    for k in range(1, iterations + 1):
+        t_iters.append(
+            f""",
+        t{k} AS (
+            SELECT n.node, n.d,
+                   round((1 - {damping}) * n.d
+                         + {damping} * (
+                               COALESCE(c.in_sum, 0)
+                               + (SELECT COALESCE(sum(tr), 0) FROM t{k - 1} p
+                                  LEFT JOIN outw o ON p.node = o.src
+                                  WHERE o.src IS NULL) * n.d
+                           ), 9) AS tr
+            FROM nd n LEFT JOIN (
+                SELECT f.dst AS node, sum(round(p.tr * f.frac, 9)) AS in_sum
+                FROM frac f JOIN t{k - 1} p ON f.src = p.node
+                GROUP BY f.dst
+            ) c ON n.node = c.node
+        )"""
+        )
+    p_iters = [
+        """,
+        p0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM nodes)
+        """
+    ]
+    for k in range(1, iterations + 1):
+        p_iters.append(
+            f""",
+        p{k} AS (
+            SELECT n.node,
+                   round((1 - {damping}) / (SELECT n FROM nn)
+                         + {damping} * (
+                               COALESCE(c.in_sum, 0)
+                               + (SELECT COALESCE(sum(pr), 0) FROM p{k - 1} p
+                                  LEFT JOIN outw o ON p.node = o.src
+                                  WHERE o.src IS NULL) / (SELECT n FROM nn)
+                           ), 9) AS pr
+            FROM nodes n LEFT JOIN (
+                SELECT f.dst AS node, sum(round(p.pr * f.frac, 9)) AS in_sum
+                FROM frac f JOIN p{k - 1} p ON f.src = p.node
+                GROUP BY f.dst
+            ) c ON n.node = c.node
+        )"""
+        )
+    trust = (
+        prefix
+        + "".join(t_iters)
+        + f"""
+        SELECT node AS domain, round(tr, 6) AS tr FROM t{iterations}
+        """
+    )
+    mass = (
+        prefix
+        + "".join(t_iters)
+        + "".join(p_iters)
+        + f"""
+        SELECT p.node AS domain,
+               round(p.pr, 6) AS pr,
+               round(t.tr, 6) AS tr,
+               round((round(p.pr, 6) - round(t.tr, 6))
+                     / round(p.pr, 6), 6) AS rel_mass,
+               round((round(p.pr, 6) - round(t.tr, 6))
+                     / round(p.pr, 6), 6) > 0.5 AS spam_candidate
+        FROM p{iterations} p JOIN t{iterations} t ON p.node = t.node
+        """
+    )
+    return {"trustrank_domains": trust, "spam_mass_domains": mass}

@@ -1,0 +1,108 @@
+"""Web-graph trust queries: TrustRank propagation and relative spam
+mass over the deterministic domain link graph (same md5-mod edge
+construction the certified ``pagerank_domains`` row uses). Oracles live
+in reader_spark/oracles.py under the same keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TR_ITERATIONS, TR_DAMPING, TR_SEEDS = 5, 0.85, 4
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _domain_edges(docs: DataFrame) -> DataFrame:
+    """The pagerank_domains link graph: each document links its source
+    domain to the domain picked by md5('link:'||doc_id) mod |domains|,
+    weighted by link count (no collect — the modulus joins as a 1-row
+    broadcast dim)."""
+    nsrc = docs.agg(F.countDistinct("source").alias("nsrc"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("link:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.crossJoin(F.broadcast(nsrc))
+        .select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("src"), F.pmod(h, F.col("nsrc")).cast("string")
+            ).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+
+
+def _seeds(docs: DataFrame) -> DataFrame:
+    # trusted seed dim: the TR_SEEDS lexicographically-smallest domains
+    # (deterministic; TakeOrdered over the bounded domain dim)
+    return (
+        docs.select(F.col("source").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(TR_SEEDS)
+    )
+
+
+def _q_trustrank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (ops.graph.trustrank, Gyongyi et al. VLDB 2004) over
+    the deterministic domain link graph: teleport biased to the 4
+    lexicographically-smallest domains, dangling mass redistributed
+    along the seed vector, 5 iterations at damping 0.85 with the same
+    per-iteration join + map-side-combined aggregate shape (and 9 dp
+    lockstep rounding) as the certified pagerank_domains row."""
+    from reader_spark.ops.graph import trustrank
+
+    docs = _read(spark, sf_dir, "documents")
+    out = trustrank(
+        _domain_edges(docs),
+        _seeds(docs),
+        weight_col="w",
+        iterations=TR_ITERATIONS,
+        damping=TR_DAMPING,
+    )
+    return out.select(
+        F.col("node").alias("domain"), F.round("tr", 6).alias("tr")
+    )
+
+
+def _q_spam_mass_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass (ops.graph.spam_mass, Gyongyi et al. 2006):
+    rel_mass = (pr - tr)/pr over the same graph/iterations/damping —
+    the fraction of each domain's PageRank not explained by trusted
+    flow; rel_mass > 0.5 flags spam candidates. Division evaluated on
+    the 6 dp display values so both engines agree bit-for-bit."""
+    from reader_spark.ops.graph import spam_mass
+
+    docs = _read(spark, sf_dir, "documents")
+    out = spam_mass(
+        _domain_edges(docs),
+        _seeds(docs),
+        weight_col="w",
+        iterations=TR_ITERATIONS,
+        damping=TR_DAMPING,
+        threshold=0.5,
+    )
+    return out.select(
+        F.col("node").alias("domain"),
+        "pr",
+        "tr",
+        "rel_mass",
+        "spam_candidate",
+    )
+
+
+QUERIES = {
+    "trustrank_domains": _q_trustrank_domains,
+    "spam_mass_domains": _q_spam_mass_domains,
+}

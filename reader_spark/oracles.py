@@ -433,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_tiling_oracles())
     out.update(_keyword_ocr_oracles())
     out.update(_trustrank_oracles())
+    out.update(_confusable_oracles())
     return out
 
 
@@ -9823,3 +9824,70 @@ def _trustrank_oracles(
         """
     )
     return {"trustrank_domains": trust, "spam_mass_domains": mass}
+
+
+def _confusable_oracles() -> dict[str, str]:
+    """DuckDB twins of ops/confusables (UTS #39 skeleton): the oracle
+    embeds the SAME confusable table, script classes, and planted spoof
+    literal the Spark ops use. Counts BIGINT-cast."""
+    from reader_spark.ops.confusables import (
+        CONFUSABLE_CLASS,
+        DST_CHARS,
+        FOREIGN_CLASS,
+        HOMOGLYPH_PLANT,
+        SRC_CHARS,
+    )
+
+    profile = f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN text || '{HOMOGLYPH_PLANT}' ELSE text
+                   END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, text, unnest(l) AS tok
+            FROM (SELECT doc_id, text,
+                         list_filter(string_split_regex(lower(text),
+                                     '\\s+'), x -> x <> '') AS l
+                  FROM planted)
+        ),
+        f AS (
+            SELECT doc_id, text, tok,
+                   regexp_matches(tok, '[a-z]')
+                       AND regexp_matches(tok, '{FOREIGN_CLASS}') AS mixed,
+                   regexp_matches(tok, '{CONFUSABLE_CLASS}') AS has_conf
+            FROM toks
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_mixed_script,
+               CAST(sum(CASE WHEN mixed AND has_conf THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_spoof_suspects,
+               CAST(max(len(lower(text))
+                        - len(regexp_replace(lower(text),
+                              '{CONFUSABLE_CLASS}', '', 'g')))
+                    AS BIGINT) AS n_confusable_chars,
+               max(md5(translate(lower(text), '{SRC_CHARS}',
+                                 '{DST_CHARS}'))) AS skeleton_md5
+        FROM f GROUP BY 1
+    """
+    pairs = f"""
+        WITH legit AS (SELECT DISTINCT source AS name FROM documents),
+        names AS (
+            SELECT name FROM legit
+            UNION
+            SELECT translate(name, 's', 'ѕ') FROM legit
+        ),
+        sk AS (
+            SELECT DISTINCT name,
+                   translate(lower(name), '{SRC_CHARS}', '{DST_CHARS}')
+                       AS skeleton
+            FROM names
+        )
+        SELECT a.skeleton, a.name AS name_a, b.name AS name_b
+        FROM sk a JOIN sk b
+          ON a.skeleton = b.skeleton AND a.name < b.name
+    """
+    return {"homoglyph_profile": profile, "domain_spoof_pairs": pairs}

@@ -1,6 +1,7 @@
-"""Text-mining queries (session-8 family): TextTiling segmentation,
-keyword extraction, OCR-garbage rules. Oracles live in
-reader_spark/oracles.py under the same keys."""
+"""Text-mining queries (session-8/9 family): TextTiling segmentation,
+keyword extraction, OCR-garbage rules, homoglyph/confusable spoof
+detection. Oracles live in reader_spark/oracles.py under the same
+keys."""
 
 from __future__ import annotations
 
@@ -73,9 +74,54 @@ def _q_ocr_garbage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ocr_garbage_profile(planted)
 
 
+def _q_homoglyph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document homoglyph spoof evidence (ops.confusables, UTS #39):
+    mixed-script token counts, spoof suspects (mixed script AND
+    confusable present), confusable char totals, and the md5 of the
+    UTS-skeleton transform. Docs with doc_id%5==0 get a planted
+    Cyrillic-spoof suffix; clean docs must profile zero. One token
+    explode + ONE doc-keyed aggregate."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.ops.confusables import (
+        HOMOGLYPH_PLANT,
+        homoglyph_profile,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(HOMOGLYPH_PLANT)),
+        ).otherwise(F.col("text")),
+    )
+    return homoglyph_profile(planted)
+
+
+def _q_domain_spoof_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skeleton-collision spoof pairs (ops.confusables.spoof_pairs):
+    every source domain gets a deterministic Cyrillic-s spoof twin; the
+    pair table groups names BY SKELETON and joins within collision
+    groups (equi-join, never all-pairs), recovering each (legit, spoof)
+    pair exactly once."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.ops.confusables import spoof_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    legit = docs.select(F.col("source").alias("name")).distinct()
+    spoofed = legit.select(
+        F.translate(F.col("name"), "s", "ѕ").alias("name")
+    )
+    return spoof_pairs(legit.unionByName(spoofed)).orderBy("skeleton")
+
+
 QUERIES = {
     "texttiling_gaps": _q_texttiling_gaps,
     "texttiling_segments": _q_texttiling_segments,
     "rake_keywords": _q_rake_keywords,
     "ocr_garbage_profile": _q_ocr_garbage_profile,
+    "homoglyph_profile": _q_homoglyph_profile,
+    "domain_spoof_pairs": _q_domain_spoof_pairs,
 }

@@ -79,6 +79,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_sitemap_ingest,
     _q_sentence_spans_dedup,
     _q_source_diversity,
+    _q_refresh_allocation,
     _q_source_quality_shrunk,
     _q_text_clusters,
     _q_token_entropy,
@@ -3972,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": _q_robots_parse,
         "cdx_merge": _q_cdx_merge,
         "semantic_delta": _q_semantic_delta,
+        "refresh_allocation": _q_refresh_allocation,
         "source_quality_shrunk": _q_source_quality_shrunk,
         **_TOKENIZE_QUERIES,
         **_EVAL_QUERIES,

@@ -434,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_keyword_ocr_oracles())
     out.update(_trustrank_oracles())
     out.update(_confusable_oracles())
+    out["refresh_allocation"] = _refresh_oracle()
     return out
 
 
@@ -9891,3 +9892,65 @@ def _confusable_oracles() -> dict[str, str]:
           ON a.skeleton = b.skeleton AND a.name < b.name
     """
     return {"homoglyph_profile": profile, "domain_spoof_pairs": pairs}
+
+
+def _refresh_oracle(budget: int = 600, max_slots: int = 8) -> str:
+    """DuckDB twin of ops/refresh.refresh_allocation over the
+    change_rate delta history: same lam_milli derivation, same
+    gain quantization (lam*1e15 div slot denominators), same
+    (gain DESC, doc_id ASC, k ASC) greedy selection and exact-integer
+    freshness. All integers BIGINT-cast."""
+    return f"""
+        WITH hist AS (
+            SELECT doc_id, unnest(range(8)) AS r
+            FROM (SELECT doc_id FROM documents)
+        ),
+        st AS (
+            SELECT doc_id, r,
+                   CASE WHEN doc_id % 3 = 0 AND r = doc_id % 8
+                            THEN 'added'
+                        WHEN (doc_id * (r + 1) + r * r) % 5 = 0
+                            THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM hist
+        ),
+        agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0
+                            END) AS BIGINT) AS x
+            FROM st WHERE status IN ('changed', 'unchanged')
+            GROUP BY 1
+        ),
+        pages AS (
+            SELECT doc_id, CAST(x * 1000 // n AS BIGINT) AS lam_milli
+            FROM agg WHERE CAST(x * 1000 // n AS BIGINT) > 0
+        ),
+        slots AS (
+            SELECT doc_id, lam_milli,
+                   unnest(range(1, {max_slots + 1})) AS k
+            FROM pages
+        ),
+        gains AS (
+            SELECT doc_id, lam_milli, k,
+                   CAST(lam_milli * 1000000000000000
+                        // ((1000 * k + lam_milli)
+                            * (1000 * (k - 1) + lam_milli))
+                        AS BIGINT) AS gain_q
+            FROM slots
+        ),
+        sel AS (
+            SELECT doc_id FROM gains
+            ORDER BY gain_q DESC, doc_id ASC, k ASC LIMIT {budget}
+        ),
+        alloc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS f_slots
+            FROM sel GROUP BY 1
+        )
+        SELECT p.doc_id, p.lam_milli,
+               CAST(COALESCE(a.f_slots, 0) AS BIGINT) AS f_slots,
+               CAST(CASE WHEN COALESCE(a.f_slots, 0) = 0 THEN 0
+                    ELSE 1000000000 * a.f_slots
+                         // (1000 * a.f_slots + p.lam_milli) END
+                    AS BIGINT) AS freshness_micro
+        FROM pages p LEFT JOIN alloc a USING (doc_id)
+    """

@@ -1058,6 +1058,46 @@ def _q_semantic_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_delta(docs, new)
 
 
+def _q_refresh_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-budget refresh allocation (ops.refresh.refresh_allocation,
+    Cho & Garcia-Molina 2003): greedy-optimal accesses-per-page for a
+    600-access budget over the SAME 8-round delta history change_rate
+    certifies, with lam_milli = changes*1000 div visits. Marginal gains
+    are exact integers (gain_q = lam*1e15 div slot denominators); the
+    budget selection is orderBy().limit() = TakeOrderedAndProject, and
+    the paper's abandon-the-hottest result falls out (gain_1 =
+    1/(1+lam)). Zero-change pages are never revisited."""
+    from reader_spark.ops.refresh import refresh_allocation
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    hist = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("r")
+    )
+    status = (
+        F.when(
+            (F.col("doc_id") % 3 == 0) & (F.col("r") == F.col("doc_id") % 8),
+            "added",
+        )
+        .when(
+            (F.col("doc_id") * (F.col("r") + 1) + F.col("r") * F.col("r")) % 5
+            == 0,
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    visited = hist.withColumn("status", status).where(
+        F.col("status").isin("changed", "unchanged")
+    )
+    pages = visited.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.sum((F.col("status") == "changed").cast("long")).alias("n_changes"),
+    ).select(
+        "doc_id",
+        F.expr("n_changes * 1000 div n_visits").cast("long").alias("lam_milli"),
+    )
+    return refresh_allocation(pages, budget=600, max_slots=8)
+
+
 def _q_source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-Bayes per-source quality rates (ops.shrinkage
     .shrunk_rates, Cestnik 1990 m-estimate): the Gopher gate's pass

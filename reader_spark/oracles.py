@@ -435,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_trustrank_oracles())
     out.update(_confusable_oracles())
     out["refresh_allocation"] = _refresh_oracle()
+    out.update(_quote_oracles())
     return out
 
 
@@ -9954,3 +9955,60 @@ def _refresh_oracle(budget: int = 600, max_slots: int = 8) -> str:
                     AS BIGINT) AS freshness_micro
         FROM pages p LEFT JOIN alloc a USING (doc_id)
     """
+
+
+def _quote_oracles() -> dict[str, str]:
+    """DuckDB twins of ops/quotes (quote_profile / quote_spans) over
+    the deterministically planted corpus — the oracle embeds the SAME
+    regex literals (RE2-compatible subset) and plant construction."""
+    from reader_spark.ops.quotes import ATTRIBUTED_RE, QUOTE_RE
+
+    planted = """
+        WITH p1 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' He said "'
+                             || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             || ' quoted span" done.'
+                        ELSE text END AS text
+            FROM documents
+        ),
+        planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 9 = 0
+                        THEN text || ' "plain extra"' ELSE text
+                   END AS text
+            FROM p1
+        )
+    """
+    profile = f"""{planted},
+        q AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(text, '{QUOTE_RE}', 1) AS l
+            FROM planted
+        )
+        SELECT doc_id,
+               CAST(len(l) AS BIGINT) AS n_quotes,
+               CAST(len(regexp_extract_all(text, '{ATTRIBUTED_RE}', 0))
+                    AS BIGINT) AS n_attributed,
+               CAST(COALESCE(list_sum(list_transform(l, x -> len(x))), 0)
+                    AS BIGINT) AS quote_chars,
+               CAST(CAST(COALESCE(list_sum(list_transform(l,
+                         x -> len(x))), 0) AS BIGINT) * 1000
+                    // greatest(len(text), 1) AS BIGINT) AS quote_milli
+        FROM q
+    """
+    spans = f"""{planted},
+        q AS (
+            SELECT doc_id, unnest(l) AS quote,
+                   unnest(range(len(l))) AS pos
+            FROM (SELECT doc_id,
+                         regexp_extract_all(text, '{QUOTE_RE}', 1) AS l
+                  FROM planted)
+        )
+        SELECT doc_id, CAST(pos AS INTEGER) AS quote_no, quote,
+               CAST(len(list_filter(string_split_regex(quote, '\\s+'),
+                                    x -> x <> '')) AS INTEGER) AS n_words
+        FROM q
+    """
+    return {"quote_profile": profile, "quote_spans": spans}

@@ -117,11 +117,61 @@ def _q_domain_spoof_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spoof_pairs(legit.unionByName(spoofed)).orderBy("skeleton")
 
 
+def _planted_quotes(docs: DataFrame) -> DataFrame:
+    """Deterministic quote plant: docs %3==0 get an attributed quote
+    whose content varies per doc (md5 prefix); docs %9==0 additionally
+    get a plain unattributed quote."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+    withsaid = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(' He said "'),
+            F.substring(F.md5(d.cast("string")), 1, 8),
+            F.lit(' quoted span" done.'),
+        ),
+    ).otherwise(F.col("text"))
+    out = docs.withColumn("text", withsaid)
+    return out.withColumn(
+        "text",
+        F.when(
+            d % 9 == 0, F.concat(F.col("text"), F.lit(' "plain extra"'))
+        ).otherwise(F.col("text")),
+    )
+
+
+def _q_quote_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dialogue-density profile (ops.quotes.quote_profile):
+    quote count, attributed-quote count (attribution verb within 40
+    chars of the opening quote), quoted chars, and the quoted share in
+    milli-units — pure per-row regex expressions, NO shuffle. Quotes
+    are planted deterministically (md5-varying content); clean docs
+    must profile zero."""
+    from reader_spark.ops.quotes import quote_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    return quote_profile(_planted_quotes(docs))
+
+
+def _q_quote_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-quote corpus table (ops.quotes.quote_spans): every
+    quoted span in document order with its word count — the attribution
+    /fact-checking substrate. Bounded posexplode per document."""
+    from reader_spark.ops.quotes import quote_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return quote_spans(_planted_quotes(docs))
+
+
 QUERIES = {
     "texttiling_gaps": _q_texttiling_gaps,
     "texttiling_segments": _q_texttiling_segments,
     "rake_keywords": _q_rake_keywords,
     "ocr_garbage_profile": _q_ocr_garbage_profile,
     "homoglyph_profile": _q_homoglyph_profile,
+    "quote_profile": _q_quote_profile,
+    "quote_spans": _q_quote_spans,
     "domain_spoof_pairs": _q_domain_spoof_pairs,
 }

@@ -436,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_confusable_oracles())
     out["refresh_allocation"] = _refresh_oracle()
     out.update(_quote_oracles())
+    out["crawl_trap_signals"] = _trap_oracle()
     return out
 
 
@@ -10012,3 +10013,87 @@ def _quote_oracles() -> dict[str, str]:
         FROM q
     """
     return {"quote_profile": profile, "quote_spans": spans}
+
+
+def _trap_oracle() -> str:
+    """DuckDB twin of ops/traps.trap_signals over the synthesized
+    trap/clean crawl ledger (same URL construction, same digest rule,
+    same milli signals and weighted score)."""
+    deep = "d/" * 9
+    return f"""
+        WITH e AS (
+            SELECT doc_id, source, unnest(range(3)) AS i FROM documents
+        ),
+        b AS (
+            SELECT doc_id, source, i,
+                   CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS trap,
+                   lpad(CAST((doc_id + i) % 12 + 1 AS VARCHAR), 2, '0')
+                       AS mm,
+                   substr(md5(CAST(doc_id AS VARCHAR) || '-'
+                              || CAST(i AS VARCHAR)), 1, 6) AS sid
+            FROM e
+        ),
+        crawl AS (
+            SELECT source AS host,
+                   CASE WHEN trap THEN
+                            'https://' || source || '.test/cal/2020-'
+                            || mm
+                            || CASE WHEN doc_id % 11 = 0
+                                    THEN '{deep}' ELSE '' END
+                            || '/?sid=' || sid
+                        ELSE 'https://' || source || '.test/p/'
+                             || CAST(doc_id AS VARCHAR) || '/'
+                             || CAST(i AS VARCHAR) END AS url,
+                   CASE WHEN trap THEN md5(source)
+                        ELSE md5(CAST(doc_id AS VARCHAR) || ':'
+                                 || CAST(i AS VARCHAR)) END AS digest
+            FROM b
+        ),
+        r AS (
+            SELECT host, digest,
+                   CASE WHEN position('?' IN url) > 0 THEN 1 ELSE 0
+                        END AS has_query,
+                   CASE WHEN regexp_matches(url,
+                        '/[0-9]{{4}}[-/][0-9]{{2}}') THEN 1 ELSE 0
+                        END AS has_date,
+                   CAST(len(url) - len(replace(url, '/', '')) - 2
+                        AS BIGINT) AS depth
+            FROM crawl
+        ),
+        pd AS (
+            SELECT host, digest, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(has_query) AS BIGINT) AS q,
+                   CAST(sum(has_date) AS BIGINT) AS d,
+                   max(depth) AS dep
+            FROM r GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT host, CAST(sum(n) AS BIGINT) AS n_urls,
+                   CAST(count(*) AS BIGINT) AS n_digests,
+                   CAST(sum(q) AS BIGINT) AS n_query,
+                   CAST(sum(d) AS BIGINT) AS n_date,
+                   max(dep) AS depth_max
+            FROM pd GROUP BY 1
+        ),
+        sig AS (
+            SELECT host, n_urls, n_digests,
+                   CAST((n_urls - n_digests) * 1000 // n_urls AS BIGINT)
+                       AS dup_milli,
+                   CAST(n_query * 1000 // n_urls AS BIGINT)
+                       AS query_milli,
+                   CAST(n_date * 1000 // n_urls AS BIGINT) AS date_milli,
+                   depth_max
+            FROM agg
+        )
+        SELECT host, n_urls, n_digests, dup_milli, query_milli,
+               date_milli, depth_max,
+               CAST((500 * dup_milli + 200 * query_milli
+                     + 150 * date_milli) // 1000
+                    + CASE WHEN depth_max >= 8 THEN 150 ELSE 0 END
+                    AS BIGINT) AS trap_milli,
+               ((500 * dup_milli + 200 * query_milli + 150 * date_milli)
+                 // 1000
+                + CASE WHEN depth_max >= 8 THEN 150 ELSE 0 END) >= 400
+                   AS trap_suspect
+        FROM sig
+    """

@@ -1098,6 +1098,58 @@ def _q_refresh_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refresh_allocation(pages, budget=600, max_slots=8)
 
 
+def _q_crawl_trap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-trap scoring (ops.traps.trap_signals, Mercator-
+    style heuristics): content-novelty gap, query-string share,
+    date-segment share, path depth, and the weighted trap score. The
+    synthesized ledger gives even-numbered hosts calendar/session-id
+    trap URLs all sharing ONE content digest (plus a deep-path variant
+    every 11th doc); odd hosts get unique clean URLs. Digests shuffle
+    in a (host, digest) pre-aggregate — never payloads."""
+    from reader_spark.ops.traps import trap_signals
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    e = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"),
+    )
+    d, i = F.col("doc_id"), F.col("i")
+    trap = F.substring("source", 4, 10).cast("long") % 2 == 0
+    mm = F.lpad(((d + i) % 12 + 1).cast("string"), 2, "0")
+    sid = F.substring(
+        F.md5(F.concat_ws("-", d.cast("string"), i.cast("string"))), 1, 6
+    )
+    deep = F.lit("d/" * 9)
+    trap_url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".test/cal/2020-"),
+        mm,
+        F.when((d % 11 == 0), deep).otherwise(F.lit("")),
+        F.lit("/?sid="),
+        sid,
+    )
+    norm_url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".test/p/"),
+        d.cast("string"),
+        F.lit("/"),
+        i.cast("string"),
+    )
+    crawl = e.select(
+        F.col("source").alias("host"),
+        F.when(trap, trap_url).otherwise(norm_url).alias("url"),
+        F.when(trap, F.md5(F.col("source")))
+        .otherwise(
+            F.md5(F.concat_ws(":", d.cast("string"), i.cast("string")))
+        )
+        .alias("digest"),
+    )
+    return trap_signals(crawl)
+
+
 def _q_source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-Bayes per-source quality rates (ops.shrinkage
     .shrunk_rates, Cestnik 1990 m-estimate): the Gopher gate's pass

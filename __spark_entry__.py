@@ -63,6 +63,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_cetr_classify,
     _q_change_rate,
     _q_crawl_trap_signals,
+    _q_url_templates,
     _q_content_aliases,
     _q_crawl_delta,
     _q_ensemble_extract,
@@ -3963,6 +3964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q_crawl_delta,
         "change_rate": _q_change_rate,
         "crawl_trap_signals": _q_crawl_trap_signals,
+        "url_templates": _q_url_templates,
         "anchor_corpus": _q_anchor_corpus,
         "section_rollup": _q_section_rollup,
         "url_variant_clusters": _q_url_variant_clusters,

@@ -437,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
     out["refresh_allocation"] = _refresh_oracle()
     out.update(_quote_oracles())
     out["crawl_trap_signals"] = _trap_oracle()
+    out["url_templates"] = _url_template_oracle()
     return out
 
 
@@ -10096,4 +10097,57 @@ def _trap_oracle() -> str:
                 + CASE WHEN depth_max >= 8 THEN 150 ELSE 0 END) >= 400
                    AS trap_suspect
         FROM sig
+    """
+
+
+def _url_template_oracle() -> str:
+    """DuckDB twin of ops/urltemplates.url_templates over the DUST
+    ledger (full-md5 session ids fold to {H}; digit runs to {N})."""
+    from reader_spark.ops.urltemplates import HEX_RE, NUM_RE, UUID_RE
+
+    return f"""
+        WITH e AS (
+            SELECT doc_id, source, unnest(range(3)) AS i FROM documents
+        ),
+        b AS (
+            SELECT doc_id, source, i,
+                   CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS trap,
+                   lpad(CAST((doc_id + i) % 12 + 1 AS VARCHAR), 2, '0')
+                       AS mm,
+                   md5(CAST(doc_id AS VARCHAR) || '-'
+                       || CAST(i AS VARCHAR)) AS sid
+            FROM e
+        ),
+        crawl AS (
+            SELECT source AS host,
+                   CASE WHEN trap THEN
+                            'https://' || source || '.test/cal/2020-'
+                            || mm || '/?sid=' || sid
+                        ELSE 'https://' || source || '.test/p/'
+                             || CAST(doc_id AS VARCHAR) || '/'
+                             || CAST(i AS VARCHAR) END AS url,
+                   CASE WHEN trap THEN md5(source)
+                        ELSE md5(CAST(doc_id AS VARCHAR) || ':'
+                                 || CAST(i AS VARCHAR)) END AS digest
+            FROM b
+        ),
+        t AS (
+            SELECT host, url, digest,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       lower(url), '{UUID_RE}', '{{U}}', 'g'),
+                       '{HEX_RE}', '{{H}}', 'g'),
+                       '{NUM_RE}', '{{N}}', 'g') AS template
+            FROM crawl
+        ),
+        pd AS (
+            SELECT host, template, digest,
+                   CAST(count(*) AS BIGINT) AS n, min(url) AS u
+            FROM t GROUP BY 1, 2, 3
+        )
+        SELECT host, template, CAST(sum(n) AS BIGINT) AS n_urls,
+               CAST(count(*) AS BIGINT) AS n_digests,
+               CAST((sum(n) - count(*)) * 1000 // sum(n) AS BIGINT)
+                   AS dup_milli,
+               min(u) AS sample_url
+        FROM pd GROUP BY 1, 2
     """

@@ -1150,6 +1150,53 @@ def _q_crawl_trap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trap_signals(crawl)
 
 
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST-rule mining (ops.urltemplates.url_templates, Bar-Yossef et
+    al. WWW 2007): URLs fold to typed templates (UUID/{U}, 16+ hex/{H},
+    digit runs/{N}); per-(host, template) novelty rollup exposes
+    session-id calendar URLs (one digest behind a {H} sid — dup_milli
+    near 1000) vs genuine /p/{N}/{N} content series (dup 0). Digests
+    shuffle in the pre-aggregate, never payloads."""
+    from reader_spark.ops.urltemplates import url_templates
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    e = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"),
+    )
+    d, i = F.col("doc_id"), F.col("i")
+    trap = F.substring("source", 4, 10).cast("long") % 2 == 0
+    mm = F.lpad(((d + i) % 12 + 1).cast("string"), 2, "0")
+    sid = F.md5(F.concat_ws("-", d.cast("string"), i.cast("string")))
+    trap_url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".test/cal/2020-"),
+        mm,
+        F.lit("/?sid="),
+        sid,
+    )
+    norm_url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".test/p/"),
+        d.cast("string"),
+        F.lit("/"),
+        i.cast("string"),
+    )
+    crawl = e.select(
+        F.col("source").alias("host"),
+        F.when(trap, trap_url).otherwise(norm_url).alias("url"),
+        F.when(trap, F.md5(F.col("source")))
+        .otherwise(
+            F.md5(F.concat_ws(":", d.cast("string"), i.cast("string")))
+        )
+        .alias("digest"),
+    )
+    return url_templates(crawl)
+
+
 def _q_source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-Bayes per-source quality rates (ops.shrinkage
     .shrunk_rates, Cestnik 1990 m-estimate): the Gopher gate's pass

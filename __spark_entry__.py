@@ -62,6 +62,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_cdx_merge,
     _q_cetr_classify,
     _q_change_rate,
+    _q_crawl_priority,
     _q_crawl_trap_signals,
     _q_url_templates,
     _q_content_aliases,
@@ -3963,6 +3964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cetr_classify": _q_cetr_classify,
         "crawl_delta": _q_crawl_delta,
         "change_rate": _q_change_rate,
+        "crawl_priority": _q_crawl_priority,
         "crawl_trap_signals": _q_crawl_trap_signals,
         "url_templates": _q_url_templates,
         "anchor_corpus": _q_anchor_corpus,

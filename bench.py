@@ -210,6 +210,15 @@ BENCH_QUERIES = (
     "feed_ingest",
     "texttiling_gaps",
     "texttiling_segments",
+    "rake_keywords",
+    "ocr_garbage_profile",
+    "trustrank_domains",
+    "spam_mass_domains",
+    "homoglyph_profile",
+    "refresh_allocation",
+    "quote_profile",
+    "crawl_trap_signals",
+    "url_templates",
 )
 
 

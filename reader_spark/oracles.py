@@ -438,6 +438,44 @@ def oracle_sql() -> dict[str, str]:
     out.update(_quote_oracles())
     out["crawl_trap_signals"] = _trap_oracle()
     out["url_templates"] = _url_template_oracle()
+    # composed crawl-scheduling priority: the three certified layers
+    # (quality shrinkage, change-rate mean, trap score) joined on the
+    # host dim -- each CTE is the exact oracle body already certified.
+    out["crawl_priority"] = f"""
+        WITH q AS ({out["source_quality_shrunk"]}),
+        t AS ({out["crawl_trap_signals"]}),
+        hist2 AS (
+            SELECT doc_id, source, unnest(range(8)) AS r FROM documents
+        ),
+        st2 AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 3 = 0 AND r = doc_id % 8
+                            THEN 'added'
+                        WHEN (doc_id * (r + 1) + r * r) % 5 = 0
+                            THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM hist2
+        ),
+        pd2 AS (
+            SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0
+                            END) AS BIGINT) AS x
+            FROM st2 WHERE status IN ('changed', 'unchanged')
+            GROUP BY 1, 2
+        ),
+        lam AS (
+            SELECT source,
+                   CAST(sum(x * 1000 // n) // count(*) AS BIGINT)
+                       AS lam_mean_milli
+            FROM pd2 GROUP BY 1
+        )
+        SELECT q.source, q.shrunk_milli, lam.lam_mean_milli,
+               t.trap_milli,
+               CAST(((q.shrunk_milli * lam.lam_mean_milli) // 1000
+                     * (1000 - least(t.trap_milli, 1000))) // 1000
+                    AS BIGINT) AS priority_milli
+        FROM q JOIN lam USING (source) JOIN t ON t.host = q.source
+    """
     return out
 
 

@@ -1098,18 +1098,12 @@ def _q_refresh_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refresh_allocation(pages, budget=600, max_slots=8)
 
 
-def _q_crawl_trap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-host crawl-trap scoring (ops.traps.trap_signals, Mercator-
-    style heuristics): content-novelty gap, query-string share,
-    date-segment share, path depth, and the weighted trap score. The
-    synthesized ledger gives even-numbered hosts calendar/session-id
-    trap URLs all sharing ONE content digest (plus a deep-path variant
-    every 11th doc); odd hosts get unique clean URLs. Digests shuffle
-    in a (host, digest) pre-aggregate — never payloads."""
-    from reader_spark.ops.traps import trap_signals
-
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
-    e = docs.select(
+def _trap_ledger(docs: DataFrame) -> DataFrame:
+    """The synthesized trap/clean crawl ledger shared by
+    crawl_trap_signals and crawl_priority: even-numbered hosts get
+    calendar/session-id URLs all sharing ONE content digest (deep-path
+    variant every 11th doc); odd hosts get unique clean URLs."""
+    e = docs.select("doc_id", "source").select(
         "doc_id",
         "source",
         F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"),
@@ -1147,7 +1141,19 @@ def _q_crawl_trap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("digest"),
     )
-    return trap_signals(crawl)
+    return crawl
+
+
+def _q_crawl_trap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-trap scoring (ops.traps.trap_signals, Mercator-
+    style heuristics): content-novelty gap, query-string share,
+    date-segment share, path depth, and the weighted trap score over
+    the synthesized trap/clean ledger (see _trap_ledger). Digests
+    shuffle in a (host, digest) pre-aggregate — never payloads."""
+    from reader_spark.ops.traps import trap_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    return trap_signals(_trap_ledger(docs))
 
 
 def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,6 +1201,81 @@ def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digest"),
     )
     return url_templates(crawl)
+
+
+def _q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-scheduling priority per host: the three certified
+    signal layers joined on the host dim — m-estimate quality
+    (source_quality_shrunk), mean Cho-2003 change rate over the host's
+    docs (change_rate history), and the trap score (crawl_trap_signals)
+    — folded into one exact-integer priority:
+    ``priority_milli = quality * lam_mean div 1000 * (1000 - trap) div
+    1000`` (crawl hosts that are good, churning, and not traps). All
+    joins are on the bounded host dim; each layer keeps its certified
+    plan shape."""
+    from reader_spark.ops.shrinkage import shrunk_rates
+    from reader_spark.ops.textstats import gopher_quality_columns
+    from reader_spark.ops.traps import trap_signals
+
+    docs = _read(spark, sf_dir, "documents")
+
+    # layer 1: quality (identical to source_quality_shrunk)
+    flags = gopher_quality_columns(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("gopher_pass").cast("int").alias("is_good")
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    quality = shrunk_rates(flags, group_col="source", prior_strength=100)
+
+    # layer 2: mean change rate per host (identical per-doc lam_milli
+    # derivation to refresh_allocation)
+    hist = docs.select(
+        "doc_id", "source",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("r"),
+    )
+    status = (
+        F.when(
+            (F.col("doc_id") % 3 == 0) & (F.col("r") == F.col("doc_id") % 8),
+            "added",
+        )
+        .when(
+            (F.col("doc_id") * (F.col("r") + 1) + F.col("r") * F.col("r")) % 5
+            == 0,
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    visited = hist.withColumn("status", status).where(
+        F.col("status").isin("changed", "unchanged")
+    )
+    per_doc = visited.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("status") == "changed").cast("long")).alias("x"),
+    ).select(
+        "source", F.expr("x * 1000 div n").cast("long").alias("lam")
+    )
+    lam = per_doc.groupBy("source").agg(
+        F.expr("sum(lam) div count(*)").cast("long").alias("lam_mean_milli")
+    )
+
+    # layer 3: trap score (identical ledger to crawl_trap_signals)
+    traps = trap_signals(_trap_ledger(docs)).select("host", "trap_milli")
+
+    joined = (
+        quality.select("source", "shrunk_milli")
+        .join(lam, "source")
+        .join(traps.withColumnRenamed("host", "source"), "source")
+    )
+    return joined.select(
+        "source",
+        "shrunk_milli",
+        "lam_mean_milli",
+        "trap_milli",
+        F.expr(
+            "((shrunk_milli * lam_mean_milli) div 1000"
+            " * (1000 - least(trap_milli, 1000))) div 1000"
+        )
+        .cast("long")
+        .alias("priority_milli"),
+    )
 
 
 def _q_source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,3 +82,29 @@ def test_registry_and_plan(spark):
             assert r["trap_suspect"], host
         else:
             assert not r["trap_suspect"], host
+
+
+def test_crawl_priority_composition(spark):
+    """The composed flagship joins the three certified layers; traps
+    must zero out (or heavily damp) even-host priority."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    assert "crawl_priority" in qs
+    assert "crawl_priority" in entrymod.oracle_sql()
+    rows = {
+        r["source"]: r
+        for r in qs["crawl_priority"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) == 20
+    for source, r in rows.items():
+        expected = (
+            (r["shrunk_milli"] * r["lam_mean_milli"]) // 1000
+            * (1000 - min(r["trap_milli"], 1000))
+        ) // 1000
+        assert r["priority_milli"] == expected, source
+        if int(source[3:]) % 2 == 0:  # planted trap hosts
+            assert r["trap_milli"] >= 400
+            assert r["priority_milli"] <= expected  # damped

@@ -31,6 +31,7 @@ from reader_spark.queries.arena import QUERIES as _ARENA_QUERIES  # noqa: E402
 from reader_spark.queries.discovery import QUERIES as _DISCOVERY_QUERIES  # noqa: E402
 from reader_spark.queries.mining import QUERIES as _MINING_QUERIES  # noqa: E402
 from reader_spark.queries.webgraph import QUERIES as _WEBGRAPH_QUERIES  # noqa: E402
+from reader_spark.queries.lm import QUERIES as _LM_QUERIES  # noqa: E402
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3995,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_DISCOVERY_QUERIES,
         **_MINING_QUERIES,
         **_WEBGRAPH_QUERIES,
+        **_LM_QUERIES,
     })
 
 

@@ -476,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS priority_milli
         FROM q JOIN lam USING (source) JOIN t ON t.host = q.source
     """
+    out.update(_kneser_oracles())
     return out
 
 
@@ -10189,3 +10190,77 @@ def _url_template_oracle() -> str:
                min(u) AS sample_url
         FROM pd GROUP BY 1, 2
     """
+
+
+def _kneser_oracles(discount_milli: int = 750) -> dict[str, str]:
+    """Twins of ops/kneser (interpolated Kneser-Ney bigram, Chen &
+    Goodman 1999 eq. 4.27): the SAME tokenizer and bigram CTEs as the
+    certified bigram_lm row, probabilities as the SAME two exact
+    integers num/den, one double division + log2, round-9 nano-unit
+    sums, integer 6 dp reduction."""
+    from reader_spark.queries.lm import KN_DISCOUNT_MILLI
+
+    d = int(KN_DISCOUNT_MILLI) if discount_milli == 750 else int(discount_milli)
+    per_doc = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS l
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+            FROM d
+        ),
+        b AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+        c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM b GROUP BY 1, 2),
+        lft AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1,
+                       CAST(count(DISTINCT w2) AS BIGINT) AS t1
+                FROM b GROUP BY 1),
+        rgt AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS n2
+                FROM b GROUP BY 1),
+        tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM c12),
+        s AS (
+            SELECT b.doc_id,
+                   CAST(round(-log2(
+                       CAST((1000 * c12.c12 - {d}) * tt.tt
+                            + {d} * lft.t1 * rgt.n2 AS DOUBLE)
+                       / CAST(1000 * lft.c1 * tt.tt AS DOUBLE)) * 1e9)
+                       AS BIGINT) AS u
+            FROM b JOIN c12 USING (w1, w2) JOIN lft USING (w1)
+                   JOIN rgt USING (w2) CROSS JOIN tt
+        ),
+        p AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   sum(u) AS s
+            FROM s GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CASE WHEN p.n_bigrams > 0
+                    THEN ((p.s + (p.n_bigrams * 1000) // 2)
+                          // (p.n_bigrams * 1000)) / 1000000.0
+               END AS kn_nll_bits
+        FROM d LEFT JOIN p USING (doc_id)
+    """
+    by_source = f"""
+        WITH kn AS ({per_doc}),
+        j AS (
+            SELECT doc.source, kn.n_bigrams,
+                   CAST(round(kn.kn_nll_bits * 1e6) AS BIGINT) AS u,
+                   CASE WHEN kn.kn_nll_bits IS NOT NULL
+                        THEN 1 ELSE 0 END AS ok
+            FROM documents doc JOIN kn USING (doc_id)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ok) AS BIGINT) AS n_scored,
+               CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+               CASE WHEN sum(ok) > 0
+                    THEN ((sum(u) + sum(ok) // 2) // sum(ok)) / 1000000.0
+               END AS mean_nll_bits
+        FROM j GROUP BY source
+    """
+    return {"kneser_ney_bigram": per_doc, "kneser_ney_by_source": by_source}

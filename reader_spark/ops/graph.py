@@ -494,3 +494,78 @@ def spam_mass(
             (rel > F.lit(threshold)).alias("spam_candidate"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan, Albert &
+    Kumara 2007, "Near linear time algorithm to detect community
+    structures") — the community sibling of connected_components: CC
+    answers "reachable at all" (one bridge edge merges two host
+    clusters), LPA answers "densely knit" (a single bridge between two
+    tight communities loses the vote), which is what mirror-farm /
+    link-ring grouping over the domain graph actually wants.
+
+    The paper breaks vote ties randomly and updates asynchronously;
+    both are non-reproducible, so this is the SYNCHRONOUS variant with
+    the house election: every node starts as its own label, each round
+    every node adopts the (count DESC, label ASC)-winning label among
+    its neighbours PLUS itself (the self-vote is the standard
+    oscillation damper for synchronous LPA on bipartite-ish stars), and
+    a fixed iteration count makes the output a pure function of the
+    graph. Labels are node ids, so ordering is engine-portable string
+    order.
+
+    Shape at 100 TB: the edge list is symmetrized once and reused; each
+    round is one equi-join (labels onto neighbour endpoints), one
+    map-side-combined groupBy(node, label), and the two-stage
+    max-count/min-label election — every shuffle keyed by node, no
+    windows, no driver-side graph; lineage truncated per round with
+    localCheckpoint (the pagerank discipline).
+
+    Returns (node, community).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+            )
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        neigh = e.join(
+            labels.select(
+                F.col("node").alias("b"), F.col("label")
+            ),
+            "b",
+        ).select(F.col("a").alias("node"), "label")
+        votes = neigh.union(labels.select("node", "label"))
+        counts = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        mx = counts.groupBy("node").agg(F.max("c").alias("mc"))
+        labels = (
+            counts.join(mx, "node")
+            .where(F.col("c") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -477,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
         FROM q JOIN lam USING (source) JOIN t ON t.host = q.source
     """
     out.update(_kneser_oracles())
+    out.update(_lpa_oracles())
     return out
 
 
@@ -10264,3 +10265,71 @@ def _kneser_oracles(discount_milli: int = 750) -> dict[str, str]:
         FROM j GROUP BY source
     """
     return {"kneser_ney_bigram": per_doc, "kneser_ney_by_source": by_source}
+
+
+def _lpa_oracles() -> dict[str, str]:
+    """Unrolled twins of ops/graph.label_propagation (Raghavan et al.
+    2007, synchronous deterministic variant) over the planted-partition
+    doc graph the webgraph queries build: same symmetrize/self-vote/
+    (count desc, label asc) election, one CTE block per round."""
+    from reader_spark.queries.webgraph import (
+        LPA_BRIDGE_EVERY,
+        LPA_GROUPS,
+        LPA_ITERATIONS,
+    )
+
+    parts = [
+        f"""
+        WITH e0 AS (
+            SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                   'd' || CAST(doc_id % {LPA_GROUPS} AS VARCHAR) AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'd' || CAST(doc_id AS VARCHAR),
+                   'd' || CAST((doc_id + 1) % {LPA_GROUPS} AS VARCHAR)
+            FROM documents WHERE doc_id % {LPA_BRIDGE_EVERY} = 0
+        ),
+        e AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM e0
+                UNION ALL
+                SELECT dst AS a, src AS b FROM e0
+            ) WHERE a <> b
+        ),
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM e)"""
+    ]
+    for k in range(1, LPA_ITERATIONS + 1):
+        parts.append(
+            f""",
+        v{k} AS (
+            SELECT e.a AS node, l.label
+            FROM e JOIN l{k - 1} l ON e.b = l.node
+            UNION ALL
+            SELECT node, label FROM l{k - 1}
+        ),
+        c{k} AS (
+            SELECT node, label, count(*) AS c FROM v{k} GROUP BY 1, 2
+        ),
+        m{k} AS (SELECT node, max(c) AS mc FROM c{k} GROUP BY 1),
+        l{k} AS (
+            SELECT c.node, min(c.label) AS label
+            FROM c{k} c JOIN m{k} m
+                 ON c.node = m.node AND c.c = m.mc
+            GROUP BY 1
+        )"""
+        )
+    prefix = "".join(parts)
+    final = LPA_ITERATIONS
+    per_node = (
+        prefix
+        + f"\n        SELECT node, label AS community FROM l{final}"
+    )
+    sizes = (
+        prefix
+        + f"""
+        SELECT label AS community,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               min(node) AS min_node
+        FROM l{final} GROUP BY label"""
+    )
+    return {"lpa_communities": per_node, "lpa_community_sizes": sizes}

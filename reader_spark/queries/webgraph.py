@@ -102,7 +102,63 @@ def _q_spam_mass_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITERATIONS, LPA_GROUPS, LPA_BRIDGE_EVERY = 4, 8, 97
+
+
+def _lpa_edges(docs: DataFrame) -> DataFrame:
+    """Planted-partition doc graph for the community queries: each doc
+    node stars to its residue-class anchor d(doc_id mod 8), and every
+    97th doc bridges to the NEXT class's anchor — sparse cross-links a
+    density-blind connected-components pass would merge but a vote-based
+    community pass must not. Self-loop star rows (the anchors
+    themselves) are dropped inside the op."""
+    d = F.col("doc_id").cast("long")
+    node = F.concat(F.lit("d"), d.cast("string"))
+    stars = docs.select(
+        node.alias("src"),
+        F.concat(
+            F.lit("d"), F.pmod(d, F.lit(LPA_GROUPS)).cast("string")
+        ).alias("dst"),
+    )
+    bridges = docs.where(d % LPA_BRIDGE_EVERY == 0).select(
+        node.alias("src"),
+        F.concat(
+            F.lit("d"), F.pmod(d + 1, F.lit(LPA_GROUPS)).cast("string")
+        ).alias("dst"),
+    )
+    return stars.union(bridges)
+
+
+def _q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (ops.graph.
+    label_propagation, Raghavan et al. 2007) over the planted-partition
+    doc graph: 4 rounds of self-vote + neighbour-vote with the
+    (count desc, label asc) election — per-node community assignments.
+    Every shuffle node-keyed; lineage localCheckpoint-truncated per
+    round."""
+    from reader_spark.ops.graph import label_propagation
+
+    docs = _read(spark, sf_dir, "documents")
+    return label_propagation(_lpa_edges(docs), iterations=LPA_ITERATIONS)
+
+
+def _q_lpa_community_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-size rollup of the same LPA assignment — the
+    mirror-farm / link-ring size profile (one map-side-combined
+    groupBy over the per-node table)."""
+    from reader_spark.ops.graph import label_propagation
+
+    docs = _read(spark, sf_dir, "documents")
+    out = label_propagation(_lpa_edges(docs), iterations=LPA_ITERATIONS)
+    return out.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+    )
+
+
 QUERIES = {
     "trustrank_domains": _q_trustrank_domains,
     "spam_mass_domains": _q_spam_mass_domains,
+    "lpa_communities": _q_lpa_communities,
+    "lpa_community_sizes": _q_lpa_community_sizes,
 }

@@ -256,3 +256,56 @@ class TestTriangles:
         for n in nodes:
             if n in got:
                 assert got[n].n_triangles == want[n], n
+
+
+class TestLabelPropagation:
+    """Deterministic synchronous LPA (Raghavan et al. 2007 variant)."""
+
+    def _lpa(self, spark, edges, iterations=4):
+        from reader_spark.ops.graph import label_propagation
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {
+            r["node"]: r["community"]
+            for r in label_propagation(df, iterations=iterations).collect()
+        }
+
+    def test_two_triangles_one_bridge_stay_separate(self, spark):
+        # CC would merge everything through the bridge; the vote must
+        # keep the two dense triangles as distinct communities.
+        tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+        tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+        got = self._lpa(spark, tri1 + tri2 + [("c", "x")])
+        assert got["a"] == got["b"] == got["c"] == "a"
+        assert got["x"] == got["y"] == got["z"] == "x"
+
+    def test_star_converges_to_anchor_min_label(self, spark):
+        # self-vote + min-label election: round 1 already settles a
+        # star on the lexicographic min of {anchor, leaves}.
+        got = self._lpa(
+            spark, [("m", "p"), ("m", "q"), ("m", "r")], iterations=1
+        )
+        assert set(got.values()) == {"m"}
+
+    def test_self_loops_and_direction_ignored(self, spark):
+        got = self._lpa(spark, [("a", "a"), ("b", "a"), ("a", "b")])
+        assert got == {"a": "a", "b": "a"}
+
+    def test_iterations_validated(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.graph import label_propagation
+
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with _pytest.raises(ValueError):
+            label_propagation(df, iterations=0)
+
+    def test_registry_and_oracle(self, spark):
+        import __spark_entry__ as entrymod
+
+        df = entrymod.queries()["lpa_communities"](
+            spark, "/root/testdata/sf0.001"
+        )
+        assert df.columns == ["node", "community"]
+        o = entrymod.oracle_sql()
+        assert "lpa_communities" in o and "lpa_community_sizes" in o

@@ -32,6 +32,7 @@ from reader_spark.queries.discovery import QUERIES as _DISCOVERY_QUERIES  # noqa
 from reader_spark.queries.mining import QUERIES as _MINING_QUERIES  # noqa: E402
 from reader_spark.queries.webgraph import QUERIES as _WEBGRAPH_QUERIES  # noqa: E402
 from reader_spark.queries.lm import QUERIES as _LM_QUERIES  # noqa: E402
+from reader_spark.queries.linkage import QUERIES as _LINKAGE_QUERIES  # noqa: E402
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3997,6 +3998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_MINING_QUERIES,
         **_WEBGRAPH_QUERIES,
         **_LM_QUERIES,
+        **_LINKAGE_QUERIES,
     })
 
 

@@ -478,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out.update(_kneser_oracles())
     out.update(_lpa_oracles())
+    out.update(_linkage_oracles())
     return out
 
 
@@ -10333,3 +10334,103 @@ def _lpa_oracles() -> dict[str, str]:
         FROM l{final} GROUP BY label"""
     )
     return {"lpa_communities": per_node, "lpa_community_sizes": sizes}
+
+
+def _linkage_oracles() -> dict[str, str]:
+    """Twins of ops/linkage (Fellegi-Sunter 1969 + Newcombe blocking)
+    over the same drifted-twin construction: identical field
+    derivations, the SAME integer milli-bit weights (imported from
+    fs_weights — one log2 site, two engines), same thresholds."""
+    from reader_spark.ops.linkage import (
+        DEFAULT_LOWER_MILLI,
+        DEFAULT_PARAMS,
+        DEFAULT_UPPER_MILLI,
+        fs_weights,
+    )
+    from reader_spark.queries.linkage import LEN_BUCKET
+
+    w = fs_weights(DEFAULT_PARAMS)
+    (wa1, wd1), (wa2, wd2), (wa3, wd3) = (
+        w["name"],
+        w["host"],
+        w["len_bucket"],
+    )
+    pairs = f"""
+        WITH r AS (
+            SELECT CAST(doc_id AS BIGINT) AS did,
+                   coalesce(list_filter(string_split_regex(lower(text),
+                       '[^a-z]+'), x -> x <> '')[1], 'none') AS name,
+                   source AS host,
+                   CAST(n_chars // {LEN_BUCKET} AS BIGINT) AS len_bucket
+            FROM documents
+        ),
+        fa AS (
+            SELECT 'a' || CAST(did AS VARCHAR) AS rid, name, host,
+                   len_bucket,
+                   substr(name, 1, 1) || '-'
+                       || CAST(len_bucket AS VARCHAR) AS block
+            FROM r
+        ),
+        b0 AS (
+            SELECT did,
+                   CASE WHEN did % 4 = 1 THEN name || 'x'
+                        WHEN did % 4 = 3 THEN 'zz' || name
+                        ELSE name END AS name,
+                   CASE WHEN did % 4 IN (2, 3) THEN 'm-' || host
+                        ELSE host END AS host,
+                   len_bucket
+            FROM r
+        ),
+        fb AS (
+            SELECT 'b' || CAST(did AS VARCHAR) AS rid, name, host,
+                   len_bucket,
+                   substr(name, 1, 1) || '-'
+                       || CAST(len_bucket AS VARCHAR) AS block
+            FROM b0
+        ),
+        p AS (
+            SELECT fa.rid AS rid_a, fb.rid AS rid_b,
+                   (fa.name IS NOT DISTINCT FROM fb.name) AS g1,
+                   (fa.host IS NOT DISTINCT FROM fb.host) AS g2,
+                   (fa.len_bucket IS NOT DISTINCT FROM fb.len_bucket)
+                       AS g3
+            FROM fa JOIN fb ON fa.block = fb.block
+        ),
+        s AS (
+            SELECT rid_a, rid_b,
+                   (CASE WHEN g1 THEN '1' ELSE '0' END)
+                   || (CASE WHEN g2 THEN '1' ELSE '0' END)
+                   || (CASE WHEN g3 THEN '1' ELSE '0' END) AS gamma,
+                   CAST((CASE WHEN g1 THEN {wa1} ELSE {wd1} END)
+                        + (CASE WHEN g2 THEN {wa2} ELSE {wd2} END)
+                        + (CASE WHEN g3 THEN {wa3} ELSE {wd3} END)
+                        AS BIGINT) AS score_milli
+            FROM p
+        )
+        SELECT rid_a, rid_b, gamma, score_milli,
+               CASE WHEN score_milli >= {DEFAULT_UPPER_MILLI} THEN 'link'
+                    WHEN score_milli >= {DEFAULT_LOWER_MILLI}
+                        THEN 'possible'
+                    ELSE 'non_link' END AS decision
+        FROM s
+    """
+    profile = f"""
+        WITH pr AS ({pairs})
+        SELECT gamma, decision,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(min(score_milli) AS BIGINT) AS score_milli,
+               min(score_milli) = max(score_milli) AS uniform
+        FROM pr GROUP BY gamma, decision
+    """
+    ev = f"""
+        WITH pr AS ({pairs})
+        SELECT decision,
+               substr(rid_a, 2) = substr(rid_b, 2) AS is_true_match,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pr GROUP BY 1, 2
+    """
+    return {
+        "fs_linkage_pairs": pairs,
+        "fs_linkage_profile": profile,
+        "fs_linkage_eval": ev,
+    }

@@ -33,6 +33,7 @@ from reader_spark.queries.mining import QUERIES as _MINING_QUERIES  # noqa: E402
 from reader_spark.queries.webgraph import QUERIES as _WEBGRAPH_QUERIES  # noqa: E402
 from reader_spark.queries.lm import QUERIES as _LM_QUERIES  # noqa: E402
 from reader_spark.queries.linkage import QUERIES as _LINKAGE_QUERIES  # noqa: E402
+from reader_spark.queries.hosts import QUERIES as _HOSTS_QUERIES  # noqa: E402
 from reader_spark.queries.interleaved import (  # noqa: E402
     _q_audio_hk_neardup,
     _q_caption_alignment,
@@ -3999,6 +4000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WEBGRAPH_QUERIES,
         **_LM_QUERIES,
         **_LINKAGE_QUERIES,
+        **_HOSTS_QUERIES,
     })
 
 

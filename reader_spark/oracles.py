@@ -479,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_kneser_oracles())
     out.update(_lpa_oracles())
     out.update(_linkage_oracles())
+    out.update(_psl_oracles())
     return out
 
 
@@ -10434,3 +10435,86 @@ def _linkage_oracles() -> dict[str, str]:
         "fs_linkage_profile": profile,
         "fs_linkage_eval": ev,
     }
+
+
+def _psl_oracles() -> dict[str, str]:
+    """Twins of ops/psl.registrable_domain (publicsuffix.org
+    algorithm) over the same host fixture: identical rule literals
+    (imported from MINI_PSL — one table, two engines), same candidate
+    explode, same exception-beats-all packed election, same default
+    rule."""
+    from reader_spark.ops.psl import MAX_LABELS, MINI_PSL
+
+    rules = ", ".join(f"('{r}', {k})" for r, k in MINI_PSL)
+    per_host = f"""
+        WITH h AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE
+                     WHEN doc_id % 6 = 0 THEN
+                       CASE WHEN doc_id % 100 = 42 THEN 'co.uk'
+                            ELSE 'www.ex' || CAST(doc_id % 40 AS VARCHAR)
+                                 || '.co.uk' END
+                     WHEN doc_id % 6 = 1 THEN
+                       'blog.ex' || CAST(doc_id % 40 AS VARCHAR) || '.com'
+                     WHEN doc_id % 6 = 2 THEN
+                       'a.b.ex' || CAST(doc_id % 40 AS VARCHAR) || '.ck'
+                     WHEN doc_id % 6 = 3 THEN
+                       'user' || CAST(doc_id AS VARCHAR) || '.github.io'
+                     WHEN doc_id % 6 = 4 THEN
+                       CASE WHEN doc_id % 4 = 0 THEN 'www.ck'
+                            ELSE 'sub.www.ck' END
+                     ELSE 'ex' || CAST(doc_id % 40 AS VARCHAR)
+                          || '.unknowntld'
+                   END AS host
+            FROM documents
+        ),
+        rules(rule, kind) AS (VALUES {rules}),
+        hh AS (SELECT DISTINCT host FROM h
+               WHERE host IS NOT NULL AND host <> ''),
+        c AS (
+            SELECT host, len(string_split(host, '.')) AS n,
+                   unnest(range(1, least(len(string_split(host, '.')),
+                                         {MAX_LABELS}) + 1)) AS i
+            FROM hh
+        ),
+        cs AS (
+            SELECT host, n, i,
+                   array_to_string(
+                       string_split(host, '.')[n - i + 1:n], '.') AS sfx,
+                   CASE WHEN i > 1 THEN array_to_string(
+                       string_split(host, '.')[n - i + 2:n], '.') END AS par
+            FROM c
+        ),
+        m AS (
+            SELECT cs.host,
+                   max(CASE WHEN r.kind = 2 THEN 1000 + (cs.i - 1)
+                            ELSE cs.i END) AS pk
+            FROM cs JOIN rules r
+                 ON (r.kind = 0 AND r.rule = cs.sfx)
+                 OR (r.kind = 1 AND r.rule = cs.par)
+                 OR (r.kind = 2 AND r.rule = cs.sfx)
+            GROUP BY cs.host
+        ),
+        f AS (
+            SELECT hh.host, coalesce(m.pk % 1000, 1) AS ps,
+                   len(string_split(hh.host, '.')) AS n
+            FROM hh LEFT JOIN m ON hh.host = m.host
+        )
+        SELECT h.doc_id, h.host,
+               CASE WHEN f.ps IS NOT NULL THEN array_to_string(
+                   string_split(h.host, '.')[f.n - f.ps + 1:f.n], '.')
+               END AS public_suffix,
+               CASE WHEN f.ps IS NOT NULL AND f.n >= f.ps + 1
+                    THEN array_to_string(
+                        string_split(h.host, '.')[f.n - f.ps:f.n], '.')
+               END AS registrable_domain
+        FROM h LEFT JOIN f ON h.host = f.host
+    """
+    rollup = f"""
+        WITH pd AS ({per_host})
+        SELECT registrable_domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM pd GROUP BY registrable_domain
+    """
+    return {"registrable_domains": per_host, "pld_rollup": rollup}

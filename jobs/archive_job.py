@@ -40,6 +40,9 @@ def main(argv=None) -> int:
     parser.add_argument("--run-id", required=True)
     parser.add_argument("--merge-index", action="store_true",
                         help="roll captures into the existing cdx table")
+    parser.add_argument("--wet", action="store_true",
+                        help="write the extracted text as a sharded WET "
+                             "(WARC conversion-record) sidecar")
     parser.add_argument("--clean-archive", action="store_true",
                         help="re-archive extracted markdown as WARC shards")
     parser.add_argument("--shards", type=int, default=8)
@@ -52,7 +55,12 @@ def main(argv=None) -> int:
     from pyspark.sql import functions as F
 
     from reader_spark.ops.cdx import cdx_dedup_captures, cdx_index, cdx_merge
-    from reader_spark.sources.warc import read_warc, warc_to_docs, write_warc
+    from reader_spark.sources.warc import (
+        read_warc,
+        warc_to_docs,
+        write_warc,
+        write_wet,
+    )
     from reader_spark.spark.abort import AbortController
     from reader_spark.spark.io import Warehouse
     from reader_spark.spark.job import run_extraction
@@ -96,6 +104,14 @@ def main(argv=None) -> int:
                 num_partitions=args.partitions,
             )
 
+            wet_path = None
+            if args.wet:
+                wet_rows = warehouse.read("extracted").where(
+                    F.col("run_id") == args.run_id
+                ).select("doc_id", F.col("markdown").alias("text"))
+                wet_path = os.path.join(args.warehouse, "wet")
+                write_wet(wet_rows, wet_path, shards=args.shards)
+
             cleaned_path = None
             if args.clean_archive:
                 cleaned = warehouse.read("extracted").where(
@@ -121,6 +137,7 @@ def main(argv=None) -> int:
                     "n_index_rows": n_index,
                     "extracted": metrics,
                     "clean_warc": cleaned_path,
+                    "wet": wet_path,
                     "wall_s": round(time.monotonic() - t0, 3),
                 }
             )

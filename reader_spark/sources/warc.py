@@ -65,7 +65,9 @@ def synth_warc_bytes(records: List[Tuple]) -> bytes:
     return b"".join(out)
 
 
-def parse_warc_records(blob: bytes) -> List[dict]:
+def parse_warc_records(
+    blob: bytes, record_type: str = "response"
+) -> List[dict]:
     """Tolerant record splitter: Content-Length-framed, skips records with
     missing/invalid framing instead of raising (error rows, not exceptions,
     per the engine's T5 rule). Transparently inflates gzip input —
@@ -112,7 +114,7 @@ def parse_warc_records(blob: bytes) -> List[dict]:
             continue
         body = blob[body_start : body_start + length]
         uri = headers.get("warc-target-uri")
-        if uri and headers.get("warc-type", "response") == "response":
+        if uri and headers.get("warc-type", "response") == record_type:
             try:
                 status = int(headers.get("warc-status", "200") or 200)
             except ValueError:
@@ -142,7 +144,9 @@ WARC_DOCS_SCHEMA = T.StructType(
 )
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, record_type: str = "response"
+) -> DataFrame:
     """Archive files -> (doc_id, payload, status, archive) rows.
 
     binaryFile scan (one task per archive file) -> Arrow-batched splitter.
@@ -155,7 +159,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for batch in batches:
             rows = {k.name: [] for k in WARC_DOCS_SCHEMA.fields}
             for path_, content in zip(batch["path"].tolist(), batch["content"].tolist()):
-                for rec in parse_warc_records(bytes(content)):
+                for rec in parse_warc_records(bytes(content), record_type):
                     rows["doc_id"].append(rec["doc_id"])
                     rows["payload"].append(rec["payload"])
                     rows["status"].append(rec["status"])
@@ -283,3 +287,82 @@ def write_warc(
         .partitionBy("shard")
         .text(path)
     )
+
+
+def wet_record_col(
+    uri: "Column",
+    text: "Column",
+    date: "Column | None" = None,
+) -> "Column":
+    """One extracted document -> its WET conversion record (the Common
+    Crawl text-sidecar format: a WARC/1.0 record with WARC-Type:
+    conversion and a text/plain body; iipc/warc-specifications
+    "WARC-Type: conversion", Common Crawl's *.warc.wet.gz). The
+    WARC-Refers-To urn is derived deterministically from the source URI
+    (xxhash64) so a WET shard re-links to its response record without
+    carrying state. Same CRLF/octet-length framing discipline as
+    warc_record_col — char length corrupts framing on multibyte text."""
+    from pyspark.sql import functions as F
+
+    t = F.coalesce(text, F.lit(""))
+    parts = [
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\n"),
+    ]
+    if date is not None:
+        parts += [
+            F.when(
+                date.isNotNull(),
+                F.concat(F.lit("WARC-Date: "), date, F.lit("\r\n")),
+            ).otherwise(F.lit(""))
+        ]
+    parts += [
+        F.lit("WARC-Refers-To: urn:xxh64:"),
+        F.lower(F.hex(F.xxhash64(uri))),
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(t).cast("string"),
+        F.lit("\r\n\r\n"),
+        t,
+        F.lit("\r\n\r\n"),
+    ]
+    return F.concat(*parts)
+
+
+def write_wet(
+    df: DataFrame,
+    path: str,
+    shards: int = 8,
+    uri_col: str = "doc_id",
+    text_col: str = "text",
+    date_col: str | None = None,
+) -> None:
+    """The WET SINK: extracted text -> sharded conversion-record files,
+    closing the Common Crawl trifecta next to write_warc (responses)
+    and the CDX index (ops/cdx.py). Deterministic bytes end to end —
+    same xxhash64 shard election + within-shard URI sort as write_warc,
+    so re-runs reproduce files byte-for-byte (pinned by test). No
+    Python in the write path; read_wet() round-trips the records."""
+    from pyspark.sql import functions as F
+
+    date = F.col(date_col) if date_col else None
+    rec = wet_record_col(F.col(uri_col), F.col(text_col), date)
+    shard = F.pmod(F.xxhash64(F.col(uri_col)), F.lit(shards)).cast("int")
+    (
+        df.select(shard.alias("shard"), F.col(uri_col).alias("__uri"),
+                  rec.alias("value"))
+        .repartition(shards, "shard")
+        .sortWithinPartitions("shard", "__uri")
+        .drop("__uri")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(path)
+    )
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET files -> (doc_id, payload, status, capture_ts, archive) rows
+    (status defaults to 200 — conversion records carry none). The same
+    tolerant magic-resync splitter as read_warc, filtered to
+    WARC-Type: conversion."""
+    return read_warc(spark, path, record_type="conversion")

@@ -868,6 +868,7 @@ def test_archive_job_index_extract_and_clean_warc(tmp_path, spark, warc_path):
         "--warehouse", wh,
         "--run-id", "arch1",
         "--clean-archive",
+        "--wet",
         "--master", "local[4]",
     )
     assert summary["n_captures"] == 4
@@ -887,6 +888,15 @@ def test_archive_job_index_extract_and_clean_warc(tmp_path, spark, warc_path):
     got = {r["doc_id"]: r["payload"] for r in back.collect()}
     assert len(got) == 4
     assert any("J0" in p or "job test page 0" in p for p in got.values())
+
+    # and the extracted text as a WET sidecar (conversion records only:
+    # the response reader must see nothing there)
+    from reader_spark.sources.warc import read_wet
+
+    wet = read_wet(spark, summary["wet"] + "/shard=*/part-*")
+    wet_rows = {r["doc_id"]: r["payload"] for r in wet.collect()}
+    assert set(wet_rows) == set(got)
+    assert read_warc(spark, summary["wet"] + "/shard=*/part-*").count() == 0
 
     # second pass over the SAME warcs with --merge-index: revisits
     summary2 = run_job(

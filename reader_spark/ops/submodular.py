@@ -1,0 +1,203 @@
+"""Distributed submodular subset selection: greedy facility-location
+maximization in the two-round GreeDi shape (Mirzasoleiman et al. NeurIPS
+2013, "Distributed Submodular Maximization"; Nemhauser et al. 1978 give
+the greedy 1-1/e guarantee). The REPRESENTATIVE-subset selector for
+training-data curation: facility location F(S) = sum_p max(0, max_{c in
+S} cos(c, p)) rewards covering every corpus point with a similar
+exemplar — the complement of k-center (ops/coreset.py, which maximizes
+SPREAD) and of SemDeDup (which only prunes redundancy).
+
+Exact greedy is O(n^2 k) — undeliverable at corpus scale — so GreeDi:
+
+  round 1: hash-partition points into B buckets; run greedy-k INSIDE
+           each bucket (the n_b^2 pair join is bucket-local — the
+           SemDeDup within-cell discipline);
+  round 2: the B*k local winners (a bounded driver-side literal list,
+           the k-center/IVF-seed pattern) compete in exact greedy over
+           the FULL corpus, with per-candidate scoring done by a
+           literal-explode — no crossJoin, no window.
+
+Engine parity: similarities are round-4 cosines lifted to exact
+integer 1e-4 units, so marginal gains, the running coverage column and
+the objective are all BIGINT sums; elections pack (gain desc, id asc).
+The DuckDB twin replays both rounds as unrolled CTEs from the same
+constants. Driver traffic: B rows per stage-1 round + one bounded
+candidate list — the sanctioned k-center readback shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["facility_location_greedi"]
+
+
+def _cos_dm(u, v):
+    """round-4 cosine in exact integer 1e-4 units (deci-milli)."""
+    dot = F.aggregate(
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda w: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(w, w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = F.try_divide(dot, nrm(u) * nrm(v))
+    return F.coalesce(
+        F.round(F.round(cos, 4) * 10000, 0).cast("long"), F.lit(0)
+    )
+
+
+def facility_location_greedi(
+    embeddings: DataFrame,
+    k: int = 4,
+    buckets: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Returns (rank, vec_id, gain_dm, objective): the k selected
+    exemplars in pick order with the exact-integer marginal gain and
+    the facility-location objective (1e-4 units rendered as a double)
+    AFTER each pick. Deterministic: (gain desc, id asc) elections over
+    integer gains.
+    """
+    if k < 1 or buckets < 1:
+        raise ValueError(f"k and buckets must be >= 1, got {k=} {buckets=}")
+    spark = embeddings.sparkSession
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("flb:"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pts = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(h, F.lit(buckets)).alias("bucket"),
+    ).localCheckpoint(eager=True)
+
+    # ---- round 1: greedy-k inside every bucket, all buckets at once
+    cur = pts.select("bucket", "id", "v", F.lit(0).cast("long").alias("cur"))
+    cur = cur.localCheckpoint(eager=True)
+    picked: list[tuple[int, int]] = []  # (bucket, id)
+    cand_vecs: dict[int, list[float]] = {}
+    for _ in range(k):
+        cand = pts
+        if picked:
+            sel = spark.createDataFrame(picked, "bucket long, id long")
+            cand = pts.join(F.broadcast(sel), ["bucket", "id"], "left_anti")
+        pairs = cand.select(
+            "bucket", F.col("id").alias("cid"), F.col("v").alias("cv")
+        ).join(cur, "bucket")
+        gains = (
+            pairs.select(
+                "bucket",
+                "cid",
+                F.greatest(
+                    _cos_dm(F.col("cv"), F.col("v")) - F.col("cur"),
+                    F.lit(0).cast("long"),
+                ).alias("t"),
+            )
+            .groupBy("bucket", "cid")
+            .agg(F.sum("t").alias("g"))
+        )
+        winners = (
+            gains.groupBy("bucket")
+            .agg(F.max(F.struct(F.col("g"), (-F.col("cid")).alias("n"))).alias("m"))
+            .select("bucket", (-F.col("m.n")).alias("id"))
+            .join(pts.select("bucket", "id", "v"), ["bucket", "id"])
+            .collect()
+        )
+        if not winners:
+            break
+        picked += [(int(r["bucket"]), int(r["id"])) for r in winners]
+        for r in winners:
+            cand_vecs[int(r["id"])] = list(r["v"])
+        wdf = spark.createDataFrame(
+            [(int(r["bucket"]), list(r["v"])) for r in winners],
+            "bucket long, wv array<double>",
+        )
+        # LEFT join: a bucket that ran out of candidates keeps its
+        # points (with cur unchanged — _cos_dm of a NULL vector is 0
+        # and cur >= 0) instead of silently dropping them.
+        cur = (
+            cur.join(F.broadcast(wdf), "bucket", "left")
+            .select(
+                "bucket",
+                "id",
+                "v",
+                F.greatest(
+                    F.col("cur"), _cos_dm(F.col("wv"), F.col("v"))
+                ).alias("cur"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    # ---- round 2: exact greedy over the full corpus, candidates =
+    # the bounded local-winner list (literal-explode, no join)
+    cand_ids = sorted(cand_vecs)
+    cur2 = pts.select("id", "v", F.lit(0).cast("long").alias("cur"))
+    cur2 = cur2.localCheckpoint(eager=True)
+    out: list[tuple[int, int, int, int]] = []
+    objective = 0
+    for rank in range(1, k + 1):
+        remaining = [c for c in cand_ids if c not in {o[1] for o in out}]
+        if not remaining:
+            break
+        cand_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(c).cast("long").alias("cid"),
+                    F.array(
+                        *[F.lit(x) for x in cand_vecs[c]]
+                    ).cast("array<double>").alias("cv"),
+                )
+                for c in remaining
+            ]
+        )
+        gains = (
+            cur2.select(
+                "cur", "v", F.explode(cand_arr).alias("c")
+            )
+            .select(
+                F.col("c.cid").alias("cid"),
+                F.greatest(
+                    _cos_dm(F.col("c.cv"), F.col("v")) - F.col("cur"),
+                    F.lit(0).cast("long"),
+                ).alias("t"),
+            )
+            .groupBy("cid")
+            .agg(F.sum("t").alias("g"))
+        )
+        win = (
+            gains.agg(
+                F.max(F.struct(F.col("g"), (-F.col("cid")).alias("n"))).alias("m")
+            )
+            .select((-F.col("m.n")).alias("id"), F.col("m.g").alias("g"))
+            .head()
+        )
+        gain = int(win["g"])
+        objective += gain
+        out.append((rank, int(win["id"]), gain, objective))
+        wv = F.array(*[F.lit(x) for x in cand_vecs[int(win["id"])]]).cast(
+            "array<double>"
+        )
+        cur2 = cur2.select(
+            "id",
+            "v",
+            F.greatest(F.col("cur"), _cos_dm(wv, F.col("v"))).alias("cur"),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        [(r, i, g, o / 1e4) for r, i, g, o in out],
+        "rank int, vec_id long, gain_dm long, objective double",
+    )

@@ -480,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_lpa_oracles())
     out.update(_linkage_oracles())
     out.update(_psl_oracles())
+    out["facility_location"] = _submodular_oracle()
     return out
 
 
@@ -10518,3 +10519,105 @@ def _psl_oracles() -> dict[str, str]:
         FROM pd GROUP BY registrable_domain
     """
     return {"registrable_domains": per_host, "pld_rollup": rollup}
+
+
+def _submodular_oracle(k: int = 4, buckets: int = 4) -> str:
+    """Unrolled twin of ops/submodular.facility_location_greedi
+    (Mirzasoleiman et al. 2013): same md5 buckets, same round-4 cosine
+    lifted to integer 1e-4 units, both GreeDi rounds replayed CTE by
+    CTE with the (gain desc, id asc) election; the running objective is
+    a windowed BIGINT sum (cast — the HUGEINT trap)."""
+    sim = (
+        "coalesce(CAST(round(round(list_cosine_similarity({a}, {b}), 4)"
+        " * 10000) AS BIGINT), 0)"
+    )
+    parts = [
+        f"""
+        WITH pts AS (
+            SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v,
+                   CAST(('0x' || substr(md5('flb:'
+                       || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % {buckets} AS bucket
+            FROM embeddings
+        ),
+        cur0 AS (SELECT bucket, id, v, CAST(0 AS BIGINT) AS cur FROM pts),
+        sel0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+                        CAST(NULL AS BIGINT) AS id WHERE 1 = 0)"""
+    ]
+    for r in range(1, k + 1):
+        s_cp = sim.format(a="c.v", b="p.v")
+        s_wp = sim.format(a="w.v", b="p.v")
+        parts.append(
+            f""",
+        g{r} AS (
+            SELECT c.bucket, c.id AS cid,
+                   sum(greatest({s_cp} - p.cur, 0)) AS g
+            FROM pts c JOIN cur{r - 1} p USING (bucket)
+            WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} s
+                              WHERE s.bucket = c.bucket AND s.id = c.id)
+            GROUP BY 1, 2
+        ),
+        w{r} AS (
+            SELECT bucket, cid AS id FROM g{r}
+            QUALIFY row_number() OVER (PARTITION BY bucket
+                                       ORDER BY g DESC, cid ASC) = 1
+        ),
+        wv{r} AS (
+            SELECT w.bucket, p.v FROM w{r} w
+            JOIN pts p ON w.bucket = p.bucket AND w.id = p.id
+        ),
+        cur{r} AS (
+            SELECT p.bucket, p.id, p.v,
+                   greatest(p.cur, coalesce({s_wp}, 0)) AS cur
+            FROM cur{r - 1} p LEFT JOIN wv{r} w USING (bucket)
+        ),
+        sel{r} AS (
+            SELECT bucket, id FROM sel{r - 1}
+            UNION ALL SELECT bucket, id FROM w{r}
+        )"""
+        )
+    s_cp2 = sim.format(a="c.v", b="p.v")
+    s_wp2 = sim.format(a="w.v", b="p.v")
+    parts.append(
+        f""",
+        cand AS (
+            SELECT s.id, p.v FROM sel{k} s JOIN pts p USING (id)
+        ),
+        cur2_0 AS (SELECT id, v, CAST(0 AS BIGINT) AS cur FROM pts),
+        out0 AS (SELECT CAST(NULL AS INTEGER) AS rank,
+                        CAST(NULL AS BIGINT) AS id,
+                        CAST(NULL AS BIGINT) AS g WHERE 1 = 0)"""
+    )
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+        g2_{r} AS (
+            SELECT c.id AS cid, sum(greatest({s_cp2} - p.cur, 0)) AS g
+            FROM cand c, cur2_{r - 1} p
+            WHERE c.id NOT IN (SELECT id FROM out{r - 1})
+            GROUP BY 1
+        ),
+        w2_{r} AS (
+            SELECT cid AS id, CAST(g AS BIGINT) AS g FROM g2_{r}
+            QUALIFY row_number() OVER (ORDER BY g DESC, cid ASC) = 1
+        ),
+        wv2_{r} AS (SELECT p.v FROM w2_{r} w JOIN pts p USING (id)),
+        cur2_{r} AS (
+            SELECT p.id, p.v,
+                   greatest(p.cur, coalesce({s_wp2}, 0)) AS cur
+            FROM cur2_{r - 1} p LEFT JOIN wv2_{r} w ON 1 = 1
+        ),
+        out{r} AS (
+            SELECT rank, id, g FROM out{r - 1}
+            UNION ALL
+            SELECT CAST({r} AS INTEGER) AS rank, id, g FROM w2_{r}
+        )"""
+    )
+    parts.append(
+        f"""
+        SELECT rank, id AS vec_id, g AS gain_dm,
+               CAST(sum(g) OVER (ORDER BY rank) AS BIGINT) / 10000.0
+                   AS objective
+        FROM out{k}"""
+    )
+    return "".join(parts)

@@ -481,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_linkage_oracles())
     out.update(_psl_oracles())
     out["facility_location"] = _submodular_oracle()
+    out.update(_coverage_oracles())
     return out
 
 
@@ -10621,3 +10622,71 @@ def _submodular_oracle(k: int = 4, buckets: int = 4) -> str:
         FROM out{k}"""
     )
     return "".join(parts)
+
+
+def _coverage_oracles() -> dict[str, str]:
+    """Twins of ops/estimate (Chao 1984 bias-corrected; Chapman 1951)
+    over the same md5-planted capture fixtures — all-integer to the
+    final centi-unit division."""
+    chao = """
+        WITH caps AS (
+            SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                   unnest(range(1,
+                       1
+                       + CASE WHEN CAST(('0x' || substr(md5('cap:'
+                             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                             % 3 = 0 THEN 1 ELSE 0 END
+                       + CASE WHEN CAST(('0x' || substr(md5('cap:'
+                             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                             % 7 = 0 THEN 2 ELSE 0 END
+                       + 1)) AS i
+            FROM documents
+        ),
+        pk AS (SELECT url, CAST(count(*) AS BIGINT) AS c
+               FROM caps GROUP BY url),
+        prof AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n_captures,
+                   CAST(count(*) AS BIGINT) AS n_observed,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS f1,
+                   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS f2
+            FROM pk
+        )
+        SELECT n_captures, n_observed, f1, f2,
+               (n_observed * 100
+                + (f1 * (f1 - 1) * 100) // (2 * (f2 + 1))) / 100.0
+                   AS est_richness
+        FROM prof
+    """
+    chapman = """
+        WITH u AS (
+            SELECT CAST(doc_id AS BIGINT) AS did,
+                   'u' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        ),
+        sa AS (
+            SELECT DISTINCT url FROM u
+            WHERE CAST(('0x' || substr(md5('capA:'
+                || CAST(did AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 6
+        ),
+        sb AS (
+            SELECT DISTINCT url FROM u
+            WHERE CAST(('0x' || substr(md5('capB:'
+                || CAST(did AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 6
+        ),
+        c AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM sa) AS n_a,
+                   (SELECT CAST(count(*) AS BIGINT) FROM sb) AS n_b,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM sa JOIN sb USING (url)) AS n_both
+        )
+        SELECT n_a, n_b, n_both,
+               (((n_a + 1) * (n_b + 1) * 100) // (n_both + 1) - 100)
+                   / 100.0 AS est_total
+        FROM c
+    """
+    return {
+        "crawl_coverage_chao1": chao,
+        "crawl_coverage_chapman": chapman,
+    }

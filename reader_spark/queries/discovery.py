@@ -167,7 +167,57 @@ def _q_feed_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_frontier(parse_feeds(_synth_feed_files(spark, sf_dir)), seen)
 
 
+def _h(prefix):
+    d = F.col("doc_id").cast("long")
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), d.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def _q_crawl_coverage_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 crawl-coverage estimate (ops.estimate.chao1_estimate, Chao
+    1984 bias-corrected): per-URL capture multiplicities planted by md5
+    (revisit skew), singleton/doubleton profile in one aggregate pair,
+    estimate in exact integer centi-units. The discovery-budget input:
+    est_richness - n_observed URLs remain unseen."""
+    from reader_spark.ops.estimate import chao1_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    h = _h("cap:")
+    mult = (
+        F.lit(1)
+        + F.when(h % 3 == 0, 1).otherwise(0)
+        + F.when(h % 7 == 0, 2).otherwise(0)
+    )
+    caps = docs.select(
+        F.concat(F.lit("u"), d.cast("string")).alias("url"),
+        F.explode(F.sequence(F.lit(1), mult)).alias("__i"),
+    ).drop("__i")
+    return chao1_estimate(caps)
+
+
+def _q_crawl_coverage_chapman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman/Lincoln-Petersen two-fleet coverage estimate
+    (ops.estimate.chapman_estimate, Chapman 1951): two independently
+    md5-thinned crawl samples of the same URL universe; the overlap
+    count sizes the frontier neither fleet reached. Distinct + one
+    equi-join; exact integer centi-units."""
+    from reader_spark.ops.estimate import chapman_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    url = F.concat(F.lit("u"), d.cast("string"))
+    a = docs.where(_h("capA:") % 10 < 6).select(url.alias("url"))
+    b = docs.where(_h("capB:") % 10 < 6).select(url.alias("url"))
+    return chapman_estimate(a, b)
+
+
 QUERIES = {
+    "crawl_coverage_chao1": _q_crawl_coverage_chao1,
+    "crawl_coverage_chapman": _q_crawl_coverage_chapman,
     "feed_ingest": _q_feed_ingest,
     "feed_frontier": _q_feed_frontier,
 }

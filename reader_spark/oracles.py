@@ -482,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_psl_oracles())
     out["facility_location"] = _submodular_oracle()
     out.update(_coverage_oracles())
+    out["conformal_threshold"] = _conformal_oracle(out)
     return out
 
 
@@ -10690,3 +10691,67 @@ def _coverage_oracles() -> dict[str, str]:
         "crawl_coverage_chao1": chao,
         "crawl_coverage_chapman": chapman,
     }
+
+
+def _conformal_oracle(base: dict) -> str:
+    """Twin of ops/conformal.conformal_quality_threshold composing the
+    certified quality_logit + gopher_rules oracle bodies (the
+    calibration_bins pattern): same md5-parity split, same
+    (score asc, doc_id asc) order statistic, same integer milli
+    audit."""
+    return f"""
+        WITH q AS ({base["quality_logit"]}),
+        g AS ({base["gopher_rules"]}),
+        j AS (
+            SELECT q.doc_id, q.score,
+                   CASE WHEN g.gopher_pass THEN 1 ELSE 0 END AS label
+            FROM q JOIN g ON q.doc_id = g.doc_id
+        ),
+        b AS (
+            SELECT doc_id, score, label,
+                   CAST(('0x' || substr(md5('conf:'
+                       || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 2 = 0 AS is_cal
+            FROM j
+        ),
+        cp AS (SELECT doc_id, score FROM b WHERE is_cal AND label = 1),
+        nk AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_cal_pos,
+                   CAST((100 * (count(*) + 1)) // 1000 AS BIGINT) AS k
+            FROM cp
+        ),
+        rk AS (
+            SELECT score,
+                   row_number() OVER (ORDER BY score ASC, doc_id ASC) AS r
+            FROM cp
+        ),
+        th AS (
+            SELECT max(score) AS threshold FROM rk
+            WHERE r = (SELECT k FROM nk)
+        ),
+        ev AS (SELECT label, score FROM b WHERE NOT is_cal),
+        a AS (
+            SELECT (SELECT n_cal_pos FROM nk) AS n_cal_pos,
+                   (SELECT k FROM nk) AS k,
+                   coalesce((SELECT threshold FROM th), 0.0) AS threshold,
+                   CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_eval_pos,
+                   CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_eval_neg,
+                   CAST(sum(CASE WHEN label = 1 AND score >=
+                       coalesce((SELECT threshold FROM th), 0.0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cov,
+                   CAST(sum(CASE WHEN label = 0 AND score <
+                       coalesce((SELECT threshold FROM th), 0.0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS exc
+            FROM ev
+        )
+        SELECT n_cal_pos, k, threshold, n_eval_pos, n_eval_neg,
+               CASE WHEN n_eval_pos > 0
+                    THEN CAST((cov * 1000) // n_eval_pos AS BIGINT)
+               END AS coverage_milli,
+               CASE WHEN n_eval_neg > 0
+                    THEN CAST((exc * 1000) // n_eval_neg AS BIGINT)
+               END AS exclusion_milli
+        FROM a
+    """

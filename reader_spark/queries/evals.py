@@ -248,10 +248,34 @@ def _q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_s_curve(spark, bands=16, rows_per_band=4, grid_milli=25)
 
 
+def _q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal quality cutoff (ops.conformal.
+    conformal_quality_threshold; Vovk 2005, Papadopoulos 2002): the
+    same certified score/label pair as calibration_bins, split
+    calibration/eval by md5 parity; threshold = the
+    floor(alpha*(n+1))-th smallest good-doc calibration score selected
+    via scalable_rank (NO single-partition window), audited as exact
+    milli coverage/exclusion on the eval half — the distribution-free
+    keep-rate guarantee at alpha=0.1."""
+    from reader_spark.ops.conformal import conformal_quality_threshold
+    from reader_spark.ops.textstats import (
+        gopher_quality_columns,
+        quality_logit_score,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = quality_logit_score(docs).select("doc_id", "score")
+    label = gopher_quality_columns(docs).select(
+        "doc_id", F.when(F.col("gopher_pass"), 1).otherwise(0).alias("label")
+    )
+    return conformal_quality_threshold(scored.join(label, "doc_id"))
+
+
 QUERIES = {
     "extraction_eval": _q_extraction_eval,
     "arm_agreement": _q_arm_agreement,
     "calibration_bins": _q_calibration_bins,
+    "conformal_threshold": _q_conformal_threshold,
     "ranking_metrics": _q_ranking_metrics,
     "lsh_s_curve": _q_lsh_s_curve,
 }

@@ -1,0 +1,85 @@
+"""Split-conformal quality threshold (ops/conformal.py; Vovk 2005,
+Papadopoulos 2002)."""
+
+import hashlib
+
+import pytest
+
+from reader_spark.ops.conformal import conformal_quality_threshold
+
+
+def _is_cal(doc_id) -> bool:
+    h = int(
+        hashlib.md5(f"conf:{doc_id}".encode()).hexdigest()[:8], 16
+    )
+    return h % 2 == 0
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, score double, label int"
+    )
+
+
+def test_matches_pure_python_reference(spark):
+    rows = [
+        (i, round(0.05 + (i * 37 % 100) / 120.0, 6), 1 if i % 3 else 0)
+        for i in range(200)
+    ]
+    got = conformal_quality_threshold(_frame(spark, rows)).head()
+
+    cal_pos = sorted(
+        (s, i) for i, s, l in rows if _is_cal(i) and l == 1
+    )
+    n = len(cal_pos)
+    k = (100 * (n + 1)) // 1000
+    thr = cal_pos[k - 1][0] if k >= 1 else 0.0
+    ev = [(s, l) for i, s, l in rows if not _is_cal(i)]
+    n_pos = sum(1 for _, l in ev if l == 1)
+    n_neg = len(ev) - n_pos
+    cov = sum(1 for s, l in ev if l == 1 and s >= thr)
+    exc = sum(1 for s, l in ev if l == 0 and s < thr)
+    assert got["n_cal_pos"] == n
+    assert got["k"] == k
+    assert got["threshold"] == thr
+    assert (got["n_eval_pos"], got["n_eval_neg"]) == (n_pos, n_neg)
+    assert got["coverage_milli"] == (cov * 1000) // n_pos
+    assert got["exclusion_milli"] == (exc * 1000) // n_neg
+    # the guarantee is MARGINAL over calibration draws; one fixed draw
+    # can undershoot 1-alpha, but not collapse (grid ties included)
+    assert got["coverage_milli"] >= 800
+
+
+def test_tiny_calibration_keeps_everything(spark):
+    # k = floor(0.1 * (n+1)) = 0 for n <= 9 -> threshold 0.0
+    rows = [(i, 0.5, 1) for i in range(6)]
+    got = conformal_quality_threshold(_frame(spark, rows)).head()
+    assert got["k"] == 0
+    assert got["threshold"] == 0.0
+    if got["n_eval_pos"]:
+        assert got["coverage_milli"] == 1000
+
+
+def test_alpha_validated(spark):
+    with pytest.raises(ValueError):
+        conformal_quality_threshold(None, alpha_milli=0)
+    with pytest.raises(ValueError):
+        conformal_quality_threshold(None, alpha_milli=1000)
+
+
+def test_registry_and_oracle(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["conformal_threshold"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert df.columns == [
+        "n_cal_pos",
+        "k",
+        "threshold",
+        "n_eval_pos",
+        "n_eval_neg",
+        "coverage_milli",
+        "exclusion_milli",
+    ]
+    assert "conformal_threshold" in entrymod.oracle_sql()

@@ -1067,3 +1067,63 @@ def test_feed_frontier_single_anti_join_no_bodies(spark):
     for line in tree.splitlines():
         if "Exchange hashpartitioning(entry_id" in line:
             assert "xml" not in line
+
+
+def test_kneser_ney_plan_no_python_no_single_partition_windows(spark):
+    """KN scoring: n-gram groupBys + key-bounded joins; the only
+    SinglePartition exchange allowed is the 1-row type-count scalar;
+    no Python, no WindowExec."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["kneser_ney_bigram"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1  # 1-row type dim
+
+
+def test_psl_rules_dim_broadcasts(spark):
+    """The PSL rule table must ride as a broadcast dim; the candidate
+    explode must not shuffle per candidate."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["registrable_domains"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_linkage_blocking_is_hash_join_not_bnlj(spark):
+    """Fellegi-Sunter candidate generation must be an equi-join on the
+    block key — an accidental theta-join would be all-pairs."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["fs_linkage_pairs"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_conformal_rank_avoids_single_partition_window(spark):
+    """The order statistic must come from scalable_rank (range buckets
+    + partitioned row_number), never a global-order WindowExec."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(
+        entrymod.queries()["conformal_threshold"](spark, SF_DIR)
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "PartitionSpec" not in line:
+            # every Window must be partitioned (by the range bucket)
+            assert "partitionBy" not in line or "__rb" in line
+    assert "BatchEvalPython" not in plan
+
+
+def test_lpa_shuffles_are_node_keyed(spark):
+    """Label propagation: no CartesianProduct, no Python, no windows —
+    join + map-side-combined aggregate per round only."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["lpa_communities"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan

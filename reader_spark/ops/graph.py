@@ -569,3 +569,79 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def salsa_authorities(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """SALSA authority scores in CLOSED FORM (Lempel & Moran WWW 2000
+    "SALSA: the stochastic approach for link-structure analysis"; the
+    TKDE 2001 journal version proves the stationary distribution):
+    unlike HITS, the SALSA authority chain's stationary weights need no
+    power iteration — within each connected component C of the
+    co-citation (authority-side) graph,
+
+        a(i) = (|C| / |A|) * (d_in(i) / sum_{j in C} d_in(j)),
+
+    i.e. component mass proportional to component size, split
+    degree-proportionally inside. Najork (SIGIR 2007) found this beats
+    HITS as a ranking feature; it is also immune to HITS's tightly-knit
+    community (TKC) drift, which is precisely the link-spam failure
+    mode on crawl graphs.
+
+    Shape at 100 TB: co-citation connectivity is built as HUB-STAR
+    edges (per hub: min-authority anchor -> authority; LINEAR in
+    |edges|, never the quadratic per-hub co-citation expansion) and
+    resolved by the certified pointer-jumping connected_components;
+    degrees and component sums are map-side-combined groupBys; the
+    authority-count scalar rides a 1-row broadcast dim. Scores are
+    exact integer micro-units ((n_c * d_in * 1e6) div (n_total * D_c),
+    truncating — both engines agree bit-for-bit); the products fit
+    BIGINT for per-component degree sums < ~9e12 given micro rendering
+    — past that, render in DOUBLE (same partition/degree inputs).
+
+    Returns (node, d_in, component, n_c, salsa).
+    """
+    from reader_spark.ops.dedup import connected_components
+
+    e = edges.select(
+        F.col(src_col).alias("h"), F.col(dst_col).alias("a")
+    ).distinct()
+    din = e.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d_in"))
+
+    anchors = e.groupBy("h").agg(F.min("a").alias("anchor"))
+    star = (
+        e.join(anchors, "h")
+        .where(F.col("a") != F.col("anchor"))
+        .select(F.col("anchor").alias("doc_a"), F.col("a").alias("doc_b"))
+        .distinct()
+    )
+    comps = connected_components(star)
+    labeled = din.join(
+        comps.select(F.col("doc").alias("a"), "component"), "a", "left"
+    ).select(
+        "a",
+        "d_in",
+        F.coalesce(F.col("component"), F.col("a")).alias("component"),
+    )
+    cstats = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("d_in").cast("long").alias("d_c"),
+    )
+    total = labeled.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        labeled.join(cstats, "component")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("a").alias("node"),
+            "d_in",
+            "component",
+            "n_c",
+            (
+                F.expr("(n_c * d_in * 1000000) div (n_total * d_c)")
+                / F.lit(1e6)
+            ).alias("salsa"),
+        )
+    )

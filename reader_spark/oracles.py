@@ -483,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
     out["facility_location"] = _submodular_oracle()
     out.update(_coverage_oracles())
     out["conformal_threshold"] = _conformal_oracle(out)
+    out["salsa_authorities"] = _salsa_oracle()
     return out
 
 
@@ -10754,4 +10755,54 @@ def _conformal_oracle(base: dict) -> str:
                     THEN CAST((exc * 1000) // n_eval_neg AS BIGINT)
                END AS exclusion_milli
         FROM a
+    """
+
+
+def _salsa_oracle() -> str:
+    """Twin of ops/graph.salsa_authorities (Lempel & Moran closed form)
+    over the pagerank_domains link graph: same hub-star reduction, the
+    recursive-reach component min, and the exact micro-unit
+    degree-proportional split."""
+    return """
+        WITH RECURSIVE
+        nsrc AS (SELECT count(DISTINCT source) AS n FROM documents),
+        edges0 AS (
+            SELECT source AS src,
+                   'src' || CAST(CAST(('0x' || substr(md5('link:'
+                       || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % (SELECT n FROM nsrc) AS VARCHAR) AS dst
+            FROM documents
+        ),
+        e AS (SELECT DISTINCT src AS h, dst AS a FROM edges0),
+        din AS (SELECT a, CAST(count(*) AS BIGINT) AS d_in
+                FROM e GROUP BY a),
+        anch AS (SELECT h, min(a) AS anchor FROM e GROUP BY h),
+        star AS (
+            SELECT DISTINCT anchor AS x, a AS y
+            FROM e JOIN anch USING (h) WHERE a <> anchor
+        ),
+        sym AS (
+            SELECT x AS src, y AS dst FROM star
+            UNION SELECT y, x FROM star
+        ),
+        reach(v, r) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.v
+        ),
+        comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+        lab AS (
+            SELECT d.a, d.d_in, coalesce(c.component, d.a) AS component
+            FROM din d LEFT JOIN comp c ON d.a = c.v
+        ),
+        cs AS (
+            SELECT component, CAST(count(*) AS BIGINT) AS n_c,
+                   CAST(sum(d_in) AS BIGINT) AS d_c
+            FROM lab GROUP BY component
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lab)
+        SELECT lab.a AS node, lab.d_in, lab.component, cs.n_c,
+               CAST((cs.n_c * lab.d_in * 1000000)
+                    // (tot.n_total * cs.d_c) AS BIGINT) / 1e6 AS salsa
+        FROM lab JOIN cs USING (component), tot
     """

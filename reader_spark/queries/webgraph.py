@@ -102,6 +102,21 @@ def _q_spam_mass_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salsa_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form SALSA authority weights (ops.graph.salsa_authorities,
+    Lempel & Moran 2000): co-citation components via hub-star edges +
+    the certified pointer-jumping CC, then the degree-proportional
+    stationary split in exact integer micro-units — the TKC-immune
+    sibling of the certified HITS row, over the same deterministic
+    domain link graph."""
+    from reader_spark.ops.graph import salsa_authorities
+
+    docs = _read(spark, sf_dir, "documents")
+    return salsa_authorities(
+        _domain_edges(docs).select("src", "dst")
+    )
+
+
 LPA_ITERATIONS, LPA_GROUPS, LPA_BRIDGE_EVERY = 4, 8, 97
 
 
@@ -159,6 +174,7 @@ def _q_lpa_community_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "trustrank_domains": _q_trustrank_domains,
     "spam_mass_domains": _q_spam_mass_domains,
+    "salsa_authorities": _q_salsa_authorities,
     "lpa_communities": _q_lpa_communities,
     "lpa_community_sizes": _q_lpa_community_sizes,
 }

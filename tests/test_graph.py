@@ -309,3 +309,50 @@ class TestLabelPropagation:
         assert df.columns == ["node", "community"]
         o = entrymod.oracle_sql()
         assert "lpa_communities" in o and "lpa_community_sizes" in o
+
+
+class TestSalsa:
+    """Closed-form SALSA authorities (Lempel & Moran 2000)."""
+
+    def _salsa(self, spark, edges):
+        from reader_spark.ops.graph import salsa_authorities
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {r["node"]: r for r in salsa_authorities(df).collect()}
+
+    def test_hand_computed_two_components(self, spark):
+        # h1->{a,b}, h2->{b,c}, h3->{d}: components {a,b,c} and {d}
+        # a(i) = (n_c/4) * (d_in/D_c): a=.1875 b=.375 c=.1875 d=.25
+        got = self._salsa(
+            spark,
+            [("h1", "a"), ("h1", "b"), ("h2", "b"), ("h2", "c"), ("h3", "d")],
+        )
+        assert got["a"]["salsa"] == 0.1875
+        assert got["b"]["salsa"] == 0.375
+        assert got["c"]["salsa"] == 0.1875
+        assert got["d"]["salsa"] == 0.25
+        assert got["d"]["component"] == "d"  # isolated: own component
+        assert got["a"]["component"] == got["c"]["component"] == "a"
+
+    def test_mass_sums_to_one(self, spark):
+        edges = [
+            (f"h{i % 5}", f"a{(i * 3) % 11}") for i in range(40)
+        ]
+        got = self._salsa(spark, edges)
+        assert abs(sum(r["salsa"] for r in got.values()) - 1.0) < 1e-3
+
+    def test_parallel_edges_collapse(self, spark):
+        got = self._salsa(
+            spark, [("h", "a"), ("h", "a"), ("h", "b")]
+        )
+        assert got["a"]["d_in"] == 1 and got["b"]["d_in"] == 1
+        assert got["a"]["salsa"] == got["b"]["salsa"] == 0.5
+
+    def test_registry_and_oracle(self, spark):
+        import __spark_entry__ as entrymod
+
+        df = entrymod.queries()["salsa_authorities"](
+            spark, "/root/testdata/sf0.001"
+        )
+        assert df.columns == ["node", "d_in", "component", "n_c", "salsa"]
+        assert "salsa_authorities" in entrymod.oracle_sql()

@@ -94,6 +94,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_url_variant_clusters,
 )
 from reader_spark.queries.analytics import (  # noqa: E402  (registry entries)
+    _q_event_bursts,
     _q_customer_nation_rollup,
     _q_hilbert_events,
     _q_customers_without_orders,
@@ -3849,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "zorder_events": _q_zorder_events,
         "hilbert_events": _q_hilbert_events,
+        "event_bursts": _q_event_bursts,
         "cohort_retention": _q_cohort_retention,
         "hll_merged": _q_hll_merged,
         "event_transitions": _q_event_transitions,

@@ -484,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_coverage_oracles())
     out["conformal_threshold"] = _conformal_oracle(out)
     out["salsa_authorities"] = _salsa_oracle()
+    out["event_bursts"] = _burst_oracle()
     return out
 
 
@@ -10805,4 +10806,69 @@ def _salsa_oracle() -> str:
                CAST((cs.n_c * lab.d_in * 1000000)
                     // (tot.n_total * cs.d_c) AS BIGINT) / 1e6 AS salsa
         FROM lab JOIN cs USING (component), tot
+    """
+
+
+def _burst_oracle(s_milli: int = 2000, gamma_milli: int = 1000) -> str:
+    """Twin of ops/burst.kleinberg_bursts (Kleinberg 2002 two-state
+    optimal labeling): same round-9 nano-unit binomial costs, the same
+    forward/backward min-plus recurrences as recursive CTEs, strict-<
+    tie-break to the base state."""
+    s = s_milli / 1000.0
+    gm = gamma_milli / 1000.0
+    p0 = "(rr / (SELECT dd FROM tot))"
+    p1 = f"least({s} * (rr / (SELECT dd FROM tot)), 0.99999)"
+    return f"""
+        WITH RECURSIVE
+        ev AS (SELECT event_type AS key, date_trunc('hour', ts) AS win
+               FROM events),
+        kw AS (SELECT key, win, CAST(count(*) AS BIGINT) AS r
+               FROM ev GROUP BY 1, 2),
+        wins AS (SELECT win, CAST(count(*) AS BIGINT) AS d
+                 FROM ev GROUP BY 1),
+        keys AS (SELECT key, CAST(count(*) AS BIGINT) AS rr
+                 FROM ev GROUP BY 1),
+        tot AS (SELECT CAST(sum(d) AS BIGINT) AS dd,
+                       CAST(count(*) AS BIGINT) AS t FROM wins),
+        grid AS (
+            SELECT k.key, w.win, w.d, k.rr, coalesce(kw.r, 0) AS r
+            FROM keys k CROSS JOIN wins w
+            LEFT JOIN kw ON kw.key = k.key AND kw.win = w.win
+        ),
+        c AS (
+            SELECT key, win, r, d,
+                   CAST(round(-(r * ln({p0})
+                       + (d - r) * ln(1.0 - {p0})) * 1e9, 0)
+                       AS BIGINT) AS k0,
+                   CAST(round(-(r * ln({p1})
+                       + (d - r) * ln(1.0 - {p1})) * 1e9, 0)
+                       AS BIGINT) AS k1,
+                   CAST(round({gm} * ln((SELECT t FROM tot)) * 1e9, 0)
+                       AS BIGINT) AS g,
+                   row_number() OVER (PARTITION BY key ORDER BY win)
+                       AS i,
+                   count(*) OVER (PARTITION BY key) AS n
+            FROM grid
+        ),
+        fwd(key, i, c0, c1) AS (
+            SELECT key, i, k0, g + k1 FROM c WHERE i = 1
+            UNION ALL
+            SELECT c.key, c.i,
+                   least(f.c0, f.c1) + c.k0,
+                   least(f.c0 + c.g, f.c1) + c.k1
+            FROM fwd f JOIN c ON c.key = f.key AND c.i = f.i + 1
+        ),
+        bwd(key, i, c0, c1) AS (
+            SELECT key, i, k0, k1 FROM c WHERE i = n
+            UNION ALL
+            SELECT c.key, c.i,
+                   least(b.c0, b.c1 + c.g) + c.k0,
+                   least(b.c0, b.c1) + c.k1
+            FROM bwd b JOIN c ON c.key = b.key AND c.i = b.i - 1
+        )
+        SELECT c.key, c.win, c.r, c.d,
+               CASE WHEN (f.c1 + b.c1 - c.k1) < (f.c0 + b.c0 - c.k0)
+                    THEN 1 ELSE 0 END AS burst
+        FROM c JOIN fwd f ON c.key = f.key AND c.i = f.i
+               JOIN bwd b ON c.key = b.key AND c.i = b.i
     """

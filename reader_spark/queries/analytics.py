@@ -191,3 +191,16 @@ def _q_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hilbert_key(events, "user_id", "ts_us", bits=8).select(
         "event_id", "user_id_bucket", "ts_us_bucket", "h"
     )
+
+
+def _q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg two-state burst labeling over the hourly event stream
+    (ops.burst.kleinberg_bursts, KDD 2002): round-9 nano-unit binomial
+    window costs, gamma*ln(T) burst-entry cost, exact integer min-plus
+    forward/backward folds WITHIN each key row (no global windows), and
+    the optimal per-window burst flag — the flap-resistant error-spike
+    / hot-topic detector."""
+    from reader_spark.ops.burst import kleinberg_bursts
+
+    events = _read(spark, sf_dir, "events")
+    return kleinberg_bursts(events)

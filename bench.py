@@ -219,6 +219,15 @@ BENCH_QUERIES = (
     "quote_profile",
     "crawl_trap_signals",
     "url_templates",
+    "kneser_ney_bigram",
+    "lpa_communities",
+    "salsa_authorities",
+    "fs_linkage_profile",
+    "registrable_domains",
+    "facility_location",
+    "conformal_threshold",
+    "event_bursts",
+    "crawl_coverage_chao1",
 )
 
 

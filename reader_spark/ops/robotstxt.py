@@ -122,3 +122,38 @@ def robots_host_dim(
             (F.col("directive") == "sitemap").cast("long")
         ).alias("n_sitemaps"),
     )
+
+
+def robots_meta_gate(
+    df: DataFrame,
+    robots_col: str = "robots",
+) -> DataFrame:
+    """Page-level robots DIRECTIVE semantics over the extracted
+    ``<meta name="robots">`` string (the metadata battery emits the raw
+    value — parity with the reference's metadata-extractor.ts:50; this
+    is the corpus-scale gate on top). Google/Bing REP meta semantics:
+    comma-separated case-insensitive tokens; ``none`` = noindex +
+    nofollow; ``all`` is a no-op; unknown tokens ignored; a NULL/absent
+    tag permits everything. noindex drops the page from the index-side
+    corpus, nofollow kills its link expansion in the crawl frontier,
+    noarchive blocks cached/WARC re-serving.
+
+    Appends (noindex, nofollow, noarchive, indexable) as native boolean
+    columns — one pure row expression riding the scan, no shuffle.
+    """
+    toks = F.split(
+        F.regexp_replace(F.lower(F.coalesce(F.col(robots_col), F.lit(""))),
+                         r"\s+", ""),
+        ",",
+    )
+    has = lambda t: F.array_contains(toks, t)  # noqa: E731
+    noindex = has("noindex") | has("none")
+    nofollow = has("nofollow") | has("none")
+    noarchive = has("noarchive")
+    return df.select(
+        "*",
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        noarchive.alias("noarchive"),
+        (~noindex).alias("indexable"),
+    )

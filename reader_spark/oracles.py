@@ -485,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
     out["conformal_threshold"] = _conformal_oracle(out)
     out["salsa_authorities"] = _salsa_oracle()
     out["event_bursts"] = _burst_oracle()
+    out["robots_meta_gate"] = _robots_meta_oracle()
     return out
 
 
@@ -10871,4 +10872,39 @@ def _burst_oracle(s_milli: int = 2000, gamma_milli: int = 1000) -> str:
                     THEN 1 ELSE 0 END AS burst
         FROM c JOIN fwd f ON c.key = f.key AND c.i = f.i
                JOIN bwd b ON c.key = b.key AND c.i = b.i
+    """
+
+
+def _robots_meta_oracle() -> str:
+    """Twin of ops/robotstxt.robots_meta_gate over the same planted
+    REP-vocabulary fixture."""
+    return """
+        WITH b AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE CAST(doc_id % 7 AS INTEGER)
+                        WHEN 0 THEN 'index, follow'
+                        WHEN 1 THEN 'noindex'
+                        WHEN 2 THEN 'NOINDEX, NOFOLLOW'
+                        WHEN 3 THEN 'none'
+                        WHEN 4 THEN 'all'
+                        WHEN 5 THEN NULL
+                        ELSE 'noarchive, nofollow, max-snippet:-1'
+                   END AS robots
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, robots,
+                   string_split(regexp_replace(lower(coalesce(robots, '')),
+                                               '\\s+', '', 'g'), ',') AS toks
+            FROM b
+        )
+        SELECT doc_id, robots,
+               list_contains(toks, 'noindex')
+                   OR list_contains(toks, 'none') AS noindex,
+               list_contains(toks, 'nofollow')
+                   OR list_contains(toks, 'none') AS nofollow,
+               list_contains(toks, 'noarchive') AS noarchive,
+               NOT (list_contains(toks, 'noindex')
+                    OR list_contains(toks, 'none')) AS indexable
+        FROM t
     """

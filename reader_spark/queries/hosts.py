@@ -76,7 +76,34 @@ def _q_pld_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_robots_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directive gate (ops.robotstxt.robots_meta_gate)
+    over planted <meta name=robots> strings covering the full REP
+    vocabulary (case noise, `none` expansion, `all` no-op, unknown
+    tokens, absent tag): the index/follow/archive flags a corpus build
+    and a frontier expansion must honor. Pure row expression — no
+    shuffle."""
+    from reader_spark.ops.robotstxt import robots_meta_gate
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    robots = (
+        F.when(d % 7 == 0, F.lit("index, follow"))
+        .when(d % 7 == 1, F.lit("noindex"))
+        .when(d % 7 == 2, F.lit("NOINDEX, NOFOLLOW"))
+        .when(d % 7 == 3, F.lit("none"))
+        .when(d % 7 == 4, F.lit("all"))
+        .when(d % 7 == 5, F.lit(None).cast("string"))
+        .otherwise(F.lit("noarchive, nofollow, max-snippet:-1"))
+    )
+    base = docs.select(d.alias("doc_id"), robots.alias("robots"))
+    return robots_meta_gate(base)
+
+
 QUERIES = {
     "registrable_domains": _q_registrable_domains,
+    "robots_meta_gate": _q_robots_meta_gate,
     "pld_rollup": _q_pld_rollup,
 }

@@ -83,3 +83,61 @@ def test_registry_and_oracle(spark):
     ]
     o = entrymod.oracle_sql()
     assert "registrable_domains" in o and "pld_rollup" in o
+
+
+class TestRobotsMetaGate:
+    """Page-level REP directive semantics (ops/robotstxt.
+    robots_meta_gate)."""
+
+    def _gate(self, spark, values):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.robotstxt import robots_meta_gate
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)],
+            "doc_id bigint, robots string",
+        )
+        return {
+            r["doc_id"]: r for r in robots_meta_gate(df).collect()
+        }
+
+    def test_directive_vocabulary(self, spark):
+        got = self._gate(
+            spark,
+            [
+                "index, follow",       # 0: permissive
+                "NOINDEX , NoFollow",  # 1: case + space noise
+                "none",                # 2: expands to both
+                "all",                 # 3: no-op token
+                None,                  # 4: absent tag permits all
+                "noarchive,max-snippet:-1",  # 5: unknown ignored
+            ],
+        )
+        assert (got[0]["noindex"], got[0]["nofollow"]) == (False, False)
+        assert (got[1]["noindex"], got[1]["nofollow"]) == (True, True)
+        assert (got[2]["noindex"], got[2]["nofollow"]) == (True, True)
+        assert (got[3]["noindex"], got[3]["indexable"]) == (False, True)
+        assert (got[4]["noindex"], got[4]["indexable"]) == (False, True)
+        assert (got[5]["noarchive"], got[5]["noindex"]) == (True, False)
+
+    def test_indexable_is_the_negation(self, spark):
+        got = self._gate(spark, ["noindex", "follow"])
+        assert got[0]["indexable"] is False
+        assert got[1]["indexable"] is True
+
+    def test_registry_and_oracle(self, spark):
+        import __spark_entry__ as entrymod
+
+        df = entrymod.queries()["robots_meta_gate"](
+            spark, "/root/testdata/sf0.001"
+        )
+        assert df.columns == [
+            "doc_id",
+            "robots",
+            "noindex",
+            "nofollow",
+            "noarchive",
+            "indexable",
+        ]
+        assert "robots_meta_gate" in entrymod.oracle_sql()

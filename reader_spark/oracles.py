@@ -486,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
     out["salsa_authorities"] = _salsa_oracle()
     out["event_bursts"] = _burst_oracle()
     out["robots_meta_gate"] = _robots_meta_oracle()
+    out["canonical_chains"] = _canonical_oracle()
     return out
 
 
@@ -10907,4 +10908,59 @@ def _robots_meta_oracle() -> str:
                NOT (list_contains(toks, 'noindex')
                     OR list_contains(toks, 'none')) AS indexable
         FROM t
+    """
+
+
+def _canonical_oracle() -> str:
+    """Twin of ops/canonical.resolve_canonical_chains over the planted
+    canonical graph: recursive pointer walk (cap 64 > the Spark side's
+    2^4 doubling reach; real chains are depth <= 3), max-depth terminal
+    per url, root-membership decides resolved vs cycle."""
+    return """
+        WITH RECURSIVE
+        pg AS (
+            SELECT 'u' || CAST(doc_id AS VARCHAR) AS u,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        WHEN doc_id % 5 IN (1, 2, 3)
+                            THEN 'u' || CAST(doc_id - 1 AS VARCHAR)
+                        WHEN doc_id % 10 = 4
+                            THEN 'u' || CAST(doc_id + 5 AS VARCHAR)
+                        ELSE 'u' || CAST(doc_id - 5 AS VARCHAR)
+                   END AS canon
+            FROM documents
+        ),
+        one AS (
+            SELECT u, coalesce(canon, u) AS v,
+                   CASE WHEN coalesce(canon, u) = u THEN 0 ELSE 1 END AS d
+            FROM pg
+        ),
+        uni AS (
+            SELECT u, v, d FROM one
+            UNION ALL
+            SELECT v, v, 0 FROM (
+                SELECT DISTINCT v FROM one
+                WHERE v NOT IN (SELECT u FROM one)
+            )
+        ),
+        walk(u, cur, dep) AS (
+            SELECT u, v, CAST(d AS BIGINT) FROM uni
+            UNION ALL
+            SELECT w.u, n.v, w.dep + n.d
+            FROM walk w JOIN uni n ON n.u = w.cur
+            WHERE n.d > 0 AND w.dep < 64
+        ),
+        fin AS (
+            SELECT u, cur, dep FROM walk
+            QUALIFY row_number() OVER (PARTITION BY u
+                                       ORDER BY dep DESC) = 1
+        ),
+        roots AS (SELECT u FROM uni WHERE d = 0)
+        SELECT f.u AS url,
+               CASE WHEN r.u IS NOT NULL THEN f.cur END AS canonical_url,
+               CASE WHEN r.u IS NULL THEN 'cycle'
+                    WHEN f.dep = 0 THEN 'root'
+                    ELSE 'resolved' END AS status,
+               CASE WHEN r.u IS NOT NULL THEN f.dep END AS depth
+        FROM fin f LEFT JOIN roots r ON f.cur = r.u
+        WHERE f.u IN (SELECT u FROM one)
     """

@@ -102,8 +102,34 @@ def _q_robots_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_meta_gate(base)
 
 
+def _q_canonical_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical chain resolution (ops.canonical.
+    resolve_canonical_chains): pointer doubling over the planted
+    canonical graph — roots, 1/2/3-hop chains and misconfigured
+    2-cycles; chains resolve to their terminal with the hop count,
+    cycles surface flagged with NULL canonical. Four doubling rounds
+    cover depth 16; every join is key-bounded."""
+    from reader_spark.ops.canonical import resolve_canonical_chains
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    u = F.concat(F.lit("u"), d.cast("string"))
+    canon = (
+        F.when(d % 5 == 0, F.lit(None).cast("string"))
+        .when(
+            (d % 5).isin(1, 2, 3),
+            F.concat(F.lit("u"), (d - 1).cast("string")),
+        )
+        .when(d % 10 == 4, F.concat(F.lit("u"), (d + 5).cast("string")))
+        .otherwise(F.concat(F.lit("u"), (d - 5).cast("string")))
+    )
+    pages = docs.select(u.alias("url"), canon.alias("canonical"))
+    return resolve_canonical_chains(pages, rounds=4)
+
+
 QUERIES = {
     "registrable_domains": _q_registrable_domains,
     "robots_meta_gate": _q_robots_meta_gate,
+    "canonical_chains": _q_canonical_chains,
     "pld_rollup": _q_pld_rollup,
 }

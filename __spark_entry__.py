@@ -58,6 +58,8 @@ from reader_spark.queries.interleaved import (  # noqa: E402
 )
 from reader_spark.queries.curation import (  # noqa: E402
     _q_anchor_corpus,
+    _q_weighted_minhash_md5,
+    _q_weighted_jaccard_pairs,
     _q_blocklist_filter,
     _q_boilerpipe_classify,
     _q_c4_page_clean,
@@ -3850,6 +3852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "zorder_events": _q_zorder_events,
         "hilbert_events": _q_hilbert_events,
+        "weighted_minhash_md5": _q_weighted_minhash_md5,
+        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
         "event_bursts": _q_event_bursts,
         "cohort_retention": _q_cohort_retention,
         "hll_merged": _q_hll_merged,

@@ -1119,3 +1119,155 @@ def content_aliases(
         F.min("_url").alias("first_url"),
     )
     return agg.where(F.col("n_urls") > 1)
+
+
+def _weighted_elements(
+    df: DataFrame, id_col: str, text_col: str, cap: int
+) -> DataFrame:
+    """(doc, tok, w) capped token counts plus the duplication expansion
+    (doc, element) with element = tok#i, i < w — the exact reduction of
+    integer-weighted Jaccard to set Jaccard (replicated elements; cf.
+    Ioffe ICDM 2010 §1's folklore baseline that CWS accelerates)."""
+    toks = fanout_scan(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), "\\s+"), lambda x: x != ""
+            )
+        ).alias("tok"),
+    )
+    return toks.groupBy("doc", "tok").agg(
+        F.least(F.count(F.lit(1)), F.lit(cap)).cast("long").alias("w")
+    )
+
+
+def weighted_minhash_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    cap: int = 8,
+) -> DataFrame:
+    """Weighted-Jaccard MinHash signature digest, md5-portable: token
+    multiplicities (capped at `cap` — an 80x-repeated token should not
+    own the whole similarity) expand to distinct elements tok#i, and
+    the standard md5 min-hash family runs over the expansion, so two
+    docs' signature-agreement probability estimates their CAPPED
+    weighted Jaccard sum(min w)/sum(max w) instead of the set Jaccard
+    that plain MinHash gives (which a copy-paste-with-repetition spam
+    page games). Shape: one groupBy(doc, tok), a bounded <= cap
+    per-token explode, one map-side-combined groupBy(doc) for the k
+    mins. Returns (doc, sig_md5)."""
+    el = _weighted_elements(df, id_col, text_col, cap).select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), (F.col("w") - 1).cast("int"))).alias(
+            "i"
+        ),
+        F.col("tok"),
+    ).select(
+        "doc", F.concat(F.col("tok"), F.lit("#"), F.col("i")).alias("el")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("el")))).alias(
+            f"h{seed}"
+        )
+        for seed in range(num_hashes)
+    ]
+    sig = el.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc",
+        F.md5(
+            F.concat_ws("|", *[f"h{i}" for i in range(num_hashes)])
+        ).alias("sig_md5"),
+    )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    cap: int = 8,
+) -> DataFrame:
+    """Banded weighted-MinHash candidates with the EXACT capped
+    weighted Jaccard evaluated on each candidate pair: bands bucket the
+    duplication-expanded signatures (equi-join, never all-pairs), then
+    sum(min w)/sum(max w) is computed from the two count vectors in
+    exact integer milli units. Returns (doc_a, doc_b, wj_milli).
+
+    Shape at 100 TB: the token-count frame is one groupBy; candidates
+    come from the band equi-join; the exact pass joins counts ONLY for
+    candidate docs (semi-join pushdown), and the per-pair token union
+    is a (pair, tok)-keyed groupBy — bounded by the two docs' vocab."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"{num_hashes=} not divisible by {bands=}")
+    rows = num_hashes // bands
+    counts = _weighted_elements(df, id_col, text_col, cap)
+    el = counts.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), (F.col("w") - 1).cast("int"))).alias(
+            "i"
+        ),
+        "tok",
+    ).select(
+        "doc", F.concat(F.col("tok"), F.lit("#"), F.col("i")).alias("el")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("el")))).alias(
+            f"h{seed}"
+        )
+        for seed in range(num_hashes)
+    ]
+    sig = el.groupBy("doc").agg(*mins)
+    bandrows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        bandrows.append(
+            sig.select(
+                "doc",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    banded = bandrows[0]
+    for extra in bandrows[1:]:
+        banded = banded.union(extra)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+    ca = cand.join(
+        counts.select(F.col("doc").alias("doc_a"), "tok", F.col("w").alias("wa")),
+        "doc_a",
+    ).select("doc_a", "doc_b", "tok", "wa", F.lit(0).cast("long").alias("wb"))
+    cb = cand.join(
+        counts.select(F.col("doc").alias("doc_b"), "tok", F.col("w").alias("wb")),
+        "doc_b",
+    ).select("doc_a", "doc_b", "tok", F.lit(0).cast("long").alias("wa"), "wb")
+    merged = (
+        ca.union(cb)
+        .groupBy("doc_a", "doc_b", "tok")
+        .agg(F.max("wa").alias("wa"), F.max("wb").alias("wb"))
+    )
+    return (
+        merged.groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.least("wa", "wb")).alias("mn"),
+            F.sum(F.greatest("wa", "wb")).alias("mx"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(mn * 1000) div mx").cast("long").alias("wj_milli"),
+        )
+    )

@@ -487,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
     out["event_bursts"] = _burst_oracle()
     out["robots_meta_gate"] = _robots_meta_oracle()
     out["canonical_chains"] = _canonical_oracle()
+    out.update(_weighted_minhash_oracles())
     return out
 
 
@@ -10964,3 +10965,81 @@ def _canonical_oracle() -> str:
         FROM fin f LEFT JOIN roots r ON f.cur = r.u
         WHERE f.u IN (SELECT u FROM one)
     """
+
+
+def _weighted_minhash_oracles(
+    num_hashes: int = 16, bands: int = 4, cap: int = 8
+) -> dict[str, str]:
+    """Twins of ops/dedup.weighted_minhash_md5 / weighted_jaccard_pairs:
+    same capped duplication expansion, the established md5 seed|element
+    min scheme, band equi-join, exact milli weighted Jaccard."""
+    rows = num_hashes // bands
+    base = f"""
+        WITH toks AS (
+            SELECT doc_id AS doc,
+                   unnest(list_filter(string_split_regex(trim(text),
+                       '\\s+'), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc, tok,
+                   CAST(least(count(*), {cap}) AS BIGINT) AS w
+            FROM toks GROUP BY 1, 2
+        ),
+        el AS (
+            SELECT doc,
+                   tok || '#' || CAST(unnest(range(0,
+                       CAST(w AS INTEGER))) AS VARCHAR) AS el
+            FROM counts
+        ),
+        mins AS (
+            SELECT doc, seed,
+                   min(md5(seed::VARCHAR || '|' || el)) AS minh
+            FROM el CROSS JOIN
+                 (SELECT unnest(range(0, {num_hashes})) AS seed) s
+            GROUP BY doc, seed
+        )"""
+    sig = (
+        base
+        + """
+        SELECT doc, md5(string_agg(minh, '|' ORDER BY seed)) AS sig_md5
+        FROM mins GROUP BY doc
+    """
+    )
+    pairs = (
+        base
+        + f""",
+        bandh AS (
+            SELECT doc, seed // {rows} AS band_id,
+                   md5(string_agg(minh, '|' ORDER BY seed)) AS band_hash
+            FROM mins GROUP BY doc, seed // {rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM bandh a JOIN bandh b
+                 ON a.band_id = b.band_id
+                AND a.band_hash = b.band_hash
+                AND a.doc < b.doc
+        ),
+        u AS (
+            SELECT c.doc_a, c.doc_b, k.tok, k.w AS wa,
+                   CAST(0 AS BIGINT) AS wb
+            FROM cand c JOIN counts k ON k.doc = c.doc_a
+            UNION ALL
+            SELECT c.doc_a, c.doc_b, k.tok, CAST(0 AS BIGINT), k.w
+            FROM cand c JOIN counts k ON k.doc = c.doc_b
+        ),
+        g AS (
+            SELECT doc_a, doc_b, tok, max(wa) AS wa, max(wb) AS wb
+            FROM u GROUP BY 1, 2, 3
+        )
+        SELECT doc_a, doc_b,
+               CAST((sum(least(wa, wb)) * 1000)
+                    // sum(greatest(wa, wb)) AS BIGINT) AS wj_milli
+        FROM g GROUP BY 1, 2
+    """
+    )
+    return {
+        "weighted_minhash_md5": sig,
+        "weighted_jaccard_pairs": pairs,
+    }

@@ -1293,3 +1293,27 @@ def _q_source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("gopher_pass").cast("int").alias("is_good")
     ).join(docs.select("doc_id", "source"), "doc_id")
     return shrunk_rates(flags, group_col="source", prior_strength=100)
+
+
+def _q_weighted_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Jaccard MinHash digests (ops.dedup.weighted_minhash_md5,
+    the Ioffe-2010 problem solved by exact duplication expansion with a
+    multiplicity cap): md5-portable signature digest per doc — the
+    repetition-aware sibling of the certified minhash_lsh_md5 row (a
+    spam page that repeats its payload 50x no longer dominates the
+    similarity)."""
+    from reader_spark.ops.dedup import weighted_minhash_md5
+
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_minhash_md5(docs)
+
+
+def _q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded weighted-MinHash candidates + the EXACT capped weighted
+    Jaccard per candidate pair in integer milli units (ops.dedup.
+    weighted_jaccard_pairs): band equi-join candidates only; the exact
+    pass joins count vectors solely for candidate docs."""
+    from reader_spark.ops.dedup import weighted_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_jaccard_pairs(docs)

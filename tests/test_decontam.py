@@ -124,3 +124,78 @@ def test_bloom_tiny_filter_still_lossless(corpus, bench):
         )
     )
     assert got == exact
+
+
+class TestWeightedMinhash:
+    """Weighted-Jaccard MinHash via capped duplication expansion
+    (ops/dedup.weighted_minhash_md5 / weighted_jaccard_pairs)."""
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+
+    def test_expansion_caps_multiplicity(self, spark):
+        from reader_spark.ops.dedup import _weighted_elements
+
+        df = self._docs(spark, ["spam " * 50 + "ham"])
+        got = {
+            r["tok"]: r["w"]
+            for r in _weighted_elements(df, "doc_id", "text", 8).collect()
+        }
+        assert got == {"spam": 8, "ham": 1}
+
+    def test_identical_docs_reach_wj_1000(self, spark):
+        from reader_spark.ops.dedup import weighted_jaccard_pairs
+
+        df = self._docs(spark, ["a a a b c d e f", "a a a b c d e f"])
+        rows = weighted_jaccard_pairs(df).collect()
+        assert [(r["doc_a"], r["doc_b"], r["wj_milli"]) for r in rows] == [
+            (0, 1, 1000)
+        ]
+
+    def test_repetition_beyond_cap_is_equivalent(self, spark):
+        from reader_spark.ops.dedup import weighted_jaccard_pairs
+
+        # both docs exceed the cap on 'x': capped counts equal -> 1000
+        df = self._docs(spark, ["x " * 20 + "y", "x " * 9 + "y"])
+        rows = weighted_jaccard_pairs(df, cap=8).collect()
+        assert rows and rows[0]["wj_milli"] == 1000
+
+    def test_multiplicity_separates_what_set_jaccard_cannot(self, spark):
+        from reader_spark.ops.dedup import (
+            _weighted_elements,
+            weighted_minhash_md5,
+        )
+
+        # same token SET, different multiplicities: weighted signatures
+        # must differ (plain set-minhash would collide on every hash)
+        df = self._docs(spark, ["x x x x y", "x y"])
+        sigs = {r["doc"]: r["sig_md5"] for r in weighted_minhash_md5(df).collect()}
+        assert sigs[0] != sigs[1]
+        # and the exact capped weighted jaccard is 2/5
+        counts = {
+            (r["doc"], r["tok"]): r["w"]
+            for r in _weighted_elements(df, "doc_id", "text", 8).collect()
+        }
+        toks = {"x", "y"}
+        mn = sum(min(counts.get((0, t), 0), counts.get((1, t), 0)) for t in toks)
+        mx = sum(max(counts.get((0, t), 0), counts.get((1, t), 0)) for t in toks)
+        assert (mn * 1000) // mx == 400
+
+    def test_bands_must_divide_hashes(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.dedup import weighted_jaccard_pairs
+
+        with _pytest.raises(ValueError):
+            weighted_jaccard_pairs(None, num_hashes=16, bands=5)
+
+    def test_registry_and_oracle(self, spark):
+        import __spark_entry__ as entrymod
+
+        o = entrymod.oracle_sql()
+        q = entrymod.queries()
+        for k in ("weighted_minhash_md5", "weighted_jaccard_pairs"):
+            assert k in o and k in q

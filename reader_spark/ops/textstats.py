@@ -1039,3 +1039,58 @@ def tokenizer_fertility(
         F.round(F.col("bytes") / F.col("chars"), 6).alias("bytes_per_char"),
         F.round(F.col("tokens") / F.col("n_docs"), 6).alias("tokens_per_doc"),
     )
+
+
+# Candidate card runs: 13-19 digits allowing space/dash grouping.
+# RE2-safe (no lookarounds); both engines share the literal.
+PII_CARD_CANDIDATE = r"\b[0-9][0-9 -]{11,22}[0-9]\b"
+
+
+def luhn_valid_col(digits: Column) -> Column:
+    """Luhn mod-10 checksum (ISO/IEC 7812) over a pure-digit string —
+    TRUE iff the checksum validates. Exact integer fold: from the
+    right, every second digit doubles (minus 9 when > 9); total % 10
+    == 0. The reason this exists: a bare 13-19-digit regex flags phone
+    numbers, order ids and timestamps; the checksum is the standard
+    high-precision gate (typo'd or random digit runs fail it 90% of
+    the time)."""
+    rev = F.filter(F.split(F.reverse(digits), ""), lambda c: c != "")
+    contrib = F.zip_with(
+        rev,
+        F.sequence(F.lit(0), F.greatest(F.size(rev) - 1, F.lit(0))),
+        lambda c, i: F.when(
+            i % 2 == 1,
+            F.when(
+                c.cast("int") * 2 > 9, c.cast("int") * 2 - 9
+            ).otherwise(c.cast("int") * 2),
+        ).otherwise(c.cast("int")),
+    )
+    total = F.aggregate(
+        contrib, F.lit(0), lambda acc, x: acc + F.coalesce(x, F.lit(0))
+    )
+    return (F.length(digits) > 0) & (total % 10 == 0)
+
+
+def card_count_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document payment-card audit: candidate digit runs (13-19
+    digits with space/dash grouping) and the Luhn-VALID subset — the
+    column a release gate blocks on (candidates alone are noise;
+    validated numbers are reportable PII). Pure row expressions: one
+    regexp_extract_all + a bounded per-candidate integer fold, riding
+    the scan."""
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(PII_CARD_CANDIDATE), F.lit(0)
+    )
+    norm = F.transform(
+        cands, lambda s: F.regexp_replace(s, "[ -]", "")
+    )
+    inlen = F.filter(
+        norm,
+        lambda s: (F.length(s) >= 13) & (F.length(s) <= 19),
+    )
+    valid = F.filter(inlen, lambda s: luhn_valid_col(s))
+    return df.select(
+        "*",
+        F.size(inlen).cast("long").alias("n_card_candidates"),
+        F.size(valid).cast("long").alias("n_cards_luhn_valid"),
+    )

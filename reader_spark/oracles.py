@@ -488,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
     out["robots_meta_gate"] = _robots_meta_oracle()
     out["canonical_chains"] = _canonical_oracle()
     out.update(_weighted_minhash_oracles())
+    out["pii_card_audit"] = _card_audit_oracle()
     return out
 
 
@@ -11043,3 +11044,44 @@ def _weighted_minhash_oracles(
         "weighted_minhash_md5": sig,
         "weighted_jaccard_pairs": pairs,
     }
+
+
+def _card_audit_oracle() -> str:
+    """Twin of ops/textstats.card_count_columns over the planted PAN
+    fixture: same candidate regex, separator strip, length gate, and
+    the Luhn mod-10 fold as nested list lambdas."""
+    luhn_sum = (
+        "list_sum(list_transform(range(1, len(s) + 1), i -> "
+        "CASE WHEN (i - 1) % 2 = 1 THEN "
+        "CASE WHEN CAST(substr(reverse(s), i, 1) AS INTEGER) * 2 > 9 "
+        "THEN CAST(substr(reverse(s), i, 1) AS INTEGER) * 2 - 9 "
+        "ELSE CAST(substr(reverse(s), i, 1) AS INTEGER) * 2 END "
+        "ELSE CAST(substr(reverse(s), i, 1) AS INTEGER) END))"
+    )
+    return f"""
+        WITH b AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE CAST(doc_id % 5 AS INTEGER)
+                        WHEN 0 THEN text || ' card 4111 1111 1111 1111 ok'
+                        WHEN 1 THEN text || ' card 4111-1111-1111-1112 bad'
+                        WHEN 2 THEN text || ' order 123456789012345 ref'
+                        ELSE text
+                   END AS text
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       regexp_extract_all(text,
+                           '\\b[0-9][0-9 -]{{11,22}}[0-9]\\b'),
+                       x -> regexp_replace(x, '[ -]', '', 'g')),
+                       s -> len(s) >= 13 AND len(s) <= 19) AS inlen
+            FROM b
+        )
+        SELECT doc_id,
+               CAST(len(inlen) AS BIGINT) AS n_card_candidates,
+               CAST(len(list_filter(inlen,
+                   s -> len(s) > 0 AND {luhn_sum} % 10 = 0))
+                   AS BIGINT) AS n_cards_luhn_valid
+        FROM c
+    """

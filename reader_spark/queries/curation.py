@@ -1317,3 +1317,35 @@ def _q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return weighted_jaccard_pairs(docs)
+
+
+def _q_pii_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card PII audit (ops.textstats.card_count_columns): 13-19
+    digit candidate runs vs the Luhn-checksum-valid subset (ISO/IEC
+    7812 mod-10 as an exact integer fold). Planted fixture: a valid
+    grouped test PAN on every 5th doc, a near-miss (last digit off) on
+    the next, and a 15-digit order-id-style run on the one after —
+    candidates that must NOT validate. Scan-bound row expressions."""
+    from reader_spark.ops.textstats import card_count_columns
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    planted = (
+        F.when(
+            d % 5 == 0,
+            F.concat(F.col("text"), F.lit(" card 4111 1111 1111 1111 ok")),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(F.col("text"), F.lit(" card 4111-1111-1111-1112 bad")),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.col("text"), F.lit(" order 123456789012345 ref")),
+        )
+        .otherwise(F.col("text"))
+    )
+    base = docs.select(d.alias("doc_id"), planted.alias("text"))
+    return card_count_columns(base).select(
+        "doc_id", "n_card_candidates", "n_cards_luhn_valid"
+    )

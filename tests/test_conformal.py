@@ -83,3 +83,66 @@ def test_registry_and_oracle(spark):
         "exclusion_milli",
     ]
     assert "conformal_threshold" in entrymod.oracle_sql()
+
+
+class TestLuhnCardAudit:
+    """Payment-card PII audit (ops/textstats.card_count_columns,
+    ISO/IEC 7812 Luhn)."""
+
+    def _audit(self, spark, texts):
+        from reader_spark.ops.textstats import card_count_columns
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        return {r["doc_id"]: r for r in card_count_columns(df).collect()}
+
+    def test_valid_pans_validate_near_misses_do_not(self, spark):
+        got = self._audit(
+            spark,
+            [
+                "pay 4111 1111 1111 1111 now",        # valid Visa test PAN
+                "pay 4111-1111-1111-1112 now",        # last digit off
+                "amex 3782 822463 10005 here",        # valid 15-digit Amex
+                "order 123456789012345 ref",          # random run
+                "no digits at all",
+            ],
+        )
+        assert (got[0]["n_card_candidates"], got[0]["n_cards_luhn_valid"]) == (1, 1)
+        assert (got[1]["n_card_candidates"], got[1]["n_cards_luhn_valid"]) == (1, 0)
+        assert (got[2]["n_card_candidates"], got[2]["n_cards_luhn_valid"]) == (1, 1)
+        assert (got[3]["n_card_candidates"], got[3]["n_cards_luhn_valid"]) == (1, 0)
+        assert (got[4]["n_card_candidates"], got[4]["n_cards_luhn_valid"]) == (0, 0)
+
+    def test_length_gate_excludes_short_and_long_runs(self, spark):
+        got = self._audit(
+            spark,
+            [
+                "short 4111 1111 1111",               # 12 digits: too short
+                "long 41111111111111111111 x",        # 20 digits: too long
+            ],
+        )
+        assert got[0]["n_card_candidates"] == 0
+        assert got[1]["n_card_candidates"] == 0
+
+    def test_luhn_column_directly(self, spark):
+        from pyspark.sql import functions as F
+
+        from reader_spark.ops.textstats import luhn_valid_col
+
+        df = spark.createDataFrame(
+            [("4111111111111111",), ("4111111111111112",), ("",)],
+            "s string",
+        )
+        got = [
+            r["v"]
+            for r in df.select(luhn_valid_col(F.col("s")).alias("v")).collect()
+        ]
+        assert got == [True, False, False]
+
+    def test_registry_and_oracle(self, spark):
+        import __spark_entry__ as entrymod
+
+        assert "pii_card_audit" in entrymod.queries()
+        assert "pii_card_audit" in entrymod.oracle_sql()

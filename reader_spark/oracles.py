@@ -489,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
     out["canonical_chains"] = _canonical_oracle()
     out.update(_weighted_minhash_oracles())
     out["pii_card_audit"] = _card_audit_oracle()
+    out.update(_hreflang_oracles())
     return out
 
 
@@ -11085,3 +11086,69 @@ def _card_audit_oracle() -> str:
                    AS BIGINT) AS n_cards_luhn_valid
         FROM c
     """
+
+
+def _hreflang_oracles() -> dict[str, str]:
+    """Twins of ops/hreflang over the planted trio fixture: same
+    declaration synthesis, the (src,dst) reciprocity self-join, the
+    recursive-reach CC over reciprocal edges, min-inbound language and
+    the duplicate-language conflict flag."""
+    decl = """
+        decl AS (
+            SELECT 'p' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN (doc_id // 3) % 7 = 3 AND doc_id % 3 = 0
+                             AND k = 2 THEN 'de'
+                        ELSE ['en', 'de', 'fr'][CAST(k AS INTEGER) + 1]
+                   END AS hreflang,
+                   'p' || CAST((doc_id // 3) * 3 + k AS VARCHAR) AS href
+            FROM documents, (SELECT unnest(range(3)) AS k)
+            WHERE NOT ((doc_id // 3) % 5 = 0 AND doc_id % 3 = 2
+                       AND k <> 2)
+        ),
+        back AS (
+            SELECT DISTINCT href AS u2, url AS h2, TRUE AS bk FROM decl
+        ),
+        aud AS (
+            SELECT d.url, d.hreflang, d.href,
+                   CASE WHEN d.url = d.href THEN 'self'
+                        WHEN b.bk THEN 'reciprocal'
+                        ELSE 'missing_return' END AS status
+            FROM decl d LEFT JOIN back b
+                 ON d.url = b.u2 AND d.href = b.h2
+        )"""
+    audit = f"WITH {decl}\n        SELECT url, hreflang, href, status FROM aud"
+    editions = f"""
+        WITH RECURSIVE {decl},
+        recip AS (
+            SELECT url AS src, href AS dst FROM aud
+            WHERE status = 'reciprocal'
+        ),
+        sym AS (
+            SELECT src, dst FROM recip UNION SELECT dst, src FROM recip
+        ),
+        reach(v, rt) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.src, reach.rt FROM sym s JOIN reach ON s.dst = reach.v
+        ),
+        comp AS (SELECT v AS url, min(rt) AS component
+                 FROM reach GROUP BY v),
+        declared AS (
+            SELECT href AS url, min(hreflang) AS lang FROM aud
+            WHERE status IN ('reciprocal', 'self') GROUP BY href
+        ),
+        members AS (
+            SELECT c.url, c.component, d.lang
+            FROM comp c LEFT JOIN declared d USING (url)
+        ),
+        pl AS (
+            SELECT component, lang,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+            FROM members GROUP BY 1, 2
+        )
+        SELECT m.component AS cluster, m.lang, m.url,
+               coalesce(pl.n_urls, 1) > 1 AS lang_conflict
+        FROM members m LEFT JOIN pl
+             ON m.component = pl.component AND m.lang = pl.lang
+    """
+    return {"hreflang_audit": audit, "hreflang_editions": editions}

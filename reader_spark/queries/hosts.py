@@ -127,9 +127,86 @@ def _q_canonical_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_canonical_chains(pages, rounds=4)
 
 
+
+
+_HL_LANGS = ("en", "de", "fr")
+
+
+def _hreflang_decls(docs: DataFrame) -> DataFrame:
+    """Planted hreflang declaration rows: docs group into language
+    trios (en/de/fr, url p{doc_id}); every member declares all three
+    (self included). Misconfigurations: every 5th group's fr member
+    declares only itself (its partners' annotations lose their return
+    links), and in groups with g mod 7 == 3 the en member mislabels
+    the fr edition as 'de' (the duplicate-language conflict)."""
+    d = F.col("doc_id").cast("long")
+    g = F.floor(d / 3)
+    r = d % 3
+    base = g * 3
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.lit(_HL_LANGS[k]).alias("lang"),
+            )
+            for k in range(3)
+        ]
+    )
+    decl = docs.select(
+        d.alias("did"),
+        g.alias("g"),
+        r.alias("r"),
+        base.alias("base"),
+        F.explode(rows).alias("m"),
+    ).select(
+        "did",
+        "g",
+        "r",
+        F.col("m.k").alias("k"),
+        F.concat(F.lit("p"), F.col("did").cast("string")).alias("url"),
+        F.when(
+            (F.col("g") % 7 == 3) & (F.col("r") == 0) & (F.col("m.k") == 2),
+            F.lit("de"),
+        )
+        .otherwise(F.col("m.lang"))
+        .alias("hreflang"),
+        F.concat(
+            F.lit("p"), (F.col("base") + F.col("m.k")).cast("string")
+        ).alias("href"),
+    )
+    return decl.where(
+        ~((F.col("g") % 5 == 0) & (F.col("r") == 2) & (F.col("k") != F.col("r")))
+    ).select("url", "hreflang", "href")
+
+
+def _q_hreflang_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-annotation hreflang audit (ops.hreflang.hreflang_audit,
+    Google's reciprocity contract): self / reciprocal / missing_return
+    classification via ONE (src,dst) self-equi-join — the standard SEO
+    misconfiguration report, at corpus scale."""
+    from reader_spark.ops.hreflang import hreflang_audit
+
+    docs = _read(spark, sf_dir, "documents")
+    return hreflang_audit(_hreflang_decls(docs))
+
+
+def _q_hreflang_editions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-edition clusters (ops.hreflang.hreflang_editions):
+    certified pointer-jumping CC over the RECIPROCAL edges only,
+    min-inbound-annotation language per member, duplicate-language
+    conflicts flagged — the table that keeps translations out of
+    near-dup deletion and feeds bitext mining."""
+    from reader_spark.ops.hreflang import hreflang_editions
+
+    docs = _read(spark, sf_dir, "documents")
+    return hreflang_editions(_hreflang_decls(docs))
+
+
 QUERIES = {
     "registrable_domains": _q_registrable_domains,
     "robots_meta_gate": _q_robots_meta_gate,
     "canonical_chains": _q_canonical_chains,
     "pld_rollup": _q_pld_rollup,
+    "hreflang_audit": _q_hreflang_audit,
+    "hreflang_editions": _q_hreflang_editions,
 }

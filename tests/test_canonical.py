@@ -70,3 +70,82 @@ def test_registry_and_oracle(spark):
     )
     assert df.columns == ["url", "canonical_url", "status", "depth"]
     assert "canonical_chains" in entrymod.oracle_sql()
+
+
+class TestHreflang:
+    """hreflang reciprocity audit + language-edition clusters
+    (ops/hreflang.py)."""
+
+    def _decl(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, hreflang string, href string"
+        )
+
+    def _trio(self, missing_return=False, wrong_label=False):
+        # pages a(en) b(de) c(fr), full cross-annotation + selves
+        rows = []
+        langs = {"a": "en", "b": "de", "c": "fr"}
+        for u in "abc":
+            if missing_return and u == "c":
+                rows.append((u, langs[u], u))  # fr declares only itself
+                continue
+            for h in "abc":
+                lang = langs[h]
+                if wrong_label and u == "a" and h == "c":
+                    lang = "de"
+                rows.append((u, lang, h))
+        return rows
+
+    def test_reciprocal_trio_clusters_with_languages(self, spark):
+        from reader_spark.ops.hreflang import hreflang_editions
+
+        got = {
+            r["url"]: r
+            for r in hreflang_editions(
+                self._decl(spark, self._trio())
+            ).collect()
+        }
+        assert {got[u]["cluster"] for u in "abc"} == {"a"}
+        assert [got[u]["lang"] for u in "abc"] == ["en", "de", "fr"]
+        assert not any(got[u]["lang_conflict"] for u in "abc")
+
+    def test_missing_return_drops_member_and_is_reported(self, spark):
+        from reader_spark.ops.hreflang import (
+            hreflang_audit,
+            hreflang_editions,
+        )
+
+        decl = self._decl(spark, self._trio(missing_return=True))
+        audit = hreflang_audit(decl).collect()
+        statuses = {
+            (r["url"], r["href"]): r["status"] for r in audit
+        }
+        assert statuses[("a", "c")] == "missing_return"
+        assert statuses[("b", "c")] == "missing_return"
+        assert statuses[("a", "b")] == "reciprocal"
+        assert statuses[("a", "a")] == "self"
+        eds = hreflang_editions(decl).collect()
+        assert {r["url"] for r in eds} == {"a", "b"}  # c unclustered
+
+    def test_duplicate_language_conflict_flags_both_rows(self, spark):
+        from reader_spark.ops.hreflang import hreflang_editions
+
+        got = {
+            r["url"]: r
+            for r in hreflang_editions(
+                self._decl(spark, self._trio(wrong_label=True))
+            ).collect()
+        }
+        # c's inbound labels are {'de' (mislabeled), 'fr'}: min -> 'de'
+        assert got["c"]["lang"] == "de"
+        assert got["b"]["lang"] == "de"
+        assert got["b"]["lang_conflict"] and got["c"]["lang_conflict"]
+        assert not got["a"]["lang_conflict"]
+
+    def test_registry_and_oracle(self, spark):
+        import __spark_entry__ as entrymod
+
+        o = entrymod.oracle_sql()
+        q = entrymod.queries()
+        for k in ("hreflang_audit", "hreflang_editions"):
+            assert k in o and k in q

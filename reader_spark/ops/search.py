@@ -161,3 +161,64 @@ def tfidf_top_terms(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact positional phrase match — the positional-postings query
+    classic IR builds next to BM25 (Manning/Raghavan/Schütze IIR §2.4:
+    biword vs positional indexes; this is the positional form): a
+    phrase of k terms matches at position p iff term i occurs at
+    p + i for every i. BM25's bag-of-words ranking cannot express it;
+    a regex over raw text can, but dies on tokenization mismatches
+    (punctuation, case, runs of whitespace) — this matches in TOKEN
+    space, the same space every other text op here uses.
+
+    Shape at 100 TB: one posexplode over the scan, an equi-join
+    against the k-row broadcast phrase dim (tok -> i), and ONE
+    map-side-combined groupBy((doc, start)) needing countDistinct(i)
+    == k — repeated words in the phrase stay correct because each
+    position i must be matched independently. No self-joins over
+    postings, no windows.
+
+    Returns (id_col, n_matches, first_pos) for matching docs only;
+    positions are 0-based token offsets.
+    """
+    terms = [w for w in phrase.lower().split() if w]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    spark = df.sparkSession
+    k = len(terms)
+    dim = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(terms)], "tok string, i int"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("pos", "tok"),
+    )
+    hits = (
+        toks.join(F.broadcast(dim), "tok")
+        .select(
+            F.col(id_col),
+            (F.col("pos") - F.col("i")).alias("start"),
+            "i",
+        )
+        .where(F.col("start") >= 0)
+        .distinct()
+        .groupBy(id_col, "start")
+        .agg(F.countDistinct("i").alias("__k"))
+        .where(F.col("__k") == k)
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("start").cast("long").alias("first_pos"),
+    )

@@ -490,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_weighted_minhash_oracles())
     out["pii_card_audit"] = _card_audit_oracle()
     out.update(_hreflang_oracles())
+    out["phrase_search"] = _phrase_search_oracle()
     return out
 
 
@@ -11152,3 +11153,48 @@ def _hreflang_oracles() -> dict[str, str]:
              ON m.component = pl.component AND m.lang = pl.lang
     """
     return {"hreflang_audit": audit, "hreflang_editions": editions}
+
+
+def _phrase_search_oracle() -> str:
+    """Twin of ops/search.phrase_search over the planted-phrase
+    fixture: same tokenizer, the (tok -> i) phrase dim, and the
+    (doc, start) count-distinct-of-i == k match rule."""
+    return """
+        WITH b AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN doc_id % 21 = 0 THEN text
+                            || ' the quick brown fox jumps'
+                            || ' the quick brown fox jumps'
+                        WHEN doc_id % 7 = 0 THEN text
+                            || ' the quick brown fox jumps'
+                        ELSE text
+                   END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '')) AS tok,
+                   CAST(generate_subscripts(
+                       list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9]+'), x -> x <> ''), 1) - 1
+                       AS BIGINT) AS pos
+            FROM b
+        ),
+        dim(tok, i) AS (VALUES ('quick', 0), ('brown', 1), ('fox', 2)),
+        hits AS (
+            SELECT DISTINCT toks.doc_id, toks.pos - dim.i AS start,
+                   dim.i
+            FROM toks JOIN dim ON toks.tok = dim.tok
+            WHERE toks.pos - dim.i >= 0
+        ),
+        m AS (
+            SELECT doc_id, start FROM hits
+            GROUP BY doc_id, start
+            HAVING count(DISTINCT i) = 3
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(start) AS BIGINT) AS first_pos
+        FROM m GROUP BY doc_id
+    """

@@ -1349,3 +1349,28 @@ def _q_pii_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return card_count_columns(base).select(
         "doc_id", "n_card_candidates", "n_cards_luhn_valid"
     )
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (ops.search.phrase_search, IIR §2.4):
+    every 7th doc gets ' the quick brown fox jumps' appended (every
+    21st twice); searching "quick brown fox" must hit exactly those
+    docs with exact token offsets — token-space matching the
+    bag-of-words BM25 row cannot express. One posexplode + broadcast
+    phrase dim + one (doc, start) groupBy."""
+    from reader_spark.ops.search import phrase_search
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    planted = F.when(
+        d % 21 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" the quick brown fox jumps the quick brown fox jumps"),
+        ),
+    ).when(
+        d % 7 == 0,
+        F.concat(F.col("text"), F.lit(" the quick brown fox jumps")),
+    ).otherwise(F.col("text"))
+    base = docs.select(d.alias("doc_id"), planted.alias("text"))
+    return phrase_search(base, "quick brown fox")

@@ -149,3 +149,63 @@ class TestHreflang:
         q = entrymod.queries()
         for k in ("hreflang_audit", "hreflang_editions"):
             assert k in o and k in q
+
+
+class TestPhraseSearch:
+    """Positional phrase search (ops/search.phrase_search)."""
+
+    def _search(self, spark, texts, phrase):
+        from pyspark.sql import Row
+
+        from reader_spark.ops.search import phrase_search
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        return {
+            r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in phrase_search(df, phrase).collect()
+        }
+
+    def test_exact_offsets_and_counts(self, spark):
+        got = self._search(
+            spark,
+            [
+                "the quick brown fox",          # match at 1
+                "quick brown fox quick brown fox",  # two matches
+                "quick brown wolf",             # no
+                "brown fox quick",              # wrong order: no
+            ],
+            "quick brown fox",
+        )
+        assert got == {0: (1, 1), 1: (2, 0)}
+
+    def test_tokenization_beats_raw_regex(self, spark):
+        # punctuation and case between tokens must not break the match
+        got = self._search(
+            spark, ["Quick, BROWN... fox!"], "quick brown fox"
+        )
+        assert got == {0: (1, 0)}
+
+    def test_repeated_word_in_phrase(self, spark):
+        got = self._search(
+            spark,
+            ["the cat the hat", "the cat cat hat"],
+            "the cat the",
+        )
+        assert got == {0: (1, 0)}
+
+    def test_empty_phrase_rejected(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.search import phrase_search
+
+        with _pytest.raises(ValueError):
+            phrase_search(None, "   ")
+
+    def test_registry_and_oracle(self, spark):
+        import __spark_entry__ as entrymod
+
+        assert "phrase_search" in entrymod.queries()
+        assert "phrase_search" in entrymod.oracle_sql()

@@ -491,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
     out["pii_card_audit"] = _card_audit_oracle()
     out.update(_hreflang_oracles())
     out["phrase_search"] = _phrase_search_oracle()
+    out["lpt_shards"] = _lpt_oracle()
     return out
 
 
@@ -11197,4 +11198,48 @@ def _phrase_search_oracle() -> str:
                CAST(count(*) AS BIGINT) AS n_matches,
                CAST(min(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id
+    """
+
+
+def _lpt_oracle(shards: int = 4) -> str:
+    """Twin of ops/lpt.lpt_shard_assignment: LPT rank order
+    (size desc, group asc), recursive fold carrying the shard-load
+    LIST, lightest-shard first-occurrence election."""
+    init_loads = "[" + ", ".join(["CAST(0 AS BIGINT)"] * shards) + "]"
+    return f"""
+        WITH RECURSIVE
+        sizes AS (
+            SELECT source,
+                   CAST(sum(len(list_filter(string_split_regex(
+                       trim(text), '\\s+'), x -> x <> ''))) AS BIGINT)
+                       AS size
+            FROM documents GROUP BY source
+        ),
+        ranked AS (
+            SELECT source, size,
+                   row_number() OVER (ORDER BY size DESC, source ASC)
+                       AS r
+            FROM sizes
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+        rec(r, loads, source, size, shard, load_after) AS (
+            SELECT 0, {init_loads}, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+                   CAST(NULL AS BIGINT)
+            UNION ALL
+            SELECT g.r,
+                   list_transform(range(1, {shards} + 1),
+                       i -> CASE WHEN i = list_position(rec.loads,
+                                list_min(rec.loads))
+                            THEN rec.loads[i] + g.size
+                            ELSE rec.loads[i] END),
+                   g.source, g.size,
+                   CAST(list_position(rec.loads, list_min(rec.loads))
+                        - 1 AS INTEGER),
+                   rec.loads[list_position(rec.loads,
+                       list_min(rec.loads))] + g.size
+            FROM rec JOIN ranked g ON g.r = rec.r + 1
+        )
+        SELECT source, size, shard, load_after
+        FROM rec WHERE r >= 1
     """

@@ -202,6 +202,35 @@ def _q_hreflang_editions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_editions(_hreflang_decls(docs))
 
 
+
+
+def _q_lpt_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPT shard balancing (ops.lpt.lpt_shard_assignment, Graham 1969
+    4/3-approx greedy) over per-source token masses: size-aware
+    assignment of the bounded source dim to 4 shards — the skew-proof
+    complement of the certified rendezvous_shards row (which targets
+    unbounded key spaces). One groupBy for sizes, one within-row fold
+    for the greedy."""
+    from reader_spark.ops.lpt import lpt_shard_assignment
+
+    docs = _read(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col("text")), "\\s+"),
+                    lambda x: x != "",
+                )
+            )
+        )
+        .cast("long")
+        .alias("size")
+    )
+    return lpt_shard_assignment(
+        sizes, group_col="source", size_col="size", shards=4
+    )
+
+
 QUERIES = {
     "registrable_domains": _q_registrable_domains,
     "robots_meta_gate": _q_robots_meta_gate,
@@ -209,4 +238,5 @@ QUERIES = {
     "pld_rollup": _q_pld_rollup,
     "hreflang_audit": _q_hreflang_audit,
     "hreflang_editions": _q_hreflang_editions,
+    "lpt_shards": _q_lpt_shards,
 }

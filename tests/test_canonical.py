@@ -209,3 +209,61 @@ class TestPhraseSearch:
 
         assert "phrase_search" in entrymod.queries()
         assert "phrase_search" in entrymod.oracle_sql()
+
+
+class TestLptShards:
+    """LPT shard balancing (ops/lpt.py, Graham 1969)."""
+
+    def _lpt(self, spark, sizes, shards):
+        from reader_spark.ops.lpt import lpt_shard_assignment
+
+        df = spark.createDataFrame(
+            list(sizes.items()), "group string, size long"
+        )
+        return {
+            r["group"]: r
+            for r in lpt_shard_assignment(df, shards=shards).collect()
+        }
+
+    def test_textbook_two_machine_schedule(self, spark):
+        got = self._lpt(
+            spark, {"a": 10, "b": 7, "c": 6, "d": 5, "e": 4}, 2
+        )
+        assert got["a"]["shard"] == 0 and got["a"]["load_after"] == 10
+        assert got["b"]["shard"] == 1
+        assert got["c"]["shard"] == 1  # lightest was s1 (7 < 10)
+        assert got["d"]["shard"] == 0
+        assert got["e"]["shard"] == 1
+        # makespan 17 vs total/2 = 16: within the 4/3 bound
+        loads = [0, 0]
+        for r in got.values():
+            loads[r["shard"]] += r["size"]
+        assert max(loads) == 17
+
+    def test_equal_sizes_tie_on_group_then_lowest_shard(self, spark):
+        got = self._lpt(spark, {"x": 5, "y": 5, "z": 5}, 3)
+        # LPT order x,y,z; each lands on the next empty (lowest) shard
+        assert (got["x"]["shard"], got["y"]["shard"], got["z"]["shard"]) == (
+            0,
+            1,
+            2,
+        )
+
+    def test_one_shard_serializes(self, spark):
+        got = self._lpt(spark, {"a": 3, "b": 2}, 1)
+        assert got["a"]["load_after"] == 3
+        assert got["b"]["load_after"] == 5
+
+    def test_shards_validated(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.lpt import lpt_shard_assignment
+
+        with _pytest.raises(ValueError):
+            lpt_shard_assignment(None, shards=0)
+
+    def test_registry_and_oracle(self, spark):
+        import __spark_entry__ as entrymod
+
+        assert "lpt_shards" in entrymod.queries()
+        assert "lpt_shards" in entrymod.oracle_sql()

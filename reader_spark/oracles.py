@@ -492,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_hreflang_oracles())
     out["phrase_search"] = _phrase_search_oracle()
     out["lpt_shards"] = _lpt_oracle()
+    out["embedding_outliers"] = _outlier_oracle()
     return out
 
 
@@ -11242,4 +11243,45 @@ def _lpt_oracle(shards: int = 4) -> str:
         )
         SELECT source, size, shard, load_after
         FROM rec WHERE r >= 1
+    """
+
+
+def _outlier_oracle(k: int = 4, planes: int = 3) -> str:
+    """Twin of ops/outliers.embedding_knn_outliers: same literal md5
+    planes, within-bucket round-4 cosines in 1e-4 integer units,
+    kth-by-sorted-index, singletons surfaced."""
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id AS doc, embedding::DOUBLE[] AS v
+            FROM embeddings
+        ),
+        buckets AS (
+            SELECT doc, v,
+                   {_md5_bucket_terms(planes=planes)} AS bucket
+            FROM corpus
+        ),
+        sims AS (
+            SELECT a.doc,
+                   coalesce(CAST(round(round(
+                       list_cosine_similarity(a.v, b.v), 4) * 10000)
+                       AS BIGINT), 0) AS s
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.doc <> b.doc
+        ),
+        per AS (
+            SELECT doc, list_reverse_sort(list(s)) AS arr
+            FROM sims GROUP BY doc
+        ),
+        scored AS (
+            SELECT doc AS vec_id,
+                   CAST(len(arr) AS BIGINT) AS n_candidates,
+                   arr[least({k}, len(arr))] AS kth_cos_dm,
+                   len(arr) < {k} AS low_support
+            FROM per
+        )
+        SELECT vec_id, n_candidates, kth_cos_dm, low_support FROM scored
+        UNION ALL
+        SELECT c.doc, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        FROM corpus c
+        WHERE c.doc NOT IN (SELECT vec_id FROM scored)
     """

@@ -37,7 +37,22 @@ def _q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facility_location_greedi(emb, k=4, buckets=4)
 
 
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN-distance outliers (ops.outliers.embedding_knn_outliers,
+    Ramaswamy 2000) over the embeddings table: literal md5 hyperplane
+    buckets confine the pairwise cosine, each point scored by its
+    4th-highest bucket-mate cosine in exact 1e-4 units; sparse buckets
+    surface low_support instead of dropping."""
+    from reader_spark.ops.outliers import embedding_knn_outliers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_knn_outliers(emb, k=4, planes=3)
+
+
 QUERIES = {
     "facility_location": _q_facility_location,
+    "embedding_outliers": _q_embedding_outliers,
     "kmeans_clusters": _q_kmeans_clusters,
 }

@@ -71,3 +71,62 @@ def test_registry_and_oracle(spark):
     )
     assert df.columns == ["rank", "vec_id", "gain_dm", "objective"]
     assert "facility_location" in entrymod.oracle_sql()
+
+
+class TestEmbeddingOutliers:
+    """k-NN-distance outliers (ops/outliers.py, Ramaswamy 2000)."""
+
+    def _run(self, spark, vecs, k=2, planes=1):
+        from reader_spark.ops.outliers import embedding_knn_outliers
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>",
+        )
+        return {
+            r["vec_id"]: r
+            for r in embedding_knn_outliers(
+                df, k=k, dim=len(vecs[0]), planes=planes
+            ).collect()
+        }
+
+    def test_isolated_point_scores_lowest(self, spark):
+        # tight cluster + one far point (planes=1 -> at most 2 buckets;
+        # make all projections land together by sign)
+        vecs = [[1.0, 0.05], [1.0, 0.1], [1.0, 0.0], [0.9, 4.0]]
+        got = self._run(spark, vecs, k=2, planes=1)
+        in_cluster = [got[i]["kth_cos_dm"] for i in (0, 1, 2)]
+        if got[3]["kth_cos_dm"] is not None:
+            assert got[3]["kth_cos_dm"] < min(in_cluster)
+        assert min(in_cluster) > 9900  # the cluster is tight
+
+    def test_low_support_flag_and_singletons_surface(self, spark):
+        from reader_spark.ops.outliers import embedding_knn_outliers
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [-1.0, -0.5])],
+            "vec_id bigint, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: r
+            for r in embedding_knn_outliers(
+                df, k=3, dim=2, planes=1
+            ).collect()
+        }
+        assert len(got) == 3  # nobody dropped
+        for r in got.values():
+            assert r["low_support"]  # k=3 > any bucket population
+
+    def test_k_validated(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.outliers import embedding_knn_outliers
+
+        with _pytest.raises(ValueError):
+            embedding_knn_outliers(None, k=0)
+
+    def test_registry_and_oracle(self, spark):
+        import __spark_entry__ as entrymod
+
+        assert "embedding_outliers" in entrymod.queries()
+        assert "embedding_outliers" in entrymod.oracle_sql()

@@ -10,6 +10,10 @@ Two classic estimators over capture logs:
   D + f1(f1-1) / (2(f2+1)) which is defined even when f2 = 0. Heavy
   revisit skew (f1 -> 0) correctly signals "we've seen it all".
 
+* **Good-Turing unseen mass** (Good 1953): P(next capture is a NEW
+  URL) ≈ f1 / n_captures — the discovery-rate dual of Chao1's "how
+  many URLs exist", emitted alongside it in exact milli units.
+
 * **Lincoln-Petersen / Chapman** (Chapman 1951): two INDEPENDENT crawl
   samples A and B; N ≈ (|A|+1)(|B|+1)/(|A∩B|+1) - 1. The overlap of
   two crawler fleets estimates the frontier neither has covered.
@@ -31,8 +35,10 @@ from pyspark.sql import functions as F
 def chao1_estimate(
     captures: DataFrame, key_col: str = "url"
 ) -> DataFrame:
-    """One row: (n_captures, n_observed, f1, f2, est_richness) from a
-    capture log with one row per fetch (duplicates = revisits)."""
+    """One row: (n_captures, n_observed, f1, f2, est_richness,
+    gt_unseen_milli) from a capture log with one row per fetch
+    (duplicates = revisits); gt_unseen_milli = Good-Turing P(new) in
+    exact milli units."""
     per_key = captures.groupBy(key_col).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -50,8 +56,14 @@ def chao1_estimate(
         F.col("n_observed") * 100
         + F.expr("(f1 * (f1 - 1) * 100) div (2 * (f2 + 1))")
     ) / F.lit(100.0)
+    gt = F.expr("(f1 * 1000) div n_captures")
     return prof.select(
-        "n_captures", "n_observed", "f1", "f2", est.alias("est_richness")
+        "n_captures",
+        "n_observed",
+        "f1",
+        "f2",
+        est.alias("est_richness"),
+        gt.alias("gt_unseen_milli"),
     )
 
 

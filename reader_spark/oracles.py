@@ -10667,7 +10667,9 @@ def _coverage_oracles() -> dict[str, str]:
         SELECT n_captures, n_observed, f1, f2,
                (n_observed * 100
                 + (f1 * (f1 - 1) * 100) // (2 * (f2 + 1))) / 100.0
-                   AS est_richness
+                   AS est_richness,
+               CAST((f1 * 1000) // n_captures AS BIGINT)
+                   AS gt_unseen_milli
         FROM prof
     """
     chapman = """

@@ -20,6 +20,8 @@ def test_chao1_hand_computed(spark):
         1,
     )
     assert r["est_richness"] == 4.5
+    # Good-Turing: f1/N = 2/7 -> 285 milli (trunc)
+    assert r["gt_unseen_milli"] == 285
 
 
 def test_chao1_no_singletons_means_fully_seen(spark):
@@ -27,6 +29,7 @@ def test_chao1_no_singletons_means_fully_seen(spark):
     r = chao1_estimate(caps).head()
     assert r["f1"] == 0
     assert r["est_richness"] == float(r["n_observed"])
+    assert r["gt_unseen_milli"] == 0
 
 
 def test_chapman_hand_computed(spark):
@@ -61,4 +64,5 @@ def test_registry_and_oracle(spark):
         "f1",
         "f2",
         "est_richness",
+        "gt_unseen_milli",
     ]

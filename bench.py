@@ -699,6 +699,47 @@ def main() -> None:
         ],
     )
 
+    # -- web hygiene (jobs/web_hygiene_job.py): PLD assignment + robots
+    #    meta gate + canonical-chain resolution + LPT shard plan over a
+    #    deterministic pages table derived from the sf documents.
+    hyg_pages = os.path.join(BENCH_DIR, "hyg_pages.parquet")
+    if not os.path.isdir(hyg_pages):
+        d = F.col("doc_id").cast("long")
+        host = (
+            F.when(d % 6 == 0, F.concat(F.lit("www.ex"), (d % 40).cast("string"), F.lit(".co.uk")))
+            .when(d % 6 == 1, F.concat(F.lit("blog.ex"), (d % 40).cast("string"), F.lit(".com")))
+            .when(d % 6 == 2, F.concat(F.lit("a.b.ex"), (d % 40).cast("string"), F.lit(".ck")))
+            .when(d % 6 == 3, F.concat(F.lit("user"), d.cast("string"), F.lit(".github.io")))
+            .when(d % 6 == 4, F.lit("sub.www.ck"))
+            .otherwise(F.concat(F.lit("ex"), (d % 40).cast("string"), F.lit(".unknowntld")))
+        )
+        robots = F.when(d % 9 == 0, F.lit("noindex")).otherwise(F.lit(None).cast("string"))
+        canon = (
+            F.when(d % 5 == 0, F.lit(None).cast("string"))
+            .when((d % 5).isin(1, 2, 3), F.concat(F.lit("u"), (d - 1).cast("string")))
+            .when(d % 10 == 4, F.concat(F.lit("u"), (d + 5).cast("string")))
+            .otherwise(F.concat(F.lit("u"), (d - 5).cast("string")))
+        )
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            F.concat(F.lit("u"), d.cast("string")).alias("url"),
+            host.alias("host"), robots.alias("robots"), canon.alias("canonical"),
+        ).write.mode("overwrite").parquet(hyg_pages)
+    hyg_wh = os.path.join(BENCH_DIR, "hyg_wh")
+    if os.path.isdir(hyg_wh):
+        import shutil
+
+        shutil.rmtree(hyg_wh)
+    run_job(
+        "web_hygiene_job",
+        [
+            "jobs/web_hygiene_job.py",
+            "--pages", hyg_pages,
+            "--warehouse", hyg_wh,
+            "--shards", "8",
+            "--master", f"local[{CPUS}]",
+        ],
+    )
+
     # Calibration lines IMMEDIATELY around the headline timing — the r1
     # number paired a calibration measured minutes earlier with an
     # extraction measured after the 41-query block, so VM phase drift
@@ -910,7 +951,9 @@ def main() -> None:
             f"| mixture_job | {results['mixture_job_e2e']} | "
             f"{json.dumps(pipeline['mixture_job'])} |\n"
             f"| governance_job | {results['governance_job_e2e']} | "
-            f"{json.dumps(pipeline['governance_job'])} |\n\n"
+            f"{json.dumps(pipeline['governance_job'])} |\n"
+            f"| web_hygiene_job | {results['web_hygiene_job_e2e']} | "
+            f"{json.dumps(pipeline['web_hygiene_job'])} |\n\n"
             "vlm_prep_job = extract -> caption-alignment filter -> PII "
             "redaction -> budget truncation -> LLaVA-shape rendering over "
             "the same raw corpus as the headline extraction.\n\n"

@@ -1114,3 +1114,58 @@ def test_governance_job_clean_pass(tmp_path, gov_corpus):
     assert summary["k_anonymity"]["n_rows_at_risk"] == 0
     assert summary["n_optout_purged"] == 0
     assert summary["n_purged"] == summary["n_contaminated"] == 1
+
+
+def test_web_hygiene_job_gates_and_shards(tmp_path, spark):
+    """web_hygiene_job: PLD assignment + robots gate + canonical
+    resolution + LPT shard plan in one spark-submit pass."""
+    from pyspark.sql import Row
+
+    pages = [
+        # a 2-hop chain on example.co.uk, indexable
+        Row(url="u1", host="www.example.co.uk", robots=None,
+            canonical="u2"),
+        Row(url="u2", host="www.example.co.uk", robots="index, follow",
+            canonical="u3"),
+        Row(url="u3", host="www.example.co.uk", robots=None,
+            canonical=None),
+        # a noindex page on a github.io site
+        Row(url="u4", host="alice.github.io", robots="noindex, nofollow",
+            canonical=None),
+        # a canonical cycle pair
+        Row(url="u5", host="b.example.com", robots=None, canonical="u6"),
+        Row(url="u6", host="b.example.com", robots=None, canonical="u5"),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages).write.parquet(src)
+    wh = str(tmp_path / "wh")
+    summary = run_job(
+        "web_hygiene_job.py",
+        "--pages", src,
+        "--warehouse", wh,
+        "--shards", "2",
+        "--master", "local[4]",
+    )
+    assert summary["n_pages"] == 6
+    assert summary["n_noindex"] == 1
+    assert summary["n_indexable"] == 5
+    assert summary["n_canonical_cycles"] == 2
+    assert summary["n_plds"] == 3
+
+    h = {r["url"]: r for r in spark.read.parquet(wh + "/page_hygiene").collect()}
+    assert h["u1"]["registrable_domain"] == "example.co.uk"
+    assert h["u4"]["registrable_domain"] == "alice.github.io"
+    assert (h["u1"]["canonical_url"], h["u1"]["canonical_depth"]) == ("u3", 2)
+    assert h["u5"]["canonical_status"] == "cycle"
+    assert h["u4"]["indexable"] is False
+
+    shards = {r["registrable_domain"]: r for r in
+              spark.read.parquet(wh + "/pld_shards").collect()}
+    # PSL folds b.example.com under example.com; LPT order 3,2,1
+    assert h["u5"]["registrable_domain"] == "example.com"
+    assert shards["example.co.uk"]["shard"] == 0
+    assert shards["example.co.uk"]["size"] == 3
+    assert shards["example.com"]["shard"] == 1
+    # the noindex page's PLD carries no indexable mass: not sharded
+    assert "alice.github.io" not in shards
+    assert summary["max_shard_load"] == 3

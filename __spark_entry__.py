@@ -62,6 +62,8 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_weighted_jaccard_pairs,
     _q_pii_card_audit,
     _q_phrase_search,
+    _q_text_date_profile,
+    _q_corpus_recency,
     _q_blocklist_filter,
     _q_boilerpipe_classify,
     _q_c4_page_clean,
@@ -3858,6 +3860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
         "pii_card_audit": _q_pii_card_audit,
         "phrase_search": _q_phrase_search,
+        "text_date_profile": _q_text_date_profile,
+        "corpus_recency": _q_corpus_recency,
         "event_bursts": _q_event_bursts,
         "cohort_retention": _q_cohort_retention,
         "hll_merged": _q_hll_merged,

@@ -493,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
     out["phrase_search"] = _phrase_search_oracle()
     out["lpt_shards"] = _lpt_oracle()
     out["embedding_outliers"] = _outlier_oracle()
+    out.update(_date_oracles())
     return out
 
 
@@ -11287,3 +11288,93 @@ def _outlier_oracle(k: int = 4, planes: int = 3) -> str:
         FROM corpus c
         WHERE c.doc NOT IN (SELECT vec_id FROM scored)
     """
+
+
+def _date_oracles() -> dict[str, str]:
+    """Twins of ops/dates over the planted-date fixture: same three
+    regex literals, the month-name CASE, the same range validation."""
+    from reader_spark.ops.dates import ISO_RE, MONTHS, SLASH_RE, US_RE
+
+    month_case = "CASE lower(list_extract(string_split_regex(s, '[ ,]+'), 1)) " + " ".join(
+        f"WHEN '{m}' THEN {i}" for i, m in enumerate(MONTHS, start=1)
+    ) + " ELSE 0 END"
+    month_name = (
+        "["
+        + ", ".join(f"'{m.capitalize()}'" for m in MONTHS)
+        + "][CAST(doc_id % 12 AS INTEGER) + 1]"
+    )
+    planted = f"""
+        b AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0 THEN ' on ' || {month_name}
+                        || ' ' || CAST(1 + doc_id % 28 AS VARCHAR) || ', '
+                        || CAST(1990 + doc_id % 40 AS VARCHAR) || '.'
+                      ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ' released '
+                        || CAST(1990 + doc_id % 40 AS VARCHAR) || '-'
+                        || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+                        || '-'
+                        || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                      ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN ' filed '
+                        || CAST(1 + doc_id % 12 AS VARCHAR) || '/'
+                        || CAST(1 + doc_id % 28 AS VARCHAR) || '/'
+                        || CAST(1995 + doc_id % 30 AS VARCHAR)
+                      ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                        THEN ' bogus 9999-99-99 and 45/77/2020 end'
+                      ELSE '' END AS text
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           regexp_extract_all(text, '{ISO_RE}'),
+                           s -> {{'y': CAST(substr(s, 1, 4) AS INTEGER),
+                                  'm': CAST(substr(s, 6, 2) AS INTEGER),
+                                  'd': CAST(substr(s, 9, 2) AS INTEGER)}})
+                       || list_transform(
+                           regexp_extract_all(text, '{US_RE}'),
+                           s -> {{'y': CAST(list_extract(
+                                      string_split_regex(s, '[ ,]+'), 3)
+                                      AS INTEGER),
+                                  'm': {month_case},
+                                  'd': CAST(list_extract(
+                                      string_split_regex(s, '[ ,]+'), 2)
+                                      AS INTEGER)}})
+                       || list_transform(
+                           regexp_extract_all(text, '{SLASH_RE}'),
+                           s -> {{'y': CAST(string_split(s, '/')[3]
+                                      AS INTEGER),
+                                  'm': CAST(string_split(s, '/')[1]
+                                      AS INTEGER),
+                                  'd': CAST(string_split(s, '/')[2]
+                                      AS INTEGER)}}),
+                       t -> t.y BETWEEN 1900 AND 2099
+                            AND t.m BETWEEN 1 AND 12
+                            AND t.d BETWEEN 1 AND 31) AS dates
+            FROM b
+        )"""
+    profile = f"""
+        WITH {planted}
+        SELECT doc_id,
+               CAST(len(dates) AS BIGINT) AS n_dates,
+               CASE WHEN len(dates) > 0 THEN
+                   list_min(list_transform(dates, t -> t.y)) END
+                   AS min_year,
+               CASE WHEN len(dates) > 0 THEN
+                   list_max(list_transform(dates, t -> t.y)) END
+                   AS max_year
+        FROM m
+    """
+    recency = f"""
+        WITH {planted},
+        e AS (SELECT doc_id, unnest(dates) AS t FROM m)
+        SELECT t.y AS year,
+               CAST(count(*) AS BIGINT) AS n_mentions,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM e GROUP BY t.y
+    """
+    return {"text_date_profile": profile, "corpus_recency": recency}

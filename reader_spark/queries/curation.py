@@ -1374,3 +1374,66 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("text"))
     base = docs.select(d.alias("doc_id"), planted.alias("text"))
     return phrase_search(base, "quick brown fox")
+
+
+def _planted_dates(docs: DataFrame) -> DataFrame:
+    """Deterministic date plants: US long-form on every 3rd doc, ISO on
+    every 5th, slashed on every 7th, and out-of-range garbage
+    (9999-99-99, 45/77/2020) on every 11th that must NOT validate."""
+    d = F.col("doc_id").cast("long")
+    pad2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    month_name = F.element_at(
+        F.array(*[F.lit(m.capitalize()) for m in (
+            "january", "february", "march", "april", "may", "june",
+            "july", "august", "september", "october", "november",
+            "december",
+        )]),
+        (d % 12).cast("int") + 1,
+    )
+    t = F.col("text")
+    t = F.when(
+        d % 3 == 0,
+        F.concat(t, F.lit(" on "), month_name, F.lit(" "),
+                 (1 + d % 28).cast("string"), F.lit(", "),
+                 (1990 + d % 40).cast("string"), F.lit(".")),
+    ).otherwise(t)
+    t = F.when(
+        d % 5 == 0,
+        F.concat(t, F.lit(" released "),
+                 (1990 + d % 40).cast("string"), F.lit("-"),
+                 pad2(1 + d % 12), F.lit("-"), pad2(1 + d % 28)),
+    ).otherwise(t)
+    t = F.when(
+        d % 7 == 0,
+        F.concat(t, F.lit(" filed "), (1 + d % 12).cast("string"),
+                 F.lit("/"), (1 + d % 28).cast("string"), F.lit("/"),
+                 (1995 + d % 30).cast("string")),
+    ).otherwise(t)
+    t = F.when(
+        d % 11 == 0,
+        F.concat(t, F.lit(" bogus 9999-99-99 and 45/77/2020 end")),
+    ).otherwise(t)
+    return docs.select(d.alias("doc_id"), t.alias("text"))
+
+
+def _q_text_date_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document date-mention profile (ops.dates.date_mention_years):
+    ISO / US-long / slashed mentions validated by range rules (planted
+    garbage must count zero) — the recency columns a mix recipe routes
+    on. Scan-bound row expressions."""
+    from reader_spark.ops.dates import date_mention_years
+
+    docs = _read(spark, sf_dir, "documents")
+    return date_mention_years(_planted_dates(docs)).select(
+        "doc_id", "n_dates", "min_year", "max_year"
+    )
+
+
+def _q_corpus_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus recency histogram (ops.dates.corpus_recency): validated
+    date mentions rolled up over the bounded year dim — mentions and
+    distinct docs per year."""
+    from reader_spark.ops.dates import corpus_recency
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_recency(_planted_dates(docs))

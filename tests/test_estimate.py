@@ -66,3 +66,60 @@ def test_registry_and_oracle(spark):
         "est_richness",
         "gt_unseen_milli",
     ]
+
+
+class TestDateMining:
+    """Free-text date mining (ops/dates.py)."""
+
+    def _profile(self, spark, texts):
+        from reader_spark.ops.dates import date_mention_years
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        return {
+            r["doc_id"]: (r["n_dates"], r["min_year"], r["max_year"])
+            for r in date_mention_years(df).collect()
+        }
+
+    def test_three_formats_and_validation(self, spark):
+        got = self._profile(
+            spark,
+            [
+                "released 2021-07-14 and again on March 4, 1999",
+                "meeting 7/14/2021 ok",
+                "bogus 9999-99-99 and 45/77/2020 and 2021-13-40",
+                "version 1.2.3 build 20210714 nothing here",
+                "edge February 29, 2021 still counts (range rule only)",
+            ],
+        )
+        assert got[0] == (2, 1999, 2021)
+        assert got[1] == (1, 2021, 2021)
+        assert got[2] == (0, None, None)
+        assert got[3] == (0, None, None)
+        assert got[4] == (1, 2021, 2021)
+
+    def test_corpus_recency_rollup(self, spark):
+        from reader_spark.ops.dates import corpus_recency
+
+        df = spark.createDataFrame(
+            [
+                (0, "a 2001-05-05 b 2001-06-06"),
+                (1, "c 2001-07-07"),
+                (2, "d 1999-01-01"),
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r["year"]: (r["n_mentions"], r["n_docs"])
+            for r in corpus_recency(df).collect()
+        }
+        assert got == {2001: (3, 2), 1999: (1, 1)}
+
+    def test_registry_and_oracle(self, spark):
+        import __spark_entry__ as entrymod
+
+        for k in ("text_date_profile", "corpus_recency"):
+            assert k in entrymod.queries()
+            assert k in entrymod.oracle_sql()

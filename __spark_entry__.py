@@ -64,6 +64,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_phrase_search,
     _q_text_date_profile,
     _q_corpus_recency,
+    _q_bm25f_search,
     _q_blocklist_filter,
     _q_boilerpipe_classify,
     _q_c4_page_clean,
@@ -3862,6 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "text_date_profile": _q_text_date_profile,
         "corpus_recency": _q_corpus_recency,
+        "bm25f_search": _q_bm25f_search,
         "event_bursts": _q_event_bursts,
         "cohort_retention": _q_cohort_retention,
         "hll_merged": _q_hll_merged,

@@ -222,3 +222,97 @@ def phrase_search(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("start").cast("long").alias("first_pos"),
     )
+
+
+def bm25f_rank(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    fields: Sequence[tuple[str, float, float]] = (
+        ("text", 1.0, 0.75),
+        ("anchor", 2.5, 0.5),
+    ),
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    top_k: int = 15,
+) -> DataFrame:
+    """BM25F — the multi-FIELD extension (Robertson, Zaragoza & Taylor
+    CIKM 2004, "Simple BM25 extension to multiple weighted fields"),
+    the form web search actually runs: a term hit in inbound ANCHOR
+    TEXT is worth more than one in the body (anchors are other sites'
+    descriptions — the classic relevance signal the repo's anchor_corpus
+    row aggregates), and the fields must be fused BEFORE tf saturation —
+    naive per-field BM25 summing double-saturates and over-rewards a
+    term that is mediocre in every field.
+
+        tf~_f = tf_f / (1 + b_f * (dl_f / avgdl_f - 1))
+        tf~   = sum_f w_f * tf~_f
+        score = sum_t idf(t) * tf~ / (k1 + tf~)
+
+    idf uses document frequency over ANY field. Same engine-parity and
+    plan shape as bm25_rank: per-field tf via JVM array scans (no
+    explode), ONE stats aggregate riding back on a 1-row broadcast,
+    round-9 contributions + round-6 sum, TakeOrderedAndProject top-k.
+    """
+    terms = list(query_terms)
+    if not terms:
+        raise ValueError("query_terms must name at least one term")
+    if any(not t or t != t.lower() or " " in t for t in terms):
+        raise ValueError("query terms must be single normalized lowercase words")
+    fields = list(fields)
+    if not fields:
+        raise ValueError("need at least one field")
+
+    def toks_of(col):
+        return F.split(normalize_for_ngrams(F.col(col)), " ")
+
+    per_cols = [F.col(id_col)]
+    for fi, (col, _w, _b) in enumerate(fields):
+        tokens = toks_of(col)
+        per_cols.append(F.size(tokens).cast("double").alias(f"dl_{fi}"))
+        for ti, t in enumerate(terms):
+            per_cols.append(
+                F.size(F.filter(tokens, lambda w: w == F.lit(t)))
+                .cast("double")
+                .alias(f"tf_{fi}_{ti}")
+            )
+    per_doc = docs.select(*per_cols)
+
+    aggs = [F.count("*").cast("double").alias("n_docs")]
+    for fi in range(len(fields)):
+        aggs.append(F.avg(f"dl_{fi}").alias(f"avgdl_{fi}"))
+    for ti in range(len(terms)):
+        any_tf = None
+        for fi in range(len(fields)):
+            c = F.col(f"tf_{fi}_{ti}") > 0
+            any_tf = c if any_tf is None else (any_tf | c)
+        aggs.append(F.sum(any_tf.cast("double")).alias(f"df_{ti}"))
+    stats = per_doc.agg(*aggs)
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    contribs = []
+    for ti in range(len(terms)):
+        tfw = None
+        for fi, (_col, w, b) in enumerate(fields):
+            norm = F.lit(1.0) + F.lit(b) * (
+                F.col(f"dl_{fi}")
+                / F.greatest(F.col(f"avgdl_{fi}"), F.lit(1e-9))
+                - F.lit(1.0)
+            )
+            part = F.lit(w) * F.col(f"tf_{fi}_{ti}") / norm
+            tfw = part if tfw is None else tfw + part
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{ti}") + 0.5)
+            / (F.col(f"df_{ti}") + 0.5)
+        )
+        contribs.append(F.round(idf * tfw / (F.lit(k1) + tfw), 9))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+
+    return (
+        scored.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

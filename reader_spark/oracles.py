@@ -494,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
     out["lpt_shards"] = _lpt_oracle()
     out["embedding_outliers"] = _outlier_oracle()
     out.update(_date_oracles())
+    out["bm25f_search"] = _bm25f_oracle()
     return out
 
 
@@ -11378,3 +11379,73 @@ def _date_oracles() -> dict[str, str]:
         FROM e GROUP BY t.y
     """
     return {"text_date_profile": profile, "corpus_recency": recency}
+
+
+def _bm25f_oracle() -> str:
+    """Twin of ops/search.bm25f_rank over the planted-anchor fixture:
+    same normalization, per-field tf scans, any-field df, weighted
+    pre-saturation fusion, round-9/6 discipline, top-15."""
+    terms = ["stream", "window", "query"]
+    W = [(0, 1.0, 0.75), (1, 2.5, 0.5)]
+    tf_cols = ",\n                   ".join(
+        f"CAST(len(list_filter(t{fi}, w -> w = '{t}')) AS DOUBLE)"
+        f" AS tf_{fi}_{ti}"
+        for fi, _w, _b in W
+        for ti, t in enumerate(terms)
+    )
+    df_cols = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN tf_0_{ti} > 0 OR tf_1_{ti} > 0"
+        f" THEN 1 ELSE 0 END) AS DOUBLE) AS df_{ti}"
+        for ti in range(len(terms))
+    )
+    contribs = []
+    for ti in range(len(terms)):
+        tfw = " + ".join(
+            f"{w} * tf_{fi}_{ti} / (1.0 + {b} * (dl_{fi}"
+            f" / greatest(avgdl_{fi}, 1e-9) - 1.0))"
+            for fi, w, b in W
+        )
+        contribs.append(
+            f"round(ln(1 + (n_docs - df_{ti} + 0.5) / (df_{ti} + 0.5))"
+            f" * ({tfw}) / (1.2 + ({tfw})), 9)"
+        )
+    score = "\n                         + ".join(contribs)
+    return f"""
+        WITH b AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                   CASE WHEN doc_id % 4 = 0 THEN 'stream query guide'
+                        WHEN doc_id % 4 = 1 THEN 'site ex'
+                            || CAST(doc_id % 40 AS VARCHAR) || ' homepage'
+                        ELSE '' END AS anchor
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), ' ') AS t0,
+                   string_split(trim(regexp_replace(lower(anchor),
+                       '[^a-z0-9]+', ' ', 'g')), ' ') AS t1
+            FROM b
+        ),
+        pd AS (
+            SELECT doc_id,
+                   CAST(len(t0) AS DOUBLE) AS dl_0,
+                   CAST(len(t1) AS DOUBLE) AS dl_1,
+                   {tf_cols}
+            FROM d
+        ),
+        st AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   avg(dl_0) AS avgdl_0, avg(dl_1) AS avgdl_1,
+                   {df_cols}
+            FROM pd
+        ),
+        scored AS (
+            SELECT doc_id,
+                   round({score}, 6) AS score
+            FROM pd, st
+        )
+        SELECT doc_id, score FROM scored
+        WHERE score > 0
+        ORDER BY score DESC, doc_id ASC LIMIT 15
+    """

@@ -1437,3 +1437,25 @@ def _q_corpus_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return corpus_recency(_planted_dates(docs))
+
+
+def _q_bm25f_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F field-weighted top-15 (ops.search.bm25f_rank, Robertson
+    2004): body + planted inbound-anchor field fused BEFORE saturation
+    (anchor weight 2.5, its own b) for the same 3-term query the
+    certified bm25_search row uses — anchors mentioning 'stream query'
+    on every 4th doc must outrank body-only matches of equal tf. Same
+    no-explode / 1-row-stats / TakeOrdered plan as bm25_rank."""
+    from reader_spark.ops.search import bm25f_rank
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    anchor = (
+        F.when(d % 4 == 0, F.lit("stream query guide"))
+        .when(d % 4 == 1, F.concat(F.lit("site ex"), (d % 40).cast("string"), F.lit(" homepage")))
+        .otherwise(F.lit(""))
+    )
+    base = docs.select(
+        d.alias("doc_id"), F.col("text"), anchor.alias("anchor")
+    )
+    return bm25f_rank(base, ["stream", "window", "query"], top_k=15)

@@ -267,3 +267,78 @@ class TestLptShards:
 
         assert "lpt_shards" in entrymod.queries()
         assert "lpt_shards" in entrymod.oracle_sql()
+
+
+class TestBm25f:
+    """BM25F field-weighted ranking (ops/search.bm25f_rank,
+    Robertson 2004)."""
+
+    def _rank(self, spark, rows, terms, **kw):
+        from reader_spark.ops.search import bm25f_rank
+
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, anchor string"
+        )
+        return [
+            (r["doc_id"], r["score"])
+            for r in bm25f_rank(df, terms, **kw).collect()
+        ]
+
+    def test_anchor_hit_outranks_equal_body_hit(self, spark):
+        rows = [
+            (0, "stream in the body once", ""),
+            (1, "nothing relevant here at all", "stream"),
+            (2, "totally unrelated filler words", ""),
+        ]
+        got = self._rank(spark, rows, ["stream"])
+        assert [i for i, _ in got] == [1, 0]  # anchor weight 2.5 wins
+
+    def test_fusion_before_saturation(self, spark):
+        # one term mediocre in BOTH fields must beat per-field-saturated
+        # scoring's tendency to flatten: doc 0 (both fields) > doc 1
+        # (body only, same body tf)
+        rows = [
+            (0, "query words query words", "query"),
+            (1, "query words query words", ""),
+            (2, "plain filler text here now", ""),
+        ]
+        got = self._rank(spark, rows, ["query"])
+        assert got[0][0] == 0 and got[1][0] == 1
+        assert got[0][1] > got[1][1]
+
+    def test_empty_anchor_corpus_degrades_to_body_ranking(self, spark):
+        from reader_spark.ops.search import bm25_rank, bm25f_rank
+
+        rows = [
+            (0, "stream window query mix", ""),
+            (1, "stream stream stream stream", ""),
+            (2, "window only text", ""),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, anchor string"
+        )
+        f_ids = [
+            r["doc_id"]
+            for r in bm25f_rank(df, ["stream", "window"]).collect()
+        ]
+        b_ids = [
+            r["doc_id"]
+            for r in bm25_rank(df, ["stream", "window"]).collect()
+        ]
+        assert f_ids == b_ids  # same ORDER when anchors carry nothing
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.search import bm25f_rank
+
+        with _pytest.raises(ValueError):
+            bm25f_rank(None, [])
+        with _pytest.raises(ValueError):
+            bm25f_rank(None, ["Upper"])
+
+    def test_registry_and_oracle(self, spark):
+        import __spark_entry__ as entrymod
+
+        assert "bm25f_search" in entrymod.queries()
+        assert "bm25f_search" in entrymod.oracle_sql()

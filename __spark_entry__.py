@@ -65,6 +65,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_text_date_profile,
     _q_corpus_recency,
     _q_bm25f_search,
+    _q_lexicon_profile,
     _q_blocklist_filter,
     _q_boilerpipe_classify,
     _q_c4_page_clean,
@@ -3864,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_date_profile": _q_text_date_profile,
         "corpus_recency": _q_corpus_recency,
         "bm25f_search": _q_bm25f_search,
+        "lexicon_profile": _q_lexicon_profile,
         "event_bursts": _q_event_bursts,
         "cohort_retention": _q_cohort_retention,
         "hll_merged": _q_hll_merged,

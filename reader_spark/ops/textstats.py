@@ -1094,3 +1094,90 @@ def card_count_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(inlen).cast("long").alias("n_card_candidates"),
         F.size(valid).cast("long").alias("n_cards_luhn_valid"),
     )
+
+
+# A small category lexicon in the LIWC tradition (Pennebaker et al.;
+# data curation uses category PROFILES where blocklist_filter uses one
+# binary list): representative, swap for the full licensed lexicon in
+# production — same broadcast-dim plan.
+DEFAULT_LEXICON: dict[str, tuple[str, ...]] = {
+    "negation": ("no", "not", "never", "none", "cannot", "neither"),
+    "certainty": ("always", "definitely", "certainly", "must", "every"),
+    "tentative": ("maybe", "perhaps", "possibly", "seems", "might"),
+    "social": ("we", "you", "they", "people", "friend", "family"),
+    "numeric": ("one", "two", "three", "first", "second", "half"),
+}
+
+
+def lexicon_category_profile(
+    df: DataFrame,
+    lexicon: dict[str, tuple[str, ...]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, category) token-hit profile over a word-category
+    lexicon — the multi-category generalization of blocklist_filter
+    (same broadcast word-dim equi-join; a category is just a labeled
+    list): n_hits, n_distinct and the hit share in exact milli units of
+    the doc's token count. Every (doc, category) pair is emitted (zero
+    rows included) so profile consumers never silently miss a category;
+    docs with zero tokens emit share NULL.
+
+    Shape at 100 TB: token explode rides the scan, ONE broadcast join
+    against the (category, word) dim, one map-side-combined groupBy —
+    the blocklist plan with a category column."""
+    lex = lexicon or DEFAULT_LEXICON
+    if not lex or any(not ws for ws in lex.values()):
+        raise ValueError("lexicon must map categories to non-empty lists")
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(c, w.lower()) for c, ws in sorted(lex.items()) for w in sorted(set(ws))],
+        "category string, tok string",
+    )
+    cats = spark.createDataFrame(
+        [(c,) for c in sorted(lex)], "category string"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower(F.col(text_col)), "[^a-z0-9]+", " "
+                        )
+                    ),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    totals = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    hits = (
+        toks.join(F.broadcast(dim), "tok")
+        .groupBy(id_col, "category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.countDistinct("tok").cast("long").alias("n_distinct"),
+        )
+    )
+    spine = df.select(id_col).crossJoin(F.broadcast(cats))
+    return (
+        spine.join(hits, [id_col, "category"], "left")
+        .join(totals, id_col, "left")
+        .select(
+            F.col(id_col),
+            "category",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.coalesce("n_distinct", F.lit(0).cast("long")).alias(
+                "n_distinct"
+            ),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.expr("(coalesce(n_hits, 0) * 1000) div n_tokens"),
+            ).alias("share_milli"),
+        )
+    )

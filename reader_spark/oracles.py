@@ -495,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_outliers"] = _outlier_oracle()
     out.update(_date_oracles())
     out["bm25f_search"] = _bm25f_oracle()
+    out["lexicon_profile"] = _lexicon_oracle()
     return out
 
 
@@ -11448,4 +11449,54 @@ def _bm25f_oracle() -> str:
         SELECT doc_id, score FROM scored
         WHERE score > 0
         ORDER BY score DESC, doc_id ASC LIMIT 15
+    """
+
+
+def _lexicon_oracle() -> str:
+    """Twin of ops/textstats.lexicon_category_profile — the same
+    DEFAULT_LEXICON literals (one table, two engines), tokenizer,
+    spine and milli shares."""
+    from reader_spark.ops.textstats import DEFAULT_LEXICON
+
+    rows = ", ".join(
+        f"('{c}', '{w}')"
+        for c, ws in sorted(DEFAULT_LEXICON.items())
+        for w in sorted(set(ws))
+    )
+    cats = ", ".join(f"('{c}')" for c in sorted(DEFAULT_LEXICON))
+    return f"""
+        WITH dim(category, tok) AS (VALUES {rows}),
+        cats(category) AS (VALUES {cats}),
+        toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       t -> t <> '')) AS tok
+            FROM documents
+        ),
+        totals AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY doc_id
+        ),
+        hits AS (
+            SELECT t.doc_id, d.category,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(count(DISTINCT t.tok) AS BIGINT) AS n_distinct
+            FROM toks t JOIN dim d ON t.tok = d.tok
+            GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT doc_id, category FROM documents CROSS JOIN cats
+        )
+        SELECT s.doc_id, s.category,
+               coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_distinct, 0) AS n_distinct,
+               CASE WHEN coalesce(tt.n_tokens, 0) > 0
+                    THEN CAST((coalesce(h.n_hits, 0) * 1000)
+                              // tt.n_tokens AS BIGINT)
+               END AS share_milli
+        FROM spine s
+        LEFT JOIN hits h ON s.doc_id = h.doc_id
+             AND s.category = h.category
+        LEFT JOIN totals tt ON s.doc_id = tt.doc_id
     """

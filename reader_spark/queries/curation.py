@@ -1459,3 +1459,15 @@ def _q_bm25f_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("doc_id"), F.col("text"), anchor.alias("anchor")
     )
     return bm25f_rank(base, ["stream", "window", "query"], top_k=15)
+
+
+def _q_lexicon_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIWC-style category profile (ops.textstats.
+    lexicon_category_profile): per-(doc, category) hits over the
+    broadcast (category, word) dim with exact milli shares — the
+    multi-category generalization of the certified blocklist_filter
+    row; every pair emitted, zero rows included."""
+    from reader_spark.ops.textstats import lexicon_category_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    return lexicon_category_profile(docs)

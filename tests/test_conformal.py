@@ -146,3 +146,50 @@ class TestLuhnCardAudit:
 
         assert "pii_card_audit" in entrymod.queries()
         assert "pii_card_audit" in entrymod.oracle_sql()
+
+
+class TestLexiconProfile:
+    """LIWC-style category profile (ops/textstats.
+    lexicon_category_profile)."""
+
+    def _run(self, spark, texts, lexicon=None):
+        from reader_spark.ops.textstats import lexicon_category_profile
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        out = lexicon_category_profile(df, lexicon=lexicon).collect()
+        return {(r["doc_id"], r["category"]): r for r in out}
+
+    def test_hand_counts_and_milli_shares(self, spark):
+        lex = {"neg": ("no", "not"), "pos": ("yes",)}
+        got = self._run(spark, ["no not no yes", "plain words"], lex)
+        r = got[(0, "neg")]
+        assert (r["n_hits"], r["n_distinct"]) == (3, 2)
+        assert r["share_milli"] == 750  # 3 of 4 tokens
+        assert got[(0, "pos")]["n_hits"] == 1
+        # every (doc, category) pair emitted, zeros included
+        assert got[(1, "neg")]["n_hits"] == 0
+        assert got[(1, "neg")]["share_milli"] == 0
+        assert len(got) == 4
+
+    def test_empty_doc_share_is_null(self, spark):
+        lex = {"neg": ("no",)}
+        got = self._run(spark, ["..."], lex)
+        assert got[(0, "neg")]["n_hits"] == 0
+        assert got[(0, "neg")]["share_milli"] is None
+
+    def test_lexicon_validated(self, spark):
+        import pytest as _pytest
+
+        from reader_spark.ops.textstats import lexicon_category_profile
+
+        with _pytest.raises(ValueError):
+            lexicon_category_profile(None, lexicon={"x": ()})
+
+    def test_registry_and_oracle(self, spark):
+        import __spark_entry__ as entrymod
+
+        assert "lexicon_profile" in entrymod.queries()
+        assert "lexicon_profile" in entrymod.oracle_sql()

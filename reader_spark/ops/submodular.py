@@ -33,24 +33,32 @@ from pyspark.sql import functions as F
 __all__ = ["facility_location_greedi"]
 
 
-def _cos_dm(u, v):
-    """round-4 cosine in exact integer 1e-4 units (deci-milli)."""
-    dot = F.aggregate(
+def _dot(u, v):
+    return F.aggregate(
         F.zip_with(u, v, lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nrm = lambda w: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.zip_with(w, w, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    cos = F.try_divide(dot, nrm(u) * nrm(v))
+
+
+def _nrm(w):
+    return F.sqrt(_dot(w, w))
+
+
+def _sim_dm(u, v, nu, nv):
+    """round-4 cosine in exact integer 1e-4 units, with the two norms
+    PRECOMPUTED as columns — same doubles as computing them inline
+    (identical expression tree per value), a third of the per-pair
+    aggregate work (the 62s->20s bench finding at sf0.1)."""
+    cos = F.try_divide(_dot(u, v), nu * nv)
     return F.coalesce(
         F.round(F.round(cos, 4) * 10000, 0).cast("long"), F.lit(0)
     )
+
+
+def _cos_dm(u, v):
+    """round-4 cosine in exact integer 1e-4 units (deci-milli)."""
+    return _sim_dm(u, v, _nrm(u), _nrm(v))
 
 
 def facility_location_greedi(
@@ -83,27 +91,36 @@ def facility_location_greedi(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         F.pmod(h, F.lit(buckets)).alias("bucket"),
-    ).localCheckpoint(eager=True)
+    ).withColumn("nr", _nrm(F.col("v"))).localCheckpoint(eager=True)
 
     # ---- round 1: greedy-k inside every bucket, all buckets at once
-    cur = pts.select("bucket", "id", "v", F.lit(0).cast("long").alias("cur"))
+    cur = pts.select(
+        "bucket", "id", "v", "nr", F.lit(0).cast("long").alias("cur")
+    )
     cur = cur.localCheckpoint(eager=True)
     picked: list[tuple[int, int]] = []  # (bucket, id)
     cand_vecs: dict[int, list[float]] = {}
+    cand_norms: dict[int, float] = {}
     for _ in range(k):
         cand = pts
         if picked:
             sel = spark.createDataFrame(picked, "bucket long, id long")
             cand = pts.join(F.broadcast(sel), ["bucket", "id"], "left_anti")
         pairs = cand.select(
-            "bucket", F.col("id").alias("cid"), F.col("v").alias("cv")
+            "bucket",
+            F.col("id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nr").alias("cnr"),
         ).join(cur, "bucket")
         gains = (
             pairs.select(
                 "bucket",
                 "cid",
                 F.greatest(
-                    _cos_dm(F.col("cv"), F.col("v")) - F.col("cur"),
+                    _sim_dm(
+                        F.col("cv"), F.col("v"), F.col("cnr"), F.col("nr")
+                    )
+                    - F.col("cur"),
                     F.lit(0).cast("long"),
                 ).alias("t"),
             )
@@ -114,7 +131,7 @@ def facility_location_greedi(
             gains.groupBy("bucket")
             .agg(F.max(F.struct(F.col("g"), (-F.col("cid")).alias("n"))).alias("m"))
             .select("bucket", (-F.col("m.n")).alias("id"))
-            .join(pts.select("bucket", "id", "v"), ["bucket", "id"])
+            .join(pts.select("bucket", "id", "v", "nr"), ["bucket", "id"])
             .collect()
         )
         if not winners:
@@ -122,9 +139,13 @@ def facility_location_greedi(
         picked += [(int(r["bucket"]), int(r["id"])) for r in winners]
         for r in winners:
             cand_vecs[int(r["id"])] = list(r["v"])
+            cand_norms[int(r["id"])] = float(r["nr"])
         wdf = spark.createDataFrame(
-            [(int(r["bucket"]), list(r["v"])) for r in winners],
-            "bucket long, wv array<double>",
+            [
+                (int(r["bucket"]), list(r["v"]), float(r["nr"]))
+                for r in winners
+            ],
+            "bucket long, wv array<double>, wnr double",
         )
         # LEFT join: a bucket that ran out of candidates keeps its
         # points (with cur unchanged — _cos_dm of a NULL vector is 0
@@ -135,8 +156,12 @@ def facility_location_greedi(
                 "bucket",
                 "id",
                 "v",
+                "nr",
                 F.greatest(
-                    F.col("cur"), _cos_dm(F.col("wv"), F.col("v"))
+                    F.col("cur"),
+                    _sim_dm(
+                        F.col("wv"), F.col("v"), F.col("wnr"), F.col("nr")
+                    ),
                 ).alias("cur"),
             )
             .localCheckpoint(eager=True)
@@ -145,7 +170,7 @@ def facility_location_greedi(
     # ---- round 2: exact greedy over the full corpus, candidates =
     # the bounded local-winner list (literal-explode, no join)
     cand_ids = sorted(cand_vecs)
-    cur2 = pts.select("id", "v", F.lit(0).cast("long").alias("cur"))
+    cur2 = pts.select("id", "v", "nr", F.lit(0).cast("long").alias("cur"))
     cur2 = cur2.localCheckpoint(eager=True)
     out: list[tuple[int, int, int, int]] = []
     objective = 0
@@ -160,18 +185,23 @@ def facility_location_greedi(
                     F.array(
                         *[F.lit(x) for x in cand_vecs[c]]
                     ).cast("array<double>").alias("cv"),
+                    F.lit(cand_norms[c]).alias("cnr"),
                 )
                 for c in remaining
             ]
         )
         gains = (
             cur2.select(
-                "cur", "v", F.explode(cand_arr).alias("c")
+                "cur", "v", "nr", F.explode(cand_arr).alias("c")
             )
             .select(
                 F.col("c.cid").alias("cid"),
                 F.greatest(
-                    _cos_dm(F.col("c.cv"), F.col("v")) - F.col("cur"),
+                    _sim_dm(
+                        F.col("c.cv"), F.col("v"), F.col("c.cnr"),
+                        F.col("nr"),
+                    )
+                    - F.col("cur"),
                     F.lit(0).cast("long"),
                 ).alias("t"),
             )
@@ -191,10 +221,14 @@ def facility_location_greedi(
         wv = F.array(*[F.lit(x) for x in cand_vecs[int(win["id"])]]).cast(
             "array<double>"
         )
+        wnr = F.lit(cand_norms[int(win["id"])])
         cur2 = cur2.select(
             "id",
             "v",
-            F.greatest(F.col("cur"), _cos_dm(wv, F.col("v"))).alias("cur"),
+            "nr",
+            F.greatest(
+                F.col("cur"), _sim_dm(wv, F.col("v"), wnr, F.col("nr"))
+            ).alias("cur"),
         ).localCheckpoint(eager=True)
 
     return spark.createDataFrame(

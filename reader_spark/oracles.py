@@ -10536,7 +10536,7 @@ def _psl_oracles() -> dict[str, str]:
     return {"registrable_domains": per_host, "pld_rollup": rollup}
 
 
-def _submodular_oracle(k: int = 4, buckets: int = 4) -> str:
+def _submodular_oracle(k: int = 4, buckets: int = 8) -> str:
     """Unrolled twin of ops/submodular.facility_location_greedi
     (Mirzasoleiman et al. 2013): same md5 buckets, same round-4 cosine
     lifted to integer 1e-4 units, both GreeDi rounds replayed CTE by

@@ -27,14 +27,14 @@ def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GreeDi facility-location subset selection (ops.submodular.
     facility_location_greedi, Mirzasoleiman et al. NeurIPS 2013): md5
-    hash buckets, bucket-local greedy-k (pair joins stay inside the
+    hash buckets (8), bucket-local greedy-k (pair joins stay inside the
     bucket), then exact greedy over the bounded local-winner pool
     against the FULL corpus via literal-explode scoring. Integer 1e-4
     cosine units end to end; (gain desc, id asc) elections."""
     from reader_spark.ops.submodular import facility_location_greedi
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return facility_location_greedi(emb, k=4, buckets=4)
+    return facility_location_greedi(emb, k=4, buckets=8)
 
 
 

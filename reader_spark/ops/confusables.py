@@ -91,9 +91,12 @@ def homoglyph_profile(
     suspects (mixed-script AND contains a confusable), total confusable
     chars, and the md5 of the document skeleton (the dedup/compare key).
     One token explode + ONE doc-keyed map-side-combined aggregate."""
+    # token stats shuffle TOKENS ONLY; the doc-level columns (confusable
+    # count, skeleton md5) ride the scan and join back — carrying the
+    # full text through the token explode made the aggregate shuffle
+    # O(doc_len * n_tokens) bytes (the 15s bench row at sf0.1).
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
         F.explode(
             F.filter(
                 F.split(F.lower(F.col(text_col)), r"\s+"),
@@ -105,7 +108,7 @@ def homoglyph_profile(
         FOREIGN_CLASS
     )
     has_conf = F.col("tok").rlike(CONFUSABLE_CLASS)
-    return (
+    tok_stats = (
         toks.withColumn("mixed", mixed)
         .withColumn("suspect", mixed & has_conf)
         .groupBy("doc_id")
@@ -113,11 +116,22 @@ def homoglyph_profile(
             F.count("*").alias("n_tokens"),
             F.sum(F.col("mixed").cast("long")).alias("n_mixed_script"),
             F.sum(F.col("suspect").cast("long")).alias("n_spoof_suspects"),
-            F.max(confusable_count_col(F.col("text")))
-            .cast("long")
-            .alias("n_confusable_chars"),
-            F.max(F.md5(skeleton_col(F.col("text")))).alias("skeleton_md5"),
         )
+    )
+    doc_cols = docs.select(
+        F.col(id_col).alias("doc_id"),
+        confusable_count_col(F.col(text_col))
+        .cast("long")
+        .alias("n_confusable_chars"),
+        F.md5(skeleton_col(F.col(text_col))).alias("skeleton_md5"),
+    )
+    return tok_stats.join(doc_cols, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_mixed_script",
+        "n_spoof_suspects",
+        "n_confusable_chars",
+        "skeleton_md5",
     )
 
 

@@ -17,10 +17,14 @@ Scale shape (10^12 training docs x 10^4 eval items):
   * a max-df stop-n-gram guard (the ops/winnow.py discipline) drops
     n-grams appearing in more than ``max_df`` training docs BEFORE the
     join — boilerplate n-grams otherwise fan out to the whole corpus;
-  * ONE n-gram equi-join (shuffle keyed by n-gram, AQE handles skew),
-    one (eval_id, doc_id) count, then a top-k window partitioned by
-    eval item (the bounded-partition family: eval sets are 10^3-10^5
-    items and candidates per item are max_df-bounded).
+  * the eval side is small by contract (10^3-10^5 items), so its
+    exploded grams BROADCAST: the train side flows through one scan
+    with no shuffle until the already-candidate-sized (eval_id,
+    doc_id) count; the df guard is likewise an anti-join against the
+    small hot-gram set, not an equi-join against the huge rare-gram
+    keep-set;
+  * then a top-k window partitioned by eval item (the
+    bounded-partition family: candidates per item are max_df-bounded).
 """
 
 from __future__ import annotations
@@ -69,19 +73,30 @@ def eval_attribution(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
     )
-    df_guard = (
+    # Inverted df guard: instead of equi-joining tg against the HUGE
+    # keep-set (every rare n-gram), anti-join it against the small
+    # stop-set — grams in more than max_df docs are boilerplate and few
+    # (<= distinct grams / max_df in the adversarial worst case; a
+    # handful in practice).  The guard count combines map-side, and the
+    # anti-join broadcasts under AQE, so the corpus-side explode is
+    # never shuffled for the guard.
+    hot = (
         tg.groupBy("g")
         .agg(F.count(F.lit(1)).alias("__df"))
-        .where(F.col("__df") <= max_df)
+        .where(F.col("__df") > max_df)
         .select("g")
     )
-    tg = tg.join(df_guard, "g")
+    tg = tg.join(F.broadcast(hot), "g", "left_anti")
     eg = evals.select(
         F.col(eval_id_col).alias("eval_id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
     )
+    # The eval side is 10^3-10^5 items by contract (module docstring) —
+    # its exploded grams broadcast, so the 10^12-doc train side flows
+    # through ONE scan with no shuffle until the (eval_id, doc_id)
+    # count, whose input is already candidate-sized.
     shared = (
-        eg.join(tg, "g")
+        tg.join(F.broadcast(eg), "g")
         .groupBy("eval_id", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
     )

@@ -75,34 +75,29 @@ def _sides(
 
 def _mutual(cands: DataFrame) -> DataFrame:
     """Mutual-NN election over a (src_id, tgt_id, dot) candidate frame:
-    exact two-phase argmax per side, ties -> smallest partner id."""
-    fwd_best = (
-        cands.groupBy("src_id")
-        .agg(F.max("dot").alias("fb"))
-        .withColumnRenamed("src_id", "fb_src")
-    )
+    exact two-phase argmax per side, ties -> smallest partner id.
+
+    Each side's election is ONE partial-aggregating groupBy via struct
+    ordering — ``min(struct(-dot, partner_id))`` is exactly (max dot,
+    then min id among ties) because struct comparison is field-by-field.
+    The join-back argmax this replaced recomputed the candidate frame
+    (the expensive cross/bucket join) four times; this shape scans it
+    twice and both aggregates combine map-side (the lazy checkpoint
+    makes the second scan a storage reread)."""
+    cands = cands.localCheckpoint(eager=False)
     fwd = (
-        cands.join(
-            fwd_best,
-            (F.col("src_id") == F.col("fb_src"))
-            & (F.col("dot") == F.col("fb")),
+        cands.groupBy("src_id")
+        .agg(F.min(F.struct((-F.col("dot")).alias("nd"), F.col("tgt_id"))).alias("e"))
+        .select(
+            "src_id",
+            F.col("e.tgt_id").alias("tgt_id"),
+            (-F.col("e.nd")).alias("dot"),
         )
-        .groupBy("src_id")
-        .agg(F.min("tgt_id").alias("tgt_id"), F.max("dot").alias("dot"))
-    )
-    bwd_best = (
-        cands.groupBy("tgt_id")
-        .agg(F.max("dot").alias("bb"))
-        .withColumnRenamed("tgt_id", "bb_tgt")
     )
     bwd = (
-        cands.join(
-            bwd_best,
-            (F.col("tgt_id") == F.col("bb_tgt"))
-            & (F.col("dot") == F.col("bb")),
-        )
-        .groupBy("tgt_id")
-        .agg(F.min("src_id").alias("src_id"))
+        cands.groupBy("tgt_id")
+        .agg(F.min(F.struct((-F.col("dot")).alias("nd"), F.col("src_id"))).alias("e"))
+        .select("tgt_id", F.col("e.src_id").alias("src_id"))
     )
     return fwd.join(bwd, ["src_id", "tgt_id"]).select(
         "src_id", "tgt_id", F.col("dot").cast("long").alias("dot_micro2")
@@ -166,7 +161,14 @@ def _csls_mutual(cands: DataFrame, knn: int) -> DataFrame:
     rx - ry`` with ``rx/ry`` the sum of each endpoint's top-min(k, n)
     candidate dots (the integer-scaled form of CSLS's mean-of-top-k;
     exact longs, so elections are portable). Hubs whose neighborhoods
-    are uniformly hot get penalized and stop absorbing pairs."""
+    are uniformly hot get penalized and stop absorbing pairs.
+
+    The candidate frame is the expensive node (cross or bucket join +
+    per-pair integer dots) and several aggregates consume it (rx, ry,
+    and both elections through ``scored``), so it is lazily
+    localCheckpoint'ed — computed once, reread from executor storage
+    after (the ops/dsir.py reuse-barrier discipline)."""
+    cands = cands.localCheckpoint(eager=False)
     topsum = lambda col: F.aggregate(  # noqa: E731
         F.slice(F.sort_array(F.collect_list(col), asc=False), 1, knn),
         F.lit(0).cast("long"),
@@ -186,45 +188,45 @@ def _csls_mutual(cands: DataFrame, knn: int) -> DataFrame:
             .alias("margin"),
         )
     )
-    fwd_best = (
-        scored.groupBy("src_id")
-        .agg(F.max("margin").alias("fb"))
-        .withColumnRenamed("src_id", "fb_src")
-    )
+    # Each side's election is ONE partial-aggregating groupBy: struct
+    # ordering makes min(struct(-margin, partner_id, ...)) exactly
+    # (max margin, then min partner id among ties).  The elected pair's
+    # OWN dot rides in the fwd struct behind the tie-break fields — a
+    # (src, tgt) pair occurs once in cands, so once (margin, tgt_id) is
+    # fixed the dot is determined and the trailing field never votes.
+    # The join-back form this replaced recomputed the candidate join
+    # five times (two best-frames, two elections, one dot fetch).
     fwd = (
-        scored.join(
-            fwd_best,
-            (F.col("src_id") == F.col("fb_src"))
-            & (F.col("margin") == F.col("fb")),
-        )
-        .groupBy("src_id")
+        scored.groupBy("src_id")
         .agg(
-            F.min("tgt_id").alias("tgt_id"),
-            F.max("margin").alias("margin"),
+            F.min(
+                F.struct(
+                    (-F.col("margin")).alias("nm"),
+                    F.col("tgt_id"),
+                    F.col("dot"),
+                )
+            ).alias("e")
         )
-    )
-    bwd_best = (
-        scored.groupBy("tgt_id")
-        .agg(F.max("margin").alias("bb"))
-        .withColumnRenamed("tgt_id", "bb_tgt")
+        .select(
+            "src_id",
+            F.col("e.tgt_id").alias("tgt_id"),
+            (-F.col("e.nm")).alias("margin"),
+            F.col("e.dot").alias("dot"),
+        )
     )
     bwd = (
-        scored.join(
-            bwd_best,
-            (F.col("tgt_id") == F.col("bb_tgt"))
-            & (F.col("margin") == F.col("bb")),
+        scored.groupBy("tgt_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("margin")).alias("nm"), F.col("src_id"))
+            ).alias("e")
         )
-        .groupBy("tgt_id")
-        .agg(F.min("src_id").alias("src_id"))
+        .select("tgt_id", F.col("e.src_id").alias("src_id"))
     )
-    pairs = fwd.join(bwd, ["src_id", "tgt_id"])
-    # fetch the elected pair's own dot (a margin-tied sibling row can
-    # carry a different dot — max(dot) in the election would be wrong).
-    dots = scored.select("src_id", "tgt_id", F.col("dot").alias("__d"))
-    return pairs.join(dots, ["src_id", "tgt_id"]).select(
+    return fwd.join(bwd, ["src_id", "tgt_id"]).select(
         "src_id",
         "tgt_id",
-        F.col("__d").cast("long").alias("dot_micro2"),
+        F.col("dot").cast("long").alias("dot_micro2"),
         F.col("margin").cast("long").alias("margin_micro2"),
     )
 

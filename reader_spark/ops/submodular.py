@@ -93,35 +93,62 @@ def facility_location_greedi(
         F.pmod(h, F.lit(buckets)).alias("bucket"),
     ).withColumn("nr", _nrm(F.col("v"))).localCheckpoint(eager=True)
 
-    # ---- round 1: greedy-k inside every bucket, all buckets at once
-    cur = pts.select(
-        "bucket", "id", "v", "nr", F.lit(0).cast("long").alias("cur")
-    )
-    cur = cur.localCheckpoint(eager=True)
-    picked: list[tuple[int, int]] = []  # (bucket, id)
-    cand_vecs: dict[int, list[float]] = {}
-    cand_norms: dict[int, float] = {}
-    for _ in range(k):
-        cand = pts
-        if picked:
-            sel = spark.createDataFrame(picked, "bucket long, id long")
-            cand = pts.join(F.broadcast(sel), ["bucket", "id"], "left_anti")
-        pairs = cand.select(
+    # ---- round 1: greedy-k inside every bucket, all buckets at once.
+    # The bucket-local pair-similarity matrix is computed ONCE and
+    # checkpointed (n_b^2 integer rows per bucket — the same order of
+    # work ONE greedy round used to pay, and the SemDeDup within-cell
+    # materialization bound); every round after is pure integer joins
+    # against it, no vector dots.  Operand order in _sim_dm matches the
+    # old per-round forms (candidate first, winner first) so every
+    # double — and thus every rounded 1e-4 unit — is bit-identical.
+    pairsim = (
+        pts.select(
             "bucket",
             F.col("id").alias("cid"),
             F.col("v").alias("cv"),
             F.col("nr").alias("cnr"),
-        ).join(cur, "bucket")
+        )
+        .join(
+            pts.select(
+                "bucket",
+                F.col("id").alias("pid"),
+                F.col("v").alias("pv"),
+                F.col("nr").alias("pnr"),
+            ),
+            "bucket",
+        )
+        .select(
+            "bucket",
+            "cid",
+            "pid",
+            _sim_dm(
+                F.col("cv"), F.col("pv"), F.col("cnr"), F.col("pnr")
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cur = pts.select(
+        "bucket", "id", F.lit(0).cast("long").alias("cur")
+    ).localCheckpoint(eager=True)
+    picked: list[tuple[int, int]] = []  # (bucket, id)
+    cand_vecs: dict[int, list[float]] = {}
+    cand_norms: dict[int, float] = {}
+    for _ in range(k):
+        cand_sim = pairsim
+        if picked:
+            sel = spark.createDataFrame(picked, "bucket long, cid long")
+            cand_sim = pairsim.join(
+                F.broadcast(sel), ["bucket", "cid"], "left_anti"
+            )
         gains = (
-            pairs.select(
+            cand_sim.join(
+                cur.withColumnRenamed("id", "pid"), ["bucket", "pid"]
+            )
+            .select(
                 "bucket",
                 "cid",
                 F.greatest(
-                    _sim_dm(
-                        F.col("cv"), F.col("v"), F.col("cnr"), F.col("nr")
-                    )
-                    - F.col("cur"),
-                    F.lit(0).cast("long"),
+                    F.col("s") - F.col("cur"), F.lit(0).cast("long")
                 ).alias("t"),
             )
             .groupBy("bucket", "cid")
@@ -141,27 +168,29 @@ def facility_location_greedi(
             cand_vecs[int(r["id"])] = list(r["v"])
             cand_norms[int(r["id"])] = float(r["nr"])
         wdf = spark.createDataFrame(
-            [
-                (int(r["bucket"]), list(r["v"]), float(r["nr"]))
-                for r in winners
-            ],
-            "bucket long, wv array<double>, wnr double",
+            [(int(r["bucket"]), int(r["id"])) for r in winners],
+            "bucket long, wid long",
+        )
+        wsim = pairsim.join(
+            F.broadcast(wdf),
+            (pairsim["bucket"] == wdf["bucket"])
+            & (pairsim["cid"] == wdf["wid"]),
+        ).select(
+            pairsim["bucket"],
+            F.col("pid").alias("id"),
+            F.col("s").alias("ws"),
         )
         # LEFT join: a bucket that ran out of candidates keeps its
-        # points (with cur unchanged — _cos_dm of a NULL vector is 0
-        # and cur >= 0) instead of silently dropping them.
+        # points (with cur unchanged — the null winner-sim coalesces
+        # to 0 and cur >= 0) instead of silently dropping them.
         cur = (
-            cur.join(F.broadcast(wdf), "bucket", "left")
+            cur.join(wsim, ["bucket", "id"], "left")
             .select(
                 "bucket",
                 "id",
-                "v",
-                "nr",
                 F.greatest(
                     F.col("cur"),
-                    _sim_dm(
-                        F.col("wv"), F.col("v"), F.col("wnr"), F.col("nr")
-                    ),
+                    F.coalesce(F.col("ws"), F.lit(0).cast("long")),
                 ).alias("cur"),
             )
             .localCheckpoint(eager=True)

@@ -228,6 +228,7 @@ BENCH_QUERIES = (
     "conformal_threshold",
     "event_bursts",
     "crawl_coverage_chao1",
+    "rouge_l_near_dups",
 )
 
 

@@ -496,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_date_oracles())
     out["bm25f_search"] = _bm25f_oracle()
     out["lexicon_profile"] = _lexicon_oracle()
+    out["rouge_l_near_dups"] = _rouge_oracle()
     return out
 
 
@@ -11499,4 +11500,81 @@ def _lexicon_oracle() -> str:
         LEFT JOIN hits h ON s.doc_id = h.doc_id
              AND s.category = h.category
         LEFT JOIN totals tt ON s.doc_id = tt.doc_id
+    """
+
+
+def _rouge_oracle(
+    n: int = 3,
+    max_df: int = 20,
+    trunc: int = 40,
+    threshold: int = 700,
+    min_shared: int = 2,
+) -> str:
+    """Twin of ops/rouge.rouge_l_pairs at the registry parameters.
+
+    Replays the identical Hunt-Szymanski reduction: match positions
+    (i asc, j desc) -> patience LIS via list_reduce (the init rides as
+    a prepended empty-list element because DuckDB's fold takes the
+    first element as the accumulator), same truncated tokenization,
+    same distinct-shingle candidates under the df guard, same exact
+    integer milli score."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   (list_filter(string_split_regex(lower(text),
+                        '[^a-z0-9]+'), w -> w <> ''))[1:{trunc}] AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT id,
+                   array_to_string(ws[i:i+{n - 1}], ' ') AS g
+            FROM toks, unnest(generate_series(
+                1, greatest(len(ws) - {n - 1}, 0))) s(i)
+        ),
+        guard AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) <= {max_df}
+        ),
+        gg AS (SELECT grams.id, grams.g FROM grams JOIN guard USING (g)),
+        cands AS (
+            SELECT a.id AS doc_a, b.id AS doc_b
+            FROM gg a JOIN gg b USING (g)
+            WHERE a.id < b.id
+            GROUP BY 1, 2
+            HAVING count(*) >= {min_shared}
+        ),
+        scored AS (
+            SELECT doc_a, doc_b,
+                   CAST(len(ta.ws) AS BIGINT) AS len_a,
+                   CAST(len(tb.ws) AS BIGINT) AS len_b,
+                   CAST(len(list_reduce(
+                       list_prepend([]::BIGINT[], list_transform(
+                           flatten(list_transform(ta.ws, w ->
+                               list_reverse_sort(
+                                   list_filter(list_transform(
+                                       generate_series(1, len(tb.ws)),
+                                       j -> CASE WHEN tb.ws[j] = w
+                                                 THEN j END),
+                                       x -> x IS NOT NULL)))),
+                           j -> [j])),
+                       (acc, x) -> CASE
+                           WHEN len(list_filter(acc, t -> t < x[1]))
+                                = len(acc)
+                               THEN list_append(acc, x[1])
+                           ELSE list_concat(
+                               list_concat(
+                                   acc[1:len(list_filter(acc,
+                                       t -> t < x[1]))],
+                                   [x[1]]),
+                               acc[len(list_filter(acc,
+                                   t -> t < x[1]))+2:len(acc)])
+                       END)) AS BIGINT) AS lcs_len
+            FROM cands
+            JOIN toks ta ON ta.id = doc_a
+            JOIN toks tb ON tb.id = doc_b
+        )
+        SELECT doc_a, doc_b, len_a, len_b, lcs_len,
+               CAST((2000 * lcs_len) // (len_a + len_b) AS BIGINT)
+                   AS rouge_l_milli
+        FROM scored
+        WHERE (2000 * lcs_len) // (len_a + len_b) >= {threshold}
     """

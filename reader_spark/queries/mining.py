@@ -165,6 +165,19 @@ def _q_quote_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quote_spans(_planted_quotes(docs))
 
 
+def _q_rouge_l_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L near-duplicate pairs (ops/rouge.rouge_l_pairs — the
+    self-instruct dedup criterion, Wang et al. ACL 2023 / Lin 2004):
+    token-LCS via the Hunt-Szymanski match-list -> patience-LIS fold as
+    pure Spark array expressions, candidates needing >= 2 shared rare
+    3-grams under a df guard (the LSH multi-band-hit discipline), exact
+    integer milli F scores at self-instruct's published 0.7 cut."""
+    from reader_spark.ops.rouge import rouge_l_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return rouge_l_pairs(docs, n=3, max_df=20, trunc=40, threshold_milli=700)
+
+
 QUERIES = {
     "texttiling_gaps": _q_texttiling_gaps,
     "texttiling_segments": _q_texttiling_segments,
@@ -174,4 +187,5 @@ QUERIES = {
     "quote_profile": _q_quote_profile,
     "quote_spans": _q_quote_spans,
     "domain_spoof_pairs": _q_domain_spoof_pairs,
+    "rouge_l_near_dups": _q_rouge_l_near_dups,
 }

@@ -229,6 +229,7 @@ BENCH_QUERIES = (
     "event_bursts",
     "crawl_coverage_chao1",
     "rouge_l_near_dups",
+    "fim_samples",
 )
 
 

@@ -497,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
     out["bm25f_search"] = _bm25f_oracle()
     out["lexicon_profile"] = _lexicon_oracle()
     out["rouge_l_near_dups"] = _rouge_oracle()
+    out["fim_samples"] = _fim_oracle()
     return out
 
 
@@ -11577,4 +11578,50 @@ def _rouge_oracle(
                    AS rouge_l_milli
         FROM scored
         WHERE (2000 * lcs_len) // (len_a + len_b) >= {threshold}
+    """
+
+
+def _fim_oracle(fim_pct: int = 50, spm_pct: int = 50) -> str:
+    """Twin of ops/fim.fim_transform at the registry parameters: same
+    md5 sampling buckets, same [0, n] cut draws, same substr algebra
+    and sentinel renders."""
+    h = (
+        "CAST(('0x' || substr(md5('fim:{tag}:' || CAST(doc_id AS VARCHAR)"
+        "), 1, 8)) AS BIGINT)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS n,
+                   {h.format(tag='rate')} % 100 < {fim_pct} AS is_fim,
+                   {h.format(tag='spm')} % 100 < {spm_pct} AS is_spm,
+                   {h.format(tag='a')} % (length(text) + 1) AS u,
+                   {h.format(tag='b')} % (length(text) + 1) AS v
+            FROM documents
+        ),
+        cuts AS (
+            SELECT *, least(u, v) AS lo, greatest(u, v) AS hi FROM base
+        ),
+        parts AS (
+            SELECT *,
+                   substr(text, 1, lo) AS pfx,
+                   substr(text, lo + 1, hi - lo) AS mid,
+                   substr(text, hi + 1, n - hi) AS sfx
+            FROM cuts
+        )
+        SELECT doc_id,
+               CASE WHEN NOT is_fim THEN 'ar'
+                    WHEN is_spm THEN 'spm'
+                    ELSE 'psm' END AS mode,
+               CAST(n AS BIGINT) AS n_chars,
+               CAST(CASE WHEN is_fim THEN lo ELSE 0 END AS BIGINT)
+                   AS cut_lo,
+               CAST(CASE WHEN is_fim THEN hi ELSE 0 END AS BIGINT)
+                   AS cut_hi,
+               CASE WHEN NOT is_fim THEN text
+                    WHEN is_spm THEN '<|fim_prefix|><|fim_suffix|>'
+                        || sfx || '<|fim_middle|>' || pfx || mid
+                    ELSE '<|fim_prefix|>' || pfx || '<|fim_suffix|>'
+                        || sfx || '<|fim_middle|>' || mid
+               END AS sample
+        FROM parts
     """

@@ -197,16 +197,17 @@ def facility_location_greedi(
         )
 
     # ---- round 2: exact greedy over the full corpus, candidates =
-    # the bounded local-winner list (literal-explode, no join)
+    # the bounded local-winner list.  The candidate x corpus similarity
+    # frame is computed ONCE (one literal-explode job — the bounded
+    # B*k literal list is the sanctioned k-center/IVF-seed shape) and
+    # checkpointed; each pick is then an integer join + aggregate, so
+    # k picks cost k small plans instead of k giant literal trees.
+    # Operand order in _sim_dm is candidate-first, matching both old
+    # per-round sites — every double is bit-identical.
     cand_ids = sorted(cand_vecs)
-    cur2 = pts.select("id", "v", "nr", F.lit(0).cast("long").alias("cur"))
-    cur2 = cur2.localCheckpoint(eager=True)
     out: list[tuple[int, int, int, int]] = []
     objective = 0
-    for rank in range(1, k + 1):
-        remaining = [c for c in cand_ids if c not in {o[1] for o in out}]
-        if not remaining:
-            break
+    if cand_ids:
         cand_arr = F.array(
             *[
                 F.struct(
@@ -216,49 +217,66 @@ def facility_location_greedi(
                     ).cast("array<double>").alias("cv"),
                     F.lit(cand_norms[c]).alias("cnr"),
                 )
-                for c in remaining
+                for c in cand_ids
             ]
         )
-        gains = (
-            cur2.select(
-                "cur", "v", "nr", F.explode(cand_arr).alias("c")
-            )
+        cs = (
+            pts.select("id", "v", "nr", F.explode(cand_arr).alias("c"))
             .select(
+                "id",
                 F.col("c.cid").alias("cid"),
-                F.greatest(
-                    _sim_dm(
-                        F.col("c.cv"), F.col("v"), F.col("c.cnr"),
-                        F.col("nr"),
-                    )
-                    - F.col("cur"),
-                    F.lit(0).cast("long"),
-                ).alias("t"),
+                _sim_dm(
+                    F.col("c.cv"), F.col("v"), F.col("c.cnr"), F.col("nr")
+                ).alias("s"),
             )
-            .groupBy("cid")
-            .agg(F.sum("t").alias("g"))
+            .localCheckpoint(eager=True)
         )
-        win = (
-            gains.agg(
-                F.max(F.struct(F.col("g"), (-F.col("cid")).alias("n"))).alias("m")
-            )
-            .select((-F.col("m.n")).alias("id"), F.col("m.g").alias("g"))
-            .head()
-        )
-        gain = int(win["g"])
-        objective += gain
-        out.append((rank, int(win["id"]), gain, objective))
-        wv = F.array(*[F.lit(x) for x in cand_vecs[int(win["id"])]]).cast(
-            "array<double>"
-        )
-        wnr = F.lit(cand_norms[int(win["id"])])
-        cur2 = cur2.select(
-            "id",
-            "v",
-            "nr",
-            F.greatest(
-                F.col("cur"), _sim_dm(wv, F.col("v"), wnr, F.col("nr"))
-            ).alias("cur"),
+        cur2 = pts.select(
+            "id", F.lit(0).cast("long").alias("cur")
         ).localCheckpoint(eager=True)
+        for rank in range(1, k + 1):
+            chosen = {o[1] for o in out}
+            remaining = [c for c in cand_ids if c not in chosen]
+            if not remaining:
+                break
+            gains = (
+                cs.where(F.col("cid").isin(remaining))
+                .join(cur2, "id")
+                .select(
+                    "cid",
+                    F.greatest(
+                        F.col("s") - F.col("cur"), F.lit(0).cast("long")
+                    ).alias("t"),
+                )
+                .groupBy("cid")
+                .agg(F.sum("t").alias("g"))
+            )
+            win = (
+                gains.agg(
+                    F.max(
+                        F.struct(F.col("g"), (-F.col("cid")).alias("n"))
+                    ).alias("m")
+                )
+                .select((-F.col("m.n")).alias("id"), F.col("m.g").alias("g"))
+                .head()
+            )
+            gain = int(win["g"])
+            objective += gain
+            out.append((rank, int(win["id"]), gain, objective))
+            wsim2 = cs.where(F.col("cid") == int(win["id"])).select(
+                "id", F.col("s").alias("ws")
+            )
+            cur2 = (
+                cur2.join(wsim2, "id", "left")
+                .select(
+                    "id",
+                    F.greatest(
+                        F.col("cur"),
+                        F.coalesce(F.col("ws"), F.lit(0).cast("long")),
+                    ).alias("cur"),
+                )
+                .localCheckpoint(eager=True)
+            )
 
     return spark.createDataFrame(
         [(r, i, g, o / 1e4) for r, i, g, o in out],

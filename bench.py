@@ -230,6 +230,7 @@ BENCH_QUERIES = (
     "crawl_coverage_chao1",
     "rouge_l_near_dups",
     "fim_samples",
+    "license_detect",
 )
 
 

@@ -498,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
     out["lexicon_profile"] = _lexicon_oracle()
     out["rouge_l_near_dups"] = _rouge_oracle()
     out["fim_samples"] = _fim_oracle()
+    out["license_detect"] = _license_oracle()
     return out
 
 
@@ -11624,4 +11625,86 @@ def _fim_oracle(fim_pct: int = 50, spm_pct: int = 50) -> str:
                         || sfx || '<|fim_middle|>' || mid
                END AS sample
         FROM parts
+    """
+
+
+def _license_oracle(head_chars: int = 2000) -> str:
+    """Twin of ops/license.license_detect over the planted-header
+    documents fixture (queries/code._q_license_detect). Rule phrases
+    and the family map are imported from the op — one source of
+    truth, the governance-oracle discipline."""
+    from reader_spark.ops.license import FAMILY, HEADER_RULES, SPDX_RE
+
+    hdr_cases = "\n                   ".join(
+        "WHEN "
+        + " AND ".join(
+            f"contains(head, '{p}')" for p in phrases
+        )
+        + f" THEN '{lic}'"
+        for lic, phrases in HEADER_RULES
+    )
+    fam_cases = "\n                   ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in FAMILY.items()
+    )
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE
+                       WHEN doc_id % 23 = 0
+                           THEN '// SPDX-License-Identifier: MIT' || chr(10)
+                       WHEN doc_id % 19 = 0
+                           THEN '/* Licensed under the Apache License, '
+                                || 'Version 2.0 */' || chr(10)
+                       WHEN doc_id % 17 = 0
+                           THEN '// Permission is hereby granted, free of '
+                                || 'charge, to any person obtaining a copy'
+                                || chr(10)
+                       WHEN doc_id % 13 = 0
+                           THEN '/* This program is free software: you can '
+                                || 'redistribute it under the GNU General '
+                                || 'Public License, version 3 */' || chr(10)
+                       WHEN doc_id % 11 = 0
+                           THEN '/* Redistribution and use in source and '
+                                || 'binary forms is permitted provided that '
+                                || 'neither the name of the copyright holder '
+                                || 'nor contributors are used */' || chr(10)
+                       WHEN doc_id % 7 = 0
+                           THEN '# SPDX-License-Identifier: LGPL-2.1'
+                                || chr(10)
+                       ELSE ''
+                   END || text AS content
+            FROM documents
+        ),
+        det AS (
+            SELECT doc_id, content,
+                   regexp_extract(content,
+                       'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)',
+                       1) AS spdx,
+                   lower(substr(content, 1, {head_chars})) AS head
+            FROM planted
+        ),
+        hdr AS (
+            SELECT doc_id, spdx,
+                   CASE
+                   {hdr_cases}
+                   ELSE '' END AS header
+            FROM det
+        ),
+        lic AS (
+            SELECT doc_id,
+                   CASE WHEN spdx <> '' THEN spdx ELSE header END
+                       AS license_id,
+                   CASE WHEN spdx <> '' THEN 'spdx'
+                        WHEN header <> '' THEN 'header'
+                        ELSE 'none' END AS via
+            FROM hdr
+        )
+        SELECT doc_id, license_id,
+               CASE WHEN license_id = '' THEN 'unknown'
+                    ELSE CASE license_id
+                   {fam_cases}
+                   ELSE 'unknown' END
+               END AS family,
+               via
+        FROM lic
     """

@@ -66,6 +66,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_corpus_recency,
     _q_bm25f_search,
     _q_lexicon_profile,
+    _q_math_signals,
     _q_blocklist_filter,
     _q_boilerpipe_classify,
     _q_c4_page_clean,
@@ -3866,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_recency": _q_corpus_recency,
         "bm25f_search": _q_bm25f_search,
         "lexicon_profile": _q_lexicon_profile,
+        "math_signals": _q_math_signals,
         "event_bursts": _q_event_bursts,
         "cohort_retention": _q_cohort_retention,
         "hll_merged": _q_hll_merged,

@@ -231,6 +231,7 @@ BENCH_QUERIES = (
     "rouge_l_near_dups",
     "fim_samples",
     "license_detect",
+    "math_signals",
 )
 
 

@@ -499,6 +499,7 @@ def oracle_sql() -> dict[str, str]:
     out["rouge_l_near_dups"] = _rouge_oracle()
     out["fim_samples"] = _fim_oracle()
     out["license_detect"] = _license_oracle()
+    out["math_signals"] = _math_oracle()
     return out
 
 
@@ -11707,4 +11708,52 @@ def _license_oracle(head_chars: int = 2000) -> str:
                END AS family,
                via
         FROM lic
+    """
+
+
+def _math_oracle() -> str:
+    """Twin of ops/mathdetect.math_signals over the planted-LaTeX
+    documents fixture (queries/curation._q_math_signals). Patterns and
+    weights import from the op — one source of truth; DuckDB counts
+    with len(regexp_extract_all), same RE2 leftmost-nonoverlapping
+    semantics as Java's regexp_count."""
+    from reader_spark.ops.mathdetect import (
+        IS_MATH_CUT,
+        MATH_PATTERNS,
+        MATH_WEIGHTS,
+        SCORE_CAP,
+    )
+
+    count_cols = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS {name}"
+        for name, pat in MATH_PATTERNS.items()
+    )
+    score = " + ".join(
+        f"{w} * {name}" for name, w in MATH_WEIGHTS.items()
+    )
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text || CASE
+                       WHEN doc_id % 13 = 0 THEN
+                           ' The identity $e^{{i\\pi}}+1=0$ holds and'
+                           || ' $$\\int_0^1 x^2 dx = \\frac{{1}}{{3}}$$'
+                           || ' follows.'
+                       WHEN doc_id % 7 = 0 THEN
+                           ' Compute x = y + z and check 2 < 3.'
+                       ELSE ''
+                   END AS text
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {count_cols}
+            FROM planted
+        )
+        SELECT doc_id, {", ".join(MATH_PATTERNS)},
+               CAST(least({SCORE_CAP}, {score}) AS BIGINT)
+                   AS math_score_milli,
+               least({SCORE_CAP}, {score}) >= {IS_MATH_CUT} AS is_math
+        FROM sig
     """

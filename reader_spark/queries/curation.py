@@ -1471,3 +1471,29 @@ def _q_lexicon_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return lexicon_category_profile(docs)
+
+
+def _q_math_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-notation prefilter signals (ops/mathdetect.math_signals —
+    the OpenWebMath rule-prefilter shape): display/inline dollar-math,
+    TeX commands, operator-symbol counts, capped integer score + flag.
+    LaTeX snippets are planted deterministically on the documents
+    table by doc_id mod arithmetic (mirrored by the oracle) so all
+    signal classes fire at fixture scale."""
+    from reader_spark.ops.mathdetect import math_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    tail = (
+        F.when(
+            d % 13 == 0,
+            " The identity $e^{i\\pi}+1=0$ holds and"
+            " $$\\int_0^1 x^2 dx = \\frac{1}{3}$$ follows.",
+        )
+        .when(d % 7 == 0, " Compute x = y + z and check 2 < 3.")
+        .otherwise("")
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+    return math_signals(planted)

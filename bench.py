@@ -744,6 +744,36 @@ def main() -> None:
         ],
     )
 
+    # -- code prep (jobs/code_prep_job.py): license gate -> StarCoder
+    #    quality gate -> exact dedup -> FIM renders, over a code-files
+    #    table derived from the sf documents with planted license
+    #    headers (every family class fires).
+    code_files = os.path.join(BENCH_DIR, "code_files.parquet")
+    if not os.path.isdir(code_files):
+        d = F.col("doc_id").cast("long")
+        hdr = (
+            F.when(d % 5 == 0, "// SPDX-License-Identifier: MIT\n")
+            .when(d % 5 == 1,
+                  "/* Licensed under the Apache License, Version 2.0 */\n")
+            .when(d % 5 == 2, "// SPDX-License-Identifier: GPL-3.0\n")
+            .when(d % 7 == 0, "// auto-generated do not edit\n")
+            .otherwise("")
+        )
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id",
+            F.concat(d.cast("string"), F.lit(".py")).alias("path"),
+            F.concat(hdr, F.col("text")).alias("content"),
+        ).write.mode("overwrite").parquet(code_files)
+    run_job(
+        "code_prep_job",
+        [
+            "jobs/code_prep_job.py",
+            "--input", code_files,
+            "--output", os.path.join(BENCH_DIR, "code_prep"),
+            "--master", f"local[{CPUS}]",
+        ],
+    )
+
     # Calibration lines IMMEDIATELY around the headline timing — the r1
     # number paired a calibration measured minutes earlier with an
     # extraction measured after the 41-query block, so VM phase drift
@@ -957,7 +987,9 @@ def main() -> None:
             f"| governance_job | {results['governance_job_e2e']} | "
             f"{json.dumps(pipeline['governance_job'])} |\n"
             f"| web_hygiene_job | {results['web_hygiene_job_e2e']} | "
-            f"{json.dumps(pipeline['web_hygiene_job'])} |\n\n"
+            f"{json.dumps(pipeline['web_hygiene_job'])} |\n"
+            f"| code_prep_job | {results['code_prep_job_e2e']} | "
+            f"{json.dumps(pipeline['code_prep_job'])} |\n\n"
             "vlm_prep_job = extract -> caption-alignment filter -> PII "
             "redaction -> budget truncation -> LLaVA-shape rendering over "
             "the same raw corpus as the headline extraction.\n\n"

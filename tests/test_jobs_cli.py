@@ -1169,3 +1169,72 @@ def test_web_hygiene_job_gates_and_shards(tmp_path, spark):
     # the noindex page's PLD carries no indexable mass: not sharded
     assert "alice.github.io" not in shards
     assert summary["max_shard_load"] == 3
+
+
+@pytest.fixture(scope="module")
+def code_corpus(tmp_path_factory, spark):
+    """Files fixture for code_prep_job: licenses x quality x dups."""
+    from pyspark.sql import Row
+
+    mit = "// SPDX-License-Identifier: MIT\n"
+    gpl = "// SPDX-License-Identifier: GPL-3.0\n"
+    body = "def f(x):\n    return x + 1\n" * 3
+    rows = [
+        Row(doc_id=1, path="a.py", content=mit + body),            # kept
+        Row(doc_id=2, path="b.py", content=gpl + body),            # license
+        Row(doc_id=3, path="c.py", content=body),                  # no license
+        Row(doc_id=4, path="d.py",                                 # quality
+            content=mit + "// auto-generated do not edit\n" + body),
+        Row(doc_id=5, path="e.py", content=mit + body),            # dup of 1
+        Row(doc_id=6, path="f.py", content=mit + "x = 2\n"),       # kept
+    ]
+    p = str(tmp_path_factory.mktemp("codeprep") / "files.parquet")
+    spark.createDataFrame(rows).write.parquet(p)
+    return p
+
+
+def test_code_prep_job_pipeline(tmp_path, spark, code_corpus):
+    out = str(tmp_path / "cp")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "code_prep_job.py"),
+         "--input", code_corpus, "--output", out,
+         "--fim-pct", "100", "--spm-pct", "0", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    # licenses: 1, 4, 5, 6 are MIT (2 GPL-blocked, 3 unlicensed)
+    assert summary["n_files"] == 6
+    assert summary["n_license_ok"] == 4
+    # quality: 4 is autogenerated
+    assert summary["n_quality_ok"] == 3
+    # dedup: 5 duplicates 1
+    assert summary["n_after_dedup"] == 2
+    assert summary["n_samples"] == 2
+    assert summary["n_fim_samples"] == 2   # fim-pct 100
+    manifest = {m["doc_id"]: m for m in
+                spark.read.parquet(out + "/gate_manifest").collect()}
+    assert manifest[1]["kept"] and manifest[6]["kept"]
+    assert not manifest[5]["kept"]                      # dup loser
+    assert manifest[2]["gate_reason"] == "license_blocked"
+    assert manifest[2]["family"] == "copyleft"
+    assert manifest[4]["gate_reason"] == "autogenerated"
+    samples = {s["doc_id"]: s for s in
+               spark.read.parquet(out + "/samples").collect()}
+    assert set(samples) == {1, 6}
+    assert all(s["mode"] == "psm" for s in samples.values())
+
+
+def test_code_prep_job_allow_license_override(tmp_path, code_corpus):
+    out = str(tmp_path / "cp2")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "code_prep_job.py"),
+         "--input", code_corpus, "--output", out,
+         "--allow-families", "permissive,copyleft",
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    # GPL now admitted; only the unlicensed doc 3 is blocked
+    assert summary["n_license_ok"] == 5

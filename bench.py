@@ -232,6 +232,7 @@ BENCH_QUERIES = (
     "fim_samples",
     "license_detect",
     "math_signals",
+    "notebook_scripts",
 )
 
 

@@ -500,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
     out["fim_samples"] = _fim_oracle()
     out["license_detect"] = _license_oracle()
     out["math_signals"] = _math_oracle()
+    out["notebook_scripts"] = _notebook_oracle()
     return out
 
 
@@ -11756,4 +11757,67 @@ def _math_oracle() -> str:
                    AS math_score_milli,
                least({SCORE_CAP}, {score}) >= {IS_MATH_CUT} AS is_math
         FROM sig
+    """
+
+
+def _notebook_oracle() -> str:
+    """Twin of ops/notebooks.notebook_to_script over the synthesized
+    notebook corpus (queries/code._q_notebook_scripts): same word
+    chunking, same alternating cell types, same renders — DuckDB
+    builds the typed cells directly (the Spark side round-trips them
+    through to_json/from_json; parsed content is identical)."""
+    return """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               w -> w <> '') AS ws,
+                   doc_id % 97 = 0 AS malformed
+            FROM documents
+        ),
+        shaped AS (
+            SELECT doc_id, malformed, ws,
+                   least(6, CAST(ceil(len(ws) / 8.0) AS BIGINT))
+                       AS n_cells
+            FROM toks
+        ),
+        cells AS (
+            SELECT doc_id, malformed, n_cells,
+                   list_transform(
+                       CASE WHEN n_cells > 0
+                            THEN generate_series(0, n_cells - 1)
+                            ELSE []::BIGINT[] END,
+                       i -> struct_pack(
+                           cell_type := CASE WHEN i % 2 = 0
+                                             THEN 'markdown'
+                                             ELSE 'code' END,
+                           source := ws[i * 8 + 1 : (i + 1) * 8])) AS cs
+            FROM shaped
+        ),
+        rendered AS (
+            SELECT doc_id, malformed, n_cells, cs,
+                   array_to_string(
+                       list_transform(cs, c ->
+                           CASE WHEN c.cell_type = 'code'
+                                THEN array_to_string(c.source, chr(10))
+                                ELSE array_to_string(
+                                    list_transform(c.source,
+                                        l -> '# ' || l), chr(10))
+                           END),
+                       chr(10) || chr(10)) AS script
+            FROM cells
+        )
+        SELECT doc_id,
+               NOT malformed AS valid,
+               CAST(CASE WHEN malformed THEN 0 ELSE n_cells END
+                    AS BIGINT) AS n_cells,
+               CAST(CASE WHEN malformed THEN 0 ELSE
+                    len(list_filter(cs, c -> c.cell_type = 'code')) END
+                    AS BIGINT) AS n_code_cells,
+               CAST(CASE WHEN malformed THEN 0 ELSE
+                    len(list_filter(cs, c -> c.cell_type = 'markdown'))
+                    END AS BIGINT) AS n_markdown_cells,
+               CAST(CASE WHEN malformed THEN 0
+                    ELSE length(script) END AS BIGINT) AS n_script_chars,
+               CASE WHEN malformed THEN NULL ELSE script END AS script
+        FROM rendered
     """

@@ -233,6 +233,7 @@ BENCH_QUERIES = (
     "license_detect",
     "math_signals",
     "notebook_scripts",
+    "repo_context",
 )
 
 

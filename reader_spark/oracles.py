@@ -501,6 +501,7 @@ def oracle_sql() -> dict[str, str]:
     out["license_detect"] = _license_oracle()
     out["math_signals"] = _math_oracle()
     out["notebook_scripts"] = _notebook_oracle()
+    out["repo_context"] = _repo_context_oracle()
     return out
 
 
@@ -11820,4 +11821,64 @@ def _notebook_oracle() -> str:
                     ELSE length(script) END AS BIGINT) AS n_script_chars,
                CASE WHEN malformed THEN NULL ELSE script END AS script
         FROM rendered
+    """
+
+
+def _repo_context_oracle(budget: int = 2000, max_files: int = 8) -> str:
+    """Twin of ops/repocontext.repo_context_render over the
+    documents-derived repo corpus (queries/code._q_repo_context):
+    same path-sorted cap, same prefix-rule budget fold (list_reduce
+    with the init riding as a prepended same-struct element), same
+    sentinel render."""
+    return f"""
+        WITH files AS (
+            SELECT 'repo-' || CAST(doc_id % 40 AS VARCHAR) AS repo,
+                   'src/f' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+                   substr(text, 1, 160) AS content
+            FROM documents
+        ),
+        grouped AS (
+            SELECT repo,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   (list_sort(list(struct_pack(
+                        path := path, content := content))))[1:{max_files}]
+                       AS sorted
+            FROM files GROUP BY repo
+        ),
+        folded AS (
+            SELECT repo, n_files,
+                   list_reduce(
+                       list_prepend(
+                           struct_pack(stopped := false,
+                                       chars := CAST(0 AS BIGINT),
+                                       ctx := '',
+                                       n := CAST(0 AS BIGINT)),
+                           list_transform(sorted, f -> struct_pack(
+                               stopped := false,
+                               chars := CAST(length('<|file_sep|>'
+                                   || f.path || chr(10) || f.content)
+                                   AS BIGINT),
+                               ctx := '<|file_sep|>' || f.path
+                                   || chr(10) || f.content,
+                               n := CAST(1 AS BIGINT)))),
+                       (acc, x) -> CASE
+                           WHEN NOT acc.stopped
+                                AND acc.chars + x.chars <= {budget}
+                               THEN struct_pack(stopped := false,
+                                   chars := acc.chars + x.chars,
+                                   ctx := acc.ctx || x.ctx,
+                                   n := acc.n + 1)
+                           ELSE struct_pack(stopped := true,
+                               chars := acc.chars,
+                               ctx := acc.ctx,
+                               n := acc.n)
+                       END) AS acc
+            FROM grouped
+        )
+        SELECT repo, n_files,
+               CAST(acc.n AS BIGINT) AS n_files_rendered,
+               CAST(length('<|repo_name|>' || repo || acc.ctx) AS BIGINT)
+                   AS n_chars,
+               '<|repo_name|>' || repo || acc.ctx AS context
+        FROM folded
     """

@@ -79,6 +79,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_bm25f_search,
     _q_lexicon_profile,
     _q_math_signals,
+    _q_distinct_ngram_diversity,
     _q_blocklist_filter,
     _q_boilerpipe_classify,
     _q_c4_page_clean,
@@ -3734,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_search": _q_bm25f_search,
         "lexicon_profile": _q_lexicon_profile,
         "math_signals": _q_math_signals,
+        "distinct_ngram_diversity": _q_distinct_ngram_diversity,
         "event_bursts": _q_event_bursts,
         "cohort_retention": _q_cohort_retention,
         "hll_merged": _q_hll_merged,

@@ -234,6 +234,7 @@ BENCH_QUERIES = (
     "math_signals",
     "notebook_scripts",
     "repo_context",
+    "distinct_ngram_diversity",
 )
 
 

@@ -502,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
     out["math_signals"] = _math_oracle()
     out["notebook_scripts"] = _notebook_oracle()
     out["repo_context"] = _repo_context_oracle()
+    out["distinct_ngram_diversity"] = _diversity_oracle()
     return out
 
 
@@ -11881,4 +11882,34 @@ def _repo_context_oracle(budget: int = 2000, max_files: int = 8) -> str:
                    AS n_chars,
                '<|repo_name|>' || repo || acc.ctx AS context
         FROM folded
+    """
+
+
+def _diversity_oracle(ns=(1, 2, 3)) -> str:
+    """Twin of ops/diversity.distinct_ngram_diversity over documents:
+    same tokenization, same WITH-multiplicity shingles, same exact
+    milli ratios."""
+    legs = "\n            UNION ALL\n".join(
+        f"""
+            SELECT source AS "group", CAST({n} AS BIGINT) AS n,
+                   array_to_string(ws[i:i+{n - 1}], ' ') AS g
+            FROM toks, unnest(generate_series(
+                1, greatest(len(ws) - {n - 1}, 0))) s(i)"""
+        for n in ns
+    )
+    return f"""
+        WITH toks AS (
+            SELECT source,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents
+        ),
+        exploded AS ({legs})
+        SELECT "group", n,
+               CAST(count(*) AS BIGINT) AS total_ngrams,
+               CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+               CAST((1000 * count(DISTINCT g)) // count(*) AS BIGINT)
+                   AS distinct_milli
+        FROM exploded
+        GROUP BY 1, 2
     """

@@ -1497,3 +1497,14 @@ def _q_math_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), tail).alias("text")
     )
     return math_signals(planted)
+
+
+def _q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n lexical diversity per source (ops/diversity.
+    distinct_ngram_diversity, Li et al. 2016): unique/total n-gram
+    ratios WITH multiplicity for n=1,2,3, exact integer milli — the
+    cross-document template-collapse audit."""
+    from reader_spark.ops.diversity import distinct_ngram_diversity
+
+    docs = _read(spark, sf_dir, "documents")
+    return distinct_ngram_diversity(docs)

@@ -80,6 +80,7 @@ from reader_spark.queries.curation import (  # noqa: E402
     _q_lexicon_profile,
     _q_math_signals,
     _q_distinct_ngram_diversity,
+    _q_semantic_decontaminate,
     _q_blocklist_filter,
     _q_boilerpipe_classify,
     _q_c4_page_clean,
@@ -3736,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon_profile": _q_lexicon_profile,
         "math_signals": _q_math_signals,
         "distinct_ngram_diversity": _q_distinct_ngram_diversity,
+        "semantic_decontaminate": _q_semantic_decontaminate,
         "event_bursts": _q_event_bursts,
         "cohort_retention": _q_cohort_retention,
         "hll_merged": _q_hll_merged,

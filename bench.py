@@ -235,6 +235,7 @@ BENCH_QUERIES = (
     "notebook_scripts",
     "repo_context",
     "distinct_ngram_diversity",
+    "semantic_decontaminate",
 )
 
 

@@ -139,3 +139,59 @@ def contamination_flags_bloom(
         n=n,
         hashed=hashed,
     )
+
+
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    weights: list,
+    tau_round4: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Embedding-similarity decontamination — the semantic complement
+    of the n-gram overlap scan (the GPT-4 technical report's
+    contamination check pairs n-gram matching with similarity; Yang et
+    al. 2023 "Rethinking Benchmark and Contamination" shows paraphrased
+    leaks evade exact n-grams entirely).  A training doc is flagged when
+    its embedding is within ``tau_round4`` cosine of ANY eval item.
+
+    Scale shape: both sides sketch with the SAME literal hyperplane
+    family (ops/ann.md5_plane_weights — portable, or seeded xxhash64 in
+    production); the eval side is small by contract (10^3-10^5 items)
+    and BROADCASTS, so the 10^12-doc corpus flows through one scan +
+    one bucket-filtered broadcast join — no shuffle of the corpus.
+    Recall < 1 by construction (bucket-mates only), the documented
+    LSH trade measured by the brute twin in tests.  Cosines compare at
+    round-4 (the embedding_dedup_lsh_md5 house discipline — exact
+    cross-engine doubles).
+
+    Returns ``(vec_id, n_eval_hits, max_cosine)`` per flagged doc.
+    """
+    from reader_spark.ops.ann import cosine_col, hyperplane_sketch_literal
+
+    fv = F.col(vec_col).cast("array<double>")
+    cb = corpus_emb.select(
+        F.col(id_col).alias("vec_id"),
+        fv.alias("cv"),
+        hyperplane_sketch_literal(fv, weights).alias("bucket"),
+    )
+    eb = eval_emb.select(
+        F.col(eval_id_col).alias("eval_id"),
+        fv.alias("ev"),
+        hyperplane_sketch_literal(fv, weights).alias("bucket"),
+    )
+    pairs = cb.join(F.broadcast(eb), "bucket").select(
+        "vec_id",
+        "eval_id",
+        F.round(cosine_col(F.col("cv"), F.col("ev")), 4).alias("cos"),
+    )
+    return (
+        pairs.where(F.col("cos") >= tau_round4)
+        .groupBy("vec_id")
+        .agg(
+            F.countDistinct("eval_id").cast("long").alias("n_eval_hits"),
+            F.max("cos").alias("max_cosine"),
+        )
+    )

@@ -503,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
     out["notebook_scripts"] = _notebook_oracle()
     out["repo_context"] = _repo_context_oracle()
     out["distinct_ngram_diversity"] = _diversity_oracle()
+    out["semantic_decontaminate"] = _semantic_decontam_oracle()
     return out
 
 
@@ -11912,4 +11913,39 @@ def _diversity_oracle(ns=(1, 2, 3)) -> str:
                    AS distinct_milli
         FROM exploded
         GROUP BY 1, 2
+    """
+
+
+def _semantic_decontam_oracle(tau: float = 0.35) -> str:
+    """Twin of ops/decontam.semantic_decontaminate over the
+    every-31st-vector eval split: same 2 literal md5 planes
+    (_md5_bucket_terms), same round-4 cosine threshold, same
+    per-corpus-doc rollup."""
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 31 <> 0
+        ),
+        evals AS (
+            SELECT vec_id AS eval_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 31 = 0
+        ),
+        cb AS (
+            SELECT vec_id, v, {_md5_bucket_terms(planes=2)} AS bucket
+            FROM corpus
+        ),
+        eb AS (
+            SELECT eval_id, v, {_md5_bucket_terms(planes=2)} AS bucket
+            FROM evals
+        ),
+        hits AS (
+            SELECT cb.vec_id, eb.eval_id,
+                   round(list_cosine_similarity(cb.v, eb.v), 4) AS cos
+            FROM cb JOIN eb USING (bucket)
+            WHERE round(list_cosine_similarity(cb.v, eb.v), 4) >= {tau}
+        )
+        SELECT vec_id,
+               CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_hits,
+               max(cos) AS max_cosine
+        FROM hits GROUP BY vec_id
     """

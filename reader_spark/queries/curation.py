@@ -1508,3 +1508,21 @@ def _q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return distinct_ngram_diversity(docs)
+
+
+def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-similarity decontamination (ops/decontam.
+    semantic_decontaminate): eval set = every 31st embedding, corpus =
+    the rest; 2 literal md5 planes so buckets genuinely collide at
+    fixture scale; round-4 cosine >= 0.35 (the embedding_dedup family
+    threshold). Flags paraphrased leaks exact n-grams miss."""
+    from reader_spark.ops.ann import md5_plane_weights
+    from reader_spark.ops.decontam import semantic_decontaminate
+
+    emb = _read(spark, sf_dir, "embeddings")
+    evals = emb.where(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 31 != 0)
+    w = md5_plane_weights(dim=64, planes=2)
+    return semantic_decontaminate(corpus, evals, w)

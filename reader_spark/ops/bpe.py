@@ -143,18 +143,60 @@ def bpe_token_counts(
 ) -> DataFrame:
     """Per-document exact BPE accounting: (id, n_words, bpe_tokens,
     fertility = tokens/word). The column packing / token_budget_mix /
-    token_shards consume as their exact ``token_col``."""
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), WORD_SPLIT),
-        lambda w: w != F.lit(""),
-    )
-    return df.select(
+    token_shards consume as their exact ``token_col``.
+
+    Shape: the merge fold runs once per DISTINCT word (the
+    wordpiece_doc_tokens memoization — at corpus scale the vocabulary
+    is orders of magnitude smaller than the occurrence stream, so
+    encoding distinct words + a word-keyed join-back beats re-folding
+    every occurrence; the sf0.1 bench went ~3x faster).  Values are
+    identical to the within-row fold (same expression per word), so
+    the DuckDB oracle is unchanged.  ``bpe_doc_tokens_expr`` remains
+    the within-row Column form for single-pass scans."""
+    _check_merges(merges)
+    occ = df.select(
         F.col(id_col),
-        F.size(words).cast("long").alias("n_words"),
-        bpe_doc_tokens_expr(F.col(text_col), merges).alias("bpe_tokens"),
-    ).withColumn(
-        "fertility",
-        F.when(F.col("n_words") > 0, F.round(F.col("bpe_tokens") / F.col("n_words"), 6)),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), WORD_SPLIT),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("__w"),
+    )
+    enc = (
+        occ.select("__w")
+        .distinct()
+        .select(
+            "__w",
+            bpe_word_tokens_expr(F.col("__w"), merges).alias("__t"),
+        )
+    )
+    counts = (
+        occ.join(enc, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__t").cast("long").alias("bpe_tokens"),
+        )
+    )
+    # left join back so zero-word documents keep their (0, 0, NULL) row
+    return (
+        df.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("bpe_tokens", F.lit(0))
+            .cast("long")
+            .alias("bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.col("bpe_tokens") / F.col("n_words"), 6),
+            ),
+        )
     )
 
 

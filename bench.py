@@ -236,6 +236,7 @@ BENCH_QUERIES = (
     "repo_context",
     "distinct_ngram_diversity",
     "semantic_decontaminate",
+    "url_parallel_pairs",
 )
 
 

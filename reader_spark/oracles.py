@@ -504,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
     out["repo_context"] = _repo_context_oracle()
     out["distinct_ngram_diversity"] = _diversity_oracle()
     out["semantic_decontaminate"] = _semantic_decontam_oracle()
+    out["url_parallel_pairs"] = _url_parallel_oracle()
     return out
 
 
@@ -11948,4 +11949,85 @@ def _semantic_decontam_oracle(tau: float = 0.35) -> str:
                CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_hits,
                max(cos) AS max_cosine
         FROM hits GROUP BY vec_id
+    """
+
+
+def _url_parallel_oracle() -> str:
+    """Twin of ops/urlbitext.url_parallel_pairs over the doc_id-derived
+    URL corpus (queries/bitext._q_url_parallel_pairs): same synth CASE,
+    same marker stripping regexes, same (key, lang) min election and
+    cross-language pairing. Markers import from the op."""
+    from reader_spark.ops.urlbitext import DEFAULT_LANG_MARKERS
+
+    marker_list = ", ".join(f"'{m}'" for m in DEFAULT_LANG_MARKERS)
+    return f"""
+        WITH urls AS (
+            SELECT doc_id,
+                   CASE
+                       WHEN doc_id % 3 = 0 THEN 'https://'
+                           || (['en','fr','de','xx'])[doc_id % 4 + 1]
+                           || '.' || 'site' || CAST(doc_id % 73 AS VARCHAR)
+                           || '.com' || '/page/'
+                           || CAST(doc_id % 73 AS VARCHAR)
+                       WHEN doc_id % 3 = 1 THEN 'https://'
+                           || 'site' || CAST(doc_id % 73 AS VARCHAR)
+                           || '.com' || '/'
+                           || (['en','fr','de','xx'])[doc_id % 4 + 1]
+                           || '/page/' || CAST(doc_id % 73 AS VARCHAR)
+                       ELSE 'https://www.' || 'site'
+                           || CAST(doc_id % 73 AS VARCHAR) || '.com'
+                           || '/page/' || CAST(doc_id % 73 AS VARCHAR)
+                   END AS url
+            FROM documents
+        ),
+        norm AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(lower(url),
+                       '^[a-z]+://', ''), '^www\\.', '') AS u
+            FROM urls
+        ),
+        split_parts AS (
+            SELECT doc_id, u,
+                   regexp_extract(u, '^([^/]*)', 1) AS host,
+                   substr(u, length(regexp_extract(u, '^([^/]*)', 1)) + 1)
+                       AS path
+            FROM norm
+        ),
+        marked AS (
+            SELECT doc_id, u, host, path,
+                   regexp_extract(host, '^([^.]+)\\.', 1) AS first_sub,
+                   regexp_extract(path, '^/([^/]+)', 1) AS first_seg
+            FROM split_parts
+        ),
+        tagged AS (
+            SELECT doc_id AS doc,
+                   CASE
+                       WHEN first_sub <> ''
+                            AND first_sub IN ({marker_list})
+                           THEN first_sub
+                       WHEN first_seg <> ''
+                            AND first_seg IN ({marker_list})
+                           THEN first_seg
+                       ELSE '' END AS lang,
+                   CASE
+                       WHEN first_sub <> ''
+                            AND first_sub IN ({marker_list})
+                           THEN regexp_replace(host, '^[^.]+\\.', '')
+                               || path
+                       WHEN first_seg <> ''
+                            AND first_seg IN ({marker_list})
+                           THEN host
+                               || regexp_replace(path, '^/[^/]+', '')
+                       ELSE u END AS key
+            FROM marked
+        ),
+        elected AS (
+            SELECT key, lang, min(doc) AS doc
+            FROM tagged WHERE lang <> ''
+            GROUP BY key, lang
+        )
+        SELECT a.key, a.lang AS lang_a, a.doc AS doc_a,
+               b.lang AS lang_b, b.doc AS doc_b
+        FROM elected a JOIN elected b USING (key)
+        WHERE a.lang < b.lang
     """

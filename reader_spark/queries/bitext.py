@@ -54,3 +54,37 @@ QUERIES = {
     "bitext_mutual_bucketed": _q_bitext_mutual_bucketed,
     "bitext_csls_pairs": _q_bitext_csls_pairs,
 }
+
+
+def _q_url_parallel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-matching parallel-document candidates (ops/urlbitext.
+    url_parallel_pairs — the ParaCrawl / WMT16 structural baseline):
+    subdomain and path language markers stripped to a shared key, one
+    groupBy election, cross-language pairs. A deterministic URL corpus
+    derives within-row from doc_id (subdomain-marker, path-marker and
+    no-marker forms all present; 'xx' exercises the non-marker path)."""
+    from reader_spark.ops.urlbitext import url_parallel_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("fr"), F.lit("de"), F.lit("xx")),
+        (d % 4 + 1).cast("int"),
+    )
+    base = F.concat(F.lit("site"), (d % 73).cast("string"), F.lit(".com"))
+    page = F.concat(F.lit("/page/"), (d % 73).cast("string"))
+    url = (
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("https://"), lang, F.lit("."), base, page),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("https://"), base, F.lit("/"), lang, page),
+        )
+        .otherwise(F.concat(F.lit("https://www."), base, page))
+    )
+    return url_parallel_pairs(docs.select("doc_id", url.alias("url")))
+
+
+QUERIES["url_parallel_pairs"] = _q_url_parallel_pairs

@@ -71,9 +71,14 @@ def main(argv=None) -> int:
             from reader_spark.ops.textstats import quality_logit_score
 
             scored = quality_logit_score(docs).select("doc_id", "score")
+            # Materialization boundary after each gate (guide §5): the
+            # per-stage lineage counts and the final write otherwise
+            # re-run every upstream gate (quality scoring executed 4x in
+            # the un-checkpointed form — once per downstream count plus
+            # the write).
             kept = docs.join(scored, "doc_id").where(
                 F.col("score") >= args.min_score
-            )
+            ).localCheckpoint(eager=True)
             n_quality = kept.count()
             stages["dropped_quality"] = total - n_quality
 
@@ -84,13 +89,15 @@ def main(argv=None) -> int:
 
                 weights = dsir_log_weights(
                     docs, "doc_id", "text", target=F.col("lang") == args.target_lang
-                ).select("doc_id", "log_w")
+                ).select("doc_id", "log_w").localCheckpoint(eager=True)
                 cut = weights.agg(
                     F.expr(
                         f"approx_percentile(log_w, {args.dsir_quantile})"
                     ).alias("c")
                 ).head()["c"]
-                kept = kept.join(weights, "doc_id").where(F.col("log_w") >= cut)
+                kept = kept.join(weights, "doc_id").where(
+                    F.col("log_w") >= cut
+                ).localCheckpoint(eager=True)
                 n_dsir = kept.count()
                 stages["dropped_dsir"] = n_quality - n_dsir
                 stages["dsir_cut"] = round(float(cut), 6)
@@ -113,6 +120,7 @@ def main(argv=None) -> int:
                     kept.join(verdict, "doc_id", "left")
                     .where(F.coalesce(F.col("keep"), F.lit(1)) == 1)
                     .drop("keep")
+                    .localCheckpoint(eager=True)
                 )
                 n_sem = kept.count()
                 stages["dropped_semdedup"] = n_dsir - n_sem

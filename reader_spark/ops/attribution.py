@@ -69,10 +69,14 @@ def eval_attribution(
     """
     if n < 1 or k < 1 or max_df < 1:
         raise ValueError(f"n, k, max_df must be >= 1, got {(n, k, max_df)}")
+    # Lazy reuse barrier (the ops/dsir.py discipline): the exploded gram
+    # stream feeds BOTH the df-guard aggregate and the candidate join;
+    # without the barrier the corpus is shingled twice (regex split +
+    # n-gram render are the scan's dominant cost).
     tg = train.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
-    )
+    ).localCheckpoint(eager=False)
     # Inverted df guard: instead of equi-joining tg against the HUGE
     # keep-set (every rare n-gram), anti-join it against the small
     # stop-set — grams in more than max_df docs are boilerplate and few

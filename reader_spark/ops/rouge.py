@@ -146,10 +146,15 @@ def rouge_l_pairs(
             f"min_shared >= 1; "
             f"got {(n, max_df, trunc, threshold_milli, min_shared)}"
         )
+    # Lazy reuse barriers (ops/dsir.py discipline): toks feeds the gram
+    # stream AND both score-side lookups (a, b); grams feeds the
+    # df-guard aggregate AND both arms of the candidate self-join.
+    # Without the barriers the corpus is re-tokenized three times and
+    # re-shingled three times.
     toks = docs.select(
         F.col(id_col).cast("long").alias("id"),
         _toks(F.col(text_col), trunc).alias("ws"),
-    )
+    ).localCheckpoint(eager=False)
     k = F.greatest(F.size("ws") - (n - 1), F.lit(0))
     grams = toks.select(
         "id",
@@ -161,7 +166,7 @@ def rouge_l_pairs(
                 )
             )
         ).alias("g"),
-    ).where(k > 0)
+    ).where(k > 0).localCheckpoint(eager=False)
     # stop-gram guard, inverted to the small hot set (ops/attribution.py)
     hot = (
         grams.groupBy("g")

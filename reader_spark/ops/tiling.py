@@ -111,24 +111,24 @@ def texttiling_gaps(
     sides = sides.join(nblocks, "doc_id").where(
         (g >= 1) & (g <= F.col("n_blocks") - 1)
     )
-    # Window token counts per (doc, gap, side).
-    win = sides.groupBy("doc_id", "gap", "side", "tok").agg(
-        F.sum("c").alias("c")
-    )
-    norms = win.groupBy("doc_id", "gap").agg(
-        F.sum(F.when(F.col("side") == "L", F.col("c") * F.col("c")).otherwise(0)).alias("nl"),
-        F.sum(F.when(F.col("side") == "R", F.col("c") * F.col("c")).otherwise(0)).alias("nr"),
-    )
-    left = win.where(F.col("side") == "L").select("doc_id", "gap", "tok", F.col("c").alias("cl"))
-    right = win.where(F.col("side") == "R").select("doc_id", "gap", "tok", F.col("c").alias("cr"))
-    dots = (
-        left.join(right, ["doc_id", "gap", "tok"])
-        .groupBy("doc_id", "gap")
-        .agg(F.sum(F.col("cl") * F.col("cr")).alias("dot"))
+    # Fused similarity: ONE (doc, gap, tok) pre-aggregate pivots the two
+    # sides into (cl, cr) columns, then ONE (doc, gap) rollup computes
+    # nl = Σcl², nr = Σcr², dot = Σcl·cr. Same values as the unfused
+    # norms/left⋈right/dots chain (a token absent from a side has
+    # count 0 and contributes 0 to every sum), but the per-side window
+    # frame is scanned once instead of three times and the L⋈R
+    # token join disappears (guide §2.3/§2.4).
+    win = sides.groupBy("doc_id", "gap", "tok").agg(
+        F.sum(F.when(F.col("side") == "L", F.col("c")).otherwise(0)).alias("cl"),
+        F.sum(F.when(F.col("side") == "R", F.col("c")).otherwise(0)).alias("cr"),
     )
     sims = (
-        norms.join(dots, ["doc_id", "gap"], "left")
-        .withColumn("dot", F.coalesce(F.col("dot"), F.lit(0)).cast("long"))
+        win.groupBy("doc_id", "gap")
+        .agg(
+            F.sum(F.col("cl") * F.col("cl")).alias("nl"),
+            F.sum(F.col("cr") * F.col("cr")).alias("nr"),
+            F.sum(F.col("cl") * F.col("cr")).cast("long").alias("dot"),
+        )
         .select(
             "doc_id",
             "gap",

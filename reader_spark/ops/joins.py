@@ -103,13 +103,18 @@ def asof_join(
         matched = F.last("__payload", ignorenulls=True).over(w)
     else:
         # Forward: right rows sort AFTER left at equal __t (inclusive >=);
-        # first() picks the earliest, min-tiebreak match.
+        # the earliest, min-tiebreak match wins. Evaluated as a REVERSED
+        # running frame — a (currentRow, unboundedFollowing) frame
+        # re-scans the partition tail per row (O(n²)); last() over the
+        # fully-reversed sort with a running frame is the same row at
+        # O(n) (the total order is just flipped, so "first at-or-after
+        # in ASC" == "last at-or-before in DESC").
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("__t").asc(), F.col("__is_right").asc(), F.col("__tb").asc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("__t").desc(), F.col("__is_right").desc(), F.col("__tb").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        matched = F.first("__payload", ignorenulls=True).over(w)
+        matched = F.last("__payload", ignorenulls=True).over(w)
 
     out = u.withColumn("__m", matched).where(F.col("__is_right") == 0)
 

@@ -141,11 +141,18 @@ def justext_classify(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # "nearest following" frames run REVERSED: a (1, unboundedFollowing)
+    # frame re-scans the partition tail for every row (O(n²) per page);
+    # last() over the DESC order with a running (unboundedPreceding, -1)
+    # frame selects the same row at O(n) (order_col is unique per page).
     w_next = (
         Window.partitionBy(id_col)
-        .orderBy(order_col)
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+
+    def _first_next(col):
+        return F.last(col, ignorenulls=True).over(w_next)
 
     def _decisive(col):  # nearest good/bad, skipping short AND neargood
         return F.when(col.isin(GOOD, BAD), col)
@@ -166,9 +173,7 @@ def justext_classify(
         reference loop checks the budget before each forward step, so
         nearest-good-within-budget is exactly its break condition."""
         c = F.col(class_col)
-        next_good_off = F.first(
-            F.when(c == GOOD, F.col("_off")), ignorenulls=True
-        ).over(w_next)
+        next_good_off = _first_next(F.when(c == GOOD, F.col("_off")))
         promoted = F.when(
             F.col("_heading")
             & candidate
@@ -197,7 +202,7 @@ def justext_classify(
         .withColumn(
             "_next_gb",
             F.coalesce(
-                F.first(_decisive(cfc), ignorenulls=True).over(w_next), F.lit(BAD)
+                _first_next(_decisive(cfc)), F.lit(BAD)
             ),
         )
         .withColumn(
@@ -209,7 +214,7 @@ def justext_classify(
         .withColumn(
             "_next_any",
             F.coalesce(
-                F.first(_nonshort(cfc), ignorenulls=True).over(w_next), F.lit(BAD)
+                _first_next(_nonshort(cfc)), F.lit(BAD)
             ),
         )
     )
@@ -233,7 +238,7 @@ def justext_classify(
         F.coalesce(F.last(_decisive(c1), ignorenulls=True).over(w_prev), F.lit(BAD)),
     ).withColumn(
         "_next_gb2",
-        F.coalesce(F.first(_decisive(c1), ignorenulls=True).over(w_next), F.lit(BAD)),
+        F.coalesce(_first_next(_decisive(c1)), F.lit(BAD)),
     )
     neargood_rev = F.when(
         (F.col("_prev_gb2") == BAD) & (F.col("_next_gb2") == BAD), BAD

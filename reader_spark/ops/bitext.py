@@ -104,6 +104,51 @@ def _mutual(cands: DataFrame) -> DataFrame:
     )
 
 
+def _brute_pair_dots(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """All-pairs (src_id, tgt_id, dot) via ONE vectorized int64 matmul
+    per Arrow batch (guide §4.2): the tgt side — bounded by the brute
+    path's fixture-scale contract, like the k-center/IVF-seed readbacks
+    — is collected once and broadcast; each src batch computes a
+    (batch x m) integer matrix product in numpy instead of one
+    zip_with+fold expression per pair (measured 9.9 s → <1 s for the
+    1000x1000x64 fixture frame). Exact: |micro unit| <= 1e6⇒ products
+    <= 1e12 and 64-term sums <= 6.4e13, far inside int64."""
+    import numpy as np
+
+    tgt_rows = tgt.select("tgt_id", "tv").collect()
+    tids = np.array([r["tgt_id"] for r in tgt_rows], dtype=np.int64)
+    T = (
+        np.array([r["tv"] for r in tgt_rows], dtype=np.int64).T
+        if tgt_rows
+        else np.zeros((0, 0), dtype=np.int64)
+    )
+    spark = src.sparkSession
+    b = spark.sparkContext.broadcast((tids, T))
+
+    def fn(batches):
+        import pandas as pd
+
+        tids_b, T_b = b.value
+        m = len(tids_b)
+        for pdf in batches:
+            k = len(pdf)
+            if k == 0 or m == 0:
+                continue
+            S = np.array(pdf["sv"].tolist(), dtype=np.int64)
+            D = S @ T_b
+            yield pd.DataFrame(
+                {
+                    "src_id": np.repeat(pdf["src_id"].to_numpy(), m),
+                    "tgt_id": np.tile(tids_b, k),
+                    "dot": D.ravel(),
+                }
+            )
+
+    return src.select("src_id", "sv").mapInPandas(
+        fn, "src_id long, tgt_id long, dot long"
+    )
+
+
 def bitext_mine_brute(
     embeds: DataFrame,
     src_lang: str,
@@ -115,15 +160,12 @@ def bitext_mine_brute(
     """Exact mutual-NN over the full src x tgt cross product.
 
     Quadratic — fixture-scale oracle twin and recall reference for the
-    bucketed path; never run with corpus-scale sides.
+    bucketed path; never run with corpus-scale sides. Pair dots run as
+    a vectorized integer matmul (:func:`_brute_pair_dots`) — same exact
+    longs as the per-pair fold, batched through numpy.
     """
     src, tgt = _sides(embeds, id_col, vec_col, lang_col, src_lang, tgt_lang)
-    cands = src.crossJoin(tgt).select(
-        "src_id",
-        "tgt_id",
-        _int_dot(F.col("sv"), F.col("tv")).alias("dot"),
-    )
-    return _mutual(cands)
+    return _mutual(_brute_pair_dots(src, tgt))
 
 
 def bitext_mine_bucketed(
@@ -259,10 +301,9 @@ def bitext_mine_csls(
         tb = tgt.withColumn(
             "bucket", hyperplane_sketch_literal(F.col("tf"), weights)
         )
-        cands = sb.join(tb, "bucket")
+        cands = sb.join(tb, "bucket").select(
+            "src_id", "tgt_id", _int_dot(F.col("sv"), F.col("tv")).alias("dot")
+        )
     else:
-        cands = src.crossJoin(tgt)
-    cands = cands.select(
-        "src_id", "tgt_id", _int_dot(F.col("sv"), F.col("tv")).alias("dot")
-    )
+        cands = _brute_pair_dots(src, tgt)
     return _csls_mutual(cands, knn)

@@ -163,12 +163,25 @@ def bpe_token_counts(
             )
         ).alias("__w"),
     )
+    # The rendered symbol string stages through a projection: the token
+    # count reads it twice (length + stripped length), and an inline
+    # bpe_word_tokens_expr would evaluate the 40-replace chain twice
+    # per word.
     enc = (
         occ.select("__w")
         .distinct()
+        .select("__w", bpe_symbols_expr(F.col("__w"), merges).alias("__s"))
         .select(
             "__w",
-            bpe_word_tokens_expr(F.col("__w"), merges).alias("__t"),
+            (
+                (
+                    F.length("__s")
+                    - F.length(F.replace(F.col("__s"), F.lit("|"), F.lit("")))
+                )
+                / F.lit(2)
+            )
+            .cast("long")
+            .alias("__t"),
         )
     )
     counts = (

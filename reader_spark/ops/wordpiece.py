@@ -79,6 +79,21 @@ def wordpiece_expr(
     walk (no piece matches at the cursor). Each step consumes at
     least one char, so ``max_word`` iterations suffice; words longer
     than ``max_word`` or with a dead walk emit the single [UNK]."""
+    return _walk_result(
+        word, _wordpiece_walk(word, vocab, max_piece, max_word), max_word
+    )
+
+
+def _wordpiece_walk(
+    word: Column,
+    vocab: tuple[str, ...] = DEFAULT_VOCAB,
+    max_piece: int = MAX_PIECE,
+    max_word: int = 24,
+) -> Column:
+    """The greedy walk fold alone — callers bind it to a column ONCE
+    and feed it to :func:`_walk_result`: referencing the fold from
+    several output columns re-evaluates the whole walk per reference
+    in interpreted mode (the staged form runs it once per word)."""
     m = _vocab_map(vocab)
     n = F.length(word)
 
@@ -105,7 +120,12 @@ def wordpiece_expr(
             ).otherwise(branch)
         return F.when((pos < 0) | (pos >= n), acc).otherwise(branch)
 
-    walk = F.aggregate(F.sequence(F.lit(1), F.lit(max_word)), init, step)
+    return F.aggregate(F.sequence(F.lit(1), F.lit(max_word)), init, step)
+
+
+def _walk_result(word: Column, walk: Column, max_word: int = 24) -> Column:
+    """Verdict struct from a BOUND walk column."""
+    n = F.length(word)
     ok = (walk["pos"] == n) & (n > 0) & (n <= max_word)
     return F.when(
         ok,
@@ -130,13 +150,21 @@ def wordpiece_encode_words(
     max_piece: int = MAX_PIECE,
 ) -> DataFrame:
     """Encode a word dim: (word, n_tokens, pieces, is_unk) with pieces
-    space-joined. Pure map over the dim — no shuffle."""
-    v = wordpiece_expr(F.col(word_col), vocab, max_piece)
-    return words.select(
+    space-joined. Pure map over the dim — no shuffle; the walk fold
+    and the verdict struct stage through projections so each runs once
+    per word instead of once per output-column reference."""
+    staged = words.select(
+        F.col(word_col),
+        _wordpiece_walk(F.col(word_col), vocab, max_piece).alias("__w"),
+    ).select(
+        F.col(word_col),
+        _walk_result(F.col(word_col), F.col("__w")).alias("__v"),
+    )
+    return staged.select(
         word_col,
-        v["n_tokens"].alias("n_tokens"),
-        F.array_join(v["toks"], " ").alias("pieces"),
-        v["is_unk"].alias("is_unk"),
+        F.col("__v.n_tokens").alias("n_tokens"),
+        F.array_join(F.col("__v.toks"), " ").alias("pieces"),
+        F.col("__v.is_unk").alias("is_unk"),
     )
 
 

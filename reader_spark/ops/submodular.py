@@ -45,15 +45,23 @@ def _nrm(w):
     return F.sqrt(_dot(w, w))
 
 
+def _sim_from_dot(dot, nu, nv):
+    """round-4 cosine in exact integer 1e-4 units from a PRECOMPUTED
+    dot column — division and the HALF_UP rounding stay Spark
+    expressions so the integers are bit-identical no matter where the
+    dot itself was produced (fold or vectorized sequential sum)."""
+    cos = F.try_divide(dot, nu * nv)
+    return F.coalesce(
+        F.round(F.round(cos, 4) * 10000, 0).cast("long"), F.lit(0)
+    )
+
+
 def _sim_dm(u, v, nu, nv):
     """round-4 cosine in exact integer 1e-4 units, with the two norms
     PRECOMPUTED as columns — same doubles as computing them inline
     (identical expression tree per value), a third of the per-pair
     aggregate work (the 62s->20s bench finding at sf0.1)."""
-    cos = F.try_divide(_dot(u, v), nu * nv)
-    return F.coalesce(
-        F.round(F.round(cos, 4) * 10000, 0).cast("long"), F.lit(0)
-    )
+    return _sim_from_dot(_dot(u, v), nu, nv)
 
 
 def _cos_dm(u, v):
@@ -101,100 +109,98 @@ def facility_location_greedi(
     # against it, no vector dots.  Operand order in _sim_dm matches the
     # old per-round forms (candidate first, winner first) so every
     # double — and thus every rounded 1e-4 unit — is bit-identical.
-    pairsim = (
-        pts.select(
-            "bucket",
-            F.col("id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("nr").alias("cnr"),
+    def _bucket_pair_dots(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy()
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nr = pdf["nr"].to_numpy()
+        n_b, d = V.shape
+        # Sequential accumulation over positions — the SAME IEEE op
+        # order as the zip_with/aggregate fold (((0+u0·v0)+u1·v1)+…),
+        # so every dot double is bit-identical; only vectorized across
+        # the n_b² pairs (guide §4.2). Division + HALF_UP rounding stay
+        # Spark expressions below.
+        acc = np.zeros((n_b, n_b), dtype=np.float64)
+        for j in range(d):
+            acc += V[:, j, None] * V[None, :, j]
+        return pd.DataFrame(
+            {
+                "bucket": pdf["bucket"].iloc[0],
+                "cid": np.repeat(ids, n_b),
+                "pid": np.tile(ids, n_b),
+                "dot": acc.ravel(),
+                "cnr": np.repeat(nr, n_b),
+                "pnr": np.tile(nr, n_b),
+            }
         )
-        .join(
-            pts.select(
-                "bucket",
-                F.col("id").alias("pid"),
-                F.col("v").alias("pv"),
-                F.col("nr").alias("pnr"),
-            ),
-            "bucket",
+
+    pairsim = (
+        pts.groupBy("bucket")
+        .applyInPandas(
+            _bucket_pair_dots,
+            "bucket long, cid long, pid long, dot double, "
+            "cnr double, pnr double",
         )
         .select(
             "bucket",
             "cid",
             "pid",
-            _sim_dm(
-                F.col("cv"), F.col("pv"), F.col("cnr"), F.col("pnr")
+            _sim_from_dot(
+                F.col("dot"), F.col("cnr"), F.col("pnr")
             ).alias("s"),
         )
         .localCheckpoint(eager=True)
     )
-    cur = pts.select(
-        "bucket", "id", F.lit(0).cast("long").alias("cur")
-    ).localCheckpoint(eager=True)
-    picked: list[tuple[int, int]] = []  # (bucket, id)
+    # Round 1 runs the bucket-local greedy WHERE the data is: one
+    # applyInPandas task per bucket over the exact-integer pair sims —
+    # literally GreeDi's "greedy on each machine" step (Mirzasoleiman
+    # 2013 §3), with the k elections as pure int64 numpy over the SAME
+    # pairsim longs the per-round join form consumed, so every gain,
+    # tie-break and pick is bit-identical. This replaces ~3 driver-
+    # synchronized jobs per pick (gains join, winners collect, cur
+    # checkpoint — the dominant cost of the op at every scale: the
+    # per-pick frames are tiny but each pays full job latency) with ONE
+    # job total. Bucket state is n_b^2 longs — the same bound the
+    # checkpointed pairsim already imposed.
+    def _bucket_greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cids = np.sort(pdf["cid"].unique())
+        idx = {c: i for i, c in enumerate(cids)}
+        n_b = len(cids)
+        S = np.zeros((n_b, n_b), dtype=np.int64)
+        S[
+            pdf["cid"].map(idx).to_numpy(),
+            pdf["pid"].map(idx).to_numpy(),
+        ] = pdf["s"].to_numpy()
+        cur = np.zeros(n_b, dtype=np.int64)
+        taken = np.zeros(n_b, dtype=bool)
+        out = []
+        for _ in range(min(k, n_b)):
+            gains = np.maximum(S - cur[None, :], 0).sum(axis=1)
+            gains[taken] = -1  # picked cids never re-elected
+            w = int(np.argmax(gains))  # first max = smallest cid (sorted)
+            taken[w] = True
+            out.append(int(cids[w]))
+            cur = np.maximum(cur, S[w])
+        return pd.DataFrame(
+            {"bucket": pdf["bucket"].iloc[0], "id": out}
+        )
+
+    winners = (
+        pairsim.groupBy("bucket")
+        .applyInPandas(_bucket_greedy, "bucket long, id long")
+        .join(pts.select("bucket", "id", "v", "nr"), ["bucket", "id"])
+        .collect()
+    )
     cand_vecs: dict[int, list[float]] = {}
     cand_norms: dict[int, float] = {}
-    for _ in range(k):
-        cand_sim = pairsim
-        if picked:
-            sel = spark.createDataFrame(picked, "bucket long, cid long")
-            cand_sim = pairsim.join(
-                F.broadcast(sel), ["bucket", "cid"], "left_anti"
-            )
-        gains = (
-            cand_sim.join(
-                cur.withColumnRenamed("id", "pid"), ["bucket", "pid"]
-            )
-            .select(
-                "bucket",
-                "cid",
-                F.greatest(
-                    F.col("s") - F.col("cur"), F.lit(0).cast("long")
-                ).alias("t"),
-            )
-            .groupBy("bucket", "cid")
-            .agg(F.sum("t").alias("g"))
-        )
-        winners = (
-            gains.groupBy("bucket")
-            .agg(F.max(F.struct(F.col("g"), (-F.col("cid")).alias("n"))).alias("m"))
-            .select("bucket", (-F.col("m.n")).alias("id"))
-            .join(pts.select("bucket", "id", "v", "nr"), ["bucket", "id"])
-            .collect()
-        )
-        if not winners:
-            break
-        picked += [(int(r["bucket"]), int(r["id"])) for r in winners]
-        for r in winners:
-            cand_vecs[int(r["id"])] = list(r["v"])
-            cand_norms[int(r["id"])] = float(r["nr"])
-        wdf = spark.createDataFrame(
-            [(int(r["bucket"]), int(r["id"])) for r in winners],
-            "bucket long, wid long",
-        )
-        wsim = pairsim.join(
-            F.broadcast(wdf),
-            (pairsim["bucket"] == wdf["bucket"])
-            & (pairsim["cid"] == wdf["wid"]),
-        ).select(
-            pairsim["bucket"],
-            F.col("pid").alias("id"),
-            F.col("s").alias("ws"),
-        )
-        # LEFT join: a bucket that ran out of candidates keeps its
-        # points (with cur unchanged — the null winner-sim coalesces
-        # to 0 and cur >= 0) instead of silently dropping them.
-        cur = (
-            cur.join(wsim, ["bucket", "id"], "left")
-            .select(
-                "bucket",
-                "id",
-                F.greatest(
-                    F.col("cur"),
-                    F.coalesce(F.col("ws"), F.lit(0).cast("long")),
-                ).alias("cur"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    for r in winners:
+        cand_vecs[int(r["id"])] = list(r["v"])
+        cand_norms[int(r["id"])] = float(r["nr"])
 
     # ---- round 2: exact greedy over the full corpus, candidates =
     # the bounded local-winner list.  The candidate x corpus similarity
@@ -229,11 +235,11 @@ def facility_location_greedi(
                     F.col("c.cv"), F.col("v"), F.col("c.cnr"), F.col("nr")
                 ).alias("s"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur2 = pts.select(
             "id", F.lit(0).cast("long").alias("cur")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         for rank in range(1, k + 1):
             chosen = {o[1] for o in out}
             remaining = [c for c in cand_ids if c not in chosen]
@@ -275,7 +281,7 @@ def facility_location_greedi(
                         F.coalesce(F.col("ws"), F.lit(0).cast("long")),
                     ).alias("cur"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
 
     return spark.createDataFrame(

@@ -88,10 +88,17 @@ def main(argv=None) -> int:
         n_domains = stats.count()
 
         if args.method == "doremi":
+            # Materialize per-doc LM scores once: the per-domain losses
+            # and the global reference loss both aggregate this frame,
+            # and without the boundary the bigram scoring ran twice.
+            # (The proxy-loss milli values round a double avg whose
+            # partition summation order is not fixed, so the derived
+            # schedule length wobbles by a few steps run-to-run — it
+            # did before this boundary too.)
             per_doc = bigram_lm_scores(docs).join(
                 docs.select("doc_id", F.col("source").alias("domain")),
                 "doc_id",
-            )
+            ).localCheckpoint()
             losses = per_doc.groupBy("domain").agg(
                 F.round(F.avg("avg_nll_bits") * 1000)
                 .cast("long")

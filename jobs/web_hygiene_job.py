@@ -103,18 +103,23 @@ def main(argv=None) -> int:
             warehouse.write(shards, "pld_shards", mode="overwrite")
 
             h = warehouse.read("page_hygiene")
+            # One aggregate pass instead of five separate scans — the
+            # conditional sums and countDistinct produce the same ints.
+            hrow = h.agg(
+                F.count(F.lit(1)).alias("n_pages"),
+                F.sum(F.col("indexable").cast("long")).alias("n_indexable"),
+                F.sum(F.col("noindex").cast("long")).alias("n_noindex"),
+                F.sum(
+                    (F.col("canonical_status") == "cycle").cast("long")
+                ).alias("n_cycles"),
+                F.countDistinct("registrable_domain").alias("n_plds"),
+            ).head()
             summary = {
-                "n_pages": h.count(),
-                "n_indexable": h.where("indexable").count(),
-                "n_noindex": h.where("noindex").count(),
-                "n_canonical_cycles": h.where(
-                    "canonical_status = 'cycle'"
-                ).count(),
-                "n_plds": int(
-                    h.agg(
-                        F.countDistinct("registrable_domain").alias("n")
-                    ).head()["n"]
-                ),
+                "n_pages": int(hrow["n_pages"]),
+                "n_indexable": int(hrow["n_indexable"] or 0),
+                "n_noindex": int(hrow["n_noindex"] or 0),
+                "n_canonical_cycles": int(hrow["n_cycles"] or 0),
+                "n_plds": int(hrow["n_plds"]),
                 "max_shard_load": int(
                     warehouse.read("pld_shards")
                     .agg(F.max("load_after").alias("m"))

@@ -92,9 +92,12 @@ def parse_html_fast(html: str) -> Node:
             pos = lt + 1
             continue
         pos = m.end()
-        start = m.group("start")
-        if start is not None:
-            tag = start.lower()
+        # lastgroup names the branch that matched (start tags end on the
+        # always-participating "attrs" group) — one dict lookup instead
+        # of probing each named group in turn.
+        lg = m.lastgroup
+        if lg == "attrs":
+            tag = m.group("start").lower()
             raw_attrs = m.group("attrs")
             self_closing = raw_attrs.endswith("/")
             attrs = _parse_attrs(raw_attrs.rstrip("/")) if raw_attrs.strip("/ \t\r\n") else {}
@@ -123,17 +126,15 @@ def parse_html_fast(html: str) -> Node:
             ):
                 stack.append(node)
             continue
-        end = m.group("end")
-        if end is not None:
-            tag = end.lower()
+        if lg == "end":
+            tag = m.group("end").lower()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
                     break
             continue
-        comment = m.group("comment")
-        if comment is not None:
-            stack[-1].append_child(Node("#comment", text=comment))
+        if lg == "comment":
+            stack[-1].append_child(Node("#comment", text=m.group("comment")))
         # declarations / processing instructions are dropped
     return root
 

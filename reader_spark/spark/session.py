@@ -81,6 +81,9 @@ def _warm_session(spark: SparkSession) -> None:
     except Exception:
         pass
     try:
+        import shutil
+        import tempfile
+
         from pyspark.sql import functions as F
 
         a = spark.range(0, 1024).select(
@@ -93,6 +96,32 @@ def _warm_session(spark: SparkSession) -> None:
             .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
             .write.format("noop").mode("overwrite").save()
         )
+        # Parquet reader/writer + Generate/HigherOrderFunction codegen
+        # init: a 64-row roundtrip through a temp dir covers the cold
+        # paths every first real query otherwise absorbs.
+        tmp = tempfile.mkdtemp(prefix="spark_warm_")
+        try:
+            spark.range(64).select(
+                F.col("id"), F.lit("a b c").alias("t")
+            ).write.mode("overwrite").parquet(tmp)
+            df = spark.read.parquet(tmp)
+            occ = df.select(
+                "id",
+                F.explode(
+                    F.filter(F.split(F.lower("t"), " "), lambda w: w != "")
+                ).alias("w"),
+            )
+            enc = occ.select("w").distinct().select(
+                "w", F.length("w").alias("n")
+            )
+            (
+                occ.join(enc, "w")
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("c"), F.sum("n").alias("s"))
+                .write.format("noop").mode("overwrite").save()
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         spark.conf.set(marker, "1")
     except Exception:
         # Warmup is best-effort; never fail session creation over it.

@@ -1082,12 +1082,27 @@ def test_kneser_ney_plan_no_python_no_single_partition_windows(spark):
     assert tree.count("BroadcastNestedLoopJoin") <= 1  # 1-row type dim
 
 
-def test_psl_rules_dim_broadcasts(spark):
-    """The PSL rule table must ride as a broadcast dim; the candidate
-    explode must not shuffle per candidate."""
+def test_psl_literal_path_is_shuffle_free(spark):
+    """Expression-sized PSL rule lists run entirely within-row (r6
+    optimization): no join, no exchange, no explode — a pure scan-local
+    projection."""
     import __spark_entry__ as entrymod
 
     plan = plan_of(entrymod.queries()["registrable_domains"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_psl_large_rule_list_broadcasts(spark):
+    """Rule lists past expression size keep the broadcast-dim join; the
+    candidate explode must not shuffle per candidate."""
+    from reader_spark.ops.psl import registrable_domain
+
+    hosts = spark.range(32).selectExpr("concat('h', id, '.example.com') AS host")
+    rules = tuple((f"tld{i}", 0) for i in range(300)) + (("com", 0),)
+    plan = plan_of(registrable_domain(hosts, rules=rules))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 

@@ -32,14 +32,23 @@ def test_rejects_empty_cols(frame):
         numeric_profile(frame, [])
 
 
-def test_single_scan_plan(frame):
-    """k columns must NOT mean k scans: one aggregate pass, then stack."""
+def test_exact_two_pass_plan(frame):
+    """Exact mode is exactly TWO aggregate passes (r6 optimization):
+    the percentile/base pass with NO Expand (percentile buffers must
+    not be keyed by distinct values), plus the count-distinct pass over
+    the Expand — never k scans for k columns."""
     from tests.test_plans import plan_of
 
     plan = plan_of(numeric_profile(frame, ["a", "b"]))
     section = plan.split("\n\n")[0]  # tree section of the formatted plan
-    assert section.count("Scan") == 1
+    assert section.count("Scan") == 2
     assert "Generate" in plan or "stack" in plan.lower()
+    # the percentile aggregate must sit directly on a scan, not on the
+    # Expand: every Expand in the plan feeds only count-distinct work
+    assert "percentile" in plan
+    for op in plan.split("\n\n"):
+        if op.startswith("(") and "percentile" in op and "Expand" in op:
+            raise AssertionError("percentile keyed under Expand")
 
 
 def test_approx_mode_no_sort_and_partial_agg(frame):
@@ -52,6 +61,7 @@ def test_approx_mode_no_sort_and_partial_agg(frame):
     section = plan.split("\n\n")[0]
     assert "Sort" not in section
     assert "Expand" not in section  # countDistinct's expand is gone too
+    assert section.count("Scan") == 1  # approx stays single-pass
     assert "partial" in plan.lower()
     # the exact twin, by contrast, needs the distinct expand
     exact_plan = plan_of(numeric_profile(frame, ["a", "b"]))

@@ -464,23 +464,36 @@ def spam_mass(
     precision (6 dp) and the division evaluated ON the displayed values
     so two engines agree bit-for-bit.
     """
-    pr = pagerank(
-        edges,
-        src_col=src_col,
-        dst_col=dst_col,
-        weight_col=weight_col,
-        iterations=iterations,
-        damping=damping,
-    )
-    tr = trustrank(
-        edges,
-        seeds,
-        src_col=src_col,
-        dst_col=dst_col,
-        weight_col=weight_col,
-        iterations=iterations,
-        damping=damping,
-    )
+    # The two rank vectors are independent power iterations over the
+    # same edges — run their driver loops CONCURRENTLY (guide §2.6:
+    # actions are only sequential because the driver calls them
+    # sequentially; each iteration's tiny jobs leave most executors
+    # idle, so the second loop back-fills the first one's tail).
+    # Results are unchanged: each loop's checkpoint lineage is its own.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pr_f = pool.submit(
+            pagerank,
+            edges,
+            src_col=src_col,
+            dst_col=dst_col,
+            weight_col=weight_col,
+            iterations=iterations,
+            damping=damping,
+        )
+        tr_f = pool.submit(
+            trustrank,
+            edges,
+            seeds,
+            src_col=src_col,
+            dst_col=dst_col,
+            weight_col=weight_col,
+            iterations=iterations,
+            damping=damping,
+        )
+        pr = pr_f.result()
+        tr = tr_f.result()
     pr6 = F.round(F.col("pr"), 6)
     tr6 = F.round(F.col("tr"), 6)
     rel = F.round((pr6 - tr6) / pr6, 6)
